@@ -1,0 +1,333 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.AsOfJoin
+
+/** The §2B relational query surface of SURVEY.md: the reference guarantees
+  * "standard SQL over the output schema" (reference README.md:125,
+  * changelog.md:35-39); this pack exercises every relational pattern the
+  * reference's consumers rely on — filter/project, hierarchy-style equi
+  * joins, decode joins against small dimensions (broadcast), per-key
+  * rollups, semi/anti existence, set ops, windows, top-n, typed casts —
+  * against the driver's TPC-H-ish tables.
+  *
+  * Determinism contract with the DuckDB oracle (hash-match per
+  * BASELINE.md): monetary doubles are reduced to exact integer cents
+  * (`round(x*100)::BIGINT` — per-row IEEE ops are identical across
+  * engines, and integer sums are order-independent, unlike double sums
+  * whose value depends on Spark's partial-aggregation order); quantities
+  * are integer-valued doubles (exact in IEEE); every output is totally
+  * ordered by a unique key.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** round(x*100) as BIGINT — exact cents, order-independent to sum. */
+  private def cents(c: Column): Column = round(c * 100.0).cast("long")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- aggregation core -------------------------------------------------
+    "q01_pricing_summary" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+          sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_cents"),
+          avg("l_quantity").as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q02_filter_project" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_quantity") < 24)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity"),
+          cents(col("l_extendedprice") * col("l_discount")).as("disc_cents"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // --- joins ------------------------------------------------------------
+    "q03_join_agg" -> ((s, d) => {
+      val c = t(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
+      val o = t(s, d, "orders")
+      val l = t(s, d, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    "q04_semi_join" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val big = t(s, d, "lineitem").where(col("l_quantity") > 45)
+        .select(col("l_orderkey").as("o_orderkey"))
+      o.join(big, Seq("o_orderkey"), "left_semi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "q05_anti_join" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+        .where(year(col("o_orderdate")) === 1996)
+        .select(col("o_custkey").as("c_custkey"))
+      c.join(o, Seq("c_custkey"), "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment")
+    }),
+
+    "q13_multiway_join" -> ((s, d) => {
+      val r = t(s, d, "region"); val n = t(s, d, "nation")
+      val c = t(s, d, "customer"); val o = t(s, d, "orders")
+      val l = t(s, d, "lineitem"); val sup = t(s, d, "supplier")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey"))
+        .join(c, o("o_custkey") === c("c_custkey") && c("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_cents"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    "q15_decode_join" -> ((s, d) => {
+      // Mirrors the reference's ElementDefinitions decode join
+      // (create_definitions.py:32-63): code -> description over a small
+      // broadcast dimension.
+      import s.implicits._
+      val dim = Seq(("R", "RETURNED"), ("A", "ACCEPTED"), ("N", "NONE"))
+        .toDF("code", "code_description")
+      t(s, d, "lineitem")
+        .join(broadcast(dim), col("l_returnflag") === col("code"), "left")
+        .groupBy("code_description").agg(count(lit(1)).as("n_lines"))
+        .orderBy("code_description")
+    }),
+
+    "q16_asof_join" -> ((s, d) => {
+      // Latest order per user at each event's timestamp (point-in-time
+      // join). Right side deduped to one row per (custkey, orderdate).
+      val w = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+        .orderBy(col("o_orderkey").desc)
+      val o = t(s, d, "orders")
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+      val e = t(s, d, "events").select("event_id", "user_id", "ts")
+      AsOfJoin.joinAsOf(e, o,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTs = "ts", rightTs = "o_orderdate",
+          payload = Seq("o_orderkey"))
+        .select(col("event_id"), col("o_orderkey"))
+        .orderBy("event_id")
+    }),
+
+    // --- windows ----------------------------------------------------------
+    "q06_topk_per_group" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      t(s, d, "lineitem")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 3)
+        .select(col("l_suppkey"), col("rn"), col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"))
+        .orderBy("l_suppkey", "rn")
+    }),
+
+    "q07_running_total" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "lineitem").where(col("l_suppkey") <= 5)
+        .select(col("l_suppkey"), col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          sum(col("l_quantity")).over(w).as("running_qty"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    }),
+
+    // --- set ops / distinct / top-n --------------------------------------
+    "q08_set_ops" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      def custsIn(year: Int): DataFrame =
+        o.where(col("o_orderdate") >= lit(f"$year-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit(f"${year + 1}-01-01").cast("timestamp"))
+          .select("o_custkey").distinct()
+      custsIn(1996).intersect(custsIn(1997)).except(custsIn(1998))
+        .orderBy("o_custkey")
+    }),
+
+    "q09_distinct" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          year(col("l_shipdate")).cast("long").as("ship_year"))
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus", "ship_year")
+    }),
+
+    "q10_topn" -> ((s, d) => {
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), cents(col("o_totalprice")).as("price_cents"))
+        .orderBy(col("price_cents").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // --- grouped filters / conditional agg / casts ------------------------
+    "q11_having" -> ((s, d) => {
+      t(s, d, "part")
+        .groupBy("p_brand").agg(count(lit(1)).as("n_parts"),
+          sum(cents(col("p_retailprice"))).as("retail_cents"))
+        .where(col("n_parts") >= 5)
+        .orderBy("p_brand")
+    }),
+
+    "q12_case_agg" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val l = t(s, d, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q14_date_agg" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).cast("long").as("order_year"),
+          month(col("o_orderdate")).cast("long").as("order_month"))
+        .agg(count(lit(1)).as("n_orders"), sum(cents(col("o_totalprice"))).as("total_cents"))
+        .orderBy("order_year", "order_month")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+        |  avg(l_quantity) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity,
+        |  CAST(round(l_extendedprice * l_discount * 100.0) AS BIGINT) AS disc_cents
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_quantity < 24
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_join_agg" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1, 2 ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q04_semi_join" ->
+      """SELECT o_orderpriority, count(*) AS order_count FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q05_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND year(o_orderdate) = 1996)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q13_multiway_join" ->
+      """SELECT r_name, n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q15_decode_join" ->
+      """SELECT code_description, count(*) AS n_lines
+        |FROM lineitem LEFT JOIN (VALUES ('R','RETURNED'), ('A','ACCEPTED'), ('N','NONE'))
+        |  dim(code, code_description) ON l_returnflag = code
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q16_asof_join" ->
+      """WITH o1 AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey FROM (
+        |    SELECT o_custkey, o_orderdate, o_orderkey,
+        |      row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+        |    FROM orders) WHERE rn = 1)
+        |SELECT event_id, o_orderkey
+        |FROM events ASOF LEFT JOIN o1
+        |  ON events.user_id = o1.o_custkey AND events.ts >= o1.o_orderdate
+        |ORDER BY event_id""".stripMargin,
+
+    "q06_topk_per_group" ->
+      """SELECT l_suppkey, rn, l_orderkey, l_linenumber FROM (
+        |  SELECT l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |    CAST(row_number() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber) AS BIGINT) AS rn
+        |  FROM lineitem)
+        |WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin,
+
+    "q07_running_total" ->
+      """SELECT l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        |FROM lineitem WHERE l_suppkey <= 5
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "q08_set_ops" ->
+      """(SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        | INTERSECT
+        | SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')
+        |EXCEPT
+        |SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q09_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus,
+        |  CAST(year(l_shipdate) AS BIGINT) AS ship_year
+        |FROM lineitem ORDER BY 1, 2, 3""".stripMargin,
+
+    "q10_topn" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(round(o_totalprice * 100.0) AS BIGINT) AS price_cents
+        |FROM orders ORDER BY price_cents DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q11_having" ->
+      """SELECT p_brand, count(*) AS n_parts,
+        |  CAST(sum(CAST(round(p_retailprice * 100.0) AS BIGINT)) AS BIGINT) AS retail_cents
+        |FROM part GROUP BY 1 HAVING count(*) >= 5 ORDER BY 1""".stripMargin,
+
+    "q12_case_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q14_date_agg" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+        |  CAST(month(o_orderdate) AS BIGINT) AS order_month,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+  )
+}
