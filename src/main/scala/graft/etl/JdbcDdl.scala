@@ -1,0 +1,90 @@
+package graft.etl
+
+/** Driver-side DDL synthesis for the JDBC (PostgreSQL) mirror — SURVEY
+  * A12/A13/A19/A23. Pure string builders: no Spark primitive is involved
+  * (the reference does all of this row-interleaved over a live psycopg2
+  * connection, `main_ingest.py:197-272,500-642`; here DDL is derived once
+  * per batch from the aggregated schema, then applied through one JDBC
+  * connection before `df.write.jdbc` appends the rows).
+  *
+  * All dynamic columns are TEXT by contract (§1.2: "typing is the
+  * querier's job").
+  */
+object JdbcDdl {
+
+  private def q(ident: String): String = "\"" + ident + "\""
+
+  /** CREATE TABLE for a dynamic per-tag table: 5 fixed columns + one TEXT
+    * column per attribute (`main_ingest.py:210-231`).
+    */
+  def createTagTable(schema: String, tableRaw: String, attrCols: Seq[String]): String = {
+    val table = tableRaw.toLowerCase
+    val valueCol = Sanitize.valueColumnName(tableRaw)
+    val common = Seq(
+      s"${q("element_id")} TEXT PRIMARY KEY",
+      s"${q("parent_element_id")} TEXT",
+      s"${q("pcr_uuid_context")} TEXT",
+      s"${q("original_tag_name")} TEXT",
+      s"${q(valueCol)} TEXT")
+    val commonNames = TagTables.CommonColumns.toSet + valueCol
+    val attrs = attrCols.map(a => Sanitize.sanitizeXmlName(a).toLowerCase)
+      .distinct.filterNot(commonNames.contains)
+      .map(a => s"${q(a)} TEXT")
+    s"CREATE TABLE IF NOT EXISTS ${q(schema)}.${q(table)} (${(common ++ attrs).mkString(", ")});"
+  }
+
+  /** Table COMMENT carrying the XML path (`main_ingest.py:235-240`). */
+  def commentOnTable(schema: String, tableRaw: String, elementPath: String): String =
+    s"COMMENT ON TABLE ${q(schema)}.${q(tableRaw.toLowerCase)} IS '${elementPath.replace("'", "''")}';"
+
+  /** Schema evolution: add newly observed attribute columns
+    * (`main_ingest.py:252-272`).
+    */
+  def addColumn(schema: String, tableRaw: String, attrCol: String): String =
+    s"ALTER TABLE ${q(schema)}.${q(tableRaw.toLowerCase)} ADD COLUMN ${q(Sanitize.sanitizeXmlName(attrCol).toLowerCase)} TEXT;"
+
+  /** FK with ON DELETE CASCADE over the tree edge (`main_ingest.py:605-617`),
+    * name via the 63-byte truncation contract (FkNames).
+    */
+  def addForeignKey(schema: String, childRaw: String, parentRaw: String): String = {
+    val name = FkNames.fkConstraintName(childRaw, parentRaw)
+    s"ALTER TABLE ${q(schema)}.${q(childRaw.toLowerCase)} " +
+      s"ADD CONSTRAINT ${q(name)} FOREIGN KEY (${q("parent_element_id")}) " +
+      s"REFERENCES ${q(schema)}.${q(parentRaw.toLowerCase)} (${q("element_id")}) ON DELETE CASCADE;"
+  }
+
+  /** Existence probe for the FK (`main_ingest.py:586-603`). */
+  def fkExistsQuery: String =
+    "SELECT constraint_name FROM information_schema.table_constraints " +
+      "WHERE table_schema = ? AND table_name = ? AND constraint_name = ?;"
+
+  /** Bootstrap control tables (`database_setup.py:66-95`). */
+  def bootstrap(schema: String): Seq[String] = Seq(
+    s"""CREATE TABLE IF NOT EXISTS ${q(schema)}.SchemaVersions (
+       |  SchemaVersionID SERIAL PRIMARY KEY,
+       |  VersionNumber TEXT NOT NULL UNIQUE,
+       |  CreationDate TIMESTAMPTZ NOT NULL,
+       |  UpdateDate TIMESTAMPTZ,
+       |  Description TEXT,
+       |  DemographicGroup TEXT NULL
+       |);""".stripMargin,
+    s"""CREATE TABLE IF NOT EXISTS ${q(schema)}.XMLFilesProcessed (
+       |  ProcessedFileID TEXT PRIMARY KEY,
+       |  OriginalFileName TEXT NOT NULL,
+       |  MD5Hash TEXT,
+       |  ProcessingTimestamp TIMESTAMPTZ NOT NULL,
+       |  Status TEXT NOT NULL,
+       |  SchemaVersionID INTEGER,
+       |  DemographicGroup TEXT NULL,
+       |  FOREIGN KEY (SchemaVersionID) REFERENCES ${q(schema)}.SchemaVersions(SchemaVersionID)
+       |);""".stripMargin)
+
+  /** DELETE statements for a keyed overwrite on the mirror — the
+    * reference's per-PCR pre-delete (`main_ingest.py:276-328`), one
+    * statement per table instead of per (table, key) roundtrip.
+    */
+  def deleteByKeys(schema: String, tableRaw: String, keys: Seq[String]): String = {
+    val in = keys.map(k => s"'${k.replace("'", "''")}'").mkString(", ")
+    s"DELETE FROM ${q(schema)}.${q(tableRaw.toLowerCase)} WHERE ${q("pcr_uuid_context")} IN ($in);"
+  }
+}

@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.etl.{Sanitize, TagTables, XmlFlatten}
+import graft.sources.Tables
+
+/** Oracle-checked coverage of the XML ETL core (SURVEY A2-A8, A10-A11):
+  * each query synthesizes NEMSIS-shaped XML deterministically from the
+  * driver's `orders` table, runs the engine's real StAX flattener inside
+  * an executor flatMap, and aggregates the parsed elements — so the
+  * DuckDB oracle can state the expected result arithmetically over the
+  * same parquet, and a flattener regression breaks the hash-match.
+  */
+object XmlIngest {
+
+  /** orders row -> one NEMSIS-shaped document; <eDisposition.12> present
+    * only for status-'F' orders (so counts are data-dependent, not
+    * constant), payment as exact cents text.
+    */
+  private def ordersAsElements(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.load(s, d, "orders").select(
+      col("o_orderkey"),
+      col("o_orderstatus"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+      round(col("o_totalprice") * 100.0).cast("long").as("cents"))
+    o.as[(Long, String, String, Long)].flatMap { case (key, status, odate, cents) =>
+      val dispo =
+        if (status == "F") s"<eDisposition.12>transported</eDisposition.12>" else ""
+      val xml =
+        s"""<EMSDataSet xmlns="http://www.nemsis.org">
+           |<PatientCareReport UUID="pcr-$key">
+           |<eTimes.01>$odate</eTimes.01>
+           |<ePayment.50>$cents</ePayment.50>
+           |$dispo
+           |</PatientCareReport>
+           |</EMSDataSet>""".stripMargin
+      XmlFlatten.parse(xml.getBytes("UTF-8"), s"order-$key.xml", "",
+        XmlFlatten.DeterministicId)
+    }.toDF()
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // group-by-tag routing (A11) + distinct key extraction (A10) over the
+    // flattened stream
+    "x01_xml_ingest_counts" -> ((s, d) => {
+      ordersAsElements(s, d)
+        .groupBy("table_name")
+        .agg(count(lit(1)).as("n_elements"),
+          countDistinct(col("pcr_uuid_context")).as("n_pcrs"))
+        .orderBy("table_name")
+    }),
+
+    // text-value round-trip through the {table}_value wide view + a
+    // hierarchy join on the PCR context key (the reference's canonical
+    // query shape, changelog.md:37-38)
+    "x02_xml_value_roundtrip" -> ((s, d) => {
+      val tall = ordersAsElements(s, d)
+      val times = TagTables.wideView(tall, "etimes_01", Seq.empty)
+        .select(col("pcr_uuid_context"), substring(col("etimes_01_value"), 1, 4).as("order_year"))
+      val pay = TagTables.wideView(tall, "epayment_50", Seq.empty)
+        .select(col("pcr_uuid_context"), col("epayment_50_value").cast("long").as("cents"))
+      times.join(pay, Seq("pcr_uuid_context"))
+        .groupBy("order_year")
+        .agg(sum("cents").as("total_cents"), count(lit(1)).as("n_pcrs"))
+        .orderBy("order_year")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "x01_xml_ingest_counts" ->
+      """SELECT * FROM (
+        |  SELECT 'EMSDataSet' AS table_name, count(*) AS n_elements, 0::BIGINT AS n_pcrs FROM orders
+        |  UNION ALL SELECT 'PatientCareReport', count(*), count(*) FROM orders
+        |  UNION ALL SELECT 'eTimes_01', count(*), count(*) FROM orders
+        |  UNION ALL SELECT 'ePayment_50', count(*), count(*) FROM orders
+        |  UNION ALL SELECT 'eDisposition_12',
+        |    count(*) FILTER (WHERE o_orderstatus = 'F'),
+        |    count(*) FILTER (WHERE o_orderstatus = 'F') FROM orders
+        |) ORDER BY table_name""".stripMargin,
+
+    "x02_xml_value_roundtrip" ->
+      """SELECT strftime(o_orderdate, '%Y') AS order_year,
+        |  CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS total_cents,
+        |  count(*) AS n_pcrs
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
+}
