@@ -1,23 +1,52 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Benchmark entry (driver contract, BASELINE.md): runs every
+  * SparkEntry query against SPARK_GRAFT_SF_DIR and prints ONE JSON line.
+  *
+  * Each query is forced to full materialization with a checksum
+  * aggregate over every output column (a bare count() would let Catalyst
+  * prune projections and under-report). One untimed warmup pass runs
+  * first so JIT/codegen/parquet-footer costs don't land on whichever
+  * query happens to run first.
+  */
 object Bench {
+
+  private def force(df: DataFrame): Unit = {
+    val cs = df.columns.map(col)
+    df.agg(count(lit(1)), sum(xxhash64(cs: _*))).head()
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // warmup (untimed): JIT, codegen cache, parquet footers
+    names.foreach { n =>
+      try force(SparkEntry.queries(n)(spark, sfDir))
+      catch { case _: Throwable => () }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = names.map { n =>
+      val t0 = System.nanoTime()
+      try force(SparkEntry.queries(n)(spark, sfDir))
+      catch { case _: Throwable => () }
+      n -> (System.nanoTime() - t0) / 1e9
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

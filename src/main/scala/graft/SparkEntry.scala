@@ -18,9 +18,19 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
-      graft.queries.XmlIngest.queries
+      graft.queries.XmlIngest.queries ++
+      graft.queries.TextQueries.queries ++
+      graft.queries.DedupQueries.queries ++
+      graft.queries.SimilarityQueries.queries ++
+      graft.queries.EventsQueries.queries ++
+      graft.queries.MultimodalQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
-      graft.queries.XmlIngest.oracles
+      graft.queries.XmlIngest.oracles ++
+      graft.queries.TextQueries.oracles ++
+      graft.queries.DedupQueries.oracles ++
+      graft.queries.SimilarityQueries.oracles ++
+      graft.queries.EventsQueries.oracles ++
+      graft.queries.MultimodalQueries.oracles
 }

@@ -47,13 +47,20 @@ object XmlFlatten {
     var text: StringBuilder = null // null <=> no character data seen at all
   }
 
-  private def newFactory(): XMLInputFactory = {
-    val f = XMLInputFactory.newInstance()
-    // No DTDs / external entities: ingest files are untrusted input.
-    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
-    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
-    f.setProperty(XMLInputFactory.IS_COALESCING, true)
-    f
+  /** One factory per executor thread: XMLInputFactory.newInstance does a
+    * service-loader lookup, which dominates parse time for small
+    * documents if done per call; factories are not thread-safe, readers
+    * are cheap.
+    */
+  private val factory = new ThreadLocal[XMLInputFactory] {
+    override def initialValue(): XMLInputFactory = {
+      val f = XMLInputFactory.newInstance()
+      // No DTDs / external entities: ingest files are untrusted input.
+      f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+      f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+      f.setProperty(XMLInputFactory.IS_COALESCING, true)
+      f
+    }
   }
 
   private final class Builder(
@@ -88,7 +95,7 @@ object XmlFlatten {
       fileMd5: String,
       idGen: IdGen): Seq[ElementRecord] = {
     val r: XMLStreamReader =
-      newFactory().createXMLStreamReader(new ByteArrayInputStream(bytes))
+      factory.get().createXMLStreamReader(new ByteArrayInputStream(bytes))
     val out = ArrayBuffer.empty[Builder]
     var stack = List.empty[(Frame, Builder)]
     val pathParts = ArrayBuffer.empty[String]

@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector helpers over `ArrayType(FloatType)` columns.
+  *
+  * Everything is built from codegen'd builtin higher-order functions
+  * (`transform`/`zip_with`/`aggregate`) — no UDFs, so whole-stage codegen
+  * stays intact (SURVEY §4).
+  *
+  * Cross-engine determinism: float dot products summed in parallel are
+  * order-dependent, so similarity scores that must hash-match the DuckDB
+  * oracle are computed over *quantized* vectors (`round(x*1000)` as
+  * BIGINT): integer sums are exact and order-free, and every subsequent
+  * double op (sqrt/divide) is IEEE-deterministic given identical inputs.
+  */
+object VectorFunctions {
+
+  /** Quantize a float vector to integer milliunits. */
+  def quantize(v: Column, scale: Int = 1000): Column =
+    transform(v, x => round(x * scale).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Exact integer squared norm of a quantized vector. */
+  def normSqQ(v: Column): Column = dotQ(v, v)
+
+  /** Deterministic cosine similarity of two quantized vectors
+    * (dot / (sqrt(|a|²) * sqrt(|b|²)) — identical op sequence in the
+    * DuckDB oracle).
+    */
+  def cosineQ(a: Column, b: Column, aNormSq: Column, bNormSq: Column): Column =
+    dotQ(a, b) / (sqrt(aNormSq.cast("double")) * sqrt(bNormSq.cast("double")))
+
+  /** Plain double-precision cosine (fast path, NOT oracle-deterministic —
+    * use for production scoring where a 1-ulp difference is irrelevant).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = transform(a, _.cast("double"))
+    val bd = transform(b, _.cast("double"))
+    aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (s, x) => s + x) /
+      (sqrt(aggregate(ad, lit(0.0), (s, x) => s + x * x)) *
+        sqrt(aggregate(bd, lit(0.0), (s, x) => s + x * x)))
+  }
+
+  /** Random-hyperplane-style LSH signature from the signs of the first
+    * `bits` quantized components (axis-aligned hyperplanes — fully
+    * deterministic and SQL-expressible; at production scale the planes
+    * would be seeded random projections, same plumbing).
+    */
+  def signBucket(q: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      when(element_at(q, i + 1) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+}

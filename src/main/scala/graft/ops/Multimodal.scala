@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing (SURVEY §2C): image/audio/video payloads
+  * travel as opaque `binary` columns next to a typed metadata struct;
+  * decode / feature-extraction runs batch-at-a-time inside
+  * `mapPartitions` so a real codec (JNI, native lib) amortizes init per
+  * partition — the Spark-side contract (schema, partitioning, batch
+  * shape) is real and tested here, while the codec itself is a
+  * STUB: no image/audio library ships in this environment, so
+  * [[MediaDecoder.Deterministic]] synthesizes metadata from the bytes.
+  * Swap in a real decoder without touching the plumbing.
+  */
+object Multimodal {
+
+  /** Decoder contract: bytes -> (width, height, format). One instance
+    * per partition (see [[decodeFeatures]]), so implementations may hold
+    * native handles.
+    */
+  trait MediaDecoder extends Serializable {
+    def decode(bytes: Array[Byte]): (Int, Int, String)
+  }
+
+  object MediaDecoder {
+    /** STUB decoder: deterministic pseudo-metadata derived from payload
+      * bytes (no codec libs in this environment). Replace with a real
+      * JNI/javax.imageio decoder in production.
+      */
+    object Deterministic extends MediaDecoder {
+      override def decode(bytes: Array[Byte]): (Int, Int, String) = {
+        val n = bytes.length.toLong
+        val w = (64 + n % 577).toInt
+        val h = (64 + (n * 31) % 433).toInt
+        val fmt = (n % 3) match {
+          case 0 => "png"
+          case 1 => "jpeg"
+          case _ => "webp"
+        }
+        (w, h, fmt)
+      }
+    }
+  }
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("n_bytes", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("format", StringType)))
+
+  /** Batch decode: one decoder per partition, rows streamed through it.
+    * Input needs columns (media_id long, payload binary).
+    */
+  def decodeFeatures(media: DataFrame,
+      decoder: MediaDecoder = MediaDecoder.Deterministic): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(featureSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        // per-partition init point for a real codec
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val (w, h, fmt) = decoder.decode(bytes)
+          Row(id, bytes.length.toLong, w, h, fmt)
+        }
+      }(enc)
+  }
+
+  /** Frame sampling for "video" payloads: every strideBytes-th byte as a
+    * frame marker — the plumbing shape of ffmpeg-style keyframe
+    * extraction (array-of-binary output column).
+    */
+  def sampleFrames(media: DataFrame, strideBytes: Int): DataFrame =
+    media.select(col("media_id"), col("payload"),
+      expr(s"transform(sequence(1, greatest(octet_length(payload) div $strideBytes, 1))," +
+        s" i -> substring(payload, (i - 1) * $strideBytes + 1, $strideBytes))")
+        .as("frames"))
+
+  /** Column-expression twin of the stub decode (codegen'd, used by the
+    * oracle-checked query m01 — same arithmetic as Deterministic).
+    */
+  def fakeDecodeColumns(payload: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] = {
+    val n = octet_length(payload).cast("long")
+    Seq(
+      n.as("n_bytes"),
+      (lit(64L) + n % 577).as("width"),
+      (lit(64L) + (n * 31) % 433).as("height"),
+      when(n % 3 === 0, "png").when(n % 3 === 1, "jpeg").otherwise("webp").as("format"))
+  }
+}

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Similarity search over an embedding column (SURVEY §2C).
+  *
+  * Three tiers, scale-first:
+  *  - [[bruteForceTopK]]: exact cosine top-k — broadcast the (small)
+  *    query set against the (huge) corpus; one pass, no corpus shuffle.
+  *    This is the correctness baseline and the re-rank stage.
+  *  - [[lshTopK]]: sign-bit LSH bucketing — queries only score vectors
+  *    in their bucket; cost drops from N·Q to Σ bucket·Q_bucket. The
+  *    100 TB path: bucket is the shuffle/partition key.
+  *  - [[centroidAssign]] (IVF flavor): partition the corpus by
+  *    nearest-centroid, probe only matching partitions.
+  *
+  * Scores use quantized-integer arithmetic (see VectorFunctions) so
+  * results are bit-identical to the DuckDB oracle.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors for each query vector (queries broadcast).
+    * Output: (query_id, rank, neighbor_id, cosine).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("n_id"), quantize(col("embedding")).as("n_q"))
+      .withColumn("n_norm", normSqQ(col("n_q")))
+    val q = queries.select(col("vec_id").as("query_id"), quantize(col("embedding")).as("q_q"))
+      .withColumn("q_norm", normSqQ(col("q_q")))
+    val scored = c.join(broadcast(q), col("n_id") =!= col("query_id"))
+      .withColumn("cosine", cosineQ(col("q_q"), col("n_q"), col("q_norm"), col("n_norm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("n_id").as("neighbor_id"), col("cosine"))
+  }
+
+  /** Sign-bit LSH bucket id for every vector. */
+  def withBucket(df: DataFrame, bits: Int = 8): DataFrame =
+    df.select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .withColumn("bucket", signBucket(col("q"), bits))
+      .withColumn("norm", normSqQ(col("q")))
+
+  /** ANN top-k: score only same-bucket vectors (recall < 1 by design —
+    * the standard LSH tradeoff; the oracle applies the identical rule).
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 8): DataFrame = {
+    val c = withBucket(corpus, bits)
+      .select(col("vec_id").as("n_id"), col("q").as("n_q"), col("bucket"), col("norm").as("n_norm"))
+    val q = withBucket(queries, bits)
+      .select(col("vec_id").as("query_id"), col("q").as("q_q"), col("bucket"), col("norm").as("q_norm"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .where(col("n_id") =!= col("query_id"))
+      .withColumn("cosine", cosineQ(col("q_q"), col("n_q"), col("q_norm"), col("n_norm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("n_id").as("neighbor_id"), col("cosine"))
+  }
+
+  /** IVF-style coarse quantizer: quantized per-label centroids (the
+    * label column stands in for a k-means assignment; same plumbing),
+    * then nearest-centroid assignment for every vector by exact integer
+    * dot over quantized centroids. Output: (label, predicted, n).
+    */
+  def centroidAssign(corpus: DataFrame): DataFrame = {
+    val comp = corpus.select(col("vec_id"), col("label"),
+        posexplode(quantize(col("embedding"))).as(Seq("pos", "v")))
+    val centroids = comp.groupBy(col("label").as("c_label"), col("pos"))
+      .agg(round(avg(col("v"))).cast("long").as("cv"))
+      .groupBy("c_label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pairs"))
+      .select(col("c_label"), transform(col("pairs"), p => p.getField("cv")).as("c_q"))
+      .withColumn("c_norm", normSqQ(col("c_q")))
+    val vecs = corpus.select(col("vec_id"), col("label"), quantize(col("embedding")).as("q"))
+      .withColumn("norm", normSqQ(col("q")))
+    val scored = vecs.join(broadcast(centroids), lit(true))
+      .withColumn("cosine", cosineQ(col("q"), col("c_q"), col("norm"), col("c_norm")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("c_label"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .groupBy(col("label").cast("long").as("label"), col("c_label").cast("long").as("predicted"))
+      .agg(count(lit(1)).as("n"))
+  }
+}

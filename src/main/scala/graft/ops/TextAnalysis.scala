@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the documents table (SURVEY §2C): token
+  * counting, language identification, quality scoring, fingerprinting.
+  * All pure column expressions (codegen'd, no UDFs) and engine-portable:
+  * substring-occurrence counts use the length-difference identity rather
+  * than regex, so the DuckDB oracle computes bit-identical results
+  * without cross-dialect regex risk.
+  */
+object TextAnalysis {
+
+  /** Occurrences of literal `needle` in `c`:
+    * (len(c) - len(replace(c, needle, ''))) / len(needle).
+    */
+  def occurrences(c: Column, needle: String): Column =
+    ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(needle), ""))) /
+      needle.length).cast("long")
+
+  /** Literal (non-regex) variant used everywhere below. */
+  def occurrencesLit(c: Column, needle: String): Column =
+    ((length(c) - length(replace(c, lit(needle), lit("")))) / needle.length).cast("long")
+
+  /** Whitespace token count for single-space-joined text. */
+  def wsTokenCount(c: Column): Column =
+    (occurrencesLit(c, " ") + 1).cast("long")
+
+  /** BPE-ish subword count: ceil(len/4) per whitespace word — a
+    * deterministic stand-in for a byte-pair vocabulary with max merge
+    * length 4 (real BPE would be a dictionary lookup with the same
+    * per-word shape).
+    */
+  def bpeTokenCount(words: Column): Column =
+    aggregate(words, lit(0L), (acc, w) => acc + ceil(length(w) / 4.0).cast("long"))
+
+  /** Language-marker scoring: count occurrences of each marker word and
+    * pick the arg-max language (ties -> lexicographically first). A
+    * deterministic n-gram/stopword heuristic whose machinery — not its
+    * accuracy on synthetic text — is the operator under test.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq(" der ", " und ", " nicht "),
+    "en" -> Seq(" the ", " a ", " is "),
+    "es" -> Seq(" el ", " los ", " una "),
+    "fr" -> Seq(" le ", " les ", " une "),
+    "zh" -> Seq(" de5 ", " shi4 ", " le5 "))
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val padded = concat(lit(" "), text, lit(" "))
+    langMarkers.map { case (lang, ms) =>
+      lang -> ms.map(m => occurrencesLit(padded, m)).reduce(_ + _)
+    }
+  }
+
+  /** Predicted language = arg-max marker score, ties to the
+    * lexicographically first language (stable across engines).
+    */
+  def predictedLang(text: Column): Column = {
+    val scores = langScores(text)
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && s > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  private val stopwords = Seq(" the ", " a ", " of ", " and ", " is ")
+
+  /** Quality signals: exact integer counts + deterministic ratios
+    * (single int/int divisions).
+    */
+  def qualityColumns(text: Column): Seq[Column] = {
+    val padded = concat(lit(" "), text, lit(" "))
+    val words = wsTokenCount(text)
+    val chars = length(text).cast("long")
+    val stopHits = stopwords.map(m => occurrencesLit(padded, m)).reduce(_ + _)
+    Seq(
+      chars.as("n_chars"),
+      words.as("n_words"),
+      ((chars - words + 1) / words.cast("double")).as("avg_word_len"),
+      (stopHits / words.cast("double")).as("stopword_ratio"))
+  }
+
+  /** Content fingerprint: md5 of normalized text (lower + trim) — the
+    * exact-dedup key.
+    */
+  def fingerprintMd5(text: Column): Column = md5(lower(trim(text)))
+
+  /** Polynomial rolling hash mod 1e9+7 over characters — a simhash/
+    * shingling-style fingerprint computed as a left fold (deterministic,
+    * matches DuckDB's `list_reduce` fold).
+    */
+  def rollingHash(text: Column): Column =
+    aggregate(split(text, ""), lit(0L),
+      (acc, ch) => (acc * 31 + ascii(ch)) % 1000000007L)
+}

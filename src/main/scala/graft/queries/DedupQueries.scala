@@ -1,0 +1,183 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, TextAnalysis}
+import graft.sources.Tables
+
+/** Dedup pack over `documents` / `embeddings` (SURVEY §2C). The test
+  * tables contain no natural duplicates, so each query self-unions the
+  * table with exact or mutated copies (id + 1_000_000) — the oracle
+  * builds the identical input — making every dedup operator's output
+  * non-trivial and hash-checkable.
+  */
+object DedupQueries {
+
+  /** documents ∪ exact copies. */
+  private def docsWithCopies(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.load(s, d, "documents").select("doc_id", "text", "source")
+    docs.unionByName(docs.select((col("doc_id") + 1000000).as("doc_id"),
+      col("text"), col("source")))
+  }
+
+  /** documents ∪ near-duplicate copies (one word appended). */
+  private def docsWithMutations(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.load(s, d, "documents").select("doc_id", "text", "source")
+    docs.unionByName(docs.select((col("doc_id") + 1000000).as("doc_id"),
+      concat(col("text"), lit(" spark")).as("text"), col("source")))
+  }
+
+  private val copiesCte =
+    """all_docs AS (SELECT doc_id, text, source FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, text, source FROM documents)""".stripMargin
+  private val mutationsCte =
+    """all_docs AS (SELECT doc_id, text, source FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, text || ' spark', source FROM documents)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_exact_dedup" -> ((s, d) => {
+      Dedup.exactGroups(docsWithCopies(s, d), "doc_id", "text")
+        .orderBy("canonical_id")
+    }),
+
+    "d02_minhash_lsh" -> ((s, d) => {
+      Dedup.minHashCandidatePairs(docsWithMutations(s, d), "doc_id", "text")
+        .orderBy("id_a", "id_b")
+    }),
+
+    "d03_simhash" -> ((s, d) => {
+      Dedup.simHashPairs(docsWithMutations(s, d), "doc_id", "text", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "d04_ngram_jaccard" -> ((s, d) => {
+      Dedup.ngramJaccardPairs(docsWithMutations(s, d), "doc_id", "text",
+          blockCol = "source", minJaccard = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "d05_embedding_neardup" -> ((s, d) => {
+      import graft.functions.VectorFunctions._
+      val e = Tables.load(s, d, "embeddings").select("vec_id", "embedding")
+      val all = e.unionByName(e.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      val b = all.select(col("vec_id"), quantize(col("embedding")).as("q"))
+        .withColumn("bucket", signBucket(col("q"), 16))
+        .withColumn("norm", normSqQ(col("q")))
+      val l = b.as("a"); val r = b.as("b")
+      l.join(r, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cosine",
+          cosineQ(col("a.q"), col("b.q"), col("a.norm"), col("b.norm")))
+        .where(col("cosine") >= 0.999)
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cosine"))
+        .orderBy("vec_a", "vec_b")
+    }),
+  )
+
+  // --- oracle SQL, sharing literal params with the Spark plans -------------
+
+  private val mhExprs: String = Dedup.minHashParams.zipWithIndex.map {
+    case ((a, b), i) =>
+      s"list_min(list_transform(hs, h -> (h * $a + $b) % ${Dedup.MinHashP})) AS m$i"
+  }.mkString(",\n    ")
+
+  private val bandSelects: String = (0 until Dedup.Bands).map { bi =>
+    val ks = (0 until Dedup.Rows).map(r => s"m${bi * Dedup.Rows + r}").mkString(", ")
+    s"SELECT doc_id, $bi AS band_idx, concat_ws('_', $ks) AS band_key FROM mh"
+  }.mkString("\n  UNION ALL ")
+
+  private val simBitSums: String = (0 until Dedup.SimHashBits).map { j =>
+    s"CAST(sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s$j"
+  }.mkString(",\n    ")
+
+  private val simAssemble: String = (0 until Dedup.SimHashBits).map { j =>
+    s"CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END"
+  }.mkString(" + ")
+
+  val oracles: Map[String, String] = Map(
+    "d01_exact_dedup" ->
+      s"""WITH $copiesCte
+         |SELECT md5(lower(trim(text))) AS fingerprint, min(doc_id) AS canonical_id,
+         |  count(*) AS n_copies
+         |FROM all_docs GROUP BY 1 ORDER BY canonical_id""".stripMargin,
+
+    "d02_minhash_lsh" ->
+      s"""WITH $mutationsCte,
+         |sh AS (SELECT doc_id,
+         |  list_transform(generate_series(1, greatest(length(text) - ${Dedup.ShingleK - 1}, 1), ${Dedup.ShingleStride}),
+         |    i -> ('0x' || substr(md5(substr(text, i::INT, ${Dedup.ShingleK})), 1, 8))::BIGINT) AS hs
+         |  FROM all_docs),
+         |mh AS (SELECT doc_id,
+         |    $mhExprs
+         |  FROM sh),
+         |bands AS (
+         |  $bandSelects)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM bands a JOIN bands b
+         |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "d03_simhash" -> {
+      val bandRows = (0 until Dedup.SimHashBands).map { bi =>
+        s"SELECT doc_id, simhash, $bi AS band_idx, (simhash >> ${bi * 8}) & 255 AS band_key FROM sh"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $mutationsCte,
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM all_docs),
+         |th AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h FROM tok),
+         |sums AS (SELECT doc_id,
+         |    $simBitSums
+         |  FROM th GROUP BY doc_id),
+         |sh AS (SELECT doc_id, $simAssemble AS simhash FROM sums),
+         |bands AS (
+         |  $bandRows),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.simhash AS sh_a, b.simhash AS sh_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "d04_ngram_jaccard" ->
+      s"""WITH $mutationsCte,
+         |docs2 AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM all_docs
+         |          WHERE length(text) - length(replace(text, ' ', '')) + 1 >= 2),
+         |grams AS (SELECT DISTINCT doc_id, source,
+         |    unnest(list_transform(generate_series(1, len(ws) - 1),
+         |      i -> ws[i::INT] || ' ' || ws[(i + 1)::INT])) AS g
+         |  FROM docs2),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM grams a JOIN grams b
+         |    ON a.source = b.source AND a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  inter / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = id_a
+         |JOIN sizes sb ON sb.doc_id = id_b
+         |WHERE inter / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "d05_embedding_neardup" -> {
+      val bucket = (0 until 16).map { i =>
+        s"CASE WHEN q[${i + 1}] >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH all_e AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings),
+         |qv AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS q
+         |  FROM all_e),
+         |b AS (SELECT vec_id, q, $bucket AS bucket,
+         |    CAST(list_dot_product(q, q) AS BIGINT) AS norm FROM qv)
+         |SELECT vec_a, vec_b, cosine FROM (
+         |  SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+         |    list_dot_product(a.q, b2.q) /
+         |      (sqrt(CAST(a.norm AS DOUBLE)) * sqrt(CAST(b2.norm AS DOUBLE))) AS cosine
+         |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+         |WHERE cosine >= 0.999
+         |ORDER BY vec_a, vec_b""".stripMargin
+    },
+  )
+}

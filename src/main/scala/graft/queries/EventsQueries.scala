@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Event-stream pack over `events` (SURVEY §2C): tumbling windows,
+  * session windows (Spark's native `session_window`, oracle'd by a
+  * gaps-and-islands rewrite), keyed dedup, and JSON property extraction.
+  * These are the batch-equivalents of the streaming module's queries
+  * (graft.streaming) so the DuckDB oracle can check them.
+  *
+  * Timestamps are emitted as epoch microseconds (events.ts is
+  * nanosecond-precision parquet; Spark truncates to micros, DuckDB's
+  * epoch_us does the same).
+  */
+object EventsQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e01_tumbling_window" -> ((s, d) => {
+      Tables.load(s, d, "events")
+        .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("bucket_us"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100.0).cast("long")).as("value_cents"))
+        .orderBy("bucket_us", "event_type")
+    }),
+
+    "e02_session_window" -> ((s, d) => {
+      Tables.load(s, d, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("session_start_us"),
+          unix_micros(col("w.end")).as("session_end_us"),
+          col("n_events"))
+        .orderBy("user_id", "session_start_us")
+    }),
+
+    "e03_keyed_dedup" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("event_id"))
+      Tables.load(s, d, "events")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id").as("first_event_id"))
+        .orderBy("user_id", "event_type")
+    }),
+
+    "e04_json_props" -> ((s, d) => {
+      Tables.load(s, d, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(get_json_object(col("props"), "$.k").cast("long")).as("k_total"))
+        .orderBy("event_type")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "e01_tumbling_window" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "e02_session_window" ->
+      """WITH m AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM m)
+        |SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+        |  epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin,
+
+    "e03_keyed_dedup" ->
+      """SELECT user_id, event_type, event_id AS first_event_id FROM (
+        |  SELECT user_id, event_type, event_id,
+        |    row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "e04_json_props" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
+}

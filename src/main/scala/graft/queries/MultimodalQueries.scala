@@ -1,0 +1,67 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Multimodal
+import graft.sources.Tables
+
+/** Multimodal pack (SURVEY §2C): binary payload columns + typed
+  * metadata. The documents' text bytes stand in for media payloads (no
+  * codec libs in this environment — see Multimodal's stub decoder); the
+  * decode arithmetic is shared between the mapPartitions operator, this
+  * codegen'd column variant, and the DuckDB oracle.
+  */
+object MultimodalQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m01_media_metadata" -> ((s, d) => {
+      val media = Tables.load(s, d, "documents")
+        .select(col("doc_id").as("media_id"), col("text").cast("binary").as("payload"))
+      val decoded = media.select(
+        col("media_id") +: Multimodal.fakeDecodeColumns(col("payload")): _*)
+      val frames = Multimodal.sampleFrames(media, strideBytes = 100)
+        .select(col("media_id"), size(col("frames")).cast("long").as("n_frames"))
+      decoded.join(frames, "media_id")
+        .select("media_id", "n_bytes", "width", "height", "format", "n_frames")
+        .orderBy("media_id")
+    }),
+
+    "m02_media_by_format" -> ((s, d) => {
+      val media = Tables.load(s, d, "documents")
+        .select(col("doc_id").as("media_id"), col("text").cast("binary").as("payload"))
+      media.select(col("media_id") +: Multimodal.fakeDecodeColumns(col("payload")): _*)
+        .groupBy("format")
+        .agg(count(lit(1)).as("n_media"),
+          sum("n_bytes").as("total_bytes"),
+          min("width").as("min_width"),
+          max("height").as("max_height"))
+        .orderBy("format")
+    }),
+  )
+
+  private val decodeCte =
+    """m AS (SELECT doc_id AS media_id, encode(text) AS payload FROM documents),
+      |d AS (SELECT media_id,
+      |    CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+      |    64 + CAST(octet_length(payload) AS BIGINT) % 577 AS width,
+      |    64 + (CAST(octet_length(payload) AS BIGINT) * 31) % 433 AS height,
+      |    CASE CAST(octet_length(payload) AS BIGINT) % 3
+      |      WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
+      |  FROM m)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "m01_media_metadata" ->
+      s"""WITH $decodeCte
+         |SELECT media_id, n_bytes, width, height, format,
+         |  greatest(n_bytes // 100, 1) AS n_frames
+         |FROM d ORDER BY media_id""".stripMargin,
+
+    "m02_media_by_format" ->
+      s"""WITH $decodeCte
+         |SELECT format, count(*) AS n_media,
+         |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+         |  CAST(min(width) AS BIGINT) AS min_width,
+         |  CAST(max(height) AS BIGINT) AS max_height
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
+}

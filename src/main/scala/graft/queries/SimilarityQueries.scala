@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+import graft.sources.Tables
+
+/** Similarity-search pack over `embeddings` (SURVEY §2C): exact
+  * brute-force top-k (the baseline / re-rank stage), sign-bit LSH ANN
+  * (the scale path), and IVF-style centroid assignment. Scores are
+  * quantized-integer cosine (see VectorFunctions) for oracle determinism.
+  */
+object SimilarityQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s01_topk_bruteforce" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+      Similarity.bruteForceTopK(e, e.where(col("vec_id") < 8), k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    "s02_topk_lsh" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+      Similarity.lshTopK(e, e.where(col("vec_id") < 8), k = 3, bits = 8)
+        .orderBy("query_id", "rank")
+    }),
+
+    "s03_centroid_assign" -> ((s, d) => {
+      Similarity.centroidAssign(Tables.load(s, d, "embeddings"))
+        .orderBy("label", "predicted")
+    }),
+  )
+
+  private val qCte =
+    """qv AS (SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS q
+      |  FROM embeddings)""".stripMargin
+
+  private def cosine(aq: String, bq: String, an: String, bn: String) =
+    s"list_dot_product($aq, $bq) / (sqrt(CAST($an AS DOUBLE)) * sqrt(CAST($bn AS DOUBLE)))"
+
+  val oracles: Map[String, String] = Map(
+    "s01_topk_bruteforce" ->
+      s"""WITH $qCte,
+         |n AS (SELECT vec_id, q, CAST(list_dot_product(q, q) AS BIGINT) AS norm FROM qv),
+         |scored AS (
+         |  SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${cosine("qs.q", "c.q", "qs.norm", "c.norm")} AS cosine
+         |  FROM n qs JOIN n c ON c.vec_id <> qs.vec_id
+         |  WHERE qs.vec_id < 8)
+         |SELECT query_id, rank, neighbor_id, cosine FROM (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM scored)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "s02_topk_lsh" -> {
+      val bucket = (0 until 8).map { i =>
+        s"CASE WHEN q[${i + 1}] >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH $qCte,
+         |n AS (SELECT vec_id, q, $bucket AS bucket,
+         |    CAST(list_dot_product(q, q) AS BIGINT) AS norm FROM qv),
+         |scored AS (
+         |  SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${cosine("qs.q", "c.q", "qs.norm", "c.norm")} AS cosine
+         |  FROM n qs JOIN n c ON c.bucket = qs.bucket AND c.vec_id <> qs.vec_id
+         |  WHERE qs.vec_id < 8)
+         |SELECT query_id, rank, neighbor_id, cosine FROM (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM scored)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    },
+
+    "s03_centroid_assign" ->
+      s"""WITH $qCte,
+         |comp AS (SELECT vec_id, label, unnest(q) AS v, unnest(range(64)) AS pos FROM qv),
+         |cent AS (SELECT label AS c_label, pos, CAST(round(avg(v)) AS BIGINT) AS cv
+         |  FROM comp GROUP BY 1, 2),
+         |centl AS (SELECT c_label, list(cv ORDER BY pos) AS c_q FROM cent GROUP BY 1),
+         |centn AS (SELECT c_label, c_q, CAST(list_dot_product(c_q, c_q) AS BIGINT) AS c_norm FROM centl),
+         |vn AS (SELECT vec_id, label, q, CAST(list_dot_product(q, q) AS BIGINT) AS norm FROM qv),
+         |scored AS (SELECT v.vec_id, v.label, c.c_label,
+         |    ${cosine("v.q", "c.c_q", "v.norm", "c.c_norm")} AS cosine
+         |  FROM vn v CROSS JOIN centn c),
+         |best AS (SELECT vec_id, label, c_label,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, c_label) AS rn
+         |  FROM scored)
+         |SELECT CAST(label AS BIGINT) AS label, CAST(c_label AS BIGINT) AS predicted,
+         |  count(*) AS n
+         |FROM best WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+  )
+}

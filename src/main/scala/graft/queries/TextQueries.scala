@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.TextAnalysis
+import graft.sources.Tables
+
+/** Text-analysis pack over `documents` (SURVEY §2C): token counting,
+  * language-ID, quality scoring, fingerprinting. Marker/stopword
+  * occurrence counts use the length-difference identity (no regex), so
+  * the DuckDB oracle is bit-identical; ratios are single int/int double
+  * divisions (IEEE-deterministic).
+  */
+object TextQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t01_token_stats" -> ((s, d) => {
+      Tables.load(s, d, "documents")
+        .select(col("lang"),
+          TextAnalysis.wsTokenCount(col("text")).as("ws"),
+          TextAnalysis.bpeTokenCount(split(col("text"), " ")).as("bpe"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("ws").as("total_ws_tokens"),
+          sum("bpe").as("total_bpe_tokens"))
+        .orderBy("lang")
+    }),
+
+    "t02_lang_id" -> ((s, d) => {
+      Tables.load(s, d, "documents")
+        .select(col("lang"), TextAnalysis.predictedLang(col("text")).as("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted")
+    }),
+
+    "t03_quality" -> ((s, d) => {
+      Tables.load(s, d, "documents")
+        .select(col("doc_id") +: TextAnalysis.qualityColumns(col("text")): _*)
+        .orderBy("doc_id")
+    }),
+
+    "t04_fingerprint" -> ((s, d) => {
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"),
+          TextAnalysis.rollingHash(col("text")).as("fp_rolling"))
+        .orderBy("doc_id")
+    }),
+  )
+
+  private val markerSql: Map[String, String] =
+    TextAnalysis.langMarkers.map { case (lang, ms) =>
+      lang -> ms.map(m =>
+        s"CAST((length(p) - length(replace(p, '$m', ''))) / ${m.length} AS BIGINT)")
+        .mkString("(", " + ", ")")
+    }.toMap
+
+  val oracles: Map[String, String] = Map(
+    "t01_token_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)) AS BIGINT) AS total_ws_tokens,
+        |  CAST(sum(CAST(list_sum(list_transform(string_split(text, ' '), w -> ceil(length(w) / 4.0))) AS BIGINT)) AS BIGINT) AS total_bpe_tokens
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "t02_lang_id" -> {
+      val scores = TextAnalysis.langMarkers.map { case (l, _) => s"${markerSql(l)} AS s_$l" }.mkString(",\n  ")
+      val best = TextAnalysis.langMarkers.map { case (l, _) => s"s_$l" }.mkString("GREATEST(", ", ", ")")
+      val cases = TextAnalysis.langMarkers.map { case (l, _) =>
+        s"WHEN s_$l = best AND s_$l > 0 THEN '$l'"
+      }.mkString(" ")
+      s"""SELECT lang, predicted, count(*) AS n FROM (
+         |  SELECT lang, CASE $cases ELSE 'und' END AS predicted FROM (
+         |    SELECT lang, $best AS best, s_de, s_en, s_es, s_fr, s_zh FROM (
+         |      SELECT lang, $scores
+         |      FROM (SELECT lang, ' ' || text || ' ' AS p FROM documents))))
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
+    "t03_quality" ->
+      """SELECT doc_id, n_chars, n_words,
+        |  (n_chars - n_words + 1) / CAST(n_words AS DOUBLE) AS avg_word_len,
+        |  stop_hits / CAST(n_words AS DOUBLE) AS stopword_ratio
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+        |    (CAST((length(p) - length(replace(p, ' the ', ''))) / 5 AS BIGINT)
+        |     + CAST((length(p) - length(replace(p, ' a ', ''))) / 3 AS BIGINT)
+        |     + CAST((length(p) - length(replace(p, ' of ', ''))) / 4 AS BIGINT)
+        |     + CAST((length(p) - length(replace(p, ' and ', ''))) / 5 AS BIGINT)
+        |     + CAST((length(p) - length(replace(p, ' is ', ''))) / 4 AS BIGINT)) AS stop_hits
+        |  FROM (SELECT doc_id, text, ' ' || text || ' ' AS p FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+
+    "t04_fingerprint" ->
+      """SELECT doc_id, md5(lower(trim(text))) AS fp_md5,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT), list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS fp_rolling
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -52,16 +52,19 @@ object XmlIngest {
         .orderBy("table_name")
     }),
 
-    // text-value round-trip through the {table}_value wide view + a
-    // hierarchy join on the PCR context key (the reference's canonical
-    // query shape, changelog.md:37-38)
+    // text-value round-trip: reassemble each PCR's {table}_value fields
+    // by pivoting on the PCR context key (the reference's canonical
+    // per-PCR decode shape, changelog.md:37-38) — a single parse pass +
+    // one shuffle (two wideView scans + join would parse the XML twice).
     "x02_xml_value_roundtrip" -> ((s, d) => {
-      val tall = ordersAsElements(s, d)
-      val times = TagTables.wideView(tall, "etimes_01", Seq.empty)
-        .select(col("pcr_uuid_context"), substring(col("etimes_01_value"), 1, 4).as("order_year"))
-      val pay = TagTables.wideView(tall, "epayment_50", Seq.empty)
-        .select(col("pcr_uuid_context"), col("epayment_50_value").cast("long").as("cents"))
-      times.join(pay, Seq("pcr_uuid_context"))
+      ordersAsElements(s, d)
+        .groupBy(col("pcr_uuid_context"))
+        .agg(
+          substring(max(when(col("table_name") === "eTimes_01", col("text_value"))), 1, 4)
+            .as("order_year"),
+          max(when(col("table_name") === "ePayment_50", col("text_value")))
+            .cast("long").as("cents"))
+        .where(col("pcr_uuid_context").isNotNull)
         .groupBy("order_year")
         .agg(sum("cents").as("total_cents"), count(lit(1)).as("n_pcrs"))
         .orderBy("order_year")

@@ -1,0 +1,36 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class MultimodalSpec extends AnyFunSuite with SparkSpec {
+
+  test("mapPartitions decode agrees with the codegen'd column variant") {
+    import spark.implicits._
+    val media = Seq((1L, "hello world"), (2L, "x" * 300), (3L, ""))
+      .toDF("media_id", "text")
+      .select(col("media_id"), col("text").cast("binary").as("payload"))
+
+    val viaPartitions = Multimodal.decodeFeatures(media)
+      .select("media_id", "n_bytes", "width", "height", "format")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getString(4)))
+      .toSet
+    val viaColumns = media
+      .select(col("media_id") +: Multimodal.fakeDecodeColumns(col("payload")): _*)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2).toInt, r.getLong(3).toInt, r.getString(4)))
+      .toSet
+    assert(viaPartitions == viaColumns)
+  }
+
+  test("frame sampling yields ceil-ish stride segments, min 1") {
+    import spark.implicits._
+    val media = Seq((1L, "a" * 250), (2L, "b" * 10))
+      .toDF("media_id", "text")
+      .select(col("media_id"), col("text").cast("binary").as("payload"))
+    val frames = Multimodal.sampleFrames(media, 100)
+      .select(col("media_id"), size(col("frames")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(frames == Map(1L -> 2, 2L -> 1))
+  }
+}

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+/** Streaming operators driven end-to-end through MemoryStream micro
+  * batches — watermark advance, window close, state update.
+  */
+class EventStreamsSpec extends AnyFunSuite with SparkSpec {
+
+  private def ts(min: Int): Timestamp = new Timestamp(min * 60000L)
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  test("tumbling window closes after watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreams.tumblingCounts(in.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        Ev(1, ts(5), 1, "click", 1.0, "{}"),
+        Ev(2, ts(20), 1, "click", 2.0, "{}"))
+      q.processAllAvailable()
+      // advance watermark past hour 0 (event at min 80 -> wm = min 70)
+      in.addData(Ev(3, ts(80), 2, "view", 3.0, "{}"))
+      q.processAllAvailable()
+      val out = spark.table("tumbling").collect()
+      assert(out.length == 1) // hour-0 click window emitted, hour-1 still open
+      val r = out.head
+      assert(r.getAs[String]("event_type") == "click")
+      assert(r.getAs[Long]("n_events") == 2L)
+      assert(r.getAs[Long]("value_cents") == 300L)
+    } finally q.stop()
+  }
+
+  test("session window merges events within gap, splits beyond it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreams.sessionCounts(in.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: events at min 0 and 20 (gap 20 < 30 => one session),
+      // then min 90 (> 30 gap => new session)
+      in.addData(
+        Ev(1, ts(0), 1, "click", 0, "{}"),
+        Ev(2, ts(20), 1, "click", 0, "{}"),
+        Ev(3, ts(90), 1, "click", 0, "{}"))
+      q.processAllAvailable()
+      in.addData(Ev(4, ts(240), 9, "view", 0, "{}")) // advance watermark
+      q.processAllAvailable()
+      val out = spark.table("sessions").where(col("user_id") === 1)
+        .orderBy("session_start").collect()
+      assert(out.length == 2)
+      assert(out(0).getAs[Long]("n_events") == 2L)
+      assert(out(0).getAs[Timestamp]("session_end") == ts(50)) // 20 + 30min gap
+      assert(out(1).getAs[Long]("n_events") == 1L)
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark keeps one row per key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreams.dedupWithinWatermark(in.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        Ev(1, ts(1), 1, "click", 0, "{}"),
+        Ev(2, ts(2), 1, "click", 0, "{}"), // dup key within watermark
+        Ev(3, ts(3), 2, "view", 0, "{}"))
+      q.processAllAvailable()
+      assert(spark.table("dedup").count() == 2)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps running per-user counts across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    val q = EventStreams.runningUserCounts(in.toDS())
+      .writeStream.format("memory").queryName("running")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData((1L, 100L), (1L, 200L), (2L, 50L))
+      q.processAllAvailable()
+      in.addData((1L, 300L))
+      q.processAllAvailable()
+      val last = spark.table("running")
+        .groupBy("user_id").agg(max("n_events").as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(last == Map(1L -> 3L, 2L -> 1L))
+    } finally q.stop()
+  }
+}
