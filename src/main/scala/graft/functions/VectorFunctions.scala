@@ -41,9 +41,10 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column = {
     val ad = transform(a, _.cast("double"))
     val bd = transform(b, _.cast("double"))
-    aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (s, x) => s + x) /
-      (sqrt(aggregate(ad, lit(0.0), (s, x) => s + x * x)) *
-        sqrt(aggregate(bd, lit(0.0), (s, x) => s + x * x)))
+    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+    val denom = sqrt(aggregate(ad, lit(0.0), (s, x) => s + x * x)) *
+      sqrt(aggregate(bd, lit(0.0), (s, x) => s + x * x))
+    when(denom === 0.0, lit(0.0)).otherwise(dot / denom) // zero vector; ANSI-safe
   }
 
   /** Random-hyperplane-style LSH signature from the signs of the first

@@ -206,6 +206,40 @@ object Relational {
         .agg(count(lit(1)).as("n_orders"), sum(cents(col("o_totalprice"))).as("total_cents"))
         .orderBy("order_year", "order_month")
     }),
+
+    "q17_rollup" -> ((s, d) => {
+      // Spark SQL form: the Dataset rollup API trips the ambiguous-self-
+      // join detector on grouping attrs in Spark 4; the SQL path builds
+      // the identical Expand-based plan without the dataset-id tagging.
+      t(s, d, "orders").createOrReplaceTempView("g_orders")
+      t(s, d, "customer").createOrReplaceTempView("g_customer")
+      s.sql(
+        """SELECT coalesce(c_mktsegment, 'ALL') AS mktsegment,
+          |  coalesce(o_orderpriority, 'ALL') AS orderpriority,
+          |  count(*) AS n_orders,
+          |  sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS total_cents
+          |FROM g_orders JOIN g_customer ON o_custkey = c_custkey
+          |GROUP BY ROLLUP(c_mktsegment, o_orderpriority)
+          |ORDER BY mktsegment, orderpriority""".stripMargin)
+    }),
+
+    "q18_heavy_hitters" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy("l_partkey").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("l_partkey"))
+        .limit(20)
+    }),
+
+    // Approximate sketches (HLL++ / count-min): engine-specific
+    // estimates, so no DuckDB oracle — the driver records a rows-only
+    // check. Exact counterparts ride along to show the error envelope.
+    "q19_approx_sketch" -> ((s, d) => {
+      t(s, d, "lineitem").agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -322,6 +356,19 @@ object Relational {
         |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q17_rollup" ->
+      """SELECT coalesce(c_mktsegment, 'ALL') AS mktsegment,
+        |  coalesce(o_orderpriority, 'ALL') AS orderpriority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY ROLLUP(c_mktsegment, o_orderpriority)
+        |ORDER BY mktsegment, orderpriority""".stripMargin,
+
+    "q18_heavy_hitters" ->
+      """SELECT l_partkey, count(*) AS freq FROM lineitem
+        |GROUP BY 1 ORDER BY freq DESC, l_partkey LIMIT 20""".stripMargin,
 
     "q14_date_agg" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,

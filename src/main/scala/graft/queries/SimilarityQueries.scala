@@ -29,6 +29,27 @@ object SimilarityQueries {
       Similarity.centroidAssign(Tables.load(s, d, "embeddings"))
         .orderBy("label", "predicted")
     }),
+
+    // Production fast path: the native codegen'd VecCosineFloat
+    // expression (single fused loop over raw floats). Float summation
+    // order makes scores engine-specific, so no oracle — rows-only.
+    "s04_topk_native" -> ((s, d) => {
+      import graft.functions.VecExpressions
+      VecExpressions.register(s)
+      val e = Tables.load(s, d, "embeddings")
+      val q = e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val scored = e.select(col("vec_id").as("neighbor_id"), col("embedding"))
+        .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          VecExpressions.vec_cosine(col("q_emb"), col("embedding")).as("cosine"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 10)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+        .orderBy("query_id", "rank")
+    }),
   )
 
   private val qCte =

@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan quality gates (SURVEY §4): the point is not that the
+  * queries run, but that Catalyst produces the plan we'd want at 100 TB —
+  * filters reach the parquet scan, scans are pruned to the referenced
+  * columns, small dimensions broadcast, LSH candidate joins stay
+  * equi-joins (no quadratic fallback).
+  */
+class PlanSpec extends AnyFunSuite with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q02: filters are pushed into the parquet scan and columns pruned") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("l_shipdate"), p)
+    // scan must not read the full 11-column lineitem schema
+    assert(!p.contains("l_returnflag"), p)
+  }
+
+  test("q03: dimension joins broadcast") {
+    val p = plan("q03_join_agg")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q13: multiway join broadcasts nation and region") {
+    val p = plan("q13_multiway_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q16: as-of join is a single keyed window, not a theta join") {
+    val p = plan("q16_asof_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("d02 minhash: candidate generation is an equi-join on band keys") {
+    val p = plan("d02_minhash_lsh")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("d03 simhash: banded candidates avoid all-pairs join") {
+    val p = plan("d03_simhash")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("keyed overwrite: eviction keys are broadcast (no full shuffle of existing data)") {
+    import spark.implicits._
+    val existing = (1 to 1000).map(i => (s"k$i", i)).toDF("pcr_uuid_context", "v")
+    val incoming = Seq(("k1", 0)).toDF("pcr_uuid_context", "v")
+    val p = graft.etl.KeyedOverwrite(existing, incoming)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+  }
+}
