@@ -59,9 +59,20 @@ object IngestPipeline {
         KeyedOverwrite.multiKey(existing, tall, Seq("source_file", "pcr_uuid_context"))
       } else tall
 
-    // Materialize before overwriting the directory we may be reading from.
-    val staged = merged.localCheckpoint(eager = true)
-    TagTables.writeTall(staged, elemsDir, SaveMode.Overwrite)
+    // A20 transaction parity on plain parquet: write the merged table to
+    // a temp dir, then atomically swap directories — a failure mid-write
+    // leaves the previous lake intact (Delta's commit protocol is the
+    // production mapping; this is the storage-agnostic equivalent).
+    val fs = new org.apache.hadoop.fs.Path(lakeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmpDir = s"$lakeDir/.elements_tmp"
+    fs.delete(new org.apache.hadoop.fs.Path(tmpDir), true)
+    TagTables.writeTall(merged, tmpDir, SaveMode.Overwrite)
+    val bakDir = new org.apache.hadoop.fs.Path(s"$lakeDir/.elements_old")
+    fs.delete(bakDir, true)
+    if (hasExisting) fs.rename(new org.apache.hadoop.fs.Path(elemsDir), bakDir)
+    fs.rename(new org.apache.hadoop.fs.Path(tmpDir), new org.apache.hadoop.fs.Path(elemsDir))
+    fs.delete(bakDir, true)
 
     TagTables.fkEdges(spark.read.parquet(elemsDir))
       .write.mode(SaveMode.Overwrite).parquet(fkEdgesPath(lakeDir))

@@ -230,6 +230,35 @@ object Relational {
         .limit(20)
     }),
 
+    "q20_except_all" -> ((s, d) => {
+      // Multiset semantics: EXCEPT ALL keeps duplicates (vs q08's set ops)
+      val l = t(s, d, "lineitem")
+      l.select(col("l_orderkey"))
+        .exceptAll(l.where(col("l_returnflag") === "R").select(col("l_orderkey")))
+        .groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+        .orderBy("l_orderkey")
+    }),
+
+    "q21_pivot" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(col("l_quantity")))
+        .toDF("l_linestatus", "qty_a", "qty_n", "qty_r")
+        .orderBy("l_linestatus")
+    }),
+
+    "q22_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, d, "orders").where(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_orderkey"),
+          lead(col("o_orderkey"), 1).over(w).as("next_orderkey"),
+          datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+            .cast("long").as("days_since_prev"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // Approximate sketches (HLL++ / count-min): engine-specific
     // estimates, so no DuckDB oracle — the driver records a rows-only
     // check. Exact counterparts ride along to show the error envelope.
@@ -369,6 +398,29 @@ object Relational {
     "q18_heavy_hitters" ->
       """SELECT l_partkey, count(*) AS freq FROM lineitem
         |GROUP BY 1 ORDER BY freq DESC, l_partkey LIMIT 20""".stripMargin,
+
+    "q20_except_all" ->
+      """SELECT l_orderkey, count(*) AS n FROM (
+        |  SELECT l_orderkey FROM lineitem
+        |  EXCEPT ALL
+        |  SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q21_pivot" ->
+      """SELECT l_linestatus,
+        |  sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS qty_a,
+        |  sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS qty_n,
+        |  sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS qty_r
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q22_lag_lead" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_orderkey, 1) OVER w AS prev_orderkey,
+        |  lead(o_orderkey, 1) OVER w AS next_orderkey,
+        |  CAST(datediff('day', lag(o_orderdate, 1) OVER w, o_orderdate) AS BIGINT) AS days_since_prev
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q14_date_agg" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
