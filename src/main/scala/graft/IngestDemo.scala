@@ -6,12 +6,15 @@ import org.apache.spark.sql.functions._
 import graft.etl.IngestPipeline
 
 /** CLI surface for the XML ingest path: `runMain graft.IngestDemo
-  * <xmlGlob> <lakeDir>` runs the full batch pipeline and prints the
-  * resulting lake state (per-tag counts, FK edges, audit rows).
+  * <xmlGlob> <lakeDir> [jdbcUrl]` runs the full batch pipeline and
+  * prints the resulting lake state (per-tag counts, FK edges, audit
+  * rows); with a jdbcUrl it also mirrors the batch to that database
+  * (A12-A17) and prints the mirrored tables.
   */
 object IngestDemo {
   def main(args: Array[String]): Unit = {
     val Array(xmlGlob, lakeDir) = args.take(2)
+    val jdbcUrl = args.lift(2)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
@@ -32,6 +35,16 @@ object IngestDemo {
     spark.read.parquet(IngestPipeline.fkEdgesPath(lakeDir))
       .orderBy("child_table").collect()
       .foreach(r => println(s"${r.get(0)} -> ${r.get(1)}"))
+
+    jdbcUrl.foreach { url =>
+      val dialect =
+        if (url.startsWith("jdbc:derby")) graft.etl.JdbcMirror.DerbyDialect
+        else graft.etl.JdbcMirror.PostgresDialect
+      val mirrored = graft.etl.JdbcMirror.mirrorBatch(
+        spark.read.parquet(IngestPipeline.elementsPath(lakeDir)),
+        graft.etl.JdbcMirror.MirrorConfig(url, dialect = dialect))
+      println(s"--- jdbc mirror: ${mirrored.toSeq.sorted.mkString(", ")} ---")
+    }
 
     println("--- audit ---")
     spark.read.parquet(IngestPipeline.auditPath(lakeDir))

@@ -44,8 +44,11 @@ object TagTables {
   def wideView(tall: DataFrame, tableNameRaw: String, attrCols: Seq[String]): DataFrame = {
     val lowered = tableNameRaw.toLowerCase
     val valueCol = Sanitize.valueColumnName(tableNameRaw)
+    // attribute COLUMN names are lowercased (DDL contract) but the map
+    // keys keep the XML's original case — lookups must be case-blind
+    val loweredAttrs = transform_keys(col("attributes"), (k, _) => lower(k))
     val attrs: Seq[Column] = attrCols.filterNot(c => CommonColumns.contains(c) || c == valueCol)
-      .map(k => element_at(col("attributes"), k).as(k))
+      .map(k => element_at(loweredAttrs, k.toLowerCase).as(k))
     tall.where(lower(col("table_name")) === lowered)
       .select(
         col("element_id") +:

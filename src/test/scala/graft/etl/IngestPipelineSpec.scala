@@ -47,6 +47,8 @@ class IngestPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(wide.columns.contains("evitals_06_value"))
     assert(wide.columns.contains("codetype"))
     assert(wide.select("evitals_06_value").collect().map(_.getString(0)).toSet == Set("120"))
+    // attribute VALUES must survive the case-folding of column names
+    assert(wide.select("codetype").collect().map(_.getString(0)).toSet == Set("c"))
 
     // fk edges = observed parent-child tag pairs
     val edges = spark.read.parquet(IngestPipeline.fkEdgesPath(lake))
