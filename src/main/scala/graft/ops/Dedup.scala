@@ -151,20 +151,34 @@ object Dedup {
 
   // --- n-gram Jaccard ------------------------------------------------------
 
+  /** Bigrams occurring in more than this many documents of a block are
+    * dropped before pair generation (stop-gram removal): a gram shared
+    * by df documents contributes C(df,2) intersection rows, so common
+    * vocabulary dominates cost while contributing nothing to near-dup
+    * discrimination. Jaccard is computed over the filtered gram sets
+    * (the oracle applies the identical rule).
+    */
+  val NgramMaxDocFreq = 10
+
   /** Word-bigram Jaccard similarity between documents sharing a blocking
-    * key (e.g. source): explode distinct bigrams, equi-join inside the
-    * block, |A∩B| via count, Jaccard = inter / (|A| + |B| - inter).
+    * key (e.g. source): explode distinct bigrams, drop stop-grams,
+    * equi-join inside the block, |A∩B| via count,
+    * Jaccard = inter / (|A| + |B| - inter).
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, minJaccard: Double): DataFrame = {
-    val grams = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
-        col(textCol).as("text"))
-      .where(size(split(col("text"), " ")) >= 2) // a 1-word doc has no bigram
+    val allGrams = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
+        split(col(textCol), " ").as("ws")) // split once; the lambda below
+      .where(size(col("ws")) >= 2)         // would otherwise re-split per element
       .select(col("id"), col("blk"), explode(expr(
-        "transform(sequence(1, size(split(text, ' ')) - 1), " +
-          "i -> concat(element_at(split(text, ' '), i), ' ', element_at(split(text, ' '), i + 1)))"))
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
         .as("g"))
       .distinct()
+    val rare = allGrams.groupBy("blk", "g").agg(count(lit(1)).as("df"))
+      .where(col("df") <= NgramMaxDocFreq)
+      .select("blk", "g")
+    val grams = allGrams.join(rare, Seq("blk", "g"), "left_semi")
     val sizes = grams.groupBy("id").agg(count(lit(1)).as("n"))
     val a = grams.as("a"); val b = grams.as("b")
     val inter = a.join(b, col("a.blk") === col("b.blk") &&

