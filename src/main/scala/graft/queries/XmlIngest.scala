@@ -69,7 +69,24 @@ object XmlIngest {
         .agg(sum("cents").as("total_cents"), count(lit(1)).as("n_pcrs"))
         .orderBy("order_year")
     }),
+
+    "x03_hierarchy_join" -> ((s, d) => hierarchyQuery(s, d)),
   )
+
+  val hierarchyQuery: (SparkSession, String) => DataFrame = (s, d) => {
+    // the adjacency-list tree join (SURVEY §2B row 2): child rows joined
+    // to their parents on parent_element_id = element_id
+    val tall = ordersAsElements(s, d)
+    val child = tall.select(col("table_name").as("child_table"),
+      col("parent_element_id"), col("pcr_uuid_context").as("child_pcr"))
+    val parent = tall.select(col("table_name").as("parent_table"),
+      col("element_id"), col("pcr_uuid_context").as("parent_pcr"))
+    child.join(parent, child("parent_element_id") === parent("element_id"))
+      .groupBy("child_table", "parent_table")
+      .agg(count(lit(1)).as("n_edges"),
+        sum(when(col("child_pcr") === col("parent_pcr"), 1L).otherwise(0L)).as("n_same_pcr"))
+      .orderBy("child_table", "parent_table")
+  }
 
   val oracles: Map[String, String] = Map(
     "x01_xml_ingest_counts" ->
@@ -82,6 +99,17 @@ object XmlIngest {
         |    count(*) FILTER (WHERE o_orderstatus = 'F'),
         |    count(*) FILTER (WHERE o_orderstatus = 'F') FROM orders
         |) ORDER BY table_name""".stripMargin,
+
+    "x03_hierarchy_join" ->
+      """SELECT * FROM (
+        |  SELECT 'PatientCareReport' AS child_table, 'EMSDataSet' AS parent_table,
+        |    count(*) AS n_edges, 0::BIGINT AS n_same_pcr FROM orders
+        |  UNION ALL SELECT 'eDisposition_12', 'PatientCareReport',
+        |    count(*) FILTER (WHERE o_orderstatus = 'F'),
+        |    count(*) FILTER (WHERE o_orderstatus = 'F') FROM orders
+        |  UNION ALL SELECT 'ePayment_50', 'PatientCareReport', count(*), count(*) FROM orders
+        |  UNION ALL SELECT 'eTimes_01', 'PatientCareReport', count(*), count(*) FROM orders
+        |) ORDER BY child_table, parent_table""".stripMargin,
 
     "x02_xml_value_roundtrip" ->
       """SELECT strftime(o_orderdate, '%Y') AS order_year,
