@@ -63,28 +63,63 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("n_id").as("neighbor_id"), col("cosine"))
   }
 
-  /** IVF-style coarse quantizer: quantized per-label centroids (the
-    * label column stands in for a k-means assignment; same plumbing),
-    * then nearest-centroid assignment for every vector by exact integer
-    * dot over quantized centroids. Output: (label, predicted, n).
+  /** Quantized per-label centroids (the label column stands in for a
+    * k-means assignment; same plumbing): (c_label, c_q, c_norm).
     */
-  def centroidAssign(corpus: DataFrame): DataFrame = {
-    val comp = corpus.select(col("vec_id"), col("label"),
+  def centroids(corpus: DataFrame): DataFrame =
+    corpus.select(col("vec_id"), col("label"),
         posexplode(quantize(col("embedding"))).as(Seq("pos", "v")))
-    val centroids = comp.groupBy(col("label").as("c_label"), col("pos"))
+      .groupBy(col("label").as("c_label"), col("pos"))
       .agg(round(avg(col("v"))).cast("long").as("cv"))
       .groupBy("c_label")
       .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pairs"))
       .select(col("c_label"), transform(col("pairs"), p => p.getField("cv")).as("c_q"))
       .withColumn("c_norm", normSqQ(col("c_q")))
-    val vecs = corpus.select(col("vec_id"), col("label"), quantize(col("embedding")).as("q"))
-      .withColumn("norm", normSqQ(col("q")))
-    val scored = vecs.join(broadcast(centroids), lit(true))
-      .withColumn("cosine", cosineQ(col("q"), col("c_q"), col("norm"), col("c_norm")))
+
+  /** Rank every (vector, centroid) pair by cosine; rn = 1 is the IVF
+    * list assignment, rn <= nprobe the query probe set.
+    */
+  private def rankedCentroids(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val scored = vecs.join(broadcast(cents), lit(true))
+      .withColumn("c_cos", cosineQ(col("q"), col("c_q"), col("norm"), col("c_norm")))
     val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cosine").desc, col("c_label"))
-    scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .orderBy(col("c_cos").desc, col("c_label"))
+    scored.withColumn("rn", row_number().over(w))
+  }
+
+  private def quantized(corpus: DataFrame): DataFrame =
+    corpus.select(col("vec_id"), col("label"), quantize(col("embedding")).as("q"))
+      .withColumn("norm", normSqQ(col("q")))
+
+  /** IVF coarse quantizer health check: nearest-centroid assignment
+    * confusion counts. Output: (label, predicted, n).
+    */
+  def centroidAssign(corpus: DataFrame): DataFrame =
+    rankedCentroids(quantized(corpus), centroids(corpus))
+      .where(col("rn") === 1)
       .groupBy(col("label").cast("long").as("label"), col("c_label").cast("long").as("predicted"))
       .agg(count(lit(1)).as("n"))
+
+  /** IVF probe search: corpus vectors are bucketed by their nearest
+    * centroid (the inverted list — at scale this is the partitioning
+    * key, so a probe touches nprobe/nlists of the data); each query
+    * scores only vectors in its nprobe closest lists, then exact top-k.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val cents = centroids(corpus)
+    val lists = rankedCentroids(quantized(corpus), cents).where(col("rn") === 1)
+      .select(col("vec_id").as("n_id"), col("q").as("n_q"),
+        col("norm").as("n_norm"), col("c_label").as("list_label"))
+    val probes = rankedCentroids(quantized(queries), cents).where(col("rn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("q").as("q_q"),
+        col("norm").as("q_norm"), col("c_label").as("list_label"))
+    val scored = lists.join(broadcast(probes), Seq("list_label"))
+      .where(col("n_id") =!= col("query_id"))
+      .withColumn("cosine", cosineQ(col("q_q"), col("n_q"), col("q_norm"), col("n_norm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("n_id").as("neighbor_id"), col("cosine"))
   }
 }

@@ -12,14 +12,10 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Occurrences of literal `needle` in `c`:
-    * (len(c) - len(replace(c, needle, ''))) / len(needle).
+  /** Occurrences of literal `needle` in `c` via the length-difference
+    * identity: (len(c) - len(replace(c, needle, ''))) / len(needle).
+    * Non-overlapping, left-to-right — same in every engine.
     */
-  def occurrences(c: Column, needle: String): Column =
-    ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(needle), ""))) /
-      needle.length).cast("long")
-
-  /** Literal (non-regex) variant used everywhere below. */
   def occurrencesLit(c: Column, needle: String): Column =
     ((length(c) - length(replace(c, lit(needle), lit("")))) / needle.length).cast("long")
 
