@@ -76,13 +76,24 @@ object JdbcMirror {
     DriverManager.getConnection(cfg.url, p)
   }
 
-  private def tableColumns(conn: Connection, cfg: MirrorConfig, table: String): Set[String] = {
-    val rs = conn.getMetaData.getColumns(null, cfg.schema, table, null)
-    val out = mutable.Set.empty[String]
-    while (rs.next()) out += rs.getString("COLUMN_NAME").toLowerCase
-    rs.close()
-    out.toSet
-  }
+  /** Catalog-reflection cache (SURVEY A14): the reference memoizes
+    * information_schema lookups per file (`main_ingest.py:144-166,690`);
+    * here one batch's DDL pass reads each table's columns at most once.
+    * Invalidated on DDL and cleared per batch.
+    */
+  private val columnCache = mutable.Map.empty[String, Set[String]]
+
+  private def tableColumns(conn: Connection, cfg: MirrorConfig, table: String): Set[String] =
+    columnCache.getOrElseUpdate(s"${cfg.url}/${cfg.schema}.$table", {
+      val rs = conn.getMetaData.getColumns(null, cfg.schema, table, null)
+      val out = mutable.Set.empty[String]
+      while (rs.next()) out += rs.getString("COLUMN_NAME").toLowerCase
+      rs.close()
+      out.toSet
+    })
+
+  private def invalidate(cfg: MirrorConfig, table: String): Unit =
+    columnCache.remove(s"${cfg.url}/${cfg.schema}.$table")
 
   private def constraintExists(conn: Connection, cfg: MirrorConfig,
       childTable: String, name: String): Boolean = {
@@ -152,9 +163,11 @@ object JdbcMirror {
         s"${q(c)} $typ$pk"
       }.mkString(", ")
       exec(conn, s"CREATE TABLE ${q(cfg.schema)}.${q(table)} ($colsSql)")
+      invalidate(cfg, table)
     } else {
       wanted.map(_._1).distinct.filterNot(existing.contains).foreach { c =>
         exec(conn, s"ALTER TABLE ${q(cfg.schema)}.${q(table)} ADD COLUMN ${q(c)} ${cfg.dialect.textType}")
+        invalidate(cfg, table)
       }
     }
     tableColumns(conn, cfg, table)
@@ -163,6 +176,7 @@ object JdbcMirror {
   /** Mirror one ingest batch. Returns the set of mirrored table names. */
   def mirrorBatch(tall: DataFrame, cfg: MirrorConfig): Set[String] = {
     if (cfg.dialect == DerbyDialect) registerDerbyDialect
+    columnCache.clear() // per-batch cache scope, like the reference's per-file clear
     val attrsByTable = TagTables.attributeColumns(tall)
     val tables = tall.select(lower(col("table_name")).as("t")).distinct()
       .collect().map(_.getString(0)).toSet
