@@ -259,6 +259,17 @@ object Relational {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    "q23_percentile" -> ((s, d) => {
+      // exact interpolated percentiles (both engines sort + interpolate;
+      // quantities are integer-valued doubles so the arithmetic is exact)
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+          max("l_quantity").as("max_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // Approximate sketches (HLL++ / count-min): engine-specific
     // estimates, so no DuckDB oracle — the driver records a rows-only
     // check. Exact counterparts ride along to show the error envelope.
@@ -268,6 +279,25 @@ object Relational {
         countDistinct(col("l_partkey")).as("exact_parts"),
         approx_count_distinct(col("l_orderkey")).as("approx_orders"),
         countDistinct(col("l_orderkey")).as("exact_orders"))
+    }),
+
+    // Count-min sketch heavy hitters (rows-only: sketch estimates are
+    // engine-specific): estimate the 5 hottest part keys from a CMS
+    // built distributed, against their exact frequencies.
+    "q24_cms_heavy_hitters" -> ((s, d) => {
+      import s.implicits._
+      val li = t(s, d, "lineitem")
+      val sketchBytes = li.agg(
+        expr("count_min_sketch(l_partkey, 0.001d, 0.99d, 42)")).head().getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(sketchBytes))
+      val top = li.groupBy("l_partkey").agg(count(lit(1)).as("exact_freq"))
+        .orderBy(col("exact_freq").desc, col("l_partkey")).limit(5)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      top.map { case (k, exact) =>
+        (k, exact, cms.estimateCount(k))
+      }.toSeq.toDF("l_partkey", "exact_freq", "cms_estimate")
+        .orderBy("l_partkey")
     }),
   )
 
@@ -398,6 +428,13 @@ object Relational {
     "q18_heavy_hitters" ->
       """SELECT l_partkey, count(*) AS freq FROM lineitem
         |GROUP BY 1 ORDER BY freq DESC, l_partkey LIMIT 20""".stripMargin,
+
+    "q23_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+        |  max(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q20_except_all" ->
       """SELECT l_orderkey, count(*) AS n FROM (
