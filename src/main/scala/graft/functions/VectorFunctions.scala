@@ -47,13 +47,41 @@ object VectorFunctions {
     when(denom === 0.0, lit(0.0)).otherwise(dot / denom) // zero vector; ANSI-safe
   }
 
-  /** Random-hyperplane-style LSH signature from the signs of the first
-    * `bits` quantized components (axis-aligned hyperplanes — fully
-    * deterministic and SQL-expressible; at production scale the planes
-    * would be seeded random projections, same plumbing).
+  /** Axis-aligned LSH signature from the signs of the first `bits`
+    * quantized components — the cheapest deterministic bucketing (used
+    * where the blocking only needs *identical* vectors to collide, e.g.
+    * exact-duplicate detection).
     */
   def signBucket(q: Column, bits: Int): Column =
     (0 until bits).map { i =>
       when(element_at(q, i + 1) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Seeded signed-random-projection hyperplanes: `bits` x `dim` entries
+    * in {-1, 0, 1} (sparse SRP a la Achlioptas/Li), deterministic from
+    * the seed so the DuckDB oracle embeds the identical literals.
+    */
+  def srpPlanes(bits: Int, dim: Int, seed: Long = 42L): Array[Array[Long]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(bits)(Array.fill(dim) {
+      rnd.nextInt(6) match { // P(+1)=P(-1)=1/6, P(0)=2/3 — sparse SRP
+        case 0 => 1L
+        case 1 => -1L
+        case _ => 0L
+      }
+    })
+  }
+
+  /** True SRP-LSH signature: bit i = sign(q . plane_i). Integer dot of a
+    * quantized vector with a {-1,0,1} plane is exact, so the signature
+    * is bit-identical across engines. Cosine-similar vectors collide
+    * with probability 1 - theta/pi per bit.
+    */
+  def srpBucket(q: Column, planes: Array[Array[Long]]): Column =
+    planes.zipWithIndex.map { case (plane, i) =>
+      val dot = plane.zipWithIndex.collect {
+        case (w, j) if w != 0L => element_at(q, j + 1) * w
+      }.reduceOption[Column](_ + _).getOrElse(lit(0L))
+      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.Similarity
 import graft.sources.Tables
@@ -28,6 +29,31 @@ object SimilarityQueries {
     "s03_centroid_assign" -> ((s, d) => {
       Similarity.centroidAssign(Tables.load(s, d, "embeddings"))
         .orderBy("label", "predicted")
+    }),
+
+    "s06_srp_lsh_topk" -> ((s, d) => {
+      // seeded signed-random-projection LSH (vs s02's axis-aligned
+      // blocking): 8 sparse hyperplanes, bucket join, exact re-rank
+      import graft.functions.VectorFunctions._
+      val planes = srpPlanes(bits = 8, dim = 64)
+      val e = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), quantize(col("embedding")).as("q"))
+        .withColumn("bucket", srpBucket(col("q"), planes))
+        .withColumn("norm", normSqQ(col("q")))
+      val c = e.select(col("vec_id").as("n_id"), col("q").as("n_q"),
+        col("bucket"), col("norm").as("n_norm"))
+      val qs = e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("q").as("q_q"),
+          col("bucket"), col("norm").as("q_norm"))
+      val scored = c.join(broadcast(qs), Seq("bucket"))
+        .where(col("n_id") =!= col("query_id"))
+        .withColumn("cosine", cosineQ(col("q_q"), col("n_q"), col("q_norm"), col("n_norm")))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("n_id"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("n_id").as("neighbor_id"), col("cosine"))
+        .orderBy("query_id", "rank")
     }),
 
     "s05_topk_ivf" -> ((s, d) => {
@@ -94,6 +120,33 @@ object SimilarityQueries {
       }.mkString(" + ")
       s"""WITH $qCte,
          |n AS (SELECT vec_id, q, $bucket AS bucket,
+         |    CAST(list_dot_product(q, q) AS BIGINT) AS norm FROM qv),
+         |scored AS (
+         |  SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${cosine("qs.q", "c.q", "qs.norm", "c.norm")} AS cosine
+         |  FROM n qs JOIN n c ON c.bucket = qs.bucket AND c.vec_id <> qs.vec_id
+         |  WHERE qs.vec_id < 8)
+         |SELECT query_id, rank, neighbor_id, cosine FROM (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM scored)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    },
+
+    "s06_srp_lsh_topk" -> {
+      val planes = graft.functions.VectorFunctions.srpPlanes(bits = 8, dim = 64)
+      val bucket = planes.zipWithIndex.map { case (plane, i) =>
+        val terms = plane.zipWithIndex.collect {
+          case (1L, j)  => s"+ q[${j + 1}]"
+          case (-1L, j) => s"- q[${j + 1}]"
+        }
+        val dot = if (terms.isEmpty) "0" else terms.mkString(" ").stripPrefix("+ ")
+        s"CASE WHEN ($dot) >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END"
+      }.mkString("\n      + ")
+      s"""WITH $qCte,
+         |n AS (SELECT vec_id, q,
+         |    $bucket AS bucket,
          |    CAST(list_dot_product(q, q) AS BIGINT) AS norm FROM qv),
          |scored AS (
          |  SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -52,6 +52,26 @@ object TextQueries {
         .orderBy("lang", "rank")
     }),
 
+    "t06_tfidf_topk" -> ((s, d) => {
+      // tf-idf-style salience without ln() (libm log is not identically
+      // rounded across engines): score = tf * N / df, an exact rational
+      // in doubles. Top salient term per document for a doc sample.
+      val docs = Tables.load(s, d, "documents")
+      val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val df = words.select("doc_id", "word").distinct()
+        .groupBy("word").agg(count(lit(1)).as("df"))
+      val n = docs.count()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("score").desc, col("word"))
+      tf.join(df, "word")
+        .withColumn("score", col("tf") * lit(n.toDouble) / col("df"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 1 && col("doc_id") < 100)
+        .select("doc_id", "word", "tf", "df", "score")
+        .orderBy("doc_id")
+    }),
+
     "t04_fingerprint" -> ((s, d) => {
       Tables.load(s, d, "documents")
         .select(col("doc_id"),
@@ -113,6 +133,18 @@ object TextQueries {
         |          SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
         |        GROUP BY 1, 2)) q
         |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+
+    "t06_tfidf_topk" ->
+      """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY 1, 2),
+        |df AS (SELECT word, count(*) AS df FROM (SELECT DISTINCT doc_id, word FROM words) GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |scored AS (SELECT t.doc_id, t.word, t.tf, d.df, t.tf * nn.n / d.df AS score
+        |  FROM tf t JOIN df d USING (word) CROSS JOIN nn),
+        |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, word) AS BIGINT) AS rank FROM scored)
+        |SELECT doc_id, word, tf, df, score FROM ranked
+        |WHERE rank <= 1 AND doc_id < 100 ORDER BY doc_id""".stripMargin,
 
     "t04_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(text))) AS fp_md5,

@@ -50,6 +50,13 @@ class IngestPipelineSpec extends AnyFunSuite with SparkSpec {
     // attribute VALUES must survive the case-folding of column names
     assert(wide.select("codetype").collect().map(_.getString(0)).toSet == Set("c"))
 
+    // per-tag queries prune to the tag's partition (the lake layout's
+    // whole point: a tag filter reads one directory, not the table)
+    val prunedPlan = tall.where(col("table_name") === "eVitals_01")
+      .queryExecution.executedPlan.toString
+    assert(prunedPlan.contains("PartitionFilters"), prunedPlan)
+    assert(prunedPlan.contains("table_name"), prunedPlan)
+
     // fk edges = observed parent-child tag pairs
     val edges = spark.read.parquet(IngestPipeline.fkEdgesPath(lake))
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
