@@ -38,6 +38,33 @@ object EventsQueries {
         .orderBy("user_id", "session_start_us")
     }),
 
+    "e05_sliding_window" -> ((s, d) => {
+      // 1-hour windows sliding every 30 minutes: each event lands in
+      // exactly two windows
+      Tables.load(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(unix_micros(col("w.start")).as("window_start_us"), col("n_events"))
+        .orderBy("window_start_us")
+    }),
+
+    "e06_funnel" -> ((s, d) => {
+      // view -> purchase conversion per user: first purchase strictly
+      // after the first view
+      Tables.load(s, d, "events")
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("first_view"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"))
+        .select(col("user_id"),
+          col("first_view").isNotNull.as("viewed"),
+          (col("first_purchase") > col("first_view")).as("converted"))
+        .groupBy("viewed")
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("converted"), 1L).otherwise(0L)).as("n_converted"))
+        .orderBy("viewed")
+    }),
+
     "e03_keyed_dedup" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id"), col("event_type"))
         .orderBy(col("event_id"))
@@ -80,6 +107,29 @@ object EventsQueries {
         |  epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us,
         |  count(*) AS n_events
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin,
+
+    "e05_sliding_window" ->
+      """SELECT window_start_us, count(*) AS n_events FROM (
+        |  SELECT unnest([
+        |    epoch_us(time_bucket(INTERVAL 30 MINUTE, ts)),
+        |    epoch_us(time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE)
+        |  ]) AS window_start_us
+        |  FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "e06_funnel" ->
+      """SELECT viewed, count(*) AS n_users,
+        |  CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+        |FROM (
+        |  SELECT user_id,
+        |    first_view IS NOT NULL AS viewed,
+        |    first_purchase > first_view AS converted
+        |  FROM (
+        |    SELECT user_id,
+        |      min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+        |      min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+        |    FROM events GROUP BY 1))
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "e03_keyed_dedup" ->
       """SELECT user_id, event_type, event_id AS first_event_id FROM (

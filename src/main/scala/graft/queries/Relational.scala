@@ -281,6 +281,19 @@ object Relational {
         countDistinct(col("l_orderkey")).as("exact_orders"))
     }),
 
+    "q25_correlated_subquery" -> ((s, d) => {
+      // orders priced above their customer's average — a correlated
+      // scalar subquery, decorrelated by Catalyst into an aggregate +
+      // join (cents so the avg is an exact sum / count)
+      t(s, d, "orders").createOrReplaceTempView("g_orders25")
+      s.sql(
+        """SELECT o_orderkey, o_custkey FROM g_orders25 o
+          |WHERE CAST(round(o_totalprice * 100.0) AS BIGINT) >
+          |  (SELECT avg(CAST(round(o2.o_totalprice * 100.0) AS BIGINT))
+          |   FROM g_orders25 o2 WHERE o2.o_custkey = o.o_custkey)
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
     // Count-min sketch heavy hitters (rows-only: sketch estimates are
     // engine-specific): estimate the 5 hottest part keys from a CMS
     // built distributed, against their exact frequencies.
@@ -435,6 +448,13 @@ object Relational {
         |  quantile_cont(l_quantity, 0.9) AS p90_qty,
         |  max(l_quantity) AS max_qty
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q25_correlated_subquery" ->
+      """SELECT o_orderkey, o_custkey FROM orders o
+        |WHERE CAST(round(o_totalprice * 100.0) AS BIGINT) >
+        |  (SELECT avg(CAST(round(o2.o_totalprice * 100.0) AS BIGINT))
+        |   FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q20_except_all" ->
       """SELECT l_orderkey, count(*) AS n FROM (
