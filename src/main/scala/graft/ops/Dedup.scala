@@ -100,6 +100,50 @@ object Dedup {
       .distinct()
   }
 
+  // --- near-dup clustering ---------------------------------------------------
+
+  /** Connected components over an undirected pair relation
+    * (id_a < id_b): label every node with the minimum id reachable from
+    * it — the canonical document of its near-dup cluster. Iterative
+    * min-label propagation, one join+agg per round, localCheckpoint to
+    * cut lineage; converges in O(diameter) rounds (near-dup clusters
+    * are shallow). Deterministic at the fixpoint regardless of
+    * iteration schedule.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIter) {
+      val prop = sym.join(labels.withColumnRenamed("id", "dst2"),
+          sym("dst") === col("dst2"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("label")).as("nlabel"))
+      val prev = labels
+      val next = labels.join(prop, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      // one action per round: the diff count both materializes `next`
+      // (persist) and decides convergence; checkpoint only every few
+      // rounds to bound lineage without paying a write per round
+      labels =
+        if (i % 3 == 2) next.localCheckpoint(true)
+        else { next.persist(); next }
+      val diffs = labels.withColumnRenamed("label", "l2")
+        .join(prev, Seq("id"))
+        .where(col("l2") =!= col("label")).count()
+      prev.unpersist()
+      converged = diffs == 0
+      i += 1
+    }
+    labels
+  }
+
   // --- SimHash -------------------------------------------------------------
 
   val SimHashBits = 32

@@ -66,6 +66,17 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    "d06_neardup_clusters" -> ((s, d) => {
+      // pair detection -> dedup groups: connected components over the
+      // minhash candidate pairs; output one row per cluster with its
+      // canonical (min) id and size
+      val pairs = Dedup.minHashCandidatePairs(docsWithMutations(s, d), "doc_id", "text")
+      Dedup.connectedComponents(pairs)
+        .groupBy(col("label").as("canonical_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .orderBy("canonical_id")
+    }),
+
     "d05_embedding_neardup" -> ((s, d) => {
       import graft.functions.VectorFunctions._
       val e = Tables.load(s, d, "embeddings").select("vec_id", "embedding")
@@ -103,6 +114,25 @@ object DedupQueries {
     s"CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END"
   }.mkString(" + ")
 
+  /** Shared CTE chain: mutated corpus -> shingle hashes -> minhash
+    * signatures -> band buckets -> distinct candidate pairs. Used by
+    * both the pair query (d02) and the clustering query (d06).
+    */
+  private def minhashPairsCtes: String =
+    s"""$mutationsCte,
+       |sh AS (SELECT doc_id,
+       |  list_transform(generate_series(1, greatest(length(text) - ${Dedup.ShingleK - 1}, 1), ${Dedup.ShingleStride}),
+       |    i -> ('0x' || substr(md5(substr(text, i::INT, ${Dedup.ShingleK})), 1, 8))::BIGINT) AS hs
+       |  FROM all_docs),
+       |mh AS (SELECT doc_id,
+       |    $mhExprs
+       |  FROM sh),
+       |bands AS (
+       |  $bandSelects),
+       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "d01_exact_dedup" ->
       s"""WITH $copiesCte
@@ -111,20 +141,21 @@ object DedupQueries {
          |FROM all_docs GROUP BY 1 ORDER BY canonical_id""".stripMargin,
 
     "d02_minhash_lsh" ->
-      s"""WITH $mutationsCte,
-         |sh AS (SELECT doc_id,
-         |  list_transform(generate_series(1, greatest(length(text) - ${Dedup.ShingleK - 1}, 1), ${Dedup.ShingleStride}),
-         |    i -> ('0x' || substr(md5(substr(text, i::INT, ${Dedup.ShingleK})), 1, 8))::BIGINT) AS hs
-         |  FROM all_docs),
-         |mh AS (SELECT doc_id,
-         |    $mhExprs
-         |  FROM sh),
-         |bands AS (
-         |  $bandSelects)
-         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |FROM bands a JOIN bands b
-         |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-         |ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH $minhashPairsCtes
+         |SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b""".stripMargin,
+
+    "d06_neardup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |walk(src, dst) AS (
+         |  SELECT src, dst FROM sym
+         |  UNION
+         |  SELECT w.src, s.dst FROM walk w JOIN sym s ON w.dst = s.src),
+         |labels AS (SELECT src AS id, least(src, min(dst)) AS label
+         |  FROM walk GROUP BY src)
+         |SELECT label AS canonical_id, count(*) AS cluster_size
+         |FROM labels GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d03_simhash" -> {
       val bandRows = (0 until Dedup.SimHashBands).map { bi =>
