@@ -11,8 +11,9 @@ from pathlib import Path
 import duckdb
 import pyarrow.parquet as pq
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+SF = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+OUT = args[1] if len(args) > 1 else "/tmp/verify_out"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 

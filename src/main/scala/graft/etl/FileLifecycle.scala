@@ -23,7 +23,8 @@ object FileLifecycle {
     if (!f.exists(dir)) f.mkdirs(dir)
     val dst = new Path(dir, src.getName)
     if (f.exists(dst)) f.delete(dst, false)
-    f.rename(src, dst)
+    if (!f.rename(src, dst))
+      throw new java.io.IOException(s"archive move failed: $src -> $dst")
     dst.toString
   }
 
@@ -45,7 +46,8 @@ object FileLifecycle {
       }
       dst = new Path(dir, s"${base}_$nowMillis$ext")
     }
-    f.rename(src, dst)
+    if (!f.rename(src, dst))
+      throw new java.io.IOException(s"quarantine move failed: $src -> $dst")
     dst.toString
   }
 }

@@ -27,6 +27,46 @@ object IngestPipeline {
   def fkEdgesPath(lakeDir: String) = s"$lakeDir/fk_edges"
   def auditPath(lakeDir: String) = s"$lakeDir/audit"
 
+  private def hPath(s: String) = new org.apache.hadoop.fs.Path(s)
+
+  private def renameOrThrow(fs: org.apache.hadoop.fs.FileSystem,
+      src: String, dst: String): Unit =
+    if (!fs.rename(hPath(src), hPath(dst)))
+      throw new java.io.IOException(s"rename failed: $src -> $dst")
+
+  /** A20 transaction parity on plain parquet: write the merged table to
+    * a temp dir, then swap directories. Crash-safe ordering: the
+    * previous `elements` is parked at `.elements_old` and only deleted
+    * AFTER the new directory is in place; [[recoverLake]] undoes a
+    * crash between the two renames. Rename results are checked — a
+    * false return (e.g. cross-filesystem move) aborts instead of
+    * silently reporting success.
+    */
+  private def writeMergedLake(spark: SparkSession, merged: DataFrame, lakeDir: String): Unit = {
+    val elemsDir = elementsPath(lakeDir)
+    val fs = hPath(lakeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmpDir = s"$lakeDir/.elements_tmp"
+    val bakDir = s"$lakeDir/.elements_old"
+    fs.delete(hPath(tmpDir), true)
+    TagTables.writeTall(merged, tmpDir, SaveMode.Overwrite)
+    fs.delete(hPath(bakDir), true)
+    if (fs.exists(hPath(elemsDir))) renameOrThrow(fs, elemsDir, bakDir)
+    renameOrThrow(fs, tmpDir, elemsDir)
+    fs.delete(hPath(bakDir), true)
+  }
+
+  /** Crash recovery: if a writer died between the two swap renames, the
+    * lake has `.elements_old` (the only copy) and no `elements` —
+    * restore it before doing anything else. Called on every ingest.
+    */
+  private def recoverLake(spark: SparkSession, lakeDir: String): Unit = {
+    val fs = hPath(lakeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val elems = elementsPath(lakeDir)
+    val bak = s"$lakeDir/.elements_old"
+    if (!fs.exists(hPath(elems)) && fs.exists(hPath(bak)))
+      renameOrThrow(fs, bak, elems)
+  }
+
   def ingestDirectory(
       spark: SparkSession,
       xmlGlob: String,
@@ -34,12 +74,24 @@ object IngestPipeline {
       idGen: XmlFlatten.IdGen = XmlFlatten.DeterministicId,
       schemaVersionId: Option[Int] = Some(1)): Result = {
 
-    val statuses = NemsisXmlReader.fileStatuses(spark, xmlGlob, idGen).collect()
-    val ok = statuses.filter(_.getLong(2) > 0)
-    val bad = statuses.filter(_.getLong(2) == 0)
+    recoverLake(spark, lakeDir)
 
-    val tall = NemsisXmlReader.readTall(spark, xmlGlob, idGen)
-      .where(col("source_file").isin(ok.map(_.getString(0)).toSeq: _*))
+    // ONE parse pass: (file, md5, elements) cached, statuses and the
+    // tall table both derive from it (parsing twice would double the
+    // dominant ingest cost; md5 is also computed exactly once per file).
+    import spark.implicits._
+    val parsed = spark.read.format("binaryFile").load(xmlGlob)
+      .select("path", "content")
+      .as[(String, Array[Byte])]
+      .map { case (p, bytes) =>
+        val md5 = NemsisXmlReader.md5Hex(bytes)
+        (p, md5, XmlFlatten.parse(bytes, p, md5, idGen))
+      }
+      .persist()
+    val statuses = parsed.map { case (p, m, es) => (p, m, es.size.toLong) }.collect()
+    val ok = statuses.filter(_._3 > 0)
+    val bad = statuses.filter(_._3 == 0)
+    val tall = parsed.flatMap(_._3).toDF()
 
     val elemsDir = elementsPath(lakeDir)
     val hasExisting = {
@@ -59,36 +111,24 @@ object IngestPipeline {
         KeyedOverwrite.multiKey(existing, tall, Seq("source_file", "pcr_uuid_context"))
       } else tall
 
-    // A20 transaction parity on plain parquet: write the merged table to
-    // a temp dir, then atomically swap directories — a failure mid-write
-    // leaves the previous lake intact (Delta's commit protocol is the
-    // production mapping; this is the storage-agnostic equivalent).
-    val fs = new org.apache.hadoop.fs.Path(lakeDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmpDir = s"$lakeDir/.elements_tmp"
-    fs.delete(new org.apache.hadoop.fs.Path(tmpDir), true)
-    TagTables.writeTall(merged, tmpDir, SaveMode.Overwrite)
-    val bakDir = new org.apache.hadoop.fs.Path(s"$lakeDir/.elements_old")
-    fs.delete(bakDir, true)
-    if (hasExisting) fs.rename(new org.apache.hadoop.fs.Path(elemsDir), bakDir)
-    fs.rename(new org.apache.hadoop.fs.Path(tmpDir), new org.apache.hadoop.fs.Path(elemsDir))
-    fs.delete(bakDir, true)
+    writeMergedLake(spark, merged, lakeDir)
+    parsed.unpersist()
 
     TagTables.fkEdges(spark.read.parquet(elemsDir))
       .write.mode(SaveMode.Overwrite).parquet(fkEdgesPath(lakeDir))
 
     val now = new Timestamp(System.currentTimeMillis())
-    val auditRows = ok.map { r =>
-      Audit.AuditRow(XmlFlatten.DeterministicId.id(r.getString(0), -1),
-        r.getString(0), r.getString(1), now, Audit.Status.Staged, schemaVersionId)
-    } ++ bad.map { r =>
-      Audit.AuditRow(XmlFlatten.DeterministicId.id(r.getString(0), -1),
-        r.getString(0), r.getString(1), now, Audit.Status.ErrorParsingEmpty, schemaVersionId)
+    val auditRows = ok.map { case (p, m, _) =>
+      Audit.AuditRow(XmlFlatten.DeterministicId.id(p, -1),
+        p, m, now, Audit.Status.Staged, schemaVersionId)
+    } ++ bad.map { case (p, m, _) =>
+      Audit.AuditRow(XmlFlatten.DeterministicId.id(p, -1),
+        p, m, now, Audit.Status.ErrorParsingEmpty, schemaVersionId)
     }
     Audit.append(Audit.rows(spark, auditRows.toSeq), auditPath(lakeDir))
 
     val n = spark.read.parquet(elemsDir).count()
-    Result(ok.map(_.getString(0)).toSeq, bad.map(_.getString(0)).toSeq, n)
+    Result(ok.map(_._1).toSeq, bad.map(_._1).toSeq, n)
   }
 
   /** Streaming ingest (SURVEY A31): the reference's per-file shell loop is
@@ -123,14 +163,21 @@ object IngestPipeline {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[ElementRecord], _: Long) =>
-        val df = batch.toDF()
+        // same crash-safe tmp+swap as the batch path: a plain dynamic
+        // partition overwrite would leave a tag partition untouched
+        // when the merge evicted ALL of its rows, resurrecting them
+        val df = batch.toDF().localCheckpoint(true)
+        val ss = df.sparkSession
+        recoverLake(ss, lakeDir)
         val elemsDir = elementsPath(lakeDir)
         val p = new org.apache.hadoop.fs.Path(elemsDir)
-        val exists = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration).exists(p)
+        val exists = p.getFileSystem(ss.sparkContext.hadoopConfiguration).exists(p)
         val merged =
-          if (exists) KeyedOverwrite(df.sparkSession.read.schema(df.schema).parquet(elemsDir), df)
+          if (exists) KeyedOverwrite.multiKey(
+            ss.read.schema(df.schema).parquet(elemsDir), df,
+            Seq("source_file", "pcr_uuid_context"))
           else df
-        TagTables.writeTall(merged.localCheckpoint(eager = true), elemsDir, SaveMode.Overwrite)
+        writeMergedLake(ss, merged, lakeDir)
         ()
       }
   }

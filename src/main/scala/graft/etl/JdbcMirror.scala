@@ -177,7 +177,13 @@ object JdbcMirror {
   def mirrorBatch(tall: DataFrame, cfg: MirrorConfig): Set[String] = {
     if (cfg.dialect == DerbyDialect) registerDerbyDialect
     columnCache.clear() // per-batch cache scope, like the reference's per-file clear
-    val attrsByTable = TagTables.attributeColumns(tall)
+    // merge attribute keysets across tag-case variants: <eVitals.06> and
+    // <EVitals.06> both land in table "evitals_06" and must contribute
+    // their attributes to the SAME column set
+    val attrsByTable: Map[String, Seq[String]] =
+      TagTables.attributeColumns(tall)
+        .groupBy(_._1.toLowerCase)
+        .map { case (t, m) => t -> m.values.flatten.toSeq.distinct.sorted }
     val tables = tall.select(lower(col("table_name")).as("t")).distinct()
       .collect().map(_.getString(0)).toSet
     val pcrKeys = tall.select("pcr_uuid_context").where(col("pcr_uuid_context").isNotNull)
@@ -202,7 +208,7 @@ object JdbcMirror {
       try {
         tables.foreach { t =>
           ensureTable(conn, cfg, t,
-            attrsByTable.collectFirst { case (k, v) if k.toLowerCase == t => v }.getOrElse(Seq.empty))
+            attrsByTable.getOrElse(t, Seq.empty))
           // A15 keyed pre-delete, one statement per table (vs per key+table)
           if (pcrKeys.nonEmpty)
             exec(conn, JdbcDdl.deleteByKeys(cfg.schema, t, pcrKeys))
@@ -227,8 +233,7 @@ object JdbcMirror {
       case (c, p) => (c.toLowerCase, p.toLowerCase)
     }.toSeq)
     orderedTables.foreach { t =>
-      val attrs = attrsByTable.collectFirst { case (k, v) if k.toLowerCase == t => v }
-        .getOrElse(Seq.empty)
+      val attrs = attrsByTable.getOrElse(t, Seq.empty)
       TagTables.wideView(tall, t, attrs)
         .write.mode(SaveMode.Append)
         .jdbc(cfg.url, s"${q(cfg.schema)}.${q(t)}", props)
@@ -242,10 +247,7 @@ object JdbcMirror {
         edges.foreach { case (childRaw, parentRaw) =>
           val name = FkNames.fkConstraintName(childRaw, parentRaw)
           if (!constraintExists(conn2, cfg, childRaw.toLowerCase, name))
-            exec(conn2,
-              s"ALTER TABLE ${q(cfg.schema)}.${q(childRaw.toLowerCase)} " +
-                s"ADD CONSTRAINT ${q(name)} FOREIGN KEY (${q("parent_element_id")}) " +
-                s"REFERENCES ${q(cfg.schema)}.${q(parentRaw.toLowerCase)} (${q("element_id")}) ON DELETE CASCADE")
+            exec(conn2, JdbcDdl.addForeignKey(cfg.schema, childRaw, parentRaw))
         }
         conn2.commit()
       } catch { case e: Throwable => conn2.rollback(); throw e }

@@ -141,6 +141,11 @@ object Dedup {
       converged = diffs == 0
       i += 1
     }
+    // fail loudly rather than return split (wrong) clusters — a chain
+    // longer than maxIter hops needs more rounds
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds; raise maxIter")
     labels
   }
 

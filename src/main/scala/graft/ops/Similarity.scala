@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
@@ -22,6 +22,17 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
+  /** Shared final stage: rank scored (query_id, n_id, cosine) rows and
+    * keep the top k per query (deterministic tie-break on neighbor id).
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("n_id").as("neighbor_id"), col("cosine"))
+  }
+
   /** Exact top-k neighbors for each query vector (queries broadcast).
     * Output: (query_id, rank, neighbor_id, cosine).
     */
@@ -30,38 +41,41 @@ object Similarity {
       .withColumn("n_norm", normSqQ(col("n_q")))
     val q = queries.select(col("vec_id").as("query_id"), quantize(col("embedding")).as("q_q"))
       .withColumn("q_norm", normSqQ(col("q_q")))
-    val scored = c.join(broadcast(q), col("n_id") =!= col("query_id"))
-      .withColumn("cosine", cosineQ(col("q_q"), col("n_q"), col("q_norm"), col("n_norm")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("n_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("n_id").as("neighbor_id"), col("cosine"))
+    topKPerQuery(
+      c.join(broadcast(q), col("n_id") =!= col("query_id"))
+        .withColumn("cosine", cosineQ(col("q_q"), col("n_q"), col("q_norm"), col("n_norm"))),
+      k)
   }
 
-  /** Sign-bit LSH bucket id for every vector. */
-  def withBucket(df: DataFrame, bits: Int = 8): DataFrame =
-    df.select(col("vec_id"), quantize(col("embedding")).as("q"))
-      .withColumn("bucket", signBucket(col("q"), bits))
-      .withColumn("norm", normSqQ(col("q")))
-
-  /** ANN top-k: score only same-bucket vectors (recall < 1 by design —
-    * the standard LSH tradeoff; the oracle applies the identical rule).
+  /** ANN top-k for any deterministic bucketing function: score only
+    * same-bucket vectors (recall < 1 by design — the standard LSH
+    * tradeoff; oracles apply the identical rule).
     */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 8): DataFrame = {
-    val c = withBucket(corpus, bits)
+  def bucketedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      bucketFn: Column => Column): DataFrame = {
+    def withBucket(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), quantize(col("embedding")).as("q"))
+        .withColumn("bucket", bucketFn(col("q")))
+        .withColumn("norm", normSqQ(col("q")))
+    val c = withBucket(corpus)
       .select(col("vec_id").as("n_id"), col("q").as("n_q"), col("bucket"), col("norm").as("n_norm"))
-    val q = withBucket(queries, bits)
+    val q = withBucket(queries)
       .select(col("vec_id").as("query_id"), col("q").as("q_q"), col("bucket"), col("norm").as("q_norm"))
-    val scored = c.join(broadcast(q), Seq("bucket"))
-      .where(col("n_id") =!= col("query_id"))
-      .withColumn("cosine", cosineQ(col("q_q"), col("n_q"), col("q_norm"), col("n_norm")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("n_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("n_id").as("neighbor_id"), col("cosine"))
+    topKPerQuery(
+      c.join(broadcast(q), Seq("bucket"))
+        .where(col("n_id") =!= col("query_id"))
+        .withColumn("cosine", cosineQ(col("q_q"), col("n_q"), col("q_norm"), col("n_norm"))),
+      k)
   }
+
+  /** Axis-aligned sign-bit LSH top-k. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 8): DataFrame =
+    bucketedTopK(corpus, queries, k, signBucket(_, bits))
+
+  /** Seeded signed-random-projection LSH top-k. */
+  def srpTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      planes: Array[Array[Long]]): DataFrame =
+    bucketedTopK(corpus, queries, k, srpBucket(_, planes))
 
   /** Quantized per-label centroids (the label column stands in for a
     * k-means assignment; same plumbing): (c_label, c_q, c_norm).
@@ -113,13 +127,10 @@ object Similarity {
     val probes = rankedCentroids(quantized(queries), cents).where(col("rn") <= nprobe)
       .select(col("vec_id").as("query_id"), col("q").as("q_q"),
         col("norm").as("q_norm"), col("c_label").as("list_label"))
-    val scored = lists.join(broadcast(probes), Seq("list_label"))
-      .where(col("n_id") =!= col("query_id"))
-      .withColumn("cosine", cosineQ(col("q_q"), col("n_q"), col("q_norm"), col("n_norm")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("n_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("n_id").as("neighbor_id"), col("cosine"))
+    topKPerQuery(
+      lists.join(broadcast(probes), Seq("list_label"))
+        .where(col("n_id") =!= col("query_id"))
+        .withColumn("cosine", cosineQ(col("q_q"), col("n_q"), col("q_norm"), col("n_norm"))),
+      k)
   }
 }

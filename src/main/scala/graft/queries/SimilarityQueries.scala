@@ -34,25 +34,9 @@ object SimilarityQueries {
     "s06_srp_lsh_topk" -> ((s, d) => {
       // seeded signed-random-projection LSH (vs s02's axis-aligned
       // blocking): 8 sparse hyperplanes, bucket join, exact re-rank
-      import graft.functions.VectorFunctions._
-      val planes = srpPlanes(bits = 8, dim = 64)
+      val planes = graft.functions.VectorFunctions.srpPlanes(bits = 8, dim = 64)
       val e = Tables.load(s, d, "embeddings")
-        .select(col("vec_id"), quantize(col("embedding")).as("q"))
-        .withColumn("bucket", srpBucket(col("q"), planes))
-        .withColumn("norm", normSqQ(col("q")))
-      val c = e.select(col("vec_id").as("n_id"), col("q").as("n_q"),
-        col("bucket"), col("norm").as("n_norm"))
-      val qs = e.where(col("vec_id") < 8)
-        .select(col("vec_id").as("query_id"), col("q").as("q_q"),
-          col("bucket"), col("norm").as("q_norm"))
-      val scored = c.join(broadcast(qs), Seq("bucket"))
-        .where(col("n_id") =!= col("query_id"))
-        .withColumn("cosine", cosineQ(col("q_q"), col("n_q"), col("q_norm"), col("n_norm")))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cosine").desc, col("n_id"))
-      scored.withColumn("rank", row_number().over(w).cast("long"))
-        .where(col("rank") <= 3)
-        .select(col("query_id"), col("rank"), col("n_id").as("neighbor_id"), col("cosine"))
+      Similarity.srpTopK(e, e.where(col("vec_id") < 8), k = 3, planes)
         .orderBy("query_id", "rank")
     }),
 

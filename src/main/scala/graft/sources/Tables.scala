@@ -21,6 +21,14 @@ object Tables {
     * TimestampType column via integer division (a double division would lose
     * precision above 2^53 ns). Truncation toward zero == floor for the
     * positive epochs in this data.
+    *
+    * The nanosAsLong conf stays set for the session: it must hold at
+    * SCAN time (executors read footers when the query actually runs),
+    * so a set-then-restore scope around this method would break lazy
+    * execution. Side effect: other TIMESTAMP(NANOS) reads in the same
+    * session get BIGINT nanos instead of an error — acceptable for this
+    * engine, whose only nanos source is events (documented in
+    * .claude/skills/verify/SKILL.md).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
