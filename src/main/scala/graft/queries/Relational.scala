@@ -281,6 +281,34 @@ object Relational {
         countDistinct(col("l_orderkey")).as("exact_orders"))
     }),
 
+    "q26_range_frame" -> ((s, d) => {
+      // RANGE frame (value-based window): revenue of orders within 90
+      // days before each order, per customer
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("epoch_day"))
+        .rangeBetween(-90, 0)
+      t(s, d, "orders").where(col("o_custkey") < 200)
+        .withColumn("epoch_day",
+          datediff(col("o_orderdate"), lit("1990-01-01").cast("date")).cast("long"))
+        .select(col("o_custkey"), col("o_orderkey"), col("epoch_day"),
+          sum(cents(col("o_totalprice"))).over(w).as("trailing_90d_cents"))
+        .orderBy("o_custkey", "epoch_day", "o_orderkey")
+    }),
+
+    "q27_window_nav" -> ((s, d) => {
+      // navigation functions over a full-partition frame
+      val order = Seq(col("o_orderdate"), col("o_orderkey"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(order: _*)
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "orders").where(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_orderkey")).over(full).as("first_order"),
+          last(col("o_orderkey")).over(full).as("last_order"),
+          nth_value(col("o_orderkey"), 2).over(full).as("second_order"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     "q25_correlated_subquery" -> ((s, d) => {
       // orders priced above their customer's average — a correlated
       // scalar subquery, decorrelated by Catalyst into an aggregate +
@@ -448,6 +476,29 @@ object Relational {
         |  quantile_cont(l_quantity, 0.9) AS p90_qty,
         |  max(l_quantity) AS max_qty
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q26_range_frame" ->
+      """SELECT o_custkey, o_orderkey, epoch_day,
+        |  CAST(sum(price_cents) OVER (PARTITION BY o_custkey ORDER BY epoch_day
+        |    RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing_90d_cents
+        |FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(datediff('day', DATE '1990-01-01', o_orderdate) AS BIGINT) AS epoch_day,
+        |    CAST(round(o_totalprice * 100.0) AS BIGINT) AS price_cents
+        |  FROM orders WHERE o_custkey < 200)
+        |ORDER BY o_custkey, epoch_day, o_orderkey""".stripMargin,
+
+    "q27_window_nav" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_orderkey) OVER wf AS first_order,
+        |  last_value(o_orderkey) OVER wf AS last_order,
+        |  nth_value(o_orderkey, 2) OVER wf AS second_order,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q25_correlated_subquery" ->
       """SELECT o_orderkey, o_custkey FROM orders o
