@@ -1,5 +1,8 @@
 package graft
 
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -8,17 +11,34 @@ import org.apache.spark.sql.functions._
   *
   * Each query is forced to full materialization with a checksum
   * aggregate over every output column (a bare count() would let Catalyst
-  * prune projections and under-report). One untimed warmup pass runs
-  * first so JIT/codegen/parquet-footer costs don't land on whichever
-  * query happens to run first.
+  * prune projections and under-report). The checksum is
+  * `bit_xor(xxhash64(cols))`: XOR is closed under 64 bits, so unlike
+  * `sum(...)` it cannot hit Spark 4's ANSI BIGINT-overflow error on
+  * full-range hash values. One untimed warmup pass runs first so
+  * JIT/codegen/parquet-footer costs don't land on whichever query
+  * happens to run first.
+  *
+  * Failures are never swallowed: a query that throws is recorded with
+  * its error class in the output JSON (`"errors":{...}`) and excluded
+  * from the total, so a broken query is visible instead of timing as
+  * "fast". The metric JSON is the final stdout line and is also written
+  * to BENCH_OUT (default bench_out.json) for parse robustness.
   */
 object Bench {
 
   private def force(df: DataFrame): Unit = {
     val cs = df.columns.map(col)
-    df.agg(count(lit(1)), sum(xxhash64(cs: _*))).head()
+    df.agg(count(lit(1)), bit_xor(xxhash64(cs: _*))).head()
     ()
   }
+
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < ' '  => "\\u%04x".format(c.toInt)
+      case c             => c.toString
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -36,27 +56,49 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // warmup (untimed): JIT, codegen cache, parquet footers
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // warmup (untimed): JIT, codegen cache, parquet footers. Errors here
+    // are ignored only because the timed pass below records them.
     names.foreach { n =>
       try force(SparkEntry.queries(n)(spark, sfDir))
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () }
     }
-    def timed(n: String): Double = {
+    def timed(n: String): Option[Double] = {
       val t0 = System.nanoTime()
-      try force(SparkEntry.queries(n)(spark, sfDir))
-      catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        force(SparkEntry.queries(n)(spark, sfDir))
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          errors(n) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(300)}"
+          None
+      }
     }
     // best of two timed passes: single-pass numbers carry ~±20%
     // same-machine noise at this scale
-    val results = names.map(n => n -> math.min(timed(n), timed(n)))
+    val results = names.flatMap { n =>
+      (timed(n), timed(n)) match {
+        case (Some(a), Some(b)) => Some(n -> math.min(a, b))
+        case (Some(a), None)    => Some(n -> a)
+        case (None, Some(b))    => Some(n -> b)
+        case (None, None)       => None
+      }
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) =>
+      "\"" + k + "\":\"" + jsonEscape(v) + "\""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_ok":${results.size},"n_err":${errors.size},"sf":"$sfDir"}"""
+    val outPath = sys.env.getOrElse("BENCH_OUT", "bench_out.json")
+    Files.write(Paths.get(outPath), (line + "\n").getBytes(StandardCharsets.UTF_8))
     spark.stop()
+    // last stdout line, after spark.stop() so no shutdown logs trail it
+    println(line)
   }
 }
