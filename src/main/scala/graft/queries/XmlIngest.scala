@@ -75,8 +75,10 @@ object XmlIngest {
 
   val hierarchyQuery: (SparkSession, String) => DataFrame = (s, d) => {
     // the adjacency-list tree join (SURVEY §2B row 2): child rows joined
-    // to their parents on parent_element_id = element_id
-    val tall = ordersAsElements(s, d)
+    // to their parents on parent_element_id = element_id. The parse is
+    // materialized once (localCheckpoint) so the self-join's two branches
+    // don't each re-run the StAX flatMap — same single-pass trick as x02.
+    val tall = ordersAsElements(s, d).localCheckpoint(true)
     val child = tall.select(col("table_name").as("child_table"),
       col("parent_element_id"), col("pcr_uuid_context").as("child_pcr"))
     val parent = tall.select(col("table_name").as("parent_table"),
