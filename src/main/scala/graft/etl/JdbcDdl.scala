@@ -58,33 +58,63 @@ object JdbcDdl {
     "SELECT constraint_name FROM information_schema.table_constraints " +
       "WHERE table_schema = ? AND table_name = ? AND constraint_name = ?;"
 
-  /** Bootstrap control tables (`database_setup.py:66-95`). */
-  def bootstrap(schema: String): Seq[String] = Seq(
-    s"""CREATE TABLE IF NOT EXISTS ${q(schema)}.SchemaVersions (
-       |  SchemaVersionID SERIAL PRIMARY KEY,
-       |  VersionNumber TEXT NOT NULL UNIQUE,
-       |  CreationDate TIMESTAMPTZ NOT NULL,
-       |  UpdateDate TIMESTAMPTZ,
-       |  Description TEXT,
-       |  DemographicGroup TEXT NULL
-       |);""".stripMargin,
-    s"""CREATE TABLE IF NOT EXISTS ${q(schema)}.XMLFilesProcessed (
-       |  ProcessedFileID TEXT PRIMARY KEY,
-       |  OriginalFileName TEXT NOT NULL,
-       |  MD5Hash TEXT,
-       |  ProcessingTimestamp TIMESTAMPTZ NOT NULL,
-       |  Status TEXT NOT NULL,
-       |  SchemaVersionID INTEGER,
-       |  DemographicGroup TEXT NULL,
-       |  FOREIGN KEY (SchemaVersionID) REFERENCES ${q(schema)}.SchemaVersions(SchemaVersionID)
-       |);""".stripMargin)
+  /** Bootstrap control tables (`database_setup.py:66-95`), dialect-typed
+    * so the same contract runs on engines without SERIAL/TIMESTAMPTZ or
+    * indexable wide VARCHARs (Derby in tests). Identifiers are unquoted,
+    * as in the reference, so they fold per-engine and lookups that also
+    * use unquoted names always resolve.
+    */
+  def bootstrap(schema: String, dialect: JdbcMirror.SqlDialect = JdbcMirror.PostgresDialect): Seq[String] = {
+    val ifNotExists = if (dialect.supportsIfNotExists) "IF NOT EXISTS " else ""
+    Seq(
+      s"""CREATE TABLE $ifNotExists${q(schema)}.SchemaVersions (
+         |  SchemaVersionID ${dialect.serialType} PRIMARY KEY,
+         |  VersionNumber ${dialect.keyTextType} NOT NULL UNIQUE,
+         |  CreationDate ${dialect.timestampType} NOT NULL,
+         |  UpdateDate ${dialect.timestampType},
+         |  Description ${dialect.textType},
+         |  DemographicGroup ${dialect.textType}
+         |);""".stripMargin,
+      s"""CREATE TABLE $ifNotExists${q(schema)}.XMLFilesProcessed (
+         |  ProcessedFileID ${dialect.keyTextType} PRIMARY KEY,
+         |  OriginalFileName ${dialect.textType} NOT NULL,
+         |  MD5Hash ${dialect.textType},
+         |  ProcessingTimestamp ${dialect.timestampType} NOT NULL,
+         |  Status ${dialect.textType} NOT NULL,
+         |  SchemaVersionID INTEGER,
+         |  DemographicGroup ${dialect.textType},
+         |  FOREIGN KEY (SchemaVersionID) REFERENCES ${q(schema)}.SchemaVersions(SchemaVersionID)
+         |);""".stripMargin)
+  }
+
+  /** Schema-version gate lookup (`main_ingest.py:53-64`): resolve a
+    * configured VersionNumber to its SchemaVersionID; no row means the
+    * pipeline must refuse to ingest (`main_ingest.py:729`). Unquoted
+    * identifiers to match `bootstrap`'s folding.
+    */
+  def schemaVersionLookup(schema: String): String =
+    s"SELECT SchemaVersionID FROM ${q(schema)}.SchemaVersions WHERE VersionNumber = ?"
 
   /** DELETE statements for a keyed overwrite on the mirror — the
-    * reference's per-PCR pre-delete (`main_ingest.py:276-328`), one
-    * statement per table instead of per (table, key) roundtrip.
+    * reference's per-PCR pre-delete (`main_ingest.py:276-328`), chunked
+    * at `chunkSize` keys per statement so a large backfill batch never
+    * produces a statement the engine rejects (nor a mega string on the
+    * driver). One statement per (table, chunk) instead of the reference's
+    * per-(table, key) roundtrip.
     */
-  def deleteByKeys(schema: String, tableRaw: String, keys: Seq[String]): String = {
-    val in = keys.map(k => s"'${k.replace("'", "''")}'").mkString(", ")
-    s"DELETE FROM ${q(schema)}.${q(tableRaw.toLowerCase)} WHERE ${q("pcr_uuid_context")} IN ($in);"
-  }
+  def deleteByKeys(schema: String, tableRaw: String, keys: Seq[String],
+      chunkSize: Int = 1000): Seq[String] =
+    keys.grouped(math.max(1, chunkSize)).map { chunk =>
+      val in = chunk.map(k => s"'${k.replace("'", "''")}'").mkString(", ")
+      s"DELETE FROM ${q(schema)}.${q(tableRaw.toLowerCase)} WHERE ${q("pcr_uuid_context")} IN ($in);"
+    }.toSeq
+
+  /** Keyed overwrite via a staging key table: the scale path when the
+    * batch's key set is too large to inline (or even to collect) — keys
+    * are written executor->DB with `df.write.jdbc`, then one set-oriented
+    * DELETE per table.
+    */
+  def deleteViaStaging(schema: String, tableRaw: String, stagingTable: String): String =
+    s"DELETE FROM ${q(schema)}.${q(tableRaw.toLowerCase)} WHERE ${q("pcr_uuid_context")} IN " +
+      s"(SELECT ${q("k")} FROM ${q(schema)}.${q(stagingTable)});"
 }

@@ -1,6 +1,6 @@
 package graft.etl
 
-import java.sql.{Connection, DriverManager}
+import java.sql.{Connection, DriverManager, SQLException}
 import java.util.Properties
 import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
@@ -11,14 +11,19 @@ import scala.collection.mutable
   * the reference's exact contracts — fixed five columns +
   * `{table}_value`, attribute columns added on sight, per-PCR keyed
   * delete before insert, FK constraints over the tree edges with
-  * 63-byte-safe names.
+  * 63-byte-safe names, the XML path stamped as each table's COMMENT
+  * (`main_ingest.py:235-240`), control tables bootstrapped
+  * (`database_setup.py:66-95`), and an optional schema-version gate
+  * (`main_ingest.py:53-64,729`).
   *
   * Division of labor at scale: the driver holds ONLY schema metadata
   * (attribute keysets, FK edge set — both tiny, derived by one
   * distributed agg each) and issues DDL over a single JDBC connection;
   * all row traffic flows executor->DB through `df.write.jdbc` with
   * `batchsize` (vs the reference's one INSERT roundtrip per element,
-  * `main_ingest.py:492`).
+  * `main_ingest.py:492`). The keyed pre-delete never inlines an
+  * unbounded key list: small key sets go as chunked IN statements,
+  * large ones via an executor-written staging key table.
   */
 object JdbcMirror {
 
@@ -29,16 +34,26 @@ object JdbcMirror {
     */
   trait SqlDialect {
     def textType: String
+    /** TEXT-ish type usable in a PK/UNIQUE (Derby can't index wide VARCHARs). */
+    def keyTextType: String
+    def serialType: String
+    def timestampType: String
     def supportsIfNotExists: Boolean
     def supportsComments: Boolean
   }
   object PostgresDialect extends SqlDialect {
     val textType = "TEXT"
+    val keyTextType = "TEXT"
+    val serialType = "SERIAL"
+    val timestampType = "TIMESTAMPTZ"
     val supportsIfNotExists = true
     val supportsComments = true
   }
   object DerbyDialect extends SqlDialect {
     val textType = "VARCHAR(4000)"
+    val keyTextType = "VARCHAR(255)"
+    val serialType = "INTEGER GENERATED ALWAYS AS IDENTITY"
+    val timestampType = "TIMESTAMP"
     val supportsIfNotExists = false
     val supportsComments = false
   }
@@ -65,7 +80,27 @@ object JdbcMirror {
       password: String = "",
       schema: String = "APP",
       dialect: SqlDialect = PostgresDialect,
-      batchSize: Int = 1000)
+      batchSize: Int = 1000,
+      /** Keys per DELETE ... IN (...) statement. */
+      deleteChunkSize: Int = 1000,
+      /** Above this many distinct PCR keys the keyed delete switches to
+        * the staging-table path (no driver collect of the key set).
+        */
+      maxInlineDeleteKeys: Int = 10000,
+      /** Create SchemaVersions/XMLFilesProcessed on first use (A23). */
+      createControlTables: Boolean = true,
+      /** When set, refuse to mirror unless this VersionNumber exists in
+        * SchemaVersions — the reference's ingest gate
+        * (`main_ingest.py:53-64,729`).
+        */
+      requireSchemaVersion: Option[String] = None)
+
+  /** Thrown when `requireSchemaVersion` is set but absent from the DB. */
+  final class SchemaVersionMissing(version: String) extends IllegalStateException(
+    s"Ingestion logic version '$version' not found in SchemaVersions; refusing to mirror " +
+      "(register the version first — reference contract main_ingest.py:729)")
+
+  private val StagingKeyTable = "graft_delete_keys"
 
   private def q(ident: String) = "\"" + ident + "\""
 
@@ -79,12 +114,15 @@ object JdbcMirror {
   /** Catalog-reflection cache (SURVEY A14): the reference memoizes
     * information_schema lookups per file (`main_ingest.py:144-166,690`);
     * here one batch's DDL pass reads each table's columns at most once.
-    * Invalidated on DDL and cleared per batch.
+    * The cache is BATCH-LOCAL (created per mirrorBatch call), so two
+    * concurrent mirror batches — e.g. a streaming foreachBatch next to a
+    * backfill — can never serve each other stale column sets.
     */
-  private val columnCache = mutable.Map.empty[String, Set[String]]
+  private type ColumnCache = mutable.Map[String, Set[String]]
 
-  private def tableColumns(conn: Connection, cfg: MirrorConfig, table: String): Set[String] =
-    columnCache.getOrElseUpdate(s"${cfg.url}/${cfg.schema}.$table", {
+  private def tableColumns(conn: Connection, cfg: MirrorConfig, table: String,
+      cache: ColumnCache): Set[String] =
+    cache.getOrElseUpdate(s"${cfg.schema}.$table", {
       val rs = conn.getMetaData.getColumns(null, cfg.schema, table, null)
       val out = mutable.Set.empty[String]
       while (rs.next()) out += rs.getString("COLUMN_NAME").toLowerCase
@@ -92,8 +130,8 @@ object JdbcMirror {
       out.toSet
     })
 
-  private def invalidate(cfg: MirrorConfig, table: String): Unit =
-    columnCache.remove(s"${cfg.url}/${cfg.schema}.$table")
+  private def invalidate(cfg: MirrorConfig, table: String, cache: ColumnCache): Unit =
+    cache.remove(s"${cfg.schema}.$table")
 
   private def constraintExists(conn: Connection, cfg: MirrorConfig,
       childTable: String, name: String): Boolean = {
@@ -140,17 +178,47 @@ object JdbcMirror {
     try st.execute(sql.trim.stripSuffix(";")) finally st.close()
   }
 
+  /** CREATE that tolerates the table already existing, for dialects
+    * without IF NOT EXISTS (Derby X0Y32; PG 42P07 can't occur because its
+    * DDL carries IF NOT EXISTS).
+    */
+  private def execCreateIfAbsent(conn: Connection, sql: String): Unit =
+    try exec(conn, sql)
+    catch { case e: SQLException if e.getSQLState == "X0Y32" => () }
+
+  private def execDropIfExists(conn: Connection, cfg: MirrorConfig, table: String): Unit =
+    try exec(conn, s"DROP TABLE ${q(cfg.schema)}.${q(table)}")
+    catch { case e: SQLException if e.getSQLState == "42Y55" || e.getSQLState == "42P01" => () }
+
+  /** A23: bootstrap control tables, idempotent. */
+  def ensureControlTables(conn: Connection, cfg: MirrorConfig): Unit =
+    JdbcDdl.bootstrap(cfg.schema, cfg.dialect).foreach(execCreateIfAbsent(conn, _))
+
+  /** Schema-version gate (`main_ingest.py:53-64`): VersionNumber -> id. */
+  def lookupSchemaVersion(conn: Connection, cfg: MirrorConfig, version: String): Option[Int] = {
+    val ps = conn.prepareStatement(JdbcDdl.schemaVersionLookup(cfg.schema))
+    try {
+      ps.setString(1, version)
+      val rs = ps.executeQuery()
+      try { if (rs.next()) Some(rs.getInt(1)) else None } finally rs.close()
+    } finally ps.close()
+  }
+
   /** Create-or-evolve one tag table: fixed columns + observed attribute
-    * columns (A12/A13), returning its full lowercase column set.
+    * columns (A12/A13), returning its full lowercase column set. On
+    * first create, the element's XML path is stamped as the table
+    * COMMENT on dialects that support it — the reference's
+    * self-documenting-schema contract (`main_ingest.py:235-240`).
     */
   def ensureTable(conn: Connection, cfg: MirrorConfig, tableRaw: String,
-      attrCols: Seq[String]): Set[String] = {
+      attrCols: Seq[String], elementPath: Option[String] = None,
+      cache: ColumnCache = mutable.Map.empty): Set[String] = {
     val table = tableRaw.toLowerCase
     val valueCol = Sanitize.valueColumnName(tableRaw)
     val wanted: Seq[(String, String)] =
       (TagTables.CommonColumns :+ valueCol).map(_ -> cfg.dialect.textType) ++
         attrCols.map(a => Sanitize.sanitizeXmlName(a).toLowerCase -> cfg.dialect.textType)
-    val existing = tableColumns(conn, cfg, table)
+    val existing = tableColumns(conn, cfg, table, cache)
     if (existing.isEmpty) {
       val colsSql = wanted.distinctBy(_._1).map { case (c, t) =>
         // id columns get an indexable narrow type on engines that cannot
@@ -163,20 +231,22 @@ object JdbcMirror {
         s"${q(c)} $typ$pk"
       }.mkString(", ")
       exec(conn, s"CREATE TABLE ${q(cfg.schema)}.${q(table)} ($colsSql)")
-      invalidate(cfg, table)
+      if (cfg.dialect.supportsComments)
+        elementPath.foreach(p => exec(conn, JdbcDdl.commentOnTable(cfg.schema, table, p)))
+      invalidate(cfg, table, cache)
     } else {
       wanted.map(_._1).distinct.filterNot(existing.contains).foreach { c =>
         exec(conn, s"ALTER TABLE ${q(cfg.schema)}.${q(table)} ADD COLUMN ${q(c)} ${cfg.dialect.textType}")
-        invalidate(cfg, table)
+        invalidate(cfg, table, cache)
       }
     }
-    tableColumns(conn, cfg, table)
+    tableColumns(conn, cfg, table, cache)
   }
 
   /** Mirror one ingest batch. Returns the set of mirrored table names. */
   def mirrorBatch(tall: DataFrame, cfg: MirrorConfig): Set[String] = {
     if (cfg.dialect == DerbyDialect) registerDerbyDialect
-    columnCache.clear() // per-batch cache scope, like the reference's per-file clear
+    val cache: ColumnCache = mutable.Map.empty // batch-local (A14)
     // merge attribute keysets across tag-case variants: <eVitals.06> and
     // <EVitals.06> both land in table "evitals_06" and must contribute
     // their attributes to the SAME column set
@@ -184,10 +254,23 @@ object JdbcMirror {
       TagTables.attributeColumns(tall)
         .groupBy(_._1.toLowerCase)
         .map { case (t, m) => t -> m.values.flatten.toSeq.distinct.sorted }
-    val tables = tall.select(lower(col("table_name")).as("t")).distinct()
-      .collect().map(_.getString(0)).toSet
-    val pcrKeys = tall.select("pcr_uuid_context").where(col("pcr_uuid_context").isNotNull)
-      .distinct().collect().map(_.getString(0)).toSeq
+    // one collect yields both the table set and each table's canonical
+    // XML path for the COMMENT stamp (min = "first element" made
+    // deterministic; the reference takes whichever element it saw first,
+    // main_ingest.py:235-240)
+    val tablePaths: Map[String, String] =
+      tall.groupBy(lower(col("table_name")).as("t"))
+        .agg(min(col("element_path")).as("p"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val tables = tablePaths.keySet
+    // Keyed delete planning: collect at most maxInline+1 keys — if the
+    // batch exceeds the inline budget, the key SET never lands on the
+    // driver; it is written executor->DB into a staging table instead.
+    val distinctKeys = tall.select("pcr_uuid_context")
+      .where(col("pcr_uuid_context").isNotNull).distinct()
+    val inlineProbe = distinctKeys.limit(cfg.maxInlineDeleteKeys + 1)
+      .collect().map(_.getString(0)).toSeq
+    val useStaging = inlineProbe.size > cfg.maxInlineDeleteKeys
     // Container elements (document root/header) carry no PCR context, so
     // the keyed delete misses them; with deterministic ids a same-file
     // replay would then violate the element_id PK. Evict them by id —
@@ -202,33 +285,59 @@ object JdbcMirror {
     val edges = TagTables.fkEdges(tall).collect()
       .map(r => (r.getString(0), r.getString(1)))
 
+    val props = new Properties()
+    if (cfg.user.nonEmpty) props.put("user", cfg.user)
+    if (cfg.password.nonEmpty) props.put("password", cfg.password)
+    props.put("batchsize", cfg.batchSize.toString)
+
+    // Staging key table for the large-batch delete path: created +
+    // loaded (executor->DB) before the DDL/delete transaction below.
+    if (useStaging) {
+      val conn0 = connect(cfg)
+      try {
+        execDropIfExists(conn0, cfg, StagingKeyTable)
+        val kType = if (cfg.dialect == DerbyDialect) "VARCHAR(64)" else cfg.dialect.keyTextType
+        exec(conn0, s"CREATE TABLE ${q(cfg.schema)}.${q(StagingKeyTable)} (${q("k")} $kType NOT NULL)")
+      } finally conn0.close()
+      distinctKeys.toDF("k").write.mode(SaveMode.Append)
+        .jdbc(cfg.url, s"${q(cfg.schema)}.${q(StagingKeyTable)}", props)
+    }
+
     val conn = connect(cfg)
     try {
+      if (cfg.createControlTables) ensureControlTables(conn, cfg)
+      cfg.requireSchemaVersion.foreach { v =>
+        if (lookupSchemaVersion(conn, cfg, v).isEmpty) throw new SchemaVersionMissing(v)
+      }
       conn.setAutoCommit(false)
       try {
         tables.foreach { t =>
-          ensureTable(conn, cfg, t,
-            attrsByTable.getOrElse(t, Seq.empty))
-          // A15 keyed pre-delete, one statement per table (vs per key+table)
-          if (pcrKeys.nonEmpty)
-            exec(conn, JdbcDdl.deleteByKeys(cfg.schema, t, pcrKeys))
+          ensureTable(conn, cfg, t, attrsByTable.getOrElse(t, Seq.empty),
+            tablePaths.get(t), cache)
+          // A15 keyed pre-delete: chunked IN statements (bounded size),
+          // or one set-oriented DELETE against the staging key table
+          if (useStaging)
+            exec(conn, JdbcDdl.deleteViaStaging(cfg.schema, t, StagingKeyTable))
+          else if (inlineProbe.nonEmpty)
+            JdbcDdl.deleteByKeys(cfg.schema, t, inlineProbe, cfg.deleteChunkSize)
+              .foreach(exec(conn, _))
           containerIds.get(t).filter(_.nonEmpty).foreach { ids =>
-            val in = ids.map(i => s"'${i.replace("'", "''")}'").mkString(", ")
-            exec(conn, s"DELETE FROM ${q(cfg.schema)}.${q(t)} WHERE ${q("element_id")} IN ($in)")
+            ids.grouped(cfg.deleteChunkSize).foreach { chunk =>
+              val in = chunk.map(i => s"'${i.replace("'", "''")}'").mkString(", ")
+              exec(conn, s"DELETE FROM ${q(cfg.schema)}.${q(t)} WHERE ${q("element_id")} IN ($in)")
+            }
           }
         }
         conn.commit()
       } catch { case e: Throwable => conn.rollback(); throw e }
+      conn.setAutoCommit(true)
+      if (useStaging) execDropIfExists(conn, cfg, StagingKeyTable)
     } finally conn.close()
 
     // Row traffic: executors -> DB, batched appends per tag table —
     // parents before children (topological order over the FK edges), so
     // constraints from earlier batches hold during insert; the reference
     // gets this implicitly from row-at-a-time preorder inserts.
-    val props = new Properties()
-    if (cfg.user.nonEmpty) props.put("user", cfg.user)
-    if (cfg.password.nonEmpty) props.put("password", cfg.password)
-    props.put("batchsize", cfg.batchSize.toString)
     val orderedTables = topoParentsFirst(tables, edges.map {
       case (c, p) => (c.toLowerCase, p.toLowerCase)
     }.toSeq)

@@ -71,4 +71,82 @@ class JdbcMirrorSpec extends AnyFunSuite with SparkSpec {
       assert(e.getSQLState.startsWith("23")) // integrity constraint violation
     } finally conn.close()
   }
+
+  test("control tables bootstrapped on Derby; schema-version gate enforced") {
+    // first mirrorBatch above already ran with createControlTables=true
+    JdbcMirror.mirrorBatch(tallOf("g1.xml" -> xml("pcr-g1", "99")), cfg)
+    assert(queryCount("""SELECT count(*) FROM "APP".SchemaVersions""") == 0)
+    assert(queryCount("""SELECT count(*) FROM "APP".XMLFilesProcessed""") == 0)
+
+    // gate refuses when the configured version is absent...
+    val gated = cfg.copy(requireSchemaVersion = Some("3.5.0"))
+    intercept[JdbcMirror.SchemaVersionMissing] {
+      JdbcMirror.mirrorBatch(tallOf("g2.xml" -> xml("pcr-g2", "98")), gated)
+    }
+    assert(queryCount(
+      """SELECT count(*) FROM "APP"."evitals_06" WHERE "pcr_uuid_context" = 'pcr-g2'""") == 0)
+
+    // ...and admits once it is registered (main_ingest.py:53-64,729)
+    val conn = DriverManager.getConnection(url)
+    try conn.createStatement().execute(
+      """INSERT INTO "APP".SchemaVersions (VersionNumber, CreationDate)
+        |VALUES ('3.5.0', CURRENT_TIMESTAMP)""".stripMargin)
+    finally conn.close()
+    JdbcMirror.mirrorBatch(tallOf("g2.xml" -> xml("pcr-g2", "98")), gated)
+    assert(queryCount(
+      """SELECT count(*) FROM "APP"."evitals_06" WHERE "pcr_uuid_context" = 'pcr-g2'""") == 1)
+  }
+
+  test("keyed delete: 10k keys run as bounded chunks, never one mega-statement") {
+    val keys = (1 to 10000).map(i => s"pcr-bulk-$i")
+    val stmts = JdbcDdl.deleteByKeys("APP", "evitals_06", keys, chunkSize = 1000)
+    assert(stmts.size == 10)
+    assert(stmts.forall(_.length < 200000)) // ~16 bytes/key * 1000, not 10k
+    // Derby executes every chunk (table exists from the first test)
+    val conn = DriverManager.getConnection(url)
+    try {
+      conn.setAutoCommit(false)
+      stmts.foreach { s =>
+        val st = conn.createStatement()
+        try st.execute(s.stripSuffix(";")) finally st.close()
+      }
+      conn.commit()
+    } finally conn.close()
+    // rows with non-matching keys survive
+    assert(queryCount("""SELECT count(*) FROM "APP"."evitals_06"""") >= 2)
+  }
+
+  test("keyed delete switches to staging-table path above the inline budget") {
+    val small = cfg.copy(maxInlineDeleteKeys = 50)
+    val docs = (1 to 120).map(i => s"s$i.xml" -> xml(f"pcr-st-$i%03d", i.toString))
+    JdbcMirror.mirrorBatch(tallOf(docs: _*), small)
+    assert(queryCount(
+      """SELECT count(*) FROM "APP"."evitals_06" WHERE "pcr_uuid_context" LIKE 'pcr-st-%'""") == 120)
+    // replay with changed values: staging delete evicts all 120 first
+    val docs2 = (1 to 120).map(i => s"s$i.xml" -> xml(f"pcr-st-$i%03d", (i + 1000).toString))
+    JdbcMirror.mirrorBatch(tallOf(docs2: _*), small)
+    assert(queryCount(
+      """SELECT count(*) FROM "APP"."evitals_06" WHERE "pcr_uuid_context" LIKE 'pcr-st-%'""") == 120)
+    assert(queryCount(
+      """SELECT count(*) FROM "APP"."evitals_06" WHERE "evitals_06_value" = '1001'""") == 1)
+    // staging table is dropped after the batch
+    val conn = DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getTables(null, "APP", "graft_delete_keys", null)
+      assert(!rs.next())
+      rs.close()
+    } finally conn.close()
+  }
+
+  test("postgres-dialect DDL: bootstrap + comment stamped on first create") {
+    val boot = JdbcDdl.bootstrap("public", JdbcMirror.PostgresDialect)
+    assert(boot.exists(_.contains("CREATE TABLE IF NOT EXISTS \"public\".SchemaVersions")))
+    assert(boot.exists(_.contains("SchemaVersionID SERIAL PRIMARY KEY")))
+    assert(boot.exists(_.contains("ProcessingTimestamp TIMESTAMPTZ NOT NULL")))
+    val derbyBoot = JdbcDdl.bootstrap("APP", JdbcMirror.DerbyDialect)
+    assert(derbyBoot.forall(!_.contains("IF NOT EXISTS")))
+    assert(derbyBoot.exists(_.contains("GENERATED ALWAYS AS IDENTITY")))
+    assert(JdbcDdl.schemaVersionLookup("public") ==
+      "SELECT SchemaVersionID FROM \"public\".SchemaVersions WHERE VersionNumber = ?")
+  }
 }
