@@ -36,19 +36,26 @@ object AsOfJoin {
       rightTs: String,
       payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // The payload travels as ONE struct, not bare columns: a struct built
+    // from a right row is non-null even when every payload field in it is
+    // null, so `last(_, ignoreNulls)` stops at the latest matching right
+    // row and a legitimately-NULL payload value stays NULL (true as-of /
+    // DuckDB ASOF semantics) instead of leaking an older non-null value.
+    val payloadType = org.apache.spark.sql.types.StructType(payload.map(c => right.schema(c)))
     // side=0 sorts right rows before left rows at equal ts => inclusive <=
     val taggedRight = right.select(
       (col(rightKey).as("__k") +: col(rightTs).as("__t") +: lit(0).as("__side") +:
-        payload.map(col)) ++ leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+        struct(payload.map(col): _*).as("__p") +:
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
     val taggedLeft = left.select(
       (col(leftKey).as("__k") +: col(leftTs).as("__t") +: lit(1).as("__side") +:
-        payload.map(c => lit(null).cast(right.schema(c).dataType).as(c))) ++ leftCols.map(col): _*)
+        lit(null).cast(payloadType).as("__p") +: leftCols.map(col)): _*)
     val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried: Seq[Column] = payload.map(c => last(col(c), ignoreNulls = true).over(w).as(c))
     taggedRight.unionByName(taggedLeft)
-      .select(col("__side") +: leftCols.map(col) ++: carried: _*)
+      .select(col("__side") +: last(col("__p"), ignoreNulls = true).over(w).as("__pc") +:
+        leftCols.map(col): _*)
       .where(col("__side") === 1)
-      .drop("__side")
+      .select(leftCols.map(col) ++ payload.map(c => col("__pc").getField(c).as(c)): _*)
   }
 }

@@ -37,6 +37,29 @@ class VecExpressionsSpec extends AnyFunSuite with SparkSpec {
     assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 1.0)
   }
 
+  test("multiple instances in one codegen scope compile (freshName locals)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    // Non-nullable inputs make nullSafeCodeGen inline all three bodies
+    // into one Java scope: fixed local names would collide (Janino
+    // compile error -> silent interpreted fallback in the real plan).
+    // Generating the projection directly has no fallback, so a collision
+    // fails this test loudly.
+    val t = ArrayType(FloatType, containsNull = false)
+    val a = BoundReference(0, t, nullable = false)
+    val b = BoundReference(1, t, nullable = false)
+    val proj = GenerateUnsafeProjection.generate(
+      Seq(VecDotFloat(a, b), VecCosineFloat(a, b), VecDotFloat(b, a), VecCosineFloat(b, a)))
+    val row = InternalRow(
+      ArrayData.toArrayData(Array(1.0f, 2.0f)), ArrayData.toArrayData(Array(3.0f, 4.0f)))
+    val out = proj(row)
+    assert(out.getDouble(0) == 11.0 && out.getDouble(2) == 11.0)
+    assert(math.abs(out.getDouble(1) - out.getDouble(3)) < 1e-15)
+  }
+
   test("type mismatch is rejected at analysis time") {
     import spark.implicits._
     VecExpressions.register(spark)
