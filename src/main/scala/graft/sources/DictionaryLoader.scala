@@ -1,5 +1,11 @@
 package graft.sources
 
+import java.io.IOException
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Path
+import java.time.Duration
+
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -8,8 +14,10 @@ import org.apache.spark.sql.functions._
   * `ElementDefinitions` / `FieldDefinitions`
   * (`create_definitions.py:38-63,95-120`).
   *
-  * Spark has no HTTP source, so fetch-to-landing-path stays a driver
-  * concern (zero-egress here, so the fetch itself is out of scope); the
+  * Spark has no HTTP source, so fetch-to-landing-path is a driver
+  * concern behind [[DictionaryLoader.Fetcher]] — the bundled
+  * `java.net.http` implementation covers deployments with egress, tests
+  * use a local-copy double (this environment is zero-egress). The
   * engine's operator is: pipe-CSV scan with header, all-TEXT columns,
   * whitespace-trimmed fields, and an overwrite (full refresh) write.
   */
@@ -19,6 +27,40 @@ object DictionaryLoader {
     Seq("DatasetName", "ElementNumber", "ElementName", "Code", "CodeDescription")
   val FieldDefinitionsColumns: Seq[String] =
     Seq("Dataset", "DatasetType", "ElementNumber", "ElementName", "Attribute")
+
+  /** Fetch-to-landing-path seam (A24's fetch half,
+    * `create_definitions.py:38-40,95-97`).
+    */
+  trait Fetcher {
+    /** GET `url`, write the body to `landingPath`, return `landingPath`. */
+    def fetchToFile(url: String, landingPath: Path): Path
+  }
+
+  /** `java.net.http` fetcher with the reference's `raise_for_status`
+    * parity: any non-2xx response is an error, never an empty dictionary.
+    */
+  final class HttpFetcher(timeout: Duration = Duration.ofSeconds(60)) extends Fetcher {
+    override def fetchToFile(url: String, landingPath: Path): Path = {
+      val client = HttpClient.newBuilder()
+        .followRedirects(HttpClient.Redirect.NORMAL)
+        .connectTimeout(timeout)
+        .build()
+      val req = HttpRequest.newBuilder(URI.create(url)).timeout(timeout).GET().build()
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofFile(landingPath))
+      if (resp.statusCode() / 100 != 2)
+        throw new IOException(s"GET $url failed: HTTP ${resp.statusCode()}")
+      resp.body()
+    }
+  }
+
+  /** Fetch + scan in one step: the full A24 path
+    * (`create_definitions.py:38-52`).
+    */
+  def fetchAndRead(spark: SparkSession, fetcher: Fetcher, url: String,
+      landingPath: Path): DataFrame = {
+    fetcher.fetchToFile(url, landingPath)
+    readPipeCsv(spark, landingPath.toString)
+  }
 
   /** Pipe-delimited dictionary scan: header row, every column TEXT,
     * every field trimmed (`create_definitions.py:41-52`).

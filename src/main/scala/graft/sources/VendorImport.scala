@@ -23,11 +23,62 @@ object VendorImport {
     */
   type VendorSpec = Map[String, Seq[String]]
 
+  /** The imagetrend code-book spec, transcribed sheet-for-sheet from
+    * `vendor_import.py:6-198`. Sheet names are Excel's 31-char-truncated
+    * forms and are preserved BYTE-FOR-BYTE — including trailing spaces
+    * ("Emergency Department Diagnosis ", "Emergency Department Procedure ")
+    * which is what keeps their derived table names distinct from the
+    * untruncated "Emergency Department Procedures" sheet (trailing space
+    * becomes a trailing underscore, `vendor_import.py:223-225`).
+    */
+  private val CodeListColumns = Seq("Code", "Value", "Label", "Sort Order", "Resource Type")
+  val ImagetrendSpec: VendorSpec = scala.collection.immutable.ListMap(
+    "DataSetFields" -> Seq(
+      "Field Code", "Field Name", "Default Label", "Data Type", "Active", "Specific Module"),
+    "DataSetFieldValues" -> Seq(
+      "Field Code", "Field Name", "Data Type", "Code", "Value", "Label", "Sort Order", "Active"),
+    "Medication Allergies (eHistory." -> CodeListColumns,
+    "Environmental Food Allergies (e" -> CodeListColumns,
+    "Medical Surgical History (eHist" -> CodeListColumns,
+    "Current Medications (eHistory.1" -> CodeListColumns,
+    "Cause of Injury (eInjury.01)" -> CodeListColumns,
+    "Medication Given (eMedications." -> CodeListColumns,
+    "Emergency Department Recorded C" -> CodeListColumns,
+    "Emergency Department Procedures" -> CodeListColumns,
+    "Emergency Department Diagnosis " -> CodeListColumns,
+    "Hospital Procedures (eOutcome.1" -> CodeListColumns,
+    "Hospital Diagnosis (eOutcome.13" -> CodeListColumns,
+    "EMS Condition Code (ePayment.51" -> CodeListColumns,
+    "Procedure (eProcedures.03)" -> CodeListColumns,
+    "Incident Location Type (eScene." -> CodeListColumns,
+    "Primary Symptom (eSituation.09)" -> CodeListColumns,
+    "Other Associated Symptoms (eSit" -> CodeListColumns,
+    "Provider's Primary Impression (" -> CodeListColumns,
+    "Provider's Secondary Impression" -> CodeListColumns,
+    "Patient Activity (eSituation.17" -> CodeListColumns,
+    "Controlled Substance Medication" -> CodeListColumns,
+    "Medication Ordered (itMedicatio" -> CodeListColumns,
+    "Emergency Department Procedure " -> CodeListColumns,
+    "Hospital Procedure (itOutcome.0" -> CodeListColumns,
+    "Procedure Ordered (itProcedureO" -> CodeListColumns)
+
+  /** Vendor registry, `VENDOR_SPECS` (`vendor_import.py:6-199`). */
+  val Specs: Map[String, VendorSpec] = Map("imagetrend" -> ImagetrendSpec)
+
   trait SheetProvider {
     def sheet(name: String): DataFrame
   }
 
-  /** CSV staging-dir provider (one `<sheet>.csv` per sheet, header row). */
+  /** CSV staging-dir provider (one `<sheet>.csv` per sheet, header row).
+    *
+    * This stands in for the reference's `pd.read_excel` (A26,
+    * `vendor_import.py:221`): no Excel codec ships in this environment,
+    * so a user stages each workbook sheet as `<dir>/<sheet>.csv` first
+    * (e.g. `ssconvert`/`in2csv --sheet`, or any spreadsheet tool's
+    * save-as-CSV — file name must be the exact sheet name, trailing
+    * spaces included). A POI-backed provider implements the same trait
+    * and slots in without touching the import logic.
+    */
   final class CsvDirProvider(spark: SparkSession, dir: String) extends SheetProvider {
     override def sheet(name: String): DataFrame =
       spark.read.option("header", "true").option("inferSchema", "false")
@@ -52,4 +103,12 @@ object VendorImport {
     spec.map { case (sheetName, cols) =>
       Sanitize.vendorTableName(source, sheetName) -> importSheet(provider, sheetName, cols)
     }
+
+  /** Registry-driven entry, the reference CLI's shape
+    * (`vendor_import.py:211-215`): unknown vendors are refused loudly.
+    */
+  def importVendorByName(provider: SheetProvider, vendor: String, source: String): Map[String, DataFrame] =
+    importVendor(provider, source, Specs.getOrElse(vendor,
+      throw new IllegalArgumentException(
+        s"Vendor '$vendor' not supported. Add it to VendorImport.Specs.")))
 }

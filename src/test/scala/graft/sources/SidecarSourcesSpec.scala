@@ -26,6 +26,33 @@ class SidecarSourcesSpec extends AnyFunSuite with SparkSpec {
     assert(r(1).getString(4) == "Diastolic") // trailing space trimmed
   }
 
+  test("A24 fetch seam: dictionary load end-to-end through a Fetcher") {
+    val dir = Files.createTempDirectory("graft_fetch")
+    val source = dir.resolve("remote.txt")
+    Files.writeString(source,
+      """DatasetName|ElementNumber|ElementName|Code|CodeDescription
+        |EMSDataSet|eVitals.01|SBP|9924001|Systolic""".stripMargin)
+    // file-backed test double for the zero-egress environment; the
+    // HttpFetcher implements the same trait for real deployments
+    val double = new DictionaryLoader.Fetcher {
+      override def fetchToFile(url: String, landingPath: java.nio.file.Path): java.nio.file.Path = {
+        assert(url == "https://nemsis.example/enum.txt") // url is threaded through
+        Files.copy(source, landingPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    val landing = dir.resolve("landing.txt")
+    val df = DictionaryLoader.fetchAndRead(spark, double,
+      "https://nemsis.example/enum.txt", landing)
+    assert(Files.exists(landing))
+    assert(df.columns.toSeq == DictionaryLoader.ElementDefinitionsColumns)
+    assert(df.head().getString(4) == "Systolic")
+    // full refresh lands parquet the relational queries can read back
+    val out = dir.resolve("element_definitions").toString
+    DictionaryLoader.fullRefresh(df, out)
+    assert(spark.read.parquet(out).count() == 1)
+  }
+
   test("vendor import: projection, all-null drop, stringify, naming") {
     val dir = Files.createTempDirectory("graft_vendor")
     Files.writeString(dir.resolve("Crew Members.csv"),
@@ -41,6 +68,55 @@ class SidecarSourcesSpec extends AnyFunSuite with SparkSpec {
     assert(df.columns.toSeq == Seq("CrewID", "Name", "Role"))
     assert(df.schema.fields.forall(_.dataType.typeName == "string"))
     assert(df.count() == 2) // all-null row dropped
+  }
+
+  test("imagetrend spec: full transcription, distinct table names, real sheet shapes") {
+    // all 26 reference sheets, and every derived table name is distinct —
+    // including the truncation-collision trio around
+    // "Emergency Department Procedure(s)"
+    assert(VendorImport.ImagetrendSpec.size == 26)
+    val names = VendorImport.ImagetrendSpec.keys
+      .map(graft.etl.Sanitize.vendorTableName("imagetrend", _)).toSeq
+    assert(names.distinct.size == names.size)
+    assert(names.contains("imagetrend_emergency_department_procedures"))
+    assert(names.contains("imagetrend_emergency_department_procedure_")) // trailing space sheet
+    assert(VendorImport.ImagetrendSpec("DataSetFieldValues").size == 8)
+    assert(VendorImport.ImagetrendSpec("Cause of Injury (eInjury.01)") ==
+      Seq("Code", "Value", "Label", "Sort Order", "Resource Type"))
+
+    // drive three real sheet shapes through the CSV staging provider
+    val dir = Files.createTempDirectory("graft_imagetrend")
+    Files.writeString(dir.resolve("DataSetFieldValues.csv"),
+      """Field Code,Field Name,Data Type,Code,Value,Label,Sort Order,Active,Extra
+        |eVitals.06,SBP,int,9924001,120,Systolic,1,Y,junk
+        |,,,,,,,,""".stripMargin)
+    Files.writeString(dir.resolve("Emergency Department Procedures.csv"),
+      """Code,Value,Label,Sort Order,Resource Type
+        |P1,v1,full-sheet,1,proc""".stripMargin)
+    Files.writeString(dir.resolve("Emergency Department Procedure .csv"),
+      """Code,Value,Label,Sort Order,Resource Type
+        |P2,v2,truncated-sheet,1,proc""".stripMargin)
+    val provider = new VendorImport.CsvDirProvider(spark, dir.toString)
+    val subset = VendorImport.ImagetrendSpec.view.filterKeys(Set(
+      "DataSetFieldValues", "Emergency Department Procedures",
+      "Emergency Department Procedure ")).toMap
+    val out = VendorImport.importVendor(provider, "imagetrend", subset)
+    assert(out.keySet == Set(
+      "imagetrend_datasetfieldvalues",
+      "imagetrend_emergency_department_procedures",
+      "imagetrend_emergency_department_procedure_"))
+    val dsfv = out("imagetrend_datasetfieldvalues")
+    assert(dsfv.columns.toSeq == VendorImport.ImagetrendSpec("DataSetFieldValues"))
+    assert(dsfv.count() == 1) // all-null row dropped, Extra column projected away
+    assert(out("imagetrend_emergency_department_procedures")
+      .select("Label").head().getString(0) == "full-sheet")
+    assert(out("imagetrend_emergency_department_procedure_")
+      .select("Label").head().getString(0) == "truncated-sheet")
+
+    // registry path refuses unknown vendors (reference ValueError)
+    intercept[IllegalArgumentException] {
+      VendorImport.importVendorByName(provider, "zoll", "src")
+    }
   }
 
   test("A30 rename migration is idempotent and reversible") {
