@@ -152,5 +152,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("vec_cosine"),
       new ExpressionInfo(classOf[VecCosineFloat].getName, "vec_cosine"),
       (es: Seq[Expression]) => VecCosineFloat(es.head, es(1))))
+    e.injectFunction((FunctionIdentifier("shingle_hash32"),
+      new ExpressionInfo(classOf[ShingleHash32].getName, "shingle_hash32"),
+      (es: Seq[Expression]) => ShingleHash32(es.head,
+        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])))
   }
 }

@@ -48,21 +48,23 @@ object Dedup {
   def md5Hash32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
-  /** Stride between sampled shingle start positions: md5 per shingle is
-    * the dominant LSH cost; overlapping shingles at every 2nd position
+  /** Stride between sampled shingle start positions: hashing per shingle
+    * is the dominant LSH cost; overlapping shingles at every 2nd position
     * retain near-dup recall at half the hashing (standard shingling
     * practice). The oracle SQL uses the same stride.
     */
   val ShingleStride = 2
 
   /** Character k-shingle base hashes of a text column (docs shorter than
-    * k get one whole-string shingle via substr saturation — callers
-    * should pre-filter if that is unwanted).
+    * k get one saturated shingle; chars past the end contribute 0).
+    *
+    * One fused codegen'd pass (ShingleHash32 — polynomial mod 2^32, same
+    * arithmetic stated literally in the oracle SQL): replaces the
+    * md5-per-shingle formulation whose digest+hex+parse per position was
+    * the measured d02 cost floor.
     */
   def shingleHashes(text: Column, k: Int = ShingleK): Column =
-    transform(
-      sequence(lit(1), greatest(length(text) - (k - 1), lit(1)), lit(ShingleStride)),
-      i => md5Hash32(text.substr(i, lit(k))))
+    graft.functions.TextHashExpressions.shingle_hash32(text, k, ShingleStride)
 
   /** MinHash signature: array of minHashParams.size minima. */
   def minHashSignature(shingles: Column): Column =
@@ -213,6 +215,14 @@ object Dedup {
     * key (e.g. source): explode distinct bigrams, drop stop-grams,
     * equi-join inside the block, |A∩B| via count,
     * Jaccard = inter / (|A| + |B| - inter).
+    *
+    * Bigrams are reduced to 32-bit hashes (md5Hash32, identical in the
+    * oracle) BEFORE the distinct/df/intersect joins: the self-join within
+    * dense blocks is the cost center, and shuffling an 8-byte long
+    * instead of a ~15-byte string roughly halves every exchange on the
+    * path. A hash collision merges two grams in BOTH engines alike, so
+    * results stay oracle-exact; the Jaccard over hashed gram sets is the
+    * standard approximation.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, minJaccard: Double): DataFrame = {
@@ -222,7 +232,8 @@ object Dedup {
       .select(col("id"), col("blk"), explode(expr(
         "transform(sequence(1, size(ws) - 1), " +
           "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
-        .as("g"))
+        .as("gs"))
+      .select(col("id"), col("blk"), md5Hash32(col("gs")).as("g"))
       .distinct()
     val rare = allGrams.groupBy("blk", "g").agg(count(lit(1)).as("df"))
       .where(col("df") <= NgramMaxDocFreq)

@@ -114,6 +114,16 @@ object DedupQueries {
     s"CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END"
   }.mkString(" + ")
 
+  /** The engine's fused polynomial shingle hash (ShingleHash32) stated
+    * literally: Σ code(text[i+j]) * 31^(k-1-j) mod 2^32, chars past the
+    * end contributing 0. Exact integer arithmetic in both engines.
+    */
+  private val shinglePoly: String =
+    graft.functions.TextHashExpressions.polyPowers(Dedup.ShingleK).zipWithIndex.map {
+      case (pw, j) =>
+        s"CAST(CASE WHEN i + $j <= length(text) THEN ord(substr(text, (i + $j)::INT, 1)) ELSE 0 END AS BIGINT) * $pw"
+    }.mkString("(", " + ", ") % 4294967296")
+
   /** Shared CTE chain: mutated corpus -> shingle hashes -> minhash
     * signatures -> band buckets -> distinct candidate pairs. Used by
     * both the pair query (d02) and the clustering query (d06).
@@ -122,7 +132,7 @@ object DedupQueries {
     s"""$mutationsCte,
        |sh AS (SELECT doc_id,
        |  list_transform(generate_series(1, greatest(length(text) - ${Dedup.ShingleK - 1}, 1), ${Dedup.ShingleStride}),
-       |    i -> ('0x' || substr(md5(substr(text, i::INT, ${Dedup.ShingleK})), 1, 8))::BIGINT) AS hs
+       |    i -> $shinglePoly) AS hs
        |  FROM all_docs),
        |mh AS (SELECT doc_id,
        |    $mhExprs
@@ -186,10 +196,13 @@ object DedupQueries {
          |    string_split(text, ' ') AS ws
          |  FROM all_docs
          |  WHERE length(text) - length(replace(text, ' ', '')) + 1 >= 2),
-         |all_grams AS (SELECT DISTINCT doc_id, blk,
+         |raw_grams AS (SELECT doc_id, blk,
          |    unnest(list_transform(generate_series(1, len(ws) - 1),
-         |      i -> ws[i::INT] || ' ' || ws[(i + 1)::INT])) AS g
+         |      i -> ws[i::INT] || ' ' || ws[(i + 1)::INT])) AS gs
          |  FROM docs2),
+         |all_grams AS (SELECT DISTINCT doc_id, blk,
+         |    ('0x' || substr(md5(gs), 1, 8))::BIGINT AS g
+         |  FROM raw_grams),
          |rare AS (SELECT blk, g FROM all_grams
          |  GROUP BY 1, 2 HAVING count(*) <= ${Dedup.NgramMaxDocFreq}),
          |grams AS (SELECT ag.doc_id, ag.blk, ag.g FROM all_grams ag
