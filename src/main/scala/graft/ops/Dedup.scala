@@ -107,18 +107,27 @@ object Dedup {
   /** Connected components over an undirected pair relation
     * (id_a < id_b): label every node with the minimum id reachable from
     * it — the canonical document of its near-dup cluster. Iterative
-    * min-label propagation, one join+agg per round, localCheckpoint to
-    * cut lineage; converges in O(diameter) rounds (near-dup clusters
-    * are shallow). Deterministic at the fixpoint regardless of
-    * iteration schedule.
+    * min-label propagation, one join+agg per round, checkpoints to cut
+    * lineage; converges in O(diameter) rounds (near-dup clusters are
+    * shallow). Deterministic at the fixpoint regardless of iteration
+    * schedule.
+    *
+    * @param checkpointDir when set, lineage cuts go through RELIABLE
+    *   checkpoints in this directory (HDFS/object-store path on a
+    *   cluster): `localCheckpoint` pins blocks in executor storage, so
+    *   losing one executor mid-iteration loses the computation — fine on
+    *   local[n], not at a 100 TB backfill. When unset, keeps the cheap
+    *   local default.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(true)
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+    val sym = cut(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    var labels = cut(sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
@@ -134,7 +143,7 @@ object Dedup {
       // (persist) and decides convergence; checkpoint only every few
       // rounds to bound lineage without paying a write per round
       labels =
-        if (i % 3 == 2) next.localCheckpoint(true)
+        if (i % 3 == 2) cut(next)
         else { next.persist(); next }
       val diffs = labels.withColumnRenamed("label", "l2")
         .join(prev, Seq("id"))

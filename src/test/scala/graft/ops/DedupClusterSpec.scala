@@ -18,4 +18,24 @@ class DedupClusterSpec extends AnyFunSuite with SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L,
       20L -> 20L, 21L -> 20L))
   }
+
+  test("reliable-checkpoint mode produces the same labels and writes checkpoints") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt")
+    // a 7-hop chain forces several rounds, crossing the every-3rd-round
+    // checkpoint cadence in reliable mode
+    val pairs = (1L until 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val local = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reliable = Dedup.connectedComponents(pairs, checkpointDir = Some(dir.toString))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == reliable)
+    assert(reliable == (1L to 8L).map(_ -> 1L).toMap)
+    // checkpoint data actually landed in the reliable dir
+    def count(p: java.nio.file.Path): Long = {
+      val s = java.nio.file.Files.walk(p)
+      try s.count() finally s.close()
+    }
+    assert(count(dir) > 1)
+  }
 }

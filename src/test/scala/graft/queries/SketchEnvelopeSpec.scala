@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkEntry, SparkSpec}
+
+/** Machine-checks the three queries the DuckDB oracle cannot replay
+  * (engine-specific sketch estimates / float-sum ordering): each result
+  * must sit inside its sketch's configured error envelope, or — for the
+  * native top-k — agree with the oracle-checked quantized variant on the
+  * returned id sets.
+  */
+class SketchEnvelopeSpec extends AnyFunSuite with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q19: HLL++ estimates within the configured relative error of exact") {
+    val r = SparkEntry.queries("q19_approx_sketch")(spark, sf).head()
+    val approxParts = r.getAs[Long]("approx_parts").toDouble
+    val exactParts = r.getAs[Long]("exact_parts").toDouble
+    val approxOrders = r.getAs[Long]("approx_orders").toDouble
+    val exactOrders = r.getAs[Long]("exact_orders").toDouble
+    // approx_count_distinct's default rsd is 0.05; 3 standard errors is
+    // a deterministic-in-practice envelope for a fixed dataset
+    val bound = 3 * 0.05
+    assert(math.abs(approxParts - exactParts) / exactParts <= bound,
+      s"parts: $approxParts vs $exactParts")
+    assert(math.abs(approxOrders - exactOrders) / exactOrders <= bound,
+      s"orders: $approxOrders vs $exactOrders")
+  }
+
+  test("q24: CMS estimates are one-sided and within eps * stream size") {
+    val rows = SparkEntry.queries("q24_cms_heavy_hitters")(spark, sf).collect()
+    assert(rows.length == 5)
+    val n = graft.sources.Tables.load(spark, sf, "lineitem").count()
+    val eps = 0.001 // the literal passed to count_min_sketch in q24
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_freq")
+      val est = r.getAs[Long]("cms_estimate")
+      assert(est >= exact, s"CMS must never under-count: $est < $exact")
+      assert(est - exact <= (eps * n).ceil.toLong,
+        s"overcount ${est - exact} exceeds eps*N = ${eps * n}")
+    }
+  }
+
+  test("s04: native float top-k returns the same neighbor sets as quantized s01") {
+    def idSets(name: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(name)(spark, sf)
+        .select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val native = idSets("s04_topk_native")
+    val quantized = idSets("s01_topk_bruteforce")
+    assert(native.keySet == quantized.keySet)
+    native.keySet.foreach { q =>
+      assert(native(q) == quantized(q),
+        s"query $q: native ${native(q)} vs quantized ${quantized(q)}")
+    }
+  }
+}
