@@ -10,11 +10,11 @@ import graft.etl.Sanitize
   * one all-TEXT table named `{source}_{sheet}`
   * (`vendor_import.py:6-245`).
   *
-  * The Excel decode itself is pluggable ([[SheetProvider]]): no POI jar
-  * ships in this environment, so the bundled provider reads
-  * `<dir>/<sheet>.csv` staging files — the operator surface (projection,
-  * all-null drop, stringify, naming) is the real, tested part, and a
-  * POI-backed provider slots in without touching it.
+  * The Excel decode is pluggable ([[SheetProvider]]): [[XlsxSheetProvider]]
+  * reads real .xlsx workbooks on JDK-only primitives (zip + StAX, no POI
+  * needed), and [[CsvDirProvider]] reads `<dir>/<sheet>.csv` staging
+  * files for pre-extracted sheets. The operator surface (projection,
+  * all-null drop, stringify, naming) is provider-independent.
   */
 object VendorImport {
 
@@ -69,15 +69,11 @@ object VendorImport {
     def sheet(name: String): DataFrame
   }
 
-  /** CSV staging-dir provider (one `<sheet>.csv` per sheet, header row).
-    *
-    * This stands in for the reference's `pd.read_excel` (A26,
-    * `vendor_import.py:221`): no Excel codec ships in this environment,
-    * so a user stages each workbook sheet as `<dir>/<sheet>.csv` first
-    * (e.g. `ssconvert`/`in2csv --sheet`, or any spreadsheet tool's
-    * save-as-CSV — file name must be the exact sheet name, trailing
-    * spaces included). A POI-backed provider implements the same trait
-    * and slots in without touching the import logic.
+  /** CSV staging-dir provider (one `<sheet>.csv` per sheet, header row):
+    * the alternative to [[XlsxSheetProvider]] when sheets are already
+    * extracted (e.g. `ssconvert`/`in2csv --sheet`, or any spreadsheet
+    * tool's save-as-CSV — file name must be the exact sheet name,
+    * trailing spaces included).
     */
   final class CsvDirProvider(spark: SparkSession, dir: String) extends SheetProvider {
     override def sheet(name: String): DataFrame =

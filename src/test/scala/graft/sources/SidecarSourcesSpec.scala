@@ -119,6 +119,90 @@ class SidecarSourcesSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("xlsx provider: real workbook decode through JDK zip+StAX") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val dir = Files.createTempDirectory("graft_xlsx")
+    val path = dir.resolve("codebook.xlsx")
+    val zos = new ZipOutputStream(Files.newOutputStream(path))
+    def part(name: String, body: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(body.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    part("xl/workbook.xml",
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        |  xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |  <sheets>
+        |    <sheet name="DataSetFields" sheetId="1" r:id="rId1"/>
+        |    <sheet name="Cause of Injury (eInjury.01)" sheetId="2" r:id="rId2"/>
+        |  </sheets>
+        |</workbook>""".stripMargin)
+    part("xl/_rels/workbook.xml.rels",
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |  <Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/>
+        |  <Relationship Id="rId2" Type="t" Target="worksheets/sheet2.xml"/>
+        |</Relationships>""".stripMargin)
+    part("xl/sharedStrings.xml",
+      """<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="4" uniqueCount="4">
+        |  <si><t>Field Code</t></si>
+        |  <si><t>Field Name</t></si>
+        |  <si><r><t>eVitals</t></r><r><t>.06</t></r></si>
+        |  <si><t>SBP</t></si>
+        |</sst>""".stripMargin)
+    // sheet1: shared strings in the header, rich text, a number cell, a
+    // boolean, a skipped cell (sparse refs), an empty trailing row
+    part("xl/worksheets/sheet1.xml",
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |  <sheetData>
+        |    <row r="1">
+        |      <c r="A1" t="s"><v>0</v></c>
+        |      <c r="B1" t="s"><v>1</v></c>
+        |      <c r="C1" t="inlineStr"><is><t>Data Type</t></is></c>
+        |      <c r="D1" t="inlineStr"><is><t>Active</t></is></c>
+        |      <c r="E1" t="inlineStr"><is><t>Default Label</t></is></c>
+        |      <c r="F1" t="inlineStr"><is><t>Specific Module</t></is></c>
+        |    </row>
+        |    <row r="2">
+        |      <c r="A2" t="s"><v>2</v></c>
+        |      <c r="B2" t="s"><v>3</v></c>
+        |      <c r="C2"><v>9924001</v></c>
+        |      <c r="D2" t="b"><v>1</v></c>
+        |      <c r="F2" t="str"><v>ems</v></c>
+        |    </row>
+        |    <row r="3"/>
+        |  </sheetData>
+        |</worksheet>""".stripMargin)
+    part("xl/worksheets/sheet2.xml",
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |  <sheetData>
+        |    <row><c t="inlineStr"><is><t>Code</t></is></c><c t="inlineStr"><is><t>Value</t></is></c><c t="inlineStr"><is><t>Label</t></is></c><c t="inlineStr"><is><t>Sort Order</t></is></c><c t="inlineStr"><is><t>Resource Type</t></is></c></row>
+        |    <row><c t="inlineStr"><is><t>I1</t></is></c><c><v>7</v></c><c t="inlineStr"><is><t>fall</t></is></c><c><v>1</v></c><c t="inlineStr"><is><t>injury</t></is></c></row>
+        |  </sheetData>
+        |</worksheet>""".stripMargin)
+    zos.close()
+
+    assert(Xlsx.colIndex("A1") == 0 && Xlsx.colIndex("AA3") == 26)
+    val provider = new XlsxSheetProvider(spark, path.toString)
+    val subset = VendorImport.ImagetrendSpec.view
+      .filterKeys(Set("DataSetFields", "Cause of Injury (eInjury.01)")).toMap
+    val out = VendorImport.importVendor(provider, "imagetrend", subset)
+    val dsf = out("imagetrend_datasetfields")
+    assert(dsf.columns.toSeq == VendorImport.ImagetrendSpec("DataSetFields"))
+    val r = dsf.head()
+    assert(r.getString(0) == "eVitals.06") // rich-text shared string
+    assert(r.getString(1) == "SBP")
+    assert(r.getString(3) == "9924001")    // number cell, raw stored text
+    assert(r.getString(4) == "TRUE")       // boolean cell
+    assert(r.getString(5) == "ems")        // formula-cached string
+    assert(r.isNullAt(2))                  // skipped E2 -> Default Label null
+    assert(dsf.count() == 1)               // empty row dropped by na.drop
+    val coi = out("imagetrend_cause_of_injury_(einjury_01)")
+    assert(coi.select("Label").head().getString(0) == "fall")
+    // unknown sheet fails loudly, listing what the workbook has
+    val e = intercept[IllegalArgumentException](provider.sheet("NoSuch"))
+    assert(e.getMessage.contains("DataSetFields"))
+  }
+
   test("A30 rename migration is idempotent and reversible") {
     import spark.implicits._
     val legacy = Seq(("e1", "120")).toDF("element_id", "text_content")
