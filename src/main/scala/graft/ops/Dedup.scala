@@ -235,24 +235,39 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, minJaccard: Double): DataFrame = {
+    // per-doc dedup happens BEFORE the explode (array_distinct on the
+    // hashed gram array): (id, g) rows leave the scan already unique, so
+    // no cluster-wide distinct() shuffle of every gram instance is needed
     val allGrams = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
         split(col(textCol), " ").as("ws")) // split once; the lambda below
       .where(size(col("ws")) >= 2)         // would otherwise re-split per element
       .select(col("id"), col("blk"), explode(expr(
-        "transform(sequence(1, size(ws) - 1), " +
-          "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
-        .as("gs"))
-      .select(col("id"), col("blk"), md5Hash32(col("gs")).as("g"))
-      .distinct()
+        "array_distinct(transform(sequence(1, size(ws) - 1), " +
+          "i -> CAST(conv(substr(md5(concat(element_at(ws, i), ' ', " +
+          "element_at(ws, i + 1))), 1, 8), 16, 10) AS BIGINT)))"))
+        .as("g"))
     val rare = allGrams.groupBy("blk", "g").agg(count(lit(1)).as("df"))
       .where(col("df") <= NgramMaxDocFreq)
       .select("blk", "g")
     val grams = allGrams.join(rare, Seq("blk", "g"), "left_semi")
     val sizes = grams.groupBy("id").agg(count(lit(1)).as("n"))
-    val a = grams.as("a"); val b = grams.as("b")
-    val inter = a.join(b, col("a.blk") === col("b.blk") &&
-        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // |A∩B| WITHOUT a grams x grams self-join: after the df filter every
+    // (blk, g) bucket holds <= NgramMaxDocFreq docs, so collect the
+    // bucket's id set (bounded — safe to materialize) and expand its
+    // C(df,2) ordered pairs with array combinatorics. Same math as the
+    // equi-join formulation (the oracle keeps that form), but the
+    // biggest exchange on the path — re-shuffling the gram relation
+    // twice to join it with itself — disappears; the collect_set groupBy
+    // shares the semi-join's (blk, g) partitioning.
+    val buckets = grams.groupBy("blk", "g")
+      .agg(sort_array(collect_set(col("id"))).as("ids"))
+      .where(size(col("ids")) >= 2)
+    val inter = buckets.select(explode(expr(
+        "flatten(transform(ids, (x, i) -> " +
+          "transform(slice(ids, i + 2, size(ids) - i - 1), " +
+          "y -> struct(x AS id_a, y AS id_b))))")).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
