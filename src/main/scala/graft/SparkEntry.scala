@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.DedupQueries.queries ++
       graft.queries.SimilarityQueries.queries ++
       graft.queries.EventsQueries.queries ++
-      graft.queries.MultimodalQueries.queries
+      graft.queries.MultimodalQueries.queries ++
+      graft.queries.CurationQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.queries.DedupQueries.oracles ++
       graft.queries.SimilarityQueries.oracles ++
       graft.queries.EventsQueries.oracles ++
-      graft.queries.MultimodalQueries.oracles
+      graft.queries.MultimodalQueries.oracles ++
+      graft.queries.CurationQueries.oracles
 }

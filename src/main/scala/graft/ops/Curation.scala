@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation operators for training-data pipelines (SURVEY §2C
+  * extension): deterministic split assignment, token-budget shard
+  * packing, benchmark-contamination checks, and quality-based canonical
+  * selection inside near-dup clusters. Everything is column algebra or
+  * bounded joins — and everything is deterministic, so the DuckDB
+  * oracle can replay it bit-for-bit (no RNG: "random" choices are
+  * content-hash-based, which is also what makes them reproducible
+  * across runs and engines at 100 TB).
+  */
+object Curation {
+
+  /** Deterministic train/val/test assignment by content-stable hash:
+    * bucket = md5-prefix(id) mod 100; [0,trainPct) -> train,
+    * [trainPct, trainPct+valPct) -> val, rest -> test. Hash-based (not
+    * row_number/rand) so the split of a document never changes when the
+    * corpus grows or reorders — the property training pipelines need.
+    * Pure per-row column math; no shuffle until the caller aggregates.
+    */
+  def splitAssign(id: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    val bucket = Dedup.md5Hash32(id.cast("string")) % 100
+    when(bucket < trainPct, lit("train"))
+      .when(bucket < trainPct + valPct, lit("val"))
+      .otherwise(lit("test"))
+  }
+
+  /** Token-budget shard packing: within each `packKey` group (e.g.
+    * source/domain), documents in `orderCol` order are packed
+    * sequentially into shards of ~`budget` tokens — shard id = the
+    * shard containing the document's first token. One window sort per
+    * group; partitioning by packKey keeps the sort distributed (a
+    * single global pack would funnel into one task — pack per domain,
+    * as real pipelines do, or pre-range-partition).
+    *
+    * Adds `n_tokens` and `shard` columns.
+    */
+  def packShards(docs: DataFrame, packKey: String, orderCol: String,
+      tokens: Column, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col(packKey)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("n_tokens", tokens)
+      .withColumn("shard",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / budget).cast("long"))
+  }
+
+  /** Benchmark-contamination check via bigram-hash overlap: the
+    * benchmark's distinct bigram hashes are collected into ONE set
+    * (benchmark suites are small by nature) and broadcast; each corpus
+    * document then computes `array_intersect` against it per-row — no
+    * shuffle of corpus n-grams at all. Returns (id, extra cols,
+    * n_grams, n_hits, overlap) for docs with >= 2 words.
+    *
+    * The 32-bit gram hash matches Dedup.ngramJaccardPairs (and the
+    * oracle); a collision inflates overlap identically in both engines.
+    */
+  def contaminationScores(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, keep: Seq[String] = Seq.empty): DataFrame = {
+    def grams(df: DataFrame, cols: Seq[Column]): DataFrame =
+      df.where(size(split(col(textCol), " ")) >= 2)
+        .select(cols :+ expr(
+          "array_distinct(transform(sequence(1, size(split(" + textCol + ", ' ')) - 1), " +
+            s"i -> CAST(conv(substr(md5(concat(element_at(split($textCol, ' '), i), ' ', " +
+            s"element_at(split($textCol, ' '), i + 1))), 1, 8), 16, 10) AS BIGINT)))")
+          .as("gs"): _*)
+    val benchSet = grams(benchmark, Seq.empty)
+      .select(explode(col("gs")).as("g")).distinct()
+      .agg(collect_set(col("g")).as("bench_gs"))
+    grams(corpus, (idCol +: keep).map(col))
+      .crossJoin(broadcast(benchSet))
+      .withColumn("n_grams", size(col("gs")).cast("long"))
+      .withColumn("n_hits", size(array_intersect(col("gs"), col("bench_gs"))).cast("long"))
+      .withColumn("overlap", col("n_hits") / col("n_grams").cast("double"))
+      .drop("gs", "bench_gs")
+  }
+
+  /** Canonical selection inside near-dup clusters: instead of "keep the
+    * min id" (d06), keep the HIGHEST-QUALITY member — rank cluster
+    * members by (quality desc, id asc) and keep rank 1. Input: the
+    * cluster labels from [[Dedup.connectedComponents]] joined back to
+    * the corpus. One window over the cluster key.
+    */
+  def keepBest(labeled: DataFrame, labelCol: String, idCol: String,
+      quality: Column): DataFrame = {
+    val w = Window.partitionBy(col(labelCol))
+      .orderBy(quality.desc, col(idCol).asc)
+    labeled
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy(col(labelCol))))
+  }
+}

@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Curation, Dedup, TextAnalysis}
+import graft.sources.Tables
+
+/** Dataset-curation pack over `documents` (SURVEY §2C extension): the
+  * four operations a training-data pipeline runs between "deduped" and
+  * "ready to train" — deterministic splits, shard packing, benchmark
+  * decontamination, quality-based cluster canonicalization. All
+  * hash-deterministic, so every query has a DuckDB oracle.
+  */
+object CurationQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // content-hash split: membership is stable under corpus growth and
+    // reordering (the reproducibility property rand()/row_number lacks)
+    "c01_hash_split" -> ((s, d) => {
+      Tables.load(s, d, "documents")
+        .select(Curation.splitAssign(col("doc_id")).as("split"), col("text"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.wsTokenCount(col("text"))).as("total_tokens"))
+        .orderBy("split")
+    }),
+
+    // token-budget packing per source: shard = the 4096-token bin a
+    // document's first token lands in, packing docs in doc_id order
+    "c02_shard_packing" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents").select("doc_id", "source", "text")
+      Curation.packShards(docs, "source", "doc_id",
+          TextAnalysis.wsTokenCount(col("text")), budget = 4096L)
+        .groupBy("source", "shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("shard_tokens"))
+        .orderBy("source", "shard")
+    }),
+
+    // decontamination: docs whose bigram sets overlap the benchmark
+    // slice (doc_id % 100 == 0) beyond thresholds, counted per source
+    "c03_contamination" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents").select("doc_id", "text", "source")
+      val bench = docs.where(col("doc_id") % 100 === 0)
+      val corpus = docs.where(col("doc_id") % 100 =!= 0)
+      Curation.contaminationScores(corpus, bench, "doc_id", "text", keep = Seq("source"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("overlap") >= 0.25, 1L).otherwise(0L)).as("n_over_25"),
+          sum(when(col("overlap") >= 0.5, 1L).otherwise(0L)).as("n_over_50"),
+          sum(when(col("overlap") >= 0.75, 1L).otherwise(0L)).as("n_over_75"))
+        .orderBy("source")
+    }),
+
+    // near-dup clusters canonicalized by QUALITY (longest member, ties
+    // to min id) instead of d06's min-id rule — the keep-best shape
+    // real dedup pipelines want
+    "c04_cluster_keep_best" -> ((s, d) => {
+      val docs = DedupQueries.docsWithMutations(s, d)
+      val pairs = Dedup.minHashCandidatePairs(docs, "doc_id", "text")
+      val labeled = Dedup.connectedComponents(pairs)
+        .join(docs, col("id") === col("doc_id"))
+        .select(col("label"), col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+      Curation.keepBest(labeled, "label", "doc_id", col("n_chars"))
+        .where(col("rank") === 1)
+        .select(col("label").as("cluster_id"), col("doc_id").as("kept_id"),
+          col("n_chars").as("kept_chars"), col("cluster_size"))
+        .orderBy("cluster_id")
+    }),
+  )
+
+  private val tokenExpr =
+    "(length(text) - length(replace(text, ' ', '')) + 1)"
+  private val gram32 =
+    "('0x' || substr(md5(ws[i::INT] || ' ' || ws[(i + 1)::INT]), 1, 8))::BIGINT"
+
+  val oracles: Map[String, String] = Map(
+    "c01_hash_split" ->
+      s"""WITH b AS (SELECT text,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bkt
+         |  FROM documents)
+         |SELECT CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split,
+         |  count(*) AS n_docs,
+         |  CAST(sum($tokenExpr) AS BIGINT) AS total_tokens
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "c02_shard_packing" ->
+      s"""WITH t AS (SELECT doc_id, source, $tokenExpr AS n_tokens FROM documents),
+         |cum AS (SELECT source, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+         |  FROM t)
+         |SELECT source, CAST(floor((c - n_tokens) / 4096) AS BIGINT) AS shard,
+         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+         |FROM cum GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "c03_contamination" ->
+      s"""WITH split_docs AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+         |  FROM documents WHERE $tokenExpr >= 2),
+         |gsets AS (SELECT doc_id, source,
+         |    list_distinct(list_transform(generate_series(1, len(ws) - 1), i -> $gram32)) AS gs
+         |  FROM split_docs),
+         |bench AS (SELECT list(DISTINCT g) AS bg FROM (
+         |  SELECT unnest(gs) AS g FROM gsets WHERE doc_id % 100 = 0)),
+         |scored AS (SELECT source,
+         |    len(list_intersect(gs, bg)) / CAST(len(gs) AS DOUBLE) AS overlap
+         |  FROM gsets CROSS JOIN bench WHERE doc_id % 100 <> 0)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN overlap >= 0.25 THEN 1 ELSE 0 END) AS BIGINT) AS n_over_25,
+         |  CAST(sum(CASE WHEN overlap >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_over_50,
+         |  CAST(sum(CASE WHEN overlap >= 0.75 THEN 1 ELSE 0 END) AS BIGINT) AS n_over_75
+         |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "c04_cluster_keep_best" ->
+      s"""WITH RECURSIVE ${DedupQueries.minhashPairsCtes},
+         |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |walk(src, dst) AS (
+         |  SELECT src, dst FROM sym
+         |  UNION
+         |  SELECT w.src, s.dst FROM walk w JOIN sym s ON w.dst = s.src),
+         |labels AS (SELECT src AS id, least(src, min(dst)) AS label
+         |  FROM walk GROUP BY src),
+         |members AS (SELECT l.label, d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars
+         |  FROM labels l JOIN all_docs d ON l.id = d.doc_id),
+         |ranked AS (SELECT label, doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY label ORDER BY n_chars DESC, doc_id ASC) AS rn,
+         |    count(*) OVER (PARTITION BY label) AS cluster_size
+         |  FROM members)
+         |SELECT label AS cluster_id, doc_id AS kept_id, n_chars AS kept_chars,
+         |  cluster_size
+         |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+  )
+}

@@ -21,7 +21,7 @@ object DedupQueries {
   }
 
   /** documents ∪ near-duplicate copies (one word appended). */
-  private def docsWithMutations(s: SparkSession, d: String): DataFrame = {
+  private[queries] def docsWithMutations(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.load(s, d, "documents").select("doc_id", "text", "source")
     docs.unionByName(docs.select((col("doc_id") + 1000000).as("doc_id"),
       concat(col("text"), lit(" spark")).as("text"), col("source")))
@@ -30,7 +30,7 @@ object DedupQueries {
   private val copiesCte =
     """all_docs AS (SELECT doc_id, text, source FROM documents
       |  UNION ALL SELECT doc_id + 1000000, text, source FROM documents)""".stripMargin
-  private val mutationsCte =
+  private[queries] val mutationsCte =
     """all_docs AS (SELECT doc_id, text, source FROM documents
       |  UNION ALL SELECT doc_id + 1000000, text || ' spark', source FROM documents)""".stripMargin
 
@@ -128,7 +128,7 @@ object DedupQueries {
     * signatures -> band buckets -> distinct candidate pairs. Used by
     * both the pair query (d02) and the clustering query (d06).
     */
-  private def minhashPairsCtes: String =
+  private[queries] def minhashPairsCtes: String =
     s"""$mutationsCte,
        |sh AS (SELECT doc_id,
        |  list_transform(generate_series(1, greatest(length(text) - ${Dedup.ShingleK - 1}, 1), ${Dedup.ShingleStride}),

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+class CurationSpec extends AnyFunSuite with SparkSpec {
+
+  test("splitAssign is hash-stable: growing the corpus never moves a doc") {
+    import spark.implicits._
+    val small = (1L to 50L).toDF("id")
+      .select(col("id"), Curation.splitAssign(col("id")).as("split"))
+    val big = (1L to 500L).toDF("id")
+      .select(col("id"), Curation.splitAssign(col("id")).as("split"))
+    val s = small.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = big.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s.forall { case (id, sp) => b(id) == sp })
+    // all three splits are populated at n=500
+    assert(b.values.toSet == Set("train", "val", "test"))
+  }
+
+  test("packShards: sequential bins by cumulative token start, per key") {
+    import spark.implicits._
+    // tokens 5,5,5 with budget 10: doc1 starts at 0 (shard 0), doc2 at 5
+    // (shard 0), doc3 at 10 (shard 1); key 'b' packs independently
+    val docs = Seq(
+      ("a", 1L, "w w w w w"), ("a", 2L, "w w w w w"), ("a", 3L, "w w w w w"),
+      ("b", 9L, "w w w w w w w w w w w")).toDF("k", "id", "text")
+    val out = Curation.packShards(docs, "k", "id",
+        TextAnalysis.wsTokenCount(col("text")), budget = 10L)
+      .select("k", "id", "shard").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map(("a", 1L) -> 0L, ("a", 2L) -> 0L, ("a", 3L) -> 1L,
+      ("b", 9L) -> 0L))
+  }
+
+  test("contaminationScores: exact overlap against a broadcast benchmark") {
+    import spark.implicits._
+    val bench = Seq((100L, "alpha beta gamma")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"), // grams: ab,bg,gd -> 2/3 hit
+      (2L, "x y z"),                  // 0/2
+      (3L, "alpha beta")              // 1/1
+    ).toDF("doc_id", "text")
+    val out = Curation.contaminationScores(corpus, bench, "doc_id", "text")
+      .select("doc_id", "n_grams", "n_hits").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(1L -> ((3L, 2L)), 2L -> ((2L, 0L)), 3L -> ((1L, 1L))))
+  }
+
+  test("keepBest ranks by quality desc then id, and carries cluster size") {
+    import spark.implicits._
+    val labeled = Seq(
+      (1L, 10L, 5L), (1L, 11L, 9L), (1L, 12L, 9L), // best: 11 (9 chars, min id)
+      (2L, 20L, 3L)).toDF("label", "doc_id", "q")
+    val kept = Curation.keepBest(labeled, "label", "doc_id", col("q"))
+      .where(col("rank") === 1)
+      .select("label", "doc_id", "cluster_size").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(kept == Set((1L, 11L, 3L), (2L, 20L, 1L)))
+  }
+}
