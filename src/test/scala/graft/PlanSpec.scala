@@ -53,6 +53,24 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("c03 contamination: benchmark set broadcasts; corpus grams never shuffle into a join") {
+    val p = plan("c03_contamination")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the only SortMergeJoin-eligible relation would be corpus x benchmark
+    // grams — the design computes overlap per-row against the broadcast
+    // set instead
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("d04 ngram-jaccard: no grams-x-grams self-join survives in the plan") {
+    val p = plan("d04_ngram_jaccard")
+    assert(!p.contains("CartesianProduct"), p)
+    // pair generation is per-bucket array expansion (Generate), and the
+    // remaining joins are the bounded semi-join + sizes joins
+    assert(p.contains("Generate"), p)
+  }
+
   test("keyed overwrite: eviction keys are broadcast (no full shuffle of existing data)") {
     import spark.implicits._
     val existing = (1 to 1000).map(i => (s"k$i", i)).toDF("pcr_uuid_context", "v")
