@@ -58,7 +58,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // BENCH_ONLY=d02_minhash_lsh,d04_ngram_jaccard runs a subset — for
+    // iterating on one query without paying the full-suite wall time
+    val names = sys.env.get("BENCH_ONLY") match {
+      case Some(list) =>
+        val want = list.split(',').map(_.trim).filter(_.nonEmpty).toSet
+        SparkEntry.queries.keys.toSeq.filter(want).sorted
+      case None => SparkEntry.queries.keys.toSeq.sorted
+    }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // warmup (untimed): JIT, codegen cache, parquet footers. Errors here
     // are ignored only because the timed pass below records them.

@@ -93,7 +93,96 @@ case class ShingleHash32(child: Expression, k: Int, stride: Int)
     copy(child = c)
 }
 
+/** All word-bigram hashes of a single-space-tokenized text in ONE
+  * generated pass: for each adjacent word pair, the 32-bit masked
+  * rolling hash h = (h*31 + code) mod 2^32 over the characters of
+  * "w1 w2". Replaces md5-per-bigram (digest + hex + base-16 parse per
+  * gram) in the n-gram dedup/contamination paths. The DuckDB oracle
+  * states the identical fold with list_reduce, so results hash-match.
+  *
+  * Split semantics mirror `split(text, ' ')`: consecutive spaces
+  * produce empty words (which still contribute their joining space to
+  * the hash), trailing empties kept. BMP contract as ShingleHash32.
+  */
+case class BigramHash32(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string argument")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "bigram_hash32"
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.toString.split(" ", -1)
+    val n = words.length
+    if (n < 2) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](n - 1)
+    var i = 0
+    while (i < n - 1) {
+      var h = 0L
+      val a = words(i); val b = words(i + 1)
+      var j = 0
+      while (j < a.length) { h = (h * 31L + a.charAt(j)) & 0xFFFFFFFFL; j += 1 }
+      h = (h * 31L + 32L) & 0xFFFFFFFFL // the joining space
+      j = 0
+      while (j < b.length) { h = (h * 31L + b.charAt(j)) & 0xFFFFFFFFL; j += 1 }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val words = ctx.freshName("words")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      val j = ctx.freshName("j")
+      val wa = ctx.freshName("wa")
+      val wb = ctx.freshName("wb")
+      s"""
+         |java.lang.String[] $words = $a.toString().split(" ", -1);
+         |int $n = $words.length;
+         |long[] $out = new long[$n < 2 ? 0 : $n - 1];
+         |for (int $i = 0; $i < $n - 1; $i++) {
+         |  long $h = 0L;
+         |  java.lang.String $wa = $words[$i];
+         |  java.lang.String $wb = $words[$i + 1];
+         |  for (int $j = 0; $j < $wa.length(); $j++) {
+         |    $h = ($h * 31L + $wa.charAt($j)) & 0xFFFFFFFFL;
+         |  }
+         |  $h = ($h * 31L + 32L) & 0xFFFFFFFFL;
+         |  for (int $j = 0; $j < $wb.length(); $j++) {
+         |    $h = ($h * 31L + $wb.charAt($j)) & 0xFFFFFFFFL;
+         |  }
+         |  $out[$i] = $h;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): BigramHash32 =
+    copy(child = c)
+}
+
 object TextHashExpressions {
+
+  /** The DuckDB statement of [[BigramHash32]]: per adjacent word pair,
+    * a list_reduce fold of (h*31 + code) mod 2^32 over the characters
+    * of "w1 w2". `ws` must be the string_split(text, ' ') list.
+    */
+  def bigramFoldSql(ws: String = "ws"): String =
+    s"list_transform(generate_series(1, len($ws) - 1), " +
+      s"i -> list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split_regex($ws[i::INT] || ' ' || $ws[(i + 1)::INT], ''), " +
+      "c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % 4294967296))"
+
+  def bigram_hash32(text: Column): Column = {
+    register(SparkSession.active)
+    org.apache.spark.sql.functions.call_function("bigram_hash32", text)
+  }
 
   /** The literal 31-powers the DuckDB oracle must use for the same k. */
   def polyPowers(k: Int): Seq[Long] =
@@ -117,5 +206,7 @@ object TextHashExpressions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("shingle_hash32", builder, "built-in")
+    reg.createOrReplaceTempFunction("bigram_hash32",
+      es => BigramHash32(es.head), "built-in")
   }
 }

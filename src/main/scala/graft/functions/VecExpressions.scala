@@ -156,5 +156,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ShingleHash32].getName, "shingle_hash32"),
       (es: Seq[Expression]) => ShingleHash32(es.head,
         es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])))
+    e.injectFunction((FunctionIdentifier("bigram_hash32"),
+      new ExpressionInfo(classOf[BigramHash32].getName, "bigram_hash32"),
+      (es: Seq[Expression]) => BigramHash32(es.head)))
   }
 }

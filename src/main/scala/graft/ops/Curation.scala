@@ -62,11 +62,8 @@ object Curation {
       idCol: String, textCol: String, keep: Seq[String] = Seq.empty): DataFrame = {
     def grams(df: DataFrame, cols: Seq[Column]): DataFrame =
       df.where(size(split(col(textCol), " ")) >= 2)
-        .select(cols :+ expr(
-          "array_distinct(transform(sequence(1, size(split(" + textCol + ", ' ')) - 1), " +
-            s"i -> CAST(conv(substr(md5(concat(element_at(split($textCol, ' '), i), ' ', " +
-            s"element_at(split($textCol, ' '), i + 1))), 1, 8), 16, 10) AS BIGINT)))")
-          .as("gs"): _*)
+        .select(cols :+ array_distinct(
+          graft.functions.TextHashExpressions.bigram_hash32(col(textCol))).as("gs"): _*)
     val benchSet = grams(benchmark, Seq.empty)
       .select(explode(col("gs")).as("g")).distinct()
       .agg(collect_set(col("g")).as("bench_gs"))

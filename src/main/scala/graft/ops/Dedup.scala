@@ -237,15 +237,15 @@ object Dedup {
       blockCol: String, minJaccard: Double): DataFrame = {
     // per-doc dedup happens BEFORE the explode (array_distinct on the
     // hashed gram array): (id, g) rows leave the scan already unique, so
-    // no cluster-wide distinct() shuffle of every gram instance is needed
+    // no cluster-wide distinct() shuffle of every gram instance is
+    // needed. Gram hashing is the fused BigramHash32 pass (the md5
+    // formulation paid digest+hex+parse per gram).
     val allGrams = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
-        split(col(textCol), " ").as("ws")) // split once; the lambda below
-      .where(size(col("ws")) >= 2)         // would otherwise re-split per element
-      .select(col("id"), col("blk"), explode(expr(
-        "array_distinct(transform(sequence(1, size(ws) - 1), " +
-          "i -> CAST(conv(substr(md5(concat(element_at(ws, i), ' ', " +
-          "element_at(ws, i + 1))), 1, 8), 16, 10) AS BIGINT)))"))
-        .as("g"))
+        col(textCol).as("t"))
+      .where(size(split(col("t"), " ")) >= 2)
+      .select(col("id"), col("blk"),
+        explode(array_distinct(
+          graft.functions.TextHashExpressions.bigram_hash32(col("t")))).as("g"))
     val rare = allGrams.groupBy("blk", "g").agg(count(lit(1)).as("df"))
       .where(col("df") <= NgramMaxDocFreq)
       .select("blk", "g")

@@ -70,8 +70,6 @@ object CurationQueries {
 
   private val tokenExpr =
     "(length(text) - length(replace(text, ' ', '')) + 1)"
-  private val gram32 =
-    "('0x' || substr(md5(ws[i::INT] || ' ' || ws[(i + 1)::INT]), 1, 8))::BIGINT"
 
   val oracles: Map[String, String] = Map(
     "c01_hash_split" ->
@@ -97,7 +95,7 @@ object CurationQueries {
       s"""WITH split_docs AS (SELECT doc_id, source, string_split(text, ' ') AS ws
          |  FROM documents WHERE $tokenExpr >= 2),
          |gsets AS (SELECT doc_id, source,
-         |    list_distinct(list_transform(generate_series(1, len(ws) - 1), i -> $gram32)) AS gs
+         |    list_distinct(${graft.functions.TextHashExpressions.bigramFoldSql("ws")}) AS gs
          |  FROM split_docs),
          |bench AS (SELECT list(DISTINCT g) AS bg FROM (
          |  SELECT unnest(gs) AS g FROM gsets WHERE doc_id % 100 = 0)),

@@ -196,13 +196,9 @@ object DedupQueries {
          |    string_split(text, ' ') AS ws
          |  FROM all_docs
          |  WHERE length(text) - length(replace(text, ' ', '')) + 1 >= 2),
-         |raw_grams AS (SELECT doc_id, blk,
-         |    unnest(list_transform(generate_series(1, len(ws) - 1),
-         |      i -> ws[i::INT] || ' ' || ws[(i + 1)::INT])) AS gs
-         |  FROM docs2),
          |all_grams AS (SELECT DISTINCT doc_id, blk,
-         |    ('0x' || substr(md5(gs), 1, 8))::BIGINT AS g
-         |  FROM raw_grams),
+         |    unnest(${graft.functions.TextHashExpressions.bigramFoldSql("ws")}) AS g
+         |  FROM docs2),
          |rare AS (SELECT blk, g FROM all_grams
          |  GROUP BY 1, 2 HAVING count(*) <= ${Dedup.NgramMaxDocFreq}),
          |grams AS (SELECT ag.doc_id, ag.blk, ag.g FROM all_grams ag
