@@ -167,7 +167,107 @@ case class BigramHash32(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Whole 32-bit SimHash signature of a single-space-tokenized text in
+  * ONE generated pass: per whitespace token, the masked rolling hash
+  * (h*31 + code) mod 2^32 pushed through the murmur3 fmix32 finalizer
+  * (short tokens leave a plain polynomial's high bits all-zero —
+  * 255·31⁴ < 2^28 — which collapses SimHash's per-BIT votes; the
+  * avalanche step restores uniform bits); per bit j, a ±1 vote by the
+  * token's bit j; bit j of the signature = (vote sum > 0). Replaces an
+  * explode(tokens) → md5 per token → groupBy(id) with 32 conditional
+  * sums — i.e. the signature needs NO shuffle at all, the heaviest
+  * part of the SimHash pipeline. The oracle states the same fold and
+  * finalizer in SQL (HUGEINT for the 32×32-bit products; Java's
+  * wrapping long multiply masked to 32 bits is the same value).
+  */
+case class SimHash32Expr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string argument")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash32"
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.toString.split(" ", -1)
+    val votes = new Array[Int](32)
+    var i = 0
+    while (i < words.length) {
+      var h = 0L
+      val w = words(i)
+      var j = 0
+      while (j < w.length) { h = (h * 31L + w.charAt(j)) & 0xFFFFFFFFL; j += 1 }
+      h ^= h >> 16
+      h = (h * 0x85ebca6bL) & 0xFFFFFFFFL
+      h ^= h >> 13
+      h = (h * 0xc2b2ae35L) & 0xFFFFFFFFL
+      h ^= h >> 16
+      j = 0
+      while (j < 32) {
+        if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var j = 0
+    while (j < 32) { if (votes(j) > 0) sim |= 1L << j; j += 1 }
+    sim
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val words = ctx.freshName("words")
+      val votes = ctx.freshName("votes")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      val w = ctx.freshName("w")
+      val j = ctx.freshName("j")
+      val sim = ctx.freshName("sim")
+      s"""
+         |java.lang.String[] $words = $a.toString().split(" ", -1);
+         |int[] $votes = new int[32];
+         |for (int $i = 0; $i < $words.length; $i++) {
+         |  long $h = 0L;
+         |  java.lang.String $w = $words[$i];
+         |  for (int $j = 0; $j < $w.length(); $j++) {
+         |    $h = ($h * 31L + $w.charAt($j)) & 0xFFFFFFFFL;
+         |  }
+         |  $h ^= $h >> 16;
+         |  $h = ($h * 0x85ebca6bL) & 0xFFFFFFFFL;
+         |  $h ^= $h >> 13;
+         |  $h = ($h * 0xc2b2ae35L) & 0xFFFFFFFFL;
+         |  $h ^= $h >> 16;
+         |  for (int $j = 0; $j < 32; $j++) {
+         |    if ((($h >> $j) & 1L) == 1L) $votes[$j]++; else $votes[$j]--;
+         |  }
+         |}
+         |long $sim = 0L;
+         |for (int $j = 0; $j < 32; $j++) {
+         |  if ($votes[$j] > 0) $sim |= 1L << $j;
+         |}
+         |${ev.value} = $sim;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): SimHash32Expr =
+    copy(child = c)
+}
+
 object TextHashExpressions {
+
+  /** The DuckDB statement of the per-token masked rolling hash used by
+    * [[SimHash32Expr]] (and, per word pair, [[BigramHash32]]).
+    */
+  def tokenFoldSql(w: String = "w"): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split_regex($w, ''), " +
+      "c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % 4294967296)"
+
+  def simhash32(text: Column): Column = {
+    register(SparkSession.active)
+    org.apache.spark.sql.functions.call_function("simhash32", text)
+  }
 
   /** The DuckDB statement of [[BigramHash32]]: per adjacent word pair,
     * a list_reduce fold of (h*31 + code) mod 2^32 over the characters
@@ -208,5 +308,7 @@ object TextHashExpressions {
     reg.createOrReplaceTempFunction("shingle_hash32", builder, "built-in")
     reg.createOrReplaceTempFunction("bigram_hash32",
       es => BigramHash32(es.head), "built-in")
+    reg.createOrReplaceTempFunction("simhash32",
+      es => SimHash32Expr(es.head), "built-in")
   }
 }

@@ -159,5 +159,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("bigram_hash32"),
       new ExpressionInfo(classOf[BigramHash32].getName, "bigram_hash32"),
       (es: Seq[Expression]) => BigramHash32(es.head)))
+    e.injectFunction((FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[SimHash32Expr].getName, "simhash32"),
+      (es: Seq[Expression]) => SimHash32Expr(es.head)))
   }
 }

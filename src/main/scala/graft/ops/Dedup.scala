@@ -166,22 +166,14 @@ object Dedup {
   val SimHashBands = 4 // 4 bands x 8 bits
 
   /** 32-bit SimHash over whitespace tokens: bit j = sign of
-    * Σ_tokens (((h >> j) & 1) * 2 - 1). Computed set-oriented: explode
-    * tokens, one groupBy with 32 conditional sums.
+    * Σ_tokens (((h >> j) & 1) * 2 - 1). One fused codegen'd pass per
+    * document (SimHash32Expr) — the signature needs no explode, no
+    * per-token md5, and no 32-sum groupBy shuffle; the oracle computes
+    * the identical votes set-oriented over exploded tokens.
     */
-  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.select(col(idCol).as("id"),
-        explode(split(col(textCol), " ")).as("w"))
-      .select(col("id"), md5Hash32(col("w")).as("h"))
-    val bitSums = (0 until SimHashBits).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"s$j")
-    }
-    tok.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("id"),
-        (0 until SimHashBits).map { j =>
-          when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
-        }.reduce(_ + _).as("simhash"))
-  }
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+      graft.functions.TextHashExpressions.simhash32(col(textCol)).as("simhash"))
 
   /** Near-dup pairs with hamming distance <= maxHamming (default 3).
     * Candidate generation: equi-join on each of 4 8-bit bands — by

@@ -173,7 +173,12 @@ object DedupQueries {
       }.mkString("\n  UNION ALL ")
       s"""WITH $mutationsCte,
          |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM all_docs),
-         |th AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h FROM tok),
+         |th0 AS (SELECT doc_id, ${graft.functions.TextHashExpressions.tokenFoldSql("w")} AS h0 FROM tok),
+         |f1 AS (SELECT doc_id, xor(h0, h0 >> 16) AS h1 FROM th0),
+         |f2 AS (SELECT doc_id, CAST((CAST(h1 AS HUGEINT) * 2246822507) % 4294967296 AS BIGINT) AS h2 FROM f1),
+         |f3 AS (SELECT doc_id, xor(h2, h2 >> 13) AS h3 FROM f2),
+         |f4 AS (SELECT doc_id, CAST((CAST(h3 AS HUGEINT) * 3266489909) % 4294967296 AS BIGINT) AS h4 FROM f3),
+         |th AS (SELECT doc_id, xor(h4, h4 >> 16) AS h FROM f4),
          |sums AS (SELECT doc_id,
          |    $simBitSums
          |  FROM th GROUP BY doc_id),
