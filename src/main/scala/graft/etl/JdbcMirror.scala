@@ -274,13 +274,19 @@ object JdbcMirror {
     // Container elements (document root/header) carry no PCR context, so
     // the keyed delete misses them; with deterministic ids a same-file
     // replay would then violate the element_id PK. Evict them by id —
-    // a handful of rows per document, and their ON DELETE CASCADE also
+    // a couple of rows per document, and their ON DELETE CASCADE also
     // clears any stale descendants. (The reference replays with fresh
-    // uuid4 ids and silently accumulates these rows instead.)
+    // uuid4 ids and silently accumulates these rows instead.) Same
+    // inline-budget rule as the PCR keys: a backfill of millions of
+    // files routes (table, id) pairs through a staging table instead of
+    // the driver.
+    val containers = tall.where(col("pcr_uuid_context").isNull)
+      .select(lower(col("table_name")).as("t"), col("element_id").as("k"))
+    val containerProbe = containers.limit(cfg.maxInlineDeleteKeys + 1).collect()
+    val useContainerStaging = containerProbe.length > cfg.maxInlineDeleteKeys
     val containerIds: Map[String, Seq[String]] =
-      tall.where(col("pcr_uuid_context").isNull)
-        .select(lower(col("table_name")).as("t"), col("element_id"))
-        .collect().groupBy(_.getString(0))
+      if (useContainerStaging) Map.empty
+      else containerProbe.groupBy(_.getString(0))
         .map { case (t, rows) => t -> rows.map(_.getString(1)).toSeq }
     val edges = TagTables.fkEdges(tall).collect()
       .map(r => (r.getString(0), r.getString(1)))
@@ -290,17 +296,30 @@ object JdbcMirror {
     if (cfg.password.nonEmpty) props.put("password", cfg.password)
     props.put("batchsize", cfg.batchSize.toString)
 
-    // Staging key table for the large-batch delete path: created +
-    // loaded (executor->DB) before the DDL/delete transaction below.
+    // Staging tables get a per-batch unique suffix: two concurrent
+    // mirror batches against the same database (streaming foreachBatch
+    // next to a backfill) must never read each other's key sets — a
+    // shared staging name would mix their deletes and destroy the other
+    // batch's freshly written rows.
+    val batchTag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val keyStaging = s"${StagingKeyTable}_$batchTag"
+    val containerStaging = s"${StagingKeyTable}_c_$batchTag"
+    val kType = if (cfg.dialect == DerbyDialect) "VARCHAR(64)" else cfg.dialect.keyTextType
+
     if (useStaging) {
       val conn0 = connect(cfg)
-      try {
-        execDropIfExists(conn0, cfg, StagingKeyTable)
-        val kType = if (cfg.dialect == DerbyDialect) "VARCHAR(64)" else cfg.dialect.keyTextType
-        exec(conn0, s"CREATE TABLE ${q(cfg.schema)}.${q(StagingKeyTable)} (${q("k")} $kType NOT NULL)")
-      } finally conn0.close()
+      try exec(conn0, s"CREATE TABLE ${q(cfg.schema)}.${q(keyStaging)} (${q("k")} $kType NOT NULL)")
+      finally conn0.close()
       distinctKeys.toDF("k").write.mode(SaveMode.Append)
-        .jdbc(cfg.url, s"${q(cfg.schema)}.${q(StagingKeyTable)}", props)
+        .jdbc(cfg.url, s"${q(cfg.schema)}.${q(keyStaging)}", props)
+    }
+    if (useContainerStaging) {
+      val conn0 = connect(cfg)
+      try exec(conn0, s"CREATE TABLE ${q(cfg.schema)}.${q(containerStaging)} " +
+        s"(${q("t")} $kType NOT NULL, ${q("k")} $kType NOT NULL)")
+      finally conn0.close()
+      containers.write.mode(SaveMode.Append)
+        .jdbc(cfg.url, s"${q(cfg.schema)}.${q(containerStaging)}", props)
     }
 
     val conn = connect(cfg)
@@ -317,10 +336,14 @@ object JdbcMirror {
           // A15 keyed pre-delete: chunked IN statements (bounded size),
           // or one set-oriented DELETE against the staging key table
           if (useStaging)
-            exec(conn, JdbcDdl.deleteViaStaging(cfg.schema, t, StagingKeyTable))
+            exec(conn, JdbcDdl.deleteViaStaging(cfg.schema, t, keyStaging))
           else if (inlineProbe.nonEmpty)
             JdbcDdl.deleteByKeys(cfg.schema, t, inlineProbe, cfg.deleteChunkSize)
               .foreach(exec(conn, _))
+          if (useContainerStaging)
+            exec(conn, s"DELETE FROM ${q(cfg.schema)}.${q(t)} WHERE ${q("element_id")} IN " +
+              s"(SELECT ${q("k")} FROM ${q(cfg.schema)}.${q(containerStaging)} " +
+              s"WHERE ${q("t")} = '${t.replace("'", "''")}')")
           containerIds.get(t).filter(_.nonEmpty).foreach { ids =>
             ids.grouped(cfg.deleteChunkSize).foreach { chunk =>
               val in = chunk.map(i => s"'${i.replace("'", "''")}'").mkString(", ")
@@ -330,8 +353,13 @@ object JdbcMirror {
         }
         conn.commit()
       } catch { case e: Throwable => conn.rollback(); throw e }
-      conn.setAutoCommit(true)
-      if (useStaging) execDropIfExists(conn, cfg, StagingKeyTable)
+      finally {
+        // best-effort cleanup on both success and failure — a leftover
+        // uniquely-named staging table is inert but untidy
+        conn.setAutoCommit(true)
+        if (useStaging) execDropIfExists(conn, cfg, keyStaging)
+        if (useContainerStaging) execDropIfExists(conn, cfg, containerStaging)
+      }
     } finally conn.close()
 
     // Row traffic: executors -> DB, batched appends per tag table —

@@ -129,13 +129,27 @@ class JdbcMirrorSpec extends AnyFunSuite with SparkSpec {
       """SELECT count(*) FROM "APP"."evitals_06" WHERE "pcr_uuid_context" LIKE 'pcr-st-%'""") == 120)
     assert(queryCount(
       """SELECT count(*) FROM "APP"."evitals_06" WHERE "evitals_06_value" = '1001'""") == 1)
-    // staging table is dropped after the batch
+    // staging tables (per-batch unique names) are dropped after the batch
     val conn = DriverManager.getConnection(url)
     try {
-      val rs = conn.getMetaData.getTables(null, "APP", "graft_delete_keys", null)
+      val rs = conn.getMetaData.getTables(null, "APP", "graft_delete_keys%", null)
       assert(!rs.next())
       rs.close()
     } finally conn.close()
+  }
+
+  test("container eviction routes through staging above the inline budget") {
+    // 3 docs, 1 container row each; budget 2 forces BOTH the pcr keys
+    // and the (table, id) container pairs through their staging paths;
+    // replay stays idempotent
+    val tiny = cfg.copy(maxInlineDeleteKeys = 2)
+    val docs = (1 to 3).map(i => s"c$i.xml" -> xml(s"pcr-cs-$i", i.toString))
+    JdbcMirror.mirrorBatch(tallOf(docs: _*), tiny)
+    val before = queryCount("""SELECT count(*) FROM "APP"."emsdataset"""")
+    JdbcMirror.mirrorBatch(tallOf(docs: _*), tiny)
+    assert(queryCount("""SELECT count(*) FROM "APP"."emsdataset"""") == before)
+    assert(queryCount(
+      """SELECT count(*) FROM "APP"."evitals_06" WHERE "pcr_uuid_context" LIKE 'pcr-cs-%'""") == 3)
   }
 
   test("postgres-dialect DDL: bootstrap + comment stamped on first create") {
