@@ -1,0 +1,61 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** JSONL corpus source/sink (SURVEY §2C extension): the de-facto
+  * interchange format for LLM training corpora — one JSON document per
+  * line, compressed per file. Spark's JSON source already splits,
+  * decompresses, and parallelizes per file; this wrapper pins the
+  * contracts that matter at 100 TB:
+  *
+  *  - the READ takes an explicit schema: schema inference is a full
+  *    extra pass over every byte of the corpus (twice the scan cost on
+  *    100 TB), and a drifting field type silently changes downstream
+  *    semantics. Fields outside the schema are dropped by the parser
+  *    (column pruning still reaches the text scan: only schema fields
+  *    are even parsed).
+  *  - malformed lines land in `_corrupt_record` (PERMISSIVE) instead of
+  *    killing a 10-hour job, and [[quarantine]] splits them off so the
+  *    clean path stays typed — the same lands-or-quarantines contract
+  *    as the XML ingest (A22).
+  *  - the WRITE shards by any partition columns (e.g. the c01/c02
+  *    split/shard assignment), producing the layout training loaders
+  *    consume directly.
+  */
+object Jsonl {
+
+  val CorruptCol = "_corrupt_record"
+
+  /** PERMISSIVE schema-pinned read; adds `_corrupt_record` (string,
+    * null for clean rows).
+    */
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add(CorruptCol, "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(path)
+
+  /** (clean, corrupt) split. Spark requires caching the parsed frame
+    * before referencing `_corrupt_record` alone (the parser would
+    * otherwise prune every other field and see nothing as corrupt).
+    */
+  def quarantine(parsed: DataFrame): (DataFrame, DataFrame) = {
+    val cached = parsed.cache()
+    val clean = cached.where(col(CorruptCol).isNull).drop(CorruptCol)
+    val corrupt = cached.where(col(CorruptCol).isNotNull)
+      .select(col(CorruptCol).as("raw_line"))
+    (clean, corrupt)
+  }
+
+  /** Sharded corpus write: one directory per partition-column value
+    * (e.g. split=train/shard=0), gzip per file.
+    */
+  def write(df: DataFrame, path: String, partitionBy: Seq[String] = Seq.empty,
+      compression: String = "gzip"): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).option("compression", compression)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).json(path)
+  }
+}

@@ -203,6 +203,34 @@ class SidecarSourcesSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("DataSetFields"))
   }
 
+  test("jsonl corpus: schema-pinned read, quarantine, sharded round-trip") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_jsonl")
+    Files.writeString(dir.resolve("part0.jsonl"),
+      """{"doc_id": 1, "text": "hello world", "source": "web"}
+        |{"doc_id": 2, "text": "bonjour", "source": "web", "extra_field": true}
+        |{not valid json at all
+        |{"doc_id": 3, "text": "ciao", "source": "books"}""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("source", StringType)))
+    val (clean, corrupt) = Jsonl.quarantine(
+      Jsonl.read(spark, dir.resolve("part0.jsonl").toString, schema))
+    assert(clean.columns.toSeq == Seq("doc_id", "text", "source")) // extra field dropped
+    assert(clean.count() == 3)
+    assert(corrupt.count() == 1)
+    assert(corrupt.head().getString(0).startsWith("{not valid"))
+
+    // round-trip through a split-sharded layout (the c01 assignment)
+    val out = dir.resolve("corpus").toString
+    val withSplit = clean.withColumn("split",
+      graft.ops.Curation.splitAssign(org.apache.spark.sql.functions.col("doc_id")))
+    Jsonl.write(withSplit, out, partitionBy = Seq("split"))
+    val back = spark.read.schema(schema.add("split", StringType)).json(out)
+    assert(back.count() == 3)
+    assert(back.select("split").distinct().count() >= 1) // partition col restored
+  }
+
   test("A30 rename migration is idempotent and reversible") {
     import spark.implicits._
     val legacy = Seq(("e1", "120")).toDF("element_id", "text_content")
