@@ -136,18 +136,20 @@ object Dedup {
         .groupBy(col("src").as("id"))
         .agg(min(col("label")).as("nlabel"))
       val prev = labels
+      // the changed flag rides along in the propagation select, so the
+      // convergence check needs no extra join against the previous round
       val next = labels.join(prop, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          (coalesce(col("nlabel"), col("label")) < col("label")).as("__chg"))
       // one action per round: the diff count both materializes `next`
       // (persist) and decides convergence; checkpoint only every few
       // rounds to bound lineage without paying a write per round
-      labels =
+      val materialized =
         if (i % 3 == 2) cut(next)
         else { next.persist(); next }
-      val diffs = labels.withColumnRenamed("label", "l2")
-        .join(prev, Seq("id"))
-        .where(col("l2") =!= col("label")).count()
+      val diffs = materialized.where(col("__chg")).count()
+      labels = materialized.drop("__chg")
       prev.unpersist()
       converged = diffs == 0
       i += 1
