@@ -31,8 +31,10 @@ object Verify {
           }
       })
     }
-    tasks.foreach(_.get())
-    pool.shutdown()
+    // shutdown in finally: a fatal task error (OOM) otherwise leaves
+    // non-daemon pool threads alive and the JVM hangs instead of dying
+    // visibly
+    try tasks.foreach(_.get()) finally pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

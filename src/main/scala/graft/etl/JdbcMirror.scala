@@ -306,61 +306,76 @@ object JdbcMirror {
     val containerStaging = s"${StagingKeyTable}_c_$batchTag"
     val kType = if (cfg.dialect == DerbyDialect) "VARCHAR(64)" else cfg.dialect.keyTextType
 
-    if (useStaging) {
-      val conn0 = connect(cfg)
-      try exec(conn0, s"CREATE TABLE ${q(cfg.schema)}.${q(keyStaging)} (${q("k")} $kType NOT NULL)")
-      finally conn0.close()
-      distinctKeys.toDF("k").write.mode(SaveMode.Append)
-        .jdbc(cfg.url, s"${q(cfg.schema)}.${q(keyStaging)}", props)
-    }
-    if (useContainerStaging) {
-      val conn0 = connect(cfg)
-      try exec(conn0, s"CREATE TABLE ${q(cfg.schema)}.${q(containerStaging)} " +
-        s"(${q("t")} $kType NOT NULL, ${q("k")} $kType NOT NULL)")
-      finally conn0.close()
-      containers.write.mode(SaveMode.Append)
-        .jdbc(cfg.url, s"${q(cfg.schema)}.${q(containerStaging)}", props)
-    }
-
-    val conn = connect(cfg)
+    // Bootstrap + schema-version gate run FIRST, before any staging
+    // work: a gate refusal must cost one SELECT, not a multi-million-key
+    // executor->DB write plus leaked staging tables.
+    val gateConn = connect(cfg)
     try {
-      if (cfg.createControlTables) ensureControlTables(conn, cfg)
+      if (cfg.createControlTables) ensureControlTables(gateConn, cfg)
       cfg.requireSchemaVersion.foreach { v =>
-        if (lookupSchemaVersion(conn, cfg, v).isEmpty) throw new SchemaVersionMissing(v)
+        if (lookupSchemaVersion(gateConn, cfg, v).isEmpty) throw new SchemaVersionMissing(v)
       }
-      conn.setAutoCommit(false)
+    } finally gateConn.close()
+
+    try {
+      if (useStaging) {
+        val conn0 = connect(cfg)
+        try exec(conn0, s"CREATE TABLE ${q(cfg.schema)}.${q(keyStaging)} (${q("k")} $kType NOT NULL)")
+        finally conn0.close()
+        distinctKeys.toDF("k").write.mode(SaveMode.Append)
+          .jdbc(cfg.url, s"${q(cfg.schema)}.${q(keyStaging)}", props)
+      }
+      if (useContainerStaging) {
+        val conn0 = connect(cfg)
+        try exec(conn0, s"CREATE TABLE ${q(cfg.schema)}.${q(containerStaging)} " +
+          s"(${q("t")} $kType NOT NULL, ${q("k")} $kType NOT NULL)")
+        finally conn0.close()
+        containers.write.mode(SaveMode.Append)
+          .jdbc(cfg.url, s"${q(cfg.schema)}.${q(containerStaging)}", props)
+      }
+
+      val conn = connect(cfg)
       try {
-        tables.foreach { t =>
-          ensureTable(conn, cfg, t, attrsByTable.getOrElse(t, Seq.empty),
-            tablePaths.get(t), cache)
-          // A15 keyed pre-delete: chunked IN statements (bounded size),
-          // or one set-oriented DELETE against the staging key table
-          if (useStaging)
-            exec(conn, JdbcDdl.deleteViaStaging(cfg.schema, t, keyStaging))
-          else if (inlineProbe.nonEmpty)
-            JdbcDdl.deleteByKeys(cfg.schema, t, inlineProbe, cfg.deleteChunkSize)
-              .foreach(exec(conn, _))
-          if (useContainerStaging)
-            exec(conn, s"DELETE FROM ${q(cfg.schema)}.${q(t)} WHERE ${q("element_id")} IN " +
-              s"(SELECT ${q("k")} FROM ${q(cfg.schema)}.${q(containerStaging)} " +
-              s"WHERE ${q("t")} = '${t.replace("'", "''")}')")
-          containerIds.get(t).filter(_.nonEmpty).foreach { ids =>
-            ids.grouped(cfg.deleteChunkSize).foreach { chunk =>
-              val in = chunk.map(i => s"'${i.replace("'", "''")}'").mkString(", ")
-              exec(conn, s"DELETE FROM ${q(cfg.schema)}.${q(t)} WHERE ${q("element_id")} IN ($in)")
+        conn.setAutoCommit(false)
+        try {
+          tables.foreach { t =>
+            ensureTable(conn, cfg, t, attrsByTable.getOrElse(t, Seq.empty),
+              tablePaths.get(t), cache)
+            // A15 keyed pre-delete: chunked IN statements (bounded size),
+            // or one set-oriented DELETE against the staging key table
+            if (useStaging)
+              exec(conn, JdbcDdl.deleteViaStaging(cfg.schema, t, keyStaging))
+            else if (inlineProbe.nonEmpty)
+              JdbcDdl.deleteByKeys(cfg.schema, t, inlineProbe, cfg.deleteChunkSize)
+                .foreach(exec(conn, _))
+            if (useContainerStaging)
+              exec(conn, s"DELETE FROM ${q(cfg.schema)}.${q(t)} WHERE ${q("element_id")} IN " +
+                s"(SELECT ${q("k")} FROM ${q(cfg.schema)}.${q(containerStaging)} " +
+                s"WHERE ${q("t")} = '${t.replace("'", "''")}')")
+            containerIds.get(t).filter(_.nonEmpty).foreach { ids =>
+              // same clamp as deleteByKeys: a zero/negative chunk size
+              // must degrade to 1-key statements, not throw mid-txn
+              ids.grouped(math.max(1, cfg.deleteChunkSize)).foreach { chunk =>
+                val in = chunk.map(i => s"'${i.replace("'", "''")}'").mkString(", ")
+                exec(conn, s"DELETE FROM ${q(cfg.schema)}.${q(t)} WHERE ${q("element_id")} IN ($in)")
+              }
             }
           }
-        }
-        conn.commit()
-      } catch { case e: Throwable => conn.rollback(); throw e }
-      finally {
-        // best-effort cleanup on both success and failure — a leftover
-        // uniquely-named staging table is inert but untidy
-        conn.setAutoCommit(true)
-        if (useStaging) execDropIfExists(conn, cfg, keyStaging)
-        if (useContainerStaging) execDropIfExists(conn, cfg, containerStaging)
+          conn.commit()
+        } catch { case e: Throwable => conn.rollback(); throw e }
+      } finally conn.close()
+    } finally {
+      // best-effort cleanup on success AND on any failure after staging
+      // creation (including a failed bulk write) — a leftover
+      // uniquely-named staging table is inert but untidy
+      if (useStaging || useContainerStaging) {
+        val c = connect(cfg)
+        try {
+          if (useStaging) execDropIfExists(c, cfg, keyStaging)
+          if (useContainerStaging) execDropIfExists(c, cfg, containerStaging)
+        } finally c.close()
       }
-    } finally conn.close()
+    }
 
     // Row traffic: executors -> DB, batched appends per tag table —
     // parents before children (topological order over the FK edges), so

@@ -29,7 +29,12 @@ import org.apache.spark.sql.types._
   */
 case class ShingleHash32(child: Expression, k: Int, stride: Int)
     extends UnaryExpression {
-  require(k >= 1 && k <= 12, "k > 12 would overflow the unreduced long sum")
+  // k <= 10: the ORACLE states the unreduced sum in checked BIGINT
+  // arithmetic, and with BMP chars up to 0xFFFF the worst case at k=11
+  // (0xFFFF * Σ 31^j ≈ 5.5e19) exceeds 2^63-1 — DuckDB would raise
+  // out-of-range while Spark (whose wrap-around is harmless mod 2^32)
+  // returned a value, a gate divergence masquerading as an engine bug.
+  require(k >= 1 && k <= 10, "k > 10 can overflow the oracle's unreduced BIGINT sum for BMP text")
   require(stride >= 1, "stride must be >= 1")
 
   override def checkInputDataTypes(): TypeCheckResult =

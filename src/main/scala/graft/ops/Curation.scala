@@ -77,16 +77,19 @@ object Curation {
 
   /** Canonical selection inside near-dup clusters: instead of "keep the
     * min id" (d06), keep the HIGHEST-QUALITY member — rank cluster
-    * members by (quality desc, id asc) and keep rank 1. Input: the
-    * cluster labels from [[Dedup.connectedComponents]] joined back to
-    * the corpus. One window over the cluster key.
+    * members by (quality desc, id asc) and return ONLY rank 1, one row
+    * per cluster, with a `cluster_size` column. Input: the cluster
+    * labels from [[Dedup.connectedComponents]] joined back to the
+    * corpus. One window over the cluster key.
     */
   def keepBest(labeled: DataFrame, labelCol: String, idCol: String,
       quality: Column): DataFrame = {
     val w = Window.partitionBy(col(labelCol))
       .orderBy(quality.desc, col(idCol).asc)
     labeled
-      .withColumn("rank", row_number().over(w))
+      .withColumn("__rank", row_number().over(w))
       .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy(col(labelCol))))
+      .where(col("__rank") === 1)
+      .drop("__rank")
   }
 }

@@ -130,12 +130,16 @@ object Dedup {
       .withColumn("label", col("id")))
     var i = 0
     var converged = false
+    // the actual persisted object of the previous round — unpersist must
+    // target it, not a projection over it (CacheManager matches plans by
+    // sameResult; unpersisting a Project over the cached plan frees
+    // nothing and would leak one cached label set per round)
+    var pinned: DataFrame = null
     while (!converged && i < maxIter) {
       val prop = sym.join(labels.withColumnRenamed("id", "dst2"),
           sym("dst") === col("dst2"))
         .groupBy(col("src").as("id"))
         .agg(min(col("label")).as("nlabel"))
-      val prev = labels
       // the changed flag rides along in the propagation select, so the
       // convergence check needs no extra join against the previous round
       val next = labels.join(prop, Seq("id"), "left")
@@ -149,8 +153,9 @@ object Dedup {
         if (i % 3 == 2) cut(next)
         else { next.persist(); next }
       val diffs = materialized.where(col("__chg")).count()
+      if (pinned ne null) pinned.unpersist()
+      pinned = if (i % 3 == 2) null else materialized
       labels = materialized.drop("__chg")
-      prev.unpersist()
       converged = diffs == 0
       i += 1
     }

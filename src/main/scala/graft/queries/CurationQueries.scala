@@ -61,7 +61,6 @@ object CurationQueries {
         .join(docs, col("id") === col("doc_id"))
         .select(col("label"), col("doc_id"), length(col("text")).cast("long").as("n_chars"))
       Curation.keepBest(labeled, "label", "doc_id", col("n_chars"))
-        .where(col("rank") === 1)
         .select(col("label").as("cluster_id"), col("doc_id").as("kept_id"),
           col("n_chars").as("kept_chars"), col("cluster_size"))
         .orderBy("cluster_id")

@@ -46,9 +46,19 @@ object DictionaryLoader {
         .connectTimeout(timeout)
         .build()
       val req = HttpRequest.newBuilder(URI.create(url)).timeout(timeout).GET().build()
-      val resp = client.send(req, HttpResponse.BodyHandlers.ofFile(landingPath))
-      if (resp.statusCode() / 100 != 2)
+      // TRUNCATE_EXISTING: the default ofFile(path) opens CREATE+WRITE
+      // only, so re-fetching a SHORTER dictionary into an existing
+      // landing file would leave the old file's tail bytes — a silently
+      // garbled CSV on the very refresh path this exists for
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofFile(landingPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING))
+      if (resp.statusCode() / 100 != 2) {
+        // don't leave the error body poisoning the landing path
+        java.nio.file.Files.deleteIfExists(landingPath)
         throw new IOException(s"GET $url failed: HTTP ${resp.statusCode()}")
+      }
       resp.body()
     }
   }

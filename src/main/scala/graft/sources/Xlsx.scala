@@ -150,8 +150,12 @@ object Xlsx {
             case "c" if row != null =>
               val value = cellType match {
                 case "s" =>
-                  val i = v.toString.trim.toInt
-                  if (i >= 0 && i < shared.length) shared(i) else null
+                  // styled-but-cleared cells can carry an empty/absent
+                  // <v>; treat any unparsable index as an empty cell
+                  // rather than failing the whole workbook
+                  v.toString.trim.toIntOption
+                    .filter(i => i >= 0 && i < shared.length)
+                    .map(shared).orNull
                 case "inlineStr" => inlineStr
                 case "b" => if (v.toString.trim == "1") "TRUE" else "FALSE"
                 case _ => v.toString // "n", "str", "e": the stored text

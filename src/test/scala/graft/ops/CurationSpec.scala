@@ -54,7 +54,6 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       (1L, 10L, 5L), (1L, 11L, 9L), (1L, 12L, 9L), // best: 11 (9 chars, min id)
       (2L, 20L, 3L)).toDF("label", "doc_id", "q")
     val kept = Curation.keepBest(labeled, "label", "doc_id", col("q"))
-      .where(col("rank") === 1)
       .select("label", "doc_id", "cluster_size").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(kept == Set((1L, 11L, 3L), (2L, 20L, 1L)))
