@@ -82,6 +82,23 @@ object EventsQueries {
           sum(get_json_object(col("props"), "$.k").cast("long")).as("k_total"))
         .orderBy("event_type")
     }),
+
+    "e07_cohort_retention" -> ((s, d) => {
+      // classic retention triangle: cohort = week of a user's first
+      // event; a cell counts users of that cohort active N weeks later.
+      // Two aggregations + one join on user_id — no per-user windowing.
+      val ev = Tables.load(s, d, "events")
+      val cohorts = ev.groupBy("user_id")
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+      val activity = ev
+        .select(col("user_id"), date_trunc("week", col("ts")).as("act_week"))
+        .distinct()
+      cohorts.join(activity, "user_id")
+        .groupBy(unix_micros(col("cohort_week")).as("cohort_week_us"),
+          expr("CAST(datediff(act_week, cohort_week) div 7 AS BIGINT)").as("week_offset"))
+        .agg(count(lit(1)).as("n_active_users"))
+        .orderBy("cohort_week_us", "week_offset")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -142,5 +159,16 @@ object EventsQueries {
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "e07_cohort_retention" ->
+      """WITH cohorts AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cw FROM events GROUP BY 1),
+        |activity AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events)
+        |SELECT epoch_us(cw) AS cohort_week_us,
+        |  CAST(datediff('day', cw, aw) // 7 AS BIGINT) AS week_offset,
+        |  count(*) AS n_active_users
+        |FROM cohorts JOIN activity USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

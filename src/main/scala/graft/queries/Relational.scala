@@ -325,6 +325,23 @@ object Relational {
     // Count-min sketch heavy hitters (rows-only: sketch estimates are
     // engine-specific): estimate the 5 hottest part keys from a CMS
     // built distributed, against their exact frequencies.
+    "q28_grouping_sets" -> ((s, d) => {
+      // arbitrary GROUPING SETS (beyond q17's ROLLUP): per-(flag,status),
+      // per-status, and grand total in one Expand pass; GROUPING() flags
+      // disambiguate real NULL groups from super-aggregate rows
+      t(s, d, "lineitem").createOrReplaceTempView("gs_lineitem")
+      s.sql(
+        """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+          |  coalesce(l_linestatus, 'ALL') AS linestatus,
+          |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+          |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+          |  count(*) AS n_items,
+          |  sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+          |FROM gs_lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+          |ORDER BY returnflag, linestatus""".stripMargin)
+    }),
+
     "q24_cms_heavy_hitters" -> ((s, d) => {
       import s.implicits._
       val li = t(s, d, "lineitem")
@@ -469,6 +486,17 @@ object Relational {
     "q18_heavy_hitters" ->
       """SELECT l_partkey, count(*) AS freq FROM lineitem
         |GROUP BY 1 ORDER BY freq DESC, l_partkey LIMIT 20""".stripMargin,
+
+    "q28_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+        |  count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        |ORDER BY returnflag, linestatus""".stripMargin,
 
     "q23_percentile" ->
       """SELECT l_returnflag,
