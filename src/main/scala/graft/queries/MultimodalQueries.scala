@@ -26,6 +26,19 @@ object MultimodalQueries {
         .orderBy("media_id")
     }),
 
+    "m03_frame_bytes" -> ((s, d) => {
+      // exercises the REAL frame extraction (substring slicing), not
+      // just the count: total bytes across sampled frames must equal
+      // the arithmetic the oracle states from payload length alone
+      val media = Tables.load(s, d, "documents")
+        .select(col("doc_id").as("media_id"), col("text").cast("binary").as("payload"))
+      Multimodal.sampleFrames(media, strideBytes = 100)
+        .select(col("media_id"),
+          size(col("frames")).cast("long").as("n_frames"),
+          expr("aggregate(frames, 0L, (a, f) -> a + octet_length(f))").as("frame_bytes"))
+        .orderBy("media_id")
+    }),
+
     "m02_media_by_format" -> ((s, d) => {
       val media = Tables.load(s, d, "documents")
         .select(col("doc_id").as("media_id"), col("text").cast("binary").as("payload"))
@@ -54,6 +67,12 @@ object MultimodalQueries {
       s"""WITH $decodeCte
          |SELECT media_id, n_bytes, width, height, format,
          |  greatest(n_bytes // 100, 1) AS n_frames
+         |FROM d ORDER BY media_id""".stripMargin,
+
+    "m03_frame_bytes" ->
+      s"""WITH $decodeCte
+         |SELECT media_id, greatest(n_bytes // 100, 1) AS n_frames,
+         |  CASE WHEN n_bytes < 100 THEN n_bytes ELSE (n_bytes // 100) * 100 END AS frame_bytes
          |FROM d ORDER BY media_id""".stripMargin,
 
     "m02_media_by_format" ->
