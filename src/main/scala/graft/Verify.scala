@@ -31,10 +31,12 @@ object Verify {
           }
       })
     }
-    // shutdown in finally: a fatal task error (OOM) otherwise leaves
-    // non-daemon pool threads alive and the JVM hangs instead of dying
-    // visibly
-    try tasks.foreach(_.get()) finally pool.shutdown()
+    // shutdownNow on failure: a fatal task error (OOM) must kill the
+    // queued work AND the non-daemon workers, so the JVM dies visibly
+    // instead of grinding through the remaining queries on a poisoned
+    // heap (or hanging on live pool threads)
+    try { tasks.foreach(_.get()); pool.shutdown() }
+    catch { case t: Throwable => pool.shutdownNow(); throw t }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -100,13 +100,14 @@ object JdbcDdl {
     * at `chunkSize` keys per statement so a large backfill batch never
     * produces a statement the engine rejects (nor a mega string on the
     * driver). One statement per (table, chunk) instead of the reference's
-    * per-(table, key) roundtrip.
+    * per-(table, key) roundtrip. `keyCol` defaults to the PCR context;
+    * container eviction reuses the same builder with `element_id`.
     */
   def deleteByKeys(schema: String, tableRaw: String, keys: Seq[String],
-      chunkSize: Int = 1000): Seq[String] =
+      chunkSize: Int = 1000, keyCol: String = "pcr_uuid_context"): Seq[String] =
     keys.grouped(math.max(1, chunkSize)).map { chunk =>
       val in = chunk.map(k => s"'${k.replace("'", "''")}'").mkString(", ")
-      s"DELETE FROM ${q(schema)}.${q(tableRaw.toLowerCase)} WHERE ${q("pcr_uuid_context")} IN ($in);"
+      s"DELETE FROM ${q(schema)}.${q(tableRaw.toLowerCase)} WHERE ${q(keyCol)} IN ($in);"
     }.toSeq
 
   /** Keyed overwrite via a staging key table: the scale path when the

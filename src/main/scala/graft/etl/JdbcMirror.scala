@@ -353,12 +353,8 @@ object JdbcMirror {
                 s"(SELECT ${q("k")} FROM ${q(cfg.schema)}.${q(containerStaging)} " +
                 s"WHERE ${q("t")} = '${t.replace("'", "''")}')")
             containerIds.get(t).filter(_.nonEmpty).foreach { ids =>
-              // same clamp as deleteByKeys: a zero/negative chunk size
-              // must degrade to 1-key statements, not throw mid-txn
-              ids.grouped(math.max(1, cfg.deleteChunkSize)).foreach { chunk =>
-                val in = chunk.map(i => s"'${i.replace("'", "''")}'").mkString(", ")
-                exec(conn, s"DELETE FROM ${q(cfg.schema)}.${q(t)} WHERE ${q("element_id")} IN ($in)")
-              }
+              JdbcDdl.deleteByKeys(cfg.schema, t, ids, cfg.deleteChunkSize,
+                keyCol = "element_id").foreach(exec(conn, _))
             }
           }
           conn.commit()
@@ -367,13 +363,18 @@ object JdbcMirror {
     } finally {
       // best-effort cleanup on success AND on any failure after staging
       // creation (including a failed bulk write) — a leftover
-      // uniquely-named staging table is inert but untidy
+      // uniquely-named staging table is inert but untidy. GENUINELY
+      // best-effort: if the DB is down (likely the very reason we're
+      // unwinding), the cleanup's own failure must not mask the real
+      // exception.
       if (useStaging || useContainerStaging) {
-        val c = connect(cfg)
         try {
-          if (useStaging) execDropIfExists(c, cfg, keyStaging)
-          if (useContainerStaging) execDropIfExists(c, cfg, containerStaging)
-        } finally c.close()
+          val c = connect(cfg)
+          try {
+            if (useStaging) execDropIfExists(c, cfg, keyStaging)
+            if (useContainerStaging) execDropIfExists(c, cfg, containerStaging)
+          } finally c.close()
+        } catch { case scala.util.control.NonFatal(_) => () }
       }
     }
 

@@ -322,9 +322,6 @@ object Relational {
           |ORDER BY o_orderkey""".stripMargin)
     }),
 
-    // Count-min sketch heavy hitters (rows-only: sketch estimates are
-    // engine-specific): estimate the 5 hottest part keys from a CMS
-    // built distributed, against their exact frequencies.
     "q28_grouping_sets" -> ((s, d) => {
       // arbitrary GROUPING SETS (beyond q17's ROLLUP): per-(flag,status),
       // per-status, and grand total in one Expand pass; GROUPING() flags
@@ -342,6 +339,9 @@ object Relational {
           |ORDER BY returnflag, linestatus""".stripMargin)
     }),
 
+    // Count-min sketch heavy hitters (rows-only: sketch estimates are
+    // engine-specific): estimate the 5 hottest part keys from a CMS
+    // built distributed, against their exact frequencies.
     "q24_cms_heavy_hitters" -> ((s, d) => {
       import s.implicits._
       val li = t(s, d, "lineitem")

@@ -46,20 +46,27 @@ object DictionaryLoader {
         .connectTimeout(timeout)
         .build()
       val req = HttpRequest.newBuilder(URI.create(url)).timeout(timeout).GET().build()
-      // TRUNCATE_EXISTING: the default ofFile(path) opens CREATE+WRITE
-      // only, so re-fetching a SHORTER dictionary into an existing
-      // landing file would leave the old file's tail bytes — a silently
-      // garbled CSV on the very refresh path this exists for
-      val resp = client.send(req, HttpResponse.BodyHandlers.ofFile(landingPath,
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE,
-        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING))
-      if (resp.statusCode() / 100 != 2) {
-        // don't leave the error body poisoning the landing path
-        java.nio.file.Files.deleteIfExists(landingPath)
-        throw new IOException(s"GET $url failed: HTTP ${resp.statusCode()}")
+      // Download into a sibling temp file, then move atomically over the
+      // landing path: a mid-body network failure or a non-2xx error body
+      // must never truncate or poison a previous good dictionary — the
+      // landing file either keeps its old content or becomes the
+      // complete new body.
+      val tmp = java.nio.file.Files.createTempFile(
+        Option(landingPath.toAbsolutePath.getParent).orNull, ".fetch-", ".tmp")
+      try {
+        val resp = client.send(req, HttpResponse.BodyHandlers.ofFile(tmp,
+          java.nio.file.StandardOpenOption.WRITE,
+          java.nio.file.StandardOpenOption.TRUNCATE_EXISTING))
+        if (resp.statusCode() / 100 != 2)
+          throw new IOException(s"GET $url failed: HTTP ${resp.statusCode()}")
+        java.nio.file.Files.move(tmp, landingPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        landingPath
+      } finally {
+        java.nio.file.Files.deleteIfExists(tmp)
+        ()
       }
-      resp.body()
     }
   }
 
