@@ -48,6 +48,33 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(out == Map(1L -> ((3L, 2L)), 2L -> ((2L, 0L)), 3L -> ((1L, 1L))))
   }
 
+  test("splitAssign runs unchanged in Structured Streaming, batch-identical") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    // per-row column ops compose into readStream pipelines as-is: a
+    // streaming corpus gets its stable split assignment per micro-batch
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"), Curation.splitAssign(col("doc_id")).as("split"))
+      .writeStream.format("memory").queryName("stream_split")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      in.addData((3L, "c"))
+      q.processAllAvailable()
+      val out = spark.table("stream_split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      // identical assignments to the batch path, batch boundaries ignored
+      val batch = Seq(1L, 2L, 3L).toDF("doc_id")
+        .select(col("doc_id"), Curation.splitAssign(col("doc_id")).as("split"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out == batch)
+    } finally q.stop()
+  }
+
   test("keepBest ranks by quality desc then id, and carries cluster size") {
     import spark.implicits._
     val labeled = Seq(
