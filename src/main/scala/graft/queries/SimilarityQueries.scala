@@ -52,6 +52,17 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    "s07_filtered_topk" -> ((s, d) => {
+      // filtered retrieval — the common production shape: a metadata
+      // predicate restricts the corpus BEFORE scoring (pushed to the
+      // parquet scan, shrinking the broadcast-scored side), here
+      // "even-labeled corpus vectors only"
+      val e = Tables.load(s, d, "embeddings")
+      Similarity.bruteForceTopK(
+          e.where(col("label") % 2 === 0), e.where(col("vec_id") < 8), k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // Production fast path: the native codegen'd VecCosineFloat
     // expression (single fused loop over raw floats). Float summation
     // order makes scores engine-specific, so no oracle — rows-only.
@@ -97,6 +108,21 @@ object SimilarityQueries {
          |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
          |  FROM scored)
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "s07_filtered_topk" ->
+      s"""WITH $qCte,
+         |n AS (SELECT vec_id, label, q, CAST(list_dot_product(q, q) AS BIGINT) AS norm FROM qv),
+         |scored AS (
+         |  SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${cosine("qs.q", "c.q", "qs.norm", "c.norm")} AS cosine
+         |  FROM n qs JOIN n c ON c.vec_id <> qs.vec_id
+         |  WHERE qs.vec_id < 8 AND c.label % 2 = 0)
+         |SELECT query_id, rank, neighbor_id, cosine FROM (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "s02_topk_lsh" -> {
       val bucket = (0 until 8).map { i =>
