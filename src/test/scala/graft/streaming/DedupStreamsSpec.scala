@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+import graft.ops.Dedup
+
+class DedupStreamsSpec extends AnyFunSuite with SparkSpec {
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again today spark"),
+    (3L, "completely different text with nothing shared at all whatsoever here"),
+    // arrives in a LATER batch, near-dup of 1 and 2
+    (4L, "the quick brown fox jumps over the lazy dog again and again today"))
+
+  test("streaming candidate pairs match the batch LSH operator across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = DedupStreams.nearDupPairs(in.toDS().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(docs(0), docs(1), docs(2))
+      q.processAllAvailable()
+      in.addData(docs(3)) // state remembers bucket members across batches
+      q.processAllAvailable()
+      val streamed = spark.table("neardup_stream")
+        .select("id_a", "id_b").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = Dedup.minHashCandidatePairs(
+          docs.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch)
+      assert(streamed.contains((1L, 4L))) // cross-batch pair via state
+      assert(!streamed.exists(p => p._1 == 3L || p._2 == 3L))
+    } finally q.stop()
+  }
+
+  test("bucket cap bounds state: beyond maxBucketSize no new pairs are emitted") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = DedupStreams.nearDupPairs(in.toDS().toDF("doc_id", "text"),
+        "doc_id", "text", maxBucketSize = 2)
+      .writeStream.format("memory").queryName("neardup_capped")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val same = "identical text shared by every single document in this stream"
+      in.addData((1L, same), (2L, same), (3L, same), (4L, same))
+      q.processAllAvailable()
+      val pairs = spark.table("neardup_capped")
+        .select("id_a", "id_b").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // only the first two members entered each bucket: exactly one pair
+      // (which two is iterator-order dependent — the CAP is the contract)
+      assert(pairs.size == 1)
+    } finally q.stop()
+  }
+}
