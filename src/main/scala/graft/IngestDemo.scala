@@ -40,10 +40,14 @@ object IngestDemo {
       val dialect =
         if (url.startsWith("jdbc:derby")) graft.etl.JdbcMirror.DerbyDialect
         else graft.etl.JdbcMirror.PostgresDialect
+      val cfg = graft.etl.JdbcMirror.MirrorConfig(url, dialect = dialect)
       val mirrored = graft.etl.JdbcMirror.mirrorBatch(
-        spark.read.parquet(IngestPipeline.elementsPath(lakeDir)),
-        graft.etl.JdbcMirror.MirrorConfig(url, dialect = dialect))
+        spark.read.parquet(IngestPipeline.elementsPath(lakeDir)), cfg)
       println(s"--- jdbc mirror: ${mirrored.toSeq.sorted.mkString(", ")} ---")
+      // the reference's log_processed_file: audit rows land in the DB's
+      // XMLFilesProcessed control table too, keyed on ProcessedFileID
+      graft.etl.JdbcMirror.mirrorAudit(
+        spark.read.parquet(IngestPipeline.auditPath(lakeDir)), cfg)
     }
 
     println("--- audit ---")

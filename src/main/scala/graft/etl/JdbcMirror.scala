@@ -40,6 +40,11 @@ object JdbcMirror {
     def timestampType: String
     def supportsIfNotExists: Boolean
     def supportsComments: Boolean
+    /** How the engine folds UNQUOTED identifiers (the control tables are
+      * created unquoted, like the reference's): PG lowercases, Derby
+      * uppercases. Needed to address their columns from quoted contexts.
+      */
+    def foldCase(ident: String): String
   }
   object PostgresDialect extends SqlDialect {
     val textType = "TEXT"
@@ -48,6 +53,7 @@ object JdbcMirror {
     val timestampType = "TIMESTAMPTZ"
     val supportsIfNotExists = true
     val supportsComments = true
+    def foldCase(ident: String): String = ident.toLowerCase
   }
   object DerbyDialect extends SqlDialect {
     val textType = "VARCHAR(4000)"
@@ -56,6 +62,7 @@ object JdbcMirror {
     val timestampType = "TIMESTAMP"
     val supportsIfNotExists = false
     val supportsComments = false
+    def foldCase(ident: String): String = ident.toUpperCase
   }
 
   /** Spark's stock Derby dialect writes StringType as CLOB, which cannot
@@ -193,6 +200,70 @@ object JdbcMirror {
   /** A23: bootstrap control tables, idempotent. */
   def ensureControlTables(conn: Connection, cfg: MirrorConfig): Unit =
     JdbcDdl.bootstrap(cfg.schema, cfg.dialect).foreach(execCreateIfAbsent(conn, _))
+
+  /** Mirror the ingest audit into the DB's `XMLFilesProcessed` — the
+    * reference's `log_processed_file` (`main_ingest.py:67-117`), batched
+    * instead of row-at-a-time. Idempotent on ProcessedFileID: a replayed
+    * batch's ids are evicted first (chunked statements), and since the
+    * LAKE audit is append-only while ids are deterministic per file, the
+    * input is reduced to each file's LATEST attempt before insert —
+    * re-runs update the file's row instead of violating the PK. Input is
+    * the lake audit DataFrame ([[Audit.AuditRow]] schema).
+    */
+  def mirrorAudit(auditAll: DataFrame, cfg: MirrorConfig): Unit = {
+    if (cfg.dialect == DerbyDialect) registerDerbyDialect
+    val fold = cfg.dialect.foldCase _
+    val table = fold("XMLFilesProcessed")
+    val latest = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("processed_file_id"))
+      .orderBy(col("processing_timestamp").desc, col("status"))
+    val audit = auditAll.where(col("processed_file_id").isNotNull)
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(latest))
+      .where(col("__rn") === 1).drop("__rn")
+    val ids = audit.select("processed_file_id")
+      .distinct().collect().map(_.getString(0)).toSeq
+    val conn = connect(cfg)
+    var knownVersions = Set.empty[Int]
+    try {
+      ensureControlTables(conn, cfg)
+      // the audit's schema_version_id is advisory; the FK to
+      // SchemaVersions only admits registered ids — log NULL for the
+      // rest instead of failing the whole batch
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(
+          s"SELECT SchemaVersionID FROM ${q(cfg.schema)}.SchemaVersions")
+        while (rs.next()) knownVersions += rs.getInt(1)
+        rs.close()
+      } finally st.close()
+      conn.setAutoCommit(false)
+      try {
+        ids.grouped(math.max(1, cfg.deleteChunkSize)).foreach { chunk =>
+          val in = chunk.map(k => s"'${k.replace("'", "''")}'").mkString(", ")
+          exec(conn, s"DELETE FROM ${q(cfg.schema)}.${q(table)} " +
+            s"WHERE ${q(fold("ProcessedFileID"))} IN ($in)")
+        }
+        conn.commit()
+      } catch { case e: Throwable => conn.rollback(); throw e }
+    } finally conn.close()
+    val props = new Properties()
+    if (cfg.user.nonEmpty) props.put("user", cfg.user)
+    if (cfg.password.nonEmpty) props.put("password", cfg.password)
+    props.put("batchsize", cfg.batchSize.toString)
+    val versionCol =
+      if (knownVersions.isEmpty) lit(null).cast("int")
+      else when(col("schema_version_id").isin(knownVersions.toSeq: _*),
+        col("schema_version_id")).otherwise(lit(null).cast("int"))
+    audit.select(
+        col("processed_file_id").as(fold("ProcessedFileID")),
+        col("original_file_name").as(fold("OriginalFileName")),
+        col("md5_hash").as(fold("MD5Hash")),
+        col("processing_timestamp").as(fold("ProcessingTimestamp")),
+        col("status").as(fold("Status")),
+        versionCol.as(fold("SchemaVersionID")))
+      .write.mode(SaveMode.Append)
+      .jdbc(cfg.url, s"${q(cfg.schema)}.${q(table)}", props)
+  }
 
   /** Schema-version gate (`main_ingest.py:53-64`): VersionNumber -> id. */
   def lookupSchemaVersion(conn: Connection, cfg: MirrorConfig, version: String): Option[Int] = {

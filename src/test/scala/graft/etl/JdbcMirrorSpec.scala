@@ -152,6 +152,34 @@ class JdbcMirrorSpec extends AnyFunSuite with SparkSpec {
       """SELECT count(*) FROM "APP"."evitals_06" WHERE "pcr_uuid_context" LIKE 'pcr-cs-%'""") == 3)
   }
 
+  test("audit rows mirror into XMLFilesProcessed, idempotent on file id") {
+    import java.sql.Timestamp
+    val rows1 = Audit.rows(spark, Seq(
+      Audit.AuditRow("pf-1", "a.xml", "m1", new Timestamp(1000L), Audit.Status.Staged, None),
+      Audit.AuditRow("pf-2", "b.xml", "m2", new Timestamp(2000L), Audit.Status.ErrorMd5, Some(1))))
+    JdbcMirror.mirrorAudit(rows1, cfg)
+    assert(queryCount("""SELECT count(*) FROM "APP".XMLFilesProcessed""") == 2)
+
+    // replay of pf-2 with a new status replaces, never PK-violates —
+    // including when the APPEND-ONLY lake audit carries BOTH attempts in
+    // one frame (latest timestamp wins)
+    val rows2 = Audit.rows(spark, Seq(
+      Audit.AuditRow("pf-2", "b.xml", "m2", new Timestamp(2000L), Audit.Status.ErrorMd5, Some(1)),
+      Audit.AuditRow("pf-2", "b.xml", "m2", new Timestamp(3000L), Audit.Status.Staged, Some(1))))
+    JdbcMirror.mirrorAudit(rows2, cfg)
+    assert(queryCount("""SELECT count(*) FROM "APP".XMLFilesProcessed""") == 2)
+    assert(queryCount(
+      s"""SELECT count(*) FROM "APP".XMLFilesProcessed WHERE Status = '${Audit.Status.Staged}'""") == 2)
+
+    // a schema_version_id not registered in SchemaVersions logs as NULL
+    // (FK-safe) rather than failing the batch
+    JdbcMirror.mirrorAudit(Audit.rows(spark, Seq(
+      Audit.AuditRow("pf-3", "c.xml", "m3", new Timestamp(4000L), Audit.Status.Staged, Some(999)))), cfg)
+    assert(queryCount(
+      """SELECT count(*) FROM "APP".XMLFilesProcessed
+        |WHERE ProcessedFileID = 'pf-3' AND SchemaVersionID IS NULL""".stripMargin) == 1)
+  }
+
   test("postgres-dialect DDL: bootstrap + comment stamped on first create") {
     val boot = JdbcDdl.bootstrap("public", JdbcMirror.PostgresDialect)
     assert(boot.exists(_.contains("CREATE TABLE IF NOT EXISTS \"public\".SchemaVersions")))
