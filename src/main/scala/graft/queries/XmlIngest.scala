@@ -20,11 +20,16 @@ object XmlIngest {
     */
   private def ordersAsElements(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // orders at bench scale is ONE small parquet file = one input split;
+    // without a repartition the StAX flatMap below would run on a single
+    // core. CPU-bound per-row work should follow cores, not input splits
+    // (the real ingest path reads many files and gets this for free).
     val o = Tables.load(s, d, "orders").select(
       col("o_orderkey"),
       col("o_orderstatus"),
       date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
       round(col("o_totalprice") * 100.0).cast("long").as("cents"))
+      .repartition(s.sparkContext.defaultParallelism)
     o.as[(Long, String, String, Long)].flatMap { case (key, status, odate, cents) =>
       val dispo =
         if (status == "F") s"<eDisposition.12>transported</eDisposition.12>" else ""
