@@ -203,12 +203,18 @@ object JdbcMirror {
 
   /** Mirror the ingest audit into the DB's `XMLFilesProcessed` — the
     * reference's `log_processed_file` (`main_ingest.py:67-117`), batched
-    * instead of row-at-a-time. Idempotent on ProcessedFileID: a replayed
-    * batch's ids are evicted first (chunked statements), and since the
-    * LAKE audit is append-only while ids are deterministic per file, the
-    * input is reduced to each file's LATEST attempt before insert —
-    * re-runs update the file's row instead of violating the PK. Input is
-    * the lake audit DataFrame ([[Audit.AuditRow]] schema).
+    * instead of row-at-a-time, and idempotent on ProcessedFileID.
+    *
+    * Shape: the append-only lake audit is reduced to each file's LATEST
+    * attempt (ties prefer Staged over Error — at an equal timestamp the
+    * data IS in the lake), written executor->DB into a per-batch staging
+    * table, then one transaction replaces the affected rows:
+    * `DELETE ... WHERE id IN (SELECT id FROM staging); INSERT ... SELECT
+    * FROM staging`. No audit row or id ever lands on the driver, the
+    * delete+insert is atomic (a failed write can't leave previously
+    * mirrored rows deleted), and a million-file backfill is the same two
+    * statements. A `schema_version_id` not registered in SchemaVersions
+    * logs as NULL (FK-safe) rather than failing the batch.
     */
   def mirrorAudit(auditAll: DataFrame, cfg: MirrorConfig): Unit = {
     if (cfg.dialect == DerbyDialect) registerDerbyDialect
@@ -216,36 +222,27 @@ object JdbcMirror {
     val table = fold("XMLFilesProcessed")
     val latest = org.apache.spark.sql.expressions.Window
       .partitionBy(col("processed_file_id"))
-      .orderBy(col("processing_timestamp").desc, col("status"))
+      .orderBy(col("processing_timestamp").desc, col("status").desc)
     val audit = auditAll.where(col("processed_file_id").isNotNull)
-      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(latest))
+      .withColumn("__rn", row_number().over(latest))
       .where(col("__rn") === 1).drop("__rn")
-    val ids = audit.select("processed_file_id")
-      .distinct().collect().map(_.getString(0)).toSeq
-    val conn = connect(cfg)
+
+    // control tables + known version ids (one short-lived connection)
     var knownVersions = Set.empty[Int]
+    val gateConn = connect(cfg)
     try {
-      ensureControlTables(conn, cfg)
+      if (cfg.createControlTables) ensureControlTables(gateConn, cfg)
       // the audit's schema_version_id is advisory; the FK to
-      // SchemaVersions only admits registered ids — log NULL for the
-      // rest instead of failing the whole batch
-      val st = conn.createStatement()
+      // SchemaVersions only admits registered ids
+      val st = gateConn.createStatement()
       try {
         val rs = st.executeQuery(
           s"SELECT SchemaVersionID FROM ${q(cfg.schema)}.SchemaVersions")
         while (rs.next()) knownVersions += rs.getInt(1)
         rs.close()
       } finally st.close()
-      conn.setAutoCommit(false)
-      try {
-        ids.grouped(math.max(1, cfg.deleteChunkSize)).foreach { chunk =>
-          val in = chunk.map(k => s"'${k.replace("'", "''")}'").mkString(", ")
-          exec(conn, s"DELETE FROM ${q(cfg.schema)}.${q(table)} " +
-            s"WHERE ${q(fold("ProcessedFileID"))} IN ($in)")
-        }
-        conn.commit()
-      } catch { case e: Throwable => conn.rollback(); throw e }
-    } finally conn.close()
+    } finally gateConn.close()
+
     val props = new Properties()
     if (cfg.user.nonEmpty) props.put("user", cfg.user)
     if (cfg.password.nonEmpty) props.put("password", cfg.password)
@@ -254,15 +251,52 @@ object JdbcMirror {
       if (knownVersions.isEmpty) lit(null).cast("int")
       else when(col("schema_version_id").isin(knownVersions.toSeq: _*),
         col("schema_version_id")).otherwise(lit(null).cast("int"))
-    audit.select(
-        col("processed_file_id").as(fold("ProcessedFileID")),
-        col("original_file_name").as(fold("OriginalFileName")),
-        col("md5_hash").as(fold("MD5Hash")),
-        col("processing_timestamp").as(fold("ProcessingTimestamp")),
-        col("status").as(fold("Status")),
-        versionCol.as(fold("SchemaVersionID")))
-      .write.mode(SaveMode.Append)
-      .jdbc(cfg.url, s"${q(cfg.schema)}.${q(table)}", props)
+    val staged = audit.select(
+      col("processed_file_id").as(fold("ProcessedFileID")),
+      col("original_file_name").as(fold("OriginalFileName")),
+      col("md5_hash").as(fold("MD5Hash")),
+      col("processing_timestamp").as(fold("ProcessingTimestamp")),
+      col("status").as(fold("Status")),
+      versionCol.as(fold("SchemaVersionID")))
+
+    val batchTag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val staging = s"${fold("XMLFilesProcessed")}_stg_$batchTag"
+    val auditCols = Seq("ProcessedFileID", "OriginalFileName", "MD5Hash",
+      "ProcessingTimestamp", "Status", "SchemaVersionID").map(fold)
+    try {
+      val conn0 = connect(cfg)
+      try exec(conn0,
+        s"CREATE TABLE ${q(cfg.schema)}.${q(staging)} (" +
+          s"${q(fold("ProcessedFileID"))} ${cfg.dialect.keyTextType} NOT NULL, " +
+          s"${q(fold("OriginalFileName"))} ${cfg.dialect.textType}, " +
+          s"${q(fold("MD5Hash"))} ${cfg.dialect.textType}, " +
+          s"${q(fold("ProcessingTimestamp"))} ${cfg.dialect.timestampType}, " +
+          s"${q(fold("Status"))} ${cfg.dialect.textType}, " +
+          s"${q(fold("SchemaVersionID"))} INTEGER)")
+      finally conn0.close()
+      staged.write.mode(SaveMode.Append)
+        .jdbc(cfg.url, s"${q(cfg.schema)}.${q(staging)}", props)
+
+      val conn = connect(cfg)
+      try {
+        conn.setAutoCommit(false)
+        try {
+          exec(conn, s"DELETE FROM ${q(cfg.schema)}.${q(table)} " +
+            s"WHERE ${q(fold("ProcessedFileID"))} IN " +
+            s"(SELECT ${q(fold("ProcessedFileID"))} FROM ${q(cfg.schema)}.${q(staging)})")
+          val colList = auditCols.map(q).mkString(", ")
+          exec(conn, s"INSERT INTO ${q(cfg.schema)}.${q(table)} ($colList) " +
+            s"SELECT $colList FROM ${q(cfg.schema)}.${q(staging)}")
+          conn.commit()
+        } catch { case e: Throwable => conn.rollback(); throw e }
+      } finally conn.close()
+    } finally {
+      // best-effort; must not mask the in-flight exception
+      try {
+        val c = connect(cfg)
+        try execDropIfExists(c, cfg, staging) finally c.close()
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 
   /** Schema-version gate (`main_ingest.py:53-64`): VersionNumber -> id. */

@@ -13,20 +13,23 @@ import graft.ops.Dedup
   * that lives in `flatMapGroupsWithState` keyed by (band_idx, band_key).
   *
   * Each arriving document emits one candidate pair per remembered
-  * same-bucket member, then joins the bucket's state. Guarantees match
-  * the batch operator's shape: a pair is emitted at most once per BAND
-  * (the same pair surfacing via two bands arrives twice — batch d02
-  * applies `distinct()`; downstream streaming consumers dedup by
-  * (id_a, id_b) within their watermark, or treat pairs as idempotent
-  * upserts).
+  * same-bucket member. Pairs match the batch operator exactly while
+  * buckets stay under `maxBucketSize`; at the cap, arriving documents
+  * still PAIR against the remembered members (recall against them is
+  * kept) but are not added to membership, so state stays bounded — the
+  * only loss is pairs among the 65th+ members of one bucket, which in
+  * batch terms is a bucket the banding parameters should have split
+  * anyway. A pair surfacing via two bands arrives once per band (batch
+  * d02 applies `distinct()`; streaming consumers dedup by (id_a, id_b)
+  * within their watermark or treat pairs as idempotent upserts).
   *
-  * State per bucket is capped at `maxBucketSize` ids (LSH bucket sizes
-  * are the Σ bucket² cost knob in batch too — an over-full streaming
-  * bucket means the banding parameters need retuning, not more state);
-  * overflow beyond the cap stops emitting new pairs for that bucket
-  * rather than growing without bound. At cluster scale the state store
-  * is RocksDB-backed and sharded by the group key — the same partition
-  * key the batch equi-join shuffles on.
+  * State lifetime: pass `stateTtl` (e.g. "2 hours") to expire idle
+  * buckets via processing-time timeout — without it the bucket-key
+  * space grows with the corpus forever. An expired bucket forgets its
+  * members, so near-dups separated by more than the TTL are missed:
+  * the standard retention/recall tradeoff, chosen by the caller. At
+  * cluster scale the state store is RocksDB-backed and sharded by the
+  * group key — the same partition key the batch equi-join shuffles on.
   */
 object DedupStreams {
 
@@ -39,30 +42,39 @@ object DedupStreams {
     * Returns an append-mode stream of [[CandidatePair]]s.
     */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxBucketSize: Int = DefaultMaxBucketSize): Dataset[CandidatePair] = {
+      maxBucketSize: Int = DefaultMaxBucketSize,
+      stateTtl: Option[String] = None): Dataset[CandidatePair] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val banded = Dedup.bandKeys(docs.select(col(idCol), col(textCol)), idCol, textCol)
       .select(col("band_idx"), col("band_key"), col("id"))
       .as[(Int, String, Long)]
+    val timeout =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     banded
-      .groupByKey { case (bandIdx, bandKey, _) => s"$bandIdx|$bandKey" }
+      .groupByKey { case (bandIdx, bandKey, _) => (bandIdx, bandKey) }
       .flatMapGroupsWithState[BucketState, CandidatePair](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (key, rows, state: GroupState[BucketState]) =>
-          val bandIdx = key.takeWhile(_ != '|').toInt
-          var seen = state.getOption.map(_.ids).getOrElse(Seq.empty)
-          val out = Seq.newBuilder[CandidatePair]
-          rows.foreach { case (_, _, id) =>
-            if (!seen.contains(id) && seen.size < maxBucketSize) {
-              seen.foreach { other =>
-                out += CandidatePair(math.min(id, other), math.max(id, other), bandIdx)
+        OutputMode.Append, timeout) {
+        case ((bandIdx, _), rows, state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var seen = state.getOption.map(_.ids).getOrElse(Seq.empty)
+            val out = Seq.newBuilder[CandidatePair]
+            rows.foreach { case (_, _, id) =>
+              if (!seen.contains(id)) {
+                seen.foreach { other =>
+                  out += CandidatePair(math.min(id, other), math.max(id, other), bandIdx)
+                }
+                if (seen.size < maxBucketSize) seen = seen :+ id
               }
-              seen = seen :+ id
             }
+            state.update(BucketState(seen))
+            stateTtl.foreach(state.setTimeoutDuration)
+            out.result().iterator
           }
-          state.update(BucketState(seen))
-          out.result().iterator
       }
   }
 }

@@ -162,9 +162,10 @@ class JdbcMirrorSpec extends AnyFunSuite with SparkSpec {
 
     // replay of pf-2 with a new status replaces, never PK-violates —
     // including when the APPEND-ONLY lake audit carries BOTH attempts in
-    // one frame (latest timestamp wins)
+    // one frame at the SAME timestamp (tie prefers Staged: the data IS
+    // in the lake)
     val rows2 = Audit.rows(spark, Seq(
-      Audit.AuditRow("pf-2", "b.xml", "m2", new Timestamp(2000L), Audit.Status.ErrorMd5, Some(1)),
+      Audit.AuditRow("pf-2", "b.xml", "m2", new Timestamp(3000L), Audit.Status.ErrorMd5, Some(1)),
       Audit.AuditRow("pf-2", "b.xml", "m2", new Timestamp(3000L), Audit.Status.Staged, Some(1))))
     JdbcMirror.mirrorAudit(rows2, cfg)
     assert(queryCount("""SELECT count(*) FROM "APP".XMLFilesProcessed""") == 2)

