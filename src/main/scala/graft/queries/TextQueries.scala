@@ -72,6 +72,24 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    "t07_filter_funnel" -> ((s, d) => {
+      // quality-filter funnel with kill attribution: each document is
+      // charged to the FIRST filter that rejects it (the observability
+      // view curation pipelines use to tune thresholds) — too short,
+      // then stopword-starved, then not-English, else kept
+      val docs = Tables.load(s, d, "documents")
+        .select(col("lang") +: TextAnalysis.qualityColumns(col("text"))
+          :+ TextAnalysis.predictedLang(col("text")).as("predicted"): _*)
+      docs.withColumn("verdict",
+          when(col("n_words") < 20, "1_too_short")
+            .when(col("stopword_ratio") < 0.03, "2_low_stopword")
+            .when(col("predicted") =!= "en", "3_non_english")
+            .otherwise("0_kept"))
+        .groupBy("lang", "verdict")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "verdict")
+    }),
+
     "t04_fingerprint" -> ((s, d) => {
       Tables.load(s, d, "documents")
         .select(col("doc_id"),
@@ -145,6 +163,32 @@ object TextQueries {
         |    ORDER BY score DESC, word) AS BIGINT) AS rank FROM scored)
         |SELECT doc_id, word, tf, df, score FROM ranked
         |WHERE rank <= 1 AND doc_id < 100 ORDER BY doc_id""".stripMargin,
+
+    "t07_filter_funnel" -> {
+      val stopHits = Seq(" the ", " a ", " of ", " and ", " is ").map(m =>
+        s"CAST((length(p) - length(replace(p, '$m', ''))) / ${m.length} AS BIGINT)")
+        .mkString("(", " + ", ")")
+      val scores = TextAnalysis.langMarkers.map { case (l, _) => s"${markerSql(l)} AS s_$l" }.mkString(",\n  ")
+      val best = TextAnalysis.langMarkers.map { case (l, _) => s"s_$l" }.mkString("GREATEST(", ", ", ")")
+      val cases = TextAnalysis.langMarkers.map { case (l, _) =>
+        s"WHEN s_$l = best AND s_$l > 0 THEN '$l'"
+      }.mkString(" ")
+      s"""SELECT lang, verdict, count(*) AS n_docs FROM (
+         |  SELECT lang, CASE
+         |      WHEN n_words < 20 THEN '1_too_short'
+         |      WHEN stop_hits / CAST(n_words AS DOUBLE) < 0.03 THEN '2_low_stopword'
+         |      WHEN (CASE $cases ELSE 'und' END) <> 'en' THEN '3_non_english'
+         |      ELSE '0_kept' END AS verdict
+         |  FROM (
+         |    SELECT lang, n_words, stop_hits, $best AS best, s_de, s_en, s_es, s_fr, s_zh
+         |    FROM (
+         |      SELECT lang,
+         |        CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+         |        $stopHits AS stop_hits,
+         |        $scores
+         |      FROM (SELECT lang, text, ' ' || text || ' ' AS p FROM documents))))
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
 
     "t04_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(text))) AS fp_md5,
