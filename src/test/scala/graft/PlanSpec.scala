@@ -71,6 +71,13 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("Generate"), p)
   }
 
+  test("s07 filtered retrieval: the metadata predicate reaches the parquet scan") {
+    val p = plan("s07_filtered_topk")
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("label"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("keyed overwrite: eviction keys are broadcast (no full shuffle of existing data)") {
     import spark.implicits._
     val existing = (1 to 1000).map(i => (s"k$i", i)).toDF("pcr_uuid_context", "v")

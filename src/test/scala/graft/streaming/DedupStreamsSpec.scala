@@ -39,6 +39,29 @@ class DedupStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("stateTtl wiring: pairs still flow with processing-time timeout armed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    // smoke test for the ProcessingTimeTimeout path: setTimeoutDuration
+    // throws at runtime if the timeout conf is mis-wired, so one
+    // micro-batch through the TTL branch guards the whole path
+    val q = DedupStreams.nearDupPairs(in.toDS().toDF("doc_id", "text"),
+        "doc_id", "text", stateTtl = Some("1 hour"))
+      .writeStream.format("memory").queryName("neardup_ttl")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(docs(0), docs(1))
+      // NOT processAllAvailable: with a processing-time timeout armed the
+      // engine keeps scheduling timeout-check batches, so "all available"
+      // never settles — poll the sink with a deadline instead
+      val deadline = System.currentTimeMillis() + 60000
+      while (spark.table("neardup_ttl").count() < 1 &&
+          System.currentTimeMillis() < deadline) Thread.sleep(200)
+      assert(spark.table("neardup_ttl").count() >= 1)
+    } finally q.stop()
+  }
+
   test("bucket cap bounds membership but arrivals still pair against remembered members") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
