@@ -142,7 +142,8 @@ object IngestPipeline {
       lakeDir: String,
       archiveDir: String,
       checkpointDir: String,
-      idGen: XmlFlatten.IdGen = XmlFlatten.DeterministicId) = {
+      idGen: XmlFlatten.IdGen = XmlFlatten.DeterministicId,
+      mirror: Option[JdbcMirror.MirrorConfig] = None) = {
     import spark.implicits._
     spark.readStream
       .format("binaryFile")
@@ -178,6 +179,10 @@ object IngestPipeline {
             Seq("source_file", "pcr_uuid_context"))
           else df
         writeMergedLake(ss, merged, lakeDir)
+        // optional relational mirror per micro-batch (A12-A17): safe to
+        // run next to a concurrent backfill — per-batch staging names
+        // and the batch-local column cache exist for exactly this
+        mirror.foreach(cfg => JdbcMirror.mirrorBatch(df, cfg))
         ()
       }
   }

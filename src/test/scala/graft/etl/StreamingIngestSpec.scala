@@ -39,4 +39,34 @@ class StreamingIngestSpec extends AnyFunSuite with SparkSpec {
       assert(vals == Seq("v2"))
     } finally q.stop()
   }
+
+  test("streaming ingest with a per-micro-batch JDBC mirror") {
+    val landing = Files.createTempDirectory("graft_streamm_landing")
+    val lake = Files.createTempDirectory("graft_streamm_lake").toString
+    val archive = Files.createTempDirectory("graft_streamm_archive").toString
+    val ckpt = Files.createTempDirectory("graft_streamm_ckpt").toString
+    val url = "jdbc:derby:memory:graftstreammirror;create=true"
+    val cfg = JdbcMirror.MirrorConfig(url, dialect = JdbcMirror.DerbyDialect)
+
+    Files.writeString(landing.resolve("a.xml"),
+      """<EMSDataSet><PatientCareReport UUID="p1"><eVitals.01>v</eVitals.01></PatientCareReport></EMSDataSet>""")
+    val q = IngestPipeline.streamingIngest(
+      spark, landing.toString, lake, archive, ckpt, mirror = Some(cfg)).start()
+    try {
+      q.processAllAvailable()
+      // second micro-batch re-ingests the same PCR: the mirror's keyed
+      // delete keeps the DB at one row per element, updated value
+      Files.writeString(landing.resolve("b.xml"),
+        """<EMSDataSet><PatientCareReport UUID="p1"><eVitals.01>v2</eVitals.01></PatientCareReport></EMSDataSet>""")
+      q.processAllAvailable()
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = conn.createStatement().executeQuery(
+          """SELECT "evitals_01_value" FROM "APP"."evitals_01"""")
+        assert(rs.next() && rs.getString(1) == "v2")
+        assert(!rs.next())
+        rs.close()
+      } finally conn.close()
+    } finally q.stop()
+  }
 }
