@@ -42,7 +42,7 @@ object IngestPipeline {
     * false return (e.g. cross-filesystem move) aborts instead of
     * silently reporting success.
     */
-  private def writeMergedLake(spark: SparkSession, merged: DataFrame, lakeDir: String): Unit = {
+  private[etl] def writeMergedLake(spark: SparkSession, merged: DataFrame, lakeDir: String): Unit = {
     val elemsDir = elementsPath(lakeDir)
     val fs = hPath(lakeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmpDir = s"$lakeDir/.elements_tmp"
@@ -59,7 +59,7 @@ object IngestPipeline {
     * lake has `.elements_old` (the only copy) and no `elements` —
     * restore it before doing anything else. Called on every ingest.
     */
-  private def recoverLake(spark: SparkSession, lakeDir: String): Unit = {
+  private[etl] def recoverLake(spark: SparkSession, lakeDir: String): Unit = {
     val fs = hPath(lakeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val elems = elementsPath(lakeDir)
     val bak = s"$lakeDir/.elements_old"

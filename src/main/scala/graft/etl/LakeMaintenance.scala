@@ -1,0 +1,65 @@
+package graft.etl
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Lake maintenance: small-file compaction for the tall element table.
+  *
+  * The streaming ingest writes one file set per micro-batch, and a
+  * per-file batch loop does the same — over weeks a hot tag partition
+  * accumulates thousands of small parquet files, and scan cost becomes
+  * footer-reads instead of data. Compaction rewrites the lake with
+  * ~`targetRowsPerFile` rows per file per tag: per-tag file counts are
+  * derived from one row-count aggregation (driver sees only tag names —
+  * schema-metadata-sized), rows are bucketed by a hash of the element
+  * id, and the rewrite goes through the SAME crash-safe tmp+swap as
+  * ingest ([[IngestPipeline.writeMergedLake]]) so a compaction crash
+  * can never lose the lake.
+  *
+  * Optionally sorts rows by `pcr_uuid_context` within each output file:
+  * parquet row-group min/max stats then prune per-PCR point lookups —
+  * the poor man's clustering key.
+  */
+object LakeMaintenance {
+
+  final case class CompactionResult(filesBefore: Long, filesAfter: Long, rows: Long)
+
+  private def dataFileCount(spark: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var n = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) n += 1
+    }
+    n
+  }
+
+  def compactElements(spark: SparkSession, lakeDir: String,
+      targetRowsPerFile: Long = 1000000L,
+      sortByPcr: Boolean = false): CompactionResult = {
+    IngestPipeline.recoverLake(spark, lakeDir)
+    val elemsDir = IngestPipeline.elementsPath(lakeDir)
+    val before = dataFileCount(spark, elemsDir)
+    val df = spark.read.parquet(elemsDir)
+    // tags are few (schema-sized); rows never touch the driver
+    val perTag = df.groupBy("table_name").count().collect()
+      .map(r => r.getString(0) ->
+        math.max(1L, (r.getLong(1) + targetRowsPerFile - 1) / targetRowsPerFile))
+      .toMap
+    val rows = perTag.valuesIterator.sum // upper bound on output files
+    val bucketsOf = perTag.foldLeft(lit(1L)) { case (acc, (t, n)) =>
+      when(col("table_name") === t, lit(n)).otherwise(acc)
+    }
+    val bucketed = df
+      .withColumn("__bucket", pmod(xxhash64(col("element_id")), bucketsOf))
+      .repartition(math.max(1, rows.toInt), col("table_name"), col("__bucket"))
+    val shaped =
+      if (sortByPcr) bucketed.sortWithinPartitions(col("table_name"), col("pcr_uuid_context"))
+      else bucketed
+    IngestPipeline.writeMergedLake(spark, shaped.drop("__bucket"), lakeDir)
+    CompactionResult(before, dataFileCount(spark, elemsDir),
+      spark.read.parquet(elemsDir).count())
+  }
+}
