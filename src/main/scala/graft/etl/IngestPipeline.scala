@@ -34,6 +34,36 @@ object IngestPipeline {
     if (!fs.rename(hPath(src), hPath(dst)))
       throw new java.io.IOException(s"rename failed: $src -> $dst")
 
+  /** Single-writer mutex over the lake's swap machinery: the tmp/old
+    * swap dirs are shared, so two concurrent writers (a compaction next
+    * to the always-on streaming ingest) could otherwise interleave
+    * renames and swap a stale copy over fresh data. The lock is an
+    * atomically-created marker file (`FileSystem.createNewFile` — atomic
+    * on HDFS/local; object stores should use their conditional-put
+    * equivalent); waiting writers poll until `lockTimeoutMs`, then fail
+    * loudly naming the path so a crash-orphaned lock is an operator
+    * decision, never a silent overwrite.
+    */
+  private[etl] def withLakeLock[A](spark: SparkSession, lakeDir: String,
+      lockTimeoutMs: Long = 600000L)(body: => A): A = {
+    val fs = hPath(lakeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(hPath(lakeDir))
+    val lock = hPath(s"$lakeDir/.lake_lock")
+    val deadline = System.currentTimeMillis() + lockTimeoutMs
+    var acquired = false
+    while (!acquired) {
+      acquired = try fs.createNewFile(lock) catch { case _: java.io.IOException => false }
+      if (!acquired) {
+        if (System.currentTimeMillis() > deadline)
+          throw new java.io.IOException(
+            s"could not acquire lake lock $lock within ${lockTimeoutMs}ms; " +
+              "another writer is active (or crashed leaving the lock — remove it manually)")
+        Thread.sleep(200)
+      }
+    }
+    try body finally fs.delete(lock, false)
+  }
+
   /** A20 transaction parity on plain parquet: write the merged table to
     * a temp dir, then swap directories. Crash-safe ordering: the
     * previous `elements` is parked at `.elements_old` and only deleted
@@ -42,7 +72,13 @@ object IngestPipeline {
     * false return (e.g. cross-filesystem move) aborts instead of
     * silently reporting success.
     */
-  private[etl] def writeMergedLake(spark: SparkSession, merged: DataFrame, lakeDir: String): Unit = {
+  private[etl] def writeMergedLake(spark: SparkSession, merged: DataFrame, lakeDir: String): Unit =
+    withLakeLock(spark, lakeDir) { writeMergedLakeUnlocked(spark, merged, lakeDir) }
+
+  /** The swap itself, for callers that ALREADY hold the lake lock
+    * (compaction holds it across its read-rewrite-swap window).
+    */
+  private[etl] def writeMergedLakeUnlocked(spark: SparkSession, merged: DataFrame, lakeDir: String): Unit = {
     val elemsDir = elementsPath(lakeDir)
     val fs = hPath(lakeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmpDir = s"$lakeDir/.elements_tmp"

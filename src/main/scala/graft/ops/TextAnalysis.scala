@@ -61,7 +61,8 @@ object TextAnalysis {
     }
   }
 
-  private val stopwords = Seq(" the ", " a ", " of ", " and ", " is ")
+  /** Shared with the oracle-SQL builders in graft.queries. */
+  private[graft] val stopwords = Seq(" the ", " a ", " of ", " and ", " is ")
 
   /** Quality signals: exact integer counts + deterministic ratios
     * (single int/int divisions).

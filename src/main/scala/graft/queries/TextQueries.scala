@@ -106,6 +106,24 @@ object TextQueries {
         .mkString("(", " + ", ")")
     }.toMap
 
+  // shared oracle-SQL builders: ONE derivation from TextAnalysis's
+  // stopword and marker lists, so adding a language or stopword cannot
+  // silently diverge between the t02/t03/t07 oracles
+  private val stopHitsSql: String =
+    TextAnalysis.stopwords.map(m =>
+      s"CAST((length(p) - length(replace(p, '$m', ''))) / ${m.length} AS BIGINT)")
+      .mkString("(", "\n     + ", ")")
+  private val langScoreCols: String =
+    TextAnalysis.langMarkers.map { case (l, _) => s"s_$l" }.mkString(", ")
+  private val langScoreSelects: String =
+    TextAnalysis.langMarkers.map { case (l, _) => s"${markerSql(l)} AS s_$l" }.mkString(",\n  ")
+  private val langBest: String =
+    TextAnalysis.langMarkers.map { case (l, _) => s"s_$l" }.mkString("GREATEST(", ", ", ")")
+  private val langCases: String =
+    TextAnalysis.langMarkers.map { case (l, _) =>
+      s"WHEN s_$l = best AND s_$l > 0 THEN '$l'"
+    }.mkString(" ")
+
   val oracles: Map[String, String] = Map(
     "t01_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
@@ -113,35 +131,25 @@ object TextQueries {
         |  CAST(sum(CAST(list_sum(list_transform(string_split(text, ' '), w -> ceil(length(w) / 4.0))) AS BIGINT)) AS BIGINT) AS total_bpe_tokens
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    "t02_lang_id" -> {
-      val scores = TextAnalysis.langMarkers.map { case (l, _) => s"${markerSql(l)} AS s_$l" }.mkString(",\n  ")
-      val best = TextAnalysis.langMarkers.map { case (l, _) => s"s_$l" }.mkString("GREATEST(", ", ", ")")
-      val cases = TextAnalysis.langMarkers.map { case (l, _) =>
-        s"WHEN s_$l = best AND s_$l > 0 THEN '$l'"
-      }.mkString(" ")
+    "t02_lang_id" ->
       s"""SELECT lang, predicted, count(*) AS n FROM (
-         |  SELECT lang, CASE $cases ELSE 'und' END AS predicted FROM (
-         |    SELECT lang, $best AS best, s_de, s_en, s_es, s_fr, s_zh FROM (
-         |      SELECT lang, $scores
+         |  SELECT lang, CASE $langCases ELSE 'und' END AS predicted FROM (
+         |    SELECT lang, $langBest AS best, $langScoreCols FROM (
+         |      SELECT lang, $langScoreSelects
          |      FROM (SELECT lang, ' ' || text || ' ' AS p FROM documents))))
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-    },
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "t03_quality" ->
-      """SELECT doc_id, n_chars, n_words,
-        |  (n_chars - n_words + 1) / CAST(n_words AS DOUBLE) AS avg_word_len,
-        |  stop_hits / CAST(n_words AS DOUBLE) AS stopword_ratio
-        |FROM (
-        |  SELECT doc_id,
-        |    CAST(length(text) AS BIGINT) AS n_chars,
-        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
-        |    (CAST((length(p) - length(replace(p, ' the ', ''))) / 5 AS BIGINT)
-        |     + CAST((length(p) - length(replace(p, ' a ', ''))) / 3 AS BIGINT)
-        |     + CAST((length(p) - length(replace(p, ' of ', ''))) / 4 AS BIGINT)
-        |     + CAST((length(p) - length(replace(p, ' and ', ''))) / 5 AS BIGINT)
-        |     + CAST((length(p) - length(replace(p, ' is ', ''))) / 4 AS BIGINT)) AS stop_hits
-        |  FROM (SELECT doc_id, text, ' ' || text || ' ' AS p FROM documents))
-        |ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id, n_chars, n_words,
+         |  (n_chars - n_words + 1) / CAST(n_words AS DOUBLE) AS avg_word_len,
+         |  stop_hits / CAST(n_words AS DOUBLE) AS stopword_ratio
+         |FROM (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+         |    $stopHitsSql AS stop_hits
+         |  FROM (SELECT doc_id, text, ' ' || text || ' ' AS p FROM documents))
+         |ORDER BY doc_id""".stripMargin,
 
     "t05_top_terms" ->
       """SELECT lang, word, freq, rank FROM (
@@ -164,31 +172,22 @@ object TextQueries {
         |SELECT doc_id, word, tf, df, score FROM ranked
         |WHERE rank <= 1 AND doc_id < 100 ORDER BY doc_id""".stripMargin,
 
-    "t07_filter_funnel" -> {
-      val stopHits = Seq(" the ", " a ", " of ", " and ", " is ").map(m =>
-        s"CAST((length(p) - length(replace(p, '$m', ''))) / ${m.length} AS BIGINT)")
-        .mkString("(", " + ", ")")
-      val scores = TextAnalysis.langMarkers.map { case (l, _) => s"${markerSql(l)} AS s_$l" }.mkString(",\n  ")
-      val best = TextAnalysis.langMarkers.map { case (l, _) => s"s_$l" }.mkString("GREATEST(", ", ", ")")
-      val cases = TextAnalysis.langMarkers.map { case (l, _) =>
-        s"WHEN s_$l = best AND s_$l > 0 THEN '$l'"
-      }.mkString(" ")
+    "t07_filter_funnel" ->
       s"""SELECT lang, verdict, count(*) AS n_docs FROM (
          |  SELECT lang, CASE
          |      WHEN n_words < 20 THEN '1_too_short'
          |      WHEN stop_hits / CAST(n_words AS DOUBLE) < 0.03 THEN '2_low_stopword'
-         |      WHEN (CASE $cases ELSE 'und' END) <> 'en' THEN '3_non_english'
+         |      WHEN (CASE $langCases ELSE 'und' END) <> 'en' THEN '3_non_english'
          |      ELSE '0_kept' END AS verdict
          |  FROM (
-         |    SELECT lang, n_words, stop_hits, $best AS best, s_de, s_en, s_es, s_fr, s_zh
+         |    SELECT lang, n_words, stop_hits, $langBest AS best, $langScoreCols
          |    FROM (
          |      SELECT lang,
          |        CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
-         |        $stopHits AS stop_hits,
-         |        $scores
+         |        $stopHitsSql AS stop_hits,
+         |        $langScoreSelects
          |      FROM (SELECT lang, text, ' ' || text || ' ' AS p FROM documents))))
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-    },
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "t04_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(text))) AS fp_md5,

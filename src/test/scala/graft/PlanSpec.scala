@@ -71,10 +71,13 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("Generate"), p)
   }
 
-  test("s07 filtered retrieval: the metadata predicate reaches the parquet scan") {
+  test("s07 filtered retrieval: the metadata predicate restricts the corpus pre-join") {
     val p = plan("s07_filtered_topk")
-    assert(p.contains("PushedFilters"), p)
-    assert(p.contains("label"), p)
+    // the % 2 predicate itself is not parquet-pushable, but it must sit
+    // in a Filter directly over the scan (corpus shrinks BEFORE the
+    // broadcast-scored join), with IsNotNull pushed into the scan
+    assert(p.contains("PushedFilters: [IsNotNull(label)"), p)
+    assert(p.contains("(label"), p) // the %2 filter survives as a Filter node
     assert(!p.contains("CartesianProduct"), p)
   }
 
