@@ -41,4 +41,26 @@ class LakeMaintenanceSpec extends AnyFunSuite with SparkSpec {
     // partition-pruned per-tag reads still work on the compacted layout
     assert(after.where(col("table_name") === "eVitals_06").count() == 40)
   }
+
+  test("lake lock serializes writers and fails loudly on a stale lock") {
+    val lake = Files.createTempDirectory("graft_lock_lake").toString
+    // a second writer must WAIT for the first, not interleave
+    val order = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val t = new Thread(() => IngestPipeline.withLakeLock(spark, lake) {
+      order.add("a_in"); Thread.sleep(800); order.add("a_out")
+    })
+    t.start()
+    Thread.sleep(200) // let A acquire
+    IngestPipeline.withLakeLock(spark, lake) { order.add("b_in") }
+    t.join()
+    assert(order.toArray.toSeq == Seq("a_in", "a_out", "b_in"))
+
+    // an orphaned lock (crashed writer) blocks until timeout, then the
+    // error names the lock path for the operator
+    Files.createFile(java.nio.file.Paths.get(lake, ".lake_lock"))
+    val e = intercept[java.io.IOException] {
+      IngestPipeline.withLakeLock(spark, lake, lockTimeoutMs = 500) { () }
+    }
+    assert(e.getMessage.contains(".lake_lock"))
+  }
 }
