@@ -167,6 +167,37 @@ object Dedup {
     labels
   }
 
+  /** Doc-id space guard for [[connectedComponentsOverBuckets]]: bucket
+    * node ids live above this bit, so the min label of any mixed
+    * component is always a document id.
+    */
+  val BucketNodeBase: Long = 1L << 62
+
+  /** Connected components WITHOUT materializing candidate pairs: treat
+    * each LSH band bucket as a node and connect members to their bucket
+    * (bipartite edges = one row per membership, O(n·bands)), instead of
+    * expanding each bucket's C(b,2) pairs. Components restricted to
+    * document nodes are IDENTICAL to components over the pair relation
+    * (two docs connect through their shared bucket node), so the same
+    * oracle applies — but a pathologically dense bucket costs b rows
+    * here versus b² in the pair expansion: this is the clustering form
+    * that survives skewed buckets at 100 TB. Costs ~1 extra propagation
+    * round (paths run doc→bucket→doc).
+    *
+    * Bucket node ids are salted hashes above [[BucketNodeBase]]; doc ids
+    * must stay below it (guarded).
+    */
+  def connectedComponentsOverBuckets(docs: DataFrame, idCol: String, textCol: String,
+      maxIter: Int = 20, checkpointDir: Option[String] = None): DataFrame = {
+    val membership = bandKeys(docs, idCol, textCol)
+      .select(col("id"),
+        (lit(BucketNodeBase) + pmod(xxhash64(col("band_idx"), col("band_key")),
+          lit(BucketNodeBase))).as("bucket_node"))
+    val edges = membership.select(col("id").as("id_a"), col("bucket_node").as("id_b"))
+    connectedComponents(edges, maxIter, checkpointDir)
+      .where(col("id") < BucketNodeBase) // drop bucket nodes, keep docs
+  }
+
   // --- SimHash -------------------------------------------------------------
 
   val SimHashBits = 32

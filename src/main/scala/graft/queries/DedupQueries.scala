@@ -77,6 +77,21 @@ object DedupQueries {
         .orderBy("canonical_id")
     }),
 
+    "d07_clusters_via_buckets" -> ((s, d) => {
+      // same clusters as d06, computed WITHOUT the pair expansion:
+      // bipartite doc<->bucket edges (O(n*bands) rows vs Σ bucket²) —
+      // the dense-bucket-proof form; hash-checked against the SAME
+      // pair-relation oracle, proving the equivalence
+      Dedup.connectedComponentsOverBuckets(
+          docsWithMutations(s, d), "doc_id", "text")
+        .groupBy(col("label").as("canonical_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+        // the bipartite form also labels docs alone in all their buckets
+        // (size-1 clusters); the pair relation has no singletons
+        .where(col("cluster_size") >= 2)
+        .orderBy("canonical_id")
+    }),
+
     "d05_embedding_neardup" -> ((s, d) => {
       import graft.functions.VectorFunctions._
       val e = Tables.load(s, d, "embeddings").select("vec_id", "embedding")
@@ -155,6 +170,21 @@ object DedupQueries {
          |SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b""".stripMargin,
 
     "d06_neardup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |walk(src, dst) AS (
+         |  SELECT src, dst FROM sym
+         |  UNION
+         |  SELECT w.src, s.dst FROM walk w JOIN sym s ON w.dst = s.src),
+         |labels AS (SELECT src AS id, least(src, min(dst)) AS label
+         |  FROM walk GROUP BY src)
+         |SELECT label AS canonical_id, count(*) AS cluster_size
+         |FROM labels GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // d07 computes the SAME clusters via bipartite doc<->bucket edges;
+    // hash-matching the pair-relation oracle proves the equivalence
+    "d07_clusters_via_buckets" ->
       s"""WITH RECURSIVE $minhashPairsCtes,
          |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
          |  UNION ALL SELECT id_b, id_a FROM pairs),
