@@ -189,8 +189,14 @@ object Dedup {
     */
   def connectedComponentsOverBuckets(docs: DataFrame, idCol: String, textCol: String,
       maxIter: Int = 20, checkpointDir: Option[String] = None): DataFrame = {
+    // fail loudly per-row if a doc id invades the bucket-node space —
+    // a silent overlap would merge unrelated clusters
+    val guardedId = when(col("id") >= BucketNodeBase,
+      raise_error(concat(lit("doc id >= 2^62 collides with bucket-node space: "),
+        col("id").cast("string"))).cast("long"))
+      .otherwise(col("id"))
     val membership = bandKeys(docs, idCol, textCol)
-      .select(col("id"),
+      .select(guardedId.as("id"),
         (lit(BucketNodeBase) + pmod(xxhash64(col("band_idx"), col("band_key")),
           lit(BucketNodeBase))).as("bucket_node"))
     val edges = membership.select(col("id").as("id_a"), col("bucket_node").as("id_b"))
