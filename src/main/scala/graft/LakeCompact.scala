@@ -9,10 +9,17 @@ import org.apache.spark.sql.SparkSession
   */
 object LakeCompact {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: LakeCompact <lakeDir> [targetRowsPerFile] [--sort-by-pcr]")
-    val lakeDir = args(0)
-    val target = args.lift(1).filterNot(_.startsWith("--")).map(_.toLong).getOrElse(1000000L)
-    val sortByPcr = args.contains("--sort-by-pcr")
+    val usage = "usage: LakeCompact <lakeDir> [targetRowsPerFile] [--sort-by-pcr]"
+    // strict parse: flags and positionals in any order, anything
+    // unrecognized fails loudly instead of silently running with
+    // defaults (or treating a flag as the lake path)
+    val (flags, positional) = args.partition(_.startsWith("--"))
+    val unknownFlags = flags.filterNot(_ == "--sort-by-pcr")
+    require(unknownFlags.isEmpty, s"unknown flags: ${unknownFlags.mkString(", ")}\n$usage")
+    require(positional.nonEmpty && positional.length <= 2, usage)
+    val lakeDir = positional(0)
+    val target = positional.lift(1).map(_.toLong).getOrElse(1000000L)
+    val sortByPcr = flags.contains("--sort-by-pcr")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))

@@ -181,24 +181,37 @@ object Dedup {
     * (two docs connect through their shared bucket node), so the same
     * oracle applies — but a pathologically dense bucket costs b rows
     * here versus b² in the pair expansion: this is the clustering form
-    * that survives skewed buckets at 100 TB. Costs ~1 extra propagation
-    * round (paths run doc→bucket→doc).
+    * that survives skewed buckets at 100 TB. Paths run doc→bucket→doc,
+    * DOUBLING propagation distances — hence the default maxIter is 2×
+    * the pair form's.
     *
-    * Bucket node ids are salted hashes above [[BucketNodeBase]]; doc ids
-    * must stay below it (guarded).
+    * Bucket node ids are COLLISION-FREE dense ids above
+    * [[BucketNodeBase]] (monotonically_increasing_id over the distinct
+    * buckets + one equi-join — a hashed bucket id would make silent
+    * cluster merges a birthday-bound certainty at ~2^31 distinct
+    * buckets, i.e. exactly the scale this form targets). Doc ids must
+    * stay below [[BucketNodeBase]]; both spaces are guarded per-row.
     */
   def connectedComponentsOverBuckets(docs: DataFrame, idCol: String, textCol: String,
-      maxIter: Int = 20, checkpointDir: Option[String] = None): DataFrame = {
-    // fail loudly per-row if a doc id invades the bucket-node space —
-    // a silent overlap would merge unrelated clusters
-    val guardedId = when(col("id") >= BucketNodeBase,
-      raise_error(concat(lit("doc id >= 2^62 collides with bucket-node space: "),
-        col("id").cast("string"))).cast("long"))
-      .otherwise(col("id"))
-    val membership = bandKeys(docs, idCol, textCol)
-      .select(guardedId.as("id"),
-        (lit(BucketNodeBase) + pmod(xxhash64(col("band_idx"), col("band_key")),
-          lit(BucketNodeBase))).as("bucket_node"))
+      maxIter: Int = 40, checkpointDir: Option[String] = None): DataFrame = {
+    // fail loudly per-row on id-space violations — a silent overlap
+    // would merge unrelated clusters
+    def guard(c: Column, what: String): Column =
+      when(c >= BucketNodeBase,
+        raise_error(concat(lit(s"$what >= 2^62 breaks the bucket-node id space: "),
+          c.cast("string"))).cast("long"))
+        .otherwise(c)
+    val bk = bandKeys(docs, idCol, textCol)
+    // the ordinal is FROZEN by an eager checkpoint: mii is evaluation-
+    // order-dependent, and the CC below scans its input twice (the
+    // symmetric union) — without materialization the same bucket could
+    // get two different node ids across the two scans
+    val distinctBuckets = bk.select("band_idx", "band_key").distinct()
+      .withColumn("bucket_node",
+        lit(BucketNodeBase) + guard(monotonically_increasing_id(), "bucket ordinal"))
+      .localCheckpoint(true)
+    val membership = bk.join(distinctBuckets, Seq("band_idx", "band_key"))
+      .select(guard(col("id"), "doc id").as("id"), col("bucket_node"))
     val edges = membership.select(col("id").as("id_a"), col("bucket_node").as("id_b"))
     connectedComponents(edges, maxIter, checkpointDir)
       .where(col("id") < BucketNodeBase) // drop bucket nodes, keep docs

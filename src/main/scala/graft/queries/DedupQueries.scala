@@ -158,6 +158,24 @@ object DedupQueries {
        |  FROM bands a JOIN bands b
        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** ONE clustering oracle (components of the pair relation) shared by
+    * d06 and d07 — the two engines' clustering forms must stay checked
+    * against the identical statement or a future oracle fix could
+    * silently apply to only one of them.
+    */
+  private def clusteringOracle: String =
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |walk(src, dst) AS (
+       |  SELECT src, dst FROM sym
+       |  UNION
+       |  SELECT w.src, s.dst FROM walk w JOIN sym s ON w.dst = s.src),
+       |labels AS (SELECT src AS id, least(src, min(dst)) AS label
+       |  FROM walk GROUP BY src)
+       |SELECT label AS canonical_id, count(*) AS cluster_size
+       |FROM labels GROUP BY 1 ORDER BY 1""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "d01_exact_dedup" ->
       s"""WITH $copiesCte
@@ -169,33 +187,11 @@ object DedupQueries {
       s"""WITH $minhashPairsCtes
          |SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b""".stripMargin,
 
-    "d06_neardup_clusters" ->
-      s"""WITH RECURSIVE $minhashPairsCtes,
-         |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
-         |  UNION ALL SELECT id_b, id_a FROM pairs),
-         |walk(src, dst) AS (
-         |  SELECT src, dst FROM sym
-         |  UNION
-         |  SELECT w.src, s.dst FROM walk w JOIN sym s ON w.dst = s.src),
-         |labels AS (SELECT src AS id, least(src, min(dst)) AS label
-         |  FROM walk GROUP BY src)
-         |SELECT label AS canonical_id, count(*) AS cluster_size
-         |FROM labels GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d06_neardup_clusters" -> clusteringOracle,
 
     // d07 computes the SAME clusters via bipartite doc<->bucket edges;
     // hash-matching the pair-relation oracle proves the equivalence
-    "d07_clusters_via_buckets" ->
-      s"""WITH RECURSIVE $minhashPairsCtes,
-         |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
-         |  UNION ALL SELECT id_b, id_a FROM pairs),
-         |walk(src, dst) AS (
-         |  SELECT src, dst FROM sym
-         |  UNION
-         |  SELECT w.src, s.dst FROM walk w JOIN sym s ON w.dst = s.src),
-         |labels AS (SELECT src AS id, least(src, min(dst)) AS label
-         |  FROM walk GROUP BY src)
-         |SELECT label AS canonical_id, count(*) AS cluster_size
-         |FROM labels GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d07_clusters_via_buckets" -> clusteringOracle,
 
     "d03_simhash" -> {
       val bandRows = (0 until Dedup.SimHashBands).map { bi =>

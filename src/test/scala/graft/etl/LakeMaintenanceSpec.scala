@@ -44,13 +44,16 @@ class LakeMaintenanceSpec extends AnyFunSuite with SparkSpec {
 
   test("lake lock serializes writers and fails loudly on a stale lock") {
     val lake = Files.createTempDirectory("graft_lock_lake").toString
-    // a second writer must WAIT for the first, not interleave
+    // a second writer must WAIT for the first, not interleave; a latch
+    // (not a sleep) guarantees A holds the lock before B tries — no
+    // scheduling race on a loaded machine
     val order = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val aHoldsLock = new java.util.concurrent.CountDownLatch(1)
     val t = new Thread(() => IngestPipeline.withLakeLock(spark, lake) {
-      order.add("a_in"); Thread.sleep(800); order.add("a_out")
+      order.add("a_in"); aHoldsLock.countDown(); Thread.sleep(500); order.add("a_out")
     })
     t.start()
-    Thread.sleep(200) // let A acquire
+    aHoldsLock.await()
     IngestPipeline.withLakeLock(spark, lake) { order.add("b_in") }
     t.join()
     assert(order.toArray.toSeq == Seq("a_in", "a_out", "b_in"))
