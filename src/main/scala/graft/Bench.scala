@@ -40,7 +40,19 @@ object Bench {
       case c             => c.toString
     }
 
+  /** 1-minute load average, or -1 outside Linux — recorded before and
+    * after the run so a noisy-neighbor-inflated bench is identifiable
+    * from the JSON alone (round-2 numbers swung ±50% under load).
+    */
+  private def loadAvg(): Double =
+    try {
+      val s = new String(Files.readAllBytes(Paths.get("/proc/loadavg")),
+        StandardCharsets.UTF_8)
+      s.split(' ').head.toDouble
+    } catch { case scala.util.control.NonFatal(_) => -1.0 }
+
   def main(args: Array[String]): Unit = {
+    val loadBefore = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Shuffle partitions sized to the DATA, not the cores: at sf0.1
@@ -59,10 +71,16 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
 
     // BENCH_ONLY=d02_minhash_lsh,d04_ngram_jaccard runs a subset — for
-    // iterating on one query without paying the full-suite wall time
+    // iterating on one query without paying the full-suite wall time.
+    // Unknown names fail loudly: a misspelled subset silently timing an
+    // empty suite would read as a 0-second bench.
     val names = sys.env.get("BENCH_ONLY") match {
       case Some(list) =>
         val want = list.split(',').map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = want -- SparkEntry.queries.keySet
+        if (unknown.nonEmpty)
+          throw new IllegalArgumentException(
+            s"BENCH_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
         SparkEntry.queries.keys.toSeq.filter(want).sorted
       case None => SparkEntry.queries.keys.toSeq.sorted
     }
@@ -100,8 +118,20 @@ object Bench {
       "\"" + k + "\":\"" + jsonEscape(v) + "\""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // anchor ratios: each query / d01 (a single map-side-combine groupBy
+    // — the simplest stable full-scan job in the suite). Ratios survive
+    // noisy neighbors that absolute seconds don't, so cross-round
+    // comparisons have a load-independent signal.
+    val anchor = results.collectFirst { case ("d01_exact_dedup", v) => v }
+    val anchorJson = anchor match {
+      case Some(a) if a > 0 =>
+        results.map { case (k, v) => "\"" + k + "\":" + (v / a) }
+          .mkString("{", ",", "}")
+      case _ => "{}"
+    }
+    val loadAfter = loadAvg()
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_ok":${results.size},"n_err":${errors.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"anchor_ratios":$anchorJson,"anchor_query":"d01_exact_dedup","loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"errors":$errJson,"n_ok":${results.size},"n_err":${errors.size},"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("BENCH_OUT", "bench_out.json")
     Files.write(Paths.get(outPath), (line + "\n").getBytes(StandardCharsets.UTF_8))
     spark.stop()

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators (SURVEY §2C): exact, MinHash-LSH, SimHash,
@@ -107,10 +106,10 @@ object Dedup {
   /** Connected components over an undirected pair relation
     * (id_a < id_b): label every node with the minimum id reachable from
     * it — the canonical document of its near-dup cluster. Iterative
-    * min-label propagation, one join+agg per round, checkpoints to cut
-    * lineage; converges in O(diameter) rounds (near-dup clusters are
-    * shallow). Deterministic at the fixpoint regardless of iteration
-    * schedule.
+    * min-label propagation (one join+agg per step, `stepsPerCheck`
+    * steps per driver action), checkpoints to cut lineage; converges in
+    * O(diameter) steps (near-dup clusters are shallow). Deterministic
+    * at the fixpoint regardless of iteration schedule.
     *
     * @param checkpointDir when set, lineage cuts go through RELIABLE
     *   checkpoints in this directory (HDFS/object-store path on a
@@ -120,7 +119,8 @@ object Dedup {
     *   local default.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None, stepsPerCheck: Int = 2): DataFrame = {
+    require(stepsPerCheck >= 1, s"stepsPerCheck must be >= 1, got $stepsPerCheck")
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
     def cut(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
@@ -128,93 +128,93 @@ object Dedup {
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
     var labels = cut(sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")))
-    var i = 0
-    var converged = false
-    // the actual persisted object of the previous round — unpersist must
-    // target it, not a projection over it (CacheManager matches plans by
-    // sameResult; unpersisting a Project over the cached plan frees
-    // nothing and would leak one cached label set per round)
-    var pinned: DataFrame = null
-    while (!converged && i < maxIter) {
-      val prop = sym.join(labels.withColumnRenamed("id", "dst2"),
+    // one min-label propagation step; the accumulated change flag rides
+    // along in the select so several steps can share one convergence
+    // action (no extra join against the previous round)
+    def step(lbl: DataFrame): DataFrame = {
+      val prop = sym.join(lbl.select(col("id").as("dst2"), col("label")),
           sym("dst") === col("dst2"))
         .groupBy(col("src").as("id"))
         .agg(min(col("label")).as("nlabel"))
-      // the changed flag rides along in the propagation select, so the
-      // convergence check needs no extra join against the previous round
-      val next = labels.join(prop, Seq("id"), "left")
+      lbl.join(prop, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
-          (coalesce(col("nlabel"), col("label")) < col("label")).as("__chg"))
-      // one action per round: the diff count both materializes `next`
-      // (persist) and decides convergence; checkpoint only every few
-      // rounds to bound lineage without paying a write per round
+          (col("__chg") ||
+            coalesce(col("nlabel"), col("label")) < col("label")).as("__chg"))
+    }
+    var i = 0      // propagation steps taken
+    var block = 0  // convergence actions taken
+    var converged = false
+    // the actual persisted object of the previous block — unpersist must
+    // target it, not a projection over it (CacheManager matches plans by
+    // sameResult; unpersisting a Project over the cached plan frees
+    // nothing and would leak one cached label set per block)
+    var pinned: DataFrame = null
+    while (!converged && i < maxIter) {
+      val k = math.min(stepsPerCheck, maxIter - i)
+      var next = labels.withColumn("__chg", lit(false))
+      (0 until k).foreach(_ => next = step(next))
+      // ONE action per block of k steps: the diff count both
+      // materializes `next` (persist) and decides convergence. Under
+      // same-machine load the per-action job latency — not shuffle
+      // volume — dominates at small SF, so checks are batched: the
+      // worst case wastes k-1 no-op steps after the true fixpoint,
+      // against a saved action every block. Checkpoint only every other
+      // block to bound lineage without paying a write per block.
       val materialized =
-        if (i % 3 == 2) cut(next)
+        if (block % 2 == 1) cut(next)
         else { next.persist(); next }
       val diffs = materialized.where(col("__chg")).count()
       if (pinned ne null) pinned.unpersist()
-      pinned = if (i % 3 == 2) null else materialized
+      pinned = if (block % 2 == 1) null else materialized
       labels = materialized.drop("__chg")
       converged = diffs == 0
-      i += 1
+      i += k
+      block += 1
     }
     // fail loudly rather than return split (wrong) clusters — a chain
-    // longer than maxIter hops needs more rounds
+    // longer than maxIter hops needs more steps
     if (!converged)
       throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds; raise maxIter")
+        s"connectedComponents did not converge in $maxIter steps; raise maxIter")
     labels
   }
 
-  /** Doc-id space guard for [[connectedComponentsOverBuckets]]: bucket
-    * node ids live above this bit, so the min label of any mixed
-    * component is always a document id.
-    */
-  val BucketNodeBase: Long = 1L << 62
-
-  /** Connected components WITHOUT materializing candidate pairs: treat
-    * each LSH band bucket as a node and connect members to their bucket
-    * (bipartite edges = one row per membership, O(n·bands)), instead of
-    * expanding each bucket's C(b,2) pairs. Components restricted to
-    * document nodes are IDENTICAL to components over the pair relation
-    * (two docs connect through their shared bucket node), so the same
-    * oracle applies — but a pathologically dense bucket costs b rows
-    * here versus b² in the pair expansion: this is the clustering form
-    * that survives skewed buckets at 100 TB. Paths run doc→bucket→doc,
-    * DOUBLING propagation distances — hence the default maxIter is 2×
-    * the pair form's.
+  /** Connected components WITHOUT materializing candidate pairs:
+    * star-contract each LSH band bucket to its minimum member — a
+    * bucket of m docs becomes m-1 (min, member) edges, which connect
+    * exactly what the bucket's C(m,2) pair clique connects, so the
+    * components are IDENTICAL to components over the pair relation and
+    * the same oracle applies. A pathologically dense bucket costs m
+    * rows here versus m² in the pair expansion: this is the clustering
+    * form that survives skewed buckets at 100 TB.
     *
-    * Bucket node ids are COLLISION-FREE dense ids above
-    * [[BucketNodeBase]] (monotonically_increasing_id over the distinct
-    * buckets + one equi-join — a hashed bucket id would make silent
-    * cluster merges a birthday-bound certainty at ~2^31 distinct
-    * buckets, i.e. exactly the scale this form targets). Doc ids must
-    * stay below [[BucketNodeBase]]; both spaces are guarded per-row.
+    * Buckets with fewer than 2 members connect nothing and are dropped
+    * by the hub aggregation's count filter before any edge exists.
+    * (Round 2 modeled buckets as graph NODES instead: correct, but it
+    * dragged ~4 singleton memberships per doc through every CC round
+    * and doubled propagation distances via doc→bucket→doc paths —
+    * 49% of the whole bench. The star contraction keeps the O(m)
+    * dense-bucket property with none of that: doc-only nodes, pair-form
+    * propagation depth, and no synthetic bucket-id space to guard.)
+    *
+    * The hub aggregation is a map-side-combining groupBy on the same
+    * (band_idx, band_key) the membership join shuffles on, so the
+    * exchange is reused; edges arrive with id_a < id_b by construction
+    * (the hub is the bucket minimum).
     */
   def connectedComponentsOverBuckets(docs: DataFrame, idCol: String, textCol: String,
-      maxIter: Int = 40, checkpointDir: Option[String] = None): DataFrame = {
-    // fail loudly per-row on id-space violations — a silent overlap
-    // would merge unrelated clusters
-    def guard(c: Column, what: String): Column =
-      when(c >= BucketNodeBase,
-        raise_error(concat(lit(s"$what >= 2^62 breaks the bucket-node id space: "),
-          c.cast("string"))).cast("long"))
-        .otherwise(c)
+      maxIter: Int = 20, checkpointDir: Option[String] = None): DataFrame = {
     val bk = bandKeys(docs, idCol, textCol)
-    // the ordinal is FROZEN by an eager checkpoint: mii is evaluation-
-    // order-dependent, and the CC below scans its input twice (the
-    // symmetric union) — without materialization the same bucket could
-    // get two different node ids across the two scans
-    val distinctBuckets = bk.select("band_idx", "band_key").distinct()
-      .withColumn("bucket_node",
-        lit(BucketNodeBase) + guard(monotonically_increasing_id(), "bucket ordinal"))
-      .localCheckpoint(true)
-    val membership = bk.join(distinctBuckets, Seq("band_idx", "band_key"))
-      .select(guard(col("id"), "doc id").as("id"), col("bucket_node"))
-    val edges = membership.select(col("id").as("id_a"), col("bucket_node").as("id_b"))
-    connectedComponents(edges, maxIter, checkpointDir)
-      .where(col("id") < BucketNodeBase) // drop bucket nodes, keep docs
+    val hubs = bk.groupBy("band_idx", "band_key")
+      .agg(min(col("id")).as("hub"), count(lit(1)).as("members"))
+      .where(col("members") >= 2)
+      .select("band_idx", "band_key", "hub")
+    val stars = bk.join(hubs, Seq("band_idx", "band_key"))
+      .where(col("id") =!= col("hub"))
+      .select(col("hub").as("id_a"), col("id").as("id_b"))
+      .distinct()
+    connectedComponents(stars, maxIter, checkpointDir)
   }
 
   // --- SimHash -------------------------------------------------------------

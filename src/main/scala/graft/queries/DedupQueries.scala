@@ -79,16 +79,14 @@ object DedupQueries {
 
     "d07_clusters_via_buckets" -> ((s, d) => {
       // same clusters as d06, computed WITHOUT the pair expansion:
-      // bipartite doc<->bucket edges (O(n*bands) rows vs Σ bucket²) —
-      // the dense-bucket-proof form; hash-checked against the SAME
-      // pair-relation oracle, proving the equivalence
+      // each band bucket star-contracts to its min member (O(m) edges
+      // per bucket vs C(m,2)) — the dense-bucket-proof form;
+      // hash-checked against the SAME pair-relation oracle, proving
+      // the equivalence
       Dedup.connectedComponentsOverBuckets(
           docsWithMutations(s, d), "doc_id", "text")
         .groupBy(col("label").as("canonical_id"))
         .agg(count(lit(1)).as("cluster_size"))
-        // the bipartite form also labels docs alone in all their buckets
-        // (size-1 clusters); the pair relation has no singletons
-        .where(col("cluster_size") >= 2)
         .orderBy("canonical_id")
     }),
 
