@@ -512,4 +512,93 @@ object JdbcMirror {
     } finally conn2.close()
     tables
   }
+
+  /** Land vendor sidecar tables in the RDBMS (A26-A29's DB half): per
+    * sheet, CREATE TABLE IF ABSENT with every column TEXT — column names
+    * quoted VERBATIM, spaces included, matching the reference's
+    * `"Sort Order" TEXT` DDL (`vendor_import.py:227-232`) — then one
+    * batched executor->DB append replacing the reference's
+    * row-at-a-time INSERT loop (`vendor_import.py:233-241`). Append-only
+    * like the reference: re-importing the same workbook accumulates
+    * rows there and here alike.
+    */
+  def mirrorSidecar(tables: Map[String, DataFrame], cfg: MirrorConfig): Unit = {
+    if (cfg.dialect == DerbyDialect) registerDerbyDialect
+    val props = new Properties()
+    if (cfg.user.nonEmpty) props.put("user", cfg.user)
+    if (cfg.password.nonEmpty) props.put("password", cfg.password)
+    props.put("batchsize", cfg.batchSize.toString)
+    tables.foreach { case (tableRaw, df) =>
+      val table = tableRaw.toLowerCase
+      val ifNotExists = if (cfg.dialect.supportsIfNotExists) "IF NOT EXISTS " else ""
+      val colsSql = df.columns
+        .map(c => s"${q(c)} ${cfg.dialect.textType}").mkString(", ")
+      val conn = connect(cfg)
+      try execCreateIfAbsent(conn,
+        s"CREATE TABLE $ifNotExists${q(cfg.schema)}.${q(table)} ($colsSql)")
+      finally conn.close()
+      df.write.mode(SaveMode.Append)
+        .jdbc(cfg.url, s"${q(cfg.schema)}.${q(table)}", props)
+    }
+  }
+
+  /** Full-refresh one mirror table (A25's DB half): the reference's
+    * `DELETE FROM t; INSERT ...` loop over a fresh download
+    * (`create_definitions.py:54-63,111-120`) as a STAGED ATOMIC
+    * replace — rows flow executor->DB into a per-call staging table,
+    * then one transaction empties the target and re-fills it from
+    * staging, so readers never observe a half-refreshed dictionary and
+    * a failed download can never destroy the previous good rows.
+    *
+    * Identifiers are UNQUOTED in the target (folding per engine), as in
+    * the reference's DDL — so table/column names must be plain
+    * identifiers (the dictionary schemas are).
+    */
+  def fullRefreshTable(df: DataFrame, tableRaw: String, cfg: MirrorConfig): Unit = {
+    if (cfg.dialect == DerbyDialect) registerDerbyDialect
+    val fold = cfg.dialect.foldCase _
+    val plain = "[A-Za-z][A-Za-z0-9_]*"
+    require(tableRaw.matches(plain) && df.columns.forall(_.matches(plain)),
+      s"fullRefreshTable uses unquoted identifiers; non-plain name in: " +
+        s"$tableRaw(${df.columns.mkString(", ")})")
+    val props = new Properties()
+    if (cfg.user.nonEmpty) props.put("user", cfg.user)
+    if (cfg.password.nonEmpty) props.put("password", cfg.password)
+    props.put("batchsize", cfg.batchSize.toString)
+    val ifNotExists = if (cfg.dialect.supportsIfNotExists) "IF NOT EXISTS " else ""
+    val conn0 = connect(cfg)
+    try execCreateIfAbsent(conn0,
+      s"CREATE TABLE $ifNotExists${q(cfg.schema)}.$tableRaw " +
+        s"(${df.columns.map(c => s"$c ${cfg.dialect.textType}").mkString(", ")})")
+    finally conn0.close()
+
+    val batchTag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val staging = s"${fold(tableRaw)}_stg_$batchTag"
+    val foldedCols = df.columns.map(fold)
+    try {
+      val conn1 = connect(cfg)
+      try exec(conn1, s"CREATE TABLE ${q(cfg.schema)}.${q(staging)} " +
+        s"(${foldedCols.map(c => s"${q(c)} ${cfg.dialect.textType}").mkString(", ")})")
+      finally conn1.close()
+      df.toDF(foldedCols.toSeq: _*).write.mode(SaveMode.Append)
+        .jdbc(cfg.url, s"${q(cfg.schema)}.${q(staging)}", props)
+      val conn = connect(cfg)
+      try {
+        conn.setAutoCommit(false)
+        try {
+          val colList = foldedCols.map(q).mkString(", ")
+          exec(conn, s"DELETE FROM ${q(cfg.schema)}.$tableRaw")
+          exec(conn, s"INSERT INTO ${q(cfg.schema)}.$tableRaw ($colList) " +
+            s"SELECT $colList FROM ${q(cfg.schema)}.${q(staging)}")
+          conn.commit()
+        } catch { case e: Throwable => conn.rollback(); throw e }
+      } finally conn.close()
+    } finally {
+      // best-effort; must not mask the in-flight exception
+      try {
+        val c = connect(cfg)
+        try execDropIfExists(c, cfg, staging) finally c.close()
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
 }

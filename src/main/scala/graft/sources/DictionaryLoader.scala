@@ -91,6 +91,18 @@ object DictionaryLoader {
     raw.select(raw.columns.map(c => trim(col(c)).as(c.trim)).toSeq: _*)
   }
 
+  /** Project to the declared dictionary columns in declared order. A
+    * header absent from the download becomes an empty-string column —
+    * the reference's `row.get(k, "").strip()` contract
+    * (`create_definitions.py:43-52,103-110`), where a renamed upstream
+    * header silently yields empty fields rather than failing.
+    */
+  def projectTo(df: DataFrame, columns: Seq[String]): DataFrame = {
+    val present = df.columns.toSet
+    df.select(columns.map(c =>
+      (if (present(c)) col(c) else lit("")).as(c)): _*)
+  }
+
   /** Full refresh: DELETE-all + re-insert in the reference
     * (`create_definitions.py:54-63`) == atomic overwrite here.
     */
