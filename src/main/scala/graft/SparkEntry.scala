@@ -24,7 +24,8 @@ object SparkEntry {
       graft.queries.SimilarityQueries.queries ++
       graft.queries.EventsQueries.queries ++
       graft.queries.MultimodalQueries.queries ++
-      graft.queries.CurationQueries.queries
+      graft.queries.CurationQueries.queries ++
+      graft.queries.JsonlQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
@@ -34,5 +35,6 @@ object SparkEntry {
       graft.queries.SimilarityQueries.oracles ++
       graft.queries.EventsQueries.oracles ++
       graft.queries.MultimodalQueries.oracles ++
-      graft.queries.CurationQueries.oracles
+      graft.queries.CurationQueries.oracles ++
+      graft.queries.JsonlQueries.oracles
 }

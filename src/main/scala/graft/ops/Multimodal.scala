@@ -8,11 +8,12 @@ import org.apache.spark.sql.types._
   * travel as opaque `binary` columns next to a typed metadata struct;
   * decode / feature-extraction runs batch-at-a-time inside
   * `mapPartitions` so a real codec (JNI, native lib) amortizes init per
-  * partition — the Spark-side contract (schema, partitioning, batch
-  * shape) is real and tested here, while the codec itself is a
-  * STUB: no image/audio library ships in this environment, so
-  * [[MediaDecoder.Deterministic]] synthesizes metadata from the bytes.
-  * Swap in a real decoder without touching the plumbing.
+  * partition. Two decoders ship behind the same trait:
+  * [[MediaDecoder.ImageIo]] decodes real PNG/JPEG/BMP headers on the
+  * JDK's `javax.imageio` (no external libs), and
+  * [[MediaDecoder.Deterministic]] synthesizes metadata from the bytes
+  * for the oracle-checked queries over the synthetic (non-image) test
+  * corpus. Audio/video codecs would slot in the same way.
   */
 object Multimodal {
 
@@ -25,9 +26,41 @@ object Multimodal {
   }
 
   object MediaDecoder {
+    /** Real image decoder on the JDK's bundled `javax.imageio`
+      * (PNG/JPEG/BMP/GIF/WBMP — zero external dependencies): reads
+      * width/height/format from the image HEADER via an ImageReader,
+      * never decoding the full raster, so cost per payload is a few
+      * hundred bytes of parsing regardless of pixel count. Payloads no
+      * reader recognizes fail loudly — silently fabricated metadata
+      * would poison downstream filters.
+      *
+      * The synthetic test corpus carries random (non-image) bytes, so
+      * the oracle-checked queries keep [[Deterministic]]; this is the
+      * production decoder for real image columns.
+      */
+    object ImageIo extends MediaDecoder {
+      override def decode(bytes: Array[Byte]): (Int, Int, String) = {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext())
+            throw new IllegalArgumentException(
+              s"no ImageIO reader recognizes payload (${bytes.length} bytes)")
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, true, true)
+            (reader.getWidth(0), reader.getHeight(0),
+              reader.getFormatName.toLowerCase(java.util.Locale.ROOT))
+          } finally reader.dispose()
+        } finally iis.close()
+      }
+    }
+
     /** STUB decoder: deterministic pseudo-metadata derived from payload
-      * bytes (no codec libs in this environment). Replace with a real
-      * JNI/javax.imageio decoder in production.
+      * bytes. Kept for the DuckDB-oracle'd queries (m01-m03), whose
+      * synthetic payloads are not real images; see [[ImageIo]] for the
+      * zero-dependency real decoder.
       */
     object Deterministic extends MediaDecoder {
       override def decode(bytes: Array[Byte]): (Int, Int, String) = {

@@ -1,0 +1,80 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+import java.util.zip.GZIPOutputStream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.ops.Curation
+import graft.sources.{Jsonl, Tables}
+
+/** JSONL corpus round-trip (SURVEY §2C source/sink): write the
+  * documents table as a split-sharded gzip JSONL corpus (the c01
+  * hash-split layout), read it back schema-pinned, quarantine a
+  * malformed shard line, and aggregate the clean side — the full
+  * write -> read -> quarantine -> aggregate path of
+  * [[graft.sources.Jsonl]] under one DuckDB oracle (`read_json` over
+  * the very same files).
+  */
+object JsonlQueries {
+
+  /** Corpus landing dir, keyed by the SF-dir basename: the oracle reads
+    * the sf0.01 layout by fixed path, and a bench pass at another SF
+    * must never clobber the files the oracle is about to read.
+    */
+  private[queries] def corpusDir(sfDir: String): String =
+    s"/tmp/graft_j01_corpus_${Paths.get(sfDir).getFileName}"
+
+  private val corpusSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("source", StringType)))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j01_jsonl_roundtrip" -> ((s, d) => {
+      val dir = corpusDir(d)
+      val corpus = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+        .withColumn("split", Curation.splitAssign(col("doc_id")))
+      Jsonl.write(corpus, dir, partitionBy = Seq("split"))
+      // hand-append one malformed gzip shard so the PERMISSIVE
+      // quarantine path is exercised by the real read (gzipped so the
+      // oracle's *.json.gz glob sees exactly what Spark sees, and
+      // Spark's .crc sidecars stay excluded)
+      val bad = Paths.get(dir, "split=train", "zz-malformed.json.gz")
+      val os = new GZIPOutputStream(Files.newOutputStream(bad))
+      try os.write("{BROKEN LINE\n".getBytes("UTF-8")) finally os.close()
+
+      val q = Jsonl.quarantine(Jsonl.read(s, dir, corpusSchema))
+      // corrupt count rides along as a column so the quarantine itself
+      // is oracle-checked, not just the clean aggregate
+      q.clean.groupBy("split", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("total_chars"))
+        .crossJoin(q.corrupt.agg(count(lit(1)).as("n_corrupt")))
+        .orderBy("split", "source")
+    }),
+  )
+
+  /** DuckDB reads the corpus Spark wrote (`read_json` over the same
+    * gzip shards, hive-partitioned on split). `ignore_errors` turns the
+    * malformed line into an all-null row rather than dropping it, so
+    * null-text rows are the corrupt set — the corpus itself never has
+    * null text (it came from the documents table, which doesn't).
+    */
+  val oracles: Map[String, String] = Map(
+    "j01_jsonl_roundtrip" ->
+      s"""WITH parsed AS (
+         |  SELECT * FROM read_json('${corpusDir("/root/testdata/sf0.01")}/*/*.json.gz',
+         |    format='newline_delimited',
+         |    columns={doc_id: 'BIGINT', text: 'VARCHAR', source: 'VARCHAR'},
+         |    hive_partitioning=true, ignore_errors=true)),
+         |bad AS (SELECT count(*) AS n_corrupt FROM parsed WHERE text IS NULL)
+         |SELECT split, source, count(*) AS n_docs,
+         |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+         |  (SELECT n_corrupt FROM bad) AS n_corrupt
+         |FROM parsed WHERE text IS NOT NULL
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+  )
+}

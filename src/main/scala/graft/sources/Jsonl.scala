@@ -38,16 +38,27 @@ object Jsonl {
       .option("columnNameOfCorruptRecord", CorruptCol)
       .json(path)
 
+  /** Result of [[quarantine]]: call [[Quarantined.release]] once both
+    * sides are consumed — the split pins the parsed frame in executor
+    * storage (see quarantine's doc), and a long-lived session that never
+    * releases it leaks one cached corpus per call.
+    */
+  final class Quarantined(val clean: DataFrame, val corrupt: DataFrame,
+      cached: DataFrame) {
+    /** Unpersist the pinned parse (idempotent, non-blocking). */
+    def release(): Unit = { cached.unpersist(); () }
+  }
+
   /** (clean, corrupt) split. Spark requires caching the parsed frame
     * before referencing `_corrupt_record` alone (the parser would
     * otherwise prune every other field and see nothing as corrupt).
     */
-  def quarantine(parsed: DataFrame): (DataFrame, DataFrame) = {
+  def quarantine(parsed: DataFrame): Quarantined = {
     val cached = parsed.cache()
     val clean = cached.where(col(CorruptCol).isNull).drop(CorruptCol)
     val corrupt = cached.where(col(CorruptCol).isNotNull)
       .select(col(CorruptCol).as("raw_line"))
-    (clean, corrupt)
+    new Quarantined(clean, corrupt, cached)
   }
 
   /** Sharded corpus write: one directory per partition-column value

@@ -44,19 +44,29 @@ object Xlsx {
   /** Collect the concatenated text of all `<t>` descendants until the
     * matching end of the element the reader is positioned on (handles
     * both `<si><t>..</t></si>` and rich-text `<si><r><t>..</t></r>..`).
+    * `<t>` membership is tracked by DEPTH, not a boolean — a nested
+    * element inside `<t>` must not end text collection for the
+    * remainder of the run — and phonetic `<rPh>` subtrees are skipped
+    * entirely: their furigana `<t>` runs are annotations, not cell
+    * content (pandas/openpyxl parity).
     */
   private def collectT(r: XMLStreamReader): String = {
     val sb = new StringBuilder
     var depth = 1
-    var inT = false
+    var tDepth = 0    // depth within a text-bearing <t> subtree
+    var skipDepth = 0 // depth within a phonetic <rPh> subtree
     while (depth > 0) {
       r.next() match {
         case XMLStreamConstants.START_ELEMENT =>
-          depth += 1; inT = r.getLocalName == "t"
+          depth += 1
+          if (skipDepth > 0 || r.getLocalName == "rPh") skipDepth += 1
+          else if (tDepth > 0 || r.getLocalName == "t") tDepth += 1
         case XMLStreamConstants.END_ELEMENT =>
-          depth -= 1; inT = false
+          depth -= 1
+          if (skipDepth > 0) skipDepth -= 1
+          else if (tDepth > 0) tDepth -= 1
         case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
-          if (inT) sb.append(r.getText)
+          if (tDepth > 0 && skipDepth == 0) sb.append(r.getText)
         case _ => ()
       }
     }

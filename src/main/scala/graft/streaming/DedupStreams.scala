@@ -20,8 +20,9 @@ import graft.ops.Dedup
   * only loss is pairs among the 65th+ members of one bucket, which in
   * batch terms is a bucket the banding parameters should have split
   * anyway. A pair surfacing via two bands arrives once per band (batch
-  * d02 applies `distinct()`; streaming consumers dedup by (id_a, id_b)
-  * within their watermark or treat pairs as idempotent upserts).
+  * d02 applies `distinct()`; streaming consumers compose
+  * [[exactlyOncePairs]] downstream, or treat pairs as idempotent
+  * upserts).
   *
   * State lifetime: pass `stateTtl` (e.g. "2 hours") to expire idle
   * buckets via processing-time timeout — without it the bucket-key
@@ -37,6 +38,29 @@ object DedupStreams {
   final case class CandidatePair(id_a: Long, id_b: Long, band_idx: Int)
 
   val DefaultMaxBucketSize = 64
+
+  /** Consumer-side exactly-once pairs: [[nearDupPairs]] emits a pair
+    * once per SHARED BAND (identical documents surface up to
+    * [[graft.ops.Dedup.Bands]] times — the streaming twin of batch
+    * d02's `distinct()`). This collapses the stream to one row per
+    * (id_a, id_b) with `dropDuplicatesWithinWatermark`: dedup state is
+    * keyed only by the pair and EXPIRES with the watermark, instead of
+    * `dropDuplicates`' grow-forever key set — the form that survives an
+    * unbounded stream. Multi-band duplicates of one pair are emitted
+    * together (the pair materializes in the micro-batch where its
+    * second document arrives), so any non-zero watermark delay
+    * suffices; re-emissions can't outlive it.
+    *
+    * The event-time column is the batch timestamp (`current_timestamp`
+    * is fixed per micro-batch in streaming), so callers need no
+    * timestamp on the input documents.
+    */
+  def exactlyOncePairs(pairs: Dataset[CandidatePair],
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    pairs.withColumn("emit_ts", current_timestamp())
+      .withWatermark("emit_ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("id_a", "id_b")
+      .select("id_a", "id_b")
 
   /** docs: streaming DataFrame with (idCol long, textCol string).
     * Returns an append-mode stream of [[CandidatePair]]s.

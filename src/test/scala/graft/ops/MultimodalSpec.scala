@@ -23,6 +23,33 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(viaPartitions == viaColumns)
   }
 
+  test("ImageIo decoder reads real PNG/JPEG/BMP headers through the Spark path") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    def imageBytes(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xff8800)
+      val bos = new ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"JDK cannot encode $fmt")
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, imageBytes(320, 200, "png")),
+      (2L, imageBytes(64, 48, "jpg")),
+      (3L, imageBytes(16, 16, "bmp")))
+      .toDF("media_id", "payload")
+    val out = Multimodal.decodeFeatures(media, Multimodal.MediaDecoder.ImageIo)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    assert(out(1L) == ((320, 200, "png")))
+    assert(out(2L) == ((64, 48, "jpeg")))
+    assert(out(3L) == ((16, 16, "bmp")))
+    // non-image payloads fail loudly rather than fabricate metadata
+    intercept[IllegalArgumentException] {
+      Multimodal.MediaDecoder.ImageIo.decode("not an image".getBytes("UTF-8"))
+    }
+  }
+
   test("frame sampling yields ceil-ish stride segments, min 1") {
     import spark.implicits._
     val media = Seq((1L, "a" * 250), (2L, "b" * 10))

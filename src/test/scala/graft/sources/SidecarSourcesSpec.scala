@@ -203,6 +203,31 @@ class SidecarSourcesSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("DataSetFields"))
   }
 
+  test("xlsx shared strings: text after nested runs kept, phonetic rPh skipped") {
+    import java.util.zip.{ZipEntry, ZipFile, ZipOutputStream}
+    val dir = Files.createTempDirectory("graft_xlsx_rich")
+    val path = dir.resolve("rich.xlsx")
+    val zos = new ZipOutputStream(Files.newOutputStream(path))
+    zos.putNextEntry(new ZipEntry("xl/sharedStrings.xml"))
+    // si 0: rich text where a <rPr> formatting element interrupts the
+    // runs — text AFTER it must still be collected;
+    // si 1: Japanese cell with phonetic <rPh> annotation runs that
+    // pandas/openpyxl exclude from the cell value
+    zos.write(
+      """<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="2" uniqueCount="2">
+        |  <si><r><t>before</t></r><r><rPr><b/></rPr><t xml:space="preserve"> after</t></r></si>
+        |  <si><r><t>東京</t></r><rPh sb="0" eb="2"><t>トウキョウ</t></rPh><phoneticPr fontId="1"/></si>
+        |</sst>""".stripMargin.getBytes("UTF-8"))
+    zos.closeEntry()
+    zos.close()
+    val zip = new ZipFile(path.toFile)
+    try {
+      val ss = Xlsx.sharedStrings(zip)
+      assert(ss(0) == "before after")
+      assert(ss(1) == "東京") // phonetic runs are annotations, not content
+    } finally zip.close()
+  }
+
   test("jsonl corpus: schema-pinned read, quarantine, sharded round-trip") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("graft_jsonl")
@@ -214,8 +239,9 @@ class SidecarSourcesSpec extends AnyFunSuite with SparkSpec {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("source", StringType)))
-    val (clean, corrupt) = Jsonl.quarantine(
+    val quarantined = Jsonl.quarantine(
       Jsonl.read(spark, dir.resolve("part0.jsonl").toString, schema))
+    val (clean, corrupt) = (quarantined.clean, quarantined.corrupt)
     assert(clean.columns.toSeq == Seq("doc_id", "text", "source")) // extra field dropped
     assert(clean.count() == 3)
     assert(corrupt.count() == 1)
@@ -229,6 +255,7 @@ class SidecarSourcesSpec extends AnyFunSuite with SparkSpec {
     val back = spark.read.schema(schema.add("split", StringType)).json(out)
     assert(back.count() == 3)
     assert(back.select("split").distinct().count() >= 1) // partition col restored
+    quarantined.release() // the split pins the parse; callers must release
   }
 
   test("A30 rename migration is idempotent and reversible") {

@@ -39,6 +39,33 @@ class DedupStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("exactlyOncePairs collapses multi-band emissions to one row per pair across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val raw = DedupStreams.nearDupPairs(in.toDS().toDF("doc_id", "text"), "doc_id", "text")
+    val q = DedupStreams.exactlyOncePairs(raw)
+      .writeStream.format("memory").queryName("neardup_once")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(docs(0), docs(1), docs(2))
+      q.processAllAvailable()
+      in.addData(docs(3)) // identical to doc 1 -> pairs via ALL 4 bands
+      q.processAllAvailable()
+      val rows = spark.table("neardup_once")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      // exactly once: no (id_a, id_b) appears twice even though the raw
+      // stream emits identical-doc pairs once per shared band
+      assert(rows.size == rows.distinct.size,
+        s"duplicate pairs in deduped sink: $rows")
+      val batch = Dedup.minHashCandidatePairs(
+          docs.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows.toSet == batch)
+      assert(rows.toSet.contains((1L, 4L))) // cross-batch pair, still single
+    } finally q.stop()
+  }
+
   test("stateTtl wiring: pairs still flow with processing-time timeout armed") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
