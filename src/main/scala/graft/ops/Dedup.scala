@@ -204,17 +204,24 @@ object Dedup {
     * (the hub is the bucket minimum).
     */
   def connectedComponentsOverBuckets(docs: DataFrame, idCol: String, textCol: String,
-      maxIter: Int = 20, checkpointDir: Option[String] = None): DataFrame = {
+      maxIter: Int = 20, checkpointDir: Option[String] = None): DataFrame =
+    connectedComponents(bucketStarEdges(docs, idCol, textCol), maxIter, checkpointDir)
+
+  /** The star-contracted edge relation feeding
+    * [[connectedComponentsOverBuckets]], exposed so plan tests can gate
+    * its shape (hub aggregation sharing the membership join's
+    * (band_idx, band_key) partitioning; no synthetic id generation).
+    */
+  def bucketStarEdges(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val bk = bandKeys(docs, idCol, textCol)
     val hubs = bk.groupBy("band_idx", "band_key")
       .agg(min(col("id")).as("hub"), count(lit(1)).as("members"))
       .where(col("members") >= 2)
       .select("band_idx", "band_key", "hub")
-    val stars = bk.join(hubs, Seq("band_idx", "band_key"))
+    bk.join(hubs, Seq("band_idx", "band_key"))
       .where(col("id") =!= col("hub"))
       .select(col("hub").as("id_a"), col("id").as("id_b"))
       .distinct()
-    connectedComponents(stars, maxIter, checkpointDir)
   }
 
   // --- SimHash -------------------------------------------------------------

@@ -21,7 +21,7 @@ object DedupQueries {
   }
 
   /** documents ∪ near-duplicate copies (one word appended). */
-  private[queries] def docsWithMutations(s: SparkSession, d: String): DataFrame = {
+  private[graft] def docsWithMutations(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.load(s, d, "documents").select("doc_id", "text", "source")
     docs.unionByName(docs.select((col("doc_id") + 1000000).as("doc_id"),
       concat(col("text"), lit(" spark")).as("text"), col("source")))

@@ -81,6 +81,28 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("e04: pinned-schema JSON extraction, no JsonPath walk, scan pruned to two columns") {
+    val p = plan("e04_json_props")
+    assert(p.contains("from_json"), p)
+    assert(!p.contains("get_json_object"), p)
+    // partial aggregation sits directly on a scan pruned to the two
+    // referenced columns — the parse happens once, map-side
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("ReadSchema: struct<event_type:string,props:string>"), p)
+  }
+
+  test("d07 star-contraction edges: equi-join on band keys, map-side-combined hubs, no synthetic ids") {
+    val docs = graft.queries.DedupQueries.docsWithMutations(spark, sf)
+    val p = graft.ops.Dedup.bucketStarEdges(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // the old bipartite form's synthetic bucket-id space must be gone
+    assert(!p.contains("monotonically_increasing_id"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // hub min/count is a hash aggregate (partial -> final), not a sort
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("keyed overwrite: eviction keys are broadcast (no full shuffle of existing data)") {
     import spark.implicits._
     val existing = (1 to 1000).map(i => (s"k$i", i)).toDF("pcr_uuid_context", "v")
