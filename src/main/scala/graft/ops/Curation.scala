@@ -75,6 +75,29 @@ object Curation {
       .drop("gs", "bench_gs")
   }
 
+  /** Deterministic weighted (per-source) subsampling — the data-MIXING
+    * primitive: each source keeps a `weights(source)` fraction of its
+    * documents, membership decided by a content-stable hash threshold
+    * (md5-bucket of the id against weight·10⁴), never `rand()`/
+    * `sampleBy` — the same document is kept on every rerun and every
+    * engine (so the DuckDB oracle can replay it exactly), and the
+    * filter is pure per-row column math: no shuffle, no RNG state, and
+    * upsampling a source later keeps every previously kept document (a
+    * higher threshold is a superset — the property that makes mixture
+    * sweeps reproducible). Sources absent from `weights` keep
+    * `defaultWeight`.
+    */
+  def weightedSample(docs: DataFrame, idCol: String, sourceCol: String,
+      weights: Map[String, Double], defaultWeight: Double = 1.0): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(w => w >= 0 && w <= 1),
+      s"sampling weights must be in [0,1]: $weights / $defaultWeight")
+    val bucket = Dedup.md5Hash32(col(idCol).cast("string")) % 10000
+    val rate = weights.toSeq.sortBy(_._1).foldLeft(lit(defaultWeight)) {
+      case (acc, (src, w)) => when(col(sourceCol) === src, lit(w)).otherwise(acc)
+    }
+    docs.where(bucket < rate * 10000)
+  }
+
   /** Canonical selection inside near-dup clusters: instead of "keep the
     * min id" (d06), keep the HIGHEST-QUALITY member — rank cluster
     * members by (quality desc, id asc) and return ONLY rank 1, one row

@@ -65,7 +65,25 @@ object CurationQueries {
           col("n_chars").as("kept_chars"), col("cluster_size"))
         .orderBy("cluster_id")
     }),
+    // deterministic source mixing: down-weight three sources, keep the
+    // rest at 90% — hash-threshold membership, so the oracle replays
+    // the exact kept set (and upsampling later is a superset)
+    "c05_weighted_sample" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents").select("doc_id", "source", "text")
+      Curation.weightedSample(docs, "doc_id", "source", MixWeights, MixDefault)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(TextAnalysis.wsTokenCount(col("text"))).as("kept_tokens"))
+        .orderBy("source")
+    }),
   )
+
+  /** c05's mixture, shared with the oracle so the thresholds can never
+    * drift between engines.
+    */
+  private val MixWeights: Map[String, Double] =
+    Map("src0" -> 0.25, "src1" -> 0.5, "src2" -> 0.0)
+  private val MixDefault = 0.9
 
   private val tokenExpr =
     "(length(text) - length(replace(text, ' ', '')) + 1)"
@@ -126,5 +144,19 @@ object CurationQueries {
          |SELECT label AS cluster_id, doc_id AS kept_id, n_chars AS kept_chars,
          |  cluster_size
          |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+
+    "c05_weighted_sample" -> {
+      val rateCases = MixWeights.toSeq.sortBy(_._1).reverse.foldLeft(MixDefault.toString) {
+        case (acc, (src, w)) => s"CASE WHEN source = '$src' THEN $w ELSE $acc END"
+      }
+      s"""WITH b AS (SELECT source, text,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS bkt,
+         |    $rateCases AS rate
+         |  FROM documents)
+         |SELECT source, count(*) AS n_kept,
+         |  CAST(sum($tokenExpr) AS BIGINT) AS kept_tokens
+         |FROM b WHERE bkt < rate * 10000
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
   )
 }

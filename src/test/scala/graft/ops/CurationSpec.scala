@@ -75,6 +75,31 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("weightedSample: deterministic, monotone in weight, zero-weight empty, guard on bad weights") {
+    import spark.implicits._
+    val docs = (1L to 400L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "source")
+    def kept(wa: Double): Set[Long] =
+      Curation.weightedSample(docs, "doc_id", "source", Map("a" -> wa), 1.0)
+        .where(col("source") === "a").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    val k30 = kept(0.3)
+    // deterministic across invocations
+    assert(k30 == kept(0.3))
+    // upsampling keeps every previously kept doc (threshold superset)
+    assert(k30.subsetOf(kept(0.6)))
+    assert(kept(0.0).isEmpty && kept(1.0).size == 200)
+    // roughly proportional (hash uniformity; wide tolerance)
+    assert(k30.size > 20 && k30.size < 100, k30.size.toString)
+    // unlisted source keeps defaultWeight
+    val bAll = Curation.weightedSample(docs, "doc_id", "source", Map("a" -> 0.0), 1.0)
+      .where(col("source") === "b").count()
+    assert(bAll == 200)
+    intercept[IllegalArgumentException] {
+      Curation.weightedSample(docs, "doc_id", "source", Map("a" -> 1.5))
+    }
+  }
+
   test("keepBest ranks by quality desc then id, and carries cluster size") {
     import spark.implicits._
     val labeled = Seq(
