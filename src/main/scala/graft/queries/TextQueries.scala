@@ -97,6 +97,28 @@ object TextQueries {
           TextAnalysis.rollingHash(col("text")).as("fp_rolling"))
         .orderBy("doc_id")
     }),
+
+    "t08_repetition" -> ((s, d) => {
+      // Gopher-style within-doc repetition: the fraction of a document
+      // owed to its single most frequent word (degenerate boilerplate
+      // shows up as top_freq/n_words near 1). One explode + per-doc
+      // groupBy + one window sort, all partitioned by doc_id — the
+      // whole pipeline shares the doc_id shuffle, no global state.
+      val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      val ranked = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("f").desc, col("w").asc)
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("f"))
+        .withColumn("rn", row_number().over(ranked))
+        .withColumn("n_words", sum(col("f")).over(byDoc))
+        .withColumn("n_distinct", count(lit(1)).over(byDoc))
+        .where(col("rn") === 1)
+        .select(col("doc_id"), col("n_words"), col("n_distinct"),
+          col("w").as("top_word"), col("f").as("top_freq"),
+          (col("f") / col("n_words").cast("double")).as("repetition_ratio"))
+        .orderBy("doc_id")
+    }),
   )
 
   private val markerSql: Map[String, String] =
@@ -195,5 +217,18 @@ object TextQueries {
         |    list_prepend(CAST(0 AS BIGINT), list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT))),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS fp_rolling
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t08_repetition" ->
+      """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |freqs AS (SELECT doc_id, w, count(*) AS f FROM words GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, w, f,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY f DESC, w ASC) AS rn,
+        |    CAST(sum(f) OVER (PARTITION BY doc_id) AS BIGINT) AS n_words,
+        |    CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_distinct
+        |  FROM freqs)
+        |SELECT doc_id, n_words, n_distinct, w AS top_word,
+        |  CAST(f AS BIGINT) AS top_freq,
+        |  f / CAST(n_words AS DOUBLE) AS repetition_ratio
+        |FROM agg WHERE rn = 1 ORDER BY doc_id""".stripMargin,
   )
 }
