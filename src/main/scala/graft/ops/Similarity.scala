@@ -114,6 +114,56 @@ object Similarity {
       .groupBy(col("label").cast("long").as("label"), col("c_label").cast("long").as("predicted"))
       .agg(count(lit(1)).as("n"))
 
+  /** Deterministic Lloyd k-means over quantized integer vectors — the
+    * IVF TRAINING step ([[centroidAssign]]/[[ivfTopK]] consume
+    * centroids; this is how they get fit without importing anyone's
+    * model). Every choice is exact, engine-portable arithmetic so the
+    * DuckDB oracle replays the whole training bit-for-bit (s08):
+    *
+    *  - init: the k lowest-`vec_id` vectors (content-stable, no RNG);
+    *  - distance: integer squared-L2 (no float accumulation order);
+    *  - ties: lowest centroid id;
+    *  - update: per-dimension floor(mean), back onto the integer grid;
+    *    a cluster that loses all members keeps its previous centroid.
+    *
+    * Scale shape: centroids are k×dim longs — model state lives on the
+    * driver and enters the plan as literals inside ONE codegen'd
+    * per-row argmin (k fused `zip_with`+`aggregate` expressions), so
+    * each of the `iters` assignment passes scans the corpus once with
+    * zero shuffle, and each update is one groupBy(k) with map-side
+    * combine. Returns the final (vec_id, cid, dist) assignment.
+    */
+  def kmeansAssign(corpus: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    require(k >= 1 && iters >= 1, s"need k >= 1 and iters >= 1, got k=$k iters=$iters")
+    val qv = corpus.select(col("vec_id"), quantize(col("embedding")).as("q"))
+    val dim = qv.select(size(col("q"))).head().getInt(0)
+    var cents: Array[(Int, Array[Long])] = qv.orderBy("vec_id").limit(k)
+      .select("q").collect().zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Long](0).toArray }
+    def assign(): DataFrame = {
+      val distCols = cents.map { case (cid, cv) =>
+        struct(
+          aggregate(zip_with(col("q"), array(cv.map(lit).toSeq: _*),
+            (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v).as("dist"),
+          lit(cid).as("cid"))
+      }
+      // array_min over (dist, cid) structs = argmin with the lowest-cid
+      // tie-break, evaluated in one codegen'd projection
+      qv.withColumn("best", array_min(array(distCols.toSeq: _*)))
+        .select(col("vec_id"), col("q"),
+          col("best.cid").as("cid"), col("best.dist").as("dist"))
+    }
+    (1 until iters).foreach { _ =>
+      val means = assign().groupBy("cid").agg(
+        array((0 until dim).map(i =>
+          floor(sum(element_at(col("q"), i + 1)).cast("double") / count(lit(1)))
+            .cast("long")).toSeq: _*).as("cv"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Long](1).toArray).toMap
+      cents = cents.map { case (cid, prev) => cid -> means.getOrElse(cid, prev) }
+    }
+    assign().drop("q")
+  }
+
   /** IVF probe search: corpus vectors are bucketed by their nearest
     * centroid (the inverted list — at scale this is the partitioning
     * key, so a probe touches nprobe/nlists of the data); each query

@@ -63,6 +63,17 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF training: deterministic integer Lloyd k-means (init = k
+    // lowest ids, exact int L2, floor-mean updates) — the oracle
+    // replays both iterations bit-for-bit
+    "s08_kmeans_train" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings").select("vec_id", "embedding")
+      Similarity.kmeansAssign(e, k = 8, iters = 2)
+        .groupBy(col("cid").cast("long").as("cid"))
+        .agg(count(lit(1)).as("n_members"), sum(col("dist")).as("total_dist"))
+        .orderBy("cid")
+    }),
+
     // Production fast path: the native codegen'd VecCosineFloat
     // expression (single fused loop over raw floats). Float summation
     // order makes scores engine-specific, so no oracle — rows-only.
@@ -108,6 +119,36 @@ object SimilarityQueries {
          |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
          |  FROM scored)
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // two unrolled Lloyd iterations, every step exact integer/floor
+    // arithmetic shared with Similarity.kmeansAssign
+    "s08_kmeans_train" -> {
+      val l2 = (q: String, c: String) =>
+        s"list_sum(list_transform(range(1, 65), i -> ($q[i] - $c[i]) * ($q[i] - $c[i])))"
+      s"""WITH qv AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS cv
+         |  FROM qv ORDER BY vec_id LIMIT 8),
+         |a1 AS (SELECT vec_id, q, cid FROM (
+         |    SELECT v.vec_id, v.q, c.cid,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${l2("v.q", "c.cv")}, c.cid) AS rn
+         |    FROM qv v CROSS JOIN init c)
+         |  WHERE rn = 1),
+         |m1 AS (SELECT cid, i, CAST(floor(sum(q[i]) / count(*)) AS BIGINT) AS mv
+         |  FROM a1 CROSS JOIN range(1, 65) t(i) GROUP BY cid, i),
+         |c2 AS (SELECT p.cid, COALESCE(n.cv, p.cv) AS cv FROM init p
+         |  LEFT JOIN (SELECT cid, list(mv ORDER BY i) AS cv FROM m1 GROUP BY cid) n USING (cid)),
+         |a2 AS (SELECT vec_id, cid, dist FROM (
+         |    SELECT v.vec_id, c.cid, ${l2("v.q", "c.cv")} AS dist,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${l2("v.q", "c.cv")}, c.cid) AS rn
+         |    FROM qv v CROSS JOIN c2 c)
+         |  WHERE rn = 1)
+         |SELECT cid, count(*) AS n_members, CAST(sum(dist) AS BIGINT) AS total_dist
+         |FROM a2 GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "s07_filtered_topk" ->
       s"""WITH $qCte,
