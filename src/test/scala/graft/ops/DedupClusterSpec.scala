@@ -19,6 +19,33 @@ class DedupClusterSpec extends AnyFunSuite with SparkSpec {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("star contraction: a dense bucket emits O(m) edges, not C(m,2); singleton buckets emit none") {
+    import spark.implicits._
+    // 100 byte-identical docs: every band bucket holds all 100 members,
+    // so the pair expansion would be 4 * C(100,2) = 19800 rows — the
+    // star form emits (hub=1, member) once per member, and distinct()
+    // collapses the 4 bands to 99 edges total
+    val same = (1L to 100L).map(i => (i, "the quick brown fox jumps over the lazy dog once more"))
+      .toDF("doc_id", "text")
+    val edges = Dedup.bucketStarEdges(same, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.length == 99)
+    assert(edges.forall(_._1 == 1L)) // hub = bucket minimum
+    val labels = Dedup.connectedComponentsOverBuckets(same, "doc_id", "text")
+    assert(labels.select("label").distinct().collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(labels.count() == 100)
+
+    // all-distinct docs: every bucket is a singleton -> zero edges,
+    // zero labeled docs (the pair relation has no singletons either)
+    val distinctDocs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten eleven"),
+      (3L, "red orange yellow green blue indigo violet crimson amber teal"))
+      .toDF("doc_id", "text")
+    assert(Dedup.bucketStarEdges(distinctDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.connectedComponentsOverBuckets(distinctDocs, "doc_id", "text").count() == 0)
+  }
+
   test("reliable-checkpoint mode produces the same labels and writes checkpoints") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt")
