@@ -48,6 +48,10 @@ object IngestDemo {
     require(positional.size >= 2 && positional.size <= 3, usage)
     val Seq(xmlGlob, lakeDir) = positional.take(2)
     val jdbcUrl = positional.lift(2)
+    // the version gate lives in the JDBC mirror — a gated run without a
+    // mirror target would silently ingest ungated, so refuse up front
+    require(flags.get("--require-version").isEmpty || jdbcUrl.nonEmpty,
+      s"--require-version needs a jdbcUrl (the gate guards the mirror)\n$usage")
 
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
@@ -71,10 +75,8 @@ object IngestDemo {
       .foreach(r => println(s"${r.get(0)} -> ${r.get(1)}"))
 
     jdbcUrl.foreach { url =>
-      val dialect =
-        if (url.startsWith("jdbc:derby")) JdbcMirror.DerbyDialect
-        else JdbcMirror.PostgresDialect
-      val cfg = JdbcMirror.MirrorConfig(url, dialect = dialect,
+      val cfg = JdbcMirror.MirrorConfig(url,
+        dialect = VendorImportMain.dialectFor(url),
         requireSchemaVersion = flags.get("--require-version"))
       val mirrored = JdbcMirror.mirrorBatch(
         spark.read.parquet(IngestPipeline.elementsPath(lakeDir)), cfg)

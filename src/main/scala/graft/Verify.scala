@@ -49,8 +49,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // oracle SQL may reference run-dependent paths (j01's corpus dir is
+    // keyed by the SF basename) — substitute before dumping, so the
+    // DuckDB compare always reads what THIS run wrote
+    val sfBase = java.nio.file.Paths.get(sfDir).getFileName.toString
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace(graft.queries.JsonlQueries.SfBaseToken, sfBase))}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -192,11 +192,14 @@ object Dedup {
     * Buckets with fewer than 2 members connect nothing and are dropped
     * by the hub aggregation's count filter before any edge exists.
     * (Round 2 modeled buckets as graph NODES instead: correct, but it
-    * dragged ~4 singleton memberships per doc through every CC round
-    * and doubled propagation distances via doc→bucket→doc paths —
+    * dragged ~4 singleton memberships per doc through every CC round —
     * 49% of the whole bench. The star contraction keeps the O(m)
-    * dense-bucket property with none of that: doc-only nodes, pair-form
-    * propagation depth, and no synthetic bucket-id space to guard.)
+    * dense-bucket property with doc-only nodes and no synthetic
+    * bucket-id space to guard.) Two non-hub members of a bucket sit 2
+    * hops apart (member→hub→member), so propagation distances are
+    * still up to 2× the pair-clique's — the default step budget stays
+    * at 2× the pair form's; converged graphs stop early regardless,
+    * so the larger budget costs nothing unless it is needed.
     *
     * The hub aggregation is a map-side-combining groupBy on the same
     * (band_idx, band_key) the membership join shuffles on, so the
@@ -204,7 +207,7 @@ object Dedup {
     * (the hub is the bucket minimum).
     */
   def connectedComponentsOverBuckets(docs: DataFrame, idCol: String, textCol: String,
-      maxIter: Int = 20, checkpointDir: Option[String] = None): DataFrame =
+      maxIter: Int = 40, checkpointDir: Option[String] = None): DataFrame =
     connectedComponents(bucketStarEdges(docs, idCol, textCol), maxIter, checkpointDir)
 
   /** The star-contracted edge relation feeding

@@ -76,14 +76,18 @@ object EventsQueries {
     }),
 
     "e04_json_props" -> ((s, d) => {
-      // pinned single-field schema: from_json with 'k BIGINT' is one
-      // Jackson parse per row straight into a long — measured 6x
-      // cheaper than get_json_object's generic JsonPath walk, which
-      // made e04 the only full-scan agg here not within 2x of e01
+      // pinned single-field schema: from_json parses one field per row
+      // — measured 6x cheaper than get_json_object's generic JsonPath
+      // walk, which made e04 the only full-scan agg here not within 2x
+      // of e01. The field is read as STRING then cast: a STRING field
+      // accepts both {"k": 5} and {"k": "5"} (BIGINT would null the
+      // quoted form, silently diverging from the previous
+      // get_json_object semantics and the oracle's
+      // json_extract_string).
       Tables.load(s, d, "events")
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
-          sum(expr("from_json(props, 'k BIGINT').k")).as("k_total"))
+          sum(expr("from_json(props, 'k STRING').k").cast("long")).as("k_total"))
         .orderBy("event_type")
     }),
 

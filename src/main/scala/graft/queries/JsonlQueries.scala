@@ -48,11 +48,17 @@ object JsonlQueries {
 
       val q = Jsonl.quarantine(Jsonl.read(s, dir, corpusSchema))
       // corrupt count rides along as a column so the quarantine itself
-      // is oracle-checked, not just the clean aggregate
+      // is oracle-checked, not just the clean aggregate. It is counted
+      // EAGERLY so the pinned parse can be released before returning —
+      // otherwise the cached corpus would sit in executor storage for
+      // the rest of the session (the clean side references more than
+      // the corrupt column, so it recomputes legally uncached).
+      val nCorrupt = q.corrupt.count()
+      q.release()
       q.clean.groupBy("split", "source")
         .agg(count(lit(1)).as("n_docs"),
           sum(length(col("text"))).as("total_chars"))
-        .crossJoin(q.corrupt.agg(count(lit(1)).as("n_corrupt")))
+        .withColumn("n_corrupt", lit(nCorrupt))
         .orderBy("split", "source")
     }),
   )
@@ -62,11 +68,18 @@ object JsonlQueries {
     * malformed line into an all-null row rather than dropping it, so
     * null-text rows are the corrupt set — the corpus itself never has
     * null text (it came from the documents table, which doesn't).
+    *
+    * The corpus path depends on the SF the gate runs at, so the SQL
+    * carries [[SfBaseToken]] and `Verify` substitutes the actual SF-dir
+    * basename when dumping oracle_sql.json — a gate run at sf0.001 must
+    * read the sf0.001 corpus, not a stale sf0.01 one.
     */
+  val SfBaseToken = "__GRAFT_SF_BASE__"
+
   val oracles: Map[String, String] = Map(
     "j01_jsonl_roundtrip" ->
       s"""WITH parsed AS (
-         |  SELECT * FROM read_json('${corpusDir("/root/testdata/sf0.01")}/*/*.json.gz',
+         |  SELECT * FROM read_json('${corpusDir(SfBaseToken)}/*/*.json.gz',
          |    format='newline_delimited',
          |    columns={doc_id: 'BIGINT', text: 'VARCHAR', source: 'VARCHAR'},
          |    hive_partitioning=true, ignore_errors=true)),
