@@ -61,6 +61,26 @@ object Jsonl {
     new Quarantined(clean, corrupt, cached)
   }
 
+  /** Streaming twin of [[read]]: a landing directory consumed as a
+    * Structured Streaming file source — new shards are picked up per
+    * micro-batch, with the same pinned schema and PERMISSIVE
+    * `_corrupt_record` contract as the batch read (inference is not
+    * even possible on a stream, which is the point: the schema IS the
+    * interface). `maxFilesPerTrigger` bounds a backfill's batch size so
+    * a million-shard landing dir drains in bounded memory instead of
+    * one giant batch. Compose the corrupt-column filter downstream
+    * (the batch [[quarantine]]'s cache trick is neither needed nor
+    * possible on a stream — both sides are separate sinks).
+    */
+  def readStream(spark: SparkSession, dir: String, schema: StructType,
+      maxFilesPerTrigger: Int = 1000): DataFrame =
+    spark.readStream
+      .schema(schema.add(CorruptCol, "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(dir)
+
   /** Sharded corpus write: one directory per partition-column value
     * (e.g. split=train/shard=0), gzip per file.
     */

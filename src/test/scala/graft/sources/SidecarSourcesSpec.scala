@@ -258,6 +258,35 @@ class SidecarSourcesSpec extends AnyFunSuite with SparkSpec {
     quarantined.release() // the split pins the parse; callers must release
   }
 
+  test("jsonl streaming: shards landed across micro-batches, corrupt lines split off") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_jsonl_stream")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    Files.writeString(dir.resolve("shard0.jsonl"),
+      """{"doc_id": 1, "text": "alpha"}
+        |{"doc_id": 2, "text": "beta"}""".stripMargin)
+    val parsed = Jsonl.readStream(spark, dir.toString, schema, maxFilesPerTrigger = 1)
+    val q = parsed
+      .select(col("doc_id"), col("text"), col(Jsonl.CorruptCol).isNotNull.as("corrupt"))
+      .writeStream.format("memory").queryName("jsonl_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("jsonl_stream").count() == 2)
+      // a later shard with one malformed line arrives in a NEW batch
+      Files.writeString(dir.resolve("shard1.jsonl"),
+        """{"doc_id": 3, "text": "gamma"}
+          |{oops not json""".stripMargin)
+      q.processAllAvailable()
+      val rows = spark.table("jsonl_stream")
+      assert(rows.count() == 4)
+      assert(rows.where(col("corrupt")).count() == 1)
+      assert(rows.where(!col("corrupt")).count() == 3)
+    } finally q.stop()
+  }
+
   test("A30 rename migration is idempotent and reversible") {
     import spark.implicits._
     val legacy = Seq(("e1", "120")).toDF("element_id", "text_content")
