@@ -227,6 +227,49 @@ object Dedup {
       .distinct()
   }
 
+  // --- Bloom pre-filter ----------------------------------------------------
+
+  /** Incremental dedup against a HISTORICAL corpus without joining it:
+    * build a Bloom filter over the historical fingerprints (one
+    * distributed aggregation, bits sized by `expectedItems`/`fpp`),
+    * broadcast the megabyte-scale filter, and probe each incoming
+    * document per-row. Bloom filters have NO false negatives — a true
+    * duplicate always flags — so `probably_seen` is a safe PRE-FILTER:
+    * only flagged documents need the exact confirmation join against
+    * history, shrinking that join's probe side by roughly the novelty
+    * rate. That is the shape that matters when history is 100 TB and
+    * the daily increment is small: the big corpus is scanned once to
+    * build the filter (or the filter is maintained incrementally) and
+    * never shuffled per batch.
+    *
+    * The probe runs in `mapPartitions` over the broadcast sketch (same
+    * pattern as the multimodal codec): the filter's bit layout is
+    * Spark-internal, so this operator is envelope-checked
+    * (`SketchEnvelopeSpec`) rather than DuckDB-oracle'd — zero false
+    * negatives exactly, false-positive rate near `fpp`.
+    *
+    * Returns (id, fingerprint, probably_seen).
+    */
+  def bloomSeenFlags(historical: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String,
+      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val spark = incoming.sparkSession
+    import spark.implicits._
+    val bf = historical
+      .select(TextAnalysis.fingerprintMd5(col(textCol)).as("f"))
+      .stat.bloomFilter("f", expectedItems, fpp)
+    val bcast = spark.sparkContext.broadcast(bf)
+    incoming
+      .select(col(idCol).cast("long").as("id"),
+        TextAnalysis.fingerprintMd5(col(textCol)).as("f"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val b = bcast.value
+        it.map { case (id, f) => (id, f, b.mightContainString(f)) }
+      }
+      .toDF("id", "fingerprint", "probably_seen")
+  }
+
   // --- SimHash -------------------------------------------------------------
 
   val SimHashBits = 32

@@ -90,6 +90,27 @@ object DedupQueries {
         .orderBy("canonical_id")
     }),
 
+    // incremental dedup pre-filter: history = the documents table;
+    // incoming = one exact copy (must flag: Bloom has no false
+    // negatives) + one mutation (flags only as a false positive) per
+    // doc. Sketch bit layout is engine-specific -> rows-only here,
+    // envelope-checked in SketchEnvelopeSpec.
+    "d08_bloom_prefilter" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents").select("doc_id", "text", "source")
+      val incoming = docs.select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+        .unionByName(docs.select((col("doc_id") + 2000000).as("doc_id"),
+          concat(col("text"), lit(" spark")).as("text")))
+      val flags = Dedup.bloomSeenFlags(docs, incoming, "doc_id", "text",
+        expectedItems = 100000, fpp = 0.01)
+      flags.agg(
+        count(lit(1)).as("n_incoming"),
+        sum(when(col("probably_seen"), 1L).otherwise(0L)).as("n_flagged"),
+        sum(when(col("id") < 2000000 && col("probably_seen"), 1L).otherwise(0L))
+          .as("n_true_dups_flagged"),
+        sum(when(col("id") >= 2000000 && col("probably_seen"), 1L).otherwise(0L))
+          .as("n_false_positives"))
+    }),
+
     "d05_embedding_neardup" -> ((s, d) => {
       import graft.functions.VectorFunctions._
       val e = Tables.load(s, d, "embeddings").select("vec_id", "embedding")

@@ -281,6 +281,17 @@ object Relational {
         countDistinct(col("l_orderkey")).as("exact_orders"))
     }),
 
+    // percentile sketch (Greenwald-Khanna via percentile_approx) next
+    // to the exact percentile — same rows-only + envelope treatment as
+    // q19/q24: the sketch's merge order is engine-specific
+    "q29_approx_percentile" -> ((s, d) => {
+      t(s, d, "lineitem").agg(
+        expr("percentile_approx(l_extendedprice, array(0.5D, 0.95D, 0.99D), 10000)")
+          .as("approx_p"),
+        expr("percentile(l_extendedprice, array(0.5D, 0.95D, 0.99D))")
+          .as("exact_p"))
+    }),
+
     "q26_range_frame" -> ((s, d) => {
       // RANGE frame (value-based window): revenue of orders within 90
       // days before each order, per customer

@@ -4,11 +4,12 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.{SparkEntry, SparkSpec}
 
-/** Machine-checks the three queries the DuckDB oracle cannot replay
-  * (engine-specific sketch estimates / float-sum ordering): each result
-  * must sit inside its sketch's configured error envelope, or — for the
-  * native top-k — agree with the oracle-checked quantized variant on the
-  * returned id sets.
+/** Machine-checks the queries the DuckDB oracle cannot replay
+  * (engine-specific sketch estimates / float-sum ordering — q19 HLL,
+  * q24 CMS, q29 percentile sketch, d08 Bloom, s04 native float): each
+  * result must sit inside its sketch's configured error envelope, or —
+  * for the native top-k — agree with the oracle-checked quantized
+  * variant on the returned id sets.
   */
 class SketchEnvelopeSpec extends AnyFunSuite with SparkSpec {
 
@@ -41,6 +42,29 @@ class SketchEnvelopeSpec extends AnyFunSuite with SparkSpec {
       assert(est - exact <= (eps * n).ceil.toLong,
         s"overcount ${est - exact} exceeds eps*N = ${eps * n}")
     }
+  }
+
+  test("q29: percentile sketch within 1% of exact at accuracy 10000") {
+    val r = SparkEntry.queries("q29_approx_percentile")(spark, sf).head()
+    val approx = r.getSeq[Double](r.fieldIndex("approx_p"))
+    val exact = r.getSeq[Double](r.fieldIndex("exact_p"))
+    assert(approx.size == 3 && exact.size == 3)
+    approx.zip(exact).foreach { case (a, e) =>
+      assert(math.abs(a - e) / e <= 0.01, s"approx $a vs exact $e")
+    }
+  }
+
+  test("d08: Bloom pre-filter has zero false negatives and a bounded fp rate") {
+    val r = SparkEntry.queries("d08_bloom_prefilter")(spark, sf).head()
+    val nIncoming = r.getAs[Long]("n_incoming")
+    val trueDups = nIncoming / 2 // one exact copy per historical doc
+    // the Bloom guarantee: every true duplicate flags
+    assert(r.getAs[Long]("n_true_dups_flagged") == trueDups,
+      s"false negatives: ${trueDups - r.getAs[Long]("n_true_dups_flagged")}")
+    // mutated docs flag only as false positives; generous 10x headroom
+    // over the configured fpp=0.01 keeps this deterministic-in-practice
+    val fpRate = r.getAs[Long]("n_false_positives").toDouble / trueDups
+    assert(fpRate <= 0.1, s"fp rate $fpRate")
   }
 
   test("s04: native float top-k returns the same neighbor sets as quantized s01") {
