@@ -248,26 +248,45 @@ object Dedup {
     * (`SketchEnvelopeSpec`) rather than DuckDB-oracle'd — zero false
     * negatives exactly, false-positive rate near `fpp`.
     *
-    * Returns (id, fingerprint, probably_seen).
+    * `idCol` keeps its original type (string UUIDs included); a null
+    * text yields a null fingerprint and `probably_seen = false` on the
+    * incoming side, and is excluded from the historical filter — null
+    * content has no meaningful identity to deduplicate on. Call
+    * [[BloomProbe.release]] once `flags` is consumed to drop the
+    * executor-side broadcast blocks (the value survives on the driver,
+    * so a later re-use of `flags` transparently re-broadcasts).
+    *
+    * `flags` columns: (id, fingerprint, probably_seen).
     */
+  final class BloomProbe(val flags: DataFrame,
+      bcast: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]) {
+    def release(): Unit = { bcast.unpersist(false); () }
+  }
+
   def bloomSeenFlags(historical: DataFrame, incoming: DataFrame,
       idCol: String, textCol: String,
-      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+      expectedItems: Long, fpp: Double = 0.01): BloomProbe = {
     val spark = incoming.sparkSession
-    import spark.implicits._
     val bf = historical
       .select(TextAnalysis.fingerprintMd5(col(textCol)).as("f"))
+      .where(col("f").isNotNull) // null content has no identity (doc above)
       .stat.bloomFilter("f", expectedItems, fpp)
     val bcast = spark.sparkContext.broadcast(bf)
-    incoming
-      .select(col(idCol).cast("long").as("id"),
-        TextAnalysis.fingerprintMd5(col(textCol)).as("f"))
-      .as[(Long, String)]
-      .mapPartitions { it =>
-        val b = bcast.value
-        it.map { case (id, f) => (id, f, b.mightContainString(f)) }
+    val probe = incoming.select(col(idCol).as("id"),
+      TextAnalysis.fingerprintMd5(col(textCol)).as("fingerprint"))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      probe.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "probably_seen", org.apache.spark.sql.types.BooleanType, nullable = false))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val flags = probe.mapPartitions { it =>
+      val b = bcast.value
+      it.map { r =>
+        val f = if (r.isNullAt(1)) null else r.getString(1)
+        org.apache.spark.sql.Row.fromSeq(
+          r.toSeq :+ (f != null && b.mightContainString(f)))
       }
-      .toDF("id", "fingerprint", "probably_seen")
+    }(enc)
+    new BloomProbe(flags, bcast)
   }
 
   // --- SimHash -------------------------------------------------------------

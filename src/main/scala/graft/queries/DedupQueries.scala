@@ -100,15 +100,22 @@ object DedupQueries {
       val incoming = docs.select((col("doc_id") + 1000000).as("doc_id"), col("text"))
         .unionByName(docs.select((col("doc_id") + 2000000).as("doc_id"),
           concat(col("text"), lit(" spark")).as("text")))
-      val flags = Dedup.bloomSeenFlags(docs, incoming, "doc_id", "text",
+      val probe = Dedup.bloomSeenFlags(docs, incoming, "doc_id", "text",
         expectedItems = 100000, fpp = 0.01)
-      flags.agg(
+      // the summary is one row: materialize it eagerly so the
+      // broadcast filter can be released before returning (repeated
+      // bench passes must not accumulate executor-side broadcasts)
+      val r = probe.flags.agg(
         count(lit(1)).as("n_incoming"),
         sum(when(col("probably_seen"), 1L).otherwise(0L)).as("n_flagged"),
         sum(when(col("id") < 2000000 && col("probably_seen"), 1L).otherwise(0L))
           .as("n_true_dups_flagged"),
         sum(when(col("id") >= 2000000 && col("probably_seen"), 1L).otherwise(0L))
-          .as("n_false_positives"))
+          .as("n_false_positives")).head()
+      probe.release()
+      import s.implicits._
+      Seq((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toDF("n_incoming", "n_flagged", "n_true_dups_flagged", "n_false_positives")
     }),
 
     "d05_embedding_neardup" -> ((s, d) => {

@@ -68,9 +68,13 @@ object Jsonl {
     * even possible on a stream, which is the point: the schema IS the
     * interface). `maxFilesPerTrigger` bounds a backfill's batch size so
     * a million-shard landing dir drains in bounded memory instead of
-    * one giant batch. Compose the corrupt-column filter downstream
-    * (the batch [[quarantine]]'s cache trick is neither needed nor
-    * possible on a stream — both sides are separate sinks).
+    * one giant batch. Compose the corrupt-column filter downstream,
+    * but keep AT LEAST ONE data column in the corrupt-side projection:
+    * a streaming query whose references into this source are ONLY
+    * `_corrupt_record` hits the same parser-pruning restriction the
+    * batch [[quarantine]] caches around (and caching is impossible on
+    * a stream) — project e.g. (doc_id, _corrupt_record), or run the
+    * batch [[quarantine]] inside `foreachBatch` for a two-sink split.
     */
   def readStream(spark: SparkSession, dir: String, schema: StructType,
       maxFilesPerTrigger: Int = 1000): DataFrame =

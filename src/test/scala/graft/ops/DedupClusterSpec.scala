@@ -46,6 +46,23 @@ class DedupClusterSpec extends AnyFunSuite with SparkSpec {
     assert(Dedup.connectedComponentsOverBuckets(distinctDocs, "doc_id", "text").count() == 0)
   }
 
+  test("bloom pre-filter: string ids kept, null text never flags, release allows re-use") {
+    import spark.implicits._
+    val hist = Seq(("a", "alpha text here"), ("b", "beta text here"),
+      ("c", null.asInstanceOf[String])).toDF("doc_id", "text")
+    val inc = Seq(("x", "alpha text here"), ("y", "totally new content"),
+      ("z", null.asInstanceOf[String])).toDF("doc_id", "text")
+    val probe = Dedup.bloomSeenFlags(hist, inc, "doc_id", "text",
+      expectedItems = 100, fpp = 0.01)
+    val out = probe.flags.collect()
+      .map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(out("x")) // true duplicate must flag: no false negatives
+    assert(!out("z")) // null text has no identity — excluded both sides
+    probe.release()
+    // flags survives release: the driver-held value re-broadcasts
+    assert(probe.flags.count() == 3)
+  }
+
   test("reliable-checkpoint mode produces the same labels and writes checkpoints") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt")
