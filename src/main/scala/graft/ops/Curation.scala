@@ -75,6 +75,36 @@ object Curation {
       .drop("gs", "bench_gs")
   }
 
+  /** Token-window document chunking — the training-prep step between
+    * curation and shard packing: each document becomes overlapping
+    * windows of `chunkSize` whitespace tokens advancing by
+    * `chunkSize - overlap` (so consecutive chunks share `overlap`
+    * tokens of context; the final chunk may be shorter). Pure per-row
+    * array math — `split` → `transform(sequence(...))` over slice
+    * windows → one `explode` — so chunking never shuffles; a document
+    * always yields at least one chunk (short/empty docs are one chunk
+    * of themselves), and chunk membership is deterministic, so the
+    * DuckDB oracle replays it exactly.
+    *
+    * Adds (chunk_idx long, chunk_words array<string>) one row per
+    * chunk; chunk token counts come from `size(chunk_words)`.
+    */
+  def chunkTokens(docs: DataFrame, textCol: String,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
+    val stride = chunkSize - overlap
+    docs
+      .withColumn("__ws", split(col(textCol), " "))
+      .withColumn("__chunk", explode(expr(
+        s"""transform(
+           |  sequence(0, cast(greatest(ceil((size(__ws) - $overlap) / $stride.0D) - 1, 0) as int)),
+           |  i -> struct(cast(i as bigint) as idx, slice(__ws, i * $stride + 1, $chunkSize) as words))""".stripMargin)))
+      .withColumn("chunk_idx", col("__chunk.idx"))
+      .withColumn("chunk_words", col("__chunk.words"))
+      .drop("__ws", "__chunk")
+  }
+
   /** Deterministic weighted (per-source) subsampling — the data-MIXING
     * primitive: each source keeps a `weights(source)` fraction of its
     * documents, membership decided by a content-stable hash threshold

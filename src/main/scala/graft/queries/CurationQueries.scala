@@ -76,6 +76,18 @@ object CurationQueries {
           sum(TextAnalysis.wsTokenCount(col("text"))).as("kept_tokens"))
         .orderBy("source")
     }),
+
+    // token-window chunking: 64-token windows advancing by 48 (16-token
+    // overlap) — one row per chunk, deterministic membership
+    "c06_chunking" -> ((s, d) => {
+      Curation.chunkTokens(
+          Tables.load(s, d, "documents").select("doc_id", "text"),
+          "text", chunkSize = 64, overlap = 16)
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("chunk_words")).cast("long").as("n_chunk_tokens"),
+          element_at(col("chunk_words"), 1).as("first_word"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
   )
 
   /** c05's mixture, shared with the oracle so the thresholds can never
@@ -144,6 +156,19 @@ object CurationQueries {
          |SELECT label AS cluster_id, doc_id AS kept_id, n_chars AS kept_chars,
          |  cluster_size
          |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+
+    // chunk windows replayed with list_slice; same ceil/stride math as
+    // Curation.chunkTokens (64/16 -> stride 48)
+    "c06_chunking" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |idx AS (SELECT doc_id, ws,
+        |    unnest(generate_series(0,
+        |      CAST(greatest(ceil((len(ws) - 16) / 48.0) - 1, 0) AS INT))) AS i
+        |  FROM t)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  CAST(len(list_slice(ws, i * 48 + 1, i * 48 + 64)) AS BIGINT) AS n_chunk_tokens,
+        |  ws[i * 48 + 1] AS first_word
+        |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "c05_weighted_sample" -> {
       val rateCases = MixWeights.toSeq.sortBy(_._1).reverse.foldLeft(MixDefault.toString) {

@@ -100,6 +100,28 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("chunkTokens: overlap coverage, short docs one chunk, guard on bad params") {
+    import spark.implicits._
+    val words100 = (1 to 100).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, words100), (2L, "tiny doc"), (3L, "")).toDF("doc_id", "text")
+    val chunks = Curation.chunkTokens(docs, "text", chunkSize = 64, overlap = 16)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_words"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[String](2)))
+    val doc1 = chunks.filter(_._1 == 1L).sortBy(_._2)
+    // 100 tokens, stride 48: chunk 0 = w1..w64, chunk 1 = w49..w100
+    assert(doc1.map(_._2).toSeq == Seq(0L, 1L))
+    assert(doc1(0)._3.head == "w1" && doc1(0)._3.size == 64)
+    assert(doc1(1)._3.head == "w49" && doc1(1)._3.size == 52)
+    // consecutive chunks share exactly the overlap window
+    assert(doc1(0)._3.toSet.intersect(doc1(1)._3.toSet).size == 16)
+    // short and empty docs are one chunk of themselves
+    assert(chunks.filter(_._1 == 2L).map(_._3.toSeq).toSeq == Seq(Seq("tiny", "doc")))
+    assert(chunks.count(_._1 == 3L) == 1)
+    intercept[IllegalArgumentException] {
+      Curation.chunkTokens(docs, "text", chunkSize = 16, overlap = 16)
+    }
+  }
+
   test("keepBest ranks by quality desc then id, and carries cluster size") {
     import spark.implicits._
     val labeled = Seq(
