@@ -103,6 +103,34 @@ object Multimodal {
       }(enc)
   }
 
+  /** Distributed PNG ENCODE on the JDK's `javax.imageio` — the
+    * write-side twin of [[MediaDecoder.ImageIo]], and the harness that
+    * makes the real decoder oracle-checkable END-TO-END (m04): payload
+    * dimensions are chosen arithmetically, encoded to genuine PNG bytes
+    * on executors, and the decode must hand them back exactly. Same
+    * per-partition batch shape as [[decodeFeatures]].
+    *
+    * Input needs (media_id long, width int, height int); returns
+    * (media_id, payload binary).
+    */
+  def encodePng(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(
+      StructType(Seq(
+        StructField("media_id", LongType),
+        StructField("payload", BinaryType))))
+    media.select(col("media_id"), col("width"), col("height"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val img = new java.awt.image.BufferedImage(
+            r.getInt(1), r.getInt(2), java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val bos = new java.io.ByteArrayOutputStream()
+          if (!javax.imageio.ImageIO.write(img, "png", bos))
+            throw new IllegalStateException("JDK PNG encoder unavailable")
+          Row(r.getLong(0), bos.toByteArray)
+        }
+      }(enc)
+  }
+
   /** Frame sampling for "video" payloads: every strideBytes-th byte as a
     * frame marker — the plumbing shape of ffmpeg-style keyframe
     * extraction (array-of-binary output column).

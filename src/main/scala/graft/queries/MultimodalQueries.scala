@@ -6,10 +6,12 @@ import graft.ops.Multimodal
 import graft.sources.Tables
 
 /** Multimodal pack (SURVEY §2C): binary payload columns + typed
-  * metadata. The documents' text bytes stand in for media payloads (no
-  * codec libs in this environment — see Multimodal's stub decoder); the
-  * decode arithmetic is shared between the mapPartitions operator, this
-  * codegen'd column variant, and the DuckDB oracle.
+  * metadata. m01–m03 run the documents' text bytes through the
+  * deterministic stub decoder (decode arithmetic shared between the
+  * mapPartitions operator, the codegen'd column variant, and the DuckDB
+  * oracle); m04 drives the REAL `javax.imageio` codec end-to-end —
+  * executor-side PNG encode of arithmetically chosen dimensions, real
+  * header decode back — under a pure-arithmetic oracle.
   */
 object MultimodalQueries {
 
@@ -36,6 +38,25 @@ object MultimodalQueries {
         .select(col("media_id"),
           size(col("frames")).cast("long").as("n_frames"),
           expr("aggregate(frames, 0L, (a, f) -> a + octet_length(f))").as("frame_bytes"))
+        .orderBy("media_id")
+    }),
+
+    // REAL codec round-trip: dimensions chosen arithmetically -> PNG
+    // bytes encoded on executors (javax.imageio) -> decoded back by the
+    // real ImageIo decoder. The oracle states the dimensions from
+    // arithmetic alone, so a decoder (or encoder) regression breaks the
+    // hash-match; payload byte size is encoder-specific and excluded.
+    "m04_imageio_roundtrip" -> ((s, d) => {
+      val dims = Tables.load(s, d, "documents").where(col("doc_id") < 100)
+        .select(col("doc_id").as("media_id"),
+          (lit(8) + col("doc_id") % 32).cast("int").as("width"),
+          (lit(8) + col("doc_id") % 16).cast("int").as("height"))
+      Multimodal.decodeFeatures(Multimodal.encodePng(dims),
+          Multimodal.MediaDecoder.ImageIo)
+        .select(col("media_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("format"))
         .orderBy("media_id")
     }),
 
@@ -74,6 +95,13 @@ object MultimodalQueries {
          |SELECT media_id, greatest(n_bytes // 100, 1) AS n_frames,
          |  CASE WHEN n_bytes < 100 THEN n_bytes ELSE (n_bytes // 100) * 100 END AS frame_bytes
          |FROM d ORDER BY media_id""".stripMargin,
+
+    "m04_imageio_roundtrip" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(8 + doc_id % 32 AS BIGINT) AS width,
+        |  CAST(8 + doc_id % 16 AS BIGINT) AS height,
+        |  'png' AS format
+        |FROM documents WHERE doc_id < 100 ORDER BY media_id""".stripMargin,
 
     "m02_media_by_format" ->
       s"""WITH $decodeCte
