@@ -46,6 +46,31 @@ class DedupClusterSpec extends AnyFunSuite with SparkSpec {
     assert(Dedup.connectedComponentsOverBuckets(distinctDocs, "doc_id", "text").count() == 0)
   }
 
+  test("property: star-contracted components equal pair components on randomized corpora") {
+    import spark.implicits._
+    // fixed seeds -> deterministic corpora, but shapes the hand-written
+    // cases can't cover: shared bases, chained mutations, cross-bucket
+    // hubs. The star form must produce EXACTLY the pair form's labels.
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    (1 to 4).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val bases = (0 until 6).map(_ =>
+        (0 until 12).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      val docs = (0 until 24).map { i =>
+        val base = bases(rnd.nextInt(bases.size))
+        val text = if (rnd.nextBoolean()) base + " " + vocab(rnd.nextInt(vocab.size)) else base
+        (i.toLong, text)
+      }.toDF("doc_id", "text")
+      val pairLabels = Dedup.connectedComponents(
+          Dedup.minHashCandidatePairs(docs, "doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val starLabels = Dedup.connectedComponentsOverBuckets(docs, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(starLabels == pairLabels, s"seed $seed")
+    }
+  }
+
   test("bloom pre-filter: string ids kept, null text never flags, release allows re-use") {
     import spark.implicits._
     val hist = Seq(("a", "alpha text here"), ("b", "beta text here"),
