@@ -91,6 +91,27 @@ object EventsQueries {
         .orderBy("event_type")
     }),
 
+    "e08_hourly_anomaly" -> ((s, d) => {
+      // trailing-window spike detection with INTEGER-EXACT arithmetic:
+      // an hour is a spike when its event count exceeds 2x the trailing
+      // 24-hour average — stated as n * trailing_count > 2 *
+      // trailing_sum so no float division enters the comparison (the
+      // form that stays oracle-exact and, at scale, windows partition
+      // by event_type with a bounded 24-row frame)
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("bucket_us")).rowsBetween(-24, -1)
+      Tables.load(s, d, "events")
+        .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("bucket_us"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .withColumn("trailing_hours", count(col("n_events")).over(w))
+        .withColumn("trailing_sum", coalesce(sum(col("n_events")).over(w), lit(0L)))
+        .withColumn("is_spike", coalesce(
+          col("n_events") * col("trailing_hours") > lit(2) * sum(col("n_events")).over(w),
+          lit(false)))
+        .orderBy("event_type", "bucket_us")
+    }),
+
     "e07_cohort_retention" -> ((s, d) => {
       // classic retention triangle: cohort = week of a user's first
       // event; a cell counts users of that cohort active N weeks later.
@@ -167,6 +188,21 @@ object EventsQueries {
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "e08_hourly_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |SELECT bucket_us, event_type, n_events,
+        |  count(n_events) OVER w AS trailing_hours,
+        |  CAST(coalesce(sum(n_events) OVER w, 0) AS BIGINT) AS trailing_sum,
+        |  coalesce(n_events * count(n_events) OVER w > 2 * sum(n_events) OVER w,
+        |    false) AS is_spike
+        |FROM hourly
+        |WINDOW w AS (PARTITION BY event_type ORDER BY bucket_us
+        |  ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        |ORDER BY event_type, bucket_us""".stripMargin,
 
     "e07_cohort_retention" ->
       """WITH cohorts AS (
