@@ -45,6 +45,44 @@ object EventStreams {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** Streaming twin of the e08 batch spike rule: hourly
+    * (bucket_us, event_type, n) counts arrive (e.g. from
+    * [[tumblingCounts]] downstream, or a per-batch pre-aggregation);
+    * state per event_type is the trailing ring of the last 24 hourly
+    * counts, and a bucket is flagged with the identical INTEGER-EXACT
+    * rule `n * trailingHours > 2 * trailingSum`. State is bounded by
+    * construction (24 pairs per event_type — no timeout needed).
+    *
+    * In-order bucket arrival reproduces the batch query exactly (the
+    * spec asserts it across micro-batches); a bucket arriving behind
+    * an already-processed later bucket is flagged against the ring as
+    * of its arrival — the standard streaming/batch reordering caveat,
+    * bounded by the upstream watermark.
+    */
+  val SpikeTrailingHours = 24
+  case class SpikeState(buckets: Seq[(Long, Long)]) // (bucket_us, n), sorted
+  case class SpikeFlag(event_type: String, bucket_us: Long, n_events: Long,
+      trailing_hours: Long, trailing_sum: Long, is_spike: Boolean)
+
+  def spikeFlags(hourly: Dataset[(Long, String, Long)]): Dataset[SpikeFlag] = {
+    import hourly.sparkSession.implicits._
+    hourly.groupByKey(_._2)
+      .flatMapGroupsWithState[SpikeState, SpikeFlag](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (eventType, rows, state: GroupState[SpikeState]) =>
+          var ring = state.getOption.map(_.buckets).getOrElse(Seq.empty)
+          val out = rows.toSeq.sortBy(_._1).map { case (bucketUs, _, n) =>
+            val trailing = ring.filter(_._1 < bucketUs).takeRight(SpikeTrailingHours)
+            val tc = trailing.size.toLong
+            val ts = trailing.map(_._2).sum
+            ring = (ring :+ (bucketUs, n)).sortBy(_._1).takeRight(SpikeTrailingHours)
+            SpikeFlag(eventType, bucketUs, n, tc, ts, n * tc > 2 * ts)
+          }
+          state.update(SpikeState(ring))
+          out.iterator
+      }
+  }
+
   /** Custom state machine via mapGroupsWithState: running per-user event
     * count + last-seen timestamp, with processing-time timeout — the
     * escape hatch for semantics windows can't express.

@@ -84,6 +84,31 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("spike flags reproduce the batch trailing-window rule across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Long)]
+    val q = EventStreams.spikeFlags(in.toDS())
+      .writeStream.format("memory").queryName("spike_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val h = 3600L * 1000000L
+      in.addData((0 * h, "view", 10L), (1 * h, "view", 12L), (2 * h, "view", 11L))
+      q.processAllAvailable()
+      // state carries the trailing ring across the batch boundary:
+      // hour 3 spikes (60*3 > 2*33), hour 4 sees the spike in its ring
+      in.addData((3 * h, "view", 60L), (4 * h, "view", 12L))
+      q.processAllAvailable()
+      val out = spark.table("spike_stream").collect()
+        .map(r => r.getLong(1) -> ((r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+      assert(out(0 * h) == ((0L, 0L, false)))  // empty frame never flags
+      assert(out(1 * h) == ((1L, 10L, false)))
+      assert(out(2 * h) == ((2L, 22L, false)))
+      assert(out(3 * h) == ((3L, 33L, true)))  // 60*3 > 2*33
+      assert(out(4 * h) == ((4L, 93L, false))) // 12*4 < 2*93
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-user counts across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
