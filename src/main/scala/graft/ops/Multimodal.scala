@@ -121,12 +121,21 @@ object Multimodal {
     media.select(col("media_id"), col("width"), col("height"))
       .mapPartitions { rows =>
         rows.map { r =>
+          // fail with the offending media_id, not a context-free NPE /
+          // BufferedImage error — a malformed dims row in a large batch
+          // must be attributable (same loud-failure stance as ImageIo)
+          val id = r.getLong(0)
+          if (r.isNullAt(1) || r.isNullAt(2) || r.getInt(1) <= 0 || r.getInt(2) <= 0)
+            throw new IllegalArgumentException(
+              s"media_id $id: width/height must be positive non-null, got " +
+                s"(${if (r.isNullAt(1)) "null" else r.getInt(1)}, " +
+                s"${if (r.isNullAt(2)) "null" else r.getInt(2)})")
           val img = new java.awt.image.BufferedImage(
             r.getInt(1), r.getInt(2), java.awt.image.BufferedImage.TYPE_INT_RGB)
           val bos = new java.io.ByteArrayOutputStream()
           if (!javax.imageio.ImageIO.write(img, "png", bos))
-            throw new IllegalStateException("JDK PNG encoder unavailable")
-          Row(r.getLong(0), bos.toByteArray)
+            throw new IllegalStateException(s"media_id $id: JDK PNG encoder unavailable")
+          Row(id, bos.toByteArray)
         }
       }(enc)
   }

@@ -93,22 +93,25 @@ object EventsQueries {
 
     "e08_hourly_anomaly" -> ((s, d) => {
       // trailing-window spike detection with INTEGER-EXACT arithmetic:
-      // an hour is a spike when its event count exceeds 2x the trailing
-      // 24-hour average — stated as n * trailing_count > 2 *
-      // trailing_sum so no float division enters the comparison (the
-      // form that stays oracle-exact and, at scale, windows partition
-      // by event_type with a bounded 24-row frame)
+      // an hour is a spike when its event count exceeds 2x the average
+      // of the ACTIVE buckets in the trailing 24 CALENDAR hours (a
+      // RANGE frame over epoch micros — a ROWS frame would reach back
+      // days for sparse event types). Stated as n * trailing_hours >
+      // 2 * trailing_sum so no float division enters the comparison;
+      // an empty frame gives 0 > 0 = false, never a spike. At scale
+      // the window partitions by event_type with a frame bounded to
+      // 24 buckets.
       val w = Window.partitionBy(col("event_type"))
-        .orderBy(col("bucket_us")).rowsBetween(-24, -1)
+        .orderBy(col("bucket_us"))
+        .rangeBetween(-24L * 3600000000L, -1L)
       Tables.load(s, d, "events")
         .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("bucket_us"),
           col("event_type"))
         .agg(count(lit(1)).as("n_events"))
         .withColumn("trailing_hours", count(col("n_events")).over(w))
         .withColumn("trailing_sum", coalesce(sum(col("n_events")).over(w), lit(0L)))
-        .withColumn("is_spike", coalesce(
-          col("n_events") * col("trailing_hours") > lit(2) * sum(col("n_events")).over(w),
-          lit(false)))
+        .withColumn("is_spike",
+          col("n_events") * col("trailing_hours") > lit(2) * col("trailing_sum"))
         .orderBy("event_type", "bucket_us")
     }),
 
@@ -197,11 +200,11 @@ object EventsQueries {
         |SELECT bucket_us, event_type, n_events,
         |  count(n_events) OVER w AS trailing_hours,
         |  CAST(coalesce(sum(n_events) OVER w, 0) AS BIGINT) AS trailing_sum,
-        |  coalesce(n_events * count(n_events) OVER w > 2 * sum(n_events) OVER w,
-        |    false) AS is_spike
+        |  n_events * count(n_events) OVER w >
+        |    2 * CAST(coalesce(sum(n_events) OVER w, 0) AS BIGINT) AS is_spike
         |FROM hourly
         |WINDOW w AS (PARTITION BY event_type ORDER BY bucket_us
-        |  ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        |  RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING)
         |ORDER BY event_type, bucket_us""".stripMargin,
 
     "e07_cohort_retention" ->

@@ -46,20 +46,29 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
   /** Streaming twin of the e08 batch spike rule: hourly
-    * (bucket_us, event_type, n) counts arrive (e.g. from
-    * [[tumblingCounts]] downstream, or a per-batch pre-aggregation);
-    * state per event_type is the trailing ring of the last 24 hourly
-    * counts, and a bucket is flagged with the identical INTEGER-EXACT
-    * rule `n * trailingHours > 2 * trailingSum`. State is bounded by
-    * construction (24 pairs per event_type — no timeout needed).
+    * (bucket_us, event_type, n) counts arrive and each is flagged with
+    * the identical INTEGER-EXACT rule `n * trailingHours > 2 *
+    * trailingSum` over the ACTIVE buckets of the trailing 24 CALENDAR
+    * hours. State per event_type is the ring of buckets within that
+    * window — bounded by construction (≤ 25 pairs), no timeout needed.
     *
-    * In-order bucket arrival reproduces the batch query exactly (the
-    * spec asserts it across micro-batches); a bucket arriving behind
-    * an already-processed later bucket is flagged against the ring as
-    * of its arrival — the standard streaming/batch reordering caveat,
-    * bounded by the upstream watermark.
+    * Partial counts for the SAME bucket (an hour still open upstream)
+    * are MERGED into one ring entry, and each arrival re-emits that
+    * bucket's flag computed from the merged total — consumers keep the
+    * latest row per bucket; trailing stats never double-count a bucket.
+    * In-order arrival of closed buckets reproduces the batch query
+    * exactly (spec-asserted across micro-batches); a bucket arriving
+    * behind a later one is flagged against the ring as of its arrival
+    * — the standard reordering caveat, bounded by the upstream
+    * watermark.
+    *
+    * NOTE on composition: Spark does not allow
+    * `flatMapGroupsWithState` AFTER a streaming aggregation in one
+    * query — feed this from a separate query's sink (e.g.
+    * [[tumblingCounts]] → Kafka/files → this), or compute the hourly
+    * pre-aggregation inside `foreachBatch`.
     */
-  val SpikeTrailingHours = 24
+  val SpikeWindowMicros: Long = 24L * 3600000000L
   case class SpikeState(buckets: Seq[(Long, Long)]) // (bucket_us, n), sorted
   case class SpikeFlag(event_type: String, bucket_us: Long, n_events: Long,
       trailing_hours: Long, trailing_sum: Long, is_spike: Boolean)
@@ -72,11 +81,20 @@ object EventStreams {
         case (eventType, rows, state: GroupState[SpikeState]) =>
           var ring = state.getOption.map(_.buckets).getOrElse(Seq.empty)
           val out = rows.toSeq.sortBy(_._1).map { case (bucketUs, _, n) =>
-            val trailing = ring.filter(_._1 < bucketUs).takeRight(SpikeTrailingHours)
+            // merge same-bucket partials BEFORE flagging, so the flag
+            // reflects the bucket's running total and trailing stats
+            // never count one bucket twice
+            val (same, others) = ring.partition(_._1 == bucketUs)
+            val total = same.map(_._2).sum + n
+            val trailing = others.filter(b =>
+              b._1 < bucketUs && b._1 >= bucketUs - SpikeWindowMicros)
             val tc = trailing.size.toLong
             val ts = trailing.map(_._2).sum
-            ring = (ring :+ (bucketUs, n)).sortBy(_._1).takeRight(SpikeTrailingHours)
-            SpikeFlag(eventType, bucketUs, n, tc, ts, n * tc > 2 * ts)
+            val maxSeen = (others.map(_._1) :+ bucketUs).max
+            ring = (others :+ (bucketUs, total))
+              .filter(_._1 >= maxSeen - SpikeWindowMicros)
+              .sortBy(_._1)
+            SpikeFlag(eventType, bucketUs, total, tc, ts, total * tc > 2 * ts)
           }
           state.update(SpikeState(ring))
           out.iterator

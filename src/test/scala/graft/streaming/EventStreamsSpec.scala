@@ -106,6 +106,21 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       assert(out(2 * h) == ((2L, 22L, false)))
       assert(out(3 * h) == ((3L, 33L, true)))  // 60*3 > 2*33
       assert(out(4 * h) == ((4L, 93L, false))) // 12*4 < 2*93
+
+      // a late PARTIAL for hour 3 merges into the ring (never a second
+      // entry) and re-emits the bucket's flag from the merged total
+      in.addData((3 * h, "view", 10L))
+      q.processAllAvailable()
+      val rows3 = spark.table("spike_stream")
+        .where(col("bucket_us") === 3 * h).collect()
+      assert(rows3.length == 2) // original + refreshed row; consumers keep latest
+      assert(rows3.map(_.getLong(2)).toSet == Set(60L, 70L))
+      // the NEXT bucket must see hour 3 counted ONCE at its merged total
+      in.addData((5 * h, "view", 10L))
+      q.processAllAvailable()
+      val r5 = spark.table("spike_stream").where(col("bucket_us") === 5 * h).head()
+      assert(r5.getLong(3) == 5L)   // hours 0..4 — bucket 3 once
+      assert(r5.getLong(4) == 115L) // 10 + 12 + 11 + 70 + 12
     } finally q.stop()
   }
 
