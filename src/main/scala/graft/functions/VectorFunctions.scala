@@ -17,9 +17,17 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Quantize a float vector to integer milliunits. */
+  /** Quantize a float vector to integer milliunits. The element is
+    * cast to DOUBLE before the multiply, EXPLICITLY: a float32 product
+    * rounds differently at representation edges (0.3195f * 1000 is
+    * 319.5 in float32 but 319.4999992... in double — round() then
+    * disagrees by one), and the DuckDB oracle performs the same
+    * double-width multiply. Found at sf0.1 via s08, which sums every
+    * vector and so catches any single off-by-one the top-k queries
+    * can dodge.
+    */
   def quantize(v: Column, scale: Int = 1000): Column =
-    transform(v, x => round(x * scale).cast("long"))
+    transform(v, x => round(x.cast("double") * scale).cast("long"))
 
   /** Exact integer dot product of two quantized vectors. */
   def dotQ(a: Column, b: Column): Column =

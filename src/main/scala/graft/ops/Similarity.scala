@@ -154,10 +154,17 @@ object Similarity {
           col("best.cid").as("cid"), col("best.dist").as("dist"))
     }
     (1 until iters).foreach { _ =>
+      // EXACT integer floor division for the mean — no float division:
+      // floor(s/n) via the non-negative remainder (pmod), so negative
+      // sums floor identically in every engine. A double division here
+      // sits on rounding edges (a true quotient of k - ε can round to
+      // exactly k) and diverged from the oracle at sf0.1.
       val means = assign().groupBy("cid").agg(
-        array((0 until dim).map(i =>
-          floor(sum(element_at(col("q"), i + 1)).cast("double") / count(lit(1)))
-            .cast("long")).toSeq: _*).as("cv"))
+        array((0 until dim).map { i =>
+          val s = sum(element_at(col("q"), i + 1))
+          val n = count(lit(1))
+          ((s - pmod(s, n)) / n).cast("long")
+        }.toSeq: _*).as("cv"))
         .collect().map(r => r.getInt(0) -> r.getSeq[Long](1).toArray).toMap
       cents = cents.map { case (cid, prev) => cid -> means.getOrElse(cid, prev) }
     }

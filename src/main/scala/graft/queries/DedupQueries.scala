@@ -281,7 +281,7 @@ object DedupQueries {
          |  SELECT vec_id, embedding FROM embeddings
          |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings),
          |qv AS (SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS q
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
          |  FROM all_e),
          |b AS (SELECT vec_id, q, $bucket AS bucket,
          |    CAST(list_dot_product(q, q) AS BIGINT) AS norm FROM qv)

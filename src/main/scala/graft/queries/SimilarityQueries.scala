@@ -98,7 +98,7 @@ object SimilarityQueries {
 
   private val qCte =
     """qv AS (SELECT vec_id, label,
-      |    list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS q
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
       |  FROM embeddings)""".stripMargin
 
   private def cosine(aq: String, bq: String, an: String, bn: String) =
@@ -126,7 +126,7 @@ object SimilarityQueries {
       val l2 = (q: String, c: String) =>
         s"list_sum(list_transform(range(1, 65), i -> ($q[i] - $c[i]) * ($q[i] - $c[i])))"
       s"""WITH qv AS (SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS q
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
          |  FROM embeddings),
          |init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS cv
          |  FROM qv ORDER BY vec_id LIMIT 8),
@@ -136,7 +136,9 @@ object SimilarityQueries {
          |        ORDER BY ${l2("v.q", "c.cv")}, c.cid) AS rn
          |    FROM qv v CROSS JOIN init c)
          |  WHERE rn = 1),
-         |m1 AS (SELECT cid, i, CAST(floor(sum(q[i]) / count(*)) AS BIGINT) AS mv
+         |m1 AS (SELECT cid, i,
+         |    CAST((sum(q[i]) - ((sum(q[i]) % count(*) + count(*)) % count(*)))
+         |      // count(*) AS BIGINT) AS mv
          |  FROM a1 CROSS JOIN range(1, 65) t(i) GROUP BY cid, i),
          |c2 AS (SELECT p.cid, COALESCE(n.cv, p.cv) AS cv FROM init p
          |  LEFT JOIN (SELECT cid, list(mv ORDER BY i) AS cv FROM m1 GROUP BY cid) n USING (cid)),
