@@ -75,6 +75,31 @@ object Curation {
       .drop("gs", "bench_gs")
   }
 
+  /** NEAR-duplicate benchmark decontamination via MinHash LSH — the
+    * fuzzy complement of [[contaminationScores]] (which measures exact
+    * n-gram overlap): a corpus document is flagged when it shares ANY
+    * LSH band bucket with a benchmark document, i.e. when MinHash
+    * considers it a near-duplicate CANDIDATE of held-out data. This is
+    * the recall-first shape eval decontamination wants (a flagged doc
+    * goes to exact verification or is just dropped; a missed near-dup
+    * poisons the benchmark).
+    *
+    * Scale shape: the benchmark's distinct band keys are tiny by nature
+    * (suites are small) and broadcast, so the corpus is ONE scan + a
+    * broadcast semi-join — the 100 TB side never shuffles, unlike a
+    * corpus-vs-corpus LSH join. Returns the distinct flagged corpus ids
+    * as (id). Band keys/permutations are [[Dedup]]'s literals, so the
+    * DuckDB oracle replays the flagging exactly.
+    */
+  def lshDecontaminateIds(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val benchBuckets = Dedup.bandKeys(benchmark, idCol, textCol)
+      .select("band_idx", "band_key").distinct()
+    Dedup.bandKeys(corpus, idCol, textCol)
+      .join(broadcast(benchBuckets), Seq("band_idx", "band_key"), "left_semi")
+      .select(col("id")).distinct()
+  }
+
   /** Token-window document chunking — the training-prep step between
     * curation and shard packing: each document becomes overlapping
     * windows of `chunkSize` whitespace tokens advancing by

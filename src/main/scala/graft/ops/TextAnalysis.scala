@@ -79,6 +79,46 @@ object TextAnalysis {
       (stopHits / words.cast("double")).as("stopword_ratio"))
   }
 
+  /** Gopher/C4-style rule-based quality filters, each an independent
+    * per-row predicate (true = the document FAILS the rule). All
+    * comparisons are exact-integer (the stopword ratio is cross-
+    * multiplied rather than divided) except the mean-word-length band,
+    * whose operands are single int/int divisions — IEEE-deterministic,
+    * so the DuckDB oracle replays every verdict. Thresholds are tuned
+    * to the synthetic corpus (words ~10..99, mean word length ~4.2-4.8)
+    * so each rule fires on a real fraction of documents; production
+    * values differ, the machinery doesn't.
+    *
+    * Rule order matters only for first-fail attribution (t07 does
+    * that); here each rule is reported independently — the filter-
+    * TUNING profile view (how much each rule would kill on its own).
+    */
+  val RuleMinWords = 25
+  val RuleMaxWords = 90
+  val RuleWordLenLo = 4.3
+  val RuleWordLenHi = 4.7
+  val RuleStopNum = 3    // stopword ratio floor = RuleStopNum / RuleStopDen
+  val RuleStopDen = 100
+
+  val qualityRules: Seq[(String, Column => Column)] = Seq(
+    // too few words to be a useful training document
+    "short" -> ((text: Column) => wsTokenCount(text) < RuleMinWords),
+    // suspiciously long (boilerplate/concatenation artifacts)
+    "long" -> ((text: Column) => wsTokenCount(text) > RuleMaxWords),
+    // mean word length outside the natural-language band
+    "word_len" -> { (text: Column) =>
+      val words = wsTokenCount(text)
+      val mean = (length(text).cast("long") - words + 1) / words.cast("double")
+      mean < RuleWordLenLo || mean > RuleWordLenHi
+    },
+    // stopword-starved: stop_hits / n_words < RuleStopNum/RuleStopDen,
+    // cross-multiplied to stay in exact integers
+    "stopword" -> { (text: Column) =>
+      val padded = concat(lit(" "), text, lit(" "))
+      val hits = stopwords.map(m => occurrencesLit(padded, m)).reduce(_ + _)
+      hits * RuleStopDen < wsTokenCount(text) * RuleStopNum
+    })
+
   /** Content fingerprint: md5 of normalized text (lower + trim) — the
     * exact-dedup key.
     */

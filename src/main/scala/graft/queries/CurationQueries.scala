@@ -53,11 +53,13 @@ object CurationQueries {
 
     // near-dup clusters canonicalized by QUALITY (longest member, ties
     // to min id) instead of d06's min-id rule — the keep-best shape
-    // real dedup pipelines want
+    // real dedup pipelines want. Clusters come from the star-contracted
+    // bucket edges (identical components to the pair relation, O(m) per
+    // bucket instead of O(m²) — see Dedup.bucketStarEdges); the oracle
+    // keeps the pair form.
     "c04_cluster_keep_best" -> ((s, d) => {
       val docs = DedupQueries.docsWithMutations(s, d)
-      val pairs = Dedup.minHashCandidatePairs(docs, "doc_id", "text")
-      val labeled = Dedup.connectedComponents(pairs)
+      val labeled = Dedup.connectedComponentsOverBuckets(docs, "doc_id", "text")
         .join(docs, col("id") === col("doc_id"))
         .select(col("label"), col("doc_id"), length(col("text")).cast("long").as("n_chars"))
       Curation.keepBest(labeled, "label", "doc_id", col("n_chars"))
@@ -74,6 +76,27 @@ object CurationQueries {
         .groupBy("source")
         .agg(count(lit(1)).as("n_kept"),
           sum(TextAnalysis.wsTokenCount(col("text"))).as("kept_tokens"))
+        .orderBy("source")
+    }),
+
+    // LSH decontamination: the benchmark slice (doc_id % 100 = 0) is
+    // "leaked" into the corpus as one near-duplicate per bench doc
+    // (id + 1_000_000, one word appended — the realistic contamination
+    // shape); flag corpus docs sharing any MinHash band bucket with a
+    // bench doc, counted per source. The planted leaks guarantee a
+    // non-trivial flag rate at every SF.
+    "c08_decontaminate" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents").select("doc_id", "text", "source")
+      val bench = docs.where(col("doc_id") % 100 === 0)
+      val leaked = bench.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" spark")).as("text"), col("source"))
+      val corpus = docs.where(col("doc_id") % 100 =!= 0).unionByName(leaked)
+      val flagged = Curation.lshDecontaminateIds(corpus, bench, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id").withColumn("hit", lit(1L))
+      corpus.join(flagged, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_flagged"))
         .orderBy("source")
     }),
 
@@ -169,6 +192,28 @@ object CurationQueries {
         |  CAST(len(list_slice(ws, i * 48 + 1, i * 48 + 64)) AS BIGINT) AS n_chunk_tokens,
         |  ws[i * 48 + 1] AS first_word
         |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // the two corpora are banded side by side with DedupQueries'
+    // prefix-parameterized CTE chain (identical shingle/minhash/band
+    // literals as d02/d06/d07), then flagged = corpus bands ∩ bench
+    // band keys
+    "c08_decontaminate" ->
+      s"""WITH bench_docs AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 100 = 0),
+         |corpus_docs AS (
+         |  SELECT doc_id, text, source FROM documents WHERE doc_id % 100 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text || ' spark', source FROM documents
+         |  WHERE doc_id % 100 = 0),
+         |${DedupQueries.bandsCtesFor("bench_docs", "b")},
+         |${DedupQueries.bandsCtesFor("corpus_docs", "c")},
+         |flagged AS (SELECT DISTINCT c.doc_id FROM cbands c
+         |  JOIN (SELECT DISTINCT band_idx, band_key FROM bbands) b
+         |    ON c.band_idx = b.band_idx AND c.band_key = b.band_key)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+         |FROM corpus_docs LEFT JOIN flagged f USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "c05_weighted_sample" -> {
       val rateCases = MixWeights.toSeq.sortBy(_._1).reverse.foldLeft(MixDefault.toString) {

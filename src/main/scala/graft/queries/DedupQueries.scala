@@ -142,9 +142,9 @@ object DedupQueries {
       s"list_min(list_transform(hs, h -> (h * $a + $b) % ${Dedup.MinHashP})) AS m$i"
   }.mkString(",\n    ")
 
-  private val bandSelects: String = (0 until Dedup.Bands).map { bi =>
+  private def bandSelects(p: String): String = (0 until Dedup.Bands).map { bi =>
     val ks = (0 until Dedup.Rows).map(r => s"m${bi * Dedup.Rows + r}").mkString(", ")
-    s"SELECT doc_id, $bi AS band_idx, concat_ws('_', $ks) AS band_key FROM mh"
+    s"SELECT doc_id, $bi AS band_idx, concat_ws('_', $ks) AS band_key FROM ${p}mh"
   }.mkString("\n  UNION ALL ")
 
   private val simBitSums: String = (0 until Dedup.SimHashBits).map { j =>
@@ -165,21 +165,28 @@ object DedupQueries {
         s"CAST(CASE WHEN i + $j <= length(text) THEN ord(substr(text, (i + $j)::INT, 1)) ELSE 0 END AS BIGINT) * $pw"
     }.mkString("(", " + ", ") % 4294967296")
 
+  /** The sh -> mh -> bands CTE chain over any relation with
+    * (doc_id, text), CTE names prefixed with `p` so two corpora can be
+    * banded side by side in one statement (c08 decontamination).
+    */
+  private[queries] def bandsCtesFor(rel: String, p: String = ""): String =
+    s"""${p}sh AS (SELECT doc_id,
+       |  list_transform(generate_series(1, greatest(length(text) - ${Dedup.ShingleK - 1}, 1), ${Dedup.ShingleStride}),
+       |    i -> $shinglePoly) AS hs
+       |  FROM $rel),
+       |${p}mh AS (SELECT doc_id,
+       |    $mhExprs
+       |  FROM ${p}sh),
+       |${p}bands AS (
+       |  ${bandSelects(p)})""".stripMargin
+
   /** Shared CTE chain: mutated corpus -> shingle hashes -> minhash
     * signatures -> band buckets -> distinct candidate pairs. Used by
     * both the pair query (d02) and the clustering query (d06).
     */
   private[queries] def minhashPairsCtes: String =
     s"""$mutationsCte,
-       |sh AS (SELECT doc_id,
-       |  list_transform(generate_series(1, greatest(length(text) - ${Dedup.ShingleK - 1}, 1), ${Dedup.ShingleStride}),
-       |    i -> $shinglePoly) AS hs
-       |  FROM all_docs),
-       |mh AS (SELECT doc_id,
-       |    $mhExprs
-       |  FROM sh),
-       |bands AS (
-       |  $bandSelects),
+       |${bandsCtesFor("all_docs")},
        |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bands a JOIN bands b
        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin

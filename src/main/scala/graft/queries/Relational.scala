@@ -368,6 +368,47 @@ object Relational {
       }.toSeq.toDF("l_partkey", "exact_freq", "cms_estimate")
         .orderBy("l_partkey")
     }),
+
+    // --- physical layout / skew --------------------------------------------
+    "q30_bucketed_join" -> ((s, d) => {
+      // co-located fact join: both sides written bucketed by the join
+      // key (the one-time layout cost), then joined WITHOUT any
+      // exchange — the plan shape that survives a fact-to-fact join at
+      // 100 TB where neither side broadcasts. BucketedJoinSpec gates
+      // the no-shuffle property; here the result is oracle-checked
+      // against the plain join to prove layout never changes answers.
+      val dir = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+      graft.ops.Layout.writeBucketed(
+        t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        "g_orders_b", s"$dir/orders", buckets = 8, key = "o_custkey")
+      graft.ops.Layout.writeBucketed(
+        t(s, d, "customer").select("c_custkey", "c_mktsegment"),
+        "g_customer_b", s"$dir/customer", buckets = 8, key = "c_custkey")
+      val o = graft.ops.Layout.readBucketed(s, "g_orders_b")
+      val c = graft.ops.Layout.readBucketed(s, "g_customer_b")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("revenue_cents"))
+        .orderBy("c_mktsegment")
+    }),
+
+    "q31_salted_join" -> ((s, d) => {
+      // skew-salted shuffle join: lineitem (probe) x orders (build),
+      // salt 4 — row-for-row the plain join, with every (key, salt)
+      // reducer bounded to 1/4 of any hot key's probe rows. The oracle
+      // is the UNsalted join: salting must never change answers.
+      graft.ops.Skew.saltedJoin(
+          t(s, d, "lineitem").select(
+            col("l_orderkey").as("o_orderkey"), col("l_extendedprice"), col("l_discount")),
+          t(s, d, "orders").select("o_orderkey", "o_orderpriority"),
+          key = "o_orderkey", salts = 4)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("revenue_cents"))
+        .orderBy("o_orderpriority")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -575,5 +616,19 @@ object Relational {
         |  count(*) AS n_orders,
         |  CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // both layout queries oracle against the PLAIN join — bucketing and
+    // salting are physical rewrites and must never change answers
+    "q30_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q31_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

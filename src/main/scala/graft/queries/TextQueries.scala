@@ -98,6 +98,49 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    "t09_quality_rules" -> ((s, d) => {
+      // independent per-rule kill profile (vs t07's first-fail funnel):
+      // for each source, how many documents each Gopher-style rule
+      // would reject ON ITS OWN, plus how many pass every rule — the
+      // view used to TUNE thresholds before wiring the funnel. One
+      // per-row projection + one groupBy(source); no joins.
+      val docs = Tables.load(s, d, "documents")
+      val flagged = docs.select(
+        col("source") +: TextAnalysis.qualityRules.map {
+          case (n, rule) => rule(col("text")).as(s"fail_$n")
+        }: _*)
+      val failCounts = TextAnalysis.qualityRules.map { case (n, _) =>
+        sum(when(col(s"fail_$n"), 1L).otherwise(0L)).as(s"n_fail_$n")
+      }
+      val passAll = TextAnalysis.qualityRules
+        .map { case (n, _) => !col(s"fail_$n") }.reduce(_ && _)
+      flagged.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          failCounts :+ sum(when(passAll, 1L).otherwise(0L)).as("n_pass"): _*)
+        .orderBy("source")
+    }),
+
+    "t10_rarity" -> ((s, d) => {
+      // corpus-level rarity: a document's mean document-frequency over
+      // its distinct word-bigram hashes — low = novel phrasing, high =
+      // boilerplate. The df table is ONE groupBy over exploded distinct
+      // grams (map-side combined); scoring re-joins only the sampled
+      // docs (doc_id % 5 = 0) against it, so the expensive side scales
+      // with the probe sample, not the corpus. Integer sums + a single
+      // int/int double division — oracle-exact.
+      val grams = Tables.load(s, d, "documents").select("doc_id", "text")
+        .where(size(split(col("text"), " ")) >= 2)
+        .select(col("doc_id"), explode(array_distinct(
+          graft.functions.TextHashExpressions.bigram_hash32(col("text")))).as("g"))
+      val df = grams.groupBy("g").agg(count(lit(1)).as("df"))
+      grams.where(col("doc_id") % 5 === 0)
+        .join(df, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"), sum("df").as("df_sum"))
+        .withColumn("rarity", col("df_sum") / col("n_grams").cast("double"))
+        .orderBy("doc_id")
+    }),
+
     "t08_repetition" -> ((s, d) => {
       // Gopher-style within-doc repetition: the fraction of a document
       // owed to its single most frequent word (degenerate boilerplate
@@ -217,6 +260,47 @@ object TextQueries {
         |    list_prepend(CAST(0 AS BIGINT), list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT))),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS fp_rolling
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t09_quality_rules" -> {
+      // rule conditions restated from TextAnalysis.qualityRules via the
+      // SAME named constants — a threshold change recompiles into both
+      // engines or neither
+      import TextAnalysis._
+      val fails = Seq(
+        "short" -> s"n_words < $RuleMinWords",
+        "long" -> s"n_words > $RuleMaxWords",
+        "word_len" -> (s"((n_chars - n_words + 1) / CAST(n_words AS DOUBLE) < $RuleWordLenLo" +
+          s" OR (n_chars - n_words + 1) / CAST(n_words AS DOUBLE) > $RuleWordLenHi)"),
+        "stopword" -> s"stop_hits * $RuleStopDen < n_words * $RuleStopNum")
+      val failSums = fails.map { case (n, c) =>
+        s"CAST(sum(CASE WHEN $c THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_$n"
+      }.mkString(",\n  ")
+      val passCond = fails.map { case (_, c) => s"NOT ($c)" }.mkString(" AND ")
+      s"""SELECT source, count(*) AS n_docs,
+         |  $failSums,
+         |  CAST(sum(CASE WHEN $passCond THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+         |FROM (
+         |  SELECT source,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+         |    $stopHitsSql AS stop_hits
+         |  FROM (SELECT source, text, ' ' || text || ' ' AS p FROM documents))
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "t10_rarity" ->
+      s"""WITH docs2 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         |  WHERE length(text) - length(replace(text, ' ', '')) + 1 >= 2),
+         |grams AS (SELECT DISTINCT doc_id,
+         |    unnest(${graft.functions.TextHashExpressions.bigramFoldSql("ws")}) AS g
+         |  FROM docs2),
+         |dfr AS (SELECT g, count(*) AS df FROM grams GROUP BY 1)
+         |SELECT doc_id, count(*) AS n_grams,
+         |  CAST(sum(df) AS BIGINT) AS df_sum,
+         |  CAST(sum(df) AS BIGINT) / CAST(count(*) AS DOUBLE) AS rarity
+         |FROM grams JOIN dfr USING (g)
+         |WHERE doc_id % 5 = 0
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "t08_repetition" ->
       """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
