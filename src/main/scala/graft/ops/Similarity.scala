@@ -171,6 +171,111 @@ object Similarity {
     assign().drop("q")
   }
 
+  // --- product quantization --------------------------------------------------
+
+  /** Integer squared-L2 between a sub-vector column and a literal
+    * centroid — the one distance kernel every PQ stage shares.
+    */
+  private def l2Lit(sub: Column, cv: Array[Long]): Column =
+    aggregate(zip_with(sub, array(cv.map(lit).toSeq: _*),
+      (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+
+  /** argmin over literal centroids as (dist, cid) struct-min — lowest
+    * cid wins ties, evaluated in one codegen'd projection.
+    */
+  private def argminCid(sub: Column, book: Array[Array[Long]]): Column =
+    array_min(array(book.zipWithIndex.map { case (cv, cid) =>
+      struct(l2Lit(sub, cv).as("dist"), lit(cid).as("cid"))
+    }.toSeq: _*)).getField("cid")
+
+  /** Product-quantization codebook training: the quantized vector is
+    * split into `m` contiguous subspaces and each subspace gets its own
+    * `k`-centroid Lloyd codebook, trained with EXACTLY the rules of
+    * [[kmeansAssign]] (lowest-vec_id init, integer L2, lowest-cid ties,
+    * floor-mean update via pmod, empty cluster keeps its centroid) — so
+    * the DuckDB oracle replays the whole fit bit-for-bit, per subspace.
+    *
+    * Scale shape: ALL subspaces train in each pass — the per-subspace
+    * argmins are fused into one codegen'd projection, and the update is
+    * ONE explode to (subspace, cid, sub-vector) rows + ONE map-side-
+    * combined groupBy((subspace, cid)) — so an iteration costs one
+    * corpus scan and one k·m-group shuffle regardless of m. Codebooks
+    * (m·k·dsub longs) are driver state entering plans as literals, like
+    * every model in this package. Returns books(subspace)(cid)(dim).
+    */
+  def pqCodebooks(corpus: DataFrame, m: Int, k: Int, iters: Int): Array[Array[Array[Long]]] = {
+    require(m >= 1 && k >= 1 && iters >= 1, s"need m,k,iters >= 1, got m=$m k=$k iters=$iters")
+    val qv = corpus.select(col("vec_id"), quantize(col("embedding")).as("q"))
+    val dim = qv.select(size(col("q"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    def subCol(mi: Int): Column = slice(col("q"), mi * dsub + 1, dsub)
+    var books: Array[Array[Array[Long]]] = {
+      val seed = qv.orderBy("vec_id").limit(k).select("q").collect()
+        .map(_.getSeq[Long](0).toArray)
+      Array.tabulate(m)(mi => seed.map(_.slice(mi * dsub, (mi + 1) * dsub)))
+    }
+    (1 until iters).foreach { _ =>
+      val assigns = qv.select(explode(array((0 until m).map { mi =>
+        struct(lit(mi).as("mi"), argminCid(subCol(mi), books(mi)).as("cid"),
+          subCol(mi).as("sub"))
+      }: _*)).as("a"))
+        .select(col("a.mi"), col("a.cid"), col("a.sub"))
+      // exact floor mean on the integer grid (pmod form — see
+      // kmeansAssign for why a double division diverges)
+      val means = assigns.groupBy("mi", "cid").agg(
+        array((0 until dsub).map { i =>
+          val s = sum(element_at(col("sub"), i + 1))
+          val n = count(lit(1))
+          ((s - pmod(s, n)) / n).cast("long")
+        }: _*).as("cv"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Long](2).toArray).toMap
+      books = Array.tabulate(m) { mi =>
+        books(mi).zipWithIndex.map { case (prev, cid) =>
+          means.getOrElse((mi, cid), prev)
+        }
+      }
+    }
+    books
+  }
+
+  /** PQ asymmetric-distance top-k search. Corpus vectors are ENCODED to
+    * m byte-sized codes (the 100 TB property: a 64-dim vector becomes m
+    * small ints — the index is ~64x smaller than the raw vectors, and
+    * encoding is one corpus scan). Each query precomputes its m×k
+    * distance TABLE once (per-subspace L2 to every centroid); scoring a
+    * pair is then m table lookups + adds — no per-pair vector math at
+    * all. approx dist(q, x) = Σ_m dtab_m[code_m(x)], the standard ADC
+    * bound. Everything is integer, so results are oracle-exact (unlike
+    * float PQ there is no reconstruction rounding to argue about).
+    *
+    * Output: (query_id, rank, neighbor_id, adc_dist) — rank by
+    * (adc_dist asc, neighbor_id asc), self excluded.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, topK: Int,
+      m: Int = 4, codebookK: Int = 16, iters: Int = 2): DataFrame = {
+    val books = pqCodebooks(corpus, m, codebookK, iters)
+    val dsub = books(0)(0).length
+    def subCol(mi: Int): Column = slice(col("q"), mi * dsub + 1, dsub)
+    val enc = corpus.select(col("vec_id").as("n_id"), quantize(col("embedding")).as("q"))
+      .select(col("n_id"),
+        array((0 until m).map(mi => argminCid(subCol(mi), books(mi))): _*).as("codes"))
+    val qdt = queries.select(col("vec_id").as("query_id"), quantize(col("embedding")).as("q"))
+      .select(col("query_id") +: (0 until m).map { mi =>
+        array(books(mi).map(cv => l2Lit(subCol(mi), cv)).toSeq: _*).as(s"dt$mi")
+      }: _*)
+    val scored = enc.join(broadcast(qdt), col("n_id") =!= col("query_id"))
+      .withColumn("adc_dist", (0 until m).map { mi =>
+        element_at(col(s"dt$mi"), element_at(col("codes"), mi + 1).cast("int") + 1)
+      }.reduce(_ + _))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("n_id").as("neighbor_id"), col("adc_dist"))
+  }
+
   /** IVF probe search: corpus vectors are bucketed by their nearest
     * centroid (the inverted list — at scale this is the partitioning
     * key, so a probe touches nprobe/nlists of the data); each query

@@ -25,16 +25,31 @@ object SkewJoin {
       .groupBy(col(key))
       .agg(sum(col("__partial")).as(s"sum_$valueCol"), sum(col("__pcount")).as("n"))
 
-  /** Salted broadcast-free join for one-sided skew: replicate each right
-    * row `saltBuckets` times with a salt column, salt left rows by a
-    * deterministic hash of their position, join on (key, salt). Right
-    * side grows saltBuckets-fold; left skew spreads over saltBuckets
-    * partitions per key.
+  /** Salted broadcast-free inner join for one-sided skew: replicate
+    * each right row `saltBuckets` times with a salt column, salt left
+    * rows, join on (key, salt). Row-for-row equivalent to
+    * `left.join(right, Seq(key))` for ANY salt function — a (l, r)
+    * match on `key` pairs exactly once because l carries ONE salt and r
+    * is replicated across ALL salts. Right side grows saltBuckets-fold;
+    * left skew spreads over saltBuckets partitions per key — the right
+    * trade exactly when |right| << |left| but right still exceeds the
+    * broadcast threshold (otherwise broadcast; if AQE's skew-join can
+    * see the stage, prefer that).
+    *
+    * The salt is a hash of the left ROW's content, not
+    * `monotonically_increasing_id()`: the id depends on how rows fall
+    * into partitions, so two plan fragments recomputing the same row
+    * (a lost shuffle block, a reused cached subplan) could disagree on
+    * its salt; a content hash cannot. (Either way the JOIN RESULT is
+    * identical — replication covers every salt — but stable salts keep
+    * reducer placement reproducible run to run, which is what you are
+    * debugging when you reach for salting.)
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       saltBuckets: Int): DataFrame = {
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
     val saltedLeft = left.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets)))
+      pmod(hash(left.columns.map(col).toSeq: _*).cast("long"), lit(saltBuckets.toLong)))
     val saltedRight = right.withColumn("__salt",
       explode(sequence(lit(0L), lit(saltBuckets - 1L))))
     saltedLeft.join(saltedRight, Seq(key, "__salt")).drop("__salt")

@@ -374,7 +374,7 @@ object Relational {
       // co-located fact join: both sides written bucketed by the join
       // key (the one-time layout cost), then joined WITHOUT any
       // exchange — the plan shape that survives a fact-to-fact join at
-      // 100 TB where neither side broadcasts. BucketedJoinSpec gates
+      // 100 TB where neither side broadcasts. LayoutSkewSpec gates
       // the no-shuffle property; here the result is oracle-checked
       // against the plain join to prove layout never changes answers.
       val dir = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
@@ -398,11 +398,11 @@ object Relational {
       // salt 4 — row-for-row the plain join, with every (key, salt)
       // reducer bounded to 1/4 of any hot key's probe rows. The oracle
       // is the UNsalted join: salting must never change answers.
-      graft.ops.Skew.saltedJoin(
+      graft.ops.SkewJoin.saltedJoin(
           t(s, d, "lineitem").select(
             col("l_orderkey").as("o_orderkey"), col("l_extendedprice"), col("l_discount")),
           t(s, d, "orders").select("o_orderkey", "o_orderpriority"),
-          key = "o_orderkey", salts = 4)
+          key = "o_orderkey", saltBuckets = 4)
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_items"),
           sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))

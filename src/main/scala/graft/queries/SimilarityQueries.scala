@@ -63,6 +63,19 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // product quantization: 4 subspaces x 16 codes trained with s08's
+    // integer k-means rules, corpus encoded to 4 codes/vector, queries
+    // score via precomputed distance tables (ADC). All integer -> the
+    // oracle replays training + encode + search exactly. Like s05, the
+    // near-orthogonal synthetic embeddings make ADC ranks approximate
+    // by nature; the machinery, not the recall, is under test.
+    "s09_pq_topk" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings").select("vec_id", "embedding")
+      Similarity.pqTopK(e, e.where(col("vec_id") < 8), topK = 10,
+          m = 4, codebookK = 16, iters = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     // IVF training: deterministic integer Lloyd k-means (init = k
     // lowest ids, exact int L2, floor-mean updates) — the oracle
     // replays both iterations bit-for-bit
@@ -150,6 +163,64 @@ object SimilarityQueries {
          |  WHERE rn = 1)
          |SELECT cid, count(*) AS n_members, CAST(sum(dist) AS BIGINT) AS total_dist
          |FROM a2 GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // PQ training + encode + ADC search replayed per subspace: for each
+    // of the 4 subspaces the oracle repeats s08's two-iteration integer
+    // k-means over the 16-dim slice, encodes every vector to its
+    // nearest final centroid, and scores query x corpus by summing the
+    // four slice distances to the ASSIGNED centroids (the ADC
+    // approximation, stated literally)
+    "s09_pq_topk" -> {
+      val (m, dsub, k) = (4, 16, 16)
+      val l2 = (a: String, b: String) =>
+        s"list_sum(list_transform(range(1, ${dsub + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+      def sliceOf(q: String, mi: Int) =
+        s"list_slice($q, ${mi * dsub + 1}, ${(mi + 1) * dsub})"
+      val perSub = (0 until m).map { mi =>
+        s"""cb0_$mi AS (SELECT cid, ${sliceOf("cv", mi)} AS cv FROM init),
+           |a1_$mi AS (SELECT vec_id, sub, cid FROM (
+           |    SELECT v.vec_id, ${sliceOf("v.q", mi)} AS sub, c.cid,
+           |      row_number() OVER (PARTITION BY v.vec_id
+           |        ORDER BY ${l2(sliceOf("v.q", mi), "c.cv")}, c.cid) AS rn
+           |    FROM qv v CROSS JOIN cb0_$mi c)
+           |  WHERE rn = 1),
+           |m1_$mi AS (SELECT cid, i,
+           |    CAST((sum(sub[i]) - ((sum(sub[i]) % count(*) + count(*)) % count(*)))
+           |      // count(*) AS BIGINT) AS mv
+           |  FROM a1_$mi CROSS JOIN range(1, ${dsub + 1}) t(i) GROUP BY cid, i),
+           |cb1_$mi AS (SELECT p.cid, COALESCE(n.cv, p.cv) AS cv FROM cb0_$mi p
+           |  LEFT JOIN (SELECT cid, list(mv ORDER BY i) AS cv FROM m1_$mi GROUP BY cid) n USING (cid)),
+           |enc_$mi AS (SELECT vec_id, cid FROM (
+           |    SELECT v.vec_id, c.cid,
+           |      row_number() OVER (PARTITION BY v.vec_id
+           |        ORDER BY ${l2(sliceOf("v.q", mi), "c.cv")}, c.cid) AS rn
+           |    FROM qv v CROSS JOIN cb1_$mi c)
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val encJoins = (0 until m).map { mi =>
+        s"JOIN enc_$mi e$mi ON e$mi.vec_id = e.vec_id JOIN cb1_$mi c$mi ON c$mi.cid = e$mi.cid"
+      }.mkString("\n  ")
+      val adc = (0 until m).map { mi =>
+        l2(sliceOf("qy.q", mi), s"c$mi.cv")
+      }.mkString(" + ")
+      s"""WITH qv AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS cv
+         |  FROM qv ORDER BY vec_id LIMIT $k),
+         |$perSub,
+         |scored AS (SELECT qy.vec_id AS query_id, e.vec_id AS n_id,
+         |    $adc AS adc
+         |  FROM qv qy CROSS JOIN qv e
+         |  $encJoins
+         |  WHERE qy.vec_id < 8 AND e.vec_id <> qy.vec_id),
+         |ranked AS (SELECT query_id, n_id, adc,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc, n_id) AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, n_id AS neighbor_id, CAST(adc AS BIGINT) AS adc_dist
+         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
     },
 
     "s07_filtered_topk" ->
