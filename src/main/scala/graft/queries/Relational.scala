@@ -393,6 +393,24 @@ object Relational {
         .orderBy("c_mktsegment")
     }),
 
+    "q32_partition_pruning" -> ((s, d) => {
+      // directory-partitioned layout + planning-time pruning: orders
+      // written hive-style by order_year, then a one-year query reads
+      // ONLY that directory (PartitionFilters in the scan — gated by
+      // LayoutSkewSpec). The oracle is the plain filtered aggregate:
+      // layout must never change answers.
+      val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+      graft.ops.Layout.writePartitioned(
+        t(s, d, "orders")
+          .withColumn("order_year", year(col("o_orderdate"))),
+        dir, "order_year")
+      s.read.parquet(dir).where(col("order_year") === 1996)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("revenue_cents"))
+        .orderBy("o_orderpriority")
+    }),
+
     "q31_salted_join" -> ((s, d) => {
       // skew-salted shuffle join: lineitem (probe) x orders (build),
       // salt 4 — row-for-row the plain join, with every (key, salt)
@@ -623,6 +641,12 @@ object Relational {
       """SELECT c_mktsegment, count(*) AS n_orders,
         |  CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q32_partition_pruning" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM orders WHERE year(o_orderdate) = 1996
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q31_salted_join" ->

@@ -62,6 +62,29 @@ object DedupStreams {
       .dropDuplicatesWithinWatermark("id_a", "id_b")
       .select("id_a", "id_b")
 
+  /** Streaming twin of [[graft.ops.Curation.lshDecontaminateIds]]:
+    * flag arriving documents that share any MinHash band bucket with a
+    * STATIC benchmark corpus — the deploy-time guard that keeps eval
+    * data out of a continuously ingested training stream. The benchmark
+    * band keys are a static broadcast side of a stream-static semi
+    * join, so the stream needs NO state for membership at all; the only
+    * state is the per-id emit dedup (a doc hitting several bands must
+    * flag once), which expires with the watermark rather than growing
+    * with the stream. Returns an append stream of flagged (id) rows.
+    */
+  def decontaminationFlags(docs: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val benchKeys = Dedup.bandKeys(benchmark, idCol, textCol)
+      .select("band_idx", "band_key").distinct()
+    Dedup.bandKeys(docs.select(col(idCol), col(textCol)), idCol, textCol)
+      .join(broadcast(benchKeys), Seq("band_idx", "band_key"), "left_semi")
+      .withColumn("emit_ts", current_timestamp())
+      .withWatermark("emit_ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("id")
+      .select("id")
+  }
+
   /** docs: streaming DataFrame with (idCol long, textCol string).
     * Returns an append-mode stream of [[CandidatePair]]s.
     */

@@ -44,6 +44,25 @@ class LayoutSkewSpec extends AnyFunSuite with graft.SparkSpec {
     }
   }
 
+  test("partitioned layout: a partition-column filter prunes directories at planning time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part_spec").toString
+    val o = graft.sources.Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+      .withColumn("order_year", year(col("o_orderdate")))
+    Layout.writePartitioned(o, dir, "order_year")
+    val pruned = spark.read.parquet(dir).where(col("order_year") === 1996)
+    val p = pruned.queryExecution.executedPlan.toString
+    // the year filter must be a planning-time partition filter, not a
+    // row filter after a full scan — and the partition column must not
+    // be read from the data files
+    assert(p.contains("PartitionFilters: [isnotnull(order_year") &&
+      p.contains("= 1996)"), p)
+    assert(!p.replaceAll("(?s).*ReadSchema: ", "").contains("order_year"), p)
+    // pruning never changes answers
+    val expected = o.where(col("order_year") === 1996).count()
+    assert(pruned.count() === expected && expected > 0)
+  }
+
   test("salted join: row-for-row the plain join, on keys with duplicates both sides") {
     import spark.implicits._
     // skewed left: key 1 dominates; right has duplicate keys too (the

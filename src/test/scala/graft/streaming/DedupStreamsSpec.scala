@@ -66,6 +66,40 @@ class DedupStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontamination flags exactly the batch operator's ids, once each") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq(
+      (100L, "held out evaluation question about the quick brown fox jumping"),
+      (101L, "another benchmark prompt that must never leak into training data"))
+      .toDF("doc_id", "text")
+    val streamDocs = Seq(
+      // near-dup of bench 100 (one word appended) -> must flag
+      (1L, "held out evaluation question about the quick brown fox jumping spark"),
+      // unrelated -> must not flag
+      (2L, "completely different text with nothing shared at all whatsoever here"),
+      // identical to bench 101 -> hits ALL bands, must still flag ONCE
+      (3L, "another benchmark prompt that must never leak into training data"))
+    val in = MemoryStream[(Long, String)]
+    val q = DedupStreams.decontaminationFlags(
+        in.toDS().toDF("doc_id", "text"), bench, "doc_id", "text")
+      .writeStream.format("memory").queryName("decon_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(streamDocs(0), streamDocs(1))
+      q.processAllAvailable()
+      in.addData(streamDocs(2)) // static side serves every micro-batch
+      q.processAllAvailable()
+      val flagged = spark.table("decon_stream").collect().map(_.getLong(0)).toSeq
+      assert(flagged.sorted == Seq(1L, 3L), s"flagged=$flagged")
+      // batch twin agrees
+      val batch = graft.ops.Curation.lshDecontaminateIds(
+          streamDocs.toDF("doc_id", "text"), bench, "doc_id", "text")
+        .collect().map(_.getLong(0)).toSet
+      assert(batch == Set(1L, 3L))
+    } finally q.stop()
+  }
+
   test("stateTtl wiring: pairs still flow with processing-time timeout armed") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
