@@ -36,20 +36,21 @@ object SkewJoin {
     * broadcast threshold (otherwise broadcast; if AQE's skew-join can
     * see the stage, prefer that).
     *
-    * The salt is a hash of the left ROW's content, not
-    * `monotonically_increasing_id()`: the id depends on how rows fall
-    * into partitions, so two plan fragments recomputing the same row
-    * (a lost shuffle block, a reused cached subplan) could disagree on
-    * its salt; a content hash cannot. (Either way the JOIN RESULT is
-    * identical — replication covers every salt — but stable salts keep
-    * reducer placement reproducible run to run, which is what you are
-    * debugging when you reach for salting.)
+    * The salt is a hash of the row's POSITION
+    * (`monotonically_increasing_id`), not of its content: a hot key's
+    * rows are often content-identical (retries, boilerplate events),
+    * and a content hash would send every duplicate to the SAME salt
+    * bucket — zero spreading in exactly the case salting exists for.
+    * Position salts are not stable under recomputation (a lost shuffle
+    * block may re-salt a row differently), which is safe here BECAUSE
+    * the result is salt-independent; never reuse this salt as a
+    * deterministic partition assignment elsewhere.
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       saltBuckets: Int): DataFrame = {
     require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
     val saltedLeft = left.withColumn("__salt",
-      pmod(hash(left.columns.map(col).toSeq: _*).cast("long"), lit(saltBuckets.toLong)))
+      pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets.toLong)))
     val saltedRight = right.withColumn("__salt",
       explode(sequence(lit(0L), lit(saltBuckets - 1L))))
     saltedLeft.join(saltedRight, Seq(key, "__salt")).drop("__salt")

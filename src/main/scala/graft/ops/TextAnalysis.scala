@@ -64,6 +64,17 @@ object TextAnalysis {
   /** Shared with the oracle-SQL builders in graft.queries. */
   private[graft] val stopwords = Seq(" the ", " a ", " of ", " and ", " is ")
 
+  /** Mean word length of single-space-joined text — ONE definition
+    * shared by t03's avg_word_len and t09's word_len rule (they must
+    * never disagree about the same document): total word chars =
+    * chars - (words - 1) separators, over the word count. A single
+    * int/int double division (IEEE-deterministic).
+    */
+  def meanWordLen(text: Column): Column = {
+    val words = wsTokenCount(text)
+    (length(text).cast("long") - words + 1) / words.cast("double")
+  }
+
   /** Quality signals: exact integer counts + deterministic ratios
     * (single int/int divisions).
     */
@@ -75,7 +86,7 @@ object TextAnalysis {
     Seq(
       chars.as("n_chars"),
       words.as("n_words"),
-      ((chars - words + 1) / words.cast("double")).as("avg_word_len"),
+      meanWordLen(text).as("avg_word_len"),
       (stopHits / words.cast("double")).as("stopword_ratio"))
   }
 
@@ -106,11 +117,8 @@ object TextAnalysis {
     // suspiciously long (boilerplate/concatenation artifacts)
     "long" -> ((text: Column) => wsTokenCount(text) > RuleMaxWords),
     // mean word length outside the natural-language band
-    "word_len" -> { (text: Column) =>
-      val words = wsTokenCount(text)
-      val mean = (length(text).cast("long") - words + 1) / words.cast("double")
-      mean < RuleWordLenLo || mean > RuleWordLenHi
-    },
+    "word_len" -> ((text: Column) =>
+      meanWordLen(text) < RuleWordLenLo || meanWordLen(text) > RuleWordLenHi),
     // stopword-starved: stop_hits / n_words < RuleStopNum/RuleStopDen,
     // cross-multiplied to stay in exact integers
     "stopword" -> { (text: Column) =>

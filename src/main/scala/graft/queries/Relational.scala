@@ -30,6 +30,22 @@ object Relational {
   /** round(x*100) as BIGINT — exact cents, order-independent to sum. */
   private def cents(c: Column): Column = round(c * 100.0).cast("long")
 
+  /** Best-effort removal of a query-local temp directory (q30/q32
+    * layout artifacts). Walks children before parents; swallows
+    * races — leftover temp files are a hygiene concern, not a
+    * correctness one.
+    */
+  private def deleteRecursively(dir: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(dir)) {
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach { p =>
+          try java.nio.file.Files.deleteIfExists(p)
+          catch { case _: java.io.IOException => () }
+        }
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- aggregation core -------------------------------------------------
     "q01_pricing_summary" -> ((s, d) => {
@@ -377,19 +393,32 @@ object Relational {
       // 100 TB where neither side broadcasts. LayoutSkewSpec gates
       // the no-shuffle property; here the result is oracle-checked
       // against the plain join to prove layout never changes answers.
-      val dir = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
-      graft.ops.Layout.writeBucketed(
-        t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
-        "g_orders_b", s"$dir/orders", buckets = 8, key = "o_custkey")
-      graft.ops.Layout.writeBucketed(
-        t(s, d, "customer").select("c_custkey", "c_mktsegment"),
-        "g_customer_b", s"$dir/customer", buckets = 8, key = "c_custkey")
-      val o = graft.ops.Layout.readBucketed(s, "g_orders_b")
-      val c = graft.ops.Layout.readBucketed(s, "g_customer_b")
-      o.join(c, o("o_custkey") === c("c_custkey"))
-        .groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("n_orders"),
-          sum(cents(col("o_totalprice"))).as("revenue_cents"))
+      // The 5-row summary is materialized EAGERLY so the layout
+      // artifacts (temp dir + catalog tables) can be removed before
+      // returning — repeated bench passes must not accumulate
+      // whole-table copies under /tmp.
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_bucketed")
+      val rows = try {
+        graft.ops.Layout.writeBucketed(
+          t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+          "g_orders_b", s"$dir/orders", buckets = 8, key = "o_custkey")
+        graft.ops.Layout.writeBucketed(
+          t(s, d, "customer").select("c_custkey", "c_mktsegment"),
+          "g_customer_b", s"$dir/customer", buckets = 8, key = "c_custkey")
+        val o = graft.ops.Layout.readBucketed(s, "g_orders_b")
+        val c = graft.ops.Layout.readBucketed(s, "g_customer_b")
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(cents(col("o_totalprice"))).as("revenue_cents"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      } finally {
+        s.sql("DROP TABLE IF EXISTS g_orders_b")
+        s.sql("DROP TABLE IF EXISTS g_customer_b")
+        deleteRecursively(dir)
+      }
+      rows.toDF("c_mktsegment", "n_orders", "revenue_cents")
         .orderBy("c_mktsegment")
     }),
 
@@ -398,16 +427,22 @@ object Relational {
       // written hive-style by order_year, then a one-year query reads
       // ONLY that directory (PartitionFilters in the scan — gated by
       // LayoutSkewSpec). The oracle is the plain filtered aggregate:
-      // layout must never change answers.
-      val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
-      graft.ops.Layout.writePartitioned(
-        t(s, d, "orders")
-          .withColumn("order_year", year(col("o_orderdate"))),
-        dir, "order_year")
-      s.read.parquet(dir).where(col("order_year") === 1996)
-        .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("n_orders"),
-          sum(cents(col("o_totalprice"))).as("revenue_cents"))
+      // layout must never change answers. Eager materialization +
+      // cleanup as in q30.
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_part")
+      val rows = try {
+        graft.ops.Layout.writePartitioned(
+          t(s, d, "orders")
+            .withColumn("order_year", year(col("o_orderdate"))),
+          dir.toString, "order_year")
+        s.read.parquet(dir.toString).where(col("order_year") === 1996)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(cents(col("o_totalprice"))).as("revenue_cents"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      } finally deleteRecursively(dir)
+      rows.toDF("o_orderpriority", "n_orders", "revenue_cents")
         .orderBy("o_orderpriority")
     }),
 

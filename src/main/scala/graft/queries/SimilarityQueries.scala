@@ -109,10 +109,17 @@ object SimilarityQueries {
     }),
   )
 
+  /** The oracle statement of VectorFunctions.quantize — ONE copy
+    * (round 2 shipped a rounding divergence in exactly this
+    * expression; a fix must reach every oracle that quantizes or none).
+    */
+  private val quantExpr =
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+
   private val qCte =
-    """qv AS (SELECT vec_id, label,
-      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
-      |  FROM embeddings)""".stripMargin
+    s"""qv AS (SELECT vec_id, label,
+       |    $quantExpr AS q
+       |  FROM embeddings)""".stripMargin
 
   private def cosine(aq: String, bq: String, an: String, bn: String) =
     s"list_dot_product($aq, $bq) / (sqrt(CAST($an AS DOUBLE)) * sqrt(CAST($bn AS DOUBLE)))"
@@ -139,7 +146,7 @@ object SimilarityQueries {
       val l2 = (q: String, c: String) =>
         s"list_sum(list_transform(range(1, 65), i -> ($q[i] - $c[i]) * ($q[i] - $c[i])))"
       s"""WITH qv AS (SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+         |    $quantExpr AS q
          |  FROM embeddings),
          |init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS cv
          |  FROM qv ORDER BY vec_id LIMIT 8),
@@ -205,7 +212,7 @@ object SimilarityQueries {
         l2(sliceOf("qy.q", mi), s"c$mi.cv")
       }.mkString(" + ")
       s"""WITH qv AS (SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+         |    $quantExpr AS q
          |  FROM embeddings),
          |init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS cv
          |  FROM qv ORDER BY vec_id LIMIT $k),

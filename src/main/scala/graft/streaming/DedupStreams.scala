@@ -71,12 +71,19 @@ object DedupStreams {
     * state is the per-id emit dedup (a doc hitting several bands must
     * flag once), which expires with the watermark rather than growing
     * with the stream. Returns an append stream of flagged (id) rows.
+    *
+    * The benchmark band keys are CACHED here: stream-static joins
+    * re-evaluate the static subplan every micro-batch, and re-shingling
+    * the benchmark per batch is pure waste. The cache (a few band-key
+    * strings per bench doc) stays pinned for the stream's lifetime;
+    * unpersist it via `spark.catalog.clearCache()` or by keeping your
+    * own handle if the benchmark is replaced mid-stream.
     */
   def decontaminationFlags(docs: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String,
       watermarkDelay: String = "10 minutes"): DataFrame = {
     val benchKeys = Dedup.bandKeys(benchmark, idCol, textCol)
-      .select("band_idx", "band_key").distinct()
+      .select("band_idx", "band_key").distinct().cache()
     Dedup.bandKeys(docs.select(col(idCol), col(textCol)), idCol, textCol)
       .join(broadcast(benchKeys), Seq("band_idx", "band_key"), "left_semi")
       .withColumn("emit_ts", current_timestamp())
