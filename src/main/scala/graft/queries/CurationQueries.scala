@@ -100,6 +100,30 @@ object CurationQueries {
         .orderBy("source")
     }),
 
+    // column-level data profiling — the observability pass a curation
+    // pipeline runs before and after every transform (null creep and
+    // cardinality collapse are how upstream breakage shows up). Every
+    // column is stringified into one generic (column, value) relation
+    // so ONE pipeline profiles any schema: explode is per-row (no
+    // shuffle), then a single groupBy(column) computes rows / nulls /
+    // exact distinct / min / max. Exact distinct is the oracle-able
+    // demo; at 100 TB swap in approx_count_distinct (q19) — same shape.
+    "c09_profile" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      docs.select(explode(array(cols.map { c =>
+          struct(lit(c).as("column"), col(c).cast("string").as("v"))
+        }: _*)).as("p"))
+        .select(col("p.column"), col("p.v"))
+        .groupBy("column")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
+          countDistinct(col("v")).as("n_distinct"),
+          min(col("v")).as("min_v"),
+          max(col("v")).as("max_v"))
+        .orderBy("column")
+    }),
+
     // token-window chunking: 64-token windows advancing by 48 (16-token
     // overlap) — one row per chunk, deterministic membership
     "c06_chunking" -> ((s, d) => {
@@ -192,6 +216,18 @@ object CurationQueries {
         |  CAST(len(list_slice(ws, i * 48 + 1, i * 48 + 64)) AS BIGINT) AS n_chunk_tokens,
         |  ws[i * 48 + 1] AS first_word
         |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "c09_profile" -> {
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      cols.map { c =>
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  count(DISTINCT CAST($c AS VARCHAR)) AS n_distinct,
+           |  min(CAST($c AS VARCHAR)) AS min_v,
+           |  max(CAST($c AS VARCHAR)) AS max_v
+           |FROM documents""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
 
     // the two corpora are banded side by side with DedupQueries'
     // prefix-parameterized CTE chain (identical shingle/minhash/band

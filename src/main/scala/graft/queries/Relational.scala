@@ -385,6 +385,24 @@ object Relational {
         .orderBy("l_partkey")
     }),
 
+    "q33_null_aware_anti" -> ((s, d) => {
+      // NOT IN (subquery) over a NULLABLE column — three-valued logic
+      // makes this a DIFFERENT operator from q05's NOT EXISTS anti
+      // join: one NULL in the subquery empties the result, so Catalyst
+      // must plan a null-aware anti join (gated in PlanSpec). The CASE
+      // can't be proven non-null statically (custkeys are >= 1 at
+      // runtime), forcing the null-aware path while keeping the result
+      // equal to the plain anti join.
+      t(s, d, "orders").createOrReplaceTempView("g_orders33")
+      t(s, d, "customer").createOrReplaceTempView("g_customer33")
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n_orders FROM g_orders33
+          |WHERE o_custkey NOT IN (
+          |  SELECT CASE WHEN c_custkey < 0 THEN NULL ELSE c_custkey END
+          |  FROM g_customer33 WHERE c_mktsegment = 'BUILDING')
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }),
+
     // --- physical layout / skew --------------------------------------------
     "q30_bucketed_join" -> ((s, d) => {
       // co-located fact join: both sides written bucketed by the join
@@ -672,6 +690,13 @@ object Relational {
 
     // both layout queries oracle against the PLAIN join — bucketing and
     // salting are physical rewrites and must never change answers
+    "q33_null_aware_anti" ->
+      """SELECT o_orderpriority, count(*) AS n_orders FROM orders
+        |WHERE o_custkey NOT IN (
+        |  SELECT CASE WHEN c_custkey < 0 THEN NULL ELSE c_custkey END
+        |  FROM customer WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
     "q30_bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
         |  CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents

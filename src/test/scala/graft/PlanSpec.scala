@@ -103,6 +103,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("q33: NOT IN over a nullable subquery plans the null-aware anti join") {
+    val p = plan("q33_null_aware_anti")
+    // the trailing `true` on the BroadcastHashJoin is Spark's
+    // isNullAwareAntiJoin flag — without it the NOT IN would fall back
+    // to a BroadcastNestedLoopJoin with the OR-isnull condition
+    assert(p.contains("LeftAnti, BuildRight, true"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("keyed overwrite: eviction keys are broadcast (no full shuffle of existing data)") {
     import spark.implicits._
     val existing = (1 to 1000).map(i => (s"k$i", i)).toDF("pcr_uuid_context", "v")
