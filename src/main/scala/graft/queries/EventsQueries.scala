@@ -75,6 +75,32 @@ object EventsQueries {
         .orderBy("user_id", "event_type")
     }),
 
+    "e09_decayed_trending" -> ((s, d) => {
+      // exponentially-decayed trending: each event type's score over
+      // the 6 hours up to the corpus anchor (max hour), hour h weighted
+      // 2^(5-age) — newest counts 32x the oldest. Weights are powers of
+      // two over a BOUNDED age range, so the whole score is exact
+      // integer math (a float decay constant would never hash-match).
+      // The anchor is a 1-row broadcast, not a collect: the query stays
+      // one distributed plan.
+      val ev = Tables.load(s, d, "events")
+        .withColumn("bucket", date_trunc("hour", col("ts")))
+      val counts = ev.groupBy("bucket", "event_type").agg(count(lit(1)).as("n"))
+      val anchor = ev.agg(max(col("bucket")).as("anchor"))
+      val weight = (0 to 4).foldLeft(lit(1L)) { (acc, age) =>
+        when(col("age") === age, lit(1L << (5 - age))).otherwise(acc)
+      }
+      counts.crossJoin(broadcast(anchor))
+        .withColumn("age",
+          expr("(unix_micros(anchor) - unix_micros(bucket)) div 3600000000"))
+        .where(col("age") < 6)
+        .withColumn("w", weight)
+        .groupBy("event_type")
+        .agg(sum(col("n") * col("w")).as("decayed_score"),
+          sum(col("n")).as("n_recent"))
+        .orderBy(col("decayed_score").desc, col("event_type"))
+    }),
+
     "e04_json_props" -> ((s, d) => {
       // pinned single-field schema: from_json parses one field per row
       // — measured 6x cheaper than get_json_object's generic JsonPath
@@ -134,6 +160,20 @@ object EventsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "e09_decayed_trending" ->
+      """WITH b AS (SELECT date_trunc('hour', ts) AS bucket, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT max(date_trunc('hour', ts)) AS anchor FROM events),
+        |aged AS (SELECT event_type, n,
+        |    (epoch_us(anchor) - epoch_us(bucket)) // 3600000000 AS age
+        |  FROM b CROSS JOIN a)
+        |SELECT event_type,
+        |  CAST(sum(n * (CASE age WHEN 0 THEN 32 WHEN 1 THEN 16 WHEN 2 THEN 8
+        |    WHEN 3 THEN 4 WHEN 4 THEN 2 ELSE 1 END)) AS BIGINT) AS decayed_score,
+        |  CAST(sum(n) AS BIGINT) AS n_recent
+        |FROM aged WHERE age < 6
+        |GROUP BY 1 ORDER BY decayed_score DESC, event_type""".stripMargin,
+
     "e01_tumbling_window" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type,
         |  count(*) AS n_events,
