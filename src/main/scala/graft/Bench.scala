@@ -132,7 +132,12 @@ object Bench {
     val loadAfter = loadAvg()
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"anchor_ratios":$anchorJson,"anchor_query":"d01_exact_dedup","loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"errors":$errJson,"n_ok":${results.size},"n_err":${errors.size},"sf":"$sfDir"}"""
-    val outPath = sys.env.getOrElse("BENCH_OUT", "bench_out.json")
+    // a BENCH_ONLY subset is an iteration aid, never the round's perf
+    // artifact — writing it to bench_out.json clobbered the full-suite
+    // numbers twice (caught by review both times); partial runs go to a
+    // scratch file unless BENCH_OUT names one explicitly
+    val outPath = sys.env.getOrElse("BENCH_OUT",
+      if (sys.env.contains("BENCH_ONLY")) "bench_only_out.json" else "bench_out.json")
     Files.write(Paths.get(outPath), (line + "\n").getBytes(StandardCharsets.UTF_8))
     spark.stop()
     // last stdout line, after spark.stop() so no shutdown logs trail it

@@ -110,8 +110,7 @@ object CurationQueries {
     // demo; at 100 TB swap in approx_count_distinct (q19) — same shape.
     "c09_profile" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents")
-      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
-      docs.select(explode(array(cols.map { c =>
+      docs.select(explode(array(ProfileCols.map { c =>
           struct(lit(c).as("column"), col(c).cast("string").as("v"))
         }: _*)).as("p"))
         .select(col("p.column"), col("p.v"))
@@ -136,6 +135,12 @@ object CurationQueries {
         .orderBy("doc_id", "chunk_idx")
     }),
   )
+
+  /** c09's profiled columns — ONE list shared by the Spark query and
+    * the oracle builder (the sides must profile the same schema or the
+    * hash compare fails / silently under-profiles).
+    */
+  private val ProfileCols = Seq("doc_id", "text", "lang", "source", "n_chars")
 
   /** c05's mixture, shared with the oracle so the thresholds can never
     * drift between engines.
@@ -218,8 +223,7 @@ object CurationQueries {
         |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "c09_profile" -> {
-      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
-      cols.map { c =>
+      ProfileCols.map { c =>
         s"""SELECT '$c' AS "column", count(*) AS n_rows,
            |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
            |  count(DISTINCT CAST($c AS VARCHAR)) AS n_distinct,

@@ -86,7 +86,11 @@ object EventsQueries {
       val ev = Tables.load(s, d, "events")
         .withColumn("bucket", date_trunc("hour", col("ts")))
       val counts = ev.groupBy("bucket", "event_type").agg(count(lit(1)).as("n"))
-      val anchor = ev.agg(max(col("bucket")).as("anchor"))
+      // anchor from the ALREADY-AGGREGATED relation, not the raw events
+      // (max of grouped buckets ≡ max bucket): ReuseExchange serves the
+      // join input and the anchor from one shuffle — one fact-table
+      // scan, not two
+      val anchor = counts.agg(max(col("bucket")).as("anchor"))
       val weight = (0 to 4).foldLeft(lit(1L)) { (acc, age) =>
         when(col("age") === age, lit(1L << (5 - age))).otherwise(acc)
       }

@@ -27,20 +27,40 @@ class AqeSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("AQE upgrades a sort-merge join to broadcast when the built side is runtime-small") {
-    withConf("spark.sql.adaptive.enabled" -> "true") {
-      // the right side is an aggregate: its STATIC row estimate tracks
-      // the pre-agg child (large), so the initial plan is a shuffle
-      // join; at runtime it collapses to 5 rows and AQE must swap in a
-      // broadcast join
+    // an 8 KB broadcast threshold puts BOTH static size estimates
+    // (range(50000) ≈ 400 KB) above it, so the static plan is a shuffle
+    // join; the aggregate's RUNTIME output (5 rows ≈ bytes) is far
+    // below it, so AQE must swap in a broadcast join. The first half of
+    // the test PROVES the static premise with AQE off — without that,
+    // this test passed vacuously on a statically-broadcast plan
+    // (caught by review).
+    def joined = {
       val left = spark.range(50000).withColumn("k", col("id") % 5)
       val right = spark.range(50000).withColumn("k", col("id") % 5)
         .groupBy("k").agg(count(lit(1)).as("c"))
-      val joined = left.join(right, "k")
-      joined.collect() // materialize so the adaptive plan is final
-      val p = joined.queryExecution.executedPlan.toString
+      left.join(right, "k")
+    }
+    withConf(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "8192") {
+      val staticPlan = joined.queryExecution.executedPlan.toString
+      assert(staticPlan.contains("SortMergeJoin") &&
+        !staticPlan.contains("BroadcastHashJoin"), staticPlan)
+    }
+    withConf(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "8192") {
+      val j = joined
+      j.collect() // materialize so the adaptive plan is final
+      val p = j.queryExecution.executedPlan.toString
       assert(p.contains("AdaptiveSparkPlan isFinalPlan=true"), p)
-      assert(p.contains("BroadcastHashJoin"), p)
-      assert(!p.contains("SortMergeJoin"), p)
+      // the executed plan prints BOTH stages: the initial (static) plan
+      // must be the sort-merge join and the final plan the broadcast
+      // upgrade — the re-plan itself, visible in one string
+      val Array(finalPlan, initialPlan) = p.split("== Initial Plan ==", 2)
+      assert(finalPlan.contains("BroadcastHashJoin") &&
+        !finalPlan.contains("SortMergeJoin"), p)
+      assert(initialPlan.contains("SortMergeJoin"), p)
     }
   }
 
