@@ -105,6 +105,36 @@ object EventsQueries {
         .orderBy(col("decayed_score").desc, col("event_type"))
     }),
 
+    "q34_interval_join" -> ((s, d) => {
+      // point-in-interval join, bucketized (graft.ops.RangeJoin): the
+      // top-10 hottest hours per event type become non-hour-aligned
+      // [h+15min, h+45min) windows; every event falling inside any
+      // window is attributed to it by a HASH join on 30-min buckets +
+      // residual range filter — never the BroadcastNestedLoopJoin a
+      // bare BETWEEN predicate plans to (PlanSpec-gated). Counts and
+      // bounds are exact integers (epoch micros).
+      val ev = Tables.load(s, d, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"),
+          unix_micros(date_trunc("hour", col("ts"))).as("bucket_us"))
+      val hourly = ev.groupBy(col("event_type").as("w_type"), col("bucket_us"))
+        .agg(count(lit(1)).as("n"))
+      val rw = Window.partitionBy(col("w_type"))
+        .orderBy(col("n").desc, col("bucket_us"))
+      val windows = hourly.withColumn("rk", row_number().over(rw))
+        .where(col("rk") <= 10)
+        .select(col("w_type"),
+          (col("bucket_us") + lit(900000000L)).as("lo_us"),
+          (col("bucket_us") + lit(2700000000L)).as("hi_us"))
+      graft.ops.RangeJoin.pointInInterval(
+          ev.select("user_id", "ts_us"), "ts_us",
+          windows, "lo_us", "hi_us", bucketWidth = 1800000000L)
+        .groupBy("w_type", "lo_us")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("w_type", "lo_us")
+    }),
+
     "e04_json_props" -> ((s, d) => {
       // pinned single-field schema: from_json parses one field per row
       // — measured 6x cheaper than get_json_object's generic JsonPath
@@ -164,6 +194,25 @@ object EventsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the oracle uses the naive BETWEEN join (DuckDB's IEJoin handles
+    // it); the engine's bucketized form must produce identical rows
+    "q34_interval_join" ->
+      """WITH h AS (SELECT event_type AS w_type, date_trunc('hour', ts) AS bucket,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT w_type, bucket,
+        |    row_number() OVER (PARTITION BY w_type ORDER BY n DESC, bucket) AS rk
+        |  FROM h),
+        |w AS (SELECT w_type,
+        |    epoch_us(bucket + INTERVAL 15 MINUTE) AS lo_us,
+        |    epoch_us(bucket + INTERVAL 45 MINUTE) AS hi_us
+        |  FROM r WHERE rk <= 10)
+        |SELECT w_type, lo_us, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM w JOIN events e
+        |  ON epoch_us(e.ts) >= lo_us AND epoch_us(e.ts) < hi_us
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "e09_decayed_trending" ->
       """WITH b AS (SELECT date_trunc('hour', ts) AS bucket, event_type, count(*) AS n
         |  FROM events GROUP BY 1, 2),

@@ -103,6 +103,14 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("q34: interval join is a hash join on buckets, never a nested-loop range join") {
+    val p = plan("q34_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the interval expansion is visible as a Generate over sequence()
+    assert(p.contains("Generate explode(sequence"), p)
+  }
+
   test("q33: NOT IN over a nullable subquery plans the null-aware anti join") {
     val p = plan("q33_null_aware_anti")
     // the trailing `true` on the BroadcastHashJoin is Spark's
