@@ -21,21 +21,42 @@ object RangeJoin {
     * the TYPICAL interval length — width >> length wastes residual
     * comparisons (many points per bucket), width << length explodes
     * the interval expansion. Empty intervals (hi <= lo) match nothing
-    * and are dropped before expansion (a descending `sequence` would
-    * throw).
+    * and are dropped before expansion (Spark's two-arg `sequence`
+    * would happily emit a DESCENDING bucket array for them — spurious
+    * rows the residual filter pays to remove; the guard keeps the
+    * semantics cheap, it is not a crash-safety need).
+    *
+    * One pathological interval — an open-ended `hi = Long.MaxValue`
+    * sentinel is the classic — would expand to ~`hi/width` rows and
+    * kill the job mid-flight, the exact trap class this module exists
+    * to prevent. `maxBucketsPerInterval` turns that into an immediate,
+    * diagnosable per-row error (`raise_error` with the offending
+    * bounds); raise it deliberately if your data really has
+    * million-bucket intervals.
     *
     * Both inputs keep all their columns (caller ensures no name
-    * collisions); the bucket key never leaks into the output.
+    * collisions across the two inputs); `__bkt` is reserved for the
+    * internal key and rejected up front rather than silently
+    * overwritten.
     */
   def pointInInterval(points: DataFrame, ptCol: String,
       intervals: DataFrame, loCol: String, hiCol: String,
-      bucketWidth: Long): DataFrame = {
+      bucketWidth: Long, maxBucketsPerInterval: Long = 1L << 20): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
+    require(maxBucketsPerInterval > 0,
+      s"maxBucketsPerInterval must be > 0, got $maxBucketsPerInterval")
+    require(!points.columns.contains("__bkt") && !intervals.columns.contains("__bkt"),
+      "__bkt is reserved by RangeJoin; rename that column on the input")
+    val first = floor(col(loCol) / bucketWidth).cast("long")
+    val last = floor((col(hiCol) - 1) / bucketWidth).cast("long")
+    val boundedLast = when(last - first < maxBucketsPerInterval, last)
+      .otherwise(raise_error(format_string(
+        s"RangeJoin: interval [%d, %d) spans >= $maxBucketsPerInterval buckets " +
+          s"of width $bucketWidth; raise maxBucketsPerInterval or widen buckets",
+        col(loCol), col(hiCol))).cast("long"))
     val iv = intervals
       .where(col(hiCol) > col(loCol))
-      .withColumn("__bkt", explode(sequence(
-        floor(col(loCol) / bucketWidth).cast("long"),
-        floor((col(hiCol) - 1) / bucketWidth).cast("long"))))
+      .withColumn("__bkt", explode(sequence(first, boundedLast)))
     val pt = points.withColumn("__bkt",
       floor(col(ptCol) / bucketWidth).cast("long"))
     pt.join(iv, Seq("__bkt"))

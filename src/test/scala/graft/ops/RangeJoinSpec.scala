@@ -36,6 +36,30 @@ class RangeJoinSpec extends AnyFunSuite with graft.SparkSpec {
     }
   }
 
+  test("a reserved __bkt column on either input is rejected up front") {
+    import spark.implicits._
+    val tainted = Seq((1L, 2L)).toDF("pt", "__bkt")
+    val clean = Seq((0L, 10L)).toDF("lo", "hi")
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(tainted, "pt", clean, "lo", "hi", 10L)
+    }
+    assert(e.getMessage.contains("__bkt"))
+  }
+
+  test("a pathological open-ended interval fails fast with the offending bounds") {
+    import spark.implicits._
+    val points = Seq(5L).toDF("pt")
+    val sentinel = Seq((0L, Long.MaxValue)).toDF("lo", "hi")
+    val e = intercept[Exception] {
+      RangeJoin.pointInInterval(points, "pt", sentinel, "lo", "hi",
+          bucketWidth = 10L, maxBucketsPerInterval = 1000L)
+        .collect()
+    }
+    // the raise_error fires during expansion, naming the interval
+    assert(e.getMessage != null && e.getMessage.contains("RangeJoin"),
+      s"got: ${e.getMessage}")
+  }
+
   test("boundary semantics: lo inclusive, hi exclusive") {
     import spark.implicits._
     val points = Seq(9L, 10L, 19L, 20L).toDF("pt")
