@@ -36,6 +36,26 @@ class RangeJoinSpec extends AnyFunSuite with graft.SparkSpec {
     }
   }
 
+  test("property: seeded random geometries match the naive join (duplicates included)") {
+    import spark.implicits._
+    // seeded so a failure reproduces; duplicate points and overlapping/
+    // inverted/empty intervals arise naturally from the generator
+    val rnd = new scala.util.Random(20260813L)
+    for (width <- Seq(3L, 17L, 64L)) {
+      val points = Seq.fill(300)(rnd.nextLong() % 1000).map(Tuple1(_)).toDF("pt")
+      val intervals = Seq.fill(40) {
+        val lo = rnd.nextLong() % 1000
+        (lo, lo + rnd.nextInt(120) - 10) // ~8% inverted or empty
+      }.zipWithIndex.map { case ((lo, hi), i) => (lo, hi, i.toLong) }
+        .toDF("lo", "hi", "wid")
+      val got = RangeJoin.pointInInterval(points, "pt", intervals, "lo", "hi", width)
+        .select("pt", "wid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val want = points.join(intervals, col("pt") >= col("lo") && col("pt") < col("hi"))
+        .select("pt", "wid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == want, s"width=$width: got ${got.size} rows, want ${want.size}")
+    }
+  }
+
   test("a reserved __bkt column on either input is rejected up front") {
     import spark.implicits._
     val tainted = Seq((1L, 2L)).toDF("pt", "__bkt")
