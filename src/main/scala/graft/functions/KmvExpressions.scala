@@ -1,0 +1,124 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** KMV (k-minimum-values) bottom-k sketch as a native Catalyst
+  * TypedImperativeAggregate — the custom-AGGREGATE tier of SURVEY §7.3
+  * (the scalar tier is VecExpressions). The sketch keeps the k smallest
+  * DISTINCT values of a long hash column in a bounded tree per
+  * partial-aggregation buffer; partials merge by set-union-and-trim, so
+  * the whole aggregation is one map-side-combined pass — no window
+  * sort, no per-group explode.
+  *
+  * Unlike HLL/CMS (q19/q24, engine-specific layouts → rows-only), a
+  * KMV over a DETERMINISTIC hash is itself deterministic: the k
+  * smallest md5-derived values are a pure function of the data, so the
+  * DuckDB oracle replays the sketch exactly (a window rank does in SQL
+  * what the bounded tree does in one pass). Downstream, the k-th
+  * smallest hash h_k estimates distinct count as (k-1)·M/h_k — and
+  * when fewer than k distinct values exist the sketch IS the exact
+  * distinct set. Returns the sketch as array<long> sorted ascending.
+  */
+case class BottomKHashes(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+    with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) {
+      if (k >= 1) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName requires k >= 1, got $k")
+    } else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a bigint column, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "bottom_k_hashes"
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  override def update(buffer: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val l = v.asInstanceOf[Long]
+      // skip values already above the current k-th minimum: the common
+      // case on big data; the tree stays size <= k at all times
+      if (buffer.size() < k) buffer.add(l)
+      else if (l < buffer.last()) { buffer.add(l); if (buffer.size() > k) buffer.pollLast() }
+    }
+    buffer
+  }
+
+  override def merge(buffer: java.util.TreeSet[java.lang.Long],
+      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = other.iterator()
+    while (it.hasNext) {
+      val l = it.next()
+      if (buffer.size() < k) buffer.add(l)
+      else if (l < buffer.last()) { buffer.add(l); if (buffer.size() > k) buffer.pollLast() }
+    }
+    buffer
+  }
+
+  override def eval(buffer: java.util.TreeSet[java.lang.Long]): Any = {
+    val out = new Array[Long](buffer.size())
+    val it = buffer.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buffer: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buffer.size())
+    bb.putInt(buffer.size())
+    val it = buffer.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { set.add(bb.getLong); i += 1 }
+    set
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BottomKHashes =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BottomKHashes =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BottomKHashes =
+    copy(child = newChild)
+}
+
+object KmvExpressions {
+
+  /** Column API (requires [[register]] once per session). `k` must be
+    * a literal — it is part of the sketch's identity, not data.
+    */
+  def bottom_k_hashes(hashes: Column, k: Int): Column =
+    org.apache.spark.sql.functions.call_function("bottom_k_hashes",
+      hashes, org.apache.spark.sql.functions.lit(k))
+
+  // return the bare AggregateFunction (mirroring Spark's built-in
+  // registry entries): the analyzer wraps it in AggregateExpression
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bottom_k_hashes",
+      es => BottomKHashes(es.head,
+        es(1).eval().asInstanceOf[Number].intValue()),
+      "built-in")
+}

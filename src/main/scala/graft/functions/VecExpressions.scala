@@ -162,5 +162,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("simhash32"),
       new ExpressionInfo(classOf[SimHash32Expr].getName, "simhash32"),
       (es: Seq[Expression]) => SimHash32Expr(es.head)))
+    e.injectFunction((FunctionIdentifier("bottom_k_hashes"),
+      new ExpressionInfo(classOf[BottomKHashes].getName, "bottom_k_hashes"),
+      (es: Seq[Expression]) => BottomKHashes(es.head,
+        es(1).eval().asInstanceOf[Number].intValue())))
   }
 }

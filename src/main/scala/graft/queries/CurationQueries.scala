@@ -100,6 +100,26 @@ object CurationQueries {
         .orderBy("source")
     }),
 
+    // fixed-SIZE source capping — the mixture control c05's rate
+    // sampling can't express ("no source contributes more than N
+    // documents"): rank each source's docs by content-stable hash
+    // (ties by id) and keep rank <= N. Hash-rank membership is stable
+    // under corpus growth ONLY for the kept prefix property (a new doc
+    // can displace the rank-N member — that is what a hard cap means);
+    // one window per source, no global sort.
+    "c10_source_cap" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+        .orderBy(Dedup.md5Hash32(col("doc_id").cast("string")).asc, col("doc_id").asc)
+      docs.withColumn("rk", row_number().over(w))
+        .where(col("rk") <= SourceCap)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(TextAnalysis.wsTokenCount(col("text"))).as("kept_tokens"),
+          min(col("doc_id")).as("min_kept_id"))
+        .orderBy("source")
+    }),
+
     // column-level data profiling — the observability pass a curation
     // pipeline runs before and after every transform (null creep and
     // cardinality collapse are how upstream breakage shows up). Every
@@ -141,6 +161,12 @@ object CurationQueries {
     * hash compare fails / silently under-profiles).
     */
   private val ProfileCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+
+  /** c10's per-source document cap, shared with the oracle. 20 keeps
+    * the cap BINDING at every SF (sources hold 25+ docs from sf0.01
+    * up), so the query never degenerates into "keep everything".
+    */
+  private val SourceCap = 20
 
   /** c05's mixture, shared with the oracle so the thresholds can never
     * drift between engines.
@@ -253,6 +279,17 @@ object CurationQueries {
          |SELECT source, count(*) AS n_docs,
          |  CAST(sum(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
          |FROM corpus_docs LEFT JOIN flagged f USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "c10_source_cap" ->
+      s"""WITH ranked AS (SELECT source, doc_id, text,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT, doc_id) AS rk
+         |  FROM documents)
+         |SELECT source, count(*) AS n_kept,
+         |  CAST(sum($tokenExpr) AS BIGINT) AS kept_tokens,
+         |  min(doc_id) AS min_kept_id
+         |FROM ranked WHERE rk <= $SourceCap
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "c05_weighted_sample" -> {

@@ -385,6 +385,33 @@ object Relational {
         .orderBy("l_partkey")
     }),
 
+    // KMV bottom-k distinct sketch via the native TypedImperativeAggregate
+    // (graft.functions.BottomKHashes): one map-side-combined pass keeps
+    // the k smallest DISTINCT md5-derived hashes per source; the k-th
+    // smallest estimates distinct count as (k-1)·2^32/h_k, and a source
+    // with fewer than k distinct values gets the exact count. The hash
+    // is deterministic, so — unlike HLL/CMS — the sketch itself is
+    // oracle-replayable (a window rank does in SQL what the bounded
+    // tree does in one pass).
+    "q35_kmv_distinct" -> ((s, d) => {
+      graft.functions.KmvExpressions.register(s)
+      val k = 64
+      t(s, d, "documents")
+        .select(col("source"), col("text"),
+          graft.ops.Dedup.md5Hash32(col("text")).as("hv"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("text")).as("exact_distinct"),
+          graft.functions.KmvExpressions.bottom_k_hashes(col("hv"), k).as("sk"))
+        .select(col("source"), col("n_docs"), col("exact_distinct"),
+          size(col("sk")).cast("long").as("kmv_size"),
+          when(size(col("sk")) < k, size(col("sk")).cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) /
+              element_at(col("sk"), k))
+            .as("kmv_estimate"))
+        .orderBy("source")
+    }),
+
     "q33_null_aware_anti" -> ((s, d) => {
       // NOT IN (subquery) over a NULLABLE column — three-valued logic
       // makes this a DIFFERENT operator from q05's NOT EXISTS anti
@@ -690,6 +717,26 @@ object Relational {
 
     // both layout queries oracle against the PLAIN join — bucketing and
     // salting are physical rewrites and must never change answers
+    "q35_kmv_distinct" ->
+      """WITH hv AS (SELECT source, text,
+        |    ('0x' || substr(md5(text), 1, 8))::BIGINT AS h FROM documents),
+        |dh AS (SELECT DISTINCT source, h FROM hv),
+        |rn AS (SELECT source, h,
+        |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM dh),
+        |sk AS (SELECT source,
+        |    count(*) FILTER (WHERE rn <= 64) AS kmv_size,
+        |    max(CASE WHEN rn = 64 THEN h END) AS hk
+        |  FROM rn GROUP BY source),
+        |base AS (SELECT source, count(*) AS n_docs,
+        |    count(DISTINCT text) AS exact_distinct
+        |  FROM documents GROUP BY source)
+        |SELECT b.source AS source, n_docs, exact_distinct,
+        |  CAST(s.kmv_size AS BIGINT) AS kmv_size,
+        |  CASE WHEN s.kmv_size < 64 THEN CAST(s.kmv_size AS DOUBLE)
+        |       ELSE 63.0 * 4294967296.0 / s.hk END AS kmv_estimate
+        |FROM base b JOIN sk s ON b.source = s.source
+        |ORDER BY b.source""".stripMargin,
+
     "q33_null_aware_anti" ->
       """SELECT o_orderpriority, count(*) AS n_orders FROM orders
         |WHERE o_custkey NOT IN (

@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The KMV bottom-k aggregate's contract: the sketch IS the k smallest
+  * distinct hashes — exactly, not approximately — under any split of
+  * the data into partial buffers (that is what makes it
+  * oracle-replayable). Distribution invariance is the load-bearing
+  * property: partial buffers merging must commute with a single pass.
+  */
+class KmvSpec extends AnyFunSuite with graft.SparkSpec {
+
+  private def bruteBottomK(values: Seq[Long], k: Int): Seq[Long] =
+    values.distinct.sorted.take(k)
+
+  test("sketch equals the k smallest distinct values regardless of partitioning") {
+    import spark.implicits._
+    KmvExpressions.register(spark)
+    val rnd = new scala.util.Random(42)
+    // duplicates on purpose: distinctness is part of the contract
+    val values = Seq.fill(5000)(rnd.nextLong() % 700)
+    for (parts <- Seq(1, 2, 7)) {
+      val got = values.toDF("h").repartition(parts)
+        .agg(KmvExpressions.bottom_k_hashes(col("h"), 16).as("sk"))
+        .head().getSeq[Long](0).toSeq
+      assert(got == bruteBottomK(values, 16), s"parts=$parts")
+    }
+  }
+
+  test("fewer distinct values than k: the sketch is the exact distinct set") {
+    import spark.implicits._
+    val values = Seq(5L, 3L, 5L, 3L, 9L)
+    val got = values.toDF("h")
+      .agg(KmvExpressions.bottom_k_hashes(col("h"), 64).as("sk"))
+      .head().getSeq[Long](0).toSeq
+    assert(got == Seq(3L, 5L, 9L))
+  }
+
+  test("nulls are skipped, empty input yields an empty sketch") {
+    import spark.implicits._
+    val got = Seq[Option[Long]](None, Some(7L), None).toDF("h")
+      .agg(KmvExpressions.bottom_k_hashes(col("h"), 4).as("sk"))
+      .head().getSeq[Long](0).toSeq
+    assert(got == Seq(7L))
+    val empty = Seq.empty[Long].toDF("h")
+      .agg(KmvExpressions.bottom_k_hashes(col("h"), 4).as("sk"))
+      .head().getSeq[Long](0).toSeq
+    assert(empty == Seq.empty)
+  }
+
+  test("serde round-trip preserves the buffer (the shuffle path)") {
+    val agg = BottomKHashes(
+      org.apache.spark.sql.catalyst.expressions.Literal(0L), k = 8)
+    val buf = agg.createAggregationBuffer()
+    Seq(9L, 1L, 5L, 1L, -3L).foreach(buf.add(_))
+    val back = agg.deserialize(agg.serialize(buf))
+    assert(back == buf)
+  }
+
+  test("SQL surface works after registration") {
+    import spark.implicits._
+    KmvExpressions.register(spark)
+    Seq(1L, 2L, 2L, 3L).toDF("h").createOrReplaceTempView("kmv_in")
+    val got = spark.sql("SELECT bottom_k_hashes(h, 2) AS sk FROM kmv_in")
+      .head().getSeq[Long](0).toSeq
+    assert(got == Seq(1L, 2L))
+  }
+}
