@@ -47,27 +47,28 @@ case class BottomKHashes(child: Expression, k: Int,
   override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
     new java.util.TreeSet[java.lang.Long]()
 
+  /** The one bound-maintenance rule update() and merge() share: insert
+    * if below capacity or below the current k-th minimum, then trim.
+    * Values already above the k-th minimum are skipped — the common
+    * case on big data; the tree stays size <= k at all times.
+    */
+  private def insert(buffer: java.util.TreeSet[java.lang.Long], l: Long): Unit = {
+    if (buffer.size() < k) buffer.add(l)
+    else if (l < buffer.last()) { buffer.add(l); if (buffer.size() > k) buffer.pollLast() }
+    ()
+  }
+
   override def update(buffer: java.util.TreeSet[java.lang.Long],
       input: InternalRow): java.util.TreeSet[java.lang.Long] = {
     val v = child.eval(input)
-    if (v != null) {
-      val l = v.asInstanceOf[Long]
-      // skip values already above the current k-th minimum: the common
-      // case on big data; the tree stays size <= k at all times
-      if (buffer.size() < k) buffer.add(l)
-      else if (l < buffer.last()) { buffer.add(l); if (buffer.size() > k) buffer.pollLast() }
-    }
+    if (v != null) insert(buffer, v.asInstanceOf[Long])
     buffer
   }
 
   override def merge(buffer: java.util.TreeSet[java.lang.Long],
       other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
     val it = other.iterator()
-    while (it.hasNext) {
-      val l = it.next()
-      if (buffer.size() < k) buffer.add(l)
-      else if (l < buffer.last()) { buffer.add(l); if (buffer.size() > k) buffer.pollLast() }
-    }
+    while (it.hasNext) insert(buffer, it.next())
     buffer
   }
 

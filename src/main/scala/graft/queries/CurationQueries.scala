@@ -109,8 +109,12 @@ object CurationQueries {
     // one window per source, no global sort.
     "c10_source_cap" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents")
+      // NULLS LAST pinned explicitly: Spark's bare asc is NULLS FIRST,
+      // DuckDB's is NULLS LAST — a NULL doc_id would silently claim
+      // rank 1 in one engine and rank last in the other
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
-        .orderBy(Dedup.md5Hash32(col("doc_id").cast("string")).asc, col("doc_id").asc)
+        .orderBy(Dedup.md5Hash32(col("doc_id").cast("string")).asc_nulls_last,
+          col("doc_id").asc_nulls_last)
       docs.withColumn("rk", row_number().over(w))
         .where(col("rk") <= SourceCap)
         .groupBy("source")

@@ -30,6 +30,11 @@ object Relational {
   /** round(x*100) as BIGINT — exact cents, order-independent to sum. */
   private def cents(c: Column): Column = round(c * 100.0).cast("long")
 
+  /** q35's sketch size, shared with its oracle SQL (the repo's
+    * no-drift convention: one constant, both engines).
+    */
+  private val KmvK = 64
+
   /** Best-effort removal of a query-local temp directory (q30/q32
     * layout artifacts). Walks children before parents; swallows
     * races — leftover temp files are a hygiene concern, not a
@@ -395,19 +400,18 @@ object Relational {
     // tree does in one pass).
     "q35_kmv_distinct" -> ((s, d) => {
       graft.functions.KmvExpressions.register(s)
-      val k = 64
       t(s, d, "documents")
         .select(col("source"), col("text"),
           graft.ops.Dedup.md5Hash32(col("text")).as("hv"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("text")).as("exact_distinct"),
-          graft.functions.KmvExpressions.bottom_k_hashes(col("hv"), k).as("sk"))
+          graft.functions.KmvExpressions.bottom_k_hashes(col("hv"), KmvK).as("sk"))
         .select(col("source"), col("n_docs"), col("exact_distinct"),
           size(col("sk")).cast("long").as("kmv_size"),
-          when(size(col("sk")) < k, size(col("sk")).cast("double"))
-            .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) /
-              element_at(col("sk"), k))
+          when(size(col("sk")) < KmvK, size(col("sk")).cast("double"))
+            .otherwise(lit((KmvK - 1).toDouble) * lit(4294967296.0) /
+              element_at(col("sk"), KmvK))
             .as("kmv_estimate"))
         .orderBy("source")
     }),
@@ -715,27 +719,29 @@ object Relational {
         |  CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
-    // both layout queries oracle against the PLAIN join — bucketing and
-    // salting are physical rewrites and must never change answers
+    // NULL text filtered explicitly: the Spark aggregate SKIPS null
+    // inputs (a null has no hash identity), while DuckDB's DISTINCT
+    // would keep a NULL h row and count it into the sketch
     "q35_kmv_distinct" ->
-      """WITH hv AS (SELECT source, text,
-        |    ('0x' || substr(md5(text), 1, 8))::BIGINT AS h FROM documents),
-        |dh AS (SELECT DISTINCT source, h FROM hv),
-        |rn AS (SELECT source, h,
-        |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM dh),
-        |sk AS (SELECT source,
-        |    count(*) FILTER (WHERE rn <= 64) AS kmv_size,
-        |    max(CASE WHEN rn = 64 THEN h END) AS hk
-        |  FROM rn GROUP BY source),
-        |base AS (SELECT source, count(*) AS n_docs,
-        |    count(DISTINCT text) AS exact_distinct
-        |  FROM documents GROUP BY source)
-        |SELECT b.source AS source, n_docs, exact_distinct,
-        |  CAST(s.kmv_size AS BIGINT) AS kmv_size,
-        |  CASE WHEN s.kmv_size < 64 THEN CAST(s.kmv_size AS DOUBLE)
-        |       ELSE 63.0 * 4294967296.0 / s.hk END AS kmv_estimate
-        |FROM base b JOIN sk s ON b.source = s.source
-        |ORDER BY b.source""".stripMargin,
+      s"""WITH hv AS (SELECT source,
+         |    ('0x' || substr(md5(text), 1, 8))::BIGINT AS h FROM documents
+         |  WHERE text IS NOT NULL),
+         |dh AS (SELECT DISTINCT source, h FROM hv),
+         |rn AS (SELECT source, h,
+         |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM dh),
+         |sk AS (SELECT source,
+         |    count(*) FILTER (WHERE rn <= $KmvK) AS kmv_size,
+         |    max(CASE WHEN rn = $KmvK THEN h END) AS hk
+         |  FROM rn GROUP BY source),
+         |base AS (SELECT source, count(*) AS n_docs,
+         |    count(DISTINCT text) AS exact_distinct
+         |  FROM documents GROUP BY source)
+         |SELECT b.source AS source, n_docs, exact_distinct,
+         |  CAST(s.kmv_size AS BIGINT) AS kmv_size,
+         |  CASE WHEN s.kmv_size < $KmvK THEN CAST(s.kmv_size AS DOUBLE)
+         |       ELSE ${KmvK - 1}.0 * 4294967296.0 / s.hk END AS kmv_estimate
+         |FROM base b JOIN sk s ON b.source = s.source
+         |ORDER BY b.source""".stripMargin,
 
     "q33_null_aware_anti" ->
       """SELECT o_orderpriority, count(*) AS n_orders FROM orders
@@ -744,6 +750,8 @@ object Relational {
         |  FROM customer WHERE c_mktsegment = 'BUILDING')
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
+    // both layout queries oracle against the PLAIN join — bucketing and
+    // salting are physical rewrites and must never change answers
     "q30_bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
         |  CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents

@@ -30,6 +30,7 @@ class KmvSpec extends AnyFunSuite with graft.SparkSpec {
 
   test("fewer distinct values than k: the sketch is the exact distinct set") {
     import spark.implicits._
+    KmvExpressions.register(spark) // each test registers: tests must run in isolation
     val values = Seq(5L, 3L, 5L, 3L, 9L)
     val got = values.toDF("h")
       .agg(KmvExpressions.bottom_k_hashes(col("h"), 64).as("sk"))
@@ -39,6 +40,7 @@ class KmvSpec extends AnyFunSuite with graft.SparkSpec {
 
   test("nulls are skipped, empty input yields an empty sketch") {
     import spark.implicits._
+    KmvExpressions.register(spark)
     val got = Seq[Option[Long]](None, Some(7L), None).toDF("h")
       .agg(KmvExpressions.bottom_k_hashes(col("h"), 4).as("sk"))
       .head().getSeq[Long](0).toSeq
