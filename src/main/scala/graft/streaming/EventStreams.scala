@@ -39,6 +39,24 @@ object EventStreams {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"))
 
+  /** Streaming twin of q34's interval attribution: tag each ARRIVING
+    * event with the static window(s) it falls inside — campaign
+    * windows, maintenance windows, incident ranges. Reuses the exact
+    * batch operator ([[graft.ops.RangeJoin.pointInInterval]]): the
+    * bucketized form is per-row column math + a stream-static
+    * equi-join, so it needs no streaming state at all (a bare BETWEEN
+    * predicate on a stream would hit the same nested-loop trap as in
+    * batch). `events` needs a long `ptCol`; `windows` is a static
+    * DataFrame with [lo, hi) long bounds, cached here for the stream's
+    * lifetime (stream-static joins re-evaluate the static side per
+    * micro-batch).
+    */
+  def intervalAttribution(events: DataFrame, ptCol: String,
+      windows: DataFrame, loCol: String, hiCol: String,
+      bucketWidth: Long): DataFrame =
+    graft.ops.RangeJoin.pointInInterval(
+      events, ptCol, windows.cache(), loCol, hiCol, bucketWidth)
+
   /** Exactly-once-per-key dedup within the watermark horizon. */
   def dedupWithinWatermark(events: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
     events

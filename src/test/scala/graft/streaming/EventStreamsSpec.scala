@@ -84,6 +84,31 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming interval attribution matches the batch RangeJoin across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val windows = Seq((100L, 200L, "w1"), (150L, 250L, "w2"), (400L, 500L, "w3"))
+      .toDF("lo", "hi", "wid")
+    val in = MemoryStream[(Long, Long)] // (event_id, pt)
+    val q = EventStreams.intervalAttribution(
+        in.toDS().toDF("event_id", "pt"), "pt", windows, "lo", "hi",
+        bucketWidth = 64L)
+      .writeStream.format("memory").queryName("attribution")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((1L, 120L), (2L, 175L), (3L, 300L))
+      q.processAllAvailable()
+      in.addData((4L, 450L), (5L, 199L)) // later micro-batch, same static side
+      q.processAllAvailable()
+      val got = spark.table("attribution").select("event_id", "wid")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      // 120 -> w1; 175 -> w1 AND w2 (overlap); 300 -> none; 450 -> w3;
+      // 199 -> w1 (hi exclusive would drop 200) and w2
+      assert(got == Set((1L, "w1"), (2L, "w1"), (2L, "w2"),
+        (4L, "w3"), (5L, "w1"), (5L, "w2")), got)
+    } finally q.stop()
+  }
+
   test("spike flags reproduce the batch trailing-window rule across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
