@@ -41,12 +41,25 @@ object RangeJoin {
     */
   def pointInInterval(points: DataFrame, ptCol: String,
       intervals: DataFrame, loCol: String, hiCol: String,
+      bucketWidth: Long, maxBucketsPerInterval: Long = 1L << 20): DataFrame =
+    joinExpanded(points, ptCol,
+      expandIntervals(intervals, loCol, hiCol, bucketWidth, maxBucketsPerInterval),
+      loCol, hiCol, bucketWidth)
+
+  /** The interval side EXPANDED to one row per covered bucket (the
+    * `__bkt` column) — the expensive half of the join, exposed so a
+    * long-lived caller can compute it once and reuse it: stream-static
+    * joins re-evaluate the static subplan every micro-batch, so a
+    * streaming attributor caches THIS relation (the expansion), not
+    * the raw intervals whose cache would still re-explode per batch.
+    */
+  def expandIntervals(intervals: DataFrame, loCol: String, hiCol: String,
       bucketWidth: Long, maxBucketsPerInterval: Long = 1L << 20): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
     require(maxBucketsPerInterval > 0,
       s"maxBucketsPerInterval must be > 0, got $maxBucketsPerInterval")
-    require(!points.columns.contains("__bkt") && !intervals.columns.contains("__bkt"),
-      "__bkt is reserved by RangeJoin; rename that column on the input")
+    require(!intervals.columns.contains("__bkt"),
+      "__bkt is reserved by RangeJoin; rename that column on the intervals input")
     val first = floor(col(loCol) / bucketWidth).cast("long")
     val last = floor((col(hiCol) - 1) / bucketWidth).cast("long")
     val boundedLast = when(last - first < maxBucketsPerInterval, last)
@@ -54,12 +67,28 @@ object RangeJoin {
         s"RangeJoin: interval [%d, %d) spans >= $maxBucketsPerInterval buckets " +
           s"of width $bucketWidth; raise maxBucketsPerInterval or widen buckets",
         col(loCol), col(hiCol))).cast("long"))
-    val iv = intervals
+    intervals
       .where(col(hiCol) > col(loCol))
       .withColumn("__bkt", explode(sequence(first, boundedLast)))
+  }
+
+  /** Join points against a pre-expanded interval relation (from
+    * [[expandIntervals]], possibly cached). `bucketWidth` MUST be the
+    * width the expansion used — a mismatch silently drops matches,
+    * which is why the one-shot [[pointInInterval]] wrapper is the
+    * default entry point.
+    */
+  def joinExpanded(points: DataFrame, ptCol: String,
+      expanded: DataFrame, loCol: String, hiCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
+    require(!points.columns.contains("__bkt"),
+      "__bkt is reserved by RangeJoin; rename that column on the points input")
+    require(expanded.columns.contains("__bkt"),
+      "expanded must come from RangeJoin.expandIntervals (missing __bkt)")
     val pt = points.withColumn("__bkt",
       floor(col(ptCol) / bucketWidth).cast("long"))
-    pt.join(iv, Seq("__bkt"))
+    pt.join(expanded, Seq("__bkt"))
       .where(col(ptCol) >= col(loCol) && col(ptCol) < col(hiCol))
       .drop("__bkt")
   }

@@ -42,20 +42,32 @@ object EventStreams {
   /** Streaming twin of q34's interval attribution: tag each ARRIVING
     * event with the static window(s) it falls inside — campaign
     * windows, maintenance windows, incident ranges. Reuses the exact
-    * batch operator ([[graft.ops.RangeJoin.pointInInterval]]): the
-    * bucketized form is per-row column math + a stream-static
-    * equi-join, so it needs no streaming state at all (a bare BETWEEN
-    * predicate on a stream would hit the same nested-loop trap as in
-    * batch). `events` needs a long `ptCol`; `windows` is a static
-    * DataFrame with [lo, hi) long bounds, cached here for the stream's
-    * lifetime (stream-static joins re-evaluate the static side per
-    * micro-batch).
+    * batch operator ([[graft.ops.RangeJoin]]): the bucketized form is
+    * per-row column math + a stream-static equi-join, so it needs no
+    * streaming state at all (a bare BETWEEN predicate on a stream
+    * would hit the same nested-loop trap as in batch).
+    *
+    * What gets cached is the EXPANDED bucket relation — the expensive
+    * half that stream-static joins would otherwise recompute every
+    * micro-batch — not the raw `windows` input (whose cache would
+    * still re-explode per batch, and mutating a caller-owned frame's
+    * storage is rude). The cache pins ~ceil(len/width)+1 rows per
+    * window for the stream's lifetime; release it after `q.stop()`
+    * via `spark.catalog.clearCache()` or by re-deriving and
+    * unpersisting `RangeJoin.expandIntervals(...)` (Spark's cache
+    * matches by plan, so an identical derivation unpersists this one).
+    * `maxBucketsPerInterval` forwards to the expansion guard — a
+    * month-long window over incident-sized buckets should fail HERE
+    * with the bounds in the message, not loop a crashing stream.
     */
   def intervalAttribution(events: DataFrame, ptCol: String,
       windows: DataFrame, loCol: String, hiCol: String,
-      bucketWidth: Long): DataFrame =
-    graft.ops.RangeJoin.pointInInterval(
-      events, ptCol, windows.cache(), loCol, hiCol, bucketWidth)
+      bucketWidth: Long, maxBucketsPerInterval: Long = 1L << 20): DataFrame = {
+    val expanded = graft.ops.RangeJoin.expandIntervals(
+      windows, loCol, hiCol, bucketWidth, maxBucketsPerInterval).cache()
+    graft.ops.RangeJoin.joinExpanded(
+      events, ptCol, expanded, loCol, hiCol, bucketWidth)
+  }
 
   /** Exactly-once-per-key dedup within the watermark horizon. */
   def dedupWithinWatermark(events: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
