@@ -131,6 +131,56 @@ object EventStreams {
       }
   }
 
+  /** Streaming twin of the e09 batch decayed-trending rule: hourly
+    * (bucket_us, event_type, n) counts arrive and each emits the
+    * event type's decayed score AS OF that bucket — Σ over the
+    * trailing 6 calendar hours of n·2^(5-age), the identical
+    * power-of-two integer weighting, so in-order arrival of closed
+    * buckets reproduces the batch query at every anchor (the batch
+    * form scores only the corpus-max anchor; the stream scores each
+    * bucket close as "now"). State per event_type is the ring of
+    * buckets inside the 6-hour horizon — ≤ 7 pairs, bounded by
+    * construction; same-bucket partials merge and re-emit like
+    * [[spikeFlags]]. Same composition note as spikeFlags: feed from a
+    * separate aggregation query's sink.
+    */
+  val TrendWindowHours = 6
+  val TrendBucketMicros: Long = 3600000000L
+  case class TrendState(buckets: Seq[(Long, Long)]) // (bucket_us, n), sorted
+  case class TrendScore(event_type: String, bucket_us: Long,
+      decayed_score: Long, n_recent: Long)
+
+  def trendingScores(hourly: Dataset[(Long, String, Long)]): Dataset[TrendScore] = {
+    import hourly.sparkSession.implicits._
+    val horizonUs = TrendWindowHours * TrendBucketMicros
+    hourly.groupByKey(_._2)
+      .flatMapGroupsWithState[TrendState, TrendScore](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (eventType, rows, state: GroupState[TrendState]) =>
+          var ring = state.getOption.map(_.buckets).getOrElse(Seq.empty)
+          val out = rows.toSeq.sortBy(_._1).map { case (bucketUs, _, n) =>
+            val (same, others) = ring.partition(_._1 == bucketUs)
+            val total = same.map(_._2).sum + n
+            val maxSeen = (others.map(_._1) :+ bucketUs).max
+            ring = (others :+ (bucketUs, total))
+              .filter(_._1 > maxSeen - horizonUs)
+              .sortBy(_._1)
+            // score AS OF this bucket: ages computed against it, only
+            // buckets at or before it contribute (a ring entry from a
+            // later out-of-order bucket is the future — excluded)
+            val window = ring.filter(b =>
+              b._1 <= bucketUs && b._1 > bucketUs - horizonUs)
+            val score = window.map { case (b, cnt) =>
+              val age = (bucketUs - b) / TrendBucketMicros
+              cnt << (TrendWindowHours - 1 - age)
+            }.sum
+            TrendScore(eventType, bucketUs, score, window.map(_._2).sum)
+          }
+          state.update(TrendState(ring))
+          out.iterator
+      }
+  }
+
   /** Custom state machine via mapGroupsWithState: running per-user event
     * count + last-seen timestamp, with processing-time timeout — the
     * escape hatch for semantics windows can't express.

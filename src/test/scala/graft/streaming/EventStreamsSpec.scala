@@ -109,6 +109,35 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("trending scores reproduce the batch power-of-two decay rule across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val h = 3600000000L // one hour in micros
+    val in = MemoryStream[(Long, String, Long)]
+    val q = EventStreams.trendingScores(in.toDS())
+      .writeStream.format("memory").queryName("trending")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((0L, "click", 10L), (1L * h, "click", 20L))
+      q.processAllAvailable()
+      // later micro-batch: state carries the earlier buckets across
+      // the batch boundary; for the 7h bucket the 1h bucket is exactly
+      // at the horizon edge (age 6) and must be excluded
+      in.addData((5L * h, "click", 5L), (7L * h, "click", 8L))
+      q.processAllAvailable()
+      val got = spark.table("trending").collect()
+        .map(r => r.getLong(1) / h -> ((r.getLong(2), r.getLong(3)))).toMap
+      // weights 2^(5-age): 0h alone -> 10*32; then 10*16+20*32;
+      // at 5h ages are 5,4,0 -> 10*1+20*2+5*32; at 7h only 5h (age 2,
+      // 8*weight... 5*8) and itself survive -> 5*8+8*32
+      assert(got == Map(
+        0L -> ((320L, 10L)),
+        1L -> ((800L, 30L)),
+        5L -> ((210L, 35L)),
+        7L -> ((296L, 13L))), got)
+    } finally q.stop()
+  }
+
   test("spike flags reproduce the batch trailing-window rule across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
