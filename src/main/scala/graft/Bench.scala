@@ -21,8 +21,10 @@ import org.apache.spark.sql.functions._
   * Failures are never swallowed: a query that throws is recorded with
   * its error class in the output JSON (`"errors":{...}`) and excluded
   * from the total, so a broken query is visible instead of timing as
-  * "fast". The metric JSON is the final stdout line and is also written
-  * to BENCH_OUT (default bench_out.json) for parse robustness.
+  * "fast". The final stdout line is a COMPACT scalar summary (the
+  * harness parses only a bounded tail of stdout); the full metric JSON
+  * with per-query and anchor maps is written to BENCH_OUT (default
+  * bench_out.json).
   */
 object Bench {
 
@@ -129,9 +131,33 @@ object Bench {
           .mkString("{", ",", "}")
       case _ => "{}"
     }
+    // second anchor: the suite median. d01 is a single-stage scan that
+    // barely suffers machine contention, so d01-ratios overstate
+    // regressions under load; the median of ~90 multi-stage queries
+    // absorbs contention the way the suite does, making load distortion
+    // diagnosable from the artifact alone (a query whose d01-ratio moved
+    // but whose median-ratio didn't regressed with the machine, not the
+    // plan).
+    val medianSec = {
+      val sorted = results.map(_._2).sorted
+      if (sorted.isEmpty) 0.0
+      else if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+      else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2
+    }
+    val medianRatioJson =
+      if (medianSec > 0)
+        results.map { case (k, v) => "\"" + k + "\":" + (v / medianSec) }
+          .mkString("{", ",", "}")
+      else "{}"
     val loadAfter = loadAvg()
+    // compact summary: scalar fields only (~200 bytes). The driver keeps
+    // a bounded tail of stdout and parses its LAST line as JSON; the full
+    // per-query/anchor maps are ~6 KB and overflow that tail, so they
+    // live only in BENCH_OUT below.
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_ok":${results.size},"n_err":${errors.size},"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"sf":"$sfDir"}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"anchor_ratios":$anchorJson,"anchor_query":"d01_exact_dedup","loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"errors":$errJson,"n_ok":${results.size},"n_err":${errors.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"anchor_ratios":$anchorJson,"anchor_query":"d01_exact_dedup","anchor_median_sec":$medianSec,"anchor_ratios_median":$medianRatioJson,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"errors":$errJson,"n_ok":${results.size},"n_err":${errors.size},"sf":"$sfDir"}"""
     // a BENCH_ONLY subset is an iteration aid, never the round's perf
     // artifact — writing it to bench_out.json clobbered the full-suite
     // numbers twice (caught by review both times); partial runs go to a
@@ -141,6 +167,6 @@ object Bench {
     Files.write(Paths.get(outPath), (line + "\n").getBytes(StandardCharsets.UTF_8))
     spark.stop()
     // last stdout line, after spark.stop() so no shutdown logs trail it
-    println(line)
+    println(summary)
   }
 }

@@ -23,10 +23,13 @@ import graft.sources.DictionaryLoader
   *
   * Sources default to the reference's published NEMSIS URLs
   * (`create_definitions.py:5-6`); a local path skips the fetch (this
-  * environment is zero-egress). At least one sink (`--jdbc-url` or
-  * `--parquet-out`) is required — a refresh with nowhere to land is a
-  * misconfiguration, not a no-op. The JDBC refresh is the staged atomic
-  * replace of [[graft.etl.JdbcMirror.fullRefreshTable]].
+  * environment is zero-egress). The JDBC sink resolves `--jdbc-url`
+  * first, then `GRAFT_JDBC_URL` / `GRAFT_JDBC_SCHEMA` from the
+  * environment (reference parity, `database_setup.py:18-41`). At least
+  * one sink (JDBC or `--parquet-out`) is required — a refresh with
+  * nowhere to land is a misconfiguration, not a no-op. The JDBC refresh
+  * is the staged atomic replace of
+  * [[graft.etl.JdbcMirror.fullRefreshTable]].
   */
 object DictionaryLoadMain {
 
@@ -45,10 +48,13 @@ object DictionaryLoadMain {
 
   def main(args: Array[String]): Unit = {
     val kv = VendorImportMain.parseKv(args, ValueKeys, usage)
-    val jdbcUrl = kv.get("--jdbc-url")
+    // --jdbc-url, else GRAFT_JDBC_URL (reference parity: it reads the
+    // connection from the environment); a refresh still needs SOME sink
+    val jdbcCfg = VendorImportMain.resolveJdbc(kv)
     val parquetOut = kv.get("--parquet-out")
-    require(jdbcUrl.nonEmpty || parquetOut.nonEmpty,
-      s"at least one sink (--jdbc-url or --parquet-out) is required\n$usage")
+    require(jdbcCfg.nonEmpty || parquetOut.nonEmpty,
+      "at least one sink (--jdbc-url / GRAFT_JDBC_URL / --parquet-out) " +
+        s"is required\n$usage")
     val specs = Seq(
       ("ElementDefinitions", kv.getOrElse("--element-src", DefaultElementUrl),
         DictionaryLoader.ElementDefinitionsColumns),
@@ -76,13 +82,7 @@ object DictionaryLoadMain {
           } else src
         val df = DictionaryLoader.projectTo(
           DictionaryLoader.readPipeCsv(spark, path), cols)
-        jdbcUrl.foreach { url =>
-          val dialect = VendorImportMain.dialectFor(url)
-          val schema = kv.getOrElse("--jdbc-schema",
-            if (dialect == JdbcMirror.DerbyDialect) "APP" else "public")
-          JdbcMirror.fullRefreshTable(df, table,
-            JdbcMirror.MirrorConfig(url, schema = schema, dialect = dialect))
-        }
+        jdbcCfg.foreach(cfg => JdbcMirror.fullRefreshTable(df, table, cfg))
         parquetOut.foreach(out => DictionaryLoader.fullRefresh(df, s"$out/$table"))
         println(s"refreshed $table: ${df.count()} rows")
       }

@@ -19,9 +19,13 @@ import graft.sources.{VendorImport, XlsxSheetProvider}
   * }}}
   *
   * `-file_path` may be a real `.xlsx` workbook (JDK zip+StAX decode) or
-  * a directory of `<sheet>.csv` staging files. Without `--jdbc-url` the
-  * cleaned tables are materialized and counted but not landed (dry
-  * run). Strict parse: unknown or value-less arguments fail loudly.
+  * a directory of `<sheet>.csv` staging files. The JDBC target resolves
+  * `--jdbc-url` first, then `GRAFT_JDBC_URL` from the environment
+  * (reference parity — it configures entirely via env,
+  * `database_setup.py:18-41`); with neither, the cleaned tables are
+  * materialized and counted but not landed (an explicit "dry-run" per
+  * table, never a silent no-op). Strict parse: unknown or value-less
+  * arguments fail loudly.
   */
 object VendorImportMain {
 
@@ -55,6 +59,23 @@ object VendorImportMain {
     if (url.startsWith("jdbc:derby")) JdbcMirror.DerbyDialect
     else JdbcMirror.PostgresDialect
 
+  /** Connection resolution shared by the sidecar CLIs. The reference
+    * takes its DB connection entirely from the environment
+    * (`database_setup.py:18-41`, `config.py:10-19`); parity here means
+    * a user scripting that workflow needs no flags: an explicit
+    * `--jdbc-url` wins, else `GRAFT_JDBC_URL`. Schema precedence:
+    * `--jdbc-schema`, else `GRAFT_JDBC_SCHEMA`, else the dialect
+    * default. `env` is a parameter so the precedence is spec-testable.
+    */
+  private[graft] def resolveJdbc(kv: Map[String, String],
+      env: Map[String, String] = sys.env): Option[JdbcMirror.MirrorConfig] =
+    kv.get("--jdbc-url").orElse(env.get("GRAFT_JDBC_URL")).map { url =>
+      val dialect = dialectFor(url)
+      val schema = kv.get("--jdbc-schema").orElse(env.get("GRAFT_JDBC_SCHEMA"))
+        .getOrElse(if (dialect == JdbcMirror.DerbyDialect) "APP" else "public")
+      JdbcMirror.MirrorConfig(url, schema = schema, dialect = dialect)
+    }
+
   def main(args: Array[String]): Unit = {
     val kv = parseKv(args, ValueKeys, usage)
     val filePath = kv.getOrElse("-file_path", sys.error(s"-file_path is required\n$usage"))
@@ -77,13 +98,9 @@ object VendorImportMain {
         if (f.isDirectory) new VendorImport.CsvDirProvider(spark, filePath)
         else new XlsxSheetProvider(spark, filePath)
       val tables = VendorImport.importVendorByName(provider, vendor, source)
-      kv.get("--jdbc-url") match {
-        case Some(url) =>
-          val dialect = dialectFor(url)
-          val schema = kv.getOrElse("--jdbc-schema",
-            if (dialect == JdbcMirror.DerbyDialect) "APP" else "public")
-          JdbcMirror.mirrorSidecar(tables,
-            JdbcMirror.MirrorConfig(url, schema = schema, dialect = dialect))
+      resolveJdbc(kv) match {
+        case Some(cfg) =>
+          JdbcMirror.mirrorSidecar(tables, cfg)
           tables.foreach { case (t, df) =>
             println(s"mirrored $t: ${df.count()} rows")
           }

@@ -179,7 +179,7 @@ object JdbcMirror {
     out.result()
   }
 
-  private def exec(conn: Connection, sql: String): Unit = {
+  private[etl] def exec(conn: Connection, sql: String): Unit = {
     val st = conn.createStatement()
     // some engines (Derby) reject trailing statement terminators
     try st.execute(sql.trim.stripSuffix(";")) finally st.close()

@@ -103,12 +103,61 @@ object Dedup {
 
   // --- near-dup clustering ---------------------------------------------------
 
+  /** Partition-local union-find pre-contraction: each edge partition is
+    * collapsed to the star edges of its own spanning forest (one
+    * `node -> partition-local root` edge per non-root node). The union
+    * of those stars across partitions connects exactly what the
+    * original edges connect, so downstream components are IDENTICAL —
+    * but every path that fits inside one partition collapses to depth
+    * <= 2 before the distributed iteration starts. Typical corpora
+    * resolve most edges locally, so the iteration — whose cost at small
+    * SF is per-action scheduling latency × rounds, not shuffle bytes —
+    * converges in a fraction of the rounds. The union-find state is
+    * bounded by one partition's node count (a ~128 MB edge partition on
+    * a cluster), never the graph.
+    *
+    * Ids stay generic (long or string): the pass runs on `RDD[Row]`
+    * with hash-equality union-find — no Encoder, no assumed id type.
+    * Root choice within a partition is arbitrary (first-touched); the
+    * fixpoint min-label per component is invariant to it.
+    */
+  private def localContract(pairs: DataFrame): DataFrame = {
+    val two = pairs.select("id_a", "id_b")
+    val contracted = two.rdd.mapPartitions { it =>
+      val parent = new java.util.HashMap[Any, Any]()
+      def find(x: Any): Any = {
+        var r = x
+        while ({ val p = parent.get(r); p != null && p != r }) r = parent.get(r)
+        if (parent.get(r) == null) parent.put(r, r)
+        // path compression keeps the in-partition pass near-linear
+        var c = x
+        while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      it.foreach { row =>
+        val ra = find(row.get(0))
+        val rb = find(row.get(1))
+        if (ra != rb) parent.put(rb, ra)
+      }
+      val nodes = parent.keySet().toArray
+      nodes.iterator.flatMap { node =>
+        val r = find(node)
+        if (r == node) Iterator.empty
+        else Iterator(org.apache.spark.sql.Row(r, node))
+      }
+    }
+    pairs.sparkSession.createDataFrame(contracted, two.schema)
+  }
+
   /** Connected components over an undirected pair relation
     * (id_a < id_b): label every node with the minimum id reachable from
-    * it — the canonical document of its near-dup cluster. Iterative
-    * min-label propagation (one join+agg per step, `stepsPerCheck`
-    * steps per driver action), checkpoints to cut lineage; converges in
-    * O(diameter) steps (near-dup clusters are shallow). Deterministic
+    * it — the canonical document of its near-dup cluster. Edges first
+    * pass through [[localContract]] (partition-local union-find), then
+    * iterative min-label propagation (one join+agg per step,
+    * `stepsPerCheck` steps per driver action), checkpoints to cut
+    * lineage; converges in O(diameter of the CONTRACTED graph) steps —
+    * near-dup clusters are shallow to begin with, and contraction
+    * collapses any chain that fits in one edge partition. Deterministic
     * at the fixpoint regardless of iteration schedule.
     *
     * @param checkpointDir when set, lineage cuts go through RELIABLE
@@ -124,8 +173,9 @@ object Dedup {
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
     def cut(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
-    val sym = cut(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    val contracted = localContract(pairs)
+    val sym = cut(contracted.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(contracted.select(col("id_b").as("src"), col("id_a").as("dst"))))
     var labels = cut(sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")))
     // one min-label propagation step; the accumulated change flag rides

@@ -22,6 +22,10 @@ object Layout {
   def writeBucketed(df: DataFrame, table: String, dir: String,
       buckets: Int, key: String): Unit = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    // the name is interpolated into SQL below — restrict to a plain
+    // identifier rather than trusting callers to quote
+    require(table.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"table name must be a plain identifier, got '$table'")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
     df.write.mode("overwrite")

@@ -22,6 +22,16 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
+  /** Exact integer division for the floor-mean centroid update. Spark's
+    * `/` (Divide) is DOUBLE arithmetic — exact only while per-cluster
+    * per-dimension sums stay below 2^53; `div` (IntegralDivide) keeps
+    * the update on the integer grid at any magnitude, matching the
+    * oracle's true integer `//`. The numerator is always pmod-adjusted
+    * to be exactly divisible, so floor == truncate here.
+    */
+  private def floorDiv(num: Column, den: Column): Column =
+    call_function("div", num, den)
+
   /** Shared final stage: rank scored (query_id, n_id, cosine) rows and
     * keep the top k per query (deterministic tie-break on neighbor id).
     */
@@ -163,7 +173,7 @@ object Similarity {
         array((0 until dim).map { i =>
           val s = sum(element_at(col("q"), i + 1))
           val n = count(lit(1))
-          ((s - pmod(s, n)) / n).cast("long")
+          floorDiv(s - pmod(s, n), n)
         }.toSeq: _*).as("cv"))
         .collect().map(r => r.getInt(0) -> r.getSeq[Long](1).toArray).toMap
       cents = cents.map { case (cid, prev) => cid -> means.getOrElse(cid, prev) }
@@ -227,7 +237,7 @@ object Similarity {
         array((0 until dsub).map { i =>
           val s = sum(element_at(col("sub"), i + 1))
           val n = count(lit(1))
-          ((s - pmod(s, n)) / n).cast("long")
+          floorDiv(s - pmod(s, n), n)
         }: _*).as("cv"))
         .collect()
         .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Long](2).toArray).toMap

@@ -35,6 +35,24 @@ object Relational {
     */
   private val KmvK = 64
 
+  /** q24's count-min-sketch geometry, shared with its oracle SQL and
+    * with SketchEnvelopeSpec's error bound (eps = e/width). Deterministic
+    * md5-derived bucket hashes make the whole sketch a pure function of
+    * the data — replayable in DuckDB as `depth` GROUP BYs — unlike
+    * Spark's built-in `count_min_sketch` whose murmur seeding is
+    * engine-private.
+    */
+  private[graft] val CmsDepth = 3
+  private[graft] val CmsWidth = 2048
+
+  /** Depth-i CMS bucket of a key: first 32 md5 bits of "i:key", mod
+    * width. Matches the oracle's
+    * `('0x' || substr(md5(i || ':' || key), 1, 8))::BIGINT % width`.
+    */
+  private def cmsBucket(i: Int, key: Column): Column =
+    pmod(graft.ops.Dedup.md5Hash32(concat(lit(s"$i:"), key.cast("string"))),
+      lit(CmsWidth.toLong))
+
   /** Best-effort removal of a query-local temp directory (q30/q32
     * layout artifacts). Walks children before parents; swallows
     * races — leftover temp files are a hygiene concern, not a
@@ -43,11 +61,14 @@ object Relational {
   private def deleteRecursively(dir: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(dir)) {
-      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-        .foreach { p =>
-          try java.nio.file.Files.deleteIfExists(p)
-          catch { case _: java.io.IOException => () }
-        }
+      // Files.walk holds a directory handle until closed — materialize
+      // the paths, then close, then delete (children before parents).
+      val walk = java.nio.file.Files.walk(dir)
+      val paths = try walk.iterator().asScala.toSeq finally walk.close()
+      paths.reverse.foreach { p =>
+        try java.nio.file.Files.deleteIfExists(p)
+        catch { case _: java.io.IOException => () }
+      }
     }
   }
 
@@ -291,9 +312,11 @@ object Relational {
         .orderBy("l_returnflag")
     }),
 
-    // Approximate sketches (HLL++ / count-min): engine-specific
-    // estimates, so no DuckDB oracle — the driver records a rows-only
-    // check. Exact counterparts ride along to show the error envelope.
+    // Approximate sketches: HLL++ is engine-private (seeded murmur
+    // inside Spark), so q19 has no DuckDB oracle — the driver records a
+    // rows-only check; exact counterparts ride along to show the error
+    // envelope. (q24/q35 show the alternative: deterministic hashes make
+    // a sketch oracle-replayable.)
     "q19_approx_sketch" -> ((s, d) => {
       t(s, d, "lineitem").agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
@@ -304,13 +327,24 @@ object Relational {
 
     // percentile sketch (Greenwald-Khanna via percentile_approx) next
     // to the exact percentile — same rows-only + envelope treatment as
-    // q19/q24: the sketch's merge order is engine-specific
+    // q19: the sketch's merge order is engine-specific. Output is six
+    // SCALAR columns (not two arrays): downstream row-level tooling —
+    // including the harness's rows-only probe — can't sort/hash
+    // array-typed cells.
     "q29_approx_percentile" -> ((s, d) => {
-      t(s, d, "lineitem").agg(
-        expr("percentile_approx(l_extendedprice, array(0.5D, 0.95D, 0.99D), 10000)")
-          .as("approx_p"),
-        expr("percentile(l_extendedprice, array(0.5D, 0.95D, 0.99D))")
-          .as("exact_p"))
+      t(s, d, "lineitem")
+        .agg(
+          expr("percentile_approx(l_extendedprice, array(0.5D, 0.95D, 0.99D), 10000)")
+            .as("ap"),
+          expr("percentile(l_extendedprice, array(0.5D, 0.95D, 0.99D))")
+            .as("ep"))
+        .select(
+          element_at(col("ap"), 1).as("approx_p50"),
+          element_at(col("ap"), 2).as("approx_p95"),
+          element_at(col("ap"), 3).as("approx_p99"),
+          element_at(col("ep"), 1).as("exact_p50"),
+          element_at(col("ep"), 2).as("exact_p95"),
+          element_at(col("ep"), 3).as("exact_p99"))
     }),
 
     "q26_range_frame" -> ((s, d) => {
@@ -371,22 +405,28 @@ object Relational {
           |ORDER BY returnflag, linestatus""".stripMargin)
     }),
 
-    // Count-min sketch heavy hitters (rows-only: sketch estimates are
-    // engine-specific): estimate the 5 hottest part keys from a CMS
-    // built distributed, against their exact frequencies.
+    // Count-min sketch heavy hitters, oracle-EXACT (the q35 pattern):
+    // deterministic md5 bucket hashes make the depth×width counter grid
+    // a pure function of the data, so DuckDB replays build + probe and
+    // the estimates hash-match. Build = one pass (posexplode to depth
+    // rows, map-side combine collapses each partition to ≤ depth×width
+    // cells before the shuffle); probe = broadcast join of the tiny
+    // grid against the top-5 exact keys. No driver-side sketch object.
     "q24_cms_heavy_hitters" -> ((s, d) => {
-      import s.implicits._
       val li = t(s, d, "lineitem")
-      val sketchBytes = li.agg(
-        expr("count_min_sketch(l_partkey, 0.001d, 0.99d, 42)")).head().getAs[Array[Byte]](0)
-      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        new java.io.ByteArrayInputStream(sketchBytes))
+      def buckets = array((0 until CmsDepth).map(i =>
+        cmsBucket(i, col("l_partkey"))): _*)
+      val cells = li
+        .select(posexplode(buckets).as(Seq("depth", "bucket")))
+        .groupBy("depth", "bucket").agg(count(lit(1)).as("cnt"))
       val top = li.groupBy("l_partkey").agg(count(lit(1)).as("exact_freq"))
         .orderBy(col("exact_freq").desc, col("l_partkey")).limit(5)
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
-      top.map { case (k, exact) =>
-        (k, exact, cms.estimateCount(k))
-      }.toSeq.toDF("l_partkey", "exact_freq", "cms_estimate")
+      top
+        .select(col("l_partkey"), col("exact_freq"),
+          posexplode(buckets).as(Seq("depth", "bucket")))
+        .join(broadcast(cells), Seq("depth", "bucket"))
+        .groupBy("l_partkey", "exact_freq")
+        .agg(min("cnt").as("cms_estimate"))
         .orderBy("l_partkey")
     }),
 
@@ -414,6 +454,36 @@ object Relational {
               element_at(col("sk"), KmvK))
             .as("kmv_estimate"))
         .orderBy("source")
+    }),
+
+    // Two-level sketch reaggregation — the incremental-pipeline shape
+    // that justifies sketches at 100 TB: level 1 builds per-source
+    // sketches (exactly what a daily job would PERSIST as array<long>
+    // columns); level 2 merges the SKETCHES — never rescanning the
+    // corpus — into a global distinct estimate via the native
+    // bottom_k_merge aggregate. Exact reaggregation: the global
+    // bottom-k of a union is the bottom-k of the per-group bottom-ks.
+    // Deterministic md5 hashes keep the whole two-level plan
+    // oracle-replayable.
+    "q36_kmv_merge" -> ((s, d) => {
+      graft.functions.KmvExpressions.register(s)
+      val docs = t(s, d, "documents")
+      val perSource = docs
+        .select(col("source"), graft.ops.Dedup.md5Hash32(col("text")).as("hv"))
+        .groupBy("source")
+        .agg(graft.functions.KmvExpressions.bottom_k_hashes(col("hv"), KmvK).as("sk"))
+      val global = perSource.agg(
+        count(lit(1)).as("n_sources"),
+        graft.functions.KmvExpressions.bottom_k_merge(col("sk"), KmvK).as("gsk"))
+      val exact = docs.agg(countDistinct(col("text")).as("exact_distinct"))
+      global.crossJoin(exact).select(
+        col("n_sources"),
+        col("exact_distinct"),
+        size(col("gsk")).cast("long").as("kmv_size"),
+        when(size(col("gsk")) < KmvK, size(col("gsk")).cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble) * lit(4294967296.0) /
+            element_at(col("gsk"), KmvK))
+          .as("kmv_estimate"))
     }),
 
     "q33_null_aware_anti" -> ((s, d) => {
@@ -448,23 +518,30 @@ object Relational {
       // whole-table copies under /tmp.
       import s.implicits._
       val dir = java.nio.file.Files.createTempDirectory("graft_bucketed")
+      // per-run table names (same convention as fullRefreshTable's
+      // staging suffix): fixed names collide across sessions sharing a
+      // warehouse, and a crash between create and the finally-drop
+      // would leave a stale table that poisons the NEXT run's create
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      val ordersTbl = s"g_orders_b_$tag"
+      val custTbl = s"g_customer_b_$tag"
       val rows = try {
         graft.ops.Layout.writeBucketed(
           t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
-          "g_orders_b", s"$dir/orders", buckets = 8, key = "o_custkey")
+          ordersTbl, s"$dir/orders", buckets = 8, key = "o_custkey")
         graft.ops.Layout.writeBucketed(
           t(s, d, "customer").select("c_custkey", "c_mktsegment"),
-          "g_customer_b", s"$dir/customer", buckets = 8, key = "c_custkey")
-        val o = graft.ops.Layout.readBucketed(s, "g_orders_b")
-        val c = graft.ops.Layout.readBucketed(s, "g_customer_b")
+          custTbl, s"$dir/customer", buckets = 8, key = "c_custkey")
+        val o = graft.ops.Layout.readBucketed(s, ordersTbl)
+        val c = graft.ops.Layout.readBucketed(s, custTbl)
         o.join(c, o("o_custkey") === c("c_custkey"))
           .groupBy("c_mktsegment")
           .agg(count(lit(1)).as("n_orders"),
             sum(cents(col("o_totalprice"))).as("revenue_cents"))
           .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
       } finally {
-        s.sql("DROP TABLE IF EXISTS g_orders_b")
-        s.sql("DROP TABLE IF EXISTS g_customer_b")
+        s.sql(s"DROP TABLE IF EXISTS $ordersTbl")
+        s.sql(s"DROP TABLE IF EXISTS $custTbl")
         deleteRecursively(dir)
       }
       rows.toDF("c_mktsegment", "n_orders", "revenue_cents")
@@ -719,9 +796,31 @@ object Relational {
         |  CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // deterministic-CMS replay: build the depth×width counter grid as
+    // one GROUP BY over a depth cross join, probe the top-5 exact keys
+    // with min-over-depth — estimates hash-match because both engines
+    // compute the same md5 bucket function
+    "q24_cms_heavy_hitters" ->
+      s"""WITH dep AS (SELECT unnest(range($CmsDepth)) AS i),
+         |cells AS (SELECT i AS depth,
+         |    ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT % $CmsWidth AS bucket,
+         |    count(*) AS cnt
+         |  FROM lineitem CROSS JOIN dep GROUP BY 1, 2),
+         |top5 AS (SELECT l_partkey, count(*) AS exact_freq FROM lineitem
+         |  GROUP BY 1 ORDER BY exact_freq DESC, l_partkey LIMIT 5),
+         |probe AS (SELECT t.l_partkey, t.exact_freq, i AS depth,
+         |    ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST(t.l_partkey AS VARCHAR)), 1, 8))::BIGINT % $CmsWidth AS bucket
+         |  FROM top5 t CROSS JOIN dep)
+         |SELECT p.l_partkey AS l_partkey, p.exact_freq AS exact_freq,
+         |  min(c.cnt) AS cms_estimate
+         |FROM probe p JOIN cells c ON p.depth = c.depth AND p.bucket = c.bucket
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
     // NULL text filtered explicitly: the Spark aggregate SKIPS null
     // inputs (a null has no hash identity), while DuckDB's DISTINCT
-    // would keep a NULL h row and count it into the sketch
+    // would keep a NULL h row and count it into the sketch. LEFT JOIN +
+    // COALESCE so a source whose texts are ALL null still gets a row
+    // (with an empty sketch), matching the Spark side.
     "q35_kmv_distinct" ->
       s"""WITH hv AS (SELECT source,
          |    ('0x' || substr(md5(text), 1, 8))::BIGINT AS h FROM documents
@@ -737,11 +836,35 @@ object Relational {
          |    count(DISTINCT text) AS exact_distinct
          |  FROM documents GROUP BY source)
          |SELECT b.source AS source, n_docs, exact_distinct,
-         |  CAST(s.kmv_size AS BIGINT) AS kmv_size,
-         |  CASE WHEN s.kmv_size < $KmvK THEN CAST(s.kmv_size AS DOUBLE)
+         |  CAST(COALESCE(s.kmv_size, 0) AS BIGINT) AS kmv_size,
+         |  CASE WHEN COALESCE(s.kmv_size, 0) < $KmvK
+         |       THEN CAST(COALESCE(s.kmv_size, 0) AS DOUBLE)
          |       ELSE ${KmvK - 1}.0 * 4294967296.0 / s.hk END AS kmv_estimate
-         |FROM base b JOIN sk s ON b.source = s.source
+         |FROM base b LEFT JOIN sk s ON b.source = s.source
          |ORDER BY b.source""".stripMargin,
+
+    // two-level replay: per-source bottom-k via window rank, union the
+    // sketch members, re-rank globally — the SQL mirror of
+    // bottom_k_hashes → bottom_k_merge
+    "q36_kmv_merge" ->
+      s"""WITH hv AS (SELECT source,
+         |    ('0x' || substr(md5(text), 1, 8))::BIGINT AS h FROM documents
+         |  WHERE text IS NOT NULL),
+         |dh AS (SELECT DISTINCT source, h FROM hv),
+         |rn AS (SELECT source, h,
+         |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM dh),
+         |gl AS (SELECT DISTINCT h FROM rn WHERE rn <= $KmvK),
+         |grn AS (SELECT h, row_number() OVER (ORDER BY h) AS grn FROM gl),
+         |gsk AS (SELECT count(*) FILTER (WHERE grn <= $KmvK) AS kmv_size,
+         |    max(CASE WHEN grn = $KmvK THEN h END) AS hk FROM grn),
+         |base AS (SELECT count(DISTINCT source) AS n_sources,
+         |    count(DISTINCT text) AS exact_distinct FROM documents)
+         |SELECT CAST(b.n_sources AS BIGINT) AS n_sources,
+         |  b.exact_distinct AS exact_distinct,
+         |  CAST(g.kmv_size AS BIGINT) AS kmv_size,
+         |  CASE WHEN g.kmv_size < $KmvK THEN CAST(g.kmv_size AS DOUBLE)
+         |       ELSE ${KmvK - 1}.0 * 4294967296.0 / g.hk END AS kmv_estimate
+         |FROM base b CROSS JOIN gsk g""".stripMargin,
 
     "q33_null_aware_anti" ->
       """SELECT o_orderpriority, count(*) AS n_orders FROM orders

@@ -27,8 +27,7 @@ object Tables {
     * so a set-then-restore scope around this method would break lazy
     * execution. Side effect: other TIMESTAMP(NANOS) reads in the same
     * session get BIGINT nanos instead of an error — acceptable for this
-    * engine, whose only nanos source is events (documented in
-    * .claude/skills/verify/SKILL.md).
+    * engine, whose only nanos source is events (see SCALING.md).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

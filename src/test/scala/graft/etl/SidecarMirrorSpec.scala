@@ -124,4 +124,25 @@ class SidecarMirrorSpec extends AnyFunSuite with SparkSpec {
     assert(graft.VendorImportMain.dialectFor("jdbc:derby:memory:x") == JdbcMirror.DerbyDialect)
     assert(graft.VendorImportMain.dialectFor("jdbc:postgresql://h/db") == JdbcMirror.PostgresDialect)
   }
+
+  test("JDBC connection resolution: --jdbc-url wins, env is the fallback, neither is None") {
+    import graft.VendorImportMain.resolveJdbc
+    val env = Map("GRAFT_JDBC_URL" -> "jdbc:derby:memory:fromenv",
+      "GRAFT_JDBC_SCHEMA" -> "ENVSCHEMA")
+    // explicit flag beats env, flag schema beats env schema
+    val explicit = resolveJdbc(
+      Map("--jdbc-url" -> "jdbc:postgresql://h/db", "--jdbc-schema" -> "argschema"), env).get
+    assert(explicit.url == "jdbc:postgresql://h/db" && explicit.schema == "argschema")
+    // env-only: reference parity (database_setup.py reads env, no flags)
+    val fromEnv = resolveJdbc(Map.empty, env).get
+    assert(fromEnv.url == "jdbc:derby:memory:fromenv" && fromEnv.schema == "ENVSCHEMA")
+    assert(fromEnv.dialect == JdbcMirror.DerbyDialect)
+    // flag url + env schema: each key resolves independently
+    val mixed = resolveJdbc(Map("--jdbc-url" -> "jdbc:postgresql://h/db"), env).get
+    assert(mixed.schema == "ENVSCHEMA")
+    // dialect default schema when nothing names one
+    val bare = resolveJdbc(Map("--jdbc-url" -> "jdbc:derby:memory:x"), Map.empty).get
+    assert(bare.schema == "APP")
+    assert(resolveJdbc(Map.empty, Map.empty).isEmpty)
+  }
 }

@@ -51,6 +51,35 @@ class KmvSpec extends AnyFunSuite with graft.SparkSpec {
     assert(empty == Seq.empty)
   }
 
+  test("merging per-group sketches equals the whole-corpus sketch") {
+    // the two-level contract behind q36: bottom_k_merge over PERSISTED
+    // per-group sketches must reproduce bottom_k_hashes over the raw
+    // union — exactly, for any grouping of the data
+    import spark.implicits._
+    KmvExpressions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(4000)(i => (s"src${i % 5}", rnd.nextLong() % 900))
+    val df = rows.toDF("src", "h")
+    val whole = df.agg(KmvExpressions.bottom_k_hashes(col("h"), 16).as("sk"))
+      .head().getSeq[Long](0).toSeq
+    val merged = df.groupBy("src")
+      .agg(KmvExpressions.bottom_k_hashes(col("h"), 16).as("sk"))
+      .agg(KmvExpressions.bottom_k_merge(col("sk"), 16).as("gsk"))
+      .head().getSeq[Long](0).toSeq
+    assert(merged == whole)
+    assert(merged == bruteBottomK(rows.map(_._2), 16))
+  }
+
+  test("bottom_k_merge rejects a non-sketch column") {
+    import spark.implicits._
+    KmvExpressions.register(spark)
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1L).toDF("h")
+        .agg(KmvExpressions.bottom_k_merge(col("h"), 4)).head()
+    }
+    assert(err.getMessage.contains("bottom_k_merge"))
+  }
+
   test("serde round-trip preserves the buffer (the shuffle path)") {
     val agg = BottomKHashes(
       org.apache.spark.sql.catalyst.expressions.Literal(0L), k = 8)

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 import graft.SparkSpec
 
 class DedupClusterSpec extends AnyFunSuite with SparkSpec {
@@ -69,6 +70,52 @@ class DedupClusterSpec extends AnyFunSuite with SparkSpec {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(starLabels == pairLabels, s"seed $seed")
     }
+  }
+
+  test("local pre-contraction: a 150-hop chain converges inside the default step budget") {
+    import spark.implicits._
+    // min-label propagation alone moves the minimum one hop per step —
+    // a 150-node chain would blow the default maxIter=20; the
+    // partition-local union-find collapses each partition's stretch of
+    // the chain to a star, leaving only the 3 cross-partition hops.
+    // Range partitioning keeps stretches contiguous — the locality real
+    // edge streams have (LSH star edges arrive grouped by hub); a
+    // round-robin scatter would defeat any LOCAL contraction by
+    // construction.
+    val chain = (1L until 150L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      .repartitionByRange(4, col("id_a"))
+    val labels = Dedup.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == (1L to 150L).map(_ -> 1L).toMap)
+  }
+
+  test("local pre-contraction: labels invariant to edge partitioning, string ids included") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val edges = (0 until 300).map { _ =>
+      val a = s"d${rnd.nextInt(120)}"; val b = s"d${rnd.nextInt(120)}"
+      if (a <= b) (a, b) else (b, a)
+    }.filter(e => e._1 != e._2).distinct
+    def labelsAt(parts: Int): Map[String, String] =
+      Dedup.connectedComponents(edges.toDF("id_a", "id_b").repartition(parts))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val one = labelsAt(1)
+    assert(one == labelsAt(5))
+    assert(one == labelsAt(13))
+    // cross-check against a driver-side union-find ground truth
+    val parent = scala.collection.mutable.Map.empty[String, String]
+    def find(x: String): String = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(rb) = ra
+    }
+    val truth = parent.keys.map { n =>
+      n -> parent.keys.filter(m => find(m) == find(n)).min
+    }.toMap
+    assert(one == truth)
   }
 
   test("bloom pre-filter: string ids kept, null text never flags, release allows re-use") {

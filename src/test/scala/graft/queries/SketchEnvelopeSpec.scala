@@ -6,10 +6,11 @@ import graft.{SparkEntry, SparkSpec}
 
 /** Machine-checks the queries the DuckDB oracle cannot replay
   * (engine-specific sketch estimates / float-sum ordering — q19 HLL,
-  * q24 CMS, q29 percentile sketch, d08 Bloom, s04 native float): each
+  * q29 percentile sketch, d08 Bloom, s04 native float): each
   * result must sit inside its sketch's configured error envelope, or —
   * for the native top-k — agree with the oracle-checked quantized
-  * variant on the returned id sets.
+  * variant on the returned id sets. q24's deterministic CMS is
+  * oracle-matched too; its envelope test stays here as the theory check.
   */
 class SketchEnvelopeSpec extends AnyFunSuite with SparkSpec {
 
@@ -31,10 +32,12 @@ class SketchEnvelopeSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("q24: CMS estimates are one-sided and within eps * stream size") {
+    // q24 is ALSO oracle-hash-matched (deterministic md5 buckets); this
+    // keeps the sketch-theory guarantee pinned independently of the replay
     val rows = SparkEntry.queries("q24_cms_heavy_hitters")(spark, sf).collect()
     assert(rows.length == 5)
     val n = graft.sources.Tables.load(spark, sf, "lineitem").count()
-    val eps = 0.001 // the literal passed to count_min_sketch in q24
+    val eps = math.E / Relational.CmsWidth // standard CMS bound: w = ceil(e/eps)
     rows.foreach { r =>
       val exact = r.getAs[Long]("exact_freq")
       val est = r.getAs[Long]("cms_estimate")
@@ -46,11 +49,10 @@ class SketchEnvelopeSpec extends AnyFunSuite with SparkSpec {
 
   test("q29: percentile sketch within 1% of exact at accuracy 10000") {
     val r = SparkEntry.queries("q29_approx_percentile")(spark, sf).head()
-    val approx = r.getSeq[Double](r.fieldIndex("approx_p"))
-    val exact = r.getSeq[Double](r.fieldIndex("exact_p"))
-    assert(approx.size == 3 && exact.size == 3)
-    approx.zip(exact).foreach { case (a, e) =>
-      assert(math.abs(a - e) / e <= 0.01, s"approx $a vs exact $e")
+    Seq("p50", "p95", "p99").foreach { p =>
+      val a = r.getAs[Double](s"approx_$p")
+      val e = r.getAs[Double](s"exact_$p")
+      assert(math.abs(a - e) / e <= 0.01, s"$p: approx $a vs exact $e")
     }
   }
 
