@@ -108,7 +108,14 @@ object Migrations {
         conn.commit()
         true
       } catch {
-        case e: Throwable => conn.rollback(); throw e
+        case e: Throwable =>
+          conn.rollback()
+          // two migrators can race past the pre-check (it runs in
+          // autocommit, before this transaction); the loser's DDL or
+          // stamp INSERT then fails against the winner's committed
+          // state. Losing that race IS the exactly-once contract
+          // holding — report no-op, don't rethrow.
+          if (isStamped(conn, cfg.schema, revision)) false else throw e
       } finally conn.setAutoCommit(auto)
     }
   }

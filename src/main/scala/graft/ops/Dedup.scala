@@ -173,7 +173,12 @@ object Dedup {
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
     def cut(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
-    val contracted = localContract(pairs)
+    // materialize the contraction BEFORE symmetrizing: localContract's
+    // star edges depend on row order within a partition (first-touched
+    // root), so the two union branches must read one materialized result
+    // — recomputing it per branch could orient the same edge two ways
+    // and drop a node from the src side entirely
+    val contracted = cut(localContract(pairs))
     val sym = cut(contracted.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(contracted.select(col("id_b").as("src"), col("id_a").as("dst"))))
     var labels = cut(sym.select(col("src").as("id")).distinct()

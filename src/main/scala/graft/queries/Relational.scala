@@ -472,8 +472,12 @@ object Relational {
         .select(col("source"), graft.ops.Dedup.md5Hash32(col("text")).as("hv"))
         .groupBy("source")
         .agg(graft.functions.KmvExpressions.bottom_k_hashes(col("hv"), KmvK).as("sk"))
+      // count(source) over the grouped rows = one per NON-NULL group
+      // key, matching the oracle's count(DISTINCT source) which skips
+      // NULL; a NULL-source group still contributes its sketch to the
+      // merge on both sides
       val global = perSource.agg(
-        count(lit(1)).as("n_sources"),
+        count(col("source")).as("n_sources"),
         graft.functions.KmvExpressions.bottom_k_merge(col("sk"), KmvK).as("gsk"))
       val exact = docs.agg(countDistinct(col("text")).as("exact_distinct"))
       global.crossJoin(exact).select(
