@@ -153,6 +153,35 @@ object Curation {
     docs.where(bucket < rate * 10000)
   }
 
+  /** PII scrubbing rules as (class, pattern, placeholder). The patterns
+    * stay inside the RE2-compatible subset (no backreferences, no
+    * lookaround) so every regex engine a pipeline might replay them on
+    * — Spark's java.util.regex here, RE2-family engines elsewhere —
+    * matches the same spans. Ordered: emails first (an email would
+    * otherwise leave its user digits behind for the looser rules),
+    * then phones, then IPv4s.
+    */
+  val PiiRules: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\d{3}-\\d{3}-\\d{4}", "<PHONE>"),
+    ("ip", "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}", "<IP>"))
+
+  /** Redacted copy of `text`: every [[PiiRules]] match replaced by its
+    * class placeholder, applied in rule order. Pure per-row column math
+    * (a fold of codegen'd `regexp_replace`s) — no shuffle, no UDF; at
+    * 100 TB this runs at scan speed inside whole-stage codegen.
+    */
+  def redactPii(text: Column): Column =
+    PiiRules.foldLeft(text) { case (acc, (_, pat, repl)) =>
+      regexp_replace(acc, pat, repl)
+    }
+
+  /** Number of matches of one PII class in the ORIGINAL text (counts
+    * must not depend on what an earlier rule already replaced).
+    */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
   /** Canonical selection inside near-dup clusters: instead of "keep the
     * min id" (d06), keep the HIGHEST-QUALITY member — rank cluster
     * members by (quality desc, id asc) and return ONLY rank 1, one row

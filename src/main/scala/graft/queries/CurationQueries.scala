@@ -100,6 +100,40 @@ object CurationQueries {
         .orderBy("source")
     }),
 
+    // PII redaction — the scrub pass every training corpus runs before
+    // anything ships: regex-redact emails / phones / IPv4s to typed
+    // placeholders and account for what was removed, per source. The
+    // synthetic corpus carries no PII, so a deterministic doc_id-keyed
+    // plant (the c08 leak pattern) injects all three classes in both
+    // engines; counts are computed on the ORIGINAL text, the redacted
+    // copy via ordered regexp_replace folds (Curation.PiiRules).
+    "c07_pii_redaction" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents").select("doc_id", "source", "text")
+      val planted = docs.withColumn("text", concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" call 555-"), ((col("doc_id") % 900) + 100).cast("string"),
+            lit("-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          concat(lit(" from 203.0."), (col("doc_id") % 256).cast("string"),
+            lit("."), ((col("doc_id") % 200) + 1).cast("string")))
+          .otherwise(lit(""))))
+      val aggs = (count(lit(1)).as("n_docs") +:
+        Curation.PiiRules.map { case (cls, pat, _) =>
+          sum(Curation.piiCount(col("text"), pat)).as(s"n_$cls")
+        }) :+ sum(length(col("text")) - length(col("red")))
+          .cast("long").as("chars_redacted")
+      planted
+        .select(col("source"), col("text"),
+          Curation.redactPii(col("text")).as("red"))
+        .groupBy("source")
+        .agg(aggs.head, aggs.tail: _*)
+        .orderBy("source")
+    }),
+
     // fixed-SIZE source capping — the mixture control c05's rate
     // sampling can't express ("no source contributes more than N
     // documents"): rank each source's docs by content-stable hash
@@ -251,6 +285,33 @@ object CurationQueries {
         |  CAST(len(list_slice(ws, i * 48 + 1, i * 48 + 64)) AS BIGINT) AS n_chunk_tokens,
         |  ws[i * 48 + 1] AS first_word
         |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // same plant, same patterns (single-sourced from Curation.PiiRules),
+    // same rule order; DuckDB needs the explicit 'g' flag (its
+    // regexp_replace is first-match by default, Spark's is global)
+    "c07_pii_redaction" -> {
+      val Seq(email, phone, ip) = Curation.PiiRules.map(_._2)
+      val red = Curation.PiiRules.foldLeft("text") { case (acc, (_, pat, repl)) =>
+        s"regexp_replace($acc, '$pat', '$repl', 'g')"
+      }
+      s"""WITH planted AS (SELECT source, text ||
+         |    CASE WHEN doc_id % 7 = 0 THEN ' contact user' ||
+         |      CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END ||
+         |    CASE WHEN doc_id % 11 = 0 THEN ' call 555-' ||
+         |      CAST((doc_id % 900) + 100 AS VARCHAR) || '-' ||
+         |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+         |    CASE WHEN doc_id % 13 = 0 THEN ' from 203.0.' ||
+         |      CAST(doc_id % 256 AS VARCHAR) || '.' ||
+         |      CAST((doc_id % 200) + 1 AS VARCHAR) ELSE '' END AS text
+         |  FROM documents),
+         |red AS (SELECT source, text, $red AS r FROM planted)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(len(regexp_extract_all(text, '$email'))) AS BIGINT) AS n_email,
+         |  CAST(sum(len(regexp_extract_all(text, '$phone'))) AS BIGINT) AS n_phone,
+         |  CAST(sum(len(regexp_extract_all(text, '$ip'))) AS BIGINT) AS n_ip,
+         |  CAST(sum(length(text) - length(r)) AS BIGINT) AS chars_redacted
+         |FROM red GROUP BY source ORDER BY source""".stripMargin
+    },
 
     "c09_profile" -> {
       ProfileCols.map { c =>

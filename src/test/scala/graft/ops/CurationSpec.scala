@@ -19,6 +19,26 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(b.values.toSet == Set("train", "val", "test"))
   }
 
+  test("redactPii replaces every class; counts come from the original text") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "mail bob.smith+x@corp.example.org and 203.0.113.9 then 555-123-4567"),
+      ("b", "no pii here at all"),
+      ("c", "two mails a@b.co c@d.io one ip 10.0.0.1")).toDF("id", "text")
+    val Seq(email, phone, ip) = Curation.PiiRules.map(_._2)
+    val out = df.select(col("id"), Curation.redactPii(col("text")).as("r"),
+        Curation.piiCount(col("text"), email).as("ne"),
+        Curation.piiCount(col("text"), phone).as("np"),
+        Curation.piiCount(col("text"), ip).as("ni"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("a")._1 == "mail <EMAIL> and <IP> then <PHONE>")
+    assert(out("a") == (("mail <EMAIL> and <IP> then <PHONE>", 1L, 1L, 1L)))
+    assert(out("b") == (("no pii here at all", 0L, 0L, 0L)))
+    assert(out("c") == (("two mails <EMAIL> <EMAIL> one ip <IP>", 2L, 0L, 1L)))
+  }
+
   test("packShards: sequential bins by cumulative token start, per key") {
     import spark.implicits._
     // tokens 5,5,5 with budget 10: doc1 starts at 0 (shard 0), doc2 at 5
