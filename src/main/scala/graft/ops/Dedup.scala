@@ -26,6 +26,29 @@ object Dedup {
     docs.groupBy(TextAnalysis.fingerprintMd5(col(textCol)).as("fingerprint"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
+  /** Incremental exact dedup — the settle step of a daily pipeline:
+    * from `batch`, keep one canonical row per fingerprint (min id,
+    * with its in-batch copy count) and drop every fingerprint `history`
+    * already holds. One map-side-combined groupBy over the batch plus
+    * one left ANTI join against history's distinct fingerprints.
+    *
+    * Scale shape: history enters as (textCol) rows here for oracle
+    * parity, but at 100 TB a pipeline persists yesterday's FINGERPRINT
+    * relation and feeds it straight in — the anti join then shuffles
+    * only the new batch (small) against a pre-aggregated key set, and
+    * the d08 Bloom pre-filter upstream has already discarded the bulk
+    * of known content without any shuffle at all.
+    *
+    * Returns (fingerprint, canonical_id, n_copies) for surviving rows.
+    */
+  def incrementalNew(batch: DataFrame, history: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val hist = history
+      .select(TextAnalysis.fingerprintMd5(col(textCol)).as("fingerprint"))
+      .distinct()
+    exactGroups(batch, idCol, textCol).join(hist, Seq("fingerprint"), "left_anti")
+  }
+
   // --- MinHash LSH ---------------------------------------------------------
 
   /** Fixed permutation params (a*h + b) mod P; a,b < 2^20 so a*h stays

@@ -90,6 +90,26 @@ object DedupQueries {
         .orderBy("canonical_id")
     }),
 
+    // incremental exact dedup — the EXACT settle step behind d08's
+    // approximate pre-filter: history = docs with doc_id % 3 != 0;
+    // today's batch = the % 3 == 0 slice plus two deterministic plants
+    // (an exact copy of every 5th history doc -> must be dropped by the
+    // history anti-join; a second copy of every 4th batch doc -> must
+    // collapse to one canonical row with n_copies = 2). Anti-join on
+    // the fingerprint, canonical = min id.
+    "d09_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+      val hist = docs.where(col("doc_id") % 3 =!= 0)
+      val todayBase = docs.where(col("doc_id") % 3 === 0)
+      val today = todayBase
+        .unionByName(hist.where(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+        .unionByName(todayBase.where(col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+      Dedup.incrementalNew(today, hist, "doc_id", "text")
+        .orderBy("canonical_id")
+    }),
+
     // incremental dedup pre-filter: history = the documents table;
     // incoming = one exact copy (must flag: Bloom has no false
     // negatives) + one mutation (flags only as a false positive) per
@@ -219,6 +239,19 @@ object DedupQueries {
     "d02_minhash_lsh" ->
       s"""WITH $minhashPairsCtes
          |SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b""".stripMargin,
+
+    "d09_incremental_dedup" ->
+      """WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+        |tbase AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+        |today AS (SELECT doc_id, text FROM tbase
+        |  UNION ALL SELECT doc_id + 2000000, text FROM hist WHERE doc_id % 5 = 0
+        |  UNION ALL SELECT doc_id + 3000000, text FROM tbase WHERE doc_id % 4 = 0),
+        |grp AS (SELECT md5(lower(trim(text))) AS fingerprint,
+        |    min(doc_id) AS canonical_id, count(*) AS n_copies
+        |  FROM today GROUP BY 1)
+        |SELECT fingerprint, canonical_id, n_copies FROM grp
+        |WHERE fingerprint NOT IN (SELECT md5(lower(trim(text))) FROM hist)
+        |ORDER BY canonical_id""".stripMargin,
 
     "d06_neardup_clusters" -> clusteringOracle,
 

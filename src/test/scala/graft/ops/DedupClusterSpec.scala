@@ -118,6 +118,19 @@ class DedupClusterSpec extends AnyFunSuite with SparkSpec {
     assert(one == truth)
   }
 
+  test("incrementalNew drops history fingerprints, collapses within-batch copies") {
+    import spark.implicits._
+    val hist = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "ALPHA  "),  // normalizes to history's "alpha" -> dropped
+      (11L, "gamma"), (12L, "gamma"),  // within-batch pair -> one row, 2 copies
+      (13L, "delta")).toDF("doc_id", "text")
+    val out = Dedup.incrementalNew(batch, hist, "doc_id", "text")
+      .select("canonical_id", "n_copies")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(11L -> 2L, 13L -> 1L))
+  }
+
   test("bloom pre-filter: string ids kept, null text never flags, release allows re-use") {
     import spark.implicits._
     val hist = Seq(("a", "alpha text here"), ("b", "beta text here"),
