@@ -430,6 +430,40 @@ object Relational {
         .orderBy("l_partkey")
     }),
 
+    // CMS mergeability (q36's incremental story for the COUNTER sketch):
+    // CMS is a LINEAR sketch — cms(A ∪ B) is the elementwise sum of
+    // cms(A) and cms(B) — which is what makes it incremental at 100 TB:
+    // each batch persists its own depth×width grid, and a global probe
+    // sums grids, never rescanning the corpus. Level 1 builds one grid
+    // per l_returnflag; level 2 merges by summing counters per cell; the
+    // output carries BOTH the merged estimate and the direct
+    // whole-table estimate — any divergence (a broken merge) breaks the
+    // hash-match.
+    "q37_cms_merge" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      def buckets = array((0 until CmsDepth).map(i =>
+        cmsBucket(i, col("l_partkey"))): _*)
+      def explodeBuckets(df: org.apache.spark.sql.DataFrame, extra: Column*) =
+        df.select(extra :+ posexplode(buckets).as(Seq("depth", "bucket")): _*)
+      // level 1: per-batch grids (what each daily job would persist)
+      val perMode = explodeBuckets(li, col("l_returnflag"))
+        .groupBy("l_returnflag", "depth", "bucket").agg(count(lit(1)).as("cnt"))
+      // level 2: elementwise sum — no corpus rescan
+      val merged = perMode.groupBy("depth", "bucket")
+        .agg(sum("cnt").as("mcnt"))
+      val direct = explodeBuckets(li)
+        .groupBy("depth", "bucket").agg(count(lit(1)).as("dcnt"))
+      val top = li.groupBy("l_partkey").agg(count(lit(1)).as("exact_freq"))
+        .orderBy(col("exact_freq").desc, col("l_partkey")).limit(5)
+      explodeBuckets(top, col("l_partkey"), col("exact_freq"))
+        .join(broadcast(merged), Seq("depth", "bucket"))
+        .join(broadcast(direct), Seq("depth", "bucket"))
+        .groupBy("l_partkey", "exact_freq")
+        .agg(min("mcnt").as("merged_estimate"),
+          min("dcnt").as("direct_estimate"))
+        .orderBy("l_partkey")
+    }),
+
     // KMV bottom-k distinct sketch via the native TypedImperativeAggregate
     // (graft.functions.BottomKHashes): one map-side-combined pass keeps
     // the k smallest DISTINCT md5-derived hashes per source; the k-th
@@ -818,6 +852,33 @@ object Relational {
          |SELECT p.l_partkey AS l_partkey, p.exact_freq AS exact_freq,
          |  min(c.cnt) AS cms_estimate
          |FROM probe p JOIN cells c ON p.depth = c.depth AND p.bucket = c.bucket
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    // two-level CMS replay: per-returnflag grids summed per cell must
+    // equal the directly-built grid (linearity) — both estimates are in
+    // the output, so the hash-match proves the merge
+    "q37_cms_merge" ->
+      s"""WITH dep AS (SELECT unnest(range($CmsDepth)) AS i),
+         |lvl1 AS (SELECT l_returnflag, i AS depth,
+         |    ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT % $CmsWidth AS bucket,
+         |    count(*) AS cnt
+         |  FROM lineitem CROSS JOIN dep GROUP BY 1, 2, 3),
+         |merged AS (SELECT depth, bucket, CAST(sum(cnt) AS BIGINT) AS mcnt
+         |  FROM lvl1 GROUP BY 1, 2),
+         |direct AS (SELECT i AS depth,
+         |    ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT % $CmsWidth AS bucket,
+         |    count(*) AS dcnt
+         |  FROM lineitem CROSS JOIN dep GROUP BY 1, 2),
+         |top5 AS (SELECT l_partkey, count(*) AS exact_freq FROM lineitem
+         |  GROUP BY 1 ORDER BY exact_freq DESC, l_partkey LIMIT 5),
+         |probe AS (SELECT t.l_partkey, t.exact_freq, i AS depth,
+         |    ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST(t.l_partkey AS VARCHAR)), 1, 8))::BIGINT % $CmsWidth AS bucket
+         |  FROM top5 t CROSS JOIN dep)
+         |SELECT p.l_partkey AS l_partkey, p.exact_freq AS exact_freq,
+         |  min(m.mcnt) AS merged_estimate, min(dd.dcnt) AS direct_estimate
+         |FROM probe p
+         |JOIN merged m ON p.depth = m.depth AND p.bucket = m.bucket
+         |JOIN direct dd ON p.depth = dd.depth AND p.bucket = dd.bucket
          |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
 
     // NULL text filtered explicitly: the Spark aggregate SKIPS null

@@ -47,6 +47,20 @@ class SketchEnvelopeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q37: merged per-batch CMS grids equal the directly-built grid (linearity)") {
+    // the property that makes CMS incremental: summing per-shipmode
+    // grids cell-by-cell must reproduce the whole-table grid EXACTLY —
+    // estimates from the two paths are equal, not merely close
+    val rows = SparkEntry.queries("q37_cms_merge")(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val m = r.getAs[Long]("merged_estimate")
+      val dd = r.getAs[Long]("direct_estimate")
+      assert(m == dd, s"merge broke linearity: merged=$m direct=$dd")
+      assert(m >= r.getAs[Long]("exact_freq"))
+    }
+  }
+
   test("q29: percentile sketch within 1% of exact at accuracy 10000") {
     val r = SparkEntry.queries("q29_approx_percentile")(spark, sf).head()
     Seq("p50", "p95", "p99").foreach { p =>
