@@ -286,6 +286,49 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("n_id").as("neighbor_id"), col("adc_dist"))
   }
 
+  /** IVF-PQ composed search — the index structure 100 TB ANN actually
+    * ships (FAISS's IVFPQ, residuals off): the coarse quantizer prunes
+    * (each query touches only its `nprobe` inverted lists — at scale
+    * the list label is the PARTITION key, so pruning is partition
+    * pruning), and PQ codes compress (each corpus vector is m small
+    * ints; scoring a candidate is m distance-table lookups, no vector
+    * math). Composition of [[ivfTopK]]'s lists with [[pqTopK]]'s ADC:
+    * codebooks are trained on the full corpus (no per-list residual
+    * training — that variant trades oracle replayability for recall),
+    * all arithmetic integer, so the whole index — train, encode,
+    * probe, score — replays exactly in SQL.
+    *
+    * Output: (query_id, rank, neighbor_id, adc_dist).
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, topK: Int, nprobe: Int,
+      m: Int = 4, codebookK: Int = 16, iters: Int = 2): DataFrame = {
+    val books = pqCodebooks(corpus, m, codebookK, iters)
+    val dsub = books(0)(0).length
+    def subCol(mi: Int): Column = slice(col("q"), mi * dsub + 1, dsub)
+    val cents = centroids(corpus)
+    // inverted lists, members carried as PQ codes only (the scale point)
+    val enc = rankedCentroids(quantized(corpus), cents).where(col("rn") === 1)
+      .select(col("vec_id").as("n_id"), col("c_label").as("list_label"),
+        array((0 until m).map(mi => argminCid(subCol(mi), books(mi))): _*).as("codes"))
+    // one row per (query, probed list) with the query's m×k distance table
+    val qdt = rankedCentroids(quantized(queries), cents).where(col("rn") <= nprobe)
+      .select(Seq(col("vec_id").as("query_id"), col("c_label").as("list_label")) ++
+        (0 until m).map { mi =>
+          array(books(mi).map(cv => l2Lit(subCol(mi), cv)).toSeq: _*).as(s"dt$mi")
+        }: _*)
+    val scored = enc.join(broadcast(qdt), Seq("list_label"))
+      .where(col("n_id") =!= col("query_id"))
+      .withColumn("adc_dist", (0 until m).map { mi =>
+        element_at(col(s"dt$mi"), element_at(col("codes"), mi + 1).cast("int") + 1)
+      }.reduce(_ + _))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("n_id").as("neighbor_id"),
+        col("adc_dist"))
+  }
+
   /** IVF probe search: corpus vectors are bucketed by their nearest
     * centroid (the inverted list — at scale this is the partitioning
     * key, so a probe touches nprobe/nlists of the data); each query

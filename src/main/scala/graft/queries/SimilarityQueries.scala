@@ -76,6 +76,18 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF-PQ composed (the index FAISS ships for web-scale ANN,
+    // residuals off): s05's coarse lists prune to nprobe/nlists of the
+    // corpus, s09's PQ codes score the survivors via distance-table
+    // lookups. Training, encode, probe and search all integer — the
+    // oracle replays the composed index end to end.
+    "s10_ivfpq_topk" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+      Similarity.ivfPqTopK(e, e.where(col("vec_id") < 8), topK = 5, nprobe = 2,
+          m = 4, codebookK = 16, iters = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     // IVF training: deterministic integer Lloyd k-means (init = k
     // lowest ids, exact int L2, floor-mean updates) — the oracle
     // replays both iterations bit-for-bit
@@ -123,6 +135,65 @@ object SimilarityQueries {
 
   private def cosine(aq: String, bq: String, an: String, bn: String) =
     s"list_dot_product($aq, $bq) / (sqrt(CAST($an AS DOUBLE)) * sqrt(CAST($bn AS DOUBLE)))"
+
+  /** PQ geometry shared by the s09 and s10 oracles (4 subspaces × 16
+    * codes over 16-dim slices — must mirror the Spark calls' m /
+    * codebookK / dsub or the replay silently trains a different index).
+    */
+  private val (pqM, pqDsub, pqK) = (4, 16, 16)
+
+  private def pqL2(a: String, b: String) =
+    s"list_sum(list_transform(range(1, ${pqDsub + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+
+  private def pqSlice(q: String, mi: Int) =
+    s"list_slice($q, ${mi * pqDsub + 1}, ${(mi + 1) * pqDsub})"
+
+  /** The per-subspace PQ training + encode CTE chain (two unrolled
+    * integer-Lloyd iterations per subspace, then nearest-final-centroid
+    * codes) — expects `qv` (quantized vectors) and `init` (k seed rows)
+    * CTEs upstream; yields enc_0..enc_{m-1} and cb1_0..cb1_{m-1}.
+    */
+  private def pqPerSubCtes: String = (0 until pqM).map { mi =>
+    s"""cb0_$mi AS (SELECT cid, ${pqSlice("cv", mi)} AS cv FROM init),
+       |a1_$mi AS (SELECT vec_id, sub, cid FROM (
+       |    SELECT v.vec_id, ${pqSlice("v.q", mi)} AS sub, c.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${pqL2(pqSlice("v.q", mi), "c.cv")}, c.cid) AS rn
+       |    FROM qv v CROSS JOIN cb0_$mi c)
+       |  WHERE rn = 1),
+       |m1_$mi AS (SELECT cid, i,
+       |    CAST((sum(sub[i]) - ((sum(sub[i]) % count(*) + count(*)) % count(*)))
+       |      // count(*) AS BIGINT) AS mv
+       |  FROM a1_$mi CROSS JOIN range(1, ${pqDsub + 1}) t(i) GROUP BY cid, i),
+       |cb1_$mi AS (SELECT p.cid, COALESCE(n.cv, p.cv) AS cv FROM cb0_$mi p
+       |  LEFT JOIN (SELECT cid, list(mv ORDER BY i) AS cv FROM m1_$mi GROUP BY cid) n USING (cid)),
+       |enc_$mi AS (SELECT vec_id, cid FROM (
+       |    SELECT v.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${pqL2(pqSlice("v.q", mi), "c.cv")}, c.cid) AS rn
+       |    FROM qv v CROSS JOIN cb1_$mi c)
+       |  WHERE rn = 1)""".stripMargin
+  }.mkString(",\n")
+
+  /** s05's coarse-IVF CTE chain (label-mean centroids, cosine-ranked
+    * assignments, lists = rn 1, probes = rn <= 2 for queries vec_id <
+    * 8) — shared verbatim with the s10 composed index.
+    */
+  private val ivfCoarseCtes =
+    s"""comp AS (SELECT vec_id, label, unnest(q) AS v, unnest(range(64)) AS pos FROM qv),
+       |cent AS (SELECT label AS c_label, pos, CAST(round(avg(v)) AS BIGINT) AS cv
+       |  FROM comp GROUP BY 1, 2),
+       |centl AS (SELECT c_label, list(cv ORDER BY pos) AS c_q FROM cent GROUP BY 1),
+       |centn AS (SELECT c_label, c_q, CAST(list_dot_product(c_q, c_q) AS BIGINT) AS c_norm FROM centl),
+       |vn AS (SELECT vec_id, q, CAST(list_dot_product(q, q) AS BIGINT) AS norm FROM qv),
+       |ranked AS (SELECT v.vec_id, c.c_label,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |      ${cosine("v.q", "c.c_q", "v.norm", "c.c_norm")} DESC, c.c_label) AS rn
+       |  FROM vn v CROSS JOIN centn c),
+       |lists AS (SELECT r.vec_id AS n_id, v.q AS n_q, v.norm AS n_norm, r.c_label AS list_label
+       |  FROM ranked r JOIN vn v ON v.vec_id = r.vec_id WHERE r.rn = 1),
+       |probes AS (SELECT r.vec_id AS query_id, v.q AS q_q, v.norm AS q_norm, r.c_label AS list_label
+       |  FROM ranked r JOIN vn v ON v.vec_id = r.vec_id WHERE r.rn <= 2 AND r.vec_id < 8)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "s01_topk_bruteforce" ->
@@ -179,44 +250,18 @@ object SimilarityQueries {
     // four slice distances to the ASSIGNED centroids (the ADC
     // approximation, stated literally)
     "s09_pq_topk" -> {
-      val (m, dsub, k) = (4, 16, 16)
-      val l2 = (a: String, b: String) =>
-        s"list_sum(list_transform(range(1, ${dsub + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
-      def sliceOf(q: String, mi: Int) =
-        s"list_slice($q, ${mi * dsub + 1}, ${(mi + 1) * dsub})"
-      val perSub = (0 until m).map { mi =>
-        s"""cb0_$mi AS (SELECT cid, ${sliceOf("cv", mi)} AS cv FROM init),
-           |a1_$mi AS (SELECT vec_id, sub, cid FROM (
-           |    SELECT v.vec_id, ${sliceOf("v.q", mi)} AS sub, c.cid,
-           |      row_number() OVER (PARTITION BY v.vec_id
-           |        ORDER BY ${l2(sliceOf("v.q", mi), "c.cv")}, c.cid) AS rn
-           |    FROM qv v CROSS JOIN cb0_$mi c)
-           |  WHERE rn = 1),
-           |m1_$mi AS (SELECT cid, i,
-           |    CAST((sum(sub[i]) - ((sum(sub[i]) % count(*) + count(*)) % count(*)))
-           |      // count(*) AS BIGINT) AS mv
-           |  FROM a1_$mi CROSS JOIN range(1, ${dsub + 1}) t(i) GROUP BY cid, i),
-           |cb1_$mi AS (SELECT p.cid, COALESCE(n.cv, p.cv) AS cv FROM cb0_$mi p
-           |  LEFT JOIN (SELECT cid, list(mv ORDER BY i) AS cv FROM m1_$mi GROUP BY cid) n USING (cid)),
-           |enc_$mi AS (SELECT vec_id, cid FROM (
-           |    SELECT v.vec_id, c.cid,
-           |      row_number() OVER (PARTITION BY v.vec_id
-           |        ORDER BY ${l2(sliceOf("v.q", mi), "c.cv")}, c.cid) AS rn
-           |    FROM qv v CROSS JOIN cb1_$mi c)
-           |  WHERE rn = 1)""".stripMargin
-      }.mkString(",\n")
-      val encJoins = (0 until m).map { mi =>
+      val encJoins = (0 until pqM).map { mi =>
         s"JOIN enc_$mi e$mi ON e$mi.vec_id = e.vec_id JOIN cb1_$mi c$mi ON c$mi.cid = e$mi.cid"
       }.mkString("\n  ")
-      val adc = (0 until m).map { mi =>
-        l2(sliceOf("qy.q", mi), s"c$mi.cv")
+      val adc = (0 until pqM).map { mi =>
+        pqL2(pqSlice("qy.q", mi), s"c$mi.cv")
       }.mkString(" + ")
       s"""WITH qv AS (SELECT vec_id,
          |    $quantExpr AS q
          |  FROM embeddings),
          |init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS cv
-         |  FROM qv ORDER BY vec_id LIMIT $k),
-         |$perSub,
+         |  FROM qv ORDER BY vec_id LIMIT $pqK),
+         |$pqPerSubCtes,
          |scored AS (SELECT qy.vec_id AS query_id, e.vec_id AS n_id,
          |    $adc AS adc
          |  FROM qv qy CROSS JOIN qv e
@@ -292,22 +337,33 @@ object SimilarityQueries {
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
     },
 
+    "s10_ivfpq_topk" -> {
+      val encJoins = (0 until pqM).map { mi =>
+        s"JOIN enc_$mi e$mi ON e$mi.vec_id = l.n_id JOIN cb1_$mi c$mi ON c$mi.cid = e$mi.cid"
+      }.mkString("\n  ")
+      val adc = (0 until pqM).map { mi =>
+        pqL2(pqSlice("p.q_q", mi), s"c$mi.cv")
+      }.mkString(" + ")
+      s"""WITH $qCte,
+         |$ivfCoarseCtes,
+         |init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS cv
+         |  FROM (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT $pqK)),
+         |$pqPerSubCtes,
+         |scored AS (SELECT p.query_id, l.n_id, $adc AS adc
+         |  FROM lists l JOIN probes p ON l.list_label = p.list_label
+         |  $encJoins
+         |  WHERE l.n_id <> p.query_id),
+         |rankedq AS (SELECT query_id, n_id, adc,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc, n_id) AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, n_id AS neighbor_id, CAST(adc AS BIGINT) AS adc_dist
+         |FROM rankedq WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+
     "s05_topk_ivf" ->
       s"""WITH $qCte,
-         |comp AS (SELECT vec_id, label, unnest(q) AS v, unnest(range(64)) AS pos FROM qv),
-         |cent AS (SELECT label AS c_label, pos, CAST(round(avg(v)) AS BIGINT) AS cv
-         |  FROM comp GROUP BY 1, 2),
-         |centl AS (SELECT c_label, list(cv ORDER BY pos) AS c_q FROM cent GROUP BY 1),
-         |centn AS (SELECT c_label, c_q, CAST(list_dot_product(c_q, c_q) AS BIGINT) AS c_norm FROM centl),
-         |vn AS (SELECT vec_id, q, CAST(list_dot_product(q, q) AS BIGINT) AS norm FROM qv),
-         |ranked AS (SELECT v.vec_id, c.c_label,
-         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
-         |      ${cosine("v.q", "c.c_q", "v.norm", "c.c_norm")} DESC, c.c_label) AS rn
-         |  FROM vn v CROSS JOIN centn c),
-         |lists AS (SELECT r.vec_id AS n_id, v.q AS n_q, v.norm AS n_norm, r.c_label AS list_label
-         |  FROM ranked r JOIN vn v ON v.vec_id = r.vec_id WHERE r.rn = 1),
-         |probes AS (SELECT r.vec_id AS query_id, v.q AS q_q, v.norm AS q_norm, r.c_label AS list_label
-         |  FROM ranked r JOIN vn v ON v.vec_id = r.vec_id WHERE r.rn <= 2 AND r.vec_id < 8),
+         |$ivfCoarseCtes,
          |scored AS (SELECT p.query_id, l.n_id,
          |    ${cosine("p.q_q", "l.n_q", "p.q_norm", "l.n_norm")} AS cosine
          |  FROM lists l JOIN probes p ON l.list_label = p.list_label
