@@ -263,27 +263,49 @@ object Similarity {
     * Output: (query_id, rank, neighbor_id, adc_dist) — rank by
     * (adc_dist asc, neighbor_id asc), self excluded.
     */
-  def pqTopK(corpus: DataFrame, queries: DataFrame, topK: Int,
-      m: Int = 4, codebookK: Int = 16, iters: Int = 2): DataFrame = {
-    val books = pqCodebooks(corpus, m, codebookK, iters)
+  /** The one copy of each PQ search expression (encode array, distance
+    * tables, ADC lookup sum, final rank) — [[pqTopK]] and [[ivfPqTopK]]
+    * assemble different plans from the SAME kernels, so a fix to e.g.
+    * the 1-based ADC indexing can never leave one of them stale.
+    */
+  private def pqCodesCol(books: Array[Array[Array[Long]]]): Column = {
     val dsub = books(0)(0).length
-    def subCol(mi: Int): Column = slice(col("q"), mi * dsub + 1, dsub)
-    val enc = corpus.select(col("vec_id").as("n_id"), quantize(col("embedding")).as("q"))
-      .select(col("n_id"),
-        array((0 until m).map(mi => argminCid(subCol(mi), books(mi))): _*).as("codes"))
-    val qdt = queries.select(col("vec_id").as("query_id"), quantize(col("embedding")).as("q"))
-      .select(col("query_id") +: (0 until m).map { mi =>
-        array(books(mi).map(cv => l2Lit(subCol(mi), cv)).toSeq: _*).as(s"dt$mi")
-      }: _*)
-    val scored = enc.join(broadcast(qdt), col("n_id") =!= col("query_id"))
-      .withColumn("adc_dist", (0 until m).map { mi =>
-        element_at(col(s"dt$mi"), element_at(col("codes"), mi + 1).cast("int") + 1)
-      }.reduce(_ + _))
+    array(books.indices.map { mi =>
+      argminCid(slice(col("q"), mi * dsub + 1, dsub), books(mi))
+    }: _*)
+  }
+
+  private def pqDistTableCols(books: Array[Array[Array[Long]]]): Seq[Column] = {
+    val dsub = books(0)(0).length
+    books.indices.map { mi =>
+      array(books(mi).map(cv =>
+        l2Lit(slice(col("q"), mi * dsub + 1, dsub), cv)).toSeq: _*).as(s"dt$mi")
+    }
+  }
+
+  private def adcDistCol(m: Int): Column = (0 until m).map { mi =>
+    element_at(col(s"dt$mi"), element_at(col("codes"), mi + 1).cast("int") + 1)
+  }.reduce(_ + _)
+
+  private def rankByAdc(scored: DataFrame, topK: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist").asc, col("n_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= topK)
-      .select(col("query_id"), col("rank"), col("n_id").as("neighbor_id"), col("adc_dist"))
+      .select(col("query_id"), col("rank"), col("n_id").as("neighbor_id"),
+        col("adc_dist"))
+  }
+
+  def pqTopK(corpus: DataFrame, queries: DataFrame, topK: Int,
+      m: Int = 4, codebookK: Int = 16, iters: Int = 2): DataFrame = {
+    val books = pqCodebooks(corpus, m, codebookK, iters)
+    val enc = corpus.select(col("vec_id").as("n_id"), quantize(col("embedding")).as("q"))
+      .select(col("n_id"), pqCodesCol(books).as("codes"))
+    val qdt = queries.select(col("vec_id").as("query_id"), quantize(col("embedding")).as("q"))
+      .select(col("query_id") +: pqDistTableCols(books): _*)
+    val scored = enc.join(broadcast(qdt), col("n_id") =!= col("query_id"))
+      .withColumn("adc_dist", adcDistCol(m))
+    rankByAdc(scored, topK)
   }
 
   /** IVF-PQ composed search — the index structure 100 TB ANN actually
@@ -303,30 +325,24 @@ object Similarity {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, topK: Int, nprobe: Int,
       m: Int = 4, codebookK: Int = 16, iters: Int = 2): DataFrame = {
     val books = pqCodebooks(corpus, m, codebookK, iters)
-    val dsub = books(0)(0).length
-    def subCol(mi: Int): Column = slice(col("q"), mi * dsub + 1, dsub)
     val cents = centroids(corpus)
     // inverted lists, members carried as PQ codes only (the scale point)
     val enc = rankedCentroids(quantized(corpus), cents).where(col("rn") === 1)
       .select(col("vec_id").as("n_id"), col("c_label").as("list_label"),
-        array((0 until m).map(mi => argminCid(subCol(mi), books(mi))): _*).as("codes"))
-    // one row per (query, probed list) with the query's m×k distance table
-    val qdt = rankedCentroids(quantized(queries), cents).where(col("rn") <= nprobe)
-      .select(Seq(col("vec_id").as("query_id"), col("c_label").as("list_label")) ++
-        (0 until m).map { mi =>
-          array(books(mi).map(cv => l2Lit(subCol(mi), cv)).toSeq: _*).as(s"dt$mi")
-        }: _*)
-    val scored = enc.join(broadcast(qdt), Seq("list_label"))
+        pqCodesCol(books).as("codes"))
+    // probe PAIRS and distance TABLES broadcast separately: the m×k
+    // table is computed once per QUERY, not once per (query, list) —
+    // inlining it into the probe relation would redo (and re-ship)
+    // every table nprobe times
+    val probes = rankedCentroids(quantized(queries), cents).where(col("rn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("c_label").as("list_label"))
+    val qdt = queries.select(col("vec_id").as("query_id"), quantize(col("embedding")).as("q"))
+      .select(col("query_id") +: pqDistTableCols(books): _*)
+    val scored = enc.join(broadcast(probes), Seq("list_label"))
       .where(col("n_id") =!= col("query_id"))
-      .withColumn("adc_dist", (0 until m).map { mi =>
-        element_at(col(s"dt$mi"), element_at(col("codes"), mi + 1).cast("int") + 1)
-      }.reduce(_ + _))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_dist").asc, col("n_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= topK)
-      .select(col("query_id"), col("rank"), col("n_id").as("neighbor_id"),
-        col("adc_dist"))
+      .join(broadcast(qdt), Seq("query_id"))
+      .withColumn("adc_dist", adcDistCol(m))
+    rankByAdc(scored, topK)
   }
 
   /** IVF probe search: corpus vectors are bucketed by their nearest

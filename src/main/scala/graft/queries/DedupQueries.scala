@@ -96,9 +96,14 @@ object DedupQueries {
     // (an exact copy of every 5th history doc -> must be dropped by the
     // history anti-join; a second copy of every 4th batch doc -> must
     // collapse to one canonical row with n_copies = 2). Anti-join on
-    // the fingerprint, canonical = min id.
+    // the fingerprint, canonical = min id. NULL text is filtered on
+    // BOTH sides (the q35 rule): a NULL fingerprint in the history
+    // would void DuckDB's NOT IN entirely (three-valued logic) while
+    // Spark's anti join just never matches it — pin the semantics
+    // rather than inherit the engines' disagreement.
     "d09_incremental_dedup" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+        .where(col("text").isNotNull)
       val hist = docs.where(col("doc_id") % 3 =!= 0)
       val todayBase = docs.where(col("doc_id") % 3 === 0)
       val today = todayBase
@@ -241,8 +246,9 @@ object DedupQueries {
          |SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b""".stripMargin,
 
     "d09_incremental_dedup" ->
-      """WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
-        |tbase AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+      """WITH nn AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |hist AS (SELECT doc_id, text FROM nn WHERE doc_id % 3 <> 0),
+        |tbase AS (SELECT doc_id, text FROM nn WHERE doc_id % 3 = 0),
         |today AS (SELECT doc_id, text FROM tbase
         |  UNION ALL SELECT doc_id + 2000000, text FROM hist WHERE doc_id % 5 = 0
         |  UNION ALL SELECT doc_id + 3000000, text FROM tbase WHERE doc_id % 4 = 0),

@@ -23,8 +23,13 @@ class SketchStreamsSpec extends AnyFunSuite with SparkSpec {
     try {
       in.addData(batch1: _*)
       q.processAllAvailable()
+      // update mode: EXACTLY one emission per source touched by the trigger
+      assert(spark.table("kmv_stream").count() == 2L,
+        "trigger 1 touched sources a and b -> exactly 2 emissions")
       in.addData(batch2: _*)
       q.processAllAvailable()
+      assert(spark.table("kmv_stream").count() == 4L,
+        "trigger 2 touched both sources again -> exactly 2 more emissions")
 
       // batch reference: the native aggregate over the full ingested data
       graft.functions.KmvExpressions.register(spark)
@@ -40,8 +45,6 @@ class SketchStreamsSpec extends AnyFunSuite with SparkSpec {
 
       val emitted = spark.table("kmv_stream").collect()
         .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
-      // update mode: at most one emission per source per trigger
-      assert(emitted.groupBy(e => (e._1, e._2, e._3)).forall(_._2.size <= 2))
       // the LAST emission per source (largest sketch; at equal size the
       // LARGER estimate — h_k only shrinks as smaller hashes arrive, so
       // the estimate only grows) must equal the batch sketch
