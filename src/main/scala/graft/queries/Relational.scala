@@ -53,6 +53,32 @@ object Relational {
     pmod(graft.ops.Dedup.md5Hash32(concat(lit(s"$i:"), key.cast("string"))),
       lit(CmsWidth.toLong))
 
+  /** q38's HLL geometry: 64 registers (6-bit bucket from the 32-bit md5
+    * hash), 26-bit register values, rho in 1..27. Both engines build
+    * the register function from the SAME threshold ladder (below), and
+    * the harmonic sum is kept as the exact integer Σ 2^(27-rho) — no
+    * logs, no engine-libm — so even the ESTIMATE is bit-identical
+    * cross-engine, q35-style, where builtin HLL (q19) is engine-private.
+    */
+  private[graft] val HllM = 64
+  private val HllValueBits = 26
+
+  /** rho(v) = leading zeros of the 26-bit register value + 1 (v = 0 →
+    * 27): a pure integer threshold CASE chain, no log2 (whose libm
+    * rounding the engines need not share).
+    */
+  private def hllRho(v: Column): Column =
+    (2 to HllValueBits).foldLeft(
+      when(v >= (1L << (HllValueBits - 1)), 1)) { (acc, i) =>
+      acc.when(v >= (1L << (HllValueBits - i)), i)
+    }.otherwise(HllValueBits + 1)
+
+  /** The same ladder as SQL text — generated, not transcribed. */
+  private def hllRhoSql(v: String): String =
+    (1 to HllValueBits).map { i =>
+      s"WHEN $v >= ${1L << (HllValueBits - i)} THEN $i"
+    }.mkString("CASE ", " ", s" ELSE ${HllValueBits + 1} END")
+
   /** Best-effort removal of a query-local temp directory (q30/q32
     * layout artifacts). Walks children before parents; swallows
     * races — leftover temp files are a hygiene concern, not a
@@ -524,6 +550,42 @@ object Relational {
           .as("kmv_estimate"))
     }),
 
+    // Deterministic HyperLogLog (the q35 pattern applied to HLL, where
+    // q19's builtin is engine-private): md5-derived 6-bit bucket +
+    // 26-bit value, rho from a shared threshold ladder, and the
+    // harmonic denominator kept as the EXACT integer Σ 2^(27-rho)
+    // (absent registers contribute 2^27) — the one double division at
+    // the end is of exact integers, so the raw estimate hash-matches
+    // across engines. Raw estimator only (no linear-counting branch:
+    // its ln() would hang the hash-match on libm rounding); n_regs is
+    // emitted so a consumer can apply corrections. One groupBy(source,
+    // bucket) + one groupBy(source): at 100 TB this is two
+    // map-side-combined shuffles of at most m rows per source.
+    "q38_hll_distinct" -> ((s, d) => {
+      val docs = t(s, d, "documents").where(col("text").isNotNull)
+      val rows = docs
+        .select(col("source"), graft.ops.Dedup.md5Hash32(col("text")).as("h"))
+        .select(col("source"), pmod(col("h"), lit(HllM.toLong)).as("bucket"),
+          hllRho(expr(s"h div $HllM")).as("rho"))
+      val regs = rows.groupBy("source", "bucket").agg(max("rho").as("mreg"))
+      val sk = regs.groupBy("source").agg(
+        count(lit(1)).as("n_regs"),
+        sum(expr("shiftleft(cast(1 as bigint), cast(27 - mreg as int))"))
+          .as("s_present"))
+      val base = docs.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("exact_distinct"))
+      val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(HllM.toDouble))
+      base.join(sk, Seq("source"))
+        .select(col("source"), col("n_docs"), col("exact_distinct"),
+          col("n_regs"),
+          (alpha * lit((HllM * HllM).toDouble) * lit(134217728.0) /
+            (col("s_present") +
+              (lit(HllM.toLong) - col("n_regs")) * lit(134217728L))
+            .cast("double")).as("hll_estimate"))
+        .orderBy("source")
+    }),
+
     "q33_null_aware_anti" -> ((s, d) => {
       // NOT IN (subquery) over a NULLABLE column — three-valued logic
       // makes this a DIFFERENT operator from q05's NOT EXISTS anti
@@ -880,6 +942,27 @@ object Relational {
          |JOIN merged m ON p.depth = m.depth AND p.bucket = m.bucket
          |JOIN direct dd ON p.depth = dd.depth AND p.bucket = dd.bucket
          |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    // deterministic-HLL replay: same md5 bucket/value split, the same
+    // generated rho ladder, and the harmonic denominator as an exact
+    // integer sum — the single trailing double division is of exact
+    // integers, so even the estimate hash-matches
+    "q38_hll_distinct" ->
+      s"""WITH nn AS (SELECT source, text FROM documents WHERE text IS NOT NULL),
+         |hv AS (SELECT source, ('0x' || substr(md5(text), 1, 8))::BIGINT AS h FROM nn),
+         |rr AS (SELECT source, h % $HllM AS bucket,
+         |    ${hllRhoSql(s"(h // $HllM)")} AS rho FROM hv),
+         |reg AS (SELECT source, bucket, max(rho) AS mreg FROM rr GROUP BY 1, 2),
+         |sk AS (SELECT source, count(*) AS n_regs,
+         |    CAST(sum(1::BIGINT << (27 - mreg)) AS BIGINT) AS s_present
+         |  FROM reg GROUP BY source),
+         |base AS (SELECT source, count(*) AS n_docs,
+         |    count(DISTINCT text) AS exact_distinct
+         |  FROM nn GROUP BY source)
+         |SELECT b.source AS source, n_docs, exact_distinct, n_regs,
+         |  0.7213 / (1.0 + 1.079 / ${HllM}.0) * ${HllM * HllM}.0 * 134217728.0 /
+         |    CAST(s.s_present + ($HllM - s.n_regs) * 134217728 AS DOUBLE) AS hll_estimate
+         |FROM base b JOIN sk s USING (source) ORDER BY source""".stripMargin,
 
     // NULL text filtered explicitly: the Spark aggregate SKIPS null
     // inputs (a null has no hash identity), while DuckDB's DISTINCT

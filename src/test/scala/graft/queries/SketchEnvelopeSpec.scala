@@ -61,6 +61,24 @@ class SketchEnvelopeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q38: deterministic HLL raw estimate lands within a loose band of exact") {
+    // q38 is ALSO oracle-hash-matched (bit-identical estimate). The
+    // band here is deliberately loose: the RAW estimator (no
+    // linear-counting branch — its ln() would hang the cross-engine
+    // hash on libm rounding) is biased high when registers are sparse;
+    // accuracy of a corrected HLL is q19's builtin territory.
+    val rows = SparkEntry.queries("q38_hll_distinct")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_distinct")
+      val est = r.getAs[Double]("hll_estimate")
+      assert(est > exact / 4.0 && est < exact * 4.0,
+        s"raw HLL estimate $est implausible vs exact $exact")
+      val nRegs = r.getAs[Long]("n_regs")
+      assert(nRegs >= 1 && nRegs <= Relational.HllM)
+    }
+  }
+
   test("q29: percentile sketch within 1% of exact at accuracy 10000") {
     val r = SparkEntry.queries("q29_approx_percentile")(spark, sf).head()
     Seq("p50", "p95", "p99").foreach { p =>
