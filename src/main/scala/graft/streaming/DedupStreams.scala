@@ -92,6 +92,40 @@ object DedupStreams {
       .select("id")
   }
 
+  /** Streaming twin of [[graft.ops.Dedup.incrementalNew]] (batch d09):
+    * arriving documents are dropped when their content fingerprint is
+    * already in the STATIC history — a stream-static LEFT ANTI join, so
+    * membership needs no streaming state at all — and within-stream
+    * duplicates collapse via watermark-bounded fingerprint dedup.
+    * Emits (id, fingerprint) of first-seen-new documents.
+    *
+    * Two deliberate divergences from batch d09, both inherent to
+    * unbounded input: the canonical copy is the FIRST ARRIVAL (batch
+    * picks min id — a stream can't hold the min of what hasn't
+    * arrived), and two copies separated by more than the watermark
+    * delay both pass (the state that would catch them has expired —
+    * the retention/recall tradeoff, caller-chosen via
+    * `watermarkDelay`; the daily batch settle (d09) re-canonicalizes).
+    * The history fingerprints are CACHED: stream-static joins
+    * re-evaluate the static subplan each micro-batch.
+    */
+  def incrementalNew(docs: DataFrame, history: DataFrame,
+      idCol: String, textCol: String,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    import graft.ops.TextAnalysis
+    val hist = history.where(col(textCol).isNotNull)
+      .select(TextAnalysis.fingerprintMd5(col(textCol)).as("fingerprint"))
+      .distinct().cache()
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        TextAnalysis.fingerprintMd5(col(textCol)).as("fingerprint"))
+      .join(hist, Seq("fingerprint"), "left_anti")
+      .withColumn("emit_ts", current_timestamp())
+      .withWatermark("emit_ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("fingerprint")
+      .select("id", "fingerprint")
+  }
+
   /** docs: streaming DataFrame with (idCol long, textCol string).
     * Returns an append-mode stream of [[CandidatePair]]s.
     */

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkSpec
@@ -120,6 +121,37 @@ class DedupStreamsSpec extends AnyFunSuite with SparkSpec {
       while (spark.table("neardup_ttl").count() < 1 &&
           System.currentTimeMillis() < deadline) Thread.sleep(200)
       assert(spark.table("neardup_ttl").count() >= 1)
+    } finally q.stop()
+  }
+
+  test("streaming incremental dedup keeps exactly the batch operator's new fingerprints") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val history = Seq((1L, "alpha text"), (2L, "beta text")).toDF("doc_id", "text")
+    val b1 = Seq((10L, "ALPHA TEXT"), (11L, "gamma text"), (12L, "gamma text"))
+    val b2 = Seq((13L, "gamma text"), (14L, "delta text"), (15L, null.asInstanceOf[String]))
+    val in = MemoryStream[(Long, String)]
+    val q = DedupStreams.incrementalNew(in.toDS().toDF("doc_id", "text"),
+        history, "doc_id", "text")
+      .writeStream.format("memory").queryName("incr_new")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      in.addData(b2: _*) // 13 duplicates gamma ACROSS batches -> state drops it
+      q.processAllAvailable()
+      val rows = spark.table("incr_new").collect()
+        .map(r => r.getLong(0) -> r.getString(1))
+      // one emission per new fingerprint: gamma once (first arrival 11),
+      // delta once; history's alpha (case-normalized) and the null text
+      // never pass
+      assert(rows.map(_._1).sorted.toSeq == Seq(11L, 14L))
+      val batch = graft.ops.Dedup.incrementalNew(
+          (b1 ++ b2).toDF("doc_id", "text").where(col("text").isNotNull),
+          history, "doc_id", "text")
+        .collect().map(_.getAs[String]("fingerprint")).toSet
+      assert(rows.map(_._2).toSet == batch,
+        "streaming must admit exactly the batch operator's fingerprint set")
     } finally q.stop()
   }
 
