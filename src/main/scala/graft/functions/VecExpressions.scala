@@ -166,5 +166,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BottomKHashes].getName, "bottom_k_hashes"),
       (es: Seq[Expression]) => BottomKHashes(es.head,
         es(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((FunctionIdentifier("bottom_k_merge"),
+      new ExpressionInfo(classOf[BottomKMerge].getName, "bottom_k_merge"),
+      (es: Seq[Expression]) => BottomKMerge(es.head,
+        es(1).eval().asInstanceOf[Number].intValue())))
   }
 }
