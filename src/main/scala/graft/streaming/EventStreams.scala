@@ -70,6 +70,39 @@ object EventStreams {
   }
 
   /** Exactly-once-per-key dedup within the watermark horizon. */
+  /** Stream-STREAM interval join — the attribution shape two live
+    * event feeds need (impression → click within an attribution
+    * window), and the one streaming join class nothing else in this
+    * package exercises: BOTH sides are unbounded, so BOTH carry
+    * watermarks and the join condition bounds click_ts to
+    * [imp_ts, imp_ts + window], which is what lets Spark expire
+    * impression state once no qualifying click can still arrive
+    * (state retention ≈ window + watermark delay per side — bounded,
+    * or the join would buffer both streams forever). Equi-key is
+    * user_id, so state shards on the same key the batch join shuffles
+    * on. Inner join: an unmatched impression simply ages out.
+    *
+    * Emits (imp_id, click_id, user_id, imp_ts, click_ts) append rows;
+    * results match the identical batch join (spec-pinned).
+    */
+  def clickAttribution(impressions: DataFrame, clicks: DataFrame,
+      attributionWindow: String = "10 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val imp = impressions
+      .select(col("event_id").as("imp_id"), col("user_id"), col("ts").as("imp_ts"))
+      .withWatermark("imp_ts", watermarkDelay)
+    val clk = clicks
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermarkDelay)
+    imp.join(clk,
+        col("user_id") === col("click_user") &&
+          col("click_ts") >= col("imp_ts") &&
+          col("click_ts") <= col("imp_ts") + expr(s"INTERVAL $attributionWindow"))
+      .select(col("imp_id"), col("click_id"), col("user_id"),
+        col("imp_ts"), col("click_ts"))
+  }
+
   def dedupWithinWatermark(events: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
     events
       .withWatermark("ts", watermarkDelay)

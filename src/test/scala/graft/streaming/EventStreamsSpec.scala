@@ -196,4 +196,35 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       assert(last == Map(1L -> 3L, 2L -> 1L))
     } finally q.stop()
   }
+
+  test("stream-stream click attribution joins within the window, across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // offset from epoch: a row whose event time EQUALS the initial
+    // watermark (0) is filtered as late before it reaches join state —
+    // real feeds are never at 1970, but a test at ts(0) silently is
+    def t(min: Int): Timestamp = ts(600 + min)
+    val impIn = MemoryStream[(Long, Long, Timestamp)]
+    val clkIn = MemoryStream[(Long, Long, Timestamp)]
+    def frame(ms: MemoryStream[(Long, Long, Timestamp)]) =
+      ms.toDS().toDF("event_id", "user_id", "ts")
+    val q = EventStreams.clickAttribution(frame(impIn), frame(clkIn),
+        attributionWindow = "10 minutes", watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("attribution")
+      .outputMode(OutputMode.Append).start()
+    try {
+      impIn.addData((100L, 1L, t(0)), (101L, 2L, t(5)))
+      clkIn.addData((200L, 1L, t(4))) // same-batch match for imp 100
+      q.processAllAvailable()
+      // LATER batch: imp 101's click arrives (state held it), a click
+      // outside imp 100's window, and a click for an unseen user
+      clkIn.addData((201L, 2L, t(14)), (202L, 1L, t(20)), (203L, 9L, t(6)))
+      q.processAllAvailable()
+      val got = spark.table("attribution")
+        .select("imp_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((100L, 200L), (101L, 201L)),
+        s"attribution must match exactly the in-window pairs, got $got")
+    } finally q.stop()
+  }
 }
