@@ -38,6 +38,22 @@ object EventsQueries {
         .orderBy("user_id", "session_start_us")
     }),
 
+    // batch twin of EventStreams.clickAttribution — and not a rewrite:
+    // the STREAMING operator runs verbatim on batch frames (watermarks
+    // no-op in batch), so the oracle hash-checks the exact join the
+    // stream executes. view = impression, click within 10 minutes.
+    "e10_click_attribution" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+      graft.streaming.EventStreams.clickAttribution(
+          ev.where(col("event_type") === "view"),
+          ev.where(col("event_type") === "click"),
+          attributionWindow = "10 minutes")
+        .select(col("imp_id"), col("click_id"), col("user_id"),
+          unix_micros(col("imp_ts")).as("imp_us"),
+          unix_micros(col("click_ts")).as("click_us"))
+        .orderBy("imp_id", "click_id")
+    }),
+
     "e05_sliding_window" -> ((s, d) => {
       // 1-hour windows sliding every 30 minutes: each event lands in
       // exactly two windows
@@ -232,6 +248,19 @@ object EventsQueries {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "e10_click_attribution" ->
+      """WITH v AS (SELECT event_id AS imp_id, user_id, ts AS imp_ts
+        |  FROM events WHERE event_type = 'view'),
+        |c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+        |  FROM events WHERE event_type = 'click')
+        |SELECT v.imp_id AS imp_id, c.click_id AS click_id,
+        |  v.user_id AS user_id,
+        |  epoch_us(v.imp_ts) AS imp_us, epoch_us(c.click_ts) AS click_us
+        |FROM v JOIN c ON v.user_id = c.user_id
+        |  AND c.click_ts >= v.imp_ts
+        |  AND c.click_ts <= v.imp_ts + INTERVAL 10 MINUTE
+        |ORDER BY imp_id, click_id""".stripMargin,
 
     "e02_session_window" ->
       """WITH m AS (
