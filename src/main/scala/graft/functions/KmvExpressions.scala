@@ -176,18 +176,19 @@ object KmvExpressions {
     org.apache.spark.sql.functions.call_function("bottom_k_merge",
       sketches, org.apache.spark.sql.functions.lit(k))
 
-  // return the bare AggregateFunction (mirroring Spark's built-in
-  // registry entries): the analyzer wraps it in AggregateExpression
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bottom_k_hashes",
-      es => BottomKHashes(es.head,
-        es(1).eval().asInstanceOf[Number].intValue()),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bottom_k_merge",
-      es => BottomKMerge(es.head,
-        es(1).eval().asInstanceOf[Number].intValue()),
-      "built-in")
+  /** (name, expression class, builder): the ONE function table both
+    * [[register]] and `GraftExtensions` consume — a function added here
+    * ships on every install path by construction. Builders return the
+    * bare AggregateFunction (mirroring Spark's built-in registry
+    * entries): the analyzer wraps it in AggregateExpression.
+    */
+  val injectable: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("bottom_k_hashes", classOf[BottomKHashes],
+      es => BottomKHashes(es.head, es(1).eval().asInstanceOf[Number].intValue())),
+    ("bottom_k_merge", classOf[BottomKMerge],
+      es => BottomKMerge(es.head, es(1).eval().asInstanceOf[Number].intValue())))
+
+  def register(spark: SparkSession): Unit = injectable.foreach { case (n, _, b) =>
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(n, b, "built-in")
   }
 }

@@ -301,19 +301,20 @@ object TextHashExpressions {
       org.apache.spark.sql.functions.lit(stride))
   }
 
-  private def builder(es: Seq[Expression]): Expression =
-    ShingleHash32(es.head,
-      es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])
+  /** (name, expression class, builder): the ONE function table both
+    * [[register]] and `GraftExtensions` consume.
+    */
+  val injectable: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("shingle_hash32", classOf[ShingleHash32],
+      es => ShingleHash32(es.head,
+        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])),
+    ("bigram_hash32", classOf[BigramHash32], es => BigramHash32(es.head)),
+    ("simhash32", classOf[SimHash32Expr], es => SimHash32Expr(es.head)))
 
   /** Idempotent per-session registration (resolution goes through the
     * function registry — no private Spark internals).
     */
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("shingle_hash32", builder, "built-in")
-    reg.createOrReplaceTempFunction("bigram_hash32",
-      es => BigramHash32(es.head), "built-in")
-    reg.createOrReplaceTempFunction("simhash32",
-      es => SimHash32Expr(es.head), "built-in")
+  def register(spark: SparkSession): Unit = injectable.foreach { case (n, _, b) =>
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(n, b, "built-in")
   }
 }

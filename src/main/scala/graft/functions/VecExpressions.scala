@@ -130,13 +130,18 @@ object VecExpressions {
   def vec_cosine(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("vec_cosine", a, b)
 
+  /** (name, expression class, builder): the ONE function table both
+    * [[register]] and [[GraftExtensions]] consume.
+    */
+  val injectable: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("vec_dot", classOf[VecDotFloat], es => VecDotFloat(es.head, es(1))),
+    ("vec_cosine", classOf[VecCosineFloat], es => VecCosineFloat(es.head, es(1))))
+
   /** Register `vec_dot` / `vec_cosine` for SQL use in an existing
     * session.
     */
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("vec_dot", es => VecDotFloat(es.head, es(1)), "built-in")
-    reg.createOrReplaceTempFunction("vec_cosine", es => VecCosineFloat(es.head, es(1)), "built-in")
+  def register(spark: SparkSession): Unit = injectable.foreach { case (n, _, b) =>
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(n, b, "built-in")
   }
 }
 
@@ -144,31 +149,20 @@ object VecExpressions {
   * at session build (`.withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.functions.GraftExtensions`).
   */
+/** Every native function on every install path: the extensions class
+  * iterates the same `injectable` tables the per-session `register()`
+  * helpers use, so the two surfaces cannot drift.
+  */
+object GraftFunctions {
+  val all: Seq[(String, Class[_], Seq[Expression] => Expression)] =
+    VecExpressions.injectable ++ TextHashExpressions.injectable ++
+      KmvExpressions.injectable
+}
+
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((FunctionIdentifier("vec_dot"),
-      new ExpressionInfo(classOf[VecDotFloat].getName, "vec_dot"),
-      (es: Seq[Expression]) => VecDotFloat(es.head, es(1))))
-    e.injectFunction((FunctionIdentifier("vec_cosine"),
-      new ExpressionInfo(classOf[VecCosineFloat].getName, "vec_cosine"),
-      (es: Seq[Expression]) => VecCosineFloat(es.head, es(1))))
-    e.injectFunction((FunctionIdentifier("shingle_hash32"),
-      new ExpressionInfo(classOf[ShingleHash32].getName, "shingle_hash32"),
-      (es: Seq[Expression]) => ShingleHash32(es.head,
-        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])))
-    e.injectFunction((FunctionIdentifier("bigram_hash32"),
-      new ExpressionInfo(classOf[BigramHash32].getName, "bigram_hash32"),
-      (es: Seq[Expression]) => BigramHash32(es.head)))
-    e.injectFunction((FunctionIdentifier("simhash32"),
-      new ExpressionInfo(classOf[SimHash32Expr].getName, "simhash32"),
-      (es: Seq[Expression]) => SimHash32Expr(es.head)))
-    e.injectFunction((FunctionIdentifier("bottom_k_hashes"),
-      new ExpressionInfo(classOf[BottomKHashes].getName, "bottom_k_hashes"),
-      (es: Seq[Expression]) => BottomKHashes(es.head,
-        es(1).eval().asInstanceOf[Number].intValue())))
-    e.injectFunction((FunctionIdentifier("bottom_k_merge"),
-      new ExpressionInfo(classOf[BottomKMerge].getName, "bottom_k_merge"),
-      (es: Seq[Expression]) => BottomKMerge(es.head,
-        es(1).eval().asInstanceOf[Number].intValue())))
-  }
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, cls, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name), builder))
+    }
 }

@@ -258,8 +258,8 @@ object EventsQueries {
         |  v.user_id AS user_id,
         |  epoch_us(v.imp_ts) AS imp_us, epoch_us(c.click_ts) AS click_us
         |FROM v JOIN c ON v.user_id = c.user_id
-        |  AND c.click_ts >= v.imp_ts
-        |  AND c.click_ts <= v.imp_ts + INTERVAL 10 MINUTE
+        |  AND epoch_us(c.click_ts) >= epoch_us(v.imp_ts)
+        |  AND epoch_us(c.click_ts) <= epoch_us(v.imp_ts) + 600000000
         |ORDER BY imp_id, click_id""".stripMargin,
 
     "e02_session_window" ->

@@ -106,17 +106,23 @@ object DedupStreams {
     * delay both pass (the state that would catch them has expired —
     * the retention/recall tradeoff, caller-chosen via
     * `watermarkDelay`; the daily batch settle (d09) re-canonicalizes).
-    * The history fingerprints are CACHED: stream-static joins
-    * re-evaluate the static subplan each micro-batch.
+    * The history fingerprints are CACHED (stream-static joins
+    * re-evaluate the static subplan each micro-batch); the returned
+    * handle's `release()` unpersists them — call it after stopping the
+    * stream, BEFORE rebuilding with a refreshed daily history, or the
+    * old fingerprint cache outlives its stream (and same-plan caching
+    * could even serve the stale set to the new one).
     */
+  final case class IncrementalNewStream(stream: DataFrame, release: () => Unit)
+
   def incrementalNew(docs: DataFrame, history: DataFrame,
       idCol: String, textCol: String,
-      watermarkDelay: String = "10 minutes"): DataFrame = {
+      watermarkDelay: String = "10 minutes"): IncrementalNewStream = {
     import graft.ops.TextAnalysis
     val hist = history.where(col(textCol).isNotNull)
       .select(TextAnalysis.fingerprintMd5(col(textCol)).as("fingerprint"))
       .distinct().cache()
-    docs.where(col(textCol).isNotNull)
+    val stream = docs.where(col(textCol).isNotNull)
       .select(col(idCol).as("id"),
         TextAnalysis.fingerprintMd5(col(textCol)).as("fingerprint"))
       .join(hist, Seq("fingerprint"), "left_anti")
@@ -124,6 +130,7 @@ object DedupStreams {
       .withWatermark("emit_ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("fingerprint")
       .select("id", "fingerprint")
+    IncrementalNewStream(stream, () => { hist.unpersist(); () })
   }
 
   /** docs: streaming DataFrame with (idCol long, textCol string).

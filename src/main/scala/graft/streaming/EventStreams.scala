@@ -69,7 +69,6 @@ object EventStreams {
       events, ptCol, expanded, loCol, hiCol, bucketWidth)
   }
 
-  /** Exactly-once-per-key dedup within the watermark horizon. */
   /** Stream-STREAM interval join — the attribution shape two live
     * event feeds need (impression → click within an attribution
     * window), and the one streaming join class nothing else in this
@@ -103,6 +102,7 @@ object EventStreams {
         col("imp_ts"), col("click_ts"))
   }
 
+  /** Exactly-once-per-key dedup within the watermark horizon. */
   def dedupWithinWatermark(events: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
     events
       .withWatermark("ts", watermarkDelay)

@@ -15,14 +15,16 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class ExtensionsSpec extends AnyFunSuite {
 
-  private val expected = Seq("vec_dot", "vec_cosine", "shingle_hash32",
-    "bigram_hash32", "simhash32", "bottom_k_hashes", "bottom_k_merge")
-
   test("GraftExtensions injects every native function, with working builders") {
     val e = new SparkSessionExtensions
     new GraftExtensions().apply(e)
     val reg = FunctionRegistry.builtin.clone()
     org.apache.spark.sql.GraftExtensionsBridge.registerInto(e, reg)
+    // expectations DERIVED from the shared injectable tables (the same
+    // source register() and GraftExtensions consume) — a function added
+    // to any table is pinned here with no test edit
+    val expected = GraftFunctions.all.map(_._1)
+    assert(expected.size >= 7 && expected.distinct.size == expected.size)
     expected.foreach { name =>
       assert(reg.functionExists(FunctionIdentifier(name)), s"$name not injected")
     }

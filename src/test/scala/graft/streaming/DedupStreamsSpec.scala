@@ -131,8 +131,9 @@ class DedupStreamsSpec extends AnyFunSuite with SparkSpec {
     val b1 = Seq((10L, "ALPHA TEXT"), (11L, "gamma text"), (12L, "gamma text"))
     val b2 = Seq((13L, "gamma text"), (14L, "delta text"), (15L, null.asInstanceOf[String]))
     val in = MemoryStream[(Long, String)]
-    val q = DedupStreams.incrementalNew(in.toDS().toDF("doc_id", "text"),
+    val handle = DedupStreams.incrementalNew(in.toDS().toDF("doc_id", "text"),
         history, "doc_id", "text")
+    val q = handle.stream
       .writeStream.format("memory").queryName("incr_new")
       .outputMode(OutputMode.Append).start()
     try {
@@ -152,7 +153,7 @@ class DedupStreamsSpec extends AnyFunSuite with SparkSpec {
         .collect().map(_.getAs[String]("fingerprint")).toSet
       assert(rows.map(_._2).toSet == batch,
         "streaming must admit exactly the batch operator's fingerprint set")
-    } finally q.stop()
+    } finally { q.stop(); handle.release() }
   }
 
   test("bucket cap bounds membership but arrivals still pair against remembered members") {
