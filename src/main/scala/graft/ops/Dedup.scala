@@ -367,6 +367,52 @@ object Dedup {
     new BloomProbe(flags, bcast)
   }
 
+  /** Deterministic Bloom geometry (d10): m bits, k md5-derived hash
+    * positions per fingerprint. Shared with the oracle SQL — the whole
+    * filter is a pure function of the corpus, so unlike the
+    * engine-private sketch in [[bloomSeenFlags]] any engine can rebuild
+    * it bit-for-bit and the membership flags hash-match exactly.
+    */
+  val BloomBits = 1 << 17
+  val BloomHashes = 3
+
+  /** Deterministic Bloom pre-filter: the filter is represented as the
+    * RELATION of set bit positions — at most [[BloomBits]] rows after
+    * `distinct` no matter how large `historical` is (positions live mod
+    * m), so it broadcasts at any corpus size, exactly like the byte
+    * array in [[bloomSeenFlags]] but engine-portable. Probe = explode k
+    * positions per incoming fingerprint, broadcast-join against the set
+    * bits, seen ⇔ all k hit. Zero false negatives by construction; the
+    * false-positive rate is the standard (1-e^{-kn/m})^k.
+    *
+    * Null text ⇒ null fingerprint ⇒ null positions ⇒ never matches ⇒
+    * `probably_seen = false`, and null content is excluded from the
+    * filter build — same contract as [[bloomSeenFlags]].
+    *
+    * Returns (id, fingerprint, probably_seen).
+    */
+  def deterministicBloomFlags(historical: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String,
+      bits: Int = BloomBits, numHashes: Int = BloomHashes): DataFrame = {
+    def positions(f: Column): Column = array((0 until numHashes).map { i =>
+      pmod(md5Hash32(concat(lit(s"$i:"), f)), lit(bits.toLong))
+    }: _*)
+    val setBits = historical
+      .select(TextAnalysis.fingerprintMd5(col(textCol)).as("f"))
+      .where(col("f").isNotNull)
+      .select(explode(positions(col("f"))).as("p"))
+      .distinct()
+      .withColumn("hit", lit(1))
+    incoming
+      .select(col(idCol).as("id"),
+        TextAnalysis.fingerprintMd5(col(textCol)).as("fingerprint"))
+      .select(col("id"), col("fingerprint"),
+        explode(positions(col("fingerprint"))).as("p"))
+      .join(broadcast(setBits), Seq("p"), "left")
+      .groupBy("id", "fingerprint")
+      .agg((count(col("hit")) === numHashes).as("probably_seen"))
+  }
+
   // --- SimHash -------------------------------------------------------------
 
   val SimHashBits = 32

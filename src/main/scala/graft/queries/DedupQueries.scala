@@ -143,6 +143,26 @@ object DedupQueries {
         .toDF("n_incoming", "n_flagged", "n_true_dups_flagged", "n_false_positives")
     }),
 
+    // the d08 shape rebuilt on the DETERMINISTIC Bloom (q35/q24
+    // pattern): md5-derived bit positions make the filter a pure
+    // function of the corpus, so the same flags — and even the number
+    // of set bits — replay in DuckDB and the summary hash-matches,
+    // where d08's engine-private sketch can only be envelope-checked
+    "d10_bloom_exact" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents").select("doc_id", "text", "source")
+      val incoming = docs.select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+        .unionByName(docs.select((col("doc_id") + 2000000).as("doc_id"),
+          concat(col("text"), lit(" spark")).as("text")))
+      val flags = Dedup.deterministicBloomFlags(docs, incoming, "doc_id", "text")
+      flags.agg(
+        count(lit(1)).as("n_incoming"),
+        sum(when(col("probably_seen"), 1L).otherwise(0L)).as("n_flagged"),
+        sum(when(col("id") < 2000000 && col("probably_seen"), 1L).otherwise(0L))
+          .as("n_true_dups_flagged"),
+        sum(when(col("id") >= 2000000 && col("probably_seen"), 1L).otherwise(0L))
+          .as("n_false_positives"))
+    }),
+
     "d05_embedding_neardup" -> ((s, d) => {
       import graft.functions.VectorFunctions._
       val e = Tables.load(s, d, "embeddings").select("vec_id", "embedding")
@@ -318,6 +338,34 @@ object DedupQueries {
          |JOIN sizes sb ON sb.doc_id = id_b
          |WHERE inter / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // deterministic-Bloom replay: identical bit positions
+    // (md5-derived, mod m) on both engines; the incoming union, the
+    // all-k-positions-hit membership rule, and the summary counts are
+    // stated once each and hash-match exactly
+    "d10_bloom_exact" -> {
+      val m = Dedup.BloomBits
+      val k = Dedup.BloomHashes
+      s"""WITH hist AS (SELECT DISTINCT md5(lower(trim(text))) AS f
+         |  FROM documents WHERE text IS NOT NULL),
+         |ks AS (SELECT unnest(range($k)) AS i),
+         |setbits AS (SELECT DISTINCT
+         |    ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || f), 1, 8))::BIGINT % $m AS p
+         |  FROM hist CROSS JOIN ks),
+         |inc AS (SELECT doc_id + 1000000 AS id, text FROM documents
+         |  UNION ALL SELECT doc_id + 2000000, text || ' spark' FROM documents),
+         |pp AS (SELECT id,
+         |    ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || md5(lower(trim(text)))), 1, 8))::BIGINT % $m AS p
+         |  FROM inc CROSS JOIN ks),
+         |flags AS (SELECT id,
+         |    (count(*) FILTER (WHERE p IN (SELECT p FROM setbits)) = $k) AS probably_seen
+         |  FROM pp GROUP BY id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_incoming,
+         |  CAST(count(*) FILTER (WHERE probably_seen) AS BIGINT) AS n_flagged,
+         |  CAST(count(*) FILTER (WHERE id < 2000000 AND probably_seen) AS BIGINT) AS n_true_dups_flagged,
+         |  CAST(count(*) FILTER (WHERE id >= 2000000 AND probably_seen) AS BIGINT) AS n_false_positives
+         |FROM flags""".stripMargin
+    },
 
     "d05_embedding_neardup" -> {
       val bucket = (0 until 16).map { i =>

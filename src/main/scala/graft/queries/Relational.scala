@@ -45,6 +45,12 @@ object Relational {
   private[graft] val CmsDepth = 3
   private[graft] val CmsWidth = 2048
 
+  /** q39's histogram-quantile bin width in cents ($1000 bins —
+    * l_extendedprice spans ~$900..$105k at every SF, so ~110 bins).
+    * Shared with the oracle SQL.
+    */
+  private val QuantileBinCents = 100000L
+
   /** Depth-i CMS bucket of a key: first 32 md5 bits of "i:key", mod
     * width. Matches the oracle's
     * `('0x' || substr(md5(i || ':' || key), 1, 8))::BIGINT % width`.
@@ -586,6 +592,48 @@ object Relational {
         .orderBy("source")
     }),
 
+    // Mergeable QUANTILE sketch — the missing member of the merge
+    // family (q36 = distinct, q37 = counters, q39 = quantiles): a
+    // fixed-width binned histogram is the deterministic mergeable
+    // form. Level 1 builds one map<bin,count> sketch per return flag
+    // (what a daily job would persist as a map column); level 2 merges
+    // the sketch VALUES by exploding the maps and summing per bin —
+    // never rescanning the corpus. Quantile rule: smallest bin with
+    // 100·cum ≥ q·total, PURE INTEGER arithmetic (a double q·n would
+    // hang the hash-match on decimal-vs-binary rounding between
+    // engines). The output carries merged AND direct quantiles, so a
+    // broken merge breaks the hash-match. Bins are bounded by the
+    // value range (~110 regardless of SF — the price RANGE is
+    // SF-invariant), so the cumulative window is a constant-size
+    // single partition and each level is one map-side-combined
+    // shuffle.
+    "q39_quantile_merge" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(cents(col("l_extendedprice")).as("v"), col("l_returnflag"))
+        .withColumn("bin", expr(s"v div $QuantileBinCents"))
+      val sketches = li.groupBy("l_returnflag", "bin").agg(count(lit(1)).as("cnt"))
+        .groupBy("l_returnflag")
+        .agg(map_from_entries(sort_array(collect_list(struct(col("bin"), col("cnt")))))
+          .as("hist"))
+      val merged = sketches.select(explode(col("hist")).as(Seq("bin", "cnt")))
+        .groupBy("bin").agg(sum("cnt").as("cnt"))
+      val direct = li.groupBy("bin").agg(count(lit(1)).as("cnt"))
+      def quantiles(h: DataFrame, prefix: String): DataFrame = {
+        val w = Window.orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = h.select(col("bin"), sum(col("cnt")).over(w).as("cum"))
+        val tot = cum.agg(max(col("cum")).as("n"))
+        cum.crossJoin(tot).agg(
+          (min(when(col("cum") * 100 >= col("n") * 50, col("bin"))) * QuantileBinCents)
+            .as(s"${prefix}_p50_cents"),
+          (min(when(col("cum") * 100 >= col("n") * 95, col("bin"))) * QuantileBinCents)
+            .as(s"${prefix}_p95_cents"),
+          (min(when(col("cum") * 100 >= col("n") * 99, col("bin"))) * QuantileBinCents)
+            .as(s"${prefix}_p99_cents"))
+      }
+      quantiles(merged, "merged").crossJoin(quantiles(direct, "direct"))
+    }),
+
     "q33_null_aware_anti" -> ((s, d) => {
       // NOT IN (subquery) over a NULLABLE column — three-valued logic
       // makes this a DIFFERENT operator from q05's NOT EXISTS anti
@@ -1013,6 +1061,33 @@ object Relational {
          |  CASE WHEN g.kmv_size < $KmvK THEN CAST(g.kmv_size AS DOUBLE)
          |       ELSE ${KmvK - 1}.0 * 4294967296.0 / g.hk END AS kmv_estimate
          |FROM base b CROSS JOIN gsk g""".stripMargin,
+
+    // histogram-quantile replay: identical integer binning, the same
+    // two-level merge (per-returnflag histograms summed per bin), and
+    // the same integer threshold rule — merged and direct quantiles
+    // both present, so the hash-match proves the merge
+    "q39_quantile_merge" ->
+      s"""WITH binned AS (SELECT
+         |    CAST(round(l_extendedprice * 100.0) AS BIGINT) // $QuantileBinCents AS bin,
+         |    l_returnflag FROM lineitem),
+         |lvl1 AS (SELECT l_returnflag, bin, count(*) AS cnt FROM binned GROUP BY 1, 2),
+         |merged AS (SELECT bin, CAST(sum(cnt) AS BIGINT) AS cnt FROM lvl1 GROUP BY 1),
+         |direct AS (SELECT bin, count(*) AS cnt FROM binned GROUP BY 1),
+         |mc AS (SELECT bin, CAST(sum(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum FROM merged),
+         |dc AS (SELECT bin, CAST(sum(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum FROM direct),
+         |mt AS (SELECT max(cum) AS n FROM mc),
+         |dt AS (SELECT max(cum) AS n FROM dc),
+         |mq AS (SELECT
+         |    min(CASE WHEN cum * 100 >= n * 50 THEN bin END) * $QuantileBinCents AS merged_p50_cents,
+         |    min(CASE WHEN cum * 100 >= n * 95 THEN bin END) * $QuantileBinCents AS merged_p95_cents,
+         |    min(CASE WHEN cum * 100 >= n * 99 THEN bin END) * $QuantileBinCents AS merged_p99_cents
+         |  FROM mc CROSS JOIN mt),
+         |dq AS (SELECT
+         |    min(CASE WHEN cum * 100 >= n * 50 THEN bin END) * $QuantileBinCents AS direct_p50_cents,
+         |    min(CASE WHEN cum * 100 >= n * 95 THEN bin END) * $QuantileBinCents AS direct_p95_cents,
+         |    min(CASE WHEN cum * 100 >= n * 99 THEN bin END) * $QuantileBinCents AS direct_p99_cents
+         |  FROM dc CROSS JOIN dt)
+         |SELECT * FROM mq CROSS JOIN dq""".stripMargin,
 
     "q33_null_aware_anti" ->
       """SELECT o_orderpriority, count(*) AS n_orders FROM orders

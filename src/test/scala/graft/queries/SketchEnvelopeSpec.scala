@@ -101,6 +101,20 @@ class SketchEnvelopeSpec extends AnyFunSuite with SparkSpec {
     assert(fpRate <= 0.1, s"fp rate $fpRate")
   }
 
+  test("d10: deterministic Bloom has zero false negatives and a bounded fp rate") {
+    // same envelope as d08, on the engine-portable filter — the
+    // hash-match proves determinism, this proves the Bloom CONTRACT
+    val r = SparkEntry.queries("d10_bloom_exact")(spark, sf).head()
+    val nIncoming = r.getAs[Long]("n_incoming")
+    val trueDups = nIncoming / 2
+    assert(r.getAs[Long]("n_true_dups_flagged") == trueDups,
+      s"false negatives: ${trueDups - r.getAs[Long]("n_true_dups_flagged")}")
+    // k=3, m=2^17: (1-e^{-kn/m})^3 is ~1e-6 at sf0.01's n≈500 and
+    // ~2e-3 at sf0.1's n≈5000; 0.02 covers every SF with headroom
+    val fpRate = r.getAs[Long]("n_false_positives").toDouble / trueDups
+    assert(fpRate <= 0.02, s"fp rate $fpRate")
+  }
+
   test("s04: native float top-k returns the same neighbor sets as quantized s01") {
     def idSets(name: String): Map[Long, Set[Long]] =
       SparkEntry.queries(name)(spark, sf)
