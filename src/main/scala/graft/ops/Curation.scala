@@ -199,4 +199,31 @@ object Curation {
       .where(col("__rank") === 1)
       .drop("__rank")
   }
+
+  /** Snapshot + delta MERGE — the incremental-corpus settle step: the
+    * next snapshot keeps, per key, the row with the highest version
+    * across `snapshot ∪ delta`, and drops the key entirely when that
+    * winner is a tombstone (deleteCol true). Inserts, updates and
+    * deletes are all just delta rows. Ties on version prefer the delta
+    * side (the later write), so re-applying a delta is idempotent.
+    *
+    * One row_number window over the key — a single hash shuffle of
+    * snapshot+delta, the minimum any latest-wins merge pays. At 100 TB
+    * the snapshot is bucketed by key so only the delta shuffles
+    * (q30's layout machinery); the logical plan here is unchanged.
+    *
+    * Column contract: both inputs share a schema containing keyCol,
+    * versionCol and deleteCol (boolean). Returns the surviving rows
+    * (delete winners removed, helper columns dropped).
+    */
+  def snapshotMerge(snapshot: DataFrame, delta: DataFrame,
+      keyCol: String, versionCol: String, deleteCol: String): DataFrame = {
+    val all = snapshot.withColumn("__src", lit(0))
+      .unionByName(delta.withColumn("__src", lit(1)))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(versionCol).desc_nulls_last, col("__src").desc)
+    all.withColumn("__rank", row_number().over(w))
+      .where(col("__rank") === 1 && !col(deleteCol))
+      .drop("__rank", "__src")
+  }
 }

@@ -141,6 +141,33 @@ object CurationQueries {
     // under corpus growth ONLY for the kept prefix property (a new doc
     // can displace the rank-N member — that is what a hard cap means);
     // one window per source, no global sort.
+    // snapshot + delta MERGE — the settle step every incremental
+    // corpus runs daily: updates, inserts and tombstones are all just
+    // delta rows; latest version wins per key, a winning tombstone
+    // removes the key. The delta is built deterministically from the
+    // table itself (update / delete / insert slices kept EXCLUSIVE so
+    // the expected winner is well-defined); output is per-row, so the
+    // hash-match checks every survivor, not a summary
+    "c11_snapshot_merge" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+      val snap = docs.withColumn("version", lit(1L)).withColumn("deleted", lit(false))
+      val updates = docs.where(col("doc_id") % 10 === 0 && col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"),
+          lit(2L).as("version"), lit(false).as("deleted"))
+      val tombstones = docs.where(col("doc_id") % 17 === 0)
+        .select(col("doc_id"), col("text"),
+          lit(2L).as("version"), lit(true).as("deleted"))
+      val inserts = docs.where(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          lit(2L).as("version"), lit(false).as("deleted"))
+      Curation.snapshotMerge(snap,
+          updates.unionByName(tombstones).unionByName(inserts),
+          "doc_id", "version", "deleted")
+        .select(col("doc_id"), col("version"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     "c10_source_cap" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents")
       // NULLS LAST pinned explicitly: Spark's bare asc is NULLS FIRST,
@@ -356,6 +383,25 @@ object CurationQueries {
          |  min(doc_id) AS min_kept_id
          |FROM ranked WHERE rk <= $SourceCap
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // merge replay: the same exclusive delta slices, the same
+    // latest-wins-prefer-delta window, the same tombstone filter
+    "c11_snapshot_merge" ->
+      """WITH snap AS (SELECT doc_id, text, 1 AS version, false AS deleted, 0 AS src
+        |  FROM documents),
+        |delta AS (
+        |  SELECT doc_id, text || ' v2' AS text, 2 AS version, false AS deleted, 1 AS src
+        |    FROM documents WHERE doc_id % 10 = 0 AND doc_id % 17 <> 0
+        |  UNION ALL SELECT doc_id, text, 2, true, 1
+        |    FROM documents WHERE doc_id % 17 = 0
+        |  UNION ALL SELECT doc_id + 1000000, text, 2, false, 1
+        |    FROM documents WHERE doc_id % 13 = 0),
+        |all_rows AS (SELECT * FROM snap UNION ALL SELECT * FROM delta),
+        |rk AS (SELECT doc_id, text, version, deleted,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY version DESC, src DESC) AS rn
+        |  FROM all_rows)
+        |SELECT doc_id, CAST(version AS BIGINT) AS version, length(text) AS n_chars
+        |FROM rk WHERE rn = 1 AND NOT deleted ORDER BY doc_id""".stripMargin,
 
     "c05_weighted_sample" -> {
       val rateCases = MixWeights.toSeq.sortBy(_._1).reverse.foldLeft(MixDefault.toString) {

@@ -19,6 +19,30 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(b.values.toSet == Set("train", "val", "test"))
   }
 
+  test("snapshotMerge: latest wins, version-ties prefer delta, tombstone removes, re-apply is a no-op") {
+    import spark.implicits._
+    val snap = Seq(
+      (1L, "one v1", 1L, false),
+      (2L, "two v5", 5L, false),   // same version in the delta -> delta must win
+      (3L, "three v1", 1L, false), // tombstoned by the delta
+      (4L, "four v9", 9L, false)   // delta carries an OLDER version -> snapshot wins
+    ).toDF("id", "text", "version", "deleted")
+    val delta = Seq(
+      (2L, "two v5 delta", 5L, false),
+      (3L, "gone", 2L, true),
+      (4L, "four v2 late", 2L, false),
+      (5L, "five new", 1L, false)
+    ).toDF("id", "text", "version", "deleted")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val merged = Curation.snapshotMerge(snap, delta, "id", "version", "deleted")
+    assert(rows(merged) == Map(1L -> "one v1", 2L -> "two v5 delta",
+      4L -> "four v9", 5L -> "five new"))
+    // idempotence: merging the SAME delta into the result changes nothing
+    val again = Curation.snapshotMerge(merged, delta, "id", "version", "deleted")
+    assert(rows(again) == rows(merged))
+  }
+
   test("redactPii replaces every class; counts come from the original text") {
     import spark.implicits._
     val df = Seq(
