@@ -88,6 +88,26 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ANN evaluation — recall@k of the IVF index against the
+    // brute-force ground truth, per query: the harness a pipeline runs
+    // to TUNE nprobe/nlists before trusting an index at scale. Both
+    // sides reuse the existing operators; the join is on (query,
+    // neighbor), so cost is queries × k, independent of corpus size.
+    "s11_ann_recall" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+      val q = e.where(col("vec_id") < 8)
+      val exact = Similarity.bruteForceTopK(e, q, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.ivfTopK(e, q, k = 5, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"))
+        .withColumn("hit", lit(1))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(col("hit")).as("n_hits"),
+          (count(col("hit")) / lit(5.0)).as("recall_at_5"))
+        .orderBy("query_id")
+    }),
+
     // IVF training: deterministic integer Lloyd k-means (init = k
     // lowest ids, exact int L2, floor-mean updates) — the oracle
     // replays both iterations bit-for-bit
@@ -374,6 +394,42 @@ object SimilarityQueries {
          |      ORDER BY cosine DESC, n_id) AS BIGINT) AS rank
          |  FROM scored)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // recall replay: the s01 brute chain and the s05 IVF chain side by
+    // side in one statement (CTE names are disjoint), matched on
+    // (query, neighbor); the division is over exact integers cast to
+    // DOUBLE, so even recall hash-matches
+    "s11_ann_recall" ->
+      s"""WITH $qCte,
+         |n AS (SELECT vec_id, q, CAST(list_dot_product(q, q) AS BIGINT) AS norm FROM qv),
+         |bscored AS (
+         |  SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${cosine("qs.q", "c.q", "qs.norm", "c.norm")} AS cosine
+         |  FROM n qs JOIN n c ON c.vec_id <> qs.vec_id
+         |  WHERE qs.vec_id < 8),
+         |brank AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cosine DESC, neighbor_id) AS rank
+         |    FROM bscored)
+         |  WHERE rank <= 5),
+         |$ivfCoarseCtes,
+         |iscored AS (SELECT p.query_id, l.n_id,
+         |    ${cosine("p.q_q", "l.n_q", "p.q_norm", "l.n_norm")} AS cosine
+         |  FROM lists l JOIN probes p ON l.list_label = p.list_label
+         |  WHERE l.n_id <> p.query_id),
+         |irank AS (SELECT query_id, n_id FROM (
+         |    SELECT query_id, n_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cosine DESC, n_id) AS rank
+         |    FROM iscored)
+         |  WHERE rank <= 5)
+         |SELECT b.query_id AS query_id,
+         |  CAST(count(i.n_id) AS BIGINT) AS n_hits,
+         |  CAST(count(i.n_id) AS DOUBLE) / 5 AS recall_at_5
+         |FROM brank b LEFT JOIN irank i
+         |  ON b.query_id = i.query_id AND b.neighbor_id = i.n_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "s03_centroid_assign" ->
       s"""WITH $qCte,
