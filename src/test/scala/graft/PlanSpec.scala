@@ -120,6 +120,26 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("d10 deterministic bloom: the bitset side broadcasts; the probe never sort-merges") {
+    // the filter relation is ≤ m rows by construction — if it ever
+    // stopped broadcasting, the probe would shuffle the full incoming
+    // corpus by bit position, the exact cost the pre-filter exists to
+    // avoid
+    val p = plan("d10_bloom_exact")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q39 quantile merge: both levels aggregate map-side (partial_count/sum before the shuffle)") {
+    val p = plan("q39_quantile_merge")
+    // partial aggregation must appear — a merge that shipped raw rows
+    // to a single reducer would not survive 100x data
+    assert(p.contains("partial_count") || p.contains("partial count"), p)
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
+      p) // the only cross joins are 1-row totals (broadcast NLJ is fine)
+  }
+
   test("keyed overwrite: eviction keys are broadcast (no full shuffle of existing data)") {
     import spark.implicits._
     val existing = (1 to 1000).map(i => (s"k$i", i)).toDF("pcr_uuid_context", "v")
