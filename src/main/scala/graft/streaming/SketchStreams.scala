@@ -56,4 +56,60 @@ object SketchStreams {
           KmvEstimate(source, merged.size.toLong, estimate(merged, k))
       }
   }
+
+  final case class HistState(bins: Map[Long, Long])
+  final case class HistQuantiles(key: String, n_rows: Long,
+      p50: Long, p95: Long, p99: Long)
+
+  /** q39's integer-threshold quantile rule over a merged histogram:
+    * value = binWidth × the smallest bin whose cumulative count
+    * satisfies 100·cum ≥ q·total.
+    */
+  def histQuantile(bins: Map[Long, Long], q: Int, binWidth: Long): Long = {
+    val total = bins.valuesIterator.sum
+    var cum = 0L
+    for ((bin, cnt) <- bins.toSeq.sortBy(_._1)) {
+      cum += cnt
+      if (cum * 100 >= total * q) return bin * binWidth
+    }
+    0L
+  }
+
+  /** The q39 histogram sketch kept as keyed state — the streaming face
+    * of the mergeable-quantile story: rows reduce to a (key, bin) pair
+    * before grouping (per-row column math — a streaming aggregation
+    * ahead of mapGroupsWithState is unsupported, so the count-fold
+    * happens in the state function), and the state fold is the SAME
+    * merge rule as q39's level 2 — sum counts per bin. State per key
+    * is bounded by the value range / binWidth, the histogram's whole
+    * point. Emits updated integer p50/p95/p99 per touched key each
+    * trigger; a streaming quantile always equals the batch q39 rule
+    * applied to everything ingested so far (pinned in
+    * `SketchStreamsSpec`).
+    *
+    * rows: streaming DataFrame with (keyCol string, valueCol long).
+    */
+  def histogramQuantiles(rows: DataFrame, keyCol: String, valueCol: String,
+      binWidth: Long): Dataset[HistQuantiles] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val binned = rows
+      .where(col(valueCol).isNotNull)
+      .select(col(keyCol).as("key"),
+        expr(s"$valueCol div $binWidth").as("bin"))
+      .as[(String, Long)]
+    binned.groupByKey(_._1)
+      .mapGroupsWithState[HistState, HistQuantiles](GroupStateTimeout.NoTimeout) {
+        case (key, batch, state: GroupState[HistState]) =>
+          val prev = state.getOption.map(_.bins).getOrElse(Map.empty[Long, Long])
+          val merged = batch.foldLeft(prev) { case (acc, (_, bin)) =>
+            acc.updated(bin, acc.getOrElse(bin, 0L) + 1L)
+          }
+          state.update(HistState(merged))
+          HistQuantiles(key, merged.valuesIterator.sum,
+            histQuantile(merged, 50, binWidth),
+            histQuantile(merged, 95, binWidth),
+            histQuantile(merged, 99, binWidth))
+      }
+  }
 }

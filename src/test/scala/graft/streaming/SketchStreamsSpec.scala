@@ -56,4 +56,44 @@ class SketchStreamsSpec extends AnyFunSuite with SparkSpec {
       assert(expected("b")._1 == 2L && expected("b")._2 == 2.0)
     } finally q.stop()
   }
+
+  test("streaming histogram quantiles equal the batch q39 rule over everything ingested") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val w = 10L
+    // values chosen so batch 2 MOVES p95/p99 (a tail arrives late) and
+    // leaves p50 alone — merging, not just counting, is under test
+    def jl(v: Long): java.lang.Long = java.lang.Long.valueOf(v)
+    val batch1 = (1L to 50L).map(v => ("k1", jl(v))) ++
+      Seq(("k2", jl(7L)), ("k2", null.asInstanceOf[java.lang.Long]))
+    val batch2 = (951L to 960L).map(v => ("k1", jl(v))) ++ Seq(("k2", jl(8L)))
+    val in = MemoryStream[(String, java.lang.Long)]
+    val q = SketchStreams.histogramQuantiles(
+        in.toDS().toDF("key", "v"), "key", "v", w)
+      .writeStream.format("memory").queryName("hist_stream")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+      val last = spark.table("hist_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .groupBy(_._1).map { case (k, rows) => k -> rows.maxBy(_._2) }
+      // batch reference: q39's integer rule on the merged counts
+      def ref(vals: Seq[Long]): (Long, Long, Long) = {
+        val bins = vals.groupBy(_ / w).view.mapValues(_.size.toLong).toMap
+        (SketchStreams.histQuantile(bins, 50, w),
+          SketchStreams.histQuantile(bins, 95, w),
+          SketchStreams.histQuantile(bins, 99, w))
+      }
+      val k1Vals = (1L to 50L) ++ (951L to 960L)
+      val (p50, p95, p99) = ref(k1Vals.toSeq)
+      assert(last("k1") == (("k1", 60L, p50, p95, p99)))
+      // the late tail moved the upper quantiles into the 950s bins
+      assert(p95 >= 950L && p99 >= 950L && p50 <= 300L)
+      val (q50, q95, q99) = ref(Seq(7L, 8L))
+      assert(last("k2") == (("k2", 2L, q50, q95, q99)))
+    } finally q.stop()
+  }
 }
