@@ -145,10 +145,6 @@ object VecExpressions {
   }
 }
 
-/** Session-extensions entry point: register the native vector functions
-  * at session build (`.withExtensions(new GraftExtensions)` or
-  * `spark.sql.extensions=graft.functions.GraftExtensions`).
-  */
 /** Every native function on every install path: the extensions class
   * iterates the same `injectable` tables the per-session `register()`
   * helpers use, so the two surfaces cannot drift.
@@ -159,6 +155,10 @@ object GraftFunctions {
       KmvExpressions.injectable
 }
 
+/** Session-extensions entry point: registers every native function at
+  * session build (`.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.functions.GraftExtensions`).
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
     GraftFunctions.all.foreach { case (name, cls, builder) =>

@@ -202,10 +202,21 @@ object Curation {
 
   /** Snapshot + delta MERGE — the incremental-corpus settle step: the
     * next snapshot keeps, per key, the row with the highest version
-    * across `snapshot ∪ delta`, and drops the key entirely when that
-    * winner is a tombstone (deleteCol true). Inserts, updates and
-    * deletes are all just delta rows. Ties on version prefer the delta
-    * side (the later write), so re-applying a delta is idempotent.
+    * across `snapshot ∪ delta`. Inserts, updates and deletes are all
+    * just delta rows. Ties on version prefer the delta side (the later
+    * write), so re-applying a delta is idempotent; a residual tie (two
+    * delta rows with the same key AND version) is broken by a
+    * fingerprint of the whole row, so the survivor is a deterministic
+    * function of the data, never of shuffle order.
+    *
+    * A winning tombstone (deleteCol true) is RETAINED in the output,
+    * still carrying deleteCol = true — not dropped. That keeps the
+    * merge closed under composition: merging a late-arriving delta
+    * that carries an OLDER version of a deleted key into the output
+    * sees the tombstone win again instead of resurrecting the key
+    * (merge(merge(S, A), B) == merge(S, A ∪ B) for out-of-order A, B).
+    * Filter `!deleteCol` for the live view; drop tombstones only in a
+    * compaction step once no older delta can still arrive.
     *
     * One row_number window over the key — a single hash shuffle of
     * snapshot+delta, the minimum any latest-wins merge pays. At 100 TB
@@ -213,17 +224,20 @@ object Curation {
     * (q30's layout machinery); the logical plan here is unchanged.
     *
     * Column contract: both inputs share a schema containing keyCol,
-    * versionCol and deleteCol (boolean). Returns the surviving rows
-    * (delete winners removed, helper columns dropped).
+    * versionCol and deleteCol (boolean). Returns the winning row per
+    * key (helper columns dropped).
     */
   def snapshotMerge(snapshot: DataFrame, delta: DataFrame,
       keyCol: String, versionCol: String, deleteCol: String): DataFrame = {
     val all = snapshot.withColumn("__src", lit(0))
       .unionByName(delta.withColumn("__src", lit(1)))
+    val fingerprint =
+      md5(to_json(struct(snapshot.columns.map(col).toIndexedSeq: _*)))
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(versionCol).desc_nulls_last, col("__src").desc)
+      .orderBy(col(versionCol).desc_nulls_last, col("__src").desc,
+        fingerprint.asc)
     all.withColumn("__rank", row_number().over(w))
-      .where(col("__rank") === 1 && !col(deleteCol))
+      .where(col("__rank") === 1)
       .drop("__rank", "__src")
   }
 }

@@ -143,11 +143,13 @@ object CurationQueries {
     // one window per source, no global sort.
     // snapshot + delta MERGE — the settle step every incremental
     // corpus runs daily: updates, inserts and tombstones are all just
-    // delta rows; latest version wins per key, a winning tombstone
-    // removes the key. The delta is built deterministically from the
-    // table itself (update / delete / insert slices kept EXCLUSIVE so
-    // the expected winner is well-defined); output is per-row, so the
-    // hash-match checks every survivor, not a summary
+    // delta rows; latest version wins per key. The merged snapshot
+    // RETAINS winning tombstones (out-of-order delta safety); the
+    // live view filtered here is what the corpus consumer reads. The
+    // delta is built deterministically from the table itself (update /
+    // delete / insert slices kept EXCLUSIVE so the expected winner is
+    // well-defined); output is per-row, so the hash-match checks every
+    // survivor, not a summary
     "c11_snapshot_merge" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents").select("doc_id", "text")
       val snap = docs.withColumn("version", lit(1L)).withColumn("deleted", lit(false))
@@ -163,6 +165,7 @@ object CurationQueries {
       Curation.snapshotMerge(snap,
           updates.unionByName(tombstones).unionByName(inserts),
           "doc_id", "version", "deleted")
+        .where(!col("deleted"))
         .select(col("doc_id"), col("version"),
           length(col("text")).cast("long").as("n_chars"))
         .orderBy("doc_id")

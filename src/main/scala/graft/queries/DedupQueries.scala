@@ -27,6 +27,28 @@ object DedupQueries {
       concat(col("text"), lit(" spark")).as("text"), col("source")))
   }
 
+  /** d08/d10 probe one shared corpus: ids +1000000 are exact copies (a
+    * Bloom filter must flag every one — no false negatives), ids
+    * +2000000 are mutations (any flag is a false positive). The id
+    * offset doubles as the true-dup / false-positive classifier in
+    * [[bloomSummary]], so the two queries measure the same corpus and
+    * the same summary shape by construction.
+    */
+  private def bloomProbeCorpus(docs: DataFrame): DataFrame =
+    docs.select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      .unionByName(docs.select((col("doc_id") + 2000000).as("doc_id"),
+        concat(col("text"), lit(" spark")).as("text")))
+
+  /** Four-column flag summary over a [[bloomProbeCorpus]] probe. */
+  private def bloomSummary(flags: DataFrame): DataFrame =
+    flags.agg(
+      count(lit(1)).as("n_incoming"),
+      sum(when(col("probably_seen"), 1L).otherwise(0L)).as("n_flagged"),
+      sum(when(col("id") < 2000000 && col("probably_seen"), 1L).otherwise(0L))
+        .as("n_true_dups_flagged"),
+      sum(when(col("id") >= 2000000 && col("probably_seen"), 1L).otherwise(0L))
+        .as("n_false_positives"))
+
   private val copiesCte =
     """all_docs AS (SELECT doc_id, text, source FROM documents
       |  UNION ALL SELECT doc_id + 1000000, text, source FROM documents)""".stripMargin
@@ -122,21 +144,12 @@ object DedupQueries {
     // envelope-checked in SketchEnvelopeSpec.
     "d08_bloom_prefilter" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents").select("doc_id", "text", "source")
-      val incoming = docs.select((col("doc_id") + 1000000).as("doc_id"), col("text"))
-        .unionByName(docs.select((col("doc_id") + 2000000).as("doc_id"),
-          concat(col("text"), lit(" spark")).as("text")))
-      val probe = Dedup.bloomSeenFlags(docs, incoming, "doc_id", "text",
+      val probe = Dedup.bloomSeenFlags(docs, bloomProbeCorpus(docs), "doc_id", "text",
         expectedItems = 100000, fpp = 0.01)
       // the summary is one row: materialize it eagerly so the
       // broadcast filter can be released before returning (repeated
       // bench passes must not accumulate executor-side broadcasts)
-      val r = probe.flags.agg(
-        count(lit(1)).as("n_incoming"),
-        sum(when(col("probably_seen"), 1L).otherwise(0L)).as("n_flagged"),
-        sum(when(col("id") < 2000000 && col("probably_seen"), 1L).otherwise(0L))
-          .as("n_true_dups_flagged"),
-        sum(when(col("id") >= 2000000 && col("probably_seen"), 1L).otherwise(0L))
-          .as("n_false_positives")).head()
+      val r = bloomSummary(probe.flags).head()
       probe.release()
       import s.implicits._
       Seq((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
@@ -150,17 +163,8 @@ object DedupQueries {
     // where d08's engine-private sketch can only be envelope-checked
     "d10_bloom_exact" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents").select("doc_id", "text", "source")
-      val incoming = docs.select((col("doc_id") + 1000000).as("doc_id"), col("text"))
-        .unionByName(docs.select((col("doc_id") + 2000000).as("doc_id"),
-          concat(col("text"), lit(" spark")).as("text")))
-      val flags = Dedup.deterministicBloomFlags(docs, incoming, "doc_id", "text")
-      flags.agg(
-        count(lit(1)).as("n_incoming"),
-        sum(when(col("probably_seen"), 1L).otherwise(0L)).as("n_flagged"),
-        sum(when(col("id") < 2000000 && col("probably_seen"), 1L).otherwise(0L))
-          .as("n_true_dups_flagged"),
-        sum(when(col("id") >= 2000000 && col("probably_seen"), 1L).otherwise(0L))
-          .as("n_false_positives"))
+      bloomSummary(
+        Dedup.deterministicBloomFlags(docs, bloomProbeCorpus(docs), "doc_id", "text"))
     }),
 
     "d05_embedding_neardup" -> ((s, d) => {

@@ -136,8 +136,9 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // partial aggregation must appear — a merge that shipped raw rows
     // to a single reducer would not survive 100x data
     assert(p.contains("partial_count") || p.contains("partial count"), p)
-    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
-      p) // the only cross joins are 1-row totals (broadcast NLJ is fine)
+    // the only cross joins are 1-row totals, which plan as broadcast
+    // NLJ — a CartesianProduct anywhere means a multi-row cross join
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("keyed overwrite: eviction keys are broadcast (no full shuffle of existing data)") {

@@ -19,7 +19,7 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(b.values.toSet == Set("train", "val", "test"))
   }
 
-  test("snapshotMerge: latest wins, version-ties prefer delta, tombstone removes, re-apply is a no-op") {
+  test("snapshotMerge: latest wins, version-ties prefer delta, tombstone retained, re-apply is a no-op") {
     import spark.implicits._
     val snap = Seq(
       (1L, "one v1", 1L, false),
@@ -33,14 +33,53 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       (4L, "four v2 late", 2L, false),
       (5L, "five new", 1L, false)
     ).toDF("id", "text", "version", "deleted")
-    def rows(df: org.apache.spark.sql.DataFrame) =
-      df.select("id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def live(df: org.apache.spark.sql.DataFrame) =
+      df.where(!col("deleted")).select("id", "text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val merged = Curation.snapshotMerge(snap, delta, "id", "version", "deleted")
-    assert(rows(merged) == Map(1L -> "one v1", 2L -> "two v5 delta",
+    assert(live(merged) == Map(1L -> "one v1", 2L -> "two v5 delta",
       4L -> "four v9", 5L -> "five new"))
+    // the tombstone winner is RETAINED (deleted=true), not dropped —
+    // that is what makes the merge closed under composition
+    assert(merged.where(col("deleted")).select("id").as[Long].collect().toSeq == Seq(3L))
     // idempotence: merging the SAME delta into the result changes nothing
     val again = Curation.snapshotMerge(merged, delta, "id", "version", "deleted")
-    assert(rows(again) == rows(merged))
+    assert(live(again) == live(merged))
+  }
+
+  test("snapshotMerge: a late delta with an OLDER version cannot resurrect a deleted key") {
+    import spark.implicits._
+    val snap = Seq((7L, "seven v5", 5L, false)).toDF("id", "text", "version", "deleted")
+    val deltaA = Seq((7L, "dead", 6L, true)).toDF("id", "text", "version", "deleted")
+    val deltaB = Seq((7L, "seven v4 late", 4L, false)).toDF("id", "text", "version", "deleted")
+    // sequential application == one-shot application of A ∪ B
+    val seqApplied = Curation.snapshotMerge(
+      Curation.snapshotMerge(snap, deltaA, "id", "version", "deleted"),
+      deltaB, "id", "version", "deleted")
+    val oneShot = Curation.snapshotMerge(snap, deltaA.unionByName(deltaB),
+      "id", "version", "deleted")
+    for (m <- Seq(seqApplied, oneShot)) {
+      val r = m.select("id", "version", "deleted").collect()
+      assert(r.length == 1 && r.head.getLong(1) == 6L && r.head.getBoolean(2), m.collect().toSeq)
+    }
+  }
+
+  test("snapshotMerge: duplicate (key, version) delta rows settle deterministically") {
+    import spark.implicits._
+    val snap = Seq.empty[(Long, String, Long, Boolean)]
+      .toDF("id", "text", "version", "deleted")
+    // an at-least-once feed retried a write with amended text: same key,
+    // same version, different payload — the survivor must be a function
+    // of the DATA (fingerprint order), not of shuffle order
+    val delta = Seq(
+      (1L, "payload b", 1L, false),
+      (1L, "payload a", 1L, false)
+    ).toDF("id", "text", "version", "deleted")
+    val winners = (1 to 5).map { i =>
+      Curation.snapshotMerge(snap, delta.repartition(i), "id", "version", "deleted")
+        .select("text").as[String].collect().toSeq
+    }
+    assert(winners.distinct.size == 1, winners)
   }
 
   test("redactPii replaces every class; counts come from the original text") {
