@@ -51,13 +51,22 @@ object Relational {
     */
   private val QuantileBinCents = 100000L
 
-  /** Depth-i CMS bucket of a key: first 32 md5 bits of "i:key", mod
-    * width. Matches the oracle's
-    * `('0x' || substr(md5(i || ':' || key), 1, 8))::BIGINT % width`.
+  /** All CmsDepth bucket indexes of a key from ONE md5: depth i reads
+    * the i-th 8-hex-char (32-bit) window of the 128-bit digest —
+    * disjoint bits, so the per-depth hash functions stay independent,
+    * at a third of the hashing cost of the old digest-per-depth form
+    * (md5 dominated the q24/q37 build). The digest is materialized as
+    * a column FIRST: CollapseProject would otherwise inline the md5
+    * into every depth element and re-evaluate it. Matches the oracle's
+    * `('0x' || substr(md5(key), 1 + 8*i, 8))::BIGINT % width`.
+    * Output: the `keep` columns plus (depth, bucket), one row per
+    * input row per depth.
     */
-  private def cmsBucket(i: Int, key: Column): Column =
-    pmod(graft.ops.Dedup.md5Hash32(concat(lit(s"$i:"), key.cast("string"))),
-      lit(CmsWidth.toLong))
+  private def cmsExplode(df: DataFrame, key: Column, keep: Column*): DataFrame =
+    df.select(keep :+ md5(key.cast("string")).as("__h"): _*)
+      .select(keep :+ posexplode(array((0 until CmsDepth).map(i =>
+        pmod(conv(substring(col("__h"), 1 + 8 * i, 8), 16, 10).cast("long"),
+          lit(CmsWidth.toLong))): _*)).as(Seq("depth", "bucket")): _*)
 
   /** q38's HLL geometry: 64 registers (6-bit bucket from the 32-bit md5
     * hash), 26-bit register values, rho in 1..27. Both engines build
@@ -446,16 +455,11 @@ object Relational {
     // grid against the top-5 exact keys. No driver-side sketch object.
     "q24_cms_heavy_hitters" -> ((s, d) => {
       val li = t(s, d, "lineitem")
-      def buckets = array((0 until CmsDepth).map(i =>
-        cmsBucket(i, col("l_partkey"))): _*)
-      val cells = li
-        .select(posexplode(buckets).as(Seq("depth", "bucket")))
+      val cells = cmsExplode(li, col("l_partkey"))
         .groupBy("depth", "bucket").agg(count(lit(1)).as("cnt"))
       val top = li.groupBy("l_partkey").agg(count(lit(1)).as("exact_freq"))
         .orderBy(col("exact_freq").desc, col("l_partkey")).limit(5)
-      top
-        .select(col("l_partkey"), col("exact_freq"),
-          posexplode(buckets).as(Seq("depth", "bucket")))
+      cmsExplode(top, col("l_partkey"), col("l_partkey"), col("exact_freq"))
         .join(broadcast(cells), Seq("depth", "bucket"))
         .groupBy("l_partkey", "exact_freq")
         .agg(min("cnt").as("cms_estimate"))
@@ -473,21 +477,17 @@ object Relational {
     // hash-match.
     "q37_cms_merge" -> ((s, d) => {
       val li = t(s, d, "lineitem")
-      def buckets = array((0 until CmsDepth).map(i =>
-        cmsBucket(i, col("l_partkey"))): _*)
-      def explodeBuckets(df: org.apache.spark.sql.DataFrame, extra: Column*) =
-        df.select(extra :+ posexplode(buckets).as(Seq("depth", "bucket")): _*)
       // level 1: per-batch grids (what each daily job would persist)
-      val perMode = explodeBuckets(li, col("l_returnflag"))
+      val perMode = cmsExplode(li, col("l_partkey"), col("l_returnflag"))
         .groupBy("l_returnflag", "depth", "bucket").agg(count(lit(1)).as("cnt"))
       // level 2: elementwise sum — no corpus rescan
       val merged = perMode.groupBy("depth", "bucket")
         .agg(sum("cnt").as("mcnt"))
-      val direct = explodeBuckets(li)
+      val direct = cmsExplode(li, col("l_partkey"))
         .groupBy("depth", "bucket").agg(count(lit(1)).as("dcnt"))
       val top = li.groupBy("l_partkey").agg(count(lit(1)).as("exact_freq"))
         .orderBy(col("exact_freq").desc, col("l_partkey")).limit(5)
-      explodeBuckets(top, col("l_partkey"), col("exact_freq"))
+      cmsExplode(top, col("l_partkey"), col("l_partkey"), col("exact_freq"))
         .join(broadcast(merged), Seq("depth", "bucket"))
         .join(broadcast(direct), Seq("depth", "bucket"))
         .groupBy("l_partkey", "exact_freq")
@@ -947,17 +947,18 @@ object Relational {
     // deterministic-CMS replay: build the depth×width counter grid as
     // one GROUP BY over a depth cross join, probe the top-5 exact keys
     // with min-over-depth — estimates hash-match because both engines
-    // compute the same md5 bucket function
+    // read depth i's bucket from the i-th 32-bit window of ONE md5
+    // digest of the key
     "q24_cms_heavy_hitters" ->
       s"""WITH dep AS (SELECT unnest(range($CmsDepth)) AS i),
          |cells AS (SELECT i AS depth,
-         |    ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT % $CmsWidth AS bucket,
+         |    ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1 + 8 * i, 8))::BIGINT % $CmsWidth AS bucket,
          |    count(*) AS cnt
          |  FROM lineitem CROSS JOIN dep GROUP BY 1, 2),
          |top5 AS (SELECT l_partkey, count(*) AS exact_freq FROM lineitem
          |  GROUP BY 1 ORDER BY exact_freq DESC, l_partkey LIMIT 5),
          |probe AS (SELECT t.l_partkey, t.exact_freq, i AS depth,
-         |    ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST(t.l_partkey AS VARCHAR)), 1, 8))::BIGINT % $CmsWidth AS bucket
+         |    ('0x' || substr(md5(CAST(t.l_partkey AS VARCHAR)), 1 + 8 * i, 8))::BIGINT % $CmsWidth AS bucket
          |  FROM top5 t CROSS JOIN dep)
          |SELECT p.l_partkey AS l_partkey, p.exact_freq AS exact_freq,
          |  min(c.cnt) AS cms_estimate
@@ -970,19 +971,19 @@ object Relational {
     "q37_cms_merge" ->
       s"""WITH dep AS (SELECT unnest(range($CmsDepth)) AS i),
          |lvl1 AS (SELECT l_returnflag, i AS depth,
-         |    ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT % $CmsWidth AS bucket,
+         |    ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1 + 8 * i, 8))::BIGINT % $CmsWidth AS bucket,
          |    count(*) AS cnt
          |  FROM lineitem CROSS JOIN dep GROUP BY 1, 2, 3),
          |merged AS (SELECT depth, bucket, CAST(sum(cnt) AS BIGINT) AS mcnt
          |  FROM lvl1 GROUP BY 1, 2),
          |direct AS (SELECT i AS depth,
-         |    ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT % $CmsWidth AS bucket,
+         |    ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1 + 8 * i, 8))::BIGINT % $CmsWidth AS bucket,
          |    count(*) AS dcnt
          |  FROM lineitem CROSS JOIN dep GROUP BY 1, 2),
          |top5 AS (SELECT l_partkey, count(*) AS exact_freq FROM lineitem
          |  GROUP BY 1 ORDER BY exact_freq DESC, l_partkey LIMIT 5),
          |probe AS (SELECT t.l_partkey, t.exact_freq, i AS depth,
-         |    ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST(t.l_partkey AS VARCHAR)), 1, 8))::BIGINT % $CmsWidth AS bucket
+         |    ('0x' || substr(md5(CAST(t.l_partkey AS VARCHAR)), 1 + 8 * i, 8))::BIGINT % $CmsWidth AS bucket
          |  FROM top5 t CROSS JOIN dep)
          |SELECT p.l_partkey AS l_partkey, p.exact_freq AS exact_freq,
          |  min(m.mcnt) AS merged_estimate, min(dd.dcnt) AS direct_estimate
