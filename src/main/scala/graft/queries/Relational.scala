@@ -634,6 +634,50 @@ object Relational {
       quantiles(merged, "merged").crossJoin(quantiles(direct, "direct"))
     }),
 
+    // KMV set algebra — the third face of the mergeable-sketch story
+    // (build q35, union-merge q36, INTERSECTION here): how much do two
+    // corpora overlap, without ever joining or co-scanning them? Among
+    // the k smallest hashes of A ∪ B (computed from the two sketches
+    // alone), the fraction present in BOTH sketches estimates Jaccard;
+    // scaled by the union estimate it yields |A ∩ B|. After the two
+    // independent sketch scans everything is array math on two k-length
+    // rows — at 100 TB each corpus is sketched where it lives and only
+    // 2·k longs travel. Deterministic hashes make the whole composition
+    // oracle-replayable; the exact intersection/union ride along so the
+    // output itself shows the envelope. Corpus halves overlap by
+    // construction (doc_id % 3 ≠ 0 vs % 2 ≠ 0 share the odd non-triples).
+    "q40_kmv_intersect" -> ((s, d) => {
+      val hv = t(s, d, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"), graft.ops.Dedup.md5Hash32(col("text")).as("hv"))
+      val a = hv.where(col("doc_id") % 3 =!= 0)
+      val b = hv.where(col("doc_id") % 2 =!= 0)
+      val sks = a.agg(graft.functions.KmvExpressions
+          .bottom_k_hashes(col("hv"), KmvK).as("ska"))
+        .crossJoin(b.agg(graft.functions.KmvExpressions
+          .bottom_k_hashes(col("hv"), KmvK).as("skb")))
+        .select(col("ska"), col("skb"),
+          slice(array_sort(array_union(col("ska"), col("skb"))), 1, KmvK).as("sku"))
+      val exact = a.select("hv").distinct()
+        .join(b.select("hv").distinct(), "hv")
+        .agg(count(lit(1)).as("exact_intersection"))
+        .crossJoin(a.select("hv").union(b.select("hv")).distinct()
+          .agg(count(lit(1)).as("exact_union")))
+      sks.crossJoin(exact)
+        .select(
+          col("exact_union"), col("exact_intersection"),
+          size(col("sku")).cast("long").as("kmv_union_size"),
+          size(array_intersect(array_intersect(col("sku"), col("ska")), col("skb")))
+            .cast("long").as("n_in_both"),
+          when(size(col("sku")) < KmvK, size(col("sku")).cast("double"))
+            .otherwise(lit((KmvK - 1).toDouble) * lit(4294967296.0) /
+              element_at(col("sku"), KmvK))
+            .as("union_estimate"))
+        .withColumn("jaccard_estimate",
+          col("n_in_both").cast("double") / col("kmv_union_size").cast("double"))
+        .withColumn("intersection_estimate",
+          col("jaccard_estimate") * col("union_estimate"))
+    }),
+
     "q33_null_aware_anti" -> ((s, d) => {
       // NOT IN (subquery) over a NULLABLE column — three-valued logic
       // makes this a DIFFERENT operator from q05's NOT EXISTS anti
@@ -1089,6 +1133,42 @@ object Relational {
          |    min(CASE WHEN cum * 100 >= n * 99 THEN bin END) * $QuantileBinCents AS direct_p99_cents
          |  FROM dc CROSS JOIN dt)
          |SELECT * FROM mq CROSS JOIN dq""".stripMargin,
+
+    // KMV intersection replay: per-corpus bottom-k via window rank, the
+    // k smallest of the sketch union, membership flags against both
+    // sketches — the SQL mirror of the two-sketch array composition.
+    // DuckDB lateral alias reuse keeps jaccard/intersection defined
+    // once, exactly as the Spark side chains withColumn.
+    "q40_kmv_intersect" ->
+      s"""WITH hv AS (SELECT doc_id,
+         |    ('0x' || substr(md5(text), 1, 8))::BIGINT AS h FROM documents
+         |  WHERE text IS NOT NULL),
+         |ha AS (SELECT DISTINCT h FROM hv WHERE doc_id % 3 <> 0),
+         |hb AS (SELECT DISTINCT h FROM hv WHERE doc_id % 2 <> 0),
+         |ska AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+         |    FROM ha) WHERE rn <= $KmvK),
+         |skb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+         |    FROM hb) WHERE rn <= $KmvK),
+         |sku AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+         |    FROM (SELECT DISTINCT h FROM (SELECT h FROM ska
+         |      UNION ALL SELECT h FROM skb))) WHERE rn <= $KmvK),
+         |m AS (SELECT count(*) AS kmv_union_size,
+         |    count(*) FILTER (WHERE h IN (SELECT h FROM ska)
+         |      AND h IN (SELECT h FROM skb)) AS n_in_both,
+         |    max(h) AS hk FROM sku),
+         |ex AS (SELECT
+         |    (SELECT count(*) FROM (SELECT h FROM ha UNION SELECT h FROM hb)) AS exact_union,
+         |    (SELECT count(*) FROM ha JOIN hb USING (h)) AS exact_intersection)
+         |SELECT CAST(ex.exact_union AS BIGINT) AS exact_union,
+         |  CAST(ex.exact_intersection AS BIGINT) AS exact_intersection,
+         |  CAST(m.kmv_union_size AS BIGINT) AS kmv_union_size,
+         |  CAST(m.n_in_both AS BIGINT) AS n_in_both,
+         |  CASE WHEN m.kmv_union_size < $KmvK THEN CAST(m.kmv_union_size AS DOUBLE)
+         |       ELSE ${KmvK - 1}.0 * 4294967296.0 / m.hk END AS union_estimate,
+         |  CAST(m.n_in_both AS DOUBLE) / CAST(m.kmv_union_size AS DOUBLE)
+         |    AS jaccard_estimate,
+         |  jaccard_estimate * union_estimate AS intersection_estimate
+         |FROM m CROSS JOIN ex""".stripMargin,
 
     "q33_null_aware_anti" ->
       """SELECT o_orderpriority, count(*) AS n_orders FROM orders

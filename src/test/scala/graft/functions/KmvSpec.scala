@@ -70,6 +70,29 @@ class KmvSpec extends AnyFunSuite with graft.SparkSpec {
     assert(merged == bruteBottomK(rows.map(_._2), 16))
   }
 
+  test("two-sketch intersection composition (q40): exact when the union fits in k") {
+    // the q40 estimator: sku = k smallest of (ska ∪ skb), n_in_both =
+    // |sku ∩ ska ∩ skb|. When |A ∪ B| <= k both sketches are the full
+    // sets, so Jaccard and the intersection come out EXACT — the
+    // small-set degenerate case every estimator must inherit
+    import spark.implicits._
+    KmvExpressions.register(spark)
+    val a = Seq(1L, 2L, 3L, 4L, 5L, 6L)
+    val b = Seq(4L, 5L, 6L, 7L, 8L)
+    val k = 16
+    val ska = a.toDF("h").agg(KmvExpressions.bottom_k_hashes(col("h"), k).as("s"))
+      .head().getSeq[Long](0).toSet
+    val skb = b.toDF("h").agg(KmvExpressions.bottom_k_hashes(col("h"), k).as("s"))
+      .head().getSeq[Long](0).toSet
+    val sku = (ska ++ skb).toSeq.sorted.take(k).toSet
+    val nBoth = (sku & ska & skb).size
+    assert(nBoth == (a.toSet & b.toSet).size)       // exact intersection
+    assert(sku.size == (a.toSet ++ b.toSet).size)   // exact union
+    // and the estimator rule applied to full-coverage sketches is exact
+    assert(nBoth.toDouble / sku.size ==
+      (a.toSet & b.toSet).size.toDouble / (a.toSet ++ b.toSet).size)
+  }
+
   test("bottom_k_merge rejects a non-sketch column") {
     import spark.implicits._
     KmvExpressions.register(spark)
