@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Physical-layout operators: bucketed tables for shuffle-free
   * co-located joins. Writing both sides of a recurring join bucketed by
@@ -53,5 +54,50 @@ object Layout {
   def writePartitioned(df: DataFrame, dir: String, cols: String*): Unit = {
     require(cols.nonEmpty, "need at least one partition column")
     df.write.mode("overwrite").partitionBy(cols: _*).parquet(dir)
+  }
+
+  /** Morton z-value: interleave the low `bits` bits of two bucket
+    * indexes (x at even bit positions, y at odd). Rows close in z are
+    * close in BOTH x and y — the property directory partitioning
+    * (one column) and plain sorting (first column only) can't give.
+    */
+  def zValue(x: Column, y: Column, bits: Int): Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(x.cast("long"), i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(y.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+
+  /** Z-ordered parquet layout over two columns — the multi-column
+    * data-skipping lever (Delta/Iceberg's OPTIMIZE ZORDER): each column
+    * is scaled to a 2^bits bucket index by its min/max, the indexes are
+    * bit-interleaved into a z-value, and the data is range-partitioned
+    * and sorted by it. Every file (row group) then covers a small
+    * rectangle of (x, y) space, so its parquet min/max stats on BOTH
+    * columns are tight and a two-column box predicate skips almost
+    * everything — where a sort by x alone leaves y's stats useless.
+    * The min/max pass is one tiny aggregate (at 100 TB it comes from
+    * table metadata); sorting cost is paid ONCE at write time, like
+    * bucketing pays its shuffle. Layout must never change answers —
+    * q41 oracles the z-ordered read against the plain table.
+    */
+  def writeZOrdered(df: DataFrame, dir: String, xCol: String, yCol: String,
+      bits: Int = 8, files: Int = 16): Unit = {
+    require(bits >= 1 && 2 * bits <= 62, s"bits must be in 1..31, got $bits")
+    require(files >= 1, s"files must be >= 1, got $files")
+    val r = df.agg(min(col(xCol)).cast("double"), max(col(xCol)).cast("double"),
+      min(col(yCol)).cast("double"), max(col(yCol)).cast("double")).head()
+    def bucket(c: Column, lo: Double, hi: Double): Column = {
+      val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+      least(lit((1L << bits) - 1),
+        ((c.cast("double") - lo) / span * (1L << bits)).cast("long"))
+    }
+    val z = zValue(bucket(col(xCol), r.getDouble(0), r.getDouble(1)),
+      bucket(col(yCol), r.getDouble(2), r.getDouble(3)), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(dir)
   }
 }

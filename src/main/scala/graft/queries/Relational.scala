@@ -764,6 +764,32 @@ object Relational {
         .orderBy("o_orderpriority")
     }),
 
+    "q41_zorder_skipping" -> ((s, d) => {
+      // z-order layout: orders rewritten with (o_custkey, o_totalprice)
+      // bit-interleaved so every file covers a small rectangle of the
+      // two-dimensional space — a box predicate on BOTH columns then
+      // skips nearly every row group via parquet min/max, where a sort
+      // by either column alone leaves the other's stats useless
+      // (ZOrderSpec proves the skip against a single-column sort). The
+      // oracle is the plain filtered aggregate: layout never changes
+      // answers. Eager materialization + cleanup as in q30/q32.
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_zorder")
+      val rows = try {
+        graft.ops.Layout.writeZOrdered(t(s, d, "orders"), dir.toString,
+          "o_custkey", "o_totalprice", bits = 8, files = 16)
+        s.read.parquet(dir.toString)
+          .where(col("o_custkey").between(1000, 2999) &&
+            col("o_totalprice").between(50000.0, 150000.0))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(cents(col("o_totalprice"))).as("revenue_cents"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      } finally deleteRecursively(dir)
+      rows.toDF("o_orderpriority", "n_orders", "revenue_cents")
+        .orderBy("o_orderpriority")
+    }),
+
     "q31_salted_join" -> ((s, d) => {
       // skew-salted shuffle join: lineitem (probe) x orders (build),
       // salt 4 — row-for-row the plain join, with every (key, salt)
@@ -1189,6 +1215,16 @@ object Relational {
       """SELECT o_orderpriority, count(*) AS n_orders,
         |  CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM orders WHERE year(o_orderdate) = 1996
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // layout-invariance again: the z-ordered read must equal the plain
+    // filtered aggregate
+    "q41_zorder_skipping" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM orders
+        |WHERE o_custkey BETWEEN 1000 AND 2999
+        |  AND o_totalprice BETWEEN 50000.0 AND 150000.0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q31_salted_join" ->
