@@ -678,6 +678,52 @@ object Relational {
           col("jaccard_estimate") * col("union_estimate"))
     }),
 
+    // Incremental aggregate maintenance — the plain-relational face of
+    // the merge family (q36/q37/q39 merge sketches; this merges EXACT
+    // aggregate states). A materialized per-group summary is kept as
+    // algebraic partial states — (count, sum, min, max) — and each new
+    // batch contributes only ITS states; the refresh merges states
+    // (sum of counts, sum of sums, min of mins, max of maxes) without
+    // rescanning history. The classic trap is encoded in the output:
+    // AVG is NOT mergeable (avg of batch-avgs weights batches, not
+    // rows) — it must be carried as sum+count and derived AFTER the
+    // merge. Batches here are ship-year slices (what a daily job
+    // appends); the direct whole-table aggregate rides along, so a
+    // broken merge rule breaks the hash-match. At 100 TB the level-2
+    // input is group-cardinality-sized (states, not rows) — the
+    // refresh cost is proportional to the DELTA, which is the entire
+    // point of maintaining an MV incrementally. Inserts-only by
+    // design: deletes need retractable states (2×counters) — the
+    // snapshot+tombstone path for rows is c11.
+    "q42_incremental_agg" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(
+        col("l_returnflag"), col("l_quantity"),
+        cents(col("l_extendedprice")).as("price_cents"),
+        when(year(col("l_shipdate")) < 1996, 0)
+          .when(year(col("l_shipdate")) === 1996, 1)
+          .otherwise(2).as("batch"))
+      val partials = li.groupBy("batch", "l_returnflag").agg(
+        count(lit(1)).as("cnt"),
+        sum("l_quantity").as("sum_qty"),
+        sum("price_cents").as("sum_price_cents"),
+        min("price_cents").as("min_price_cents"),
+        max("price_cents").as("max_price_cents"))
+      val merged = partials.groupBy("l_returnflag").agg(
+          sum("cnt").as("merged_cnt"),
+          sum("sum_qty").as("merged_sum_qty"),
+          sum("sum_price_cents").as("merged_sum_price_cents"),
+          min("min_price_cents").as("merged_min_price_cents"),
+          max("max_price_cents").as("merged_max_price_cents"))
+        .withColumn("merged_avg_qty",
+          col("merged_sum_qty") / col("merged_cnt"))
+      val direct = li.groupBy("l_returnflag").agg(
+        count(lit(1)).as("direct_cnt"),
+        avg("l_quantity").as("direct_avg_qty"),
+        min("price_cents").as("direct_min_price_cents"),
+        max("price_cents").as("direct_max_price_cents"))
+      merged.join(direct, "l_returnflag").orderBy("l_returnflag")
+    }),
+
     "q33_null_aware_anti" -> ((s, d) => {
       // NOT IN (subquery) over a NULLABLE column — three-valued logic
       // makes this a DIFFERENT operator from q05's NOT EXISTS anti
@@ -1232,5 +1278,40 @@ object Relational {
         |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // replay of the state-merge rule: level 1 aggregates per batch,
+    // level 2 merges STATES (sum of counts/sums, min/max of min/max);
+    // avg is derived from the merged sum+count, never averaged across
+    // batches. All sums are exact (integer cents; integral quantities
+    // exact in double), so merged == direct hash-matches.
+    "q42_incremental_agg" ->
+      """WITH li AS (SELECT l_returnflag, l_quantity,
+        |    CAST(round(l_extendedprice * 100.0) AS BIGINT) AS price_cents,
+        |    CASE WHEN year(l_shipdate) < 1996 THEN 0
+        |         WHEN year(l_shipdate) = 1996 THEN 1 ELSE 2 END AS batch
+        |  FROM lineitem),
+        |partials AS (SELECT batch, l_returnflag, count(*) AS cnt,
+        |    sum(l_quantity) AS sum_qty,
+        |    CAST(sum(price_cents) AS BIGINT) AS sum_price_cents,
+        |    min(price_cents) AS min_price_cents,
+        |    max(price_cents) AS max_price_cents
+        |  FROM li GROUP BY 1, 2),
+        |merged AS (SELECT l_returnflag,
+        |    CAST(sum(cnt) AS BIGINT) AS merged_cnt,
+        |    sum(sum_qty) AS merged_sum_qty,
+        |    CAST(sum(sum_price_cents) AS BIGINT) AS merged_sum_price_cents,
+        |    min(min_price_cents) AS merged_min_price_cents,
+        |    max(max_price_cents) AS merged_max_price_cents
+        |  FROM partials GROUP BY 1),
+        |direct AS (SELECT l_returnflag, count(*) AS direct_cnt,
+        |    avg(l_quantity) AS direct_avg_qty,
+        |    min(price_cents) AS direct_min_price_cents,
+        |    max(price_cents) AS direct_max_price_cents
+        |  FROM li GROUP BY 1)
+        |SELECT m.l_returnflag AS l_returnflag, merged_cnt, merged_sum_qty,
+        |  merged_sum_price_cents, merged_min_price_cents, merged_max_price_cents,
+        |  merged_sum_qty / merged_cnt AS merged_avg_qty,
+        |  direct_cnt, direct_avg_qty, direct_min_price_cents, direct_max_price_cents
+        |FROM merged m JOIN direct USING (l_returnflag) ORDER BY 1""".stripMargin,
   )
 }
