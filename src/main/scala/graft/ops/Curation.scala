@@ -153,6 +153,31 @@ object Curation {
     docs.where(bucket < rate * 10000)
   }
 
+  /** EXACT-size stratified sample: each stratum contributes precisely
+    * floor(|stratum| * fracNum / fracDen) rows — the output preserves
+    * the corpus mix BY CONSTRUCTION, where [[weightedSample]]'s
+    * Bernoulli draw only hits its rate in expectation (a small stratum
+    * can come back 30% off). Membership is a deterministic hash-rank
+    * within the stratum (ties by id), so the sample is reproducible
+    * and, like c10's cap, stable-prefix under corpus growth. Cost at
+    * 100 TB: stratum counts are group-cardinality-sized (broadcast
+    * back), and the one window is partitioned BY STRATUM — the same
+    * per-key skew bound as any per-source window in the suite.
+    */
+  def stratifiedSample(docs: DataFrame, idCol: String, strataCol: String,
+      fracNum: Int, fracDen: Int): DataFrame = {
+    require(fracNum >= 0 && fracDen > 0 && fracNum <= fracDen,
+      s"sampling fraction must be in [0,1]: $fracNum/$fracDen")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(Dedup.md5Hash32(col(idCol).cast("string")).asc_nulls_last,
+        col(idCol).asc_nulls_last)
+    val counts = docs.groupBy(strataCol).agg(count(lit(1)).as("__n"))
+    docs.join(broadcast(counts), Seq(strataCol))
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= expr(s"(__n * $fracNum) div $fracDen"))
+      .drop("__n", "__rk")
+  }
+
   /** PII scrubbing rules as (class, pattern, placeholder). The patterns
     * stay inside the RE2-compatible subset (no backreferences, no
     * lookaround) so every regex engine a pipeline might replay them on

@@ -521,4 +521,68 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** EXACT set-similarity join via prefix filtering (the AllPairs /
+    * PPJoin family): every pair with token-set Jaccard >= tau is
+    * found — no blocking key, no df cap, no false negatives, unlike
+    * [[ngramJaccardPairs]] whose rare-gram filter deliberately trades
+    * recall for fan-out. The filter theorem: order the vocabulary
+    * globally (here by ascending document frequency, ties by token —
+    * rarest first); if |A∩B| / |A∪B| >= tau then A and B MUST share at
+    * least one token among each one's first n - ceil(tau·n) + 1 tokens
+    * in that order, so an inverted index over PREFIX tokens alone
+    * yields a complete candidate set. Why it scales: candidate
+    * generation fans out per prefix token by its df among prefixes —
+    * and the global order puts the rarest tokens first, so prefixes
+    * are made of exactly the tokens with the smallest fan-out; the
+    * hot head of the vocabulary sorts last and almost never enters a
+    * prefix. Verification re-joins only candidate pairs against the
+    * token relation (co-partitioned on id). The threshold compare is
+    * pure integer cross-multiplication (inter·tauDen >= union·tauNum);
+    * the one double division only FORMATS the already-accepted
+    * jaccard, so both engines decide membership identically.
+    *
+    * `tokens` picks the set universe. The whitespace default suits
+    * natural text; for bag-of-few-words corpora word SETS degenerate
+    * (most docs share most of a small vocabulary, so nearly every
+    * pair passes tau) — pass an order-sensitive tokenizer such as
+    * bigram hashes and the same filter isolates true near-dups.
+    */
+  def prefixFilterPairs(docs: DataFrame, idCol: String, textCol: String,
+      tauNum: Int, tauDen: Int,
+      tokens: Column => Column = c =>
+        filter(array_distinct(split(c, " ")), t => length(t) > 0)): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      s"tau must be a fraction in (0,1]: $tauNum/$tauDen")
+    // token SETS: per-doc distinct inside `tokens` (array_distinct
+    // before the explode — no corpus-wide distinct shuffle)
+    val toks = docs
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val sized = toks.groupBy("id").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df"), col("tok"))
+    // rank each doc's tokens in the global (df, tok) order; keep the
+    // (n - ceil(tau*n) + 1)-prefix. ceil in integers: (a + b - 1) div b.
+    val prefix = toks.join(dfreq, "tok").join(sized, "id")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <=
+        col("n") - expr(s"($tauNum * n + $tauDen - 1) div $tauDen") + 1)
+      .select("id", "tok")
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val inter = cand
+      .join(toks.select(col("id").as("id_a"), col("tok")), "id_a")
+      .join(toks.select(col("id").as("id_b"), col("tok")), Seq("id_b", "tok"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sized.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sized.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
+      .withColumn("un", col("n_a") + col("n_b") - col("inter"))
+      .where(col("inter") * tauDen >= col("un") * tauNum)
+      .select(col("id_a"), col("id_b"),
+        (col("inter") / col("un").cast("double")).as("jaccard"))
+  }
 }

@@ -171,6 +171,22 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // exact-size stratified sample at 1/10: every source contributes
+    // floor(n/10) docs precisely (c05's Bernoulli rate only holds in
+    // expectation). n_expected rides along so the exactness claim is
+    // itself hash-checked, not just asserted in a spec.
+    "c12_stratified_sample" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      Curation.stratifiedSample(docs, "doc_id", "source", 1, 10)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(TextAnalysis.wsTokenCount(col("text"))).as("kept_tokens"),
+          min(col("doc_id")).as("min_kept_id"))
+        .join(docs.groupBy("source")
+          .agg(expr("count(1) div 10").as("n_expected")), "source")
+        .orderBy("source")
+    }),
+
     "c10_source_cap" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents")
       // NULLS LAST pinned explicitly: Spark's bare asc is NULLS FIRST,
@@ -374,6 +390,21 @@ object CurationQueries {
          |SELECT source, count(*) AS n_docs,
          |  CAST(sum(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
          |FROM corpus_docs LEFT JOIN flagged f USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // stratified replay: the same per-stratum hash-rank, the same
+    // integer floor(n/10) quota
+    "c12_stratified_sample" ->
+      s"""WITH n AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+         |ranked AS (SELECT d.source, d.doc_id, d.text, n.n,
+         |    row_number() OVER (PARTITION BY d.source
+         |      ORDER BY ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT, d.doc_id) AS rk
+         |  FROM documents d JOIN n USING (source))
+         |SELECT source, count(*) AS n_kept,
+         |  CAST(sum($tokenExpr) AS BIGINT) AS kept_tokens,
+         |  min(doc_id) AS min_kept_id,
+         |  CAST(min(n) // 10 AS BIGINT) AS n_expected
+         |FROM ranked WHERE rk <= n // 10
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "c10_source_cap" ->

@@ -88,6 +88,20 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // the EXACT complement of d04: prefix filtering finds every pair
+    // with Jaccard >= 3/5 — no blocking key, no rare-gram cap,
+    // provably no false negatives. The set universe is BIGRAM hashes:
+    // this corpus is bags of ~30 shared words, so word SETS are
+    // degenerate (289k pairs pass 3/5) while order-sensitive bigrams
+    // isolate the planted near-dups (600 pairs).
+    "d11_prefix_filter_join" -> ((s, d) => {
+      Dedup.prefixFilterPairs(docsWithMutations(s, d), "doc_id", "text",
+          tauNum = 3, tauDen = 5,
+          tokens = t => array_distinct(
+            graft.functions.TextHashExpressions.bigram_hash32(t)))
+        .orderBy("id_a", "id_b")
+    }),
+
     "d06_neardup_clusters" -> ((s, d) => {
       // pair detection -> dedup groups: connected components over the
       // minhash candidate pairs; output one row per cluster with its
@@ -341,6 +355,38 @@ object DedupQueries {
          |JOIN sizes sa ON sa.doc_id = id_a
          |JOIN sizes sb ON sb.doc_id = id_b
          |WHERE inter / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // prefix-filter replay: the same global (df, token) order, the
+    // same integer prefix length, candidates from prefix-token
+    // matches only, and the same cross-multiplied integer threshold —
+    // the final division only formats an already-made decision
+    "d11_prefix_filter_join" ->
+      s"""WITH $mutationsCte,
+         |wsr AS (SELECT doc_id, string_split(text, ' ') AS ws FROM all_docs),
+         |toks AS (SELECT DISTINCT doc_id AS id,
+         |    unnest(${graft.functions.TextHashExpressions.bigramFoldSql("ws")}) AS tok
+         |  FROM wsr),
+         |dfreq AS (SELECT tok, count(*) AS df FROM toks GROUP BY 1),
+         |sized AS (SELECT id, count(*) AS n FROM toks GROUP BY 1),
+         |ranked AS (SELECT t.id, t.tok, s.n,
+         |    row_number() OVER (PARTITION BY t.id ORDER BY d.df, t.tok) AS rn
+         |  FROM toks t JOIN dfreq d USING (tok) JOIN sized s USING (id)),
+         |prefix AS (SELECT id, tok FROM ranked
+         |  WHERE rn <= n - ((3 * n + 4) // 5) + 1),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM prefix a JOIN prefix b ON a.tok = b.tok AND a.id < b.id),
+         |inter AS (SELECT c.id_a, c.id_b, count(*) AS inter
+         |  FROM cand c
+         |  JOIN toks ta ON ta.id = c.id_a
+         |  JOIN toks tb ON tb.id = c.id_b AND tb.tok = ta.tok
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  inter / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
+         |FROM inter
+         |JOIN sized sa ON sa.id = id_a
+         |JOIN sized sb ON sb.id = id_b
+         |WHERE inter * 5 >= (sa.n + sb.n - inter) * 3
          |ORDER BY id_a, id_b""".stripMargin,
 
     // deterministic-Bloom replay: identical bit positions

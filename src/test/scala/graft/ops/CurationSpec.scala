@@ -205,6 +205,28 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("stratifiedSample: exact floor quota per stratum, deterministic, subset of input") {
+    import spark.implicits._
+    // strata of deliberately unequal sizes: 25, 10, 3 (3/10 -> quota 0)
+    val docs = ((1L to 25L).map(i => (i, "a")) ++
+      (26L to 35L).map(i => (i, "b")) ++
+      (36L to 38L).map(i => (i, "c"))).toDF("doc_id", "source")
+    val kept = Curation.stratifiedSample(docs, "doc_id", "source", 3, 10)
+      .select("doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    // floor(25*3/10)=7, floor(10*3/10)=3, floor(3*3/10)=0
+    assert(bySrc == Map("a" -> 7, "b" -> 3))
+    // deterministic: a second run keeps the identical ids
+    val again = Curation.stratifiedSample(docs, "doc_id", "source", 3, 10)
+      .select("doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.sorted.toSeq == again.sorted.toSeq)
+    intercept[IllegalArgumentException] {
+      Curation.stratifiedSample(docs, "doc_id", "source", 11, 10)
+    }
+  }
+
   test("keepBest ranks by quality desc then id, and carries cluster size") {
     import spark.implicits._
     val labeled = Seq(
