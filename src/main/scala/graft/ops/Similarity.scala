@@ -364,4 +364,86 @@ object Similarity {
         .withColumn("cosine", cosineQ(col("q_q"), col("n_q"), col("q_norm"), col("n_norm"))),
       k)
   }
+
+  /** Maximal-marginal-relevance re-rank: retrieve a `poolSize` pool per
+    * query (exact brute force — the expensive, corpus-wide stage), then
+    * greedily pick `k` items maximizing
+    * `0.5·relevance − 0.5·max_similarity_to_already_picked` — the
+    * standard diversified-retrieval step a training pipeline runs so k
+    * near-duplicate contexts don't fill the whole window.
+    *
+    * The greedy loop is UNROLLED INTO THE PLAN: each of the k steps is
+    * a window argmax plus two joins over pool-sized relations
+    * (#queries × poolSize rows — broadcast-scale by construction, like
+    * every model state in this file), so nothing is collected to the
+    * driver and the corpus is scanned exactly once, by the pool stage.
+    * Pick 1 is pure relevance; its mmr_score is defined as relevance
+    * (empty selected set ⇒ no penalty term), which the oracle states
+    * identically. Ties break on neighbor id everywhere. Scores stay on
+    * the quantized-integer grid until the one shared double-division
+    * sequence (cosineQ), so the whole greedy trajectory — argmax
+    * decisions included — replays bit-identically in SQL.
+    */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, poolSize: Int,
+      k: Int): DataFrame = {
+    require(k >= 1 && poolSize >= k, s"need poolSize >= k >= 1: $poolSize, $k")
+    val cands = bruteForceTopK(corpus, queries, poolSize)
+      .select(col("query_id"), col("neighbor_id").as("n_id"),
+        col("cosine").as("rel"))
+    // attach candidate vectors (one broadcast-semi pass over the
+    // corpus), then pairwise sims within each query's pool — both
+    // directions, so the greedy joins are plain equi-joins
+    val cvec = corpus
+      .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .withColumn("nn", normSqQ(col("q")))
+      .join(broadcast(cands.select(col("query_id"),
+        col("n_id").as("vec_id")).distinct()), Seq("vec_id"))
+      .select(col("query_id"), col("vec_id").as("n_id"), col("q"), col("nn"))
+    val sims = cvec.as("a").join(cvec.as("b"),
+        col("a.query_id") === col("b.query_id") &&
+          col("a.n_id") =!= col("b.n_id"))
+      .select(col("a.query_id").as("query_id"), col("a.n_id").as("id_a"),
+        col("b.n_id").as("id_b"),
+        cosineQ(col("a.q"), col("b.q"), col("a.nn"), col("b.nn")).as("sim"))
+    def argmax(df: DataFrame, score: Column): DataFrame = {
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("__s").desc, col("n_id"))
+      df.withColumn("__s", score)
+        .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+    }
+    // sims keyed for the greedy joins: (query_id, n_id = remaining
+    // candidate, sel_id = newest pick) -> sim
+    val simsKeyed = sims.select(col("query_id"), col("id_a").as("n_id"),
+      col("id_b").as("sel_id"), col("sim"))
+    val p1 = argmax(cands, col("rel"))
+      .select(col("query_id"), col("n_id"), lit(1L).as("pick"),
+        col("rel"), col("__s").as("mmr_score"))
+    var picks = p1
+    // state: remaining pool rows with the running max similarity to
+    // the picked set; each step retires the newest pick and folds its
+    // sims in via greatest()
+    var state = cands
+      .join(p1.select(col("query_id"), col("n_id").as("sel_id")), Seq("query_id"))
+      .where(col("n_id") =!= col("sel_id"))
+      .join(simsKeyed, Seq("query_id", "n_id", "sel_id"))
+      .select(col("query_id"), col("n_id"), col("rel"),
+        col("sim").as("maxsim"))
+    for (i <- 2 to k) {
+      val pi = argmax(state, lit(0.5) * col("rel") - lit(0.5) * col("maxsim"))
+        .select(col("query_id"), col("n_id"), lit(i.toLong).as("pick"),
+          col("rel"), col("__s").as("mmr_score"))
+      picks = picks.unionByName(pi)
+      if (i < k) {
+        state = state
+          .join(pi.select(col("query_id"), col("n_id").as("sel_id")), Seq("query_id"))
+          .where(col("n_id") =!= col("sel_id"))
+          .join(simsKeyed.withColumnRenamed("sim", "sim2"),
+            Seq("query_id", "n_id", "sel_id"))
+          .select(col("query_id"), col("n_id"), col("rel"),
+            greatest(col("maxsim"), col("sim2")).as("maxsim"))
+      }
+    }
+    picks.select(col("query_id"), col("pick"), col("n_id").as("neighbor_id"),
+      col("rel"), col("mmr_score"))
+  }
 }

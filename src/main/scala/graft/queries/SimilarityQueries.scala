@@ -26,6 +26,16 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // diversified retrieval: MMR re-rank of a 20-pool down to 5 picks
+    // per query (0.5·rel − 0.5·max-sim-to-picked, ties by id). The
+    // greedy trajectory is unrolled into the plan and replayed
+    // step-for-step by the oracle — argmax decisions included.
+    "s12_mmr_rerank" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+      Similarity.mmrRerank(e, e.where(col("vec_id") < 8), poolSize = 20, k = 5)
+        .orderBy("query_id", "pick")
+    }),
+
     "s03_centroid_assign" -> ((s, d) => {
       Similarity.centroidAssign(Tables.load(s, d, "embeddings"))
         .orderBy("label", "predicted")
@@ -230,6 +240,56 @@ object SimilarityQueries {
          |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
          |  FROM scored)
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // the greedy MMR trajectory replayed literally: pick 1 is pure
+    // relevance (mmr_score = rel — empty picked set, no penalty); each
+    // later step drops the newest pick from the state, folds its sims
+    // into the running max via greatest(), and re-runs the same
+    // 0.5·rel − 0.5·maxsim argmax with the same id tie-break
+    "s12_mmr_rerank" -> {
+      val k = 5
+      val steps = (2 to k).map { i =>
+        val prev = i - 1
+        val pick =
+          s"p$i AS (SELECT query_id, n_id, $i AS pick, rel, sc AS mmr_score FROM (\n" +
+            "    SELECT query_id, n_id, rel, 0.5 * rel - 0.5 * maxsim AS sc,\n" +
+            "      row_number() OVER (PARTITION BY query_id\n" +
+            "        ORDER BY 0.5 * rel - 0.5 * maxsim DESC, n_id) AS rn\n" +
+            s"    FROM st$prev) WHERE rn = 1)"
+        val nextState = if (i < k)
+          s",\nst$i AS (SELECT t.query_id, t.n_id, t.rel, greatest(t.maxsim, s.sim) AS maxsim\n" +
+            s"  FROM st$prev t JOIN p$i p ON p.query_id = t.query_id AND t.n_id <> p.n_id\n" +
+            "  JOIN sims s ON s.query_id = t.query_id AND s.id_a = t.n_id AND s.id_b = p.n_id)"
+        else ""
+        pick + nextState
+      }.mkString(",\n")
+      val unionAll = (1 to k).map(i => s"SELECT * FROM p$i").mkString(" UNION ALL ")
+      s"""WITH $qCte,
+         |n AS (SELECT vec_id, q, CAST(list_dot_product(q, q) AS BIGINT) AS norm FROM qv),
+         |scored AS (SELECT qs.vec_id AS query_id, c.vec_id AS n_id,
+         |    ${cosine("qs.q", "c.q", "qs.norm", "c.norm")} AS rel
+         |  FROM n qs JOIN n c ON c.vec_id <> qs.vec_id
+         |  WHERE qs.vec_id < 8),
+         |cand AS (SELECT query_id, n_id, rel FROM (
+         |    SELECT query_id, n_id, rel,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, n_id) AS rn
+         |    FROM scored) WHERE rn <= 20),
+         |cv AS (SELECT c.query_id, c.n_id, n.q, n.norm FROM cand c JOIN n ON n.vec_id = c.n_id),
+         |sims AS (SELECT a.query_id, a.n_id AS id_a, b.n_id AS id_b,
+         |    ${cosine("a.q", "b.q", "a.norm", "b.norm")} AS sim
+         |  FROM cv a JOIN cv b ON a.query_id = b.query_id AND a.n_id <> b.n_id),
+         |p1 AS (SELECT query_id, n_id, 1 AS pick, rel, rel AS mmr_score FROM (
+         |    SELECT query_id, n_id, rel,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, n_id) AS rn
+         |    FROM cand) WHERE rn = 1),
+         |st1 AS (SELECT c.query_id, c.n_id, c.rel, s.sim AS maxsim
+         |  FROM cand c JOIN p1 p ON p.query_id = c.query_id AND c.n_id <> p.n_id
+         |  JOIN sims s ON s.query_id = c.query_id AND s.id_a = c.n_id AND s.id_b = p.n_id),
+         |$steps
+         |SELECT query_id, CAST(pick AS BIGINT) AS pick, n_id AS neighbor_id,
+         |  rel, mmr_score
+         |FROM ($unionAll) ORDER BY query_id, pick""".stripMargin
+    },
 
     // two unrolled Lloyd iterations, every step exact integer/floor
     // arithmetic shared with Similarity.kmeansAssign

@@ -30,4 +30,25 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     val dists = out.map(_.getAs[Long]("adc_dist"))
     assert(dists.sameElements(dists.sorted), "ranks must follow ADC order")
   }
+
+  test("mmrRerank defers a redundant near-copy in favor of a diverse item") {
+    import spark.implicits._
+    // a and a2 are near-copies aligned with the query; b is moderately
+    // relevant but diverse. Pure top-3 would pick (a, a2, b); MMR must
+    // pick a, then b (a2's redundancy penalty ~1.0 sinks it), then a2.
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.1f, 0.0f)),   // a
+      (2L, Array(1.0f, 0.0f, 0.1f, 0.05f)),  // a2 ~ a
+      (3L, Array(0.5f, 0.8f, 0.0f, 0.0f)),   // b: diverse
+      (4L, Array(0.0f, 1.0f, 0.0f, 0.0f))    // c: irrelevant
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((100L, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerank(corpus, queries, poolSize = 4, k = 3)
+      .orderBy("pick").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 3L, 2L))
+    // pick 1's mmr_score is its relevance; later scores are penalized
+    assert(out(0).getAs[Double]("mmr_score") == out(0).getAs[Double]("rel"))
+    assert(out(2).getAs[Double]("mmr_score") < out(2).getAs[Double]("rel"))
+  }
 }
