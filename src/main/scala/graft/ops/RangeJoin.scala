@@ -41,10 +41,11 @@ object RangeJoin {
     */
   def pointInInterval(points: DataFrame, ptCol: String,
       intervals: DataFrame, loCol: String, hiCol: String,
-      bucketWidth: Long, maxBucketsPerInterval: Long = 1L << 20): DataFrame =
+      bucketWidth: Long, maxBucketsPerInterval: Long = 1L << 20,
+      keys: Seq[String] = Nil): DataFrame =
     joinExpanded(points, ptCol,
       expandIntervals(intervals, loCol, hiCol, bucketWidth, maxBucketsPerInterval),
-      loCol, hiCol, bucketWidth)
+      loCol, hiCol, bucketWidth, keys)
 
   /** The interval side EXPANDED to one row per covered bucket (the
     * `__bkt` column) — the expensive half of the join, exposed so a
@@ -77,18 +78,27 @@ object RangeJoin {
     * width the expansion used — a mismatch silently drops matches,
     * which is why the one-shot [[pointInInterval]] wrapper is the
     * default entry point.
+    *
+    * `keys` are extra equi-join columns present on BOTH sides (the
+    * temporal-join shape: match on entity key AND time). They join the
+    * hash key, so per-bucket fan-out is per-(bucket, key) — without
+    * them an SCD-style join would pair every point with every
+    * same-bucket interval of every other entity and pay the residual
+    * filter for the privilege.
     */
   def joinExpanded(points: DataFrame, ptCol: String,
       expanded: DataFrame, loCol: String, hiCol: String,
-      bucketWidth: Long): DataFrame = {
+      bucketWidth: Long, keys: Seq[String] = Nil): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
     require(!points.columns.contains("__bkt"),
       "__bkt is reserved by RangeJoin; rename that column on the points input")
     require(expanded.columns.contains("__bkt"),
       "expanded must come from RangeJoin.expandIntervals (missing __bkt)")
+    require(keys.forall(k => points.columns.contains(k) && expanded.columns.contains(k)),
+      s"equi-key columns must exist on both sides: $keys")
     val pt = points.withColumn("__bkt",
       floor(col(ptCol) / bucketWidth).cast("long"))
-    pt.join(expanded, Seq("__bkt"))
+    pt.join(expanded, "__bkt" +: keys)
       .where(col(ptCol) >= col(loCol) && col(ptCol) < col(hiCol))
       .drop("__bkt")
   }

@@ -724,6 +724,91 @@ object Relational {
       merged.join(direct, "l_returnflag").orderBy("l_returnflag")
     }),
 
+    // SCD type-2 + point-in-time join — the lakehouse dimension
+    // pattern: a synthetic-but-deterministic segment change log (every
+    // customer starts at its base segment; evens change once in 1995,
+    // multiples of 4 again in 1996) is built into a versioned
+    // dimension whose [valid_from, valid_to) half-open versions TILE
+    // each key's timeline (Scd2.fromChangeLog), then orders join the
+    // version valid ON THEIR ORDER DATE via the bucketized range join
+    // WITH the customer key as an equi-key — hash join on (bucket,
+    // key), never a BNLJ, and per-bucket fan-out stays per-customer.
+    // Tiling + closed horizon make the join row-preserving: every
+    // order hits exactly one version, which the oracle's count
+    // implicitly checks. Epoch-day literals: 8035 = 1992-01-01 (before
+    // the first order), 9131 = 1995-01-01, 9648 = 1996-06-01, horizon
+    // 10592 = 1999-01-01 (after the last order).
+    "q43_scd2_join" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val v1 = cust.select(col("c_custkey").as("ck"), lit(8035L).as("eff"),
+        col("c_mktsegment").as("segment"))
+      val v2 = cust.where(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey").as("ck"),
+          (lit(9131L) + col("c_custkey") % 365).cast("long").as("eff"),
+          concat(col("c_mktsegment"), lit("#2")).as("segment"))
+      val v3 = cust.where(col("c_custkey") % 4 === 0)
+        .select(col("c_custkey").as("ck"),
+          (lit(9648L) + col("c_custkey") % 200).cast("long").as("eff"),
+          concat(col("c_mktsegment"), lit("#3")).as("segment"))
+      val dim = graft.ops.Scd2.fromChangeLog(
+        v1.unionByName(v2).unionByName(v3), "ck", "eff", horizon = 10592L)
+      val facts = t(s, d, "orders").select(
+        col("o_custkey").as("ck"),
+        cents(col("o_totalprice")).as("price_cents"),
+        datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+          .cast("long").as("od"))
+      graft.ops.Scd2.pointInTimeJoin(facts, "od", dim, "ck", bucketWidth = 64L)
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum("price_cents").as("revenue_cents"))
+        .orderBy("segment")
+    }),
+
+    // Approximate query processing by DETERMINISTIC sampling: a 1/16
+    // hash-sample of lineitem (md5 of the unique row key — the same
+    // reproducible-membership device as c05/c10) answers the aggregate
+    // at 1/16 the scan-out; counts and sums scale by 16, ratios (avg)
+    // don't scale at all. Estimate and exact ride in the same row, so
+    // the artifact documents its own sampling error — the honesty rule
+    // every AQP surface needs. At 100 TB the sample IS the point:
+    // store it as a materialized 1/16 table and point exploratory
+    // dashboards at it; the hash rule means yesterday's sample is a
+    // subset of today's.
+    "q44_sampled_agg" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(
+        col("l_returnflag"), col("l_quantity"),
+        cents(col("l_extendedprice")).as("price_cents"),
+        graft.ops.Dedup.md5Hash32(
+          concat_ws(":", col("l_orderkey"), col("l_linenumber"))).as("h"))
+      val sample = li.where(col("h") % 16 === 0)
+        .groupBy("l_returnflag").agg(
+          (count(lit(1)) * 16).as("est_rows"),
+          (sum("price_cents") * 16).as("est_sum_cents"),
+          (sum("l_quantity") / count(lit(1))).as("est_avg_qty"))
+      val exact = li.groupBy("l_returnflag").agg(
+        count(lit(1)).as("exact_rows"),
+        sum("price_cents").as("exact_sum_cents"),
+        avg("l_quantity").as("exact_avg_qty"))
+      sample.join(exact, "l_returnflag").orderBy("l_returnflag")
+    }),
+
+    // UNPIVOT — the inverse of q21's pivot: a wide per-flag summary
+    // melted to (flag, metric, value) long form via Dataset.unpivot
+    // (Spark's native Unpivot node — one generate, no join, no UDF).
+    // Long form is what generic profilers and plotting layers consume;
+    // the oracle states it as the UNION ALL it algebraically is.
+    "q45_unpivot" -> ((s, d) => {
+      val wide = t(s, d, "lineitem").groupBy("l_returnflag").agg(
+        sum("l_quantity").cast("long").as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_price_cents"),
+        count(lit(1)).as("n_rows"))
+      wide.unpivot(
+          Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price_cents"), col("n_rows")),
+          "metric", "value")
+        .orderBy("l_returnflag", "metric")
+    }),
+
     "q33_null_aware_anti" -> ((s, d) => {
       // NOT IN (subquery) over a NULLABLE column — three-valued logic
       // makes this a DIFFERENT operator from q05's NOT EXISTS anti
@@ -1277,6 +1362,67 @@ object Relational {
       """SELECT o_orderpriority, count(*) AS n_items,
         |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // sampling replay: identical md5 membership rule, identical x16
+    // scale-up; the double divisions act on exact integral sums
+    "q44_sampled_agg" ->
+      """WITH li AS (SELECT l_returnflag, l_quantity,
+        |    CAST(round(l_extendedprice * 100.0) AS BIGINT) AS price_cents,
+        |    ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+        |      CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT AS h
+        |  FROM lineitem),
+        |samp AS (SELECT l_returnflag,
+        |    CAST(count(*) * 16 AS BIGINT) AS est_rows,
+        |    CAST(sum(price_cents) * 16 AS BIGINT) AS est_sum_cents,
+        |    sum(l_quantity) / count(*) AS est_avg_qty
+        |  FROM li WHERE h % 16 = 0 GROUP BY 1),
+        |ex AS (SELECT l_returnflag, count(*) AS exact_rows,
+        |    CAST(sum(price_cents) AS BIGINT) AS exact_sum_cents,
+        |    avg(l_quantity) AS exact_avg_qty
+        |  FROM li GROUP BY 1)
+        |SELECT s.l_returnflag AS l_returnflag, est_rows, est_sum_cents,
+        |  est_avg_qty, exact_rows, exact_sum_cents, exact_avg_qty
+        |FROM samp s JOIN ex USING (l_returnflag) ORDER BY 1""".stripMargin,
+
+    // unpivot stated as the UNION ALL it is
+    "q45_unpivot" ->
+      """WITH wide AS (SELECT l_returnflag,
+        |    CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |    CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+        |    count(*) AS n_rows
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_price_cents', sum_price_cents FROM wide
+        |UNION ALL
+        |SELECT l_returnflag, 'n_rows', n_rows FROM wide
+        |ORDER BY l_returnflag, metric""".stripMargin,
+
+    // SCD2 replay: the same change log, lead()-derived validity, and
+    // the naive key+range join (DuckDB's IEJoin handles it) — the
+    // engine's bucketized form must produce identical rows
+    "q43_scd2_join" ->
+      """WITH chg AS (
+        |  SELECT c_custkey AS ck, CAST(8035 AS BIGINT) AS eff,
+        |    c_mktsegment AS segment FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 9131 + c_custkey % 365, c_mktsegment || '#2'
+        |  FROM customer WHERE c_custkey % 2 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, 9648 + c_custkey % 200, c_mktsegment || '#3'
+        |  FROM customer WHERE c_custkey % 4 = 0),
+        |dim AS (SELECT ck, segment, eff AS valid_from,
+        |    coalesce(lead(eff) OVER (PARTITION BY ck ORDER BY eff), 10592) AS valid_to
+        |  FROM chg),
+        |facts AS (SELECT o_custkey AS ck,
+        |    CAST(round(o_totalprice * 100.0) AS BIGINT) AS price_cents,
+        |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS od
+        |  FROM orders)
+        |SELECT segment, count(*) AS n_orders,
+        |  CAST(sum(price_cents) AS BIGINT) AS revenue_cents
+        |FROM facts f JOIN dim d
+        |  ON f.ck = d.ck AND f.od >= d.valid_from AND f.od < d.valid_to
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // replay of the state-merge rule: level 1 aggregates per batch,
