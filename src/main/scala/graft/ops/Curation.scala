@@ -168,11 +168,17 @@ object Curation {
       fracNum: Int, fracDen: Int): DataFrame = {
     require(fracNum >= 0 && fracDen > 0 && fracNum <= fracDen,
       s"sampling fraction must be in [0,1]: $fracNum/$fracDen")
-    val w = Window.partitionBy(col(strataCol))
-      .orderBy(Dedup.md5Hash32(col(idCol).cast("string")).asc_nulls_last,
-        col(idCol).asc_nulls_last)
-    val counts = docs.groupBy(strataCol).agg(count(lit(1)).as("__n"))
-    docs.join(broadcast(counts), Seq(strataCol))
+    require(!docs.columns.contains("__n") && !docs.columns.contains("__rk"),
+      "__n/__rk are reserved by stratifiedSample; rename those columns")
+    // stratum size via a window COUNT sharing the rank's partitioning —
+    // no join, one shuffle, and a NULL stratum samples like any other
+    // (the equi-join formulation would silently drop NULL-strata rows:
+    // NULL never equi-matches)
+    val part = Window.partitionBy(col(strataCol))
+    val w = part.orderBy(
+      Dedup.md5Hash32(col(idCol).cast("string")).asc_nulls_last,
+      col(idCol).asc_nulls_last)
+    docs.withColumn("__n", count(lit(1)).over(part))
       .withColumn("__rk", row_number().over(w))
       .where(col("__rk") <= expr(s"(__n * $fracNum) div $fracDen"))
       .drop("__n", "__rk")

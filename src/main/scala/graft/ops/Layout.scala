@@ -85,8 +85,12 @@ object Layout {
       bits: Int = 8, files: Int = 16): Unit = {
     require(bits >= 1 && 2 * bits <= 62, s"bits must be in 1..31, got $bits")
     require(files >= 1, s"files must be >= 1, got $files")
+    require(!df.columns.contains("__z"),
+      "__z is reserved by writeZOrdered; rename that column on the input")
     val r = df.agg(min(col(xCol)).cast("double"), max(col(xCol)).cast("double"),
       min(col(yCol)).cast("double"), max(col(yCol)).cast("double")).head()
+    require(!r.isNullAt(0) && !r.isNullAt(2),
+      s"writeZOrdered: no non-NULL values in $xCol/$yCol (empty input?)")
     def bucket(c: Column, lo: Double, hi: Double): Column = {
       val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
       least(lit((1L << bits) - 1),

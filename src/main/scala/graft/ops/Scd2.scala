@@ -33,10 +33,18 @@ object Scd2 {
   def fromChangeLog(changes: DataFrame, keyCol: String, effCol: String,
       horizon: Long): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(effCol))
+    val eff = col(effCol).cast("long")
     changes
-      .withColumn("valid_from", col(effCol).cast("long"))
-      .withColumn("valid_to",
-        coalesce(lead(col(effCol).cast("long"), 1).over(w), lit(horizon)))
+      // a change at/after the horizon would build an inverted
+      // [eff, horizon) version that the downstream join silently
+      // discards — fail per-row instead (RangeJoin's raise_error
+      // convention), since "facts quietly lose their dimension rows"
+      // is the worst failure mode a point-in-time join can have
+      .withColumn("valid_from",
+        when(eff < horizon, eff).otherwise(raise_error(format_string(
+          s"Scd2: change at effective time %d is at/after horizon $horizon" +
+            " — re-stamp the horizon", eff)).cast("long")))
+      .withColumn("valid_to", coalesce(lead(eff, 1).over(w), lit(horizon)))
       .drop(effCol)
   }
 
@@ -51,4 +59,24 @@ object Scd2 {
       maxBucketsPerInterval: Long = 1L << 20): DataFrame =
     RangeJoin.pointInInterval(facts, ptCol, dim, "valid_from", "valid_to",
       bucketWidth, maxBucketsPerInterval, keys = Seq(keyCol))
+
+  /** Streaming face: enrich a fact STREAM with the dimension version
+    * valid at event time — per-row bucket math plus a stream-static
+    * equi-join on (bucket, key), zero streaming state. The dimension's
+    * bucket expansion is computed once and CACHED: stream-static joins
+    * re-evaluate the static subplan every micro-batch (the trap
+    * DedupStreams/EventStreams document), and re-exploding the
+    * dimension per batch is exactly what the cache prevents. Returns
+    * the enriched stream plus a release handle for the cached
+    * expansion (call it after the query stops).
+    */
+  def streamingPointInTimeJoin(factStream: DataFrame, ptCol: String,
+      dim: DataFrame, keyCol: String, bucketWidth: Long,
+      maxBucketsPerInterval: Long = 1L << 20): (DataFrame, () => Unit) = {
+    val expanded = RangeJoin.expandIntervals(dim, "valid_from", "valid_to",
+      bucketWidth, maxBucketsPerInterval).cache()
+    val joined = RangeJoin.joinExpanded(factStream, ptCol, expanded,
+      "valid_from", "valid_to", bucketWidth, keys = Seq(keyCol))
+    (joined, () => { expanded.unpersist(); () })
+  }
 }

@@ -376,7 +376,13 @@ object Similarity {
     * a window argmax plus two joins over pool-sized relations
     * (#queries × poolSize rows — broadcast-scale by construction, like
     * every model state in this file), so nothing is collected to the
-    * driver and the corpus is scanned exactly once, by the pool stage.
+    * driver. The corpus appears in exactly TWO pruned columnar scans —
+    * the pool scoring pass and the candidate-vector attach (a
+    * broadcast join on pool ids) — a deliberate trade: carrying
+    * vectors through the pool stage would fatten its corpus-sized
+    * top-k exchange with the embedding arrays, which costs more than
+    * a second pushed-down scan that reads only the id and embedding
+    * columns.
     * Pick 1 is pure relevance; its mmr_score is defined as relevance
     * (empty selected set ⇒ no penalty term), which the oracle states
     * identically. Ties break on neighbor id everywhere. Scores stay on

@@ -44,6 +44,13 @@ object Relational {
     */
   private[graft] val CmsDepth = 3
   private[graft] val CmsWidth = 2048
+  // one md5 digest = 32 hex chars = at most 4 disjoint 32-bit windows;
+  // a deeper sketch would read an empty substring at depth 4 (NULL
+  // buckets on the Spark side, a cast error in the oracle) — the
+  // digest-window scheme caps depth where the old digest-per-depth
+  // form did not
+  require(CmsDepth >= 1 && CmsDepth <= 4,
+    s"CmsDepth must be in 1..4 (md5 has 4 disjoint 32-bit windows): $CmsDepth")
 
   /** q39's histogram-quantile bin width in cents ($1000 bins —
     * l_extendedprice spans ~$900..$105k at every SF, so ~110 bins).

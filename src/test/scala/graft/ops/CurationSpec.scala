@@ -227,6 +227,24 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("stratifiedSample: a NULL stratum samples like any other stratum") {
+    import spark.implicits._
+    // 10 docs with source NULL, 10 with "a": both must contribute
+    // floor(10/2) = 5 (an equi-join formulation would drop the NULLs)
+    val docs = ((1L to 10L).map(i => (i, None: Option[String])) ++
+      (11L to 20L).map(i => (i, Some("a")))).toDF("doc_id", "source")
+    val kept = Curation.stratifiedSample(docs, "doc_id", "source", 1, 2)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1))))
+    assert(kept.count(_._2.isEmpty) == 5)
+    assert(kept.count(_._2.contains("a")) == 5)
+    // reserved temp columns rejected up front
+    intercept[IllegalArgumentException] {
+      Curation.stratifiedSample(docs.withColumn("__rk", col("doc_id")),
+        "doc_id", "source", 1, 2)
+    }
+  }
+
   test("keepBest ranks by quality desc then id, and carries cluster size") {
     import spark.implicits._
     val labeled = Seq(

@@ -19,6 +19,16 @@ class Scd2Spec extends AnyFunSuite with SparkSpec {
       (2L, "x", 15L, 100L)))
   }
 
+  test("a change at/after the horizon fails loudly instead of vanishing from the join") {
+    import spark.implicits._
+    val chg = Seq((1L, 10L, "ok"), (1L, 120L, "late")).toDF("k", "eff", "v")
+    val e = intercept[Exception] {
+      Scd2.fromChangeLog(chg, "k", "eff", horizon = 100L).collect()
+    }
+    assert(e.getMessage.contains("horizon") ||
+      Option(e.getCause).exists(_.getMessage.contains("horizon")))
+  }
+
   test("pointInTimeJoin matches only the fact's own key and valid version") {
     import spark.implicits._
     val chg = Seq(

@@ -109,6 +109,30 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming SCD2 point-in-time join matches the batch join across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val chg = Seq((1L, 0L, "one_v1"), (1L, 50L, "one_v2"),
+      (2L, 0L, "two_v1"), (2L, 50L, "two_v2")).toDF("k", "eff", "v")
+    val dim = graft.ops.Scd2.fromChangeLog(chg, "k", "eff", horizon = 100L)
+    val in = MemoryStream[(Long, Long, Long)] // (fid, k, pt)
+    val (joined, release) = graft.ops.Scd2.streamingPointInTimeJoin(
+      in.toDS().toDF("fid", "k", "pt"), "pt", dim, "k", bucketWidth = 10L)
+    val q = joined.writeStream.format("memory").queryName("scd2_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((1L, 1L, 25L), (2L, 2L, 75L))
+      q.processAllAvailable()
+      in.addData((3L, 1L, 75L), (4L, 2L, 25L)) // same static dim, next batch
+      q.processAllAvailable()
+      val got = spark.table("scd2_stream").select("fid", "v")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      // the keyed join must pick each fact's OWN key's valid version
+      assert(got == Set((1L, "one_v1"), (2L, "two_v2"),
+        (3L, "one_v2"), (4L, "two_v1")), got)
+    } finally { q.stop(); release() }
+  }
+
   test("trending scores reproduce the batch power-of-two decay rule across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
