@@ -383,6 +383,15 @@ object Similarity {
     * top-k exchange with the embedding arrays, which costs more than
     * a second pushed-down scan that reads only the id and embedding
     * columns.
+    *
+    * Every step is materialized with an eager `localCheckpoint`:
+    * a k-step DataFrame loop whose state feeds both the output AND the
+    * next state otherwise re-expands its whole lineage at every
+    * reference — the plan grows multiplicatively and the corpus gets
+    * re-scanned per step (the iterative-plan trap; same discipline as
+    * connectedComponents' checkpoints). The checkpointed relations are
+    * pool-sized, so the materializations are trivial; the two corpus
+    * scans above are the only data-proportional work.
     * Pick 1 is pure relevance; its mmr_score is defined as relevance
     * (empty selected set ⇒ no penalty term), which the oracle states
     * identically. Ties break on neighbor id everywhere. Scores stay on
@@ -396,6 +405,7 @@ object Similarity {
     val cands = bruteForceTopK(corpus, queries, poolSize)
       .select(col("query_id"), col("neighbor_id").as("n_id"),
         col("cosine").as("rel"))
+      .localCheckpoint(true)
     // attach candidate vectors (one broadcast-semi pass over the
     // corpus), then pairwise sims within each query's pool — both
     // directions, so the greedy joins are plain equi-joins
@@ -405,12 +415,14 @@ object Similarity {
       .join(broadcast(cands.select(col("query_id"),
         col("n_id").as("vec_id")).distinct()), Seq("vec_id"))
       .select(col("query_id"), col("vec_id").as("n_id"), col("q"), col("nn"))
+      .localCheckpoint(true)
     val sims = cvec.as("a").join(cvec.as("b"),
         col("a.query_id") === col("b.query_id") &&
           col("a.n_id") =!= col("b.n_id"))
       .select(col("a.query_id").as("query_id"), col("a.n_id").as("id_a"),
         col("b.n_id").as("id_b"),
         cosineQ(col("a.q"), col("b.q"), col("a.nn"), col("b.nn")).as("sim"))
+      .localCheckpoint(true)
     def argmax(df: DataFrame, score: Column): DataFrame = {
       val w = Window.partitionBy("query_id")
         .orderBy(col("__s").desc, col("n_id"))
@@ -434,12 +446,16 @@ object Similarity {
       .join(simsKeyed, Seq("query_id", "n_id", "sel_id"))
       .select(col("query_id"), col("n_id"), col("rel"),
         col("sim").as("maxsim"))
+      .localCheckpoint(true)
     for (i <- 2 to k) {
       val pi = argmax(state, lit(0.5) * col("rel") - lit(0.5) * col("maxsim"))
         .select(col("query_id"), col("n_id"), lit(i.toLong).as("pick"),
           col("rel"), col("__s").as("mmr_score"))
       picks = picks.unionByName(pi)
       if (i < k) {
+        // truncate before the next step: `state` feeds both the pick
+        // and the next state, and `pi` both the output and the retire
+        // join — without the checkpoint the lineage doubles per step
         state = state
           .join(pi.select(col("query_id"), col("n_id").as("sel_id")), Seq("query_id"))
           .where(col("n_id") =!= col("sel_id"))
@@ -447,6 +463,7 @@ object Similarity {
             Seq("query_id", "n_id", "sel_id"))
           .select(col("query_id"), col("n_id"), col("rel"),
             greatest(col("maxsim"), col("sim2")).as("maxsim"))
+          .localCheckpoint(true)
       }
     }
     picks.select(col("query_id"), col("pick"), col("n_id").as("neighbor_id"),
