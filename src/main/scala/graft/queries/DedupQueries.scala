@@ -102,6 +102,25 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // fuzzy entity resolution over part names: every part gets a dirty
+    // twin with ONE deterministic character deletion (at position
+    // p_partkey % length — sometimes inside the prefix block,
+    // sometimes not, so both blocking passes earn their keep); the
+    // best clean match per dirty name is found by multi-pass blocking
+    // + levenshtein <= 2 verify. Per-row output: every match
+    // hash-checked.
+    "d12_fuzzy_join" -> ((s, d) => {
+      val clean = Tables.load(s, d, "part")
+        .select(col("p_partkey").as("pid"), col("p_name").as("pname"))
+      val dirty = clean.select((col("pid") + 1000000L).as("did"),
+        expr("concat(substr(pname, 1, cast(pid % length(pname) as int)), " +
+          "substr(pname, cast(pid % length(pname) as int) + 2))").as("dname"))
+      graft.ops.Fuzzy.bestMatch(dirty, "did", "dname",
+          clean, "pid", "pname", maxDist = 2)
+        .select(col("dirty_id"), col("clean_id"), col("dist"))
+        .orderBy("dirty_id")
+    }),
+
     "d06_neardup_clusters" -> ((s, d) => {
       // pair detection -> dedup groups: connected components over the
       // minhash candidate pairs; output one row per cluster with its
@@ -388,6 +407,31 @@ object DedupQueries {
          |JOIN sized sb ON sb.id = id_b
          |WHERE inter * 5 >= (sa.n + sb.n - inter) * 3
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // fuzzy-join replay: same two blocking passes, same length
+    // pre-filter, same levenshtein cap and (dist, id) best-match rule
+    "d12_fuzzy_join" ->
+      """WITH clean AS (SELECT p_partkey AS pid, p_name AS pname FROM part),
+        |dirty AS (SELECT pid + 1000000 AS did,
+        |    substr(pname, 1, CAST(pid % length(pname) AS INT)) ||
+        |    substr(pname, CAST(pid % length(pname) AS INT) + 2) AS dname
+        |  FROM clean),
+        |db AS (SELECT did, dname, 'p:' || substr(dname, 1, 4) AS blk FROM dirty
+        |  UNION ALL
+        |  SELECT did, dname, 'l:' || CAST(length(dname) // 4 AS VARCHAR) FROM dirty),
+        |cb AS (SELECT pid, pname, 'p:' || substr(pname, 1, 4) AS blk FROM clean
+        |  UNION ALL
+        |  SELECT pid, pname, 'l:' || CAST(length(pname) // 4 AS VARCHAR) FROM clean),
+        |cand AS (SELECT DISTINCT did, dname, pid, pname
+        |  FROM db JOIN cb USING (blk)
+        |  WHERE abs(length(dname) - length(pname)) <= 2),
+        |ver AS (SELECT did, pid, CAST(levenshtein(dname, pname) AS BIGINT) AS dist
+        |  FROM cand WHERE levenshtein(dname, pname) <= 2),
+        |best AS (SELECT did, pid, dist,
+        |    row_number() OVER (PARTITION BY did ORDER BY dist, pid) AS rn
+        |  FROM ver)
+        |SELECT did AS dirty_id, pid AS clean_id, dist
+        |FROM best WHERE rn = 1 ORDER BY 1""".stripMargin,
 
     // deterministic-Bloom replay: identical bit positions
     // (md5-derived, mod m) on both engines; the incoming union, the
