@@ -168,7 +168,10 @@ object Curation {
       fracNum: Int, fracDen: Int): DataFrame = {
     require(fracNum >= 0 && fracDen > 0 && fracNum <= fracDen,
       s"sampling fraction must be in [0,1]: $fracNum/$fracDen")
-    require(!docs.columns.contains("__n") && !docs.columns.contains("__rk"),
+    // case-INsensitive: Spark resolves columns case-insensitively by
+    // default, so a user '__N' would be silently overwritten+dropped
+    require(!docs.columns.exists(c =>
+        c.equalsIgnoreCase("__n") || c.equalsIgnoreCase("__rk")),
       "__n/__rk are reserved by stratifiedSample; rename those columns")
     // stratum size via a window COUNT sharing the rank's partitioning —
     // no join, one shuffle, and a NULL stratum samples like any other

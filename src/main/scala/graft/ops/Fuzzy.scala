@@ -54,6 +54,11 @@ object Fuzzy {
       clean: DataFrame, cleanId: String, cleanName: String,
       maxDist: Int, prefixLen: Int = 8, suffixLen: Int = 8): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0: $maxDist")
+    // a non-positive key makes a pass's block constant ('p:') and the
+    // blocked join silently degenerates to the all-pairs cartesian
+    // this operator exists to prevent
+    require(prefixLen >= 1 && suffixLen >= 1,
+      s"block key lengths must be >= 1: prefixLen=$prefixLen suffixLen=$suffixLen")
     val db = blocks(dirty, dirtyId, dirtyName, prefixLen, suffixLen)
       .select(col("id").as("dirty_id"), col("name").as("dirty_name"), col("blk"))
     val cb = blocks(clean, cleanId, cleanName, prefixLen, suffixLen)

@@ -85,7 +85,8 @@ object Layout {
       bits: Int = 8, files: Int = 16): Unit = {
     require(bits >= 1 && 2 * bits <= 62, s"bits must be in 1..31, got $bits")
     require(files >= 1, s"files must be >= 1, got $files")
-    require(!df.columns.contains("__z"),
+    // case-insensitive: Spark column resolution is case-insensitive
+    require(!df.columns.exists(_.equalsIgnoreCase("__z")),
       "__z is reserved by writeZOrdered; rename that column on the input")
     val r = df.agg(min(col(xCol)).cast("double"), max(col(xCol)).cast("double"),
       min(col(yCol)).cast("double"), max(col(yCol)).cast("double")).head()

@@ -40,8 +40,15 @@ object Scd2 {
       // discards — fail per-row instead (RangeJoin's raise_error
       // convention), since "facts quietly lose their dimension rows"
       // is the worst failure mode a point-in-time join can have
+      // NULL checked FIRST: eff < horizon is NULL for a NULL eff (a
+      // bad upstream cast), and the horizon message would misdiagnose
+      // the data problem as a horizon problem
       .withColumn("valid_from",
-        when(eff < horizon, eff).otherwise(raise_error(format_string(
+        when(eff.isNull, raise_error(lit(
+          s"Scd2: NULL effective time in '$effCol' (unparseable upstream value?)"))
+          .cast("long"))
+        .when(eff < horizon, eff)
+        .otherwise(raise_error(format_string(
           s"Scd2: change at effective time %d is at/after horizon $horizon" +
             " — re-stamp the horizon", eff)).cast("long")))
       .withColumn("valid_to", coalesce(lead(eff, 1).over(w), lit(horizon)))

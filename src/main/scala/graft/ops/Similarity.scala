@@ -406,6 +406,20 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id").as("n_id"),
         col("cosine").as("rel"))
       .localCheckpoint(true)
+    def argmax(df: DataFrame, score: Column): DataFrame = {
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("__s").desc, col("n_id"))
+      df.withColumn("__s", score)
+        .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+    }
+    val p1 = argmax(cands, col("rel"))
+      .select(col("query_id"), col("n_id"), lit(1L).as("pick"),
+        col("rel"), col("__s").as("mmr_score"))
+    if (k == 1)
+      // no penalty term exists for a single pick — return before the
+      // (now-eager) vector attach / pairwise sims run for nothing
+      return p1.select(col("query_id"), col("pick"),
+        col("n_id").as("neighbor_id"), col("rel"), col("mmr_score"))
     // attach candidate vectors (one broadcast-semi pass over the
     // corpus), then pairwise sims within each query's pool — both
     // directions, so the greedy joins are plain equi-joins
@@ -423,19 +437,10 @@ object Similarity {
         col("b.n_id").as("id_b"),
         cosineQ(col("a.q"), col("b.q"), col("a.nn"), col("b.nn")).as("sim"))
       .localCheckpoint(true)
-    def argmax(df: DataFrame, score: Column): DataFrame = {
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("__s").desc, col("n_id"))
-      df.withColumn("__s", score)
-        .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
-    }
     // sims keyed for the greedy joins: (query_id, n_id = remaining
     // candidate, sel_id = newest pick) -> sim
     val simsKeyed = sims.select(col("query_id"), col("id_a").as("n_id"),
       col("id_b").as("sel_id"), col("sim"))
-    val p1 = argmax(cands, col("rel"))
-      .select(col("query_id"), col("n_id"), lit(1L).as("pick"),
-        col("rel"), col("__s").as("mmr_score"))
     var picks = p1
     // state: remaining pool rows with the running max similarity to
     // the picked set; each step retires the newest pick and folds its
