@@ -120,6 +120,36 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // vocabulary build + token-id encoding — the tokenizer-prep step
+    // every pretraining pipeline runs: rank the corpus vocabulary by
+    // (frequency desc, token) into contiguous ids (id 1 = most
+    // frequent, the BPE/unigram convention), then encode every
+    // document against it. The ranking window is GLOBAL but runs over
+    // the VOCABULARY relation (|vocab| ≪ corpus — bounded by language,
+    // not data size; the same single-partition envelope as q39's bin
+    // axis). Encoding is one equi-join of the exploded corpus against
+    // the vocab. Output is per-doc scalar digests of the id sequence
+    // (count/sum/min/max) — id ARRAYS would defeat the driver's
+    // row-probe (the q29 lesson) while these digests still pin every
+    // assignment: one swapped id anywhere moves sum_ids.
+    "t11_vocab_encode" -> ((s, d) => {
+      val toks = Tables.load(s, d, "documents")
+        .where(col("text").isNotNull)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .where(length(col("w")) > 0)
+      val vocab = toks.groupBy("w").agg(count(lit(1)).as("freq"))
+        .withColumn("token_id", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("freq").desc, col("w"))).cast("long"))
+      toks.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum("token_id").as("sum_ids"),
+          min("token_id").as("min_id"),
+          max("token_id").as("max_id"))
+        .orderBy("doc_id")
+    }),
+
     "t10_rarity" -> ((s, d) => {
       // corpus-level rarity: a document's mean document-frequency over
       // its distinct word-bigram hashes — low = novel phrasing, high =
@@ -287,6 +317,21 @@ object TextQueries {
          |  FROM (SELECT source, text, ' ' || text || ' ' AS p FROM documents))
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
+
+    // encode replay: identical (freq desc, token) id assignment,
+    // identical per-doc digests
+    "t11_vocab_encode" ->
+      """WITH toks AS (SELECT doc_id, t.w
+        |  FROM documents, unnest(string_split(text, ' ')) AS t(w)
+        |  WHERE text IS NOT NULL AND length(t.w) > 0),
+        |vocab AS (SELECT w,
+        |    row_number() OVER (ORDER BY count(*) DESC, w) AS token_id
+        |  FROM toks GROUP BY w)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(token_id) AS BIGINT) AS sum_ids,
+        |  min(token_id) AS min_id, max(token_id) AS max_id
+        |FROM toks JOIN vocab USING (w)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "t10_rarity" ->
       s"""WITH docs2 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
