@@ -16,11 +16,16 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects. Read nanos as long (legacy conf) and convert to a microsecond
-    * TimestampType column via integer division (a double division would lose
-    * precision above 2^53 ns). Truncation toward zero == floor for the
-    * positive epochs in this data.
+  /** events.ts arrives in two generator vintages: parquet
+    * TIMESTAMP(NANOS) — which Spark's vectorized reader rejects unless
+    * nanos are read as BIGINT via the legacy conf — and plain
+    * TIMESTAMP(MICROS) (isAdjustedToUTC=false → TIMESTAMP_NTZ). Branch
+    * on the RESOLVED schema: a LongType ts is nanos (convert with
+    * integer division — a double division would lose precision above
+    * 2^53 ns; truncation == floor for positive epochs), anything else
+    * is cast to session-TZ TimestampType, an identity under the
+    * engine's pinned UTC and the type every downstream query and
+    * DuckDB oracle already agrees on.
     *
     * The nanosAsLong conf stays set for the session: it must hold at
     * SCAN time (executors read footers when the query actually runs),
@@ -30,10 +35,16 @@ object Tables {
     * engine, whose only nanos source is events (see SCALING.md).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 
   /** Register every table as a temp view so `spark.sql` works too. */
