@@ -21,7 +21,22 @@ object Verify {
     // dump's wall time. Errors are captured per query, never swallowed.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "4").toInt)
-    val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // VERIFY_ONLY=t12_bpe_merges,t13_bpe_encode dumps a subset — the
+    // iteration aid mirroring Bench's BENCH_ONLY; unknown names fail
+    // loudly for the same reason (a typo must not verify nothing and
+    // read as green). The full oracle_sql.json is still written, so
+    // scripts/check.py must be pointed at the same subset when used.
+    val selected = sys.env.get("VERIFY_ONLY") match {
+      case Some(list) =>
+        val want = list.split(',').map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = want -- SparkEntry.queries.keySet
+        if (unknown.nonEmpty)
+          throw new IllegalArgumentException(
+            s"VERIFY_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+        SparkEntry.queries.filter { case (n, _) => want(n) }
+      case None => SparkEntry.queries
+    }
+    val tasks = selected.toSeq.map { case (name, fn) =>
       pool.submit(new Runnable {
         override def run(): Unit =
           try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

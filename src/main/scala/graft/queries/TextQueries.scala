@@ -150,6 +150,44 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // BPE merge learning (tokenizer training): the top-k most frequent
+    // adjacent symbol pairs, merged greedily — the merge table IS the
+    // trained tokenizer. Corpus scanned once (word counts); each of the
+    // k steps runs over the vocab-sized relation. Output is the k-row
+    // merge table (driver-side model state), all scalar columns.
+    "t12_bpe_merges" -> ((s, d) => {
+      val words = graft.ops.Bpe.wordTable(Tables.load(s, d, "documents"), "text")
+      val (merges, _) = graft.ops.Bpe.learnMerges(words, graft.ops.Bpe.DefaultMerges)
+      s.createDataFrame(merges)
+        .select("step", "left_sym", "right_sym", "merged", "pair_freq")
+        .orderBy("step")
+    }),
+
+    // the trained tokenizer APPLIED: every document encoded against the
+    // final word→representation map (one vocab-sized equi-join, t11's
+    // shape), reported as per-doc scalar digests — token and symbol
+    // counts pin every word's merge state without shipping id arrays
+    // (the q29 row-probe lesson).
+    "t13_bpe_encode" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val words = graft.ops.Bpe.wordTable(docs, "text")
+      val (_, finalWords) =
+        graft.ops.Bpe.learnMerges(words, graft.ops.Bpe.DefaultMerges)
+      val syms = finalWords.select(col("w"),
+        graft.ops.Bpe.symbolCount(col("repr")).as("n_syms"))
+      docs.where(col("text").isNotNull)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .where(length(col("w")) > 0 && !col("w").contains(graft.ops.Bpe.Delim))
+        .join(syms, "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum("n_syms").as("n_symbols"),
+          max("n_syms").as("max_word_syms"))
+        .withColumn("avg_syms_per_word",
+          col("n_symbols") / col("n_words").cast("double"))
+        .orderBy("doc_id")
+    }),
+
     "t10_rarity" -> ((s, d) => {
       // corpus-level rarity: a document's mean document-frequency over
       // its distinct word-bigram hashes — low = novel phrasing, high =
@@ -218,6 +256,38 @@ object TextQueries {
     TextAnalysis.langMarkers.map { case (l, _) =>
       s"WHEN s_$l = best AND s_$l > 0 THEN '$l'"
     }.mkString(" ")
+
+  /** BPE training replayed as k chained CTE blocks: w0 is the
+    * word-frequency table with `@`-delimited char representations;
+    * step i counts adjacent pairs over w(i-1) (symbols sit at 1-based
+    * positions 2..len-1 of string_split, so pairs span j = 2..len-2;
+    * generate_series is empty when start > stop, unlike Spark's
+    * sequence), picks the (freq desc, l, r) argmax, and re-encodes via
+    * the same literal `replace` the engine applies — both engines scan
+    * the original left-to-right non-overlapping, so the replay is
+    * bit-identical. Shared by the t12/t13 oracles. */
+  private def bpeCtes(k: Int): String = {
+    val w0 =
+      """w0 AS (
+        |  SELECT w, '@' || array_to_string(string_split_regex(w, ''), '@') || '@' AS repr, freq
+        |  FROM (SELECT t.w AS w, count(*) AS freq
+        |        FROM documents, unnest(string_split(text, ' ')) AS t(w)
+        |        WHERE text IS NOT NULL AND length(t.w) > 0 AND t.w NOT LIKE '%@%'
+        |        GROUP BY t.w))""".stripMargin
+    val steps = (1 to k).map { i =>
+      s"""p$i AS (
+         |  SELECT ss[j] AS l, ss[j + 1] AS r, CAST(sum(freq) AS BIGINT) AS f
+         |  FROM (SELECT freq, string_split(repr, '@') AS ss FROM w${i - 1}) t,
+         |       unnest(generate_series(2, len(ss) - 2)) AS g(j)
+         |  WHERE len(ss) >= 4
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT l, r, f FROM p$i ORDER BY f DESC, l, r LIMIT 1),
+         |w$i AS (
+         |  SELECT w.w, replace(w.repr, '@' || b.l || '@' || b.r || '@', '@' || b.l || b.r || '@') AS repr, w.freq
+         |  FROM w${i - 1} w CROSS JOIN b$i b)""".stripMargin
+    }
+    (w0 +: steps).mkString("WITH ", ",\n", "")
+  }
 
   val oracles: Map[String, String] = Map(
     "t01_token_stats" ->
@@ -332,6 +402,30 @@ object TextQueries {
         |  min(token_id) AS min_id, max(token_id) AS max_id
         |FROM toks JOIN vocab USING (w)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "t12_bpe_merges" -> {
+      val union = (1 to graft.ops.Bpe.DefaultMerges).map { i =>
+        s"SELECT CAST($i AS BIGINT) AS step, l AS left_sym, r AS right_sym, l || r AS merged, f AS pair_freq FROM b$i"
+      }.mkString("\nUNION ALL\n")
+      s"""${bpeCtes(graft.ops.Bpe.DefaultMerges)}
+         |SELECT * FROM (
+         |$union
+         |) ORDER BY step""".stripMargin
+    },
+
+    "t13_bpe_encode" -> {
+      val k = graft.ops.Bpe.DefaultMerges
+      s"""${bpeCtes(k)},
+         |toks AS (SELECT doc_id, t.w AS w
+         |  FROM documents, unnest(string_split(text, ' ')) AS t(w)
+         |  WHERE text IS NOT NULL AND length(t.w) > 0 AND t.w NOT LIKE '%@%'),
+         |syms AS (SELECT w, CAST(len(string_split(repr, '@')) - 2 AS BIGINT) AS n_syms FROM w$k)
+         |SELECT doc_id, count(*) AS n_words, CAST(sum(n_syms) AS BIGINT) AS n_symbols,
+         |  max(n_syms) AS max_word_syms,
+         |  CAST(sum(n_syms) AS BIGINT) / CAST(count(*) AS DOUBLE) AS avg_syms_per_word
+         |FROM toks JOIN syms USING (w)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
 
     "t10_rarity" ->
       s"""WITH docs2 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
