@@ -606,4 +606,49 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         (col("inter") / col("un").cast("double")).as("jaccard"))
   }
+
+  // --- semantic dedup (SemDeDup) -------------------------------------------
+
+  /** Cosine threshold for [[semDedup]], shared with the d13 oracle. */
+  val SemDeDupTau = 0.999
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): k-means-cluster the
+    * embeddings, then within each cluster flag every vector whose
+    * cosine similarity to a LOWER-id cluster member reaches `tau` —
+    * semantic duplicates whose removal the paper shows speeds training
+    * at equal quality. The lowest id is the kept representative (a
+    * deterministic stand-in for the paper's random/centroid-distance
+    * keep rules).
+    *
+    * Scale shape: clustering is [[Similarity.kmeansAssign]] (model
+    * state = k×dim driver literals, each pass one corpus scan, zero
+    * shuffle in assignment). The pairwise stage joins the corpus to
+    * itself ON THE CLUSTER ID, so candidate volume is Σ|cluster|² —
+    * n²/k expected — and the paper's regime picks k proportional to n
+    * (50k clusters at LAION scale) to keep per-cluster membership, and
+    * thus per-key join fan-out, bounded. Quantized integer vectors ride
+    * the join; cosine is the exact dot/sqrt·sqrt sequence the oracle
+    * replays bit-for-bit.
+    */
+  def semDedup(embeddings: DataFrame, k: Int = 8, iters: Int = 2,
+      tau: Double = SemDeDupTau): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val assigned = Similarity.kmeansAssign(embeddings, k, iters, keepQ = true)
+      .withColumn("norm", normSqQ(col("q")))
+      .localCheckpoint(true) // assignment scans the corpus `iters` times;
+                             // both join sides below must reuse ONE result
+    val a = assigned.as("a")
+    val b = assigned.as("b")
+    val dropped = a.join(b,
+        col("a.cid") === col("b.cid") && col("b.vec_id") < col("a.vec_id"))
+      .where(cosineQ(col("a.q"), col("b.q"), col("a.norm"), col("b.norm"))
+        >= tau)
+      .select(col("a.vec_id").as("vec_id")).distinct()
+      .withColumn("dup", lit(true))
+    assigned.select(col("vec_id"), col("cid").cast("long").as("cid"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("dup"), lit(false)).as("is_semantic_dup"))
+  }
 }

@@ -143,7 +143,8 @@ object Similarity {
     * zero shuffle, and each update is one groupBy(k) with map-side
     * combine. Returns the final (vec_id, cid, dist) assignment.
     */
-  def kmeansAssign(corpus: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+  def kmeansAssign(corpus: DataFrame, k: Int = 8, iters: Int = 2,
+      keepQ: Boolean = false): DataFrame = {
     require(k >= 1 && iters >= 1, s"need k >= 1 and iters >= 1, got k=$k iters=$iters")
     val qv = corpus.select(col("vec_id"), quantize(col("embedding")).as("q"))
     val dim = qv.select(size(col("q"))).head().getInt(0)
@@ -178,7 +179,10 @@ object Similarity {
         .collect().map(r => r.getInt(0) -> r.getSeq[Long](1).toArray).toMap
       cents = cents.map { case (cid, prev) => cid -> means.getOrElse(cid, prev) }
     }
-    assign().drop("q")
+    // keepQ retains the quantized vectors for consumers that score
+    // within clusters afterwards (Dedup.semDedup) — saves them a second
+    // quantize + join against the corpus
+    if (keepQ) assign() else assign().drop("q")
   }
 
   // --- product quantization --------------------------------------------------

@@ -219,6 +219,21 @@ object DedupQueries {
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cosine"))
         .orderBy("vec_a", "vec_b")
     }),
+
+    // SemDeDup: k-means clusters bound the pairwise cosine search
+    // (candidates = Σ|cluster|², n²/k expected; the paper scales k with
+    // n to keep clusters bounded). Training is s08's deterministic
+    // integer Lloyd; the oracle replays it via the shared CTE chain.
+    // Like d05, the corpus is unioned with an id-shifted copy of itself
+    // so true semantic duplicates exist (the raw synthetic embeddings
+    // top out near cosine 0.5) — every +100000 row must be flagged
+    // against its lower-id twin, keeping the gate non-vacuous.
+    "d13_semantic_dedup" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings").select("vec_id", "embedding")
+      val all = e.unionByName(
+        e.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      Dedup.semDedup(all).orderBy("vec_id")
+    }),
   )
 
   // --- oracle SQL, sharing literal params with the Spark plans -------------
@@ -483,5 +498,25 @@ object DedupQueries {
          |WHERE cosine >= 0.999
          |ORDER BY vec_a, vec_b""".stripMargin
     },
+
+    // same k-means replay as s08 (shared CTE chain, retargeted at the
+    // doubled corpus), then the within-cluster lower-id-wins cosine
+    // flagging
+    "d13_semantic_dedup" ->
+      s"""WITH all_e AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings),
+         |${SimilarityQueries.kmeansAssignCtes("all_e")},
+         |nrm AS (SELECT vec_id, cid, q,
+         |    CAST(list_dot_product(q, q) AS BIGINT) AS norm FROM a2),
+         |drp AS (SELECT DISTINCT a.vec_id
+         |  FROM nrm a JOIN nrm b ON a.cid = b.cid AND b.vec_id < a.vec_id
+         |  WHERE list_dot_product(a.q, b.q) /
+         |      (sqrt(CAST(a.norm AS DOUBLE)) * sqrt(CAST(b.norm AS DOUBLE)))
+         |    >= ${Dedup.SemDeDupTau})
+         |SELECT n.vec_id, CAST(n.cid AS BIGINT) AS cid,
+         |  (d.vec_id IS NOT NULL) AS is_semantic_dup
+         |FROM nrm n LEFT JOIN drp d USING (vec_id)
+         |ORDER BY n.vec_id""".stripMargin,
   )
 }

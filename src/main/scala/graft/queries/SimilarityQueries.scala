@@ -166,6 +166,40 @@ object SimilarityQueries {
   private def cosine(aq: String, bq: String, an: String, bn: String) =
     s"list_dot_product($aq, $bq) / (sqrt(CAST($an AS DOUBLE)) * sqrt(CAST($bn AS DOUBLE)))"
 
+  /** The two-iteration integer-Lloyd training + final-assignment CTE
+    * chain (qv → init → a1 → m1 → c2 → a2; a2 carries vec_id, q, cid,
+    * dist) replaying Similarity.kmeansAssign(k = 8, iters = 2) — shared
+    * by the s08 oracle and DedupQueries' SemDeDup oracle (d13), so the
+    * two replays cannot drift apart.
+    */
+  private[queries] def kmeansAssignCtes(source: String = "embeddings"): String = {
+    val l2 = (q: String, c: String) =>
+      s"list_sum(list_transform(range(1, 65), i -> ($q[i] - $c[i]) * ($q[i] - $c[i])))"
+    s"""qv AS (SELECT vec_id,
+       |    $quantExpr AS q
+       |  FROM $source),
+       |init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS cv
+       |  FROM qv ORDER BY vec_id LIMIT 8),
+       |a1 AS (SELECT vec_id, q, cid FROM (
+       |    SELECT v.vec_id, v.q, c.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${l2("v.q", "c.cv")}, c.cid) AS rn
+       |    FROM qv v CROSS JOIN init c)
+       |  WHERE rn = 1),
+       |m1 AS (SELECT cid, i,
+       |    CAST((sum(q[i]) - ((sum(q[i]) % count(*) + count(*)) % count(*)))
+       |      // count(*) AS BIGINT) AS mv
+       |  FROM a1 CROSS JOIN range(1, 65) t(i) GROUP BY cid, i),
+       |c2 AS (SELECT p.cid, COALESCE(n.cv, p.cv) AS cv FROM init p
+       |  LEFT JOIN (SELECT cid, list(mv ORDER BY i) AS cv FROM m1 GROUP BY cid) n USING (cid)),
+       |a2 AS (SELECT vec_id, q, cid, dist FROM (
+       |    SELECT v.vec_id, v.q, c.cid, ${l2("v.q", "c.cv")} AS dist,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${l2("v.q", "c.cv")}, c.cid) AS rn
+       |    FROM qv v CROSS JOIN c2 c)
+       |  WHERE rn = 1)""".stripMargin
+  }
+
   /** PQ geometry shared by the s09 and s10 oracles (4 subspaces × 16
     * codes over 16-dim slices — must mirror the Spark calls' m /
     * codebookK / dsub or the replay silently trains a different index).
@@ -293,35 +327,10 @@ object SimilarityQueries {
 
     // two unrolled Lloyd iterations, every step exact integer/floor
     // arithmetic shared with Similarity.kmeansAssign
-    "s08_kmeans_train" -> {
-      val l2 = (q: String, c: String) =>
-        s"list_sum(list_transform(range(1, 65), i -> ($q[i] - $c[i]) * ($q[i] - $c[i])))"
-      s"""WITH qv AS (SELECT vec_id,
-         |    $quantExpr AS q
-         |  FROM embeddings),
-         |init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS cv
-         |  FROM qv ORDER BY vec_id LIMIT 8),
-         |a1 AS (SELECT vec_id, q, cid FROM (
-         |    SELECT v.vec_id, v.q, c.cid,
-         |      row_number() OVER (PARTITION BY v.vec_id
-         |        ORDER BY ${l2("v.q", "c.cv")}, c.cid) AS rn
-         |    FROM qv v CROSS JOIN init c)
-         |  WHERE rn = 1),
-         |m1 AS (SELECT cid, i,
-         |    CAST((sum(q[i]) - ((sum(q[i]) % count(*) + count(*)) % count(*)))
-         |      // count(*) AS BIGINT) AS mv
-         |  FROM a1 CROSS JOIN range(1, 65) t(i) GROUP BY cid, i),
-         |c2 AS (SELECT p.cid, COALESCE(n.cv, p.cv) AS cv FROM init p
-         |  LEFT JOIN (SELECT cid, list(mv ORDER BY i) AS cv FROM m1 GROUP BY cid) n USING (cid)),
-         |a2 AS (SELECT vec_id, cid, dist FROM (
-         |    SELECT v.vec_id, c.cid, ${l2("v.q", "c.cv")} AS dist,
-         |      row_number() OVER (PARTITION BY v.vec_id
-         |        ORDER BY ${l2("v.q", "c.cv")}, c.cid) AS rn
-         |    FROM qv v CROSS JOIN c2 c)
-         |  WHERE rn = 1)
+    "s08_kmeans_train" ->
+      s"""WITH ${kmeansAssignCtes()}
          |SELECT cid, count(*) AS n_members, CAST(sum(dist) AS BIGINT) AS total_dist
-         |FROM a2 GROUP BY 1 ORDER BY 1""".stripMargin
-    },
+         |FROM a2 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // PQ training + encode + ADC search replayed per subspace: for each
     // of the 4 subspaces the oracle repeats s08's two-iteration integer
