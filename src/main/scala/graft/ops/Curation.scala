@@ -274,4 +274,63 @@ object Curation {
       .where(col("__rank") === 1)
       .drop("__rank", "__src")
   }
+
+  /** 2-D Pareto frontier (skyline): the rows no other row dominates,
+    * where q dominates p iff q.x > p.x ∧ q.y ≥ p.y, or q.x = p.x ∧
+    * q.y > p.y; exact (x, y) ties collapse to the lowest id. The
+    * curation use: keep documents maximal in two quality axes at once
+    * (e.g. length AND lexical diversity) instead of thresholding each
+    * axis independently.
+    *
+    * Scale shape — the textbook skyline needs a GLOBAL running max
+    * over x order, which as a bare `Window.orderBy` is a
+    * single-partition scan of the whole corpus. Decomposed instead:
+    * (1) per-x winners via a window PARTITIONED by x; (2) cross-x
+    * dominance as a two-level prefix max — winners get a coarse bucket
+    * key (min/max-scaled exactly like `Layout.writeZOrdered`), the
+    * strictly-higher-BUCKET running max runs over the `buckets`-row
+    * bucket-max relation (bounded axis — q39's single-partition
+    * envelope), and the strictly-higher-x-SAME-bucket running max is a
+    * window partitioned by bucket. Bucket monotonicity makes the union
+    * of the two maxima exactly max{y' : x' > x}, so the result is
+    * bucket-count-invariant and the oracle may replay the naive global
+    * window instead. NULL x/y rows cannot sit on a frontier and are
+    * dropped.
+    */
+  def paretoFrontier2d(df: DataFrame, idCol: String, xCol: String,
+      yCol: String, buckets: Int = 1024): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    Seq("__b", "__bymax", "__brun", "__wrun", "__rn").foreach { r =>
+      require(!df.columns.exists(_.equalsIgnoreCase(r)),
+        s"$r is reserved by paretoFrontier2d; rename that column on the input")
+    }
+    val pts = df.select(col(idCol), col(xCol), col(yCol))
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+    val winners = pts
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(xCol))
+          .orderBy(col(yCol).desc, col(idCol))))
+      .where(col("__rn") === 1).drop("__rn")
+    val r = pts.agg(min(col(xCol)).cast("double"),
+      max(col(xCol)).cast("double")).head()
+    if (r.isNullAt(0)) return winners // empty input: no rows, any schema
+    val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+    val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+    val bucket = least(lit(buckets - 1),
+      ((col(xCol).cast("double") - lo) / span * buckets).cast("long"))
+    val wb = winners.withColumn("__b", bucket)
+    val brun = wb.groupBy("__b").agg(max(col(yCol)).as("__bymax"))
+      .withColumn("__brun", max(col("__bymax")).over(
+        Window.orderBy(col("__b").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select("__b", "__brun")
+    val wrun = max(col(yCol)).over(
+      Window.partitionBy(col("__b")).orderBy(col(xCol).desc)
+        .rowsBetween(Window.unboundedPreceding, -1))
+    wb.join(broadcast(brun), "__b")
+      .withColumn("__wrun", wrun)
+      .where((col("__brun").isNull || col("__brun") < col(yCol)) &&
+        (col("__wrun").isNull || col("__wrun") < col(yCol)))
+      .drop("__b", "__brun", "__wrun")
+  }
 }

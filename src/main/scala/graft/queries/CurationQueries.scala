@@ -187,6 +187,25 @@ object CurationQueries {
         .orderBy("source")
     }),
 
+    // Pareto frontier (skyline) over two quality axes: the documents
+    // maximal in BOTH length and lexical diversity — no other doc is
+    // longer without being less diverse. The operator runs the
+    // two-level bucketed prefix-max (no global data-sized window); the
+    // oracle replays the naive global-window skyline, which the
+    // bucket-invariance argument in Curation.paretoFrontier2d makes
+    // exactly equal.
+    "c13_pareto_frontier" -> ((s, d) => {
+      val pts = Tables.load(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          countDistinct(col("w")).as("n_distinct"))
+        .withColumn("diversity",
+          col("n_distinct") / col("n_words").cast("double"))
+      Curation.paretoFrontier2d(pts, "doc_id", "n_words", "diversity")
+        .orderBy("doc_id")
+    }),
+
     "c10_source_cap" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents")
       // NULLS LAST pinned explicitly: Spark's bare asc is NULLS FIRST,
@@ -406,6 +425,26 @@ object CurationQueries {
          |  CAST(min(n) // 10 AS BIGINT) AS n_expected
          |FROM ranked WHERE rk <= n // 10
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // naive skyline replay: per-x winners, then one global running max
+    // over x descending; keep iff strictly above it
+    "c13_pareto_frontier" ->
+      """WITH stats AS (
+        |  SELECT doc_id, count(*) AS n_words, count(DISTINCT w) AS n_distinct
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY 1),
+        |pts AS (SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |    n_distinct / CAST(n_words AS DOUBLE) AS diversity FROM stats),
+        |win AS (SELECT doc_id, n_words, diversity FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY n_words
+        |      ORDER BY diversity DESC, doc_id) AS rn FROM pts)
+        |  WHERE rn = 1),
+        |rm AS (SELECT *, max(diversity) OVER (ORDER BY n_words DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+        |  FROM win)
+        |SELECT doc_id, n_words, diversity FROM rm
+        |WHERE runmax IS NULL OR diversity > runmax
+        |ORDER BY doc_id""".stripMargin,
 
     "c10_source_cap" ->
       s"""WITH ranked AS (SELECT source, doc_id, text,
