@@ -612,6 +612,12 @@ object Dedup {
   /** Cosine threshold for [[semDedup]], shared with the d13 oracle. */
   val SemDeDupTau = 0.999
 
+  /** Cluster count for [[semDedup]]'s default / the d13 query. Pair
+    * volume is n²/k, so k grows with the corpus (the paper's regime);
+    * 32 holds the benchmark corpus's per-cluster fan-out to ~n/32
+    * while keeping the centroid-literal argmin projection small. */
+  val SemDeDupK = 32
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication"): k-means-cluster the
     * embeddings, then within each cluster flag every vector whose
@@ -631,7 +637,7 @@ object Dedup {
     * the join; cosine is the exact dot/sqrt·sqrt sequence the oracle
     * replays bit-for-bit.
     */
-  def semDedup(embeddings: DataFrame, k: Int = 8, iters: Int = 2,
+  def semDedup(embeddings: DataFrame, k: Int = SemDeDupK, iters: Int = 2,
       tau: Double = SemDeDupTau): DataFrame = {
     import graft.functions.VectorFunctions._
     val assigned = Similarity.kmeansAssign(embeddings, k, iters, keepQ = true)

@@ -506,7 +506,7 @@ object DedupQueries {
       s"""WITH all_e AS (
          |  SELECT vec_id, embedding FROM embeddings
          |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings),
-         |${SimilarityQueries.kmeansAssignCtes("all_e")},
+         |${SimilarityQueries.kmeansAssignCtes("all_e", Dedup.SemDeDupK)},
          |nrm AS (SELECT vec_id, cid, q,
          |    CAST(list_dot_product(q, q) AS BIGINT) AS norm FROM a2),
          |drp AS (SELECT DISTINCT a.vec_id

@@ -172,14 +172,15 @@ object SimilarityQueries {
     * by the s08 oracle and DedupQueries' SemDeDup oracle (d13), so the
     * two replays cannot drift apart.
     */
-  private[queries] def kmeansAssignCtes(source: String = "embeddings"): String = {
+  private[queries] def kmeansAssignCtes(source: String = "embeddings",
+      k: Int = 8): String = {
     val l2 = (q: String, c: String) =>
       s"list_sum(list_transform(range(1, 65), i -> ($q[i] - $c[i]) * ($q[i] - $c[i])))"
     s"""qv AS (SELECT vec_id,
        |    $quantExpr AS q
        |  FROM $source),
        |init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS cv
-       |  FROM qv ORDER BY vec_id LIMIT 8),
+       |  FROM qv ORDER BY vec_id LIMIT $k),
        |a1 AS (SELECT vec_id, q, cid FROM (
        |    SELECT v.vec_id, v.q, c.cid,
        |      row_number() OVER (PARTITION BY v.vec_id
