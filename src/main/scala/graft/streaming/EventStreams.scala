@@ -27,6 +27,79 @@ object EventStreams {
       .select(col("window.start").as("bucket_start"), col("event_type"),
         col("n_events"), col("value_cents"))
 
+  final case class SessionAcc(startUs: Long, lastUs: Long, n: Long)
+  final case class ClosedSession(user_id: Long, session_start_us: Long,
+    session_end_us: Long, n_events: Long)
+
+  /** Per-user sessionization as CUSTOM keyed state —
+    * `flatMapGroupsWithState` with an EVENT-TIME timeout, the form to
+    * reach for when the built-in `session_window` can't carry the
+    * state (per-session derived fields, first/last event payloads,
+    * session-abandonment triggers). Emission semantics are pinned to
+    * e02's `session_window(gap)` rule: a gap >= `gapMinutes` starts a
+    * new session, and the emitted end is last_ts + gap. A session
+    * closes (a) when a same-key event arrives past the gap — the data
+    * path — or (b) when the WATERMARK passes last_ts + gap — the
+    * event-time timeout — so state is bounded by the count of OPEN
+    * sessions inside the watermark horizon, never by history. The
+    * still-open tail session of a key is by construction unemittable
+    * until the watermark moves past it (Append-mode finality).
+    *
+    * Cross-batch late events (admitted by the watermark but older than
+    * the open session's span) extend the open session backwards
+    * (start = min) rather than resurrecting closed ones — the
+    * documented divergence from the batch rule, which sees all events
+    * at once; with in-order arrival the two are identical (spec-pinned).
+    * The timeout is clamped one ms past the current watermark: with
+    * `gap` > watermark delay the clamp never binds, but a smaller gap
+    * must not set a timeout the store would reject as already passed.
+    */
+  def sessionsWithState(events: DataFrame, gapMinutes: Int = 30,
+      watermarkDelay: String = "10 minutes"): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    // the watermarked TIMESTAMP column must reach the stateful operator
+    // unprojected (converting to micros first detaches the watermark and
+    // fails analysis); micros conversion happens inside the state fn
+    events.withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionAcc, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, rows, state: GroupState[SessionAcc]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(
+              ClosedSession(uid, s.startUs, s.lastUs + gapUs, s.n))
+          } else {
+            val out =
+              scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+            var acc = state.getOption
+            rows.map(_._2.getTime * 1000L).toArray.sorted.foreach { t =>
+              acc match {
+                case Some(a) if t - a.lastUs < gapUs =>
+                  acc = Some(SessionAcc(math.min(a.startUs, t),
+                    math.max(a.lastUs, t), a.n + 1))
+                case Some(a) =>
+                  out += ClosedSession(uid, a.startUs, a.lastUs + gapUs, a.n)
+                  acc = Some(SessionAcc(t, t, 1))
+                case None =>
+                  acc = Some(SessionAcc(t, t, 1))
+              }
+            }
+            acc.foreach { a =>
+              state.update(a)
+              state.setTimeoutTimestamp(math.max((a.lastUs + gapUs) / 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Per-user session windows (30-minute gap), the streaming twin of
     * EventsQueries.e02.
     */

@@ -67,6 +67,47 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("custom-state sessionization: data-path close, event-time-timeout close, session_window-equal bounds") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreams.sessionsWithState(in.toDF(), gapMinutes = 30,
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("state_sessions")
+      .outputMode(OutputMode.Append).start()
+    def us(min: Int): Long = min * 60000000L
+    try {
+      // times start at min 100: a row at the epoch sits ON the initial
+      // watermark and the stateful operator's late-row filter drops it.
+      // user 1: min 100 + 120 (one session); user 2: min 105
+      in.addData(
+        Ev(1, ts(100), 1, "click", 0, "{}"),
+        Ev(2, ts(120), 1, "click", 0, "{}"),
+        Ev(3, ts(105), 2, "view", 0, "{}"))
+      q.processAllAvailable()
+      // user 1 at min 190: gap 70 >= 30 -> DATA-path close of
+      // [100, 150); the watermark also reaches 180 >= user 2's
+      // 105+30 timeout, which fires on the engine's follow-up trigger
+      in.addData(Ev(4, ts(190), 1, "click", 0, "{}"))
+      q.processAllAvailable()
+      assert(spark.table("state_sessions").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet ==
+        Set((1L, us(100), us(150), 2L), (2L, us(105), us(135), 1L)))
+      // far-future event advances the watermark past user 1's open
+      // 190+30 timeout; fires on the follow-up trigger
+      in.addData(Ev(5, ts(700), 9, "view", 0, "{}"))
+      q.processAllAvailable()
+      val rows = spark.table("state_sessions").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      // user 9's own session is still open -> absent (Append finality);
+      // ends are last_ts + gap, the session_window rule e02 oracles
+      assert(rows == Set(
+        (1L, us(100), us(150), 2L),
+        (1L, us(190), us(220), 1L),
+        (2L, us(105), us(135), 1L)))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark keeps one row per key") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
