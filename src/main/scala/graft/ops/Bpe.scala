@@ -109,4 +109,22 @@ object Bpe {
     * ""]. */
   def symbolCount(repr: Column): Column =
     (size(split(repr, Delim)) - 2).cast("long")
+
+  /** The tokenizer's INFERENCE path: apply an already-learned merge
+    * table to arbitrary words — unseen words merge as far as their
+    * learned pairs allow, exactly like a shipped BPE vocab encoding
+    * new text. k stacked narrow `replace` projections (Catalyst
+    * collapses them into one codegen stage); no shuffle, no state —
+    * the merge table is k driver-side literals. Adds a `repr` column;
+    * same one-pass replace semantics as training, applied in learned
+    * order (order is load-bearing: later merges consume earlier
+    * merges' symbols). */
+  def applyMerges(words: DataFrame, wCol: String,
+      merges: Seq[Merge]): DataFrame =
+    merges.foldLeft(words.withColumn("repr", charRepr(col(wCol)))) {
+      (df, m) =>
+        df.withColumn("repr", replace(col("repr"),
+          lit(Delim + m.left_sym + Delim + m.right_sym + Delim),
+          lit(Delim + m.merged + Delim)))
+    }
 }

@@ -65,6 +65,27 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     assert(reprs(fin) == Map("a" -> "@a@", "bc" -> "@bc@"))
   }
 
+  test("applyMerges: training words reproduce the final vocab map; unseen words merge partially") {
+    import spark.implicits._
+    val (m, fin) = Bpe.learnMerges(words(Seq("abc abc abc xy")), 2)
+    // inference over the TRAINING words must reproduce training's reprs
+    val replay = Bpe.applyMerges(
+        Seq("abc", "xy").toDF("w"), "w", m)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(replay == reprs(fin))
+    // unseen words: "abd" gets the (a,b) merge but not (ab,c);
+    // "zq" shares no learned pair and stays fully split
+    val unseen = Bpe.applyMerges(Seq("abd", "zq", "abcabc").toDF("w"), "w", m)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(unseen("abd") == "@ab@d@")
+    assert(unseen("zq") == "@z@q@")
+    // merges apply in learned order inside a longer unseen word; the
+    // second adjacent (ab,c) occurrence keeps the one-pass boundary gap
+    // (its leading delimiter was consumed by the first replacement) —
+    // the same documented semantics training has
+    assert(unseen("abcabc") == "@abc@ab@c@")
+  }
+
   test("symbolCount reads the delimited representation") {
     import spark.implicits._
     val df = Seq("@a@b@", "@abc@", "@aa@a@").toDF("repr")
