@@ -141,6 +141,28 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("d13 semdedup: within-cluster pairing is an equi-join on cid, never a cartesian fallback") {
+    val p = plan("d13_semantic_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("c13 pareto: the bucket prefix-max relation broadcasts; no cartesian dominance check") {
+    // the naive skyline is an all-pairs dominance test — the operator
+    // exists to avoid it; the bucket-max side is `buckets` rows at most
+    // and must broadcast onto the winners
+    val p = plan("c13_pareto_frontier")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("t13 bpe encode: the trained vocab map joins the exploded corpus as an equi-join") {
+    val p = plan("t13_bpe_encode")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("keyed overwrite: eviction keys are broadcast (no full shuffle of existing data)") {
     import spark.implicits._
     val existing = (1 to 1000).map(i => (s"k$i", i)).toDF("pcr_uuid_context", "v")
