@@ -150,6 +150,42 @@ object Multimodal {
         s" i -> substring(payload, (i - 1) * $strideBytes + 1, $strideBytes))")
         .as("frames"))
 
+  /** Windowed audio-energy profile over a PCM8-shaped binary payload —
+    * the voice-activity / silence-trim primitive of an audio pipeline,
+    * on the engine's stub-payload convention (bytes ARE the samples;
+    * a real s16le decode swaps only the byte→sample expression). Per
+    * `windowBytes` window: energy = Σ (sample − 128)², exact integer
+    * arithmetic. Bytes are read through `hex()` + per-byte `conv`
+    * (Spark has no byte-iterator over BinaryType); both engines
+    * uppercase-hex and parse identically, so the profile is
+    * oracle-exact. Everything is one codegen'd projection per row —
+    * payload bytes never shuffle (the multimodal ground rule).
+    *
+    * Returns per media row: n_windows, total_energy, peak_energy,
+    * avg_energy (one int/int double division).
+    */
+  def windowEnergy(media: DataFrame, windowBytes: Int): DataFrame = {
+    require(windowBytes >= 1, s"windowBytes must be >= 1, got $windowBytes")
+    val energies = s"""transform(
+      sequence(1, greatest(octet_length(payload) div $windowBytes, 1)),
+      i -> (aggregate(
+        sequence(1, octet_length(substring(payload, (i - 1) * $windowBytes + 1, $windowBytes))),
+        named_struct('hx', hex(substring(payload, (i - 1) * $windowBytes + 1, $windowBytes)), 'acc', 0L),
+        (s, j) -> named_struct('hx', s.hx, 'acc',
+          s.acc + (cast(conv(substr(s.hx, 2 * j - 1, 2), 16, 10) as bigint) - 128L)
+                * (cast(conv(substr(s.hx, 2 * j - 1, 2), 16, 10) as bigint) - 128L)),
+        s -> s.acc))
+    )"""
+    media.select(col("media_id"),
+        expr(energies).as("es"))
+      .select(col("media_id"),
+        size(col("es")).cast("long").as("n_windows"),
+        expr("aggregate(es, 0L, (a, e) -> a + e)").as("total_energy"),
+        array_max(col("es")).as("peak_energy"))
+      .withColumn("avg_energy",
+        col("total_energy") / col("n_windows").cast("double"))
+  }
+
   /** Column-expression twin of the stub decode (codegen'd, used by the
     * oracle-checked query m01 — same arithmetic as Deterministic).
     */

@@ -71,6 +71,20 @@ object MultimodalQueries {
           max("height").as("max_height"))
         .orderBy("format")
     }),
+
+    // audio-shaped DSP: windowed energy profile (the voice-activity /
+    // silence-trim primitive) over PCM8 stub payloads — exact integer
+    // Σ(sample-128)² per 100-byte window, bytes read through hex()
+    // identically in both engines, so even this signal-processing
+    // query is oracle-exact
+    "m05_audio_energy" -> ((s, d) => {
+      val media = Tables.load(s, d, "documents")
+        .where(length(col("text")) > 0)
+        .select(col("doc_id").as("media_id"),
+          col("text").cast("binary").as("payload"))
+      Multimodal.windowEnergy(media, windowBytes = 100)
+        .orderBy("media_id")
+    }),
   )
 
   private val decodeCte =
@@ -110,5 +124,28 @@ object MultimodalQueries {
          |  CAST(min(width) AS BIGINT) AS min_width,
          |  CAST(max(height) AS BIGINT) AS max_height
          |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same windows, same hex byte extraction, same integer energy.
+    // DuckDB has no BLOB substring, so windows are sliced from the
+    // payload's FULL hex string (2 chars/byte — position and clamp
+    // semantics line up with Spark's binary substring exactly)
+    "m05_audio_energy" ->
+      """WITH media AS (SELECT doc_id AS media_id, hex(encode(text)) AS hxp,
+        |    octet_length(encode(text)) AS n
+        |  FROM documents WHERE length(text) > 0),
+        |wins AS (SELECT media_id,
+        |    substr(hxp, (i - 1) * 200 + 1, 200) AS hx
+        |  FROM media,
+        |    unnest(generate_series(1, greatest(n // 100, 1))) AS g(i)),
+        |en AS (SELECT media_id,
+        |    CAST(list_sum(list_transform(generate_series(1, length(hx) // 2),
+        |      j -> (('0x' || substr(hx, 2 * j - 1, 2))::BIGINT - 128)
+        |         * (('0x' || substr(hx, 2 * j - 1, 2))::BIGINT - 128))) AS BIGINT) AS e
+        |  FROM wins)
+        |SELECT media_id, count(*) AS n_windows,
+        |  CAST(sum(e) AS BIGINT) AS total_energy,
+        |  max(e) AS peak_energy,
+        |  CAST(sum(e) AS BIGINT) / CAST(count(*) AS DOUBLE) AS avg_energy
+        |FROM en GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -60,4 +60,22 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(frames == Map(1L -> 2, 2L -> 1))
   }
+
+  test("window energy: exact integer sum of squared deviations per window, trailing partial dropped") {
+    import spark.implicits._
+    // "abcde" at windowBytes=2: windows "ab", "cd"; byte 'e' is beyond
+    // the last full window (the n div W frame rule m01/m03 share)
+    // ab: (97-128)^2 + (98-128)^2 = 961 + 900 = 1861
+    // cd: (99-128)^2 + (100-128)^2 = 841 + 784 = 1625
+    val media = Seq((1L, "abcde"), (2L, "a"))
+      .toDF("media_id", "text")
+      .select(col("media_id"), col("text").cast("binary").as("payload"))
+    val out = Multimodal.windowEnergy(media, windowBytes = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out == Map(
+      1L -> ((2L, 3486L, 1861L, 1743.0)),
+      // single byte shorter than the window: one short window ("a")
+      2L -> ((1L, 961L, 961L, 961.0))))
+  }
 }
