@@ -78,7 +78,13 @@ object EventStreams {
             val out =
               scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
             var acc = state.getOption
-            rows.map(_._2.getTime * 1000L).toArray.sorted.foreach { t =>
+            // full microsecond precision: getTime alone floors to ms,
+            // which would shift session bounds relative to the batch
+            // session_window rule on micro-precision event times
+            rows.map { r =>
+              val ts = r._2
+              ts.getTime * 1000L + (ts.getNanos % 1000000L) / 1000L
+            }.toArray.sorted.foreach { t =>
               acc match {
                 case Some(a) if t - a.lastUs < gapUs =>
                   acc = Some(SessionAcc(math.min(a.startUs, t),
