@@ -29,6 +29,8 @@ object Verify {
     val selected = sys.env.get("VERIFY_ONLY") match {
       case Some(list) =>
         val want = list.split(',').map(_.trim).filter(_.nonEmpty).toSet
+        require(want.nonEmpty,
+          "VERIFY_ONLY is set but names no queries - an empty subset must not verify nothing and read as green")
         val unknown = want -- SparkEntry.queries.keySet
         if (unknown.nonEmpty)
           throw new IllegalArgumentException(

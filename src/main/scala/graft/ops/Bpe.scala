@@ -53,16 +53,26 @@ object Bpe {
   /** `@`-delimited character representation: "ab" → "@a@b@". Built with
     * regexp_replace, NOT split(w, "") — Spark's split keeps a trailing
     * empty element under its -1 limit ("abc" → [a, b, c, ""]), which
-    * would corrupt the representation with an empty symbol. */
+    * would corrupt the representation with an empty symbol. (?s) so a
+    * line terminator inside a word is a character like any other —
+    * without DOTALL it would stay unprefixed and fuse into its
+    * neighbor symbol, diverging from the oracle's per-character split. */
   private def charRepr(w: Column): Column =
-    concat(regexp_replace(w, "(.)", Delim + "$1"), lit(Delim))
+    concat(regexp_replace(w, "(?s)(.)", Delim + "$1"), lit(Delim))
+
+  /** The corpus tokenization every BPE stage shares — training's word
+    * table, t13's per-document encode join, and (restated in SQL) their
+    * oracles' toks CTEs. One definition, so the filters cannot drift
+    * and silently drop join keys. */
+  def tokens(docs: DataFrame, textCol: String): DataFrame =
+    docs.where(col(textCol).isNotNull)
+      .select(col("*"), explode(split(col(textCol), " ")).as("w"))
+      .where(length(col("w")) > 0 && !col("w").contains(Delim))
 
   /** Word-frequency table with initial character representations — the
     * single corpus-wide scan of training. */
   def wordTable(docs: DataFrame, textCol: String): DataFrame =
-    docs.where(col(textCol).isNotNull)
-      .select(explode(split(col(textCol), " ")).as("w"))
-      .where(length(col("w")) > 0 && !col("w").contains(Delim))
+    tokens(docs, textCol).select("w")
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(col("w"), charRepr(col("w")).as("repr"), col("freq"))
 

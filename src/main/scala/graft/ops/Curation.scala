@@ -306,12 +306,18 @@ object Curation {
     }
     val pts = df.select(col(idCol), col(xCol), col(yCol))
       .where(col(xCol).isNotNull && col(yCol).isNotNull)
+    // winners are materialized ONCE (the input lineage may be an
+    // expensive aggregation, as in c13): the eager checkpoint feeds the
+    // min/max head(), the join's left side, and the bucket-max groupBy
+    // without recomputing the upstream three times. min/max over
+    // winners == min/max over pts (one winner survives per distinct x).
     val winners = pts
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col(xCol))
           .orderBy(col(yCol).desc, col(idCol))))
       .where(col("__rn") === 1).drop("__rn")
-    val r = pts.agg(min(col(xCol)).cast("double"),
+      .localCheckpoint(true)
+    val r = winners.agg(min(col(xCol)).cast("double"),
       max(col(xCol)).cast("double")).head()
     if (r.isNullAt(0)) return winners // empty input: no rows, any schema
     val (lo, hi) = (r.getDouble(0), r.getDouble(1))

@@ -162,11 +162,19 @@ object Multimodal {
     * payload bytes never shuffle (the multimodal ground rule).
     *
     * Returns per media row: n_windows, total_energy, peak_energy,
-    * avg_energy (one int/int double division).
+    * avg_energy (one int/int double division). An empty payload gets
+    * an empty profile (0 windows, 0 total, NULL peak/avg), not a
+    * phantom window of NULL energies.
     */
   def windowEnergy(media: DataFrame, windowBytes: Int): DataFrame = {
     require(windowBytes >= 1, s"windowBytes must be >= 1, got $windowBytes")
-    val energies = s"""transform(
+    // the empty-payload guard matters twice over: greatest(0, 1) would
+    // manufacture a phantom window, and Spark's sequence(1, 0) DESCENDS
+    // rather than returning empty, so the inner fold would read
+    // nonexistent bytes into NULL energies (the Bpe.pairCounts gotcha)
+    val energies = s"""CASE WHEN octet_length(payload) = 0
+      THEN array()
+      ELSE transform(
       sequence(1, greatest(octet_length(payload) div $windowBytes, 1)),
       i -> (aggregate(
         sequence(1, octet_length(substring(payload, (i - 1) * $windowBytes + 1, $windowBytes))),
@@ -175,7 +183,7 @@ object Multimodal {
           s.acc + (cast(conv(substr(s.hx, 2 * j - 1, 2), 16, 10) as bigint) - 128L)
                 * (cast(conv(substr(s.hx, 2 * j - 1, 2), 16, 10) as bigint) - 128L)),
         s -> s.acc))
-    )"""
+    ) END"""
     media.select(col("media_id"),
         expr(energies).as("es"))
       .select(col("media_id"),
@@ -183,7 +191,8 @@ object Multimodal {
         expr("aggregate(es, 0L, (a, e) -> a + e)").as("total_energy"),
         array_max(col("es")).as("peak_energy"))
       .withColumn("avg_energy",
-        col("total_energy") / col("n_windows").cast("double"))
+        when(col("n_windows") > 0,
+          col("total_energy") / col("n_windows").cast("double")))
   }
 
   /** Column-expression twin of the stub decode (codegen'd, used by the

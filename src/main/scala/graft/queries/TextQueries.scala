@@ -175,9 +175,8 @@ object TextQueries {
         graft.ops.Bpe.learnMerges(words, graft.ops.Bpe.DefaultMerges)
       val syms = finalWords.select(col("w"),
         graft.ops.Bpe.symbolCount(col("repr")).as("n_syms"))
-      docs.where(col("text").isNotNull)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .where(length(col("w")) > 0 && !col("w").contains(graft.ops.Bpe.Delim))
+      graft.ops.Bpe.tokens(docs, "text")
+        .select("doc_id", "w")
         .join(syms, "w")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_words"),
@@ -265,7 +264,11 @@ object TextQueries {
     * sequence), picks the (freq desc, l, r) argmax, and re-encodes via
     * the same literal `replace` the engine applies — both engines scan
     * the original left-to-right non-overlapping, so the replay is
-    * bit-identical. Shared by the t12/t13 oracles. */
+    * bit-identical. The re-encode is a LEFT JOIN ON true: when a step
+    * finds no pair left (vocab fully merged before k steps — the
+    * engine stops early there), b$i is empty and w$i must pass
+    * w$(i-1) through unchanged, not vanish via a CROSS JOIN with an
+    * empty side. Shared by the t12/t13 oracles. */
   private def bpeCtes(k: Int): String = {
     val w0 =
       """w0 AS (
@@ -283,8 +286,11 @@ object TextQueries {
          |  GROUP BY 1, 2),
          |b$i AS (SELECT l, r, f FROM p$i ORDER BY f DESC, l, r LIMIT 1),
          |w$i AS (
-         |  SELECT w.w, replace(w.repr, '@' || b.l || '@' || b.r || '@', '@' || b.l || b.r || '@') AS repr, w.freq
-         |  FROM w${i - 1} w CROSS JOIN b$i b)""".stripMargin
+         |  SELECT w.w,
+         |    CASE WHEN b.l IS NULL THEN w.repr
+         |         ELSE replace(w.repr, '@' || b.l || '@' || b.r || '@', '@' || b.l || b.r || '@') END AS repr,
+         |    w.freq
+         |  FROM w${i - 1} w LEFT JOIN b$i b ON true)""".stripMargin
     }
     (w0 +: steps).mkString("WITH ", ",\n", "")
   }

@@ -98,7 +98,11 @@ object EventStreams {
             }
             acc.foreach { a =>
               state.update(a)
-              state.setTimeoutTimestamp(math.max((a.lastUs + gapUs) / 1000L,
+              // CEILING ms: floor would let the timeout fire up to
+              // 999 us before last+gap, closing a session an in-gap
+              // micro-precision event could still legitimately extend
+              state.setTimeoutTimestamp(math.max(
+                (a.lastUs + gapUs + 999L) / 1000L,
                 state.getCurrentWatermarkMs() + 1L))
             }
             out.iterator
