@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Per-window PCM8 energy profile in ONE generated pass (SURVEY §7.3's
+  * bench-gated custom tier, the multimodal counterpart of
+  * `ShingleHash32`). The SQL formulation pays hex() + a substr + a
+  * base-16 `conv` PER BYTE — measured at 2.6 s for m05 at sf0.1, one
+  * of the suite's top lines. This expression walks the payload's bytes
+  * directly: for window p of `windowBytes` bytes, energy =
+  * Σ (unsigned(b) − 128)², exact long arithmetic, no allocation per
+  * byte, fully inside whole-stage codegen.
+  *
+  * Window rule shared with `Multimodal.sampleFrames`/the m05 oracle:
+  * max(n div W, 1) windows — full windows only, except a single short
+  * window when the whole payload is shorter than W; an empty payload
+  * yields an empty profile (no phantom window). The DuckDB oracle
+  * states the identical arithmetic over hex-sliced windows, so
+  * results hash-match bit-for-bit.
+  */
+case class Pcm8WindowEnergy(child: Expression, windowBytes: Int)
+    extends UnaryExpression {
+  require(windowBytes >= 1, s"windowBytes must be >= 1, got $windowBytes")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a binary argument")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pcm8_window_energy"
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    val n = b.length
+    if (n == 0) new GenericArrayData(Array.emptyLongArray)
+    else {
+      val cnt = math.max(n / windowBytes, 1)
+      val out = new Array[Long](cnt)
+      var p = 0
+      while (p < cnt) {
+        val end = math.min((p + 1) * windowBytes, n)
+        var e = 0L
+        var i = p * windowBytes
+        while (i < end) {
+          val d = (b(i) & 0xFF).toLong - 128L
+          e += d * d
+          i += 1
+        }
+        out(p) = e
+        p += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val cnt = ctx.freshName("cnt")
+      val out = ctx.freshName("out")
+      val p = ctx.freshName("p")
+      val end = ctx.freshName("end")
+      val e = ctx.freshName("e")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = $a.length;
+         |int $cnt = ($n == 0) ? 0 : java.lang.Math.max($n / $windowBytes, 1);
+         |long[] $out = new long[$cnt];
+         |for (int $p = 0; $p < $cnt; $p++) {
+         |  int $end = java.lang.Math.min(($p + 1) * $windowBytes, $n);
+         |  long $e = 0L;
+         |  for (int $i = $p * $windowBytes; $i < $end; $i++) {
+         |    long $d = (long)($a[$i] & 0xFF) - 128L;
+         |    $e += $d * $d;
+         |  }
+         |  $out[$p] = $e;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Pcm8WindowEnergy =
+    copy(child = c)
+}
+
+object MediaExpressions {
+
+  def pcm8_window_energy(payload: Column, windowBytes: Int): Column = {
+    register(SparkSession.active)
+    org.apache.spark.sql.functions.call_function(
+      "pcm8_window_energy", payload,
+      org.apache.spark.sql.functions.lit(windowBytes))
+  }
+
+  /** (name, expression class, builder) — consumed by [[register]] and
+    * `GraftExtensions`' aggregate table. */
+  val injectable: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("pcm8_window_energy", classOf[Pcm8WindowEnergy],
+      es => Pcm8WindowEnergy(es.head, es(1).eval().asInstanceOf[Int])))
+
+  def register(spark: SparkSession): Unit = injectable.foreach { case (n, _, b) =>
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(n, b, "built-in")
+  }
+}

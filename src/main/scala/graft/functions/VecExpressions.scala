@@ -152,7 +152,7 @@ object VecExpressions {
 object GraftFunctions {
   val all: Seq[(String, Class[_], Seq[Expression] => Expression)] =
     VecExpressions.injectable ++ TextHashExpressions.injectable ++
-      KmvExpressions.injectable
+      KmvExpressions.injectable ++ MediaExpressions.injectable
 }
 
 /** Session-extensions entry point: registers every native function at

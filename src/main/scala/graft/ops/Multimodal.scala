@@ -165,27 +165,19 @@ object Multimodal {
     * avg_energy (one int/int double division). An empty payload gets
     * an empty profile (0 windows, 0 total, NULL peak/avg), not a
     * phantom window of NULL energies.
+    *
+    * The per-window energies come from the native codegen'd
+    * [[graft.functions.Pcm8WindowEnergy]] (one fused byte loop). The
+    * SQL-function formulation — hex() then substr + base-16 conv per
+    * byte — was this suite's measured top-12 bench line (2.6 s at
+    * sf0.1); the oracle still states that portable arithmetic, so the
+    * native path is hash-checked against it end-to-end.
     */
   def windowEnergy(media: DataFrame, windowBytes: Int): DataFrame = {
     require(windowBytes >= 1, s"windowBytes must be >= 1, got $windowBytes")
-    // the empty-payload guard matters twice over: greatest(0, 1) would
-    // manufacture a phantom window, and Spark's sequence(1, 0) DESCENDS
-    // rather than returning empty, so the inner fold would read
-    // nonexistent bytes into NULL energies (the Bpe.pairCounts gotcha)
-    val energies = s"""CASE WHEN octet_length(payload) = 0
-      THEN array()
-      ELSE transform(
-      sequence(1, greatest(octet_length(payload) div $windowBytes, 1)),
-      i -> (aggregate(
-        sequence(1, octet_length(substring(payload, (i - 1) * $windowBytes + 1, $windowBytes))),
-        named_struct('hx', hex(substring(payload, (i - 1) * $windowBytes + 1, $windowBytes)), 'acc', 0L),
-        (s, j) -> named_struct('hx', s.hx, 'acc',
-          s.acc + (cast(conv(substr(s.hx, 2 * j - 1, 2), 16, 10) as bigint) - 128L)
-                * (cast(conv(substr(s.hx, 2 * j - 1, 2), 16, 10) as bigint) - 128L)),
-        s -> s.acc))
-    ) END"""
     media.select(col("media_id"),
-        expr(energies).as("es"))
+        graft.functions.MediaExpressions
+          .pcm8_window_energy(col("payload"), windowBytes).as("es"))
       .select(col("media_id"),
         size(col("es")).cast("long").as("n_windows"),
         expr("aggregate(es, 0L, (a, e) -> a + e)").as("total_energy"),

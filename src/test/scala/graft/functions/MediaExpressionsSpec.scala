@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.BoundReference
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.BinaryType
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+class MediaExpressionsSpec extends AnyFunSuite with SparkSpec {
+
+  private val payload = "abcde".getBytes("UTF-8")
+
+  // W=2 over "abcde": windows "ab", "cd" (trailing 'e' dropped)
+  //   ab: (97-128)^2 + (98-128)^2 = 1861; cd: 841 + 784 = 1625
+  // W=3: one full window "abc": 961 + 900 + 841 = 2702
+  test("codegen path: two instances in one scope, exact energies, window rule") {
+    val a = BoundReference(0, BinaryType, nullable = false)
+    val proj = GenerateUnsafeProjection.generate(
+      Seq(Pcm8WindowEnergy(a, 2), Pcm8WindowEnergy(a, 3)))
+    val out = proj(InternalRow(payload))
+    assert(out.getArray(0).toLongArray.toSeq == Seq(1861L, 1625L))
+    assert(out.getArray(1).toLongArray.toSeq == Seq(2702L))
+  }
+
+  test("interpreted path agrees; short payload gets one short window; empty gets none") {
+    val a = BoundReference(0, BinaryType, nullable = false)
+    def run(bytes: Array[Byte], w: Int): Seq[Long] =
+      Pcm8WindowEnergy(a, w).eval(InternalRow(bytes))
+        .asInstanceOf[ArrayData].toLongArray.toSeq
+    assert(run(payload, 2) == Seq(1861L, 1625L))
+    assert(run("a".getBytes("UTF-8"), 100) == Seq(961L))
+    assert(run(Array.emptyByteArray, 100) == Seq.empty)
+    // unsigned byte handling: 0xFF reads as 255, not -1
+    assert(run(Array(0xFF.toByte), 4) == Seq((255L - 128L) * (255L - 128L)))
+  }
+}
