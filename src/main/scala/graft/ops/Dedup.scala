@@ -607,6 +607,39 @@ object Dedup {
         (col("inter") / col("un").cast("double")).as("jaccard"))
   }
 
+  /** Cross-document duplicated-span profile (the per-document signal
+    * behind Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better": repeated substrings across documents are
+    * boilerplate worth removing): for each document, the fraction of
+    * its sampled shingle positions whose shingle hash occurs in ≥ 2
+    * DISTINCT documents. High fraction = the document is mostly text
+    * that exists elsewhere (templates, navigation chrome, licenses);
+    * t10's rarity is the complementary mean-df view over a sample —
+    * this is positional span coverage over every document.
+    *
+    * Scale shape: one fused `ShingleHash32` pass per document (no
+    * per-shingle allocation), the document-frequency table is one
+    * map-side-combined groupBy over distinct (doc, hash), and scoring
+    * is one equi-join on the hash — the same df-table discipline as
+    * t10, where the df relation is the thing you persist and reuse.
+    * Shingle multiplicity within a doc counts positionally (a doc
+    * repeating a duplicated span twice has both positions covered).
+    */
+  def duplicatedSpans(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val es = docs.where(col(textCol).isNotNull)
+      .select(col(idCol), explode(shingleHashes(col(textCol))).as("__h"))
+    val dfr = es.select(col(idCol), col("__h")).distinct()
+      .groupBy("__h").agg(count(lit(1)).as("__docs_with"))
+    es.join(dfr, "__h")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_positions"),
+        sum(when(col("__docs_with") >= 2, 1L).otherwise(0L))
+          .as("n_dup_positions"))
+      .withColumn("dup_fraction",
+        col("n_dup_positions") / col("n_positions").cast("double"))
+  }
+
   // --- semantic dedup (SemDeDup) -------------------------------------------
 
   /** Cosine threshold for [[semDedup]], shared with the d13 oracle. */

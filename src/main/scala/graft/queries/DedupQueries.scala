@@ -220,6 +220,14 @@ object DedupQueries {
         .orderBy("vec_a", "vec_b")
     }),
 
+    // duplicated-span profile: per document, what fraction of its
+    // shingle positions is text that exists in other documents —
+    // the boilerplate/template signal (Lee et al. 2022)
+    "d14_duplicated_spans" -> ((s, d) => {
+      Dedup.duplicatedSpans(Tables.load(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // SemDeDup: k-means clusters bound the pairwise cosine search
     // (candidates = Σ|cluster|², n²/k expected; the paper scales k with
     // n to keep clusters bounded). Training is s08's deterministic
@@ -498,6 +506,23 @@ object DedupQueries {
          |WHERE cosine >= 0.999
          |ORDER BY vec_a, vec_b""".stripMargin
     },
+
+    // same fused shingle polynomial as d02's chain, multiplicity-kept
+    // explode, one distinct-df table, one join
+    "d14_duplicated_spans" ->
+      s"""WITH sh AS (SELECT doc_id,
+         |  list_transform(generate_series(1, greatest(length(text) - ${Dedup.ShingleK - 1}, 1), ${Dedup.ShingleStride}),
+         |    i -> $shinglePoly) AS hs
+         |  FROM documents WHERE text IS NOT NULL),
+         |es AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+         |dfr AS (SELECT h, count(*) AS docs_with
+         |  FROM (SELECT DISTINCT doc_id, h FROM es) GROUP BY 1)
+         |SELECT doc_id, count(*) AS n_positions,
+         |  CAST(sum(CASE WHEN docs_with >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_positions,
+         |  CAST(sum(CASE WHEN docs_with >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    / CAST(count(*) AS DOUBLE) AS dup_fraction
+         |FROM es JOIN dfr USING (h)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // same k-means replay as s08 (shared CTE chain, retargeted at the
     // doubled corpus), then the within-cluster lower-id-wins cosine
