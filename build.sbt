@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output normally passes through sbt's logger, which
+// prefixes every line with "[info] " — that prefix broke the driver's
+// last-line `json.loads` of the bench summary four rounds running.
+// StdoutOutput makes the forked JVM inherit the real stdout/stderr,
+// so the compact summary line lands unprefixed.
+run / outputStrategy := Some(StdoutOutput)
+// outputStrategy is read by the fork runner, not by a task sbt's lint
+// can see — exclude it so the lint warning doesn't pollute stdout.
+Global / excludeLintKeys += run / outputStrategy
 // The driver parses the LAST stdout line of `sbt runMain graft.Bench`
 // as the metric JSON; sbt's "[success] Total time ..." footer printed
 // after main returns broke that contract two rounds running. Suppress
