@@ -25,7 +25,8 @@ object SparkEntry {
       graft.queries.EventsQueries.queries ++
       graft.queries.MultimodalQueries.queries ++
       graft.queries.CurationQueries.queries ++
-      graft.queries.JsonlQueries.queries
+      graft.queries.JsonlQueries.queries ++
+      graft.queries.PipelineQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
@@ -36,5 +37,6 @@ object SparkEntry {
       graft.queries.EventsQueries.oracles ++
       graft.queries.MultimodalQueries.oracles ++
       graft.queries.CurationQueries.oracles ++
-      graft.queries.JsonlQueries.oracles
+      graft.queries.JsonlQueries.oracles ++
+      graft.queries.PipelineQueries.oracles
 }

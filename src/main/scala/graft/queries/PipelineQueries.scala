@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Pipeline
+import graft.sources.Tables
+
+/** The composed-pipeline pack: [[graft.ops.Pipeline]] run end to end as
+  * ONE oracle-checked dataflow (the reference's own shape — one flow
+  * per file, `main_ingest.py:331-690` — not thirteen isolated stages).
+  *
+  * The corpus plants both duplicate classes so every dedup stage is
+  * non-trivial at every SF: ids +1M are EXACT copies (stage 1 must kill
+  * them), ids +2M are near-dup mutations, one word appended (stage 2
+  * must cluster them with their base and keep one member). The
+  * benchmark slice is doc_id % 100 == 0 of the base table, so stage 3
+  * drops the surviving member of every benchmark cluster (overlap 1.0
+  * or ~1.0) — eval data never reaches the shards.
+  *
+  * Output is the SHARD MANIFEST — per (split, source, shard): doc
+  * count, token count, min id. Any upstream wrongness (a copy
+  * surviving stage 1, a cluster keeping two members, a missed
+  * contamination, a quality verdict flipped, a split or shard off by
+  * one) changes manifest membership and fails the hash compare.
+  */
+object PipelineQueries {
+
+  /** Contamination threshold and shard token budget — ONE definition
+    * for the Spark flow and the oracle SQL.
+    */
+  private val ContaminationTau = 0.5
+  private val ShardBudget = 4096L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p01_curation_pipeline" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents").select("doc_id", "text", "source")
+      val corpus = docs
+        .unionByName(docs.select((col("doc_id") + 1000000).as("doc_id"),
+          col("text"), col("source")))
+        .unionByName(docs.select((col("doc_id") + 2000000).as("doc_id"),
+          concat(col("text"), lit(" spark")).as("text"), col("source")))
+      val bench = docs.where(col("doc_id") % 100 === 0)
+      Pipeline.curate(corpus, bench, "doc_id", "text", "source",
+          ContaminationTau, ShardBudget)
+        .groupBy("split", "source", "shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("shard_tokens"),
+          min("doc_id").as("min_doc_id"))
+        .orderBy("split", "source", "shard")
+    }),
+  )
+
+  private val tokenExpr =
+    "(length(text) - length(replace(text, ' ', '')) + 1)"
+
+  val oracles: Map[String, String] = Map(
+    // the whole composition as one CTE chain, each stage reusing the
+    // exact SQL its standalone oracle uses: d01's fingerprint groupBy,
+    // d06's bands/pairs/walk (DedupQueries.bandsCtesFor — identical
+    // shingle/minhash/band literals), c04's keep-best window, c03's
+    // bigram-overlap scoring, t09's rule conditions
+    // (TextQueries.qualityFailSqls), c01's split CASE, c02's
+    // running-sum packing
+    "p01_curation_pipeline" -> {
+      val passAll = TextQueries.qualityFailSqls
+        .map { case (_, c) => s"NOT ($c)" }.mkString("\n    AND ")
+      s"""WITH RECURSIVE
+         |all_docs AS (
+         |  SELECT doc_id, text, source FROM documents
+         |  UNION ALL SELECT doc_id + 1000000, text, source FROM documents
+         |  UNION ALL SELECT doc_id + 2000000, text || ' spark', source FROM documents),
+         |ex AS (SELECT min(doc_id) AS doc_id FROM all_docs
+         |  GROUP BY md5(lower(trim(text)))),
+         |s1 AS (SELECT d.doc_id, d.text, d.source FROM all_docs d JOIN ex USING (doc_id)),
+         |${DedupQueries.bandsCtesFor("s1")},
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |walk(src, dst) AS (
+         |  SELECT src, dst FROM sym
+         |  UNION
+         |  SELECT w.src, s.dst FROM walk w JOIN sym s ON w.dst = s.src),
+         |labels AS (SELECT src AS id, least(src, min(dst)) AS label
+         |  FROM walk GROUP BY src),
+         |members AS (SELECT l.label, d.doc_id, d.text, d.source,
+         |    CAST(length(d.text) AS BIGINT) AS n_chars
+         |  FROM labels l JOIN s1 d ON l.id = d.doc_id),
+         |winners AS (SELECT doc_id, text, source FROM (
+         |    SELECT doc_id, text, source,
+         |      row_number() OVER (PARTITION BY label ORDER BY n_chars DESC, doc_id ASC) AS rn
+         |    FROM members) WHERE rn = 1),
+         |s2 AS (SELECT doc_id, text, source FROM winners
+         |  UNION ALL
+         |  SELECT doc_id, text, source FROM s1
+         |  WHERE doc_id NOT IN (SELECT id FROM labels)),
+         |gs2 AS (SELECT doc_id,
+         |    list_distinct(${graft.functions.TextHashExpressions.bigramFoldSql("ws")}) AS gs
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM s2
+         |    WHERE $tokenExpr >= 2)),
+         |bgs AS (SELECT list(DISTINCT g) AS bg FROM (
+         |  SELECT unnest(list_distinct(${graft.functions.TextHashExpressions.bigramFoldSql("ws")})) AS g
+         |  FROM (SELECT string_split(text, ' ') AS ws FROM documents
+         |    WHERE doc_id % 100 = 0 AND $tokenExpr >= 2))),
+         |dropset AS (SELECT doc_id FROM gs2 CROSS JOIN bgs
+         |  WHERE len(list_intersect(gs, bg)) / CAST(len(gs) AS DOUBLE) >= $ContaminationTau),
+         |s3 AS (SELECT doc_id, text, source FROM s2
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM dropset)),
+         |s4 AS (SELECT doc_id, text, source FROM (
+         |    SELECT doc_id, text, source,
+         |      CAST(length(text) AS BIGINT) AS n_chars,
+         |      CAST($tokenExpr AS BIGINT) AS n_words,
+         |      ${TextQueries.stopHitsSql} AS stop_hits
+         |    FROM (SELECT doc_id, text, source, ' ' || text || ' ' AS p FROM s3))
+         |  WHERE $passAll),
+         |sp AS (SELECT doc_id, source,
+         |    CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val'
+         |      ELSE 'test' END AS split,
+         |    n_tokens
+         |  FROM (SELECT doc_id, source,
+         |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bkt,
+         |      CAST($tokenExpr AS BIGINT) AS n_tokens
+         |    FROM s4)),
+         |cum AS (SELECT split, source, doc_id, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY split, source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+         |  FROM sp)
+         |SELECT split, source,
+         |  CAST(floor((c - n_tokens) / $ShardBudget) AS BIGINT) AS shard,
+         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+         |  min(doc_id) AS min_doc_id
+         |FROM cum GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+    },
+  )
+}

@@ -241,7 +241,23 @@ object TextQueries {
   // shared oracle-SQL builders: ONE derivation from TextAnalysis's
   // stopword and marker lists, so adding a language or stopword cannot
   // silently diverge between the t02/t03/t07 oracles
-  private val stopHitsSql: String =
+  /** t09's per-rule fail conditions over a relation exposing (n_chars,
+    * n_words, stop_hits) — restated from TextAnalysis.qualityRules via
+    * the SAME named constants, so a threshold change recompiles into
+    * both engines or neither. Shared with p01's composed-pipeline
+    * oracle (its quality gate is the conjunction of these).
+    */
+  private[queries] val qualityFailSqls: Seq[(String, String)] = {
+    import TextAnalysis._
+    Seq(
+      "short" -> s"n_words < $RuleMinWords",
+      "long" -> s"n_words > $RuleMaxWords",
+      "word_len" -> (s"((n_chars - n_words + 1) / CAST(n_words AS DOUBLE) < $RuleWordLenLo" +
+        s" OR (n_chars - n_words + 1) / CAST(n_words AS DOUBLE) > $RuleWordLenHi)"),
+      "stopword" -> s"stop_hits * $RuleStopDen < n_words * $RuleStopNum")
+  }
+
+  private[queries] val stopHitsSql: String =
     TextAnalysis.stopwords.map(m =>
       s"CAST((length(p) - length(replace(p, '$m', ''))) / ${m.length} AS BIGINT)")
       .mkString("(", "\n     + ", ")")
@@ -368,16 +384,7 @@ object TextQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "t09_quality_rules" -> {
-      // rule conditions restated from TextAnalysis.qualityRules via the
-      // SAME named constants — a threshold change recompiles into both
-      // engines or neither
-      import TextAnalysis._
-      val fails = Seq(
-        "short" -> s"n_words < $RuleMinWords",
-        "long" -> s"n_words > $RuleMaxWords",
-        "word_len" -> (s"((n_chars - n_words + 1) / CAST(n_words AS DOUBLE) < $RuleWordLenLo" +
-          s" OR (n_chars - n_words + 1) / CAST(n_words AS DOUBLE) > $RuleWordLenHi)"),
-        "stopword" -> s"stop_hits * $RuleStopDen < n_words * $RuleStopNum")
+      val fails = qualityFailSqls
       val failSums = fails.map { case (n, c) =>
         s"CAST(sum(CASE WHEN $c THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_$n"
       }.mkString(",\n  ")
