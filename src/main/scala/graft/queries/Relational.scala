@@ -35,6 +35,22 @@ object Relational {
     */
   private val KmvK = 64
 
+  /** KMV estimate from a bottom-k sketch column: (k-1)·2^32 / h_k, or
+    * the exact member count when the sketch never filled. ONE
+    * definition for q35/q36/q46 (their estimates must never drift).
+    */
+  private def kmvEstimate(sk: Column): Column =
+    when(size(sk) < KmvK, size(sk).cast("double"))
+      .otherwise(lit((KmvK - 1).toDouble) * lit(4294967296.0) /
+        element_at(sk, KmvK))
+
+  /** q46's persisted-sketch directory, keyed by the SF basename (the
+    * j01 convention: a bench pass at another SF must not clobber the
+    * table the gate run wrote).
+    */
+  private def sketchDir(sfDir: String): String =
+    s"/tmp/graft_q46_sketches_${java.nio.file.Paths.get(sfDir).getFileName}"
+
   /** q24's count-min-sketch geometry, shared with its oracle SQL and
     * with SketchEnvelopeSpec's error bound (eps = e/width). Deterministic
     * md5-derived bucket hashes make the whole sketch a pure function of
@@ -522,10 +538,7 @@ object Relational {
           graft.functions.KmvExpressions.bottom_k_hashes(col("hv"), KmvK).as("sk"))
         .select(col("source"), col("n_docs"), col("exact_distinct"),
           size(col("sk")).cast("long").as("kmv_size"),
-          when(size(col("sk")) < KmvK, size(col("sk")).cast("double"))
-            .otherwise(lit((KmvK - 1).toDouble) * lit(4294967296.0) /
-              element_at(col("sk"), KmvK))
-            .as("kmv_estimate"))
+          kmvEstimate(col("sk")).as("kmv_estimate"))
         .orderBy("source")
     }),
 
@@ -557,10 +570,7 @@ object Relational {
         col("n_sources"),
         col("exact_distinct"),
         size(col("gsk")).cast("long").as("kmv_size"),
-        when(size(col("gsk")) < KmvK, size(col("gsk")).cast("double"))
-          .otherwise(lit((KmvK - 1).toDouble) * lit(4294967296.0) /
-            element_at(col("gsk"), KmvK))
-          .as("kmv_estimate"))
+        kmvEstimate(col("gsk")).as("kmv_estimate"))
     }),
 
     // Deterministic HyperLogLog (the q35 pattern applied to HLL, where
@@ -675,14 +685,51 @@ object Relational {
           size(col("sku")).cast("long").as("kmv_union_size"),
           size(array_intersect(array_intersect(col("sku"), col("ska")), col("skb")))
             .cast("long").as("n_in_both"),
-          when(size(col("sku")) < KmvK, size(col("sku")).cast("double"))
-            .otherwise(lit((KmvK - 1).toDouble) * lit(4294967296.0) /
-              element_at(col("sku"), KmvK))
-            .as("union_estimate"))
+          kmvEstimate(col("sku")).as("union_estimate"))
         .withColumn("jaccard_estimate",
           col("n_in_both").cast("double") / col("kmv_union_size").cast("double"))
         .withColumn("intersection_estimate",
           col("jaccard_estimate") * col("union_estimate"))
+    }),
+
+    // CROSS-SESSION sketch persistence — the incremental-daily pattern
+    // that is the whole point of mergeability (q36 merges sketches
+    // built in the SAME job; this one round-trips them through a
+    // PARQUET TABLE first): session 1 builds per-source KMV sketches
+    // of "yesterday" (doc_id % 3 != 0) and writes them as an
+    // array<long> column table; session 2 reads that table back cold,
+    // builds sketches of "today" (doc_id % 3 == 0), merges sketch
+    // rows — never rescanning yesterday's corpus — and compares
+    // against the direct whole-corpus sketch per source. Both
+    // estimates ride in the output, so the hash-match PROVES
+    // merge(persisted, new) == direct: exact reaggregation survives
+    // the storage round-trip. At 100 TB yesterday's table is k longs
+    // per source — the corpus is scanned once the day it arrives and
+    // never again.
+    "q46_sketch_roundtrip" -> ((s, d) => {
+      graft.functions.KmvExpressions.register(s)
+      val dir = sketchDir(d)
+      val docs = t(s, d, "documents").where(col("text").isNotNull)
+      def perSource(df: DataFrame): DataFrame = df
+        .select(col("source"), graft.ops.Dedup.md5Hash32(col("text")).as("hv"))
+        .groupBy("source")
+        .agg(graft.functions.KmvExpressions.bottom_k_hashes(col("hv"), KmvK).as("sk"))
+      // session 1: persist yesterday's sketch table
+      perSource(docs.where(col("doc_id") % 3 =!= 0))
+        .write.mode("overwrite").parquet(dir)
+      // session 2: read the persisted sketches back and merge with
+      // today's — the union is sketch ROWS (k longs each), not corpus
+      val merged = s.read.parquet(dir)
+        .unionByName(perSource(docs.where(col("doc_id") % 3 === 0)))
+        .groupBy("source")
+        .agg(graft.functions.KmvExpressions.bottom_k_merge(col("sk"), KmvK).as("msk"))
+      val direct = perSource(docs).withColumnRenamed("sk", "dsk")
+      merged.join(direct, Seq("source"))
+        .select(col("source"),
+          size(col("msk")).cast("long").as("merged_size"),
+          kmvEstimate(col("msk")).as("merged_estimate"),
+          kmvEstimate(col("dsk")).as("direct_estimate"))
+        .orderBy("source")
     }),
 
     // Incremental aggregate maintenance — the plain-relational face of
@@ -1270,6 +1317,46 @@ object Relational {
          |  CASE WHEN g.kmv_size < $KmvK THEN CAST(g.kmv_size AS DOUBLE)
          |       ELSE ${KmvK - 1}.0 * 4294967296.0 / g.hk END AS kmv_estimate
          |FROM base b CROSS JOIN gsk g""".stripMargin,
+
+    // cross-session replay: the parquet round-trip is Spark-side
+    // mechanics (lossless storage of the sketch rows); the oracle
+    // replays the MATH — per-source bottom-k of each session's slice,
+    // union of the sketch members, per-source re-rank, against the
+    // direct whole-corpus bottom-k — so the hash-match pins that the
+    // persisted+merged estimate equals the direct one
+    "q46_sketch_roundtrip" ->
+      s"""WITH hv AS (SELECT source, doc_id,
+         |    ('0x' || substr(md5(text), 1, 8))::BIGINT AS h FROM documents
+         |  WHERE text IS NOT NULL),
+         |hrn AS (SELECT source, h,
+         |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |  FROM (SELECT DISTINCT source, h FROM hv WHERE doc_id % 3 <> 0)),
+         |brn AS (SELECT source, h,
+         |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |  FROM (SELECT DISTINCT source, h FROM hv WHERE doc_id % 3 = 0)),
+         |uni AS (SELECT DISTINCT source, h FROM (
+         |    SELECT source, h FROM hrn WHERE rn <= $KmvK
+         |    UNION ALL SELECT source, h FROM brn WHERE rn <= $KmvK)),
+         |mrn AS (SELECT source, h,
+         |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM uni),
+         |msk AS (SELECT source,
+         |    count(*) FILTER (WHERE rn <= $KmvK) AS m_size,
+         |    max(CASE WHEN rn = $KmvK THEN h END) AS mhk
+         |  FROM mrn GROUP BY source),
+         |drn AS (SELECT source, h,
+         |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |  FROM (SELECT DISTINCT source, h FROM hv)),
+         |dsk AS (SELECT source,
+         |    count(*) FILTER (WHERE rn <= $KmvK) AS d_size,
+         |    max(CASE WHEN rn = $KmvK THEN h END) AS dhk
+         |  FROM drn GROUP BY source)
+         |SELECT m.source AS source,
+         |  CAST(m.m_size AS BIGINT) AS merged_size,
+         |  CASE WHEN m.m_size < $KmvK THEN CAST(m.m_size AS DOUBLE)
+         |       ELSE ${KmvK - 1}.0 * 4294967296.0 / m.mhk END AS merged_estimate,
+         |  CASE WHEN d.d_size < $KmvK THEN CAST(d.d_size AS DOUBLE)
+         |       ELSE ${KmvK - 1}.0 * 4294967296.0 / d.dhk END AS direct_estimate
+         |FROM msk m JOIN dsk d USING (source) ORDER BY m.source""".stripMargin,
 
     // histogram-quantile replay: identical integer binning, the same
     // two-level merge (per-returnflag histograms summed per bin), and

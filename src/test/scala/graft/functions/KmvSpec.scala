@@ -103,6 +103,34 @@ class KmvSpec extends AnyFunSuite with graft.SparkSpec {
     assert(err.getMessage.contains("bottom_k_merge"))
   }
 
+  test("parquet round-trip: persisted sketches merge identically to same-job sketches (q46)") {
+    // the cross-SESSION contract behind q46: writing per-group sketches
+    // to parquet and reading them back cold must be lossless — the
+    // merge over (persisted ∪ fresh) sketch rows equals the direct
+    // whole-corpus sketch
+    import spark.implicits._
+    KmvExpressions.register(spark)
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.tabulate(4000)(i => (s"src${i % 5}", i % 3 == 0, rnd.nextLong() % 900))
+    val df = rows.toDF("src", "today", "h")
+    val dir = java.nio.file.Files.createTempDirectory("kmv_roundtrip").toString
+    df.where(!col("today")).groupBy("src")
+      .agg(KmvExpressions.bottom_k_hashes(col("h"), 16).as("sk"))
+      .write.mode("overwrite").parquet(dir)
+    val merged = spark.read.parquet(dir)
+      .unionByName(df.where(col("today")).groupBy("src")
+        .agg(KmvExpressions.bottom_k_hashes(col("h"), 16).as("sk")))
+      .groupBy("src")
+      .agg(KmvExpressions.bottom_k_merge(col("sk"), 16).as("msk"))
+    val direct = df.groupBy("src")
+      .agg(KmvExpressions.bottom_k_hashes(col("h"), 16).as("dsk"))
+    val joined = merged.join(direct, "src").collect()
+    assert(joined.length == 5)
+    joined.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"src=${r.getString(0)}")
+    }
+  }
+
   test("serde round-trip preserves the buffer (the shuffle path)") {
     val agg = BottomKHashes(
       org.apache.spark.sql.catalyst.expressions.Literal(0L), k = 8)
