@@ -559,7 +559,10 @@ object Dedup {
     * volume scales ~(1 − tau)², and a near-dup threshold of 9/10
     * costs ~1/16th of 3/5. When even that is too hot, the df-capped
     * (d04) or LSH (d02) forms are the scale path — they exist because
-    * exactness has this price.
+    * exactness has this price. The model is ENFORCED at runtime:
+    * the exact candidate count is aggregated before the self-join and
+    * `maxCandidatePairs` turns the quadratic regime into an immediate
+    * diagnosable error pointing at those alternatives.
     *
     * Verification is per-candidate array math: each doc's sorted
     * token array is collected once (set-cardinality-sized rows), and
@@ -571,9 +574,12 @@ object Dedup {
   def prefixFilterPairs(docs: DataFrame, idCol: String, textCol: String,
       tauNum: Int, tauDen: Int,
       tokens: Column => Column = c =>
-        filter(array_distinct(split(c, " ")), t => length(t) > 0)): DataFrame = {
+        filter(array_distinct(split(c, " ")), t => length(t) > 0),
+      maxCandidatePairs: Long = 1L << 26): DataFrame = {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
       s"tau must be a fraction in (0,1]: $tauNum/$tauDen")
+    require(maxCandidatePairs > 0,
+      s"maxCandidatePairs must be > 0, got $maxCandidatePairs")
     // token SETS: per-doc distinct inside `tokens` (array_distinct
     // before the explode — no corpus-wide distinct shuffle)
     val toks = docs
@@ -590,7 +596,29 @@ object Dedup {
       .where(col("rn") <=
         col("n") - expr(s"($tauNum * n + $tauDen - 1) div $tauDen") + 1)
       .select("id", "tok")
-    val cand = prefix.as("a").join(prefix.as("b"),
+    // RUNTIME budget guard (the RangeJoin.maxBucketsPerInterval house
+    // pattern applied to the cost model above): the exact candidate
+    // volume Σ_tok C(df_among_prefixes, 2) is one cheap aggregate over
+    // the prefix relation — checked BEFORE the self-join so a
+    // low-entropy corpus fails in seconds with a diagnosis instead of
+    // discovering the quadratic regime as a multi-hour join. The
+    // prefix relation is checkpointed first: the check, and then BOTH
+    // sides of the self-join, read one materialization (a raise_error
+    // gate column was tried instead and silently column-pruned away —
+    // the eager check cannot be optimized out).
+    val prefixCk = prefix.localCheckpoint(true)
+    val nCand = prefixCk.groupBy("tok")
+      .agg(count(lit(1)).as("dfp"))
+      .agg(coalesce(sum(expr("(dfp * (dfp - 1)) div 2")), lit(0L)))
+      .head().getLong(0)
+    if (nCand > maxCandidatePairs)
+      throw new IllegalStateException(
+        s"prefixFilterPairs: exact-join candidate volume $nCand exceeds the " +
+          s"$maxCandidatePairs budget — low-entropy corpus in the quadratic " +
+          "regime. Use minHashCandidatePairs (d02) or ngramJaccardPairs " +
+          "(d04), raise tau, pass an order-sensitive tokenizer (shingle " +
+          "hashes), or raise maxCandidatePairs.")
+    val cand = prefixCk.as("a").join(prefixCk.as("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()

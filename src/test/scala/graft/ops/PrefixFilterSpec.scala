@@ -57,6 +57,34 @@ class PrefixFilterSpec extends AnyFunSuite with SparkSpec {
     assert(rows((1L, 3L)) == 0.8)
   }
 
+  test("candidate-budget guard trips on a low-entropy corpus, passes under budget unchanged") {
+    import spark.implicits._
+    // every doc shares the same 5-word vocabulary -> at tau=3/5 the
+    // prefix relation is dense and candidates are ~C(n,2): the exact
+    // join's quadratic regime, which must fail FAST and DIAGNOSABLY
+    val lowEntropy = (1L to 40L)
+      .map(i => (i, s"alpha beta gamma delta w${i % 2}"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalStateException] {
+      Dedup.prefixFilterPairs(lowEntropy, "doc_id", "text",
+        tauNum = 3, tauDen = 5, maxCandidatePairs = 50L)
+    }
+    assert(e.getMessage.contains("candidate volume"), e.getMessage)
+    assert(e.getMessage.contains("minHashCandidatePairs"), e.getMessage)
+    // the same corpus under a sufficient budget returns normally, and
+    // a distinctive corpus under the DEFAULT budget is unaffected
+    assert(Dedup.prefixFilterPairs(lowEntropy, "doc_id", "text",
+      tauNum = 3, tauDen = 5, maxCandidatePairs = 10000L).count() >= 0)
+    val distinct = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta spark"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.prefixFilterPairs(distinct, "doc_id", "text",
+        tauNum = 3, tauDen = 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(rows == Map((1L, 2L) -> 0.8))
+  }
+
   test("doubled spaces and empty docs produce no phantom tokens") {
     import spark.implicits._
     val docs = Seq(
