@@ -42,7 +42,10 @@ case class Pcm8WindowEnergy(child: Expression, windowBytes: Int)
       val out = new Array[Long](cnt)
       var p = 0
       while (p < cnt) {
-        val end = math.min((p + 1) * windowBytes, n)
+        // window end in LONG arithmetic: (p+1)*windowBytes can exceed
+        // Int.MaxValue for ~2 GiB payloads with large windows, and the
+        // int overflow would silently zero the last window's energy
+        val end = math.min((p + 1).toLong * windowBytes, n.toLong).toInt
         var e = 0L
         var i = p * windowBytes
         while (i < end) {
@@ -72,7 +75,7 @@ case class Pcm8WindowEnergy(child: Expression, windowBytes: Int)
          |int $cnt = ($n == 0) ? 0 : java.lang.Math.max($n / $windowBytes, 1);
          |long[] $out = new long[$cnt];
          |for (int $p = 0; $p < $cnt; $p++) {
-         |  int $end = java.lang.Math.min(($p + 1) * $windowBytes, $n);
+         |  int $end = (int) java.lang.Math.min(($p + 1L) * $windowBytes, (long) $n);
          |  long $e = 0L;
          |  for (int $i = $p * $windowBytes; $i < $end; $i++) {
          |    long $d = (long)($a[$i] & 0xFF) - 128L;
@@ -101,7 +104,27 @@ object MediaExpressions {
     * `GraftExtensions`' aggregate table. */
   val injectable: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
     ("pcm8_window_energy", classOf[Pcm8WindowEnergy],
-      es => Pcm8WindowEnergy(es.head, es(1).eval().asInstanceOf[Int])))
+      es => Pcm8WindowEnergy(es.head, windowArg(es))))
+
+  /** The second argument must be a foldable INT literal — validated
+    * with a typed analysis message instead of the opaque
+    * ClassCastException a raw-SQL `pcm8_window_energy(b, 1000000000000)`
+    * or non-literal column argument produced.
+    */
+  private def windowArg(es: Seq[Expression]): Int = {
+    def fail(what: String) = throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "USER_RAISED_EXCEPTION",
+      messageParameters = Map("errorMessage" ->
+        (s"pcm8_window_energy(payload BINARY, windowBytes INT): " +
+          s"windowBytes must be a foldable integer literal, got $what")))
+    if (es.size != 2) fail(s"${es.size} arguments")
+    val w = es(1)
+    if (!w.foldable) fail(w.sql)
+    w.eval() match {
+      case i: Int => i
+      case other => fail(s"${w.dataType.simpleString} ${String.valueOf(other)}")
+    }
+  }
 
   def register(spark: SparkSession): Unit = injectable.foreach { case (n, _, b) =>
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(n, b, "built-in")

@@ -130,11 +130,23 @@ object Bpe {
     * order (order is load-bearing: later merges consume earlier
     * merges' symbols). */
   def applyMerges(words: DataFrame, wCol: String,
-      merges: Seq[Merge]): DataFrame =
-    merges.foldLeft(words.withColumn("repr", charRepr(col(wCol)))) {
+      merges: Seq[Merge]): DataFrame = {
+    // inference takes ARBITRARY words, so the '@'-free precondition
+    // wordTable enforces by dropping is enforced here by failing
+    // loudly: charRepr of a word containing the delimiter produces a
+    // corrupted representation ("x@y" -> "@x@@@y@") that learned
+    // replaces can misapply to — a silent wrong encode, not an error
+    val seed = when(col(wCol).contains(Delim),
+        raise_error(concat(
+          lit(s"applyMerges: word contains the '$Delim' symbol delimiter " +
+            "(wordTable drops such words at training; reject or strip " +
+            "them before encoding): "), col(wCol))))
+      .otherwise(charRepr(col(wCol)))
+    merges.foldLeft(words.withColumn("repr", seed)) {
       (df, m) =>
         df.withColumn("repr", replace(col("repr"),
           lit(Delim + m.left_sym + Delim + m.right_sym + Delim),
           lit(Delim + m.merged + Delim)))
     }
+  }
 }

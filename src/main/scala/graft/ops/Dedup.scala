@@ -707,10 +707,16 @@ object Dedup {
                              // both join sides below must reuse ONE result
     val a = assigned.as("a")
     val b = assigned.as("b")
+    // zero-norm guard: an all-zero quantized embedding has cosine
+    // 0/0 = NaN to every cluster-mate, and BOTH engines order NaN
+    // above tau — without the guard every zero vector is "flagged as a
+    // semantic duplicate" of every zero-norm neighbor (agreeingly
+    // wrong, so the oracle hash-match would stay green). Zero vectors
+    // carry no direction, hence no semantic-duplicate evidence.
     val dropped = a.join(b,
         col("a.cid") === col("b.cid") && col("b.vec_id") < col("a.vec_id"))
-      .where(cosineQ(col("a.q"), col("b.q"), col("a.norm"), col("b.norm"))
-        >= tau)
+      .where(col("a.norm") > 0 && col("b.norm") > 0 &&
+        cosineQ(col("a.q"), col("b.q"), col("a.norm"), col("b.norm")) >= tau)
       .select(col("a.vec_id").as("vec_id")).distinct()
       .withColumn("dup", lit(true))
     assigned.select(col("vec_id"), col("cid").cast("long").as("cid"))

@@ -238,6 +238,14 @@ object DedupQueries {
     // against its lower-id twin, keeping the gate non-vacuous.
     "d13_semantic_dedup" -> ((s, d) => {
       val e = Tables.load(s, d, "embeddings").select("vec_id", "embedding")
+      // the +100000 shift and the oracle's must agree AND stay disjoint
+      // from real ids: a collision would silently break the 'every twin
+      // flagged' non-vacuity gate in BOTH engines at once (the compare
+      // stays green while verifying nothing), so fail loudly instead
+      val maxId = e.agg(max("vec_id")).head().getLong(0)
+      require(maxId < 100000,
+        s"d13's twin-id shift collides: max(vec_id)=$maxId >= 100000 — " +
+          "raise the shift in the query AND its oracle together")
       val all = e.unionByName(
         e.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
       Dedup.semDedup(all).orderBy("vec_id")
@@ -536,7 +544,8 @@ object DedupQueries {
          |    CAST(list_dot_product(q, q) AS BIGINT) AS norm FROM a2),
          |drp AS (SELECT DISTINCT a.vec_id
          |  FROM nrm a JOIN nrm b ON a.cid = b.cid AND b.vec_id < a.vec_id
-         |  WHERE list_dot_product(a.q, b.q) /
+         |  WHERE a.norm > 0 AND b.norm > 0
+         |    AND list_dot_product(a.q, b.q) /
          |      (sqrt(CAST(a.norm AS DOUBLE)) * sqrt(CAST(b.norm AS DOUBLE)))
          |    >= ${Dedup.SemDeDupTau})
          |SELECT n.vec_id, CAST(n.cid AS BIGINT) AS cid,

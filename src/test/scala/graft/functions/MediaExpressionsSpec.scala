@@ -35,4 +35,25 @@ class MediaExpressionsSpec extends AnyFunSuite with SparkSpec {
     // unsigned byte handling: 0xFF reads as 255, not -1
     assert(run(Array(0xFF.toByte), 4) == Seq((255L - 128L) * (255L - 128L)))
   }
+
+  test("SQL builder validates windowBytes: non-literal and non-INT get a typed analysis error") {
+    import spark.implicits._
+    MediaExpressions.register(spark)
+    Seq((Array[Byte](1, 2), 2)).toDF("b", "w").createOrReplaceTempView("pcm_in")
+    // the codegen'd function itself works through raw SQL
+    assert(spark.sql("SELECT pcm8_window_energy(b, 2) AS e FROM pcm_in")
+      .head().getSeq[Long](0).nonEmpty)
+    def analysisMessage(sql: String): String = {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(sql).collect()
+      }
+      e.getMessage
+    }
+    // a column reference is not foldable
+    assert(analysisMessage("SELECT pcm8_window_energy(b, w) FROM pcm_in")
+      .contains("foldable integer literal"))
+    // a BIGINT literal evals to Long, not Int
+    assert(analysisMessage("SELECT pcm8_window_energy(b, 1000000000000) FROM pcm_in")
+      .contains("foldable integer literal"))
+  }
 }

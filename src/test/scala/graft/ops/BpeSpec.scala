@@ -86,6 +86,17 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     assert(unseen("abcabc") == "@abc@ab@c@")
   }
 
+  test("applyMerges rejects words containing the symbol delimiter") {
+    import spark.implicits._
+    val (m, _) = Bpe.learnMerges(words(Seq("abc abc")), 1)
+    val e = intercept[Exception] {
+      Bpe.applyMerges(Seq("ok", "bad@word").toDF("w"), "w", m).collect()
+    }
+    // raise_error surfaces wrapped; the message must name the culprit
+    assert(e.toString.contains("symbol delimiter") ||
+      Option(e.getCause).exists(_.toString.contains("symbol delimiter")), e.toString)
+  }
+
   test("symbolCount reads the delimited representation") {
     import spark.implicits._
     val df = Seq("@a@b@", "@abc@", "@aa@a@").toDF("repr")

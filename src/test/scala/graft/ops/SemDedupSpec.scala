@@ -31,6 +31,22 @@ class SemDedupSpec extends AnyFunSuite with SparkSpec {
       4L -> false, 5L -> false))
   }
 
+  test("zero-norm embeddings are never flagged (NaN cosine must not order above tau)") {
+    import spark.implicits._
+    // two all-zero vectors land in SOME shared cluster; their cosine is
+    // 0/0 = NaN, which Spark orders ABOVE tau — without the norm guard
+    // both comparisons 'pass' and 7 is flagged as a duplicate of 6
+    val withZeros = corpus().unionByName(Seq(
+      (6L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (7L, Array(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"))
+    val got = Dedup.semDedup(withZeros, k = 2, iters = 2, tau = 0.999)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got(6L) === false)
+    assert(got(7L) === false)
+    // the real duplicates are still caught alongside
+    assert(got(2L) === true)
+  }
+
   test("tau = 1.0 keeps the merely-near duplicate") {
     // quantized (1000,0,0,0) vs (999,10,0,0): cosine < 1, so only the
     // bit-identical copy is flagged
