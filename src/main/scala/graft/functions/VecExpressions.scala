@@ -119,6 +119,72 @@ case class VecCosineFloat(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Exact integer dot product of two QUANTIZED vectors (array<long>) in
+  * one generated loop — the oracle-deterministic counterpart of
+  * [[VecDotFloat]], powering [[graft.ops.VectorFunctions.dotQ]] and
+  * therefore the d13/s01/s12 cosine family. Integer sums are
+  * order-free, so swapping the `aggregate(zip_with(...))` composition
+  * (intermediate array allocation + a lambda call per element) for
+  * this loop changes NO query result, only the cost per pair.
+  *
+  * Null semantics mirror the composition it replaces exactly:
+  * `zip_with` pads the shorter array with nulls and `acc + null` is
+  * null, so a length mismatch or any null element yields a NULL dot.
+  */
+case class VecDotLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match {
+        case ArrayType(LongType, _) => true
+        case _ => false
+      }))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires two array<bigint> arguments")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_dot_q"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    s
+  }
+
+  // locals via ctx.freshName — see VecDotFloat.doGenCode
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDotLong =
+    copy(left = l, right = r)
+}
+
 object VecExpressions {
 
   /** Column API (requires [[register]] once per session — resolution
@@ -130,12 +196,22 @@ object VecExpressions {
   def vec_cosine(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("vec_cosine", a, b)
 
+  /** Self-registering (the MediaExpressions pattern): dotQ is called
+    * from query builders that never touch this object, so the Column
+    * API registers on the active session first.
+    */
+  def vec_dot_q(a: Column, b: Column): Column = {
+    register(SparkSession.active)
+    org.apache.spark.sql.functions.call_function("vec_dot_q", a, b)
+  }
+
   /** (name, expression class, builder): the ONE function table both
     * [[register]] and [[GraftExtensions]] consume.
     */
   val injectable: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
     ("vec_dot", classOf[VecDotFloat], es => VecDotFloat(es.head, es(1))),
-    ("vec_cosine", classOf[VecCosineFloat], es => VecCosineFloat(es.head, es(1))))
+    ("vec_cosine", classOf[VecCosineFloat], es => VecCosineFloat(es.head, es(1))),
+    ("vec_dot_q", classOf[VecDotLong], es => VecDotLong(es.head, es(1))))
 
   /** Register `vec_dot` / `vec_cosine` for SQL use in an existing
     * session.

@@ -29,9 +29,13 @@ object VectorFunctions {
   def quantize(v: Column, scale: Int = 1000): Column =
     transform(v, x => round(x.cast("double") * scale).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
-  def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+  /** Exact integer dot product of two quantized vectors — the fused
+    * native loop ([[VecDotLong]]); same integer arithmetic and null
+    * semantics as the `aggregate(zip_with(...))` composition it
+    * replaced, at none of its per-element lambda + intermediate-array
+    * cost.
+    */
+  def dotQ(a: Column, b: Column): Column = VecExpressions.vec_dot_q(a, b)
 
   /** Exact integer squared norm of a quantized vector. */
   def normSqQ(v: Column): Column = dotQ(v, v)

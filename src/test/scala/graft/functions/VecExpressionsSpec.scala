@@ -60,6 +60,34 @@ class VecExpressionsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(out.getDouble(1) - out.getDouble(3)) < 1e-15)
   }
 
+  test("vec_dot_q equals the zip_with composition it replaced, including null/length semantics") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    VecExpressions.register(spark)
+    // the PORTABLE formulation (old dotQ) as the executable reference
+    def oldDotQ(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    val df = Seq(
+      (Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)),        // plain: 32
+      (Seq(-7L, 0L), Seq(3L, 9L)),                // negatives: -21
+      (Seq(1L, 2L), Seq(1L, 2L, 3L)),             // length mismatch -> null
+      (Seq.empty[Long], Seq.empty[Long])          // empty -> 0
+    ).toDF("a", "b")
+    val rows = df.select(
+        VecExpressions.vec_dot_q(col("a"), col("b")).as("fused"),
+        oldDotQ(col("a"), col("b")).as("portable"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), r.toString)
+      if (!r.isNullAt(0)) assert(r.getLong(0) == r.getLong(1), r.toString)
+    }
+    assert(rows(0).getLong(0) == 32L && rows(2).isNullAt(0) && rows(3).getLong(0) == 0L)
+    // null ELEMENT propagates to a null dot on both forms
+    val withNullElem = spark.sql(
+      "SELECT vec_dot_q(array(1L, CAST(NULL AS BIGINT)), array(1L, 1L)) AS d")
+    assert(withNullElem.head().isNullAt(0))
+  }
+
   test("type mismatch is rejected at analysis time") {
     import spark.implicits._
     VecExpressions.register(spark)
