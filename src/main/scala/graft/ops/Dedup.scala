@@ -141,11 +141,24 @@ object Dedup {
     *
     * Ids stay generic (long or string): the pass runs on `RDD[Row]`
     * with hash-equality union-find — no Encoder, no assumed id type.
-    * Root choice within a partition is arbitrary (first-touched); the
-    * fixpoint min-label per component is invariant to it.
+    * The root of each local set is its MINIMUM id (unions attach the
+    * larger root under the smaller): components are invariant to root
+    * choice, but min-roots let [[connectedComponents]] seed its labels
+    * straight from the star edges — a fully-local cluster then enters
+    * the distributed iteration ALREADY at its fixpoint, so the first
+    * convergence check can succeed immediately instead of running two
+    * propagation rounds to rediscover what the contraction knew.
     */
   private def localContract(pairs: DataFrame): DataFrame = {
     val two = pairs.select("id_a", "id_b")
+    // ids within one pair relation share a runtime type; Long is the
+    // common case, anything else falls back to string comparison
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Long, y: Long)     => x < y
+      case (x: Int, y: Int)       => x < y
+      case (x: String, y: String) => x < y
+      case _                      => String.valueOf(a) < String.valueOf(b)
+    }
     val contracted = two.rdd.mapPartitions { it =>
       val parent = new java.util.HashMap[Any, Any]()
       def find(x: Any): Any = {
@@ -160,7 +173,9 @@ object Dedup {
       it.foreach { row =>
         val ra = find(row.get(0))
         val rb = find(row.get(1))
-        if (ra != rb) parent.put(rb, ra)
+        if (ra != rb) {
+          if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+        }
       }
       val nodes = parent.keySet().toArray
       nodes.iterator.flatMap { node =>
@@ -204,8 +219,19 @@ object Dedup {
     val contracted = cut(localContract(pairs))
     val sym = cut(contracted.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(contracted.select(col("id_b").as("src"), col("id_a").as("dst"))))
-    var labels = cut(sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")))
+    // labels seeded FROM the contraction, not identity: id_a is the
+    // partition-local minimum of its star, so every member starts at
+    // its local root's id and every root at itself. Correctness: an
+    // initial label is always an id inside the node's own component,
+    // and the component minimum m keeps label m (m <= its roots in
+    // every partition), so the min-label fixpoint is unchanged — but a
+    // cluster whose edges sat in one partition starts CONVERGED, and
+    // the first batched check can observe zero diffs immediately.
+    var labels = cut(
+      contracted.select(col("id_a").as("id"), col("id_a").as("label"))
+        .unionByName(contracted.select(col("id_b").as("id"),
+          least(col("id_a"), col("id_b")).as("label")))
+        .groupBy("id").agg(min(col("label")).as("label")))
     // one min-label propagation step; the accumulated change flag rides
     // along in the select so several steps can share one convergence
     // action (no extra join against the previous round)
