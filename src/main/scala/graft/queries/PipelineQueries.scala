@@ -1,9 +1,11 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import graft.ops.Pipeline
 import graft.sources.Tables
+import graft.streaming.PipelineStreams
 
 /** The composed-pipeline pack: [[graft.ops.Pipeline]] run end to end as
   * ONE oracle-checked dataflow (the reference's own shape — one flow
@@ -48,10 +50,65 @@ object PipelineQueries {
           min("doc_id").as("min_doc_id"))
         .orderBy("split", "source", "shard")
     }),
+
+    // the INCREMENTAL face of the pipeline (PipelineStreams.settleBatch,
+    // the per-micro-batch body of incrementalCurate) run as two "days"
+    // in one batch job: day2 settles against day1's persisted
+    // fingerprints. Plants make every path non-vacuous: ids +1M are
+    // exact copies of day-1 docs (only the HISTORY anti-join can kill
+    // them), ids +2M are in-batch copies of day-2 docs (the in-batch
+    // canonical groupBy must collapse them); the benchmark slice
+    // decontaminates both days.
+    "p02_incremental_settle" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+        .select("doc_id", "text", "source").where(col("text").isNotNull)
+      val bench = docs.where(col("doc_id") % 100 === 0)
+      val day1 = docs.where(col("doc_id") % 2 === 1)
+      val day2 = docs.where(col("doc_id") % 2 === 0)
+        .unionByName(day1.where(col("doc_id") % 10 === 1)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"), col("source")))
+        .unionByName(docs.where(col("doc_id") % 2 === 0 && col("doc_id") % 10 === 2)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text"), col("source")))
+      val noHistory = s.createDataFrame(s.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("fingerprint", StringType))))
+      val (cur1, fp1) = PipelineStreams.settleBatch(day1, bench, noHistory,
+        "doc_id", "text", ContaminationTau)
+      val (cur2, _) = PipelineStreams.settleBatch(day2, bench, fp1,
+        "doc_id", "text", ContaminationTau)
+      cur1.withColumn("day", lit(1L))
+        .unionByName(cur2.withColumn("day", lit(2L)))
+        .select("day", "doc_id", "source")
+        .orderBy("day", "doc_id")
+    }),
   )
 
   private val tokenExpr =
     "(length(text) - length(replace(text, ' ', '')) + 1)"
+
+  private val passAllSql = TextQueries.qualityFailSqls
+    .map { case (_, c) => s"NOT ($c)" }.mkString("\n    AND ")
+
+  /** The settle tail — decontaminate against the shared `bgs` gram-set
+    * CTE, then quality-gate — over one settled-day relation `in`
+    * (doc_id, text, source), CTE names suffixed `sfx`. The SQL bodies
+    * are the p01 stages verbatim, so p01 and p02 cannot drift.
+    */
+  private def settleTailCtes(in: String, sfx: String): String =
+    s"""gs$sfx AS (SELECT doc_id,
+       |    list_distinct(${graft.functions.TextHashExpressions.bigramFoldSql("ws")}) AS gs
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM $in
+       |    WHERE $tokenExpr >= 2)),
+       |drop$sfx AS (SELECT doc_id FROM gs$sfx CROSS JOIN bgs
+       |  WHERE len(list_intersect(gs, bg)) / CAST(len(gs) AS DOUBLE) >= $ContaminationTau),
+       |s3$sfx AS (SELECT doc_id, text, source FROM $in
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM drop$sfx)),
+       |s4$sfx AS (SELECT doc_id, text, source FROM (
+       |    SELECT doc_id, text, source,
+       |      CAST(length(text) AS BIGINT) AS n_chars,
+       |      CAST($tokenExpr AS BIGINT) AS n_words,
+       |      ${TextQueries.stopHitsSql} AS stop_hits
+       |    FROM (SELECT doc_id, text, source, ' ' || text || ' ' AS p FROM s3$sfx))
+       |  WHERE $passAllSql)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // the whole composition as one CTE chain, each stage reusing the
@@ -132,5 +189,36 @@ object PipelineQueries {
          |  min(doc_id) AS min_doc_id
          |FROM cum GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
     },
+
+    // two-day incremental settle: day2's exact dedup anti-joins
+    // against ALL of day1's fingerprints (g1 — including docs the
+    // gates later dropped: a recurring duplicate of a rejected doc
+    // must stay rejected), then each day runs the shared
+    // decontaminate + quality tail
+    "p02_incremental_settle" ->
+      s"""WITH
+         |nn AS (SELECT doc_id, text, source FROM documents WHERE text IS NOT NULL),
+         |day1 AS (SELECT doc_id, text, source FROM nn WHERE doc_id % 2 = 1),
+         |day2 AS (SELECT doc_id, text, source FROM nn WHERE doc_id % 2 = 0
+         |  UNION ALL SELECT doc_id + 1000000, text, source FROM day1 WHERE doc_id % 10 = 1
+         |  UNION ALL SELECT doc_id + 2000000, text, source FROM nn
+         |    WHERE doc_id % 2 = 0 AND doc_id % 10 = 2),
+         |bgs AS (SELECT list(DISTINCT g) AS bg FROM (
+         |  SELECT unnest(list_distinct(${graft.functions.TextHashExpressions.bigramFoldSql("ws")})) AS g
+         |  FROM (SELECT string_split(text, ' ') AS ws FROM nn
+         |    WHERE doc_id % 100 = 0 AND $tokenExpr >= 2))),
+         |g1 AS (SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS doc_id
+         |  FROM day1 GROUP BY 1),
+         |s1d1 AS (SELECT d.doc_id, d.text, d.source FROM day1 d JOIN g1 USING (doc_id)),
+         |g2 AS (SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS doc_id
+         |  FROM day2 GROUP BY 1),
+         |u2 AS (SELECT doc_id FROM g2 WHERE fp NOT IN (SELECT fp FROM g1)),
+         |s1d2 AS (SELECT d.doc_id, d.text, d.source FROM day2 d JOIN u2 USING (doc_id)),
+         |${settleTailCtes("s1d1", "d1")},
+         |${settleTailCtes("s1d2", "d2")}
+         |SELECT CAST(1 AS BIGINT) AS day, doc_id, source FROM s4d1
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT) AS day, doc_id, source FROM s4d2
+         |ORDER BY day, doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,152 @@
+package graft.streaming
+
+import scala.util.Try
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{StructField, StructType, StringType}
+
+import graft.ops.{Curation, Dedup, TextAnalysis}
+
+/** The INCREMENTAL face of the composed curation pipeline
+  * ([[graft.ops.Pipeline]]): the per-arrival stages — exact dedup
+  * against everything ever seen, benchmark decontamination, quality
+  * gate — run continuously over a landing stream via `foreachBatch`,
+  * with cross-batch dedup membership persisted as a parquet
+  * FINGERPRINT table between micro-batches (the same
+  * persist-the-sketch-not-the-data pattern as q46's KMV round-trip;
+  * SCALING.md "persists per-batch sketches and reaggregates THOSE").
+  *
+  * What stays batch: near-dup clustering (Pipeline stage 2) needs the
+  * global connected-components fixpoint over the WHOLE corpus — a
+  * continuously maintained CC is a different (and weaker) operator, so
+  * the house split is: this stream settles arrivals incrementally, and
+  * the periodic compaction job re-runs [[graft.ops.Pipeline.curate]]
+  * over the settled corpus (which also re-assigns splits/shards, a
+  * global layout decision by nature). Reference analogue: the per-file
+  * ingest loop settles each file as it lands (`main_ingest.py:331-690`)
+  * while schema-wide work (FK wiring) runs corpus-wide.
+  *
+  * Exactly-once: every write is a per-batch-id directory overwrite
+  * (`.../batch_id=N`), so a retried micro-batch REPLACES its own
+  * half-written output instead of appending a duplicate. The one trap
+  * in that scheme is self-poisoning: if the STATE write of batch N
+  * lands but the retry then reads it back, the whole batch anti-joins
+  * against its own fingerprints and settles to empty — so state reads
+  * filter `batch_id < N` (the partition column the layout gives us for
+  * free). Determinism of the batch body (hash-based stages, no RNG)
+  * makes the overwrite a true no-op on replay.
+  */
+object PipelineStreams {
+
+  private val fpSchema = StructType(Seq(StructField("fingerprint", StringType)))
+
+  /** Settle one batch against accumulated history: the batch-function
+    * core shared by the stream (per micro-batch) and any catch-up
+    * backfill. `historyFp` is the (fingerprint) relation of everything
+    * previously seen — at scale yesterday's persisted key set, never
+    * yesterday's text.
+    *
+    * Returns (curated, newFingerprints):
+    *  - curated: `batch`'s columns, one canonical (min-`idCol`) row per
+    *    unseen fingerprint, decontaminated against `benchmark` at
+    *    `contaminationTau` and passing every
+    *    [[TextAnalysis.qualityRules]] rule — Pipeline.curate stages
+    *    1, 3, 4 with stage-identical semantics;
+    *  - newFingerprints: the batch's fingerprints NOT already in
+    *    history (all of them, including docs the gates dropped: a
+    *    recurring duplicate of a rejected doc must stay rejected, not
+    *    re-enter review every day).
+    */
+  def settleBatch(batch: DataFrame, benchmark: DataFrame, historyFp: DataFrame,
+      idCol: String, textCol: String,
+      contaminationTau: Double = 0.5): (DataFrame, DataFrame) = {
+    // streams run micro-batches on a CLONED session whose function
+    // registry snapshot predates any lazy self-registration — pin the
+    // native bigram hash on BOTH sessions plans analyze against here
+    // (the micro-batch clone AND the session `benchmark` was built on;
+    // eager select() analysis resolves each frame on its own session)
+    graft.functions.TextHashExpressions.register(batch.sparkSession)
+    graft.functions.TextHashExpressions.register(benchmark.sparkSession)
+    val hist = historyFp.select(col("fingerprint")).distinct()
+
+    // stage 1: in-batch canonical (min id per fingerprint), minus
+    // history — one map-side-combined groupBy + one anti join on the
+    // pre-aggregated key set (Dedup.incrementalNew's scale shape, fed
+    // the fingerprint relation directly).
+    val groups = Dedup.exactGroups(batch, idCol, textCol)
+    val unseen = groups.join(hist, Seq("fingerprint"), "left_anti")
+    val s1 = batch.join(
+      unseen.select(col("canonical_id").as(idCol)), Seq(idCol))
+
+    // stage 3 (stage 2 is the batch compaction's job — see object doc):
+    // benchmark decontamination, anti-join on the flagged ids; docs
+    // under two words have no bigram and pass by definition.
+    val flagged = Curation.contaminationScores(s1, benchmark, idCol, textCol)
+      .where(col("overlap") >= contaminationTau)
+      .select(col(idCol))
+    val s3 = s1.join(flagged, Seq(idCol), "left_anti")
+
+    // stage 4: quality gate — the conjunction of every rule.
+    val passAll = TextAnalysis.qualityRules
+      .map { case (_, rule) => !rule(col(textCol)) }.reduce(_ && _)
+    val curated = s3.where(passAll)
+
+    val newFp = groups.select("fingerprint").join(hist, Seq("fingerprint"), "left_anti")
+    (curated, newFp)
+  }
+
+  /** Run the incremental settle over a streaming `docs` frame (e.g.
+    * [[graft.sources.Jsonl.readStream]] on a landing dir). Appends
+    * curated docs to `outDir/batch_id=N` and new fingerprints to
+    * `stateDir/batch_id=N` (both parquet, both idempotent overwrites —
+    * see object doc). Read results with [[curated]] /
+    * [[fingerprints]].
+    */
+  def incrementalCurate(docs: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String,
+      stateDir: String, outDir: String, checkpointDir: String,
+      contaminationTau: Double = 0.5): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        // the batch frame is consumed by three branches (curated, state,
+        // the groupBy inside both) — pin it once
+        val b = batch.localCheckpoint(true)
+        try {
+          // `batch_id < current` guards the retry self-poisoning case
+          // (state landed, output didn't): a replay must see exactly
+          // the state the first attempt saw.
+          val hist = fingerprints(spark, stateDir)
+            .where(col("batch_id") < batchId)
+            .select("fingerprint")
+          val (cur, newFp) =
+            settleBatch(b, benchmark, hist, idCol, textCol, contaminationTau)
+          cur.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+          newFp.write.mode("overwrite").parquet(s"$stateDir/batch_id=$batchId")
+        } finally { b.unpersist(); () }
+      }
+      .start()
+
+  /** All fingerprints ever settled, with their `batch_id` partition
+    * column; empty (with the right schema) before the first batch.
+    */
+  def fingerprints(spark: SparkSession, stateDir: String): DataFrame =
+    readOrEmpty(spark, stateDir,
+      fpSchema.add(StructField("batch_id", org.apache.spark.sql.types.LongType)))
+
+  /** The settled corpus so far (all batches' curated docs). `schema`
+    * is the doc schema as written (input columns); `batch_id` rides
+    * along from the directory layout.
+    */
+  def curated(spark: SparkSession, outDir: String, schema: StructType): DataFrame =
+    readOrEmpty(spark, outDir,
+      schema.add(StructField("batch_id", org.apache.spark.sql.types.LongType)))
+
+  private def readOrEmpty(spark: SparkSession, dir: String,
+      schema: StructType): DataFrame =
+    Try(spark.read.schema(schema).parquet(dir)).getOrElse(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema))
+}
