@@ -185,6 +185,79 @@ case class VecDotLong(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** |A ∩ B| of two SORTED array<bigint> in one generated two-pointer
+  * merge — no hash set, no intermediate intersection array, no
+  * per-element lambda. This is the verify kernel of the exact
+  * set-similarity join (d11: ~1.2M candidate pairs × two ~100-element
+  * token arrays each at sf0.1), where `size(array_intersect(a, b))`
+  * pays a per-row hash-set build plus an output array it immediately
+  * reduces to a length.
+  *
+  * PRECONDITIONS (the caller's contract, not checked): both arrays
+  * ascending-sorted (`sort_array`), elements non-null. On strict sets
+  * (distinct elements — what `collect_list` over per-doc-distinct
+  * token rows produces) the result equals
+  * `size(array_intersect(a, b))` exactly; on multisets it counts
+  * min-multiplicity per value (array_intersect would dedup), and on
+  * UNSORTED input the count is undefined — keep the `sort_array`
+  * upstream.
+  */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match {
+        case ArrayType(LongType, _) => true
+        case _ => false
+      }))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments (sorted)")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_intersect_size"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements(); val m = y.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < n && j < m) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  // locals via ctx.freshName — see VecDotFloat.doGenCode
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $n = $a.numElements(), $m = $b.numElements();
+         |int $i = 0, $j = 0;
+         |long $c = 0L;
+         |while ($i < $n && $j < $m) {
+         |  long $xv = $a.getLong($i);
+         |  long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $c++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectSize =
+    copy(left = l, right = r)
+}
+
 object VecExpressions {
 
   /** Column API (requires [[register]] once per session — resolution
@@ -205,13 +278,23 @@ object VecExpressions {
     org.apache.spark.sql.functions.call_function("vec_dot_q", a, b)
   }
 
+  /** Self-registering, like [[vec_dot_q]]. See [[SortedIntersectSize]]
+    * for the sortedness/distinctness contract.
+    */
+  def sorted_intersect_size(a: Column, b: Column): Column = {
+    register(SparkSession.active)
+    org.apache.spark.sql.functions.call_function("sorted_intersect_size", a, b)
+  }
+
   /** (name, expression class, builder): the ONE function table both
     * [[register]] and [[GraftExtensions]] consume.
     */
   val injectable: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
     ("vec_dot", classOf[VecDotFloat], es => VecDotFloat(es.head, es(1))),
     ("vec_cosine", classOf[VecCosineFloat], es => VecCosineFloat(es.head, es(1))),
-    ("vec_dot_q", classOf[VecDotLong], es => VecDotLong(es.head, es(1))))
+    ("vec_dot_q", classOf[VecDotLong], es => VecDotLong(es.head, es(1))),
+    ("sorted_intersect_size", classOf[SortedIntersectSize],
+      es => SortedIntersectSize(es.head, es(1))))
 
   /** Register `vec_dot` / `vec_cosine` for SQL use in an existing
     * session.

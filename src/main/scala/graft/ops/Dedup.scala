@@ -592,9 +592,12 @@ object Dedup {
     *
     * Verification is per-candidate array math: each doc's sorted
     * token array is collected once (set-cardinality-sized rows), and
-    * `array_intersect` scores a candidate pair in one codegen'd
-    * expression — no re-explode of the token relation against the
-    * candidate set (the join formulation materializes
+    * one codegen'd expression scores a candidate pair — the native
+    * [[graft.functions.SortedIntersectSize]] two-pointer merge for
+    * integer-hash tokenizers (measured: halves the whole operator at
+    * sf0.1 vs `array_intersect`'s per-pair hash set), `array_intersect`
+    * for string tokenizers. Never a re-explode of the token relation
+    * against the candidate set (the join formulation materializes
     * |candidates|·|set| rows; measured 10x slower at sf0.1).
     */
   def prefixFilterPairs(docs: DataFrame, idCol: String, textCol: String,
@@ -607,9 +610,14 @@ object Dedup {
     require(maxCandidatePairs > 0,
       s"maxCandidatePairs must be > 0, got $maxCandidatePairs")
     // token SETS: per-doc distinct inside `tokens` (array_distinct
-    // before the explode — no corpus-wide distinct shuffle)
+    // before the explode — no corpus-wide distinct shuffle). Three
+    // consumers read this relation (the df table, the prefix rank, the
+    // per-doc verify arrays); without the eager checkpoint each one
+    // re-runs the tokenizer over every document. At 100 TB this
+    // materialization is the tokenized-corpus intermediate table.
     val toks = docs
       .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+      .localCheckpoint(true)
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
     val part = org.apache.spark.sql.expressions.Window.partitionBy("id")
     val w = part.orderBy(col("df"), col("tok"))
@@ -649,11 +657,20 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     val arrs = toks.groupBy("id").agg(sort_array(collect_list(col("tok"))).as("ts"))
+    // verify kernel: the arrays are sorted distinct sets, so for
+    // integer-hash tokenizers (the d11 shingle path) the native
+    // two-pointer merge count equals size(array_intersect(...)) exactly
+    // while skipping its per-pair hash-set build + intersection-array
+    // allocation (the oracle keeps the portable list_intersect); string
+    // tokenizers keep the builtin
+    val interCol =
+      if (toks.schema("tok").dataType == org.apache.spark.sql.types.LongType)
+        graft.functions.VecExpressions.sorted_intersect_size(col("ts_a"), col("ts_b"))
+      else size(array_intersect(col("ts_a"), col("ts_b"))).cast("long")
     cand
       .join(arrs.select(col("id").as("id_a"), col("ts").as("ts_a")), "id_a")
       .join(arrs.select(col("id").as("id_b"), col("ts").as("ts_b")), "id_b")
-      .withColumn("inter",
-        size(array_intersect(col("ts_a"), col("ts_b"))).cast("long"))
+      .withColumn("inter", interCol)
       .withColumn("un",
         size(col("ts_a")).cast("long") + size(col("ts_b")).cast("long") - col("inter"))
       .where(col("inter") * tauDen >= col("un") * tauNum)

@@ -88,6 +88,31 @@ class VecExpressionsSpec extends AnyFunSuite with SparkSpec {
     assert(withNullElem.head().isNullAt(0))
   }
 
+  test("sorted_intersect_size equals size(array_intersect) on sorted distinct sets, incl. property sweep") {
+    import spark.implicits._
+    VecExpressions.register(spark)
+    // deterministic pseudo-random sorted distinct long arrays, with
+    // overlap planted by drawing both sides from a shared small domain
+    val rnd = new scala.util.Random(42)
+    def arr(n: Int): Seq[Long] =
+      Seq.fill(n)(rnd.nextInt(200).toLong).distinct.sorted
+    val cases = Seq(
+      (Seq(1L, 2L, 3L), Seq(2L, 3L, 4L)),          // partial overlap: 2
+      (Seq(1L, 2L), Seq(3L, 4L)),                  // disjoint: 0
+      (Seq(5L, 6L, 7L), Seq(5L, 6L, 7L)),          // identical: 3
+      (Seq.empty[Long], Seq(1L)),                  // empty side: 0
+      (Seq(-5L, -1L, 0L, 9L), Seq(-5L, 9L))        // negatives sort first
+    ) ++ Seq.fill(50)((arr(rnd.nextInt(40)), arr(rnd.nextInt(40))))
+    val rows = cases.toDF("a", "b").select(
+        VecExpressions.sorted_intersect_size(col("a"), col("b")).as("fused"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("builtin"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    assert(rows(0).getLong(0) == 2L && rows(1).getLong(0) == 0L &&
+      rows(2).getLong(0) == 3L && rows(3).getLong(0) == 0L &&
+      rows(4).getLong(0) == 2L)
+  }
+
   test("type mismatch is rejected at analysis time") {
     import spark.implicits._
     VecExpressions.register(spark)
