@@ -711,6 +711,64 @@ object Dedup {
         col("n_dup_positions") / col("n_positions").cast("double"))
   }
 
+  /** Cross-document duplicated-span REMOVAL — the rewrite step Lee et
+    * al. 2022 actually apply (ExactSubstr dedup: cut the repeated
+    * substring, keep the document), where [[duplicatedSpans]] only
+    * measures. A span is cut when its shingle hash occurs in >= 2
+    * DISTINCT documents (within-doc repeats are kept, as in d14); the
+    * cut covers the shingle's k characters. Sampling caveat shared
+    * with d14: only stride-aligned span starts are tested, so a
+    * duplicated region's first/last < stride characters can survive —
+    * the price of the fused sampled hash pass, stated, not hidden.
+    *
+    * The rewrite needs NO interval merging pass: cut positions are
+    * sorted ascending and every cut has the same width k, so cut ENDS
+    * are ascending too — the kept text is exactly
+    * head(before first cut) ++ per-consecutive-pair gaps
+    * `[p_i + k, p_{i+1})` (clamped to empty when cuts overlap) ++
+    * tail(after last cut end). That makes the whole rewrite three
+    * substrings + one `zip_with`/`array_join` fold of per-gap
+    * substrings — pure codegen'd column math over the (doc, sorted
+    * cut-position array) relation, replayed literally by the DuckDB
+    * oracle (d15).
+    *
+    * Scale shape: same as [[duplicatedSpans]] — one fused positional
+    * hash pass, one distinct groupBy for the df relation (the thing a
+    * 100 TB pipeline persists), one semi-join back, one per-doc
+    * collect of CUT positions only (bounded by text length / stride).
+    * Text bytes never join against the df table — only (id, pos, h)
+    * rows do; the rewrite touches text once, per-row.
+    *
+    * Returns `docs`' non-null-text rows plus a `cleaned` string column.
+    */
+  def removeDuplicatedSpans(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    require(!docs.columns.exists(_.equalsIgnoreCase("cleaned")),
+      "removeDuplicatedSpans produces `cleaned`; rename that input column")
+    val k = ShingleK
+    val base = docs.where(col(textCol).isNotNull)
+    val es = base.select(col(idCol),
+        posexplode(shingleHashes(col(textCol))).as(Seq("__p", "__h")))
+    val dupHashes = es.select(col(idCol), col("__h")).distinct()
+      .groupBy("__h").agg(count(lit(1)).as("__d"))
+      .where(col("__d") >= 2).select("__h")
+    // 1-based char start of shingle p, matching the oracle's
+    // generate_series(1, ..., stride)
+    val dupPos = es.join(dupHashes, Seq("__h"), "left_semi")
+      .select(col(idCol), (col("__p") * ShingleStride + 1).as("__s"))
+      .groupBy(col(idCol)).agg(sort_array(collect_list(col("__s"))).as("__ps"))
+    val cleaned = expr(
+      s"""CASE WHEN __ps IS NULL THEN $textCol ELSE concat(
+         |  substring($textCol, 1, element_at(__ps, 1) - 1),
+         |  array_join(zip_with(
+         |    slice(__ps, 1, size(__ps) - 1), slice(__ps, 2, size(__ps) - 1),
+         |    (p, pn) -> substring($textCol, p + $k, greatest(0, pn - (p + $k)))), ''),
+         |  substring($textCol, element_at(__ps, -1) + $k)) END""".stripMargin)
+    base.join(dupPos, Seq(idCol), "left")
+      .withColumn("cleaned", cleaned)
+      .drop("__ps")
+  }
+
   // --- semantic dedup (SemDeDup) -------------------------------------------
 
   /** Cosine threshold for [[semDedup]], shared with the d13 oracle. */

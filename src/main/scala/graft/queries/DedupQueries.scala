@@ -228,6 +228,20 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // the REMOVAL twin of d14 (Lee et al.'s actual rewrite): cut every
+    // stride-sampled span whose hash occurs in >= 2 docs, keep the
+    // stitched remainder. The md5 of the cleaned text rides in the
+    // hash compare, so the rewrite is byte-for-byte verified without
+    // shipping full texts through the artifact.
+    "d15_span_removal" -> ((s, d) => {
+      Dedup.removeDuplicatedSpans(Tables.load(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          length(col("cleaned")).cast("long").as("n_kept_chars"),
+          md5(col("cleaned")).as("cleaned_md5"))
+        .orderBy("doc_id")
+    }),
+
     // SemDeDup: k-means clusters bound the pairwise cosine search
     // (candidates = Σ|cluster|², n²/k expected; the paper scales k with
     // n to keep clusters bounded). Training is s08's deterministic
@@ -531,6 +545,38 @@ object DedupQueries {
          |    / CAST(count(*) AS DOUBLE) AS dup_fraction
          |FROM es JOIN dfr USING (h)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // parallel unnests zip (start, hash) positionally; the rewrite is
+    // the head/gaps/tail stitching stated in removeDuplicatedSpans'
+    // scaladoc — no interval merge needed because constant-width cuts
+    // over sorted starts have sorted ends
+    "d15_span_removal" -> {
+      val k = Dedup.ShingleK
+      s"""WITH nn AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+         |sh AS (SELECT doc_id, text,
+         |  generate_series(1, greatest(length(text) - ${k - 1}, 1), ${Dedup.ShingleStride}) AS ss,
+         |  list_transform(generate_series(1, greatest(length(text) - ${k - 1}, 1), ${Dedup.ShingleStride}),
+         |    i -> $shinglePoly) AS hs
+         |  FROM nn),
+         |pos AS (SELECT doc_id, unnest(ss) AS s, unnest(hs) AS h FROM sh),
+         |dfr AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM pos)
+         |  GROUP BY h HAVING count(*) >= 2),
+         |dp AS (SELECT doc_id, list_sort(list(s)) AS ps FROM pos
+         |  WHERE h IN (SELECT h FROM dfr) GROUP BY doc_id),
+         |cl AS (SELECT n.doc_id, n.text,
+         |  CASE WHEN d.ps IS NULL THEN n.text ELSE
+         |    substr(n.text, 1, d.ps[1] - 1)
+         |    || array_to_string(list_transform(generate_series(1, len(d.ps) - 1),
+         |         j -> substr(n.text, (d.ps[j] + $k)::INT,
+         |           greatest(0, d.ps[j + 1] - (d.ps[j] + $k))::INT)), '')
+         |    || substr(n.text, (d.ps[len(d.ps)] + $k)::INT)
+         |  END AS cleaned
+         |  FROM nn n LEFT JOIN dp d USING (doc_id))
+         |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(length(cleaned) AS BIGINT) AS n_kept_chars,
+         |  md5(cleaned) AS cleaned_md5
+         |FROM cl ORDER BY doc_id""".stripMargin
+    },
 
     // same k-means replay as s08 (shared CTE chain, retargeted at the
     // doubled corpus), then the within-cluster lower-id-wins cosine
