@@ -44,4 +44,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // over isolated runs, CC-family queries 2x); 24g restores isolated
   // timings in-suite. Local mode = driver heap IS executor memory.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // A 120-query suite x 3 passes generates thousands of whole-stage
+  // codegen classes; the JIT code cache's default 240 MB silently
+  // flushes+recompiles under that churn (UseCodeCacheFlushing), which
+  // taxes exactly the many-stage iterative queries.
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -34,6 +34,21 @@ object Bench {
     ()
   }
 
+  /** Per-query isolation: several operators pin eager localCheckpoints
+    * (stage boundaries in the pipeline, the prefix index in d11, the
+    * greedy steps in s12) that CANNOT be unpersisted before their
+    * result materializes — lineage is truncated at the checkpoint — so
+    * they are released here, BETWEEN queries, once the result has been
+    * consumed. Without this the block manager accumulates every
+    * checkpoint of every query × pass, and the iterative CC family
+    * measurably degrades mid-suite (c04 4.4 s solo vs 11.5 s late in a
+    * leaky full run).
+    */
+  private def released(spark: SparkSession): Unit = {
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    spark.catalog.clearCache()
+  }
+
   private def jsonEscape(s: String): String =
     s.flatMap {
       case '"'           => "\\\""
@@ -69,6 +84,14 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the status stores retain per-execution plan graphs/metrics and
+      // per-stage/task rows even with the UI off; at 120 queries x 3
+      // passes (x dozens of AQE stages each) that retained state is
+      // pure growth — keep only a handful for post-mortem
+      .config("spark.sql.ui.retainedExecutions", "20")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "1000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -92,6 +115,7 @@ object Bench {
     names.foreach { n =>
       try force(SparkEntry.queries(n)(spark, sfDir))
       catch { case scala.util.control.NonFatal(_) => () }
+      finally released(spark)
     }
     def timed(n: String): Option[Double] = {
       val t0 = System.nanoTime()
@@ -102,7 +126,7 @@ object Bench {
         case scala.util.control.NonFatal(e) =>
           errors(n) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(300)}"
           None
-      }
+      } finally released(spark)
     }
     // best of two timed passes: single-pass numbers carry ~±20%
     // same-machine noise at this scale

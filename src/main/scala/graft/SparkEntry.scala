@@ -12,9 +12,14 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The composed curation pipeline is the flagship: one call
+    * drives exact dedup, near-dup clustering + keep-best,
+    * decontamination, the quality gate, split assignment and shard
+    * packing end to end (p01).
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("q13_multiway_join")(spark, "/root/testdata/sf0.001")
+    queries("p01_curation_pipeline")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++

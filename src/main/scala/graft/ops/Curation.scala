@@ -60,17 +60,22 @@ object Curation {
     */
   def contaminationScores(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, keep: Seq[String] = Seq.empty): DataFrame = {
+    // gram arrays are SORTED so the per-row hit count is the native
+    // two-pointer merge (SortedIntersectSize) instead of
+    // array_intersect's per-row hash-set build over the whole benchmark
+    // set — same count on these distinct sets, no per-row allocation
     def grams(df: DataFrame, cols: Seq[Column]): DataFrame =
       df.where(size(split(col(textCol), " ")) >= 2)
-        .select(cols :+ array_distinct(
-          graft.functions.TextHashExpressions.bigram_hash32(col(textCol))).as("gs"): _*)
+        .select(cols :+ sort_array(array_distinct(
+          graft.functions.TextHashExpressions.bigram_hash32(col(textCol)))).as("gs"): _*)
     val benchSet = grams(benchmark, Seq.empty)
       .select(explode(col("gs")).as("g")).distinct()
-      .agg(collect_set(col("g")).as("bench_gs"))
+      .agg(sort_array(collect_set(col("g"))).as("bench_gs"))
     grams(corpus, (idCol +: keep).map(col))
       .crossJoin(broadcast(benchSet))
       .withColumn("n_grams", size(col("gs")).cast("long"))
-      .withColumn("n_hits", size(array_intersect(col("gs"), col("bench_gs"))).cast("long"))
+      .withColumn("n_hits",
+        graft.functions.VecExpressions.sorted_intersect_size(col("gs"), col("bench_gs")))
       .withColumn("overlap", col("n_hits") / col("n_grams").cast("double"))
       .drop("gs", "bench_gs")
   }

@@ -69,6 +69,8 @@ object PipelineStreams {
     // eager select() analysis resolves each frame on its own session)
     graft.functions.TextHashExpressions.register(batch.sparkSession)
     graft.functions.TextHashExpressions.register(benchmark.sparkSession)
+    graft.functions.VecExpressions.register(batch.sparkSession)
+    graft.functions.VecExpressions.register(benchmark.sparkSession)
     val hist = historyFp.select(col("fingerprint")).distinct()
 
     // stage 1: in-batch canonical (min id per fingerprint), minus
