@@ -13,7 +13,28 @@ import graft.sources.Tables
   */
 object TextQueries {
 
+  /** The t14 query workload — one row per (query id, term), shared
+    * with the oracle's VALUES list. Terms are pre-deduped per query
+    * (Search.bm25TopK's contract).
+    */
+  private val Bm25Queries: Seq[(Long, String)] = Seq(
+    (1L, "hash"), (1L, "join"),
+    (2L, "stream"), (2L, "window"), (2L, "agg"),
+    (3L, "customer"), (3L, "order"), (3L, "data"), (3L, "big"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // BM25 ranked retrieval through the t06/t10 index relations — the
+    // deterministic variant (rational idf, ordered-fold score sum)
+    // documented in graft.ops.Search
+    "t14_bm25_topk" -> ((s, d) => {
+      import s.implicits._
+      graft.ops.Search.bm25TopK(
+          Tables.load(s, d, "documents").select("doc_id", "text"),
+          "doc_id", "text",
+          Bm25Queries.toDF("qid", "term"), "qid", "term", k = 10)
+        .orderBy("qid", "rank")
+    }),
+
     "t01_token_stats" -> ((s, d) => {
       Tables.load(s, d, "documents")
         .select(col("lang"),
@@ -312,6 +333,45 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // every literal is CAST AS DOUBLE so DuckDB never slips into
+    // DECIMAL arithmetic; (1.2 + 1.0) is summed, not written 2.2 —
+    // the engine adds Bm25K1 + 1.0 in IEEE doubles and 2.2's parse is
+    // a DIFFERENT double; the fold states the engine's sorted-term
+    // left association exactly
+    "t14_bm25_topk" -> {
+      val qVals = Bm25Queries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+      """WITH q AS (SELECT CAST(v.q AS BIGINT) AS qid, v.t AS term
+        |  FROM (VALUES QVALS) v(q, t)),
+        |words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
+        |dfr AS (SELECT term, count(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, term FROM words) GROUP BY 1),
+        |lens AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |  FROM documents),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
+        |    CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE) AS avgdl
+        |  FROM documents),
+        |c AS (SELECT q.qid, tf.doc_id, q.term,
+        |    ((nd - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+        |      * (tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+        |      / (tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+        |          + CAST(0.75 AS DOUBLE) * dl / avgdl)) AS contrib
+        |  FROM q JOIN tf USING (term) JOIN dfr USING (term)
+        |    JOIN lens USING (doc_id) CROSS JOIN st),
+        |s AS (SELECT qid, doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(list_sort(list(struct_pack(t := term, c := contrib))),
+        |        x -> x.c)), (a, b) -> a + b) AS score,
+        |    count(*) AS n_terms_hit
+        |  FROM c GROUP BY 1, 2)
+        |SELECT qid, doc_id, rank, score, n_terms_hit FROM (
+        |  SELECT qid, doc_id, score, n_terms_hit,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+        |  FROM s) WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin.replace("QVALS", qVals)
+    },
+
     "t01_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)) AS BIGINT) AS total_ws_tokens,

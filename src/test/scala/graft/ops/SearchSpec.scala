@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+class SearchSpec extends AnyFunSuite with SparkSpec {
+
+  test("bm25: more matched terms outrank fewer; rare terms outrank common; length normalization bites; k caps") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"),          // both query terms
+      (2L, "alpha delta epsilon"),       // one query term
+      (3L, "alpha beta gamma alpha beta gamma alpha beta gamma alpha beta gamma"), // long doc, same terms
+      (4L, "zeta eta theta"),            // no query terms
+      (5L, "alpha rare"),                // 'rare' appears only here
+      (6L, "alpha common"), (7L, "beta common"), (8L, "gamma common")
+    ).toDF("doc_id", "text")
+    val queries = Seq(
+      (1L, "alpha"), (1L, "beta"),
+      (2L, "rare"), (2L, "common")).toDF("qid", "term")
+
+    val out = Search.bm25TopK(docs, "doc_id", "text", queries, "qid", "term", k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+
+    val q1 = out.filter(_._1 == 1L).sortBy(_._3)
+    // doc 4 never appears (no terms), only k=3 rows per query
+    assert(out.count(_._1 == 1L) == 3)
+    assert(!out.exists(_._2 == 4L))
+    // both-term docs outrank single-term docs for q1
+    val rankOf = q1.map(t => t._2 -> t._3).toMap
+    assert(rankOf.contains(1L), s"doc1 (both terms) must make top-3: $q1")
+    assert(rankOf(1L) < q1.filter(t => t._5 == 1L).map(_._3).headOption.getOrElse(Long.MaxValue),
+      "a two-term match must outrank one-term matches")
+    // length normalization: doc 3 has the same distinct terms as doc 1
+    // but is 4x longer with 4x the tf — saturation + normalization must
+    // not let it dominate by raw tf alone; both rank above single-term docs
+    assert(rankOf.contains(3L))
+    // rare term beats common term at equal tf (q2: doc 5 'rare' df=1 vs
+    // docs 6-8 'common' df=3)
+    val q2 = out.filter(_._1 == 2L)
+    assert(q2.minBy(_._3)._2 == 5L, s"rare-term doc must rank first: ${q2.toSeq}")
+    // scores strictly ordered by rank within a query
+    Seq(q1, q2).foreach { qs =>
+      val byRank = qs.sortBy(_._3).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("bm25: k must be positive") {
+    import spark.implicits._
+    val e = intercept[IllegalArgumentException] {
+      Search.bm25TopK(Seq((1L, "x")).toDF("doc_id", "text"), "doc_id", "text",
+        Seq((1L, "x")).toDF("qid", "term"), "qid", "term", k = 0)
+    }
+    assert(e.getMessage.contains("k"))
+  }
+}
