@@ -35,6 +35,26 @@ object TextQueries {
         .orderBy("qid", "rank")
     }),
 
+    // the index built INCREMENTALLY — two disjoint halves indexed
+    // separately and merged algebraically (df term-sums, tf/lens
+    // appends, scalar adds) — must score byte-identically to t14's
+    // direct build: the two queries share ONE oracle, so any merge
+    // wrongness (a double-counted df, a dropped posting, drifted
+    // corpus scalars) breaks the hash compare
+    "t15_bm25_incremental_index" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+      val snap = graft.ops.Search.buildIndex(
+        docs.where(col("doc_id") % 2 === 0), "doc_id", "text")
+      val batch = graft.ops.Search.buildIndex(
+        docs.where(col("doc_id") % 2 =!= 0), "doc_id", "text")
+      graft.ops.Search.bm25FromIndex(
+          graft.ops.Search.mergeIndex(snap, batch),
+          Bm25Queries.toDF("qid", "term"), "qid", "term", k = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("qid", "rank")
+    }),
+
     "t01_token_stats" -> ((s, d) => {
       Tables.load(s, d, "documents")
         .select(col("lang"),
@@ -332,15 +352,14 @@ object TextQueries {
     (w0 +: steps).mkString("WITH ", ",\n", "")
   }
 
-  val oracles: Map[String, String] = Map(
-    // every literal is CAST AS DOUBLE so DuckDB never slips into
-    // DECIMAL arithmetic; (1.2 + 1.0) is summed, not written 2.2 —
-    // the engine adds Bm25K1 + 1.0 in IEEE doubles and 2.2's parse is
-    // a DIFFERENT double; the fold states the engine's sorted-term
-    // left association exactly
-    "t14_bm25_topk" -> {
-      val qVals = Bm25Queries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
-      """WITH q AS (SELECT CAST(v.q AS BIGINT) AS qid, v.t AS term
+  // every literal is CAST AS DOUBLE so DuckDB never slips into
+  // DECIMAL arithmetic; (1.2 + 1.0) is summed, not written 2.2 —
+  // the engine adds Bm25K1 + 1.0 in IEEE doubles and 2.2's parse is
+  // a DIFFERENT double; the fold states the engine's sorted-term
+  // left association exactly
+  private val bm25OracleSql: String = {
+    val qVals = Bm25Queries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+    """WITH q AS (SELECT CAST(v.q AS BIGINT) AS qid, v.t AS term
         |  FROM (VALUES QVALS) v(q, t)),
         |words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
@@ -370,7 +389,14 @@ object TextQueries {
         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
         |  FROM s) WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin.replace("QVALS", qVals)
-    },
+  }
+
+  val oracles: Map[String, String] = Map(
+    "t14_bm25_topk" -> bm25OracleSql,
+    // the merged index is definitionally buildIndex of the union —
+    // same oracle (the d06/d07 shared-oracle pattern): any merge
+    // wrongness breaks t15's hash while t14 stays green
+    "t15_bm25_incremental_index" -> bm25OracleSql,
 
     "t01_token_stats" ->
       """SELECT lang, count(*) AS n_docs,

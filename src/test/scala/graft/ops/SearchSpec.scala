@@ -47,6 +47,27 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("mergeIndex of disjoint halves equals buildIndex of the union, relation by relation") {
+    import spark.implicits._
+    val docs = (1L to 20L).map { i =>
+      i -> Seq.fill(3 + (i % 4).toInt)(Seq("alpha", "beta", "gamma", "delta")((i % 4).toInt)).mkString(" ")
+    }.toDF("doc_id", "text")
+    val direct = Search.buildIndex(docs, "doc_id", "text")
+    val merged = Search.mergeIndex(
+      Search.buildIndex(docs.where($"doc_id" % 2 === 0), "doc_id", "text"),
+      Search.buildIndex(docs.where($"doc_id" % 2 =!= 0), "doc_id", "text"))
+    assert(merged.nDocs == direct.nDocs && merged.totalTokens == direct.totalTokens)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq).toSet
+    assert(rows(merged.df) == rows(direct.df))
+    assert(rows(merged.tf) == rows(direct.tf))
+    assert(rows(merged.lens) == rows(direct.lens))
+    // and the scored output is identical too
+    val q = Seq((1L, "alpha"), (1L, "beta")).toDF("qid", "term")
+    assert(rows(Search.bm25FromIndex(merged, q, "qid", "term", 5)) ==
+      rows(Search.bm25FromIndex(direct, q, "qid", "term", 5)))
+  }
+
   test("bm25: k must be positive") {
     import spark.implicits._
     val e = intercept[IllegalArgumentException] {
