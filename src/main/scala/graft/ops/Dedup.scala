@@ -641,13 +641,20 @@ object Dedup {
     // gate column was tried instead and silently column-pruned away —
     // the eager check cannot be optimized out).
     val prefixCk = prefix.localCheckpoint(true)
+    // the sum is taken in DOUBLE: a degenerate corpus can push
+    // Σ C(dfp, 2) past 2^63, and a wrapped-negative Long would
+    // silently DISABLE this guard in exactly the regime it exists to
+    // catch; double precision loss (>2^53) is irrelevant to a budget
+    // comparison
     val nCand = prefixCk.groupBy("tok")
       .agg(count(lit(1)).as("dfp"))
-      .agg(coalesce(sum(expr("(dfp * (dfp - 1)) div 2")), lit(0L)))
-      .head().getLong(0)
-    if (nCand > maxCandidatePairs)
+      .agg(coalesce(
+        sum(col("dfp").cast("double") * (col("dfp") - 1).cast("double") / 2.0),
+        lit(0.0)))
+      .head().getDouble(0)
+    if (nCand > maxCandidatePairs.toDouble)
       throw new IllegalStateException(
-        s"prefixFilterPairs: exact-join candidate volume $nCand exceeds the " +
+        f"prefixFilterPairs: exact-join candidate volume $nCand%.0f exceeds the " +
           s"$maxCandidatePairs budget — low-entropy corpus in the quadratic " +
           "regime. Use minHashCandidatePairs (d02) or ngramJaccardPairs " +
           "(d04), raise tau, pass an order-sensitive tokenizer (shingle " +

@@ -53,21 +53,26 @@ object Search {
   final case class TextIndex(tf: DataFrame, df: DataFrame, lens: DataFrame,
       nDocs: Long, totalTokens: Long)
 
-  /** Build the index over `docs` — one corpus scan, two map-side
-    * combined groupBys. Tokenization is `split(text, ' ')`, the t06
-    * contract the oracle replays with string_split.
+  /** Build the index over `docs` — ONE tokenize pass: the exploded
+    * token relation is eagerly checkpointed (the prefixFilterPairs
+    * discipline) and every index relation derives from it — tf and df
+    * by groupBy, lens as the per-doc token count (`split` always
+    * yields ≥ 1 element, so lens covers every indexed doc), and the
+    * corpus scalars from lens. Tokenization is `split(text, ' ')`, the
+    * t06 contract the oracle replays with string_split. Null-text rows
+    * are excluded from the index entirely (they have no terms; both
+    * engines state the same filter).
     */
   def buildIndex(docs: DataFrame, idCol: String, textCol: String): TextIndex = {
-    val words = docs.select(col(idCol).as("id"),
-      explode(split(col(textCol), " ")).as("term"))
+    val words = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("term"))
+      .localCheckpoint(true)
     val tf = words.groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val df = words.select("id", "term").distinct()
       .groupBy("term").agg(count(lit(1)).as("df"))
-    val lens = docs.select(col(idCol).as("id"),
-      size(split(col(textCol), " ")).cast("long").as("dl"))
-    val st = docs.agg(count(lit(1)).as("n"),
-      coalesce(sum(size(split(col(textCol), " ")).cast("long")), lit(0L)).as("toks"))
-      .head()
+    val lens = words.groupBy("id").agg(count(lit(1)).as("dl"))
+    val st = lens.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("dl")), lit(0L)).as("toks")).head()
     TextIndex(tf, df, lens, st.getLong(0), st.getLong(1))
   }
 

@@ -33,9 +33,23 @@ object PipelineQueries {
   private val ContaminationTau = 0.5
   private val ShardBudget = 4096L
 
+  /** The planted-duplicate id shifts must stay DISJOINT from real doc
+    * ids — a collision would duplicate a doc_id with different text
+    * (violating Pipeline.curate's unique-id contract) in BOTH engines
+    * at once, so the compare would stay green while the plants verify
+    * nothing. The d13 rule (`DedupQueries`): fail loudly instead.
+    */
+  private def requirePlantRoom(docs: org.apache.spark.sql.DataFrame): Unit = {
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    require(maxId < 1000000,
+      s"p01/p02 plant ids at +1000000/+2000000 but max(doc_id) = $maxId — " +
+        "raise the shifts (Spark AND oracle) for this scale factor")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_curation_pipeline" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents").select("doc_id", "text", "source")
+      requirePlantRoom(docs)
       val corpus = docs
         .unionByName(docs.select((col("doc_id") + 1000000).as("doc_id"),
           col("text"), col("source")))
@@ -62,6 +76,7 @@ object PipelineQueries {
     "p02_incremental_settle" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents")
         .select("doc_id", "text", "source").where(col("text").isNotNull)
+      requirePlantRoom(docs)
       val bench = docs.where(col("doc_id") % 100 === 0)
       val day1 = docs.where(col("doc_id") % 2 === 1)
       val day2 = docs.where(col("doc_id") % 2 === 0)
@@ -119,8 +134,7 @@ object PipelineQueries {
     // (TextQueries.qualityFailSqls), c01's split CASE, c02's
     // running-sum packing
     "p01_curation_pipeline" -> {
-      val passAll = TextQueries.qualityFailSqls
-        .map { case (_, c) => s"NOT ($c)" }.mkString("\n    AND ")
+      val passAll = passAllSql // one derivation, shared with p02's tail
       s"""WITH RECURSIVE
          |all_docs AS (
          |  SELECT doc_id, text, source FROM documents

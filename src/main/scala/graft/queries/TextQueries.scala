@@ -361,16 +361,17 @@ object TextQueries {
     val qVals = Bm25Queries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
     """WITH q AS (SELECT CAST(v.q AS BIGINT) AS qid, v.t AS term
         |  FROM (VALUES QVALS) v(q, t)),
-        |words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |nn AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM nn),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
         |dfr AS (SELECT term, count(*) AS df
         |  FROM (SELECT DISTINCT doc_id, term FROM words) GROUP BY 1),
         |lens AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
-        |  FROM documents),
+        |  FROM nn),
         |st AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
         |    CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
         |      / CAST(count(*) AS DOUBLE) AS avgdl
-        |  FROM documents),
+        |  FROM nn),
         |c AS (SELECT q.qid, tf.doc_id, q.term,
         |    ((nd - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
         |      * (tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))

@@ -48,6 +48,9 @@ object PipelineStreams {
     * previously seen — at scale yesterday's persisted key set, never
     * yesterday's text.
     *
+    * Null-text rows are dropped at the door (their fingerprint is
+    * NULL, which no anti join can ever match — see the inline note).
+    *
     * Returns (curated, newFingerprints):
     *  - curated: `batch`'s columns, one canonical (min-`idCol`) row per
     *    unseen fingerprint, decontaminated against `benchmark` at
@@ -71,15 +74,21 @@ object PipelineStreams {
     graft.functions.TextHashExpressions.register(benchmark.sparkSession)
     graft.functions.VecExpressions.register(batch.sparkSession)
     graft.functions.VecExpressions.register(benchmark.sparkSession)
+    // null text ⇒ NULL fingerprint, which an anti join can never match:
+    // such a row would pass the history gate EVERY batch and append a
+    // NULL state row each time (unbounded state, and it breaks the
+    // "a recurring duplicate stays rejected" contract). The d09 rule
+    // applies: null-text rows are dropped at the door.
+    val live = batch.where(col(textCol).isNotNull)
     val hist = historyFp.select(col("fingerprint")).distinct()
 
     // stage 1: in-batch canonical (min id per fingerprint), minus
     // history — one map-side-combined groupBy + one anti join on the
     // pre-aggregated key set (Dedup.incrementalNew's scale shape, fed
     // the fingerprint relation directly).
-    val groups = Dedup.exactGroups(batch, idCol, textCol)
+    val groups = Dedup.exactGroups(live, idCol, textCol)
     val unseen = groups.join(hist, Seq("fingerprint"), "left_anti")
-    val s1 = batch.join(
+    val s1 = live.join(
       unseen.select(col("canonical_id").as(idCol)), Seq(idCol))
 
     // stage 3 (stage 2 is the batch compaction's job — see object doc):
@@ -149,6 +158,23 @@ object PipelineStreams {
 
   private def readOrEmpty(spark: SparkSession, dir: String,
       schema: StructType): DataFrame =
-    Try(spark.read.schema(schema).parquet(dir)).getOrElse(
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema))
+    Try(spark.read.schema(schema).parquet(dir)) match {
+      case scala.util.Success(df) => df
+      // ONLY a missing directory means "no state yet". Any other read
+      // failure (IO hiccup, corrupt footer, permissions) must
+      // PROPAGATE and fail the micro-batch so the stream retries —
+      // swallowing it would settle the batch against an empty history
+      // and silently re-admit every previously-seen document.
+      case scala.util.Failure(e) if isPathMissing(e) =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      case scala.util.Failure(e) => throw e
+    }
+
+  private def isPathMissing(e: Throwable): Boolean =
+    e != null && (e.isInstanceOf[java.io.FileNotFoundException] ||
+      (e match {
+        case a: org.apache.spark.sql.AnalysisException =>
+          a.getCondition == "PATH_NOT_FOUND"
+        case _ => false
+      }) || isPathMissing(e.getCause))
 }

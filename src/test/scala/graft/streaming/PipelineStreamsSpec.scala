@@ -104,4 +104,18 @@ class PipelineStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(PipelineStreams.fingerprints(spark, noDir).count() == 0)
     assert(PipelineStreams.curated(spark, noDir, docSchema).count() == 0)
   }
+
+  test("a corrupt state read PROPAGATES instead of settling against an empty history") {
+    // only path-not-found means "no state yet"; any other failure must
+    // fail the micro-batch (an empty-history fallback would re-admit
+    // every previously seen document)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ps_corrupt")
+    val part = dir.resolve("batch_id=0")
+    java.nio.file.Files.createDirectories(part)
+    java.nio.file.Files.write(part.resolve("junk.parquet"),
+      "this is not parquet".getBytes)
+    intercept[Exception] {
+      PipelineStreams.fingerprints(spark, dir.toString).count()
+    }
+  }
 }
