@@ -44,9 +44,18 @@ object Bench {
     * measurably degrades mid-suite (c04 4.4 s solo vs 11.5 s late in a
     * leaky full run).
     */
+  private val sinceGc = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private def released(spark: SparkSession): Unit = {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     spark.catalog.clearCache()
+    // ContextCleaner reclaims broadcast/shuffle/accumulator state only
+    // when a GC collects the weak references — and a 24 GB heap under a
+    // ~1 GB working set can go hundreds of queries without one, so the
+    // executor accumulates every query's broadcast blocks and shuffle
+    // files. A periodic explicit GC (outside the timers) keeps the
+    // suite's 360 executions from carrying each other's garbage.
+    if (sinceGc.incrementAndGet() % 10 == 0) System.gc()
   }
 
   private def jsonEscape(s: String): String =
