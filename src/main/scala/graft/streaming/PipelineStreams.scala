@@ -165,16 +165,20 @@ object PipelineStreams {
       // PROPAGATE and fail the micro-batch so the stream retries —
       // swallowing it would settle the batch against an empty history
       // and silently re-admit every previously-seen document.
-      case scala.util.Failure(e) if isPathMissing(e) =>
+      case scala.util.Failure(e) if pathMissing(e) =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       case scala.util.Failure(e) => throw e
     }
 
-  private def isPathMissing(e: Throwable): Boolean =
+  /** True iff the failure chain means "this path does not exist" —
+    * the ONE failure a state/index reader may treat as empty state
+    * (shared with [[SearchStreams]]).
+    */
+  private[streaming] def pathMissing(e: Throwable): Boolean =
     e != null && (e.isInstanceOf[java.io.FileNotFoundException] ||
       (e match {
         case a: org.apache.spark.sql.AnalysisException =>
           a.getCondition == "PATH_NOT_FOUND"
         case _ => false
-      }) || isPathMissing(e.getCause))
+      }) || pathMissing(e.getCause))
 }

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.ops.Search
+import graft.ops.Search.TextIndex
+
+/** Streaming maintenance of the BM25 inverted index
+  * ([[graft.ops.Search]]): each micro-batch of landing documents is
+  * indexed ONCE ([[Search.buildIndex]] — one tokenize pass) and its
+  * PARTIAL relations (tf, lens, per-batch df, 1-row batch stats) land
+  * under `indexDir/<rel>/batch_id=N` — the per-batch-id idempotent
+  * overwrite layout [[PipelineStreams]] uses, so a retried batch
+  * replaces its own output. No read-modify-write ever happens on the
+  * hot path: the df merge [[Search.mergeIndex]] performs batch-by-batch
+  * is deferred to [[loadIndex]], which reconstructs the full index by
+  * appending tf/lens and term-summing the per-batch df partials — the
+  * same algebra, proven equal to a direct whole-corpus build by t15's
+  * shared oracle and pinned across micro-batches by
+  * `SearchStreamsSpec`.
+  *
+  * Contract: document ids must be unique ACROSS batches (exact-dedup
+  * the stream first — [[PipelineStreams.settleBatch]] is the settle
+  * step for that); null-text rows are excluded by buildIndex.
+  *
+  * At 100 TB this is the index-refresh daily: partial relations are
+  * bounded by the BATCH, reads compact them with one term-keyed sum,
+  * and a periodic compaction job can fold old batch partitions into a
+  * base partition without changing any reader (the layout IS the
+  * merge state).
+  */
+object SearchStreams {
+
+  private def tfSchema = StructType(Seq(
+    StructField("id", LongType), StructField("term", StringType),
+    StructField("tf", LongType), StructField("batch_id", LongType)))
+  private def dfSchema = StructType(Seq(
+    StructField("term", StringType), StructField("df", LongType),
+    StructField("batch_id", LongType)))
+  private def lensSchema = StructType(Seq(
+    StructField("id", LongType), StructField("dl", LongType),
+    StructField("batch_id", LongType)))
+  private def statsSchema = StructType(Seq(
+    StructField("n", LongType), StructField("toks", LongType),
+    StructField("batch_id", LongType)))
+
+  /** Start the index-maintenance stream over `docs` (a streaming frame
+    * with (idCol: long, textCol: string)).
+    */
+  def indexStream(docs: DataFrame, idCol: String, textCol: String,
+      indexDir: String, checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val b = batch.localCheckpoint(true)
+        try {
+          val ix = Search.buildIndex(b, idCol, textCol)
+          ix.tf.write.mode("overwrite").parquet(s"$indexDir/tf/batch_id=$batchId")
+          ix.df.write.mode("overwrite").parquet(s"$indexDir/df/batch_id=$batchId")
+          ix.lens.write.mode("overwrite").parquet(s"$indexDir/lens/batch_id=$batchId")
+          val spark = b.sparkSession
+          import spark.implicits._
+          Seq((ix.nDocs, ix.totalTokens)).toDF("n", "toks")
+            .write.mode("overwrite").parquet(s"$indexDir/stats/batch_id=$batchId")
+        } finally { b.unpersist(); () }
+      }
+      .start()
+
+  /** Reconstruct the merged [[TextIndex]] from every batch's partials:
+    * tf/lens are appends (ids disjoint by contract), df term-sums the
+    * per-batch partials, the scalars sum. Empty (no batch yet) yields
+    * an empty index with nDocs 0.
+    */
+  def loadIndex(spark: SparkSession, indexDir: String): TextIndex = {
+    def read(rel: String, schema: StructType): DataFrame =
+      scala.util.Try(spark.read.schema(schema).parquet(s"$indexDir/$rel")) match {
+        case scala.util.Success(df) => df.drop("batch_id")
+        case scala.util.Failure(e) if PipelineStreams.pathMissing(e) =>
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+            StructType(schema.filterNot(_.name == "batch_id")))
+        case scala.util.Failure(e) => throw e
+      }
+    val df = read("df", dfSchema).groupBy("term")
+      .agg(sum("df").as("df"))
+    val st = read("stats", statsSchema)
+      .agg(coalesce(sum("n"), lit(0L)), coalesce(sum("toks"), lit(0L))).head()
+    TextIndex(read("tf", tfSchema), df, read("lens", lensSchema),
+      st.getLong(0), st.getLong(1))
+  }
+}
