@@ -39,17 +39,28 @@ object PipelineQueries {
     * at once, so the compare would stay green while the plants verify
     * nothing. The d13 rule (`DedupQueries`): fail loudly instead.
     */
-  private def requirePlantRoom(docs: org.apache.spark.sql.DataFrame): Unit = {
-    val maxId = docs.agg(max("doc_id")).head().getLong(0)
-    require(maxId < 1000000,
-      s"p01/p02 plant ids at +1000000/+2000000 but max(doc_id) = $maxId — " +
-        "raise the shifts (Spark AND oracle) for this scale factor")
-  }
+  private val plantRoomOk =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def requirePlantRoom(docs: org.apache.spark.sql.DataFrame,
+      sfDir: String): Unit =
+    // one max(doc_id) scan per sf directory per JVM — not per
+    // invocation: the bench times each query 3x and this guard is a
+    // Spark-only action the oracle side never pays
+    if (!plantRoomOk.contains(sfDir)) {
+      val row = docs.agg(max("doc_id")).head()
+      // an empty (or all-null-text) corpus has no ids to collide with
+      val maxId = if (row.isNullAt(0)) -1L else row.getLong(0)
+      require(maxId < 1000000,
+        s"p01/p02 plant ids at +1000000/+2000000 but max(doc_id) = $maxId — " +
+          "raise the shifts (Spark AND oracle) for this scale factor")
+      plantRoomOk.add(sfDir); ()
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_curation_pipeline" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents").select("doc_id", "text", "source")
-      requirePlantRoom(docs)
+      requirePlantRoom(docs, d)
       val corpus = docs
         .unionByName(docs.select((col("doc_id") + 1000000).as("doc_id"),
           col("text"), col("source")))
@@ -76,7 +87,7 @@ object PipelineQueries {
     "p02_incremental_settle" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents")
         .select("doc_id", "text", "source").where(col("text").isNotNull)
-      requirePlantRoom(docs)
+      requirePlantRoom(docs, d)
       val bench = docs.where(col("doc_id") % 100 === 0)
       val day1 = docs.where(col("doc_id") % 2 === 1)
       val day2 = docs.where(col("doc_id") % 2 === 0)

@@ -156,7 +156,7 @@ object PipelineStreams {
     readOrEmpty(spark, outDir,
       schema.add(StructField("batch_id", org.apache.spark.sql.types.LongType)))
 
-  private def readOrEmpty(spark: SparkSession, dir: String,
+  private[streaming] def readOrEmpty(spark: SparkSession, dir: String,
       schema: StructType): DataFrame =
     Try(spark.read.schema(schema).parquet(dir)) match {
       case scala.util.Success(df) => df
@@ -172,13 +172,16 @@ object PipelineStreams {
 
   /** True iff the failure chain means "this path does not exist" —
     * the ONE failure a state/index reader may treat as empty state
-    * (shared with [[SearchStreams]]).
+    * (shared with [[SearchStreams]]). The cause walk is depth-bounded:
+    * a cyclic cause chain (constructible with two mutually-caused
+    * exceptions; some wrapper libraries produce them) must not turn
+    * error CLASSIFICATION into a StackOverflowError.
     */
-  private[streaming] def pathMissing(e: Throwable): Boolean =
-    e != null && (e.isInstanceOf[java.io.FileNotFoundException] ||
+  private[streaming] def pathMissing(e: Throwable, depth: Int = 20): Boolean =
+    depth > 0 && e != null && (e.isInstanceOf[java.io.FileNotFoundException] ||
       (e match {
         case a: org.apache.spark.sql.AnalysisException =>
           a.getCondition == "PATH_NOT_FOUND"
         case _ => false
-      }) || pathMissing(e.getCause))
+      }) || pathMissing(e.getCause, depth - 1))
 }

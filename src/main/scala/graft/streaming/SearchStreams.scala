@@ -55,9 +55,19 @@ object SearchStreams {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val sc = batch.sparkSession.sparkContext
+        // buildIndex pins its exploded token relation with an eager
+        // checkpoint that cannot be released before the writes below
+        // consume it — so snapshot the persisted-RDD ids first and
+        // release everything THIS BATCH pinned in the finally, or a
+        // long-running stream accumulates one token-relation block set
+        // per micro-batch until an (infrequent, 24 GB heap) GC
+        val pinnedBefore = sc.getPersistentRDDs.keySet
         val b = batch.localCheckpoint(true)
         try {
           val ix = Search.buildIndex(b, idCol, textCol)
+          // stats is written LAST: a batch present in stats is fully
+          // committed, which is loadIndex's consistency cutoff
           ix.tf.write.mode("overwrite").parquet(s"$indexDir/tf/batch_id=$batchId")
           ix.df.write.mode("overwrite").parquet(s"$indexDir/df/batch_id=$batchId")
           ix.lens.write.mode("overwrite").parquet(s"$indexDir/lens/batch_id=$batchId")
@@ -65,7 +75,12 @@ object SearchStreams {
           import spark.implicits._
           Seq((ix.nDocs, ix.totalTokens)).toDF("n", "toks")
             .write.mode("overwrite").parquet(s"$indexDir/stats/batch_id=$batchId")
-        } finally { b.unpersist(); () }
+        } finally {
+          (sc.getPersistentRDDs.keySet -- pinnedBefore).foreach { id =>
+            sc.getPersistentRDDs.get(id).foreach(_.unpersist(false))
+          }
+          ()
+        }
       }
       .start()
 
@@ -73,21 +88,28 @@ object SearchStreams {
     * tf/lens are appends (ids disjoint by contract), df term-sums the
     * per-batch partials, the scalars sum. Empty (no batch yet) yields
     * an empty index with nDocs 0.
+    *
+    * CONSISTENCY: a batch counts as committed iff its `stats` row
+    * exists (stats is written last), and tf/df/lens are filtered to
+    * the committed batch set — a reader racing a mid-commit batch sees
+    * NONE of it instead of a torn index whose postings and corpus
+    * scalars disagree. The residual race is a RETRY overwriting an
+    * already-committed batch under a running reader scan (transient
+    * FileNotFound; content is deterministic, so re-running the read
+    * heals it).
     */
   def loadIndex(spark: SparkSession, indexDir: String): TextIndex = {
     def read(rel: String, schema: StructType): DataFrame =
-      scala.util.Try(spark.read.schema(schema).parquet(s"$indexDir/$rel")) match {
-        case scala.util.Success(df) => df.drop("batch_id")
-        case scala.util.Failure(e) if PipelineStreams.pathMissing(e) =>
-          spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-            StructType(schema.filterNot(_.name == "batch_id")))
-        case scala.util.Failure(e) => throw e
-      }
-    val df = read("df", dfSchema).groupBy("term")
-      .agg(sum("df").as("df"))
-    val st = read("stats", statsSchema)
+      PipelineStreams.readOrEmpty(spark, s"$indexDir/$rel", schema)
+    val stats = read("stats", statsSchema).localCheckpoint(true)
+    // tiny by construction: one row per batch ever committed
+    val committed = stats.select("batch_id").collect().map(_.getLong(0)).toIndexedSeq
+    def rel(name: String, schema: StructType): DataFrame =
+      read(name, schema).where(col("batch_id").isin(committed: _*)).drop("batch_id")
+    val df = rel("df", dfSchema).groupBy("term").agg(sum("df").as("df"))
+    val st = stats
       .agg(coalesce(sum("n"), lit(0L)), coalesce(sum("toks"), lit(0L))).head()
-    TextIndex(read("tf", tfSchema), df, read("lens", lensSchema),
+    TextIndex(rel("tf", tfSchema), df, rel("lens", lensSchema),
       st.getLong(0), st.getLong(1))
   }
 }

@@ -34,8 +34,16 @@ class SearchSpec extends AnyFunSuite with SparkSpec {
       "a two-term match must outrank one-term matches")
     // length normalization: doc 3 has the same distinct terms as doc 1
     // but is 4x longer with 4x the tf — saturation + normalization must
-    // not let it dominate by raw tf alone; both rank above single-term docs
+    // not let it dominate by raw tf alone. RELATIVE bound: with b=0.75
+    // the score ratio is ~1.12; with normalization broken (b ignored)
+    // it rises to ~1.69, and raw-tf scoring would hit 4.0 — so < 1.4
+    // separates working from broken
     assert(rankOf.contains(3L))
+    val scoreOf = q1.map(t => t._2 -> t._4).toMap
+    assert(scoreOf(3L) < 1.4 * scoreOf(1L),
+      s"longer doc must not dominate by raw tf: ${scoreOf(3L)} vs ${scoreOf(1L)}")
+    assert(scoreOf(3L) > scoreOf(1L),
+      "higher tf should still win at equal idf (saturation, not inversion)")
     // rare term beats common term at equal tf (q2: doc 5 'rare' df=1 vs
     // docs 6-8 'common' df=3)
     val q2 = out.filter(_._1 == 2L)

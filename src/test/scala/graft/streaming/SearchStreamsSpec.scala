@@ -49,7 +49,8 @@ class SearchStreamsSpec extends AnyFunSuite with SparkSpec {
       rows(Search.bm25FromIndex(direct, queries, "qid", "term", 4)))
   }
 
-  test("loadIndex on an empty dir yields an empty index; corrupt partials propagate") {
+  test("loadIndex: empty dir yields empty index; uncommitted partials are invisible; committed corruption propagates") {
+    import spark.implicits._
     val none = java.nio.file.Files.createTempDirectory("graft_ss_none").toString + "/missing"
     val ix = SearchStreams.loadIndex(spark, none)
     assert(ix.nDocs == 0L && ix.totalTokens == 0L)
@@ -59,6 +60,13 @@ class SearchStreamsSpec extends AnyFunSuite with SparkSpec {
     val part = dir.resolve("df/batch_id=0")
     java.nio.file.Files.createDirectories(part)
     java.nio.file.Files.write(part.resolve("junk.parquet"), "not parquet".getBytes)
+    // batch 0 has NO stats row -> it is mid-commit/aborted, and the
+    // reader must see none of it, corrupt or not (the torn-index guard)
+    assert(SearchStreams.loadIndex(spark, dir.toString).df.count() == 0)
+    // once batch 0 is COMMITTED (stats row lands), its corrupt df
+    // partial must fail the read, never silently score without it
+    Seq((1L, 1L)).toDF("n", "toks")
+      .write.parquet(dir.resolve("stats/batch_id=0").toString)
     intercept[Exception] {
       SearchStreams.loadIndex(spark, dir.toString).df.count()
     }
