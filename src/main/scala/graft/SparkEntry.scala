@@ -31,7 +31,8 @@ object SparkEntry {
       graft.queries.MultimodalQueries.queries ++
       graft.queries.CurationQueries.queries ++
       graft.queries.JsonlQueries.queries ++
-      graft.queries.PipelineQueries.queries
+      graft.queries.PipelineQueries.queries ++
+      graft.queries.GraphQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
@@ -43,5 +44,6 @@ object SparkEntry {
       graft.queries.MultimodalQueries.oracles ++
       graft.queries.CurationQueries.oracles ++
       graft.queries.JsonlQueries.oracles ++
-      graft.queries.PipelineQueries.oracles
+      graft.queries.PipelineQueries.oracles ++
+      graft.queries.GraphQueries.oracles
 }

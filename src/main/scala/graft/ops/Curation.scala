@@ -344,4 +344,75 @@ object Curation {
         (col("__wrun").isNull || col("__wrun") < col(yCol)))
       .drop("__b", "__brun", "__wrun")
   }
+
+  /** DSIR-style importance scoring for targeted data selection (Xie et
+    * al. 2023, "Data Selection for Language Models via Importance
+    * Resampling"): score every document by how much more likely its
+    * hashed-token features are under a TARGET distribution (e.g. the
+    * high-quality or in-domain slice) than under the raw corpus — the
+    * principled upgrade of c05's per-source weights to CONTENT-based
+    * mixture steering.
+    *
+    * Deterministic variant (the t14/t16 house rules): the paper's
+    * per-feature log-ratio Σ log(p̂_t(b)/p̂_r(b)) drops the log AND the
+    * constant normalizer (N_r+B)/(N_t+B) — both strictly monotone /
+    * constant per corpus, so top-k selection order changes only where
+    * the log's gap compression would reorder sums, and the score stays
+    * bit-reproducible: per token position, ratio = (ct(b)+1)/(cr(b)+1)
+    * as one double division; per document, the positions are summed by
+    * the ordered list fold and divided by the token count. Resampling
+    * is deterministic too: rank by (score desc, id) instead of
+    * Gumbel-top-k — reproducibility is the property a 100 TB pipeline
+    * actually wants from its selection step.
+    *
+    * Scale shape: the "model" is the bucket-count relation — at most
+    * `buckets` rows (default 1024) after two map-side-combined
+    * groupBys over ONE tokenize pass (checkpointed; three consumers).
+    * It broadcasts to the per-token scoring join, so the only
+    * data-sized shuffle is the per-document fold's groupBy on id.
+    * Incremental maintenance is algebraic (counts sum — q42/t15).
+    *
+    * Returns (idCol, n_tokens long, dsir_score double) for every
+    * non-null-text document; `isTarget` marks the target slice.
+    */
+  def dsirScores(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, s"buckets must be > 0, got $buckets")
+    val base = docs.where(col(textCol).isNotNull)
+      .select(col(idCol), col(textCol), isTarget.as("__t"))
+    val toks = base
+      .select(col(idCol), col("__t"), posexplode(split(col(textCol), " ")))
+      .select(col(idCol), col("__t"), col("pos"),
+        pmod(Dedup.md5Hash32(col("col")), lit(buckets.toLong)).as("__b"))
+      .localCheckpoint(true)
+    val raw = toks.groupBy("__b").agg(count(lit(1)).as("cr"))
+    val tgt = toks.where(col("__t")).groupBy("__b").agg(count(lit(1)).as("ct"))
+    // every observed bucket is in `raw` by construction; unseen-in-target
+    // buckets smooth to ct=0 via the +1 in the ratio
+    val model = raw.join(tgt, Seq("__b"), "left")
+      .select(col("__b"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+    toks.join(broadcast(model), Seq("__b"))
+      .withColumn("__r",
+        (col("ct") + lit(1L)).cast("double") / (col("cr") + lit(1L)).cast("double"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("pos"), col("__r")))).as("__rs"),
+        count(lit(1)).as("n_tokens"))
+      .withColumn("dsir_score",
+        aggregate(col("__rs"), lit(0.0), (acc, x) => acc + x.getField("__r"))
+          / col("n_tokens").cast("double"))
+      .select(col(idCol), col("n_tokens"), col("dsir_score"))
+  }
+
+  /** Deterministic top-`k` selection under [[dsirScores]] — the
+    * resampling step with rank-by-(score, id) in place of Gumbel noise.
+    * `orderBy.limit` plans as a distributed TakeOrdered (per-partition
+    * top-k + driver merge of k·partitions rows), never a global sort.
+    */
+  def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, k: Int, buckets: Int = 1024): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    dsirScores(docs, idCol, textCol, isTarget, buckets)
+      .orderBy(col("dsir_score").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over relations (SURVEY §2C extension): derive an
+  * interaction graph from an event log and rank nodes by a
+  * deterministic integer PageRank. Web-scale corpus pipelines use
+  * exactly this shape for URL/source quality (Common Crawl publishes
+  * harmonic-centrality ranks; "quality weight by link centrality" is a
+  * standard curation signal) — here the same operator family runs on
+  * the `events` table's user-interaction graph.
+  *
+  * Graph representation is the house adjacency-list relation (SURVEY
+  * §1.1 "tree/graph"): an edge DataFrame (src, dst) — no graph library,
+  * every step is joins + aggregations, which is also how GraphX/Pregel
+  * execute under the hood.
+  *
+  * DETERMINISM: PageRank is usually float math under nondeterministic
+  * aggregation order; this one is INTEGER-exact. Ranks live in units of
+  * 1/[[Scale]] (a million "rank micros"), per-edge contributions use
+  * integer division, and integer sums are order-independent — so the
+  * result is bit-identical across engines, partitionings, and retries,
+  * and the DuckDB oracle replays every iteration verbatim. The
+  * truncation error vs float PageRank is ≤ outdeg/Scale per node per
+  * iteration — noise at Scale = 10⁶.
+  */
+object Graph {
+
+  /** Rank unit: 1.0 of classic PageRank == `Scale` integer units. */
+  val Scale = 1000000L
+
+  /** Damping factor 0.85 as the integer pair (85, 100). */
+  val DampNum = 85L
+  val DampDen = 100L
+
+  /** Co-occurrence CHAIN edges: within each group (e.g. event type ×
+    * hour), order the distinct users by (first event time, id) and link
+    * each to its successor. The chain, NOT the clique: a k-user group
+    * contributes k−1 edges instead of k·(k−1)/2, so |edges| ≤ |events|
+    * by construction and a hot group (every user touching the same
+    * page that hour) cannot blow up quadratically — the d11-style cost
+    * cliff designed out rather than guarded. Ordering by first-seen
+    * time keeps the edge direction meaningful (earlier actor → later
+    * actor). Per-group windows partition by the group key — never a
+    * global sort.
+    */
+  def chainEdges(events: DataFrame, groupCols: Seq[Column],
+      nodeCol: String, tsCol: String): DataFrame = {
+    val gs = groupCols.zipWithIndex.map { case (c, i) => c.as(s"__g$i") }
+    val gNames = gs.indices.map(i => col(s"__g$i"))
+    val members = events.select(gs :+ col(nodeCol) :+ col(tsCol): _*)
+      .groupBy(gNames :+ col(nodeCol): _*)
+      .agg(min(col(tsCol)).as("__mts"))
+    val w = Window.partitionBy(gNames: _*)
+      .orderBy(col("__mts"), col(nodeCol))
+    members
+      .select(col(nodeCol).as("dst"), lag(col(nodeCol), 1).over(w).as("src"))
+      .where(col("src").isNotNull)
+      .select("src", "dst").distinct()
+  }
+
+  /** Integer PageRank over `edges` (src, dst), `iterations` rounds,
+    * Pregel-example semantics (rank = 0.15·Scale + 0.85·Σ in-contribs;
+    * no global normalization, dangling mass drops — the classic
+    * distributed formulation). Returns (node, pagerank long) for every
+    * node appearing in any edge.
+    *
+    * Scale shape: the edge relation (with out-degree attached) and the
+    * node list are built once and checkpointed; each iteration is one
+    * rank⋈edge equi-join on src, one map-side-combinable integer sum by
+    * dst, and one node-sized left join — the textbook Pregel superstep
+    * as relational algebra, shuffle-bound on the edge key. Ranks are
+    * node-sized; each iteration is eagerly checkpointed so the unrolled
+    * loop's lineage stays one superstep deep (the CC-family
+    * discipline).
+    */
+  def pageRank(edges: DataFrame, iterations: Int = 5): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val od = e.groupBy("src").agg(count(lit(1)).as("__od"))
+    val ewd = e.join(od, "src")
+      .select(col("src"), col("dst"), col("__od")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    val base = lit(Scale * (DampDen - DampNum) / DampDen)
+    var ranks = nodes.select(col("node"), lit(Scale).as("__r"))
+    for (_ <- 1 to iterations) {
+      val inc = ranks.join(ewd, ranks("node") === ewd("src"))
+        .select(col("dst"),
+          expr(s"($DampNum * __r) div ($DampDen * __od)").as("__c"))
+        .groupBy("dst").agg(sum(col("__c")).as("__inc"))
+      ranks = nodes.join(inc, nodes("node") === inc("dst"), "left")
+        .select(col("node"), (base + coalesce(col("__inc"), lit(0L))).as("__r"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("node"), col("__r").as("pagerank"))
+  }
+}

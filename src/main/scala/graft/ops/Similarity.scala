@@ -478,4 +478,47 @@ object Similarity {
     picks.select(col("query_id"), col("pick"), col("n_id").as("neighbor_id"),
       col("rel"), col("mmr_score"))
   }
+
+  /** Johnson–Lindenstrauss random projection to `outDim` dimensions
+    * with a deterministic ±1 sign matrix (Achlioptas 2001's database-
+    * friendly projection): out_j = Σ_i sign(i,j)·x_i. The standard
+    * pre-step before clustering / ANN when the native dimension is
+    * wide — distances are preserved within (1±ε) for outDim =
+    * O(log n / ε²), at 1/dim the storage and flops.
+    *
+    * DETERMINISM: sign(i,j) = +1 iff the first hex char of
+    * md5("i:j") < '8' (top bit of the digest clear) — derivable
+    * identically in any engine with md5; the per-vector sum is an
+    * ordered index fold (zip_with then left fold from 0.0), so the
+    * projected doubles are bit-reproducible (the t14 house rules).
+    * The sign matrix is outDim×dim BOOLEANS of driver-side literal —
+    * model state in the plan like s08's centroids, broadcast free.
+    *
+    * Scale shape: pure per-row column math over one corpus scan — no
+    * shuffle at all; the projection composes with every downstream
+    * s-family operator (cluster on p*, ANN on p*).
+    *
+    * `dim` must equal the embedding array length (checked per row:
+    * a mismatched row would silently project nulls, so it
+    * raise_errors instead).
+    */
+  def randomProjection(emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, outDim: Int = 16): DataFrame = {
+    require(dim >= 1 && outDim >= 1, s"dim/outDim must be >= 1, got $dim/$outDim")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(i: Int, j: Int): Double = {
+      val d = md.digest(s"$i:$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if ((d(0) & 0x80) == 0) 1.0 else -1.0
+    }
+    val guarded = when(size(col(vecCol)) =!= dim,
+      raise_error(concat(lit(s"randomProjection: expected dim $dim, got "),
+        size(col(vecCol)).cast("string")))).otherwise(col(vecCol))
+    val projCols = (0 until outDim).map { j =>
+      val sLit = array((0 until dim).map(i => lit(sign(i, j))): _*)
+      aggregate(
+        zip_with(guarded, sLit, (x, s) => x.cast("double") * s),
+        lit(0.0), (acc, x) => acc + x).as(s"p$j")
+    }
+    emb.select(col(idCol) +: projCols: _*)
+  }
 }

@@ -16,6 +16,17 @@ object CurationQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // content-hash split: membership is stable under corpus growth and
     // reordering (the reproducibility property rand()/row_number lacks)
+    // DSIR-style importance selection toward the English slice — the
+    // content-based mixture-steering upgrade of c05, deterministic
+    // variant (ratio for log-ratio, rank for Gumbel) documented in
+    // graft.ops.Curation.dsirScores
+    "c14_dsir_selection" -> ((s, d) => {
+      Curation.dsirSelect(
+          Tables.load(s, d, "documents").select("doc_id", "text", "lang"),
+          "doc_id", "text", col("lang") === "en", k = 100)
+        .orderBy(col("dsir_score").desc, col("doc_id"))
+    }),
+
     "c01_hash_split" -> ((s, d) => {
       Tables.load(s, d, "documents")
         .select(Curation.splitAssign(col("doc_id")).as("split"), col("text"))
@@ -282,6 +293,34 @@ object CurationQueries {
     "(length(text) - length(replace(text, ' ', '')) + 1)"
 
   val oracles: Map[String, String] = Map(
+    // replays tokenize → md5 bucket → count ratios → position-ordered
+    // fold mean → top-100 by (score, id) verbatim
+    "c14_dsir_selection" ->
+      """WITH nn AS (SELECT doc_id, text, (lang = 'en') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |toks AS (SELECT doc_id, t, p.pos AS pos,
+        |    (('0x' || substr(md5(p.w), 1, 8))::BIGINT) % 1024 AS b
+        |  FROM (SELECT doc_id, t,
+        |      unnest(list_transform(range(len(string_split(text, ' '))),
+        |        i -> struct_pack(pos := i, w := string_split(text, ' ')[i + 1]))) AS p
+        |    FROM nn)),
+        |raw AS (SELECT b, count(*) AS cr FROM toks GROUP BY 1),
+        |tgt AS (SELECT b, count(*) AS ct FROM toks WHERE t GROUP BY 1),
+        |model AS (SELECT b, cr, COALESCE(ct, 0) AS ct
+        |  FROM raw LEFT JOIN tgt USING (b)),
+        |sc AS (SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(list_sort(list(struct_pack(p := pos, c := r))),
+        |        x -> x.c)), (acc, x) -> acc + x)
+        |      / CAST(count(*) AS DOUBLE) AS dsir_score,
+        |    count(*) AS n_tokens
+        |  FROM (SELECT doc_id, pos,
+        |      CAST(ct + 1 AS DOUBLE) / CAST(cr + 1 AS DOUBLE) AS r
+        |    FROM toks JOIN model USING (b))
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, dsir_score FROM sc
+        |ORDER BY dsir_score DESC, doc_id LIMIT 100""".stripMargin,
+
     "c01_hash_split" ->
       s"""WITH b AS (SELECT text,
          |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bkt

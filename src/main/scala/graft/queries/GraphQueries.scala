@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Graph
+import graft.sources.Tables
+
+/** Graph-analytics pack over the `events` interaction graph (SURVEY
+  * §2C): chain-edge derivation, integer PageRank, triangle counting.
+  * The graph is the relational adjacency list `graft.ops.Graph`
+  * derives — every operator is joins + integer aggregation, so the
+  * DuckDB oracle replays each superstep verbatim.
+  */
+object GraphQueries {
+
+  /** Shared edge derivation: users chained by first-seen order within
+    * (event type × hour) — see [[Graph.chainEdges]] for why the chain,
+    * not the clique.
+    */
+  private def edges(s: SparkSession, d: String): DataFrame =
+    Graph.chainEdges(Tables.load(s, d, "events"),
+      Seq(col("event_type"), date_trunc("hour", col("ts"))), "user_id", "ts")
+
+  /** The same derivation in DuckDB, shared by both oracles (the
+    * d06/d07 shared-CTE pattern).
+    */
+  private val edgeCtes =
+    """m AS (SELECT event_type, date_trunc('hour', ts) AS h, user_id,
+      |    min(ts) AS mts
+      |  FROM events GROUP BY 1, 2, 3),
+      |ch AS (SELECT user_id AS dst,
+      |    lag(user_id) OVER (PARTITION BY event_type, h ORDER BY mts, user_id) AS src
+      |  FROM m),
+      |e AS (SELECT DISTINCT src, dst FROM ch WHERE src IS NOT NULL)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // integer PageRank, 5 supersteps, over the user chain graph —
+    // deterministic by integer arithmetic (graft.ops.Graph)
+    "g01_user_pagerank" -> ((s, d) => {
+      Graph.pageRank(edges(s, d), iterations = 5)
+        .select(col("node").as("user_id"), col("pagerank"))
+        .orderBy("user_id")
+    }),
+
+    // per-node triangle participation over the undirected chain graph
+    // — the clustering/community signal; a<b<c canonicalization makes
+    // each triangle count once, and the two-join plan is the textbook
+    // distributed formulation (shuffle on the shared endpoint)
+    "g02_triangle_count" -> ((s, d) => {
+      val und = edges(s, d)
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct().localCheckpoint(true)
+      val tri = und.as("e1")
+        .join(und.as("e2"), col("e1.b") === col("e2.a"))
+        .join(und.as("e3"),
+          col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+        .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+        .localCheckpoint(true)
+      tri.select(col("x").as("user_id"))
+        .union(tri.select(col("y").as("user_id")))
+        .union(tri.select(col("z").as("user_id")))
+        .groupBy("user_id").agg(count(lit(1)).as("n_triangles"))
+        .orderBy("user_id")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "g01_user_pagerank" -> {
+      val iters = (1 to 5).map { i =>
+        val prev = s"r${i - 1}"
+        s"""r$i AS (SELECT n.node, CAST(150000 + COALESCE(s.inc, 0) AS BIGINT) AS r
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS node,
+           |      CAST(sum((85 * p.r) // (100 * od.od)) AS BIGINT) AS inc
+           |    FROM e JOIN $prev p ON e.src = p.node
+           |      JOIN od ON e.src = od.src
+           |    GROUP BY 1) s ON n.node = s.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $edgeCtes,
+         |nodes AS (SELECT DISTINCT node FROM
+         |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         |od AS (SELECT src, count(*) AS od FROM e GROUP BY 1),
+         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+         |$iters
+         |SELECT node AS user_id, r AS pagerank FROM r5
+         |ORDER BY user_id""".stripMargin
+    },
+
+    "g02_triangle_count" ->
+      s"""WITH $edgeCtes,
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM e),
+         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM und e1
+         |  JOIN und e2 ON e1.b = e2.a
+         |  JOIN und e3 ON e1.a = e3.a AND e2.b = e3.b)
+         |SELECT user_id, count(*) AS n_triangles FROM (
+         |  SELECT x AS user_id FROM tri
+         |  UNION ALL SELECT y FROM tri
+         |  UNION ALL SELECT z FROM tri)
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+}

@@ -14,6 +14,15 @@ import graft.sources.Tables
 object SimilarityQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // JL random projection 64 -> 16 dims with the deterministic md5
+    // sign matrix — graft.ops.Similarity.randomProjection
+    "s13_random_projection" -> ((s, d) => {
+      Similarity.randomProjection(
+          Tables.load(s, d, "embeddings").select("vec_id", "embedding"),
+          "vec_id", "embedding", dim = 64, outDim = 16)
+        .orderBy("vec_id")
+    }),
+
     "s01_topk_bruteforce" -> ((s, d) => {
       val e = Tables.load(s, d, "embeddings")
       Similarity.bruteForceTopK(e, e.where(col("vec_id") < 8), k = 10)
@@ -260,7 +269,24 @@ object SimilarityQueries {
        |probes AS (SELECT r.vec_id AS query_id, v.q AS q_q, v.norm AS q_norm, r.c_label AS list_label
        |  FROM ranked r JOIN vn v ON v.vec_id = r.vec_id WHERE r.rn <= 2 AND r.vec_id < 8)""".stripMargin
 
+  /** s13: one projected column per j, the sign derived from md5("i:j")
+    * exactly as the Scala side derives it, the sum the same ordered
+    * index fold.
+    */
+  private val s13OracleSql: String = {
+    val cols = (0 until 16).map { j =>
+      s"""  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(range(64), i ->
+         |      CAST(embedding[i + 1] AS DOUBLE) *
+         |      (CASE WHEN substr(md5(i || ':' || $j), 1, 1) < '8'
+         |        THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END))),
+         |    (acc, x) -> acc + x) AS p$j""".stripMargin
+    }.mkString(",\n")
+    s"SELECT vec_id,\n$cols\nFROM embeddings ORDER BY vec_id"
+  }
+
   val oracles: Map[String, String] = Map(
+    "s13_random_projection" -> s13OracleSql,
     "s01_topk_bruteforce" ->
       s"""WITH $qCte,
          |n AS (SELECT vec_id, q, CAST(list_dot_product(q, q) AS BIGINT) AS norm FROM qv),

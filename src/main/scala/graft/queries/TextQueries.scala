@@ -55,6 +55,16 @@ object TextQueries {
         .orderBy("qid", "rank")
     }),
 
+    // corpus-trained add-one bigram LM scoring — the CCNet-style
+    // "perplexity filter" in its deterministic form (probabilities,
+    // not logs; position-ordered fold sum) — graft.ops.LangModel
+    "t16_bigram_lm_score" -> ((s, d) => {
+      graft.ops.LangModel.selfScore(
+          Tables.load(s, d, "documents").select("doc_id", "text"),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     "t01_token_stats" -> ((s, d) => {
       Tables.load(s, d, "documents")
         .select(col("lang"),
@@ -398,6 +408,37 @@ object TextQueries {
     // same oracle (the d06/d07 shared-oracle pattern): any merge
     // wrongness breaks t15's hash while t14 stays green
     "t15_bm25_incremental_index" -> bm25OracleSql,
+
+    // replays train + score verbatim: same tokenize (string_split),
+    // same smoothed division shape, same position-ordered fold
+    "t16_bigram_lm_score" ->
+      """WITH nn AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |uni AS (SELECT w1, count(*) AS cu
+        |  FROM (SELECT unnest(ws) AS w1 FROM nn) GROUP BY 1),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS vocab FROM uni),
+        |pp AS (SELECT doc_id, p.pos AS pos, p.w1 AS w1, p.w2 AS w2 FROM (
+        |  SELECT doc_id, unnest(list_transform(range(len(ws) - 1),
+        |      i -> struct_pack(pos := i, w1 := ws[i + 1], w2 := ws[i + 2]))) AS p
+        |  FROM nn)),
+        |bi AS (SELECT w1, w2, count(*) AS cb FROM pp GROUP BY 1, 2),
+        |probs AS (SELECT doc_id, pos,
+        |    CAST(COALESCE(cb, 0) + 1 AS DOUBLE)
+        |      / CAST(COALESCE(cu, 0) + vocab AS DOUBLE) AS pr
+        |  FROM pp LEFT JOIN bi USING (w1, w2) LEFT JOIN uni USING (w1)
+        |    CROSS JOIN v),
+        |sc AS (SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(list_sort(list(struct_pack(p := pos, c := pr))),
+        |        x -> x.c)), (a, b) -> a + b) AS lm_score,
+        |    count(*) AS n_bigrams
+        |  FROM probs GROUP BY 1)
+        |SELECT doc_id, COALESCE(n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(lm_score, CAST(0 AS DOUBLE)) AS lm_score,
+        |  CASE WHEN COALESCE(n_bigrams, 0) > 0
+        |    THEN lm_score / CAST(n_bigrams AS DOUBLE) END AS mean_prob
+        |FROM (SELECT doc_id FROM nn) LEFT JOIN sc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "t01_token_stats" ->
       """SELECT lang, count(*) AS n_docs,

@@ -1,0 +1,58 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+/** Graph family (g01/g02): chain-edge derivation (the k−1-edges-per-
+  * group scale property), hand-computed integer PageRank, and
+  * partitioning-invariance (the integer-determinism claim).
+  */
+class GraphSpec extends AnyFunSuite with SparkSpec {
+
+  import testImplicits._
+  private lazy val testImplicits = spark.implicits
+
+  private def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+
+  test("chainEdges links consecutive users per group - k-1 edges, never the clique") {
+    val ev = Seq(
+      ("click", ts(1), 10L), ("click", ts(2), 20L), ("click", ts(3), 30L),
+      ("view", ts(4), 20L), ("view", ts(5), 10L),
+      ("click", ts(6), 10L) // repeat user: min(ts) keeps first position
+    ).toDF("event_type", "t", "user_id")
+    val e = Graph.chainEdges(ev, Seq(col("event_type")), "user_id", "t")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    // click group: 3 users -> exactly 2 edges (10->20, 20->30);
+    // view group: 20 before 10 -> 20->10
+    assert(e === Set(10L -> 20L, 20L -> 30L, 20L -> 10L))
+  }
+
+  test("pageRank matches the hand-computed integer fixpoint") {
+    // a -> b, a -> c: outdeg(a)=2; b,c dangling.
+    // iter1: r(a)=150000; r(b)=r(c)=150000 + 85*1000000/200 = 575000
+    // iter2+: contrib from a = 85*150000/200 = 63750 -> b=c=213750, stable
+    val e = Seq(1L -> 2L, 1L -> 3L).toDF("src", "dst")
+    val r = Graph.pageRank(e, iterations = 5).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r === Map(1L -> 150000L, 2L -> 213750L, 3L -> 213750L))
+  }
+
+  test("a 2-cycle is the exact fixpoint (mass conserved by integer division)") {
+    val e = Seq(1L -> 2L, 2L -> 1L).toDF("src", "dst")
+    val r = Graph.pageRank(e, iterations = 7).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r === Map(1L -> 1000000L, 2L -> 1000000L))
+  }
+
+  test("ranks are invariant to edge partitioning (integer sums commute)") {
+    val edges = (1L to 200L).map(i => i -> ((i * 13) % 50 + 1))
+    val a = Graph.pageRank(edges.toDF("src", "dst"), 4)
+      .orderBy("node").collect().map(_.toSeq)
+    val b = Graph.pageRank(edges.toDF("src", "dst").repartition(11), 4)
+      .orderBy("node").collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+  }
+}

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+/** Bigram-LM scoring (t16): hand-computed counts and scores on a tiny
+  * corpus, smoothing for unseen events, the sub-bigram row contract,
+  * and partitioning-invariance of the ordered fold.
+  */
+class LangModelSpec extends AnyFunSuite with SparkSpec {
+
+  import testImplicits._
+  private lazy val testImplicits = spark.implicits
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("train counts unigrams, bigrams, and vocab on a tiny corpus") {
+    val m = LangModel.train(docs(1L -> "a b a", 2L -> "b a"), "text")
+    assert(m.vocab === 2)
+    val uni = m.uni.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(uni === Map("a" -> 3L, "b" -> 2L))
+    val bi = m.bi.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(bi === Map(("a", "b") -> 1L, ("b", "a") -> 2L))
+  }
+
+  test("score matches the hand-computed smoothed probabilities") {
+    val d = docs(1L -> "a b a", 2L -> "b a")
+    val out = LangModel.selfScore(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // doc 1: p(b|a) = (1+1)/(3+2) = 0.4, p(a|b) = (2+1)/(2+2) = 0.75
+    assert(out(1L)._1 === 2)
+    assert(out(1L)._2 === 0.4 + 0.75)
+    // doc 2: p(a|b) = 0.75
+    assert(out(2L) === ((1L, 0.75)))
+  }
+
+  test("unseen words smooth to 1/(0 + V) and sub-bigram docs surface with NULL mean") {
+    val model = LangModel.train(docs(1L -> "a b"), "text")
+    val out = LangModel.score(docs(10L -> "x y", 11L -> "solo"), "doc_id", "text", model)
+      .orderBy("doc_id").collect()
+    // unseen bigram over unseen history: (0+1)/(0+2)
+    assert(out(0).getLong(1) === 1L)
+    assert(out(0).getDouble(2) === 0.5)
+    // 1-word doc: zero bigrams, zero score, NULL mean_prob
+    assert(out(1).getLong(1) === 0L)
+    assert(out(1).getDouble(2) === 0.0)
+    assert(out(1).isNullAt(3))
+  }
+
+  test("scores are invariant to input partitioning (ordered fold, not sum)") {
+    val d = (1L to 40L).map(i =>
+      i -> Seq.tabulate(12)(j => s"w${(i * 7 + j * 3) % 9}").mkString(" "))
+    val a = LangModel.selfScore(docs(d: _*), "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val b = LangModel.selfScore(docs(d: _*).repartition(7), "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+  }
+}
