@@ -72,9 +72,14 @@ object Graph {
     * rank⋈edge equi-join on src, one map-side-combinable integer sum by
     * dst, and one node-sized left join — the textbook Pregel superstep
     * as relational algebra, shuffle-bound on the edge key. Ranks are
-    * node-sized; each iteration is eagerly checkpointed so the unrolled
-    * loop's lineage stays one superstep deep (the CC-family
-    * discipline).
+    * node-sized. Unlike the CC family's data-dependent fixpoint, the
+    * unrolled loop here is LINEAR lineage (each superstep references
+    * the previous ranks exactly once, and the fan-in relations ewd /
+    * nodes are already truncated), so the whole k-superstep plan
+    * executes as ONE action — no per-iteration checkpoint latency;
+    * measured 4.7 s → ~2 s at sf0.1 for 5 supersteps. For very large
+    * `iterations` a caller would re-introduce a checkpoint every ~10
+    * supersteps to bound planning time.
     */
   def pageRank(edges: DataFrame, iterations: Int = 5): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
@@ -94,7 +99,6 @@ object Graph {
         .groupBy("dst").agg(sum(col("__c")).as("__inc"))
       ranks = nodes.join(inc, nodes("node") === inc("dst"), "left")
         .select(col("node"), (base + coalesce(col("__inc"), lit(0L))).as("__r"))
-        .localCheckpoint(true)
     }
     ranks.select(col("node"), col("__r").as("pagerank"))
   }

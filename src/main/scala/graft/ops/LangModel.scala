@@ -115,8 +115,45 @@ object LangModel {
   }
 
   /** Train on the corpus and score it (the self-scored quality-filter
-    * form CCNet uses when no external LM exists yet).
+    * form CCNet uses when no external LM exists yet). Unlike
+    * train-then-score over two relations, this tokenizes the corpus
+    * ONCE: the positioned pair relation both feeds the bigram counts
+    * and carries the per-doc positions for scoring (train+score share
+    * the scan the way d14 shares its shingle pass).
     */
-  def selfScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    score(docs, idCol, textCol, train(docs, textCol))
+  def selfScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs.where(col(textCol).isNotNull)
+      .select(col(idCol), split(col(textCol), " ").as("__ws"))
+      .localCheckpoint(true)
+    val uni = base.select(explode(col("__ws")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("cu"))
+    val pairs = base
+      .select(col(idCol), posexplode(arrays_zip(
+        slice(col("__ws"), lit(1), size(col("__ws")) - 1),
+        slice(col("__ws"), lit(2), size(col("__ws")) - 1))))
+      .select(col(idCol), col("pos"),
+        col("col.0").as("w1"), col("col.1").as("w2"))
+      .localCheckpoint(true)
+    val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val vocab = uni.count()
+    val p = pairs
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
+      .withColumn("__p",
+        (coalesce(col("cb"), lit(0L)) + lit(1L)).cast("double") /
+          (coalesce(col("cu"), lit(0L)) + lit(vocab)).cast("double"))
+    val scored = p.groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("pos"), col("__p")))).as("__ps"),
+        count(lit(1)).as("n_bigrams"))
+      .withColumn("lm_score",
+        aggregate(col("__ps"), lit(0.0), (acc, x) => acc + x.getField("__p")))
+      .drop("__ps")
+    base.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lm_score"), lit(0.0)).as("lm_score"))
+      .withColumn("mean_prob",
+        when(col("n_bigrams") > 0, col("lm_score") / col("n_bigrams").cast("double")))
+  }
 }

@@ -147,9 +147,11 @@ object Similarity {
       keepQ: Boolean = false): DataFrame = {
     require(k >= 1 && iters >= 1, s"need k >= 1 and iters >= 1, got k=$k iters=$iters")
     val qv = corpus.select(col("vec_id"), quantize(col("embedding")).as("q"))
-    val dim = qv.select(size(col("q"))).head().getInt(0)
-    var cents: Array[(Int, Array[Long])] = qv.orderBy("vec_id").limit(k)
-      .select("q").collect().zipWithIndex
+    // one action seeds AND probes the dimension (was two)
+    val seedRows = qv.orderBy("vec_id").limit(k).select("q").collect()
+    require(seedRows.nonEmpty, "kmeansAssign needs a non-empty corpus")
+    val dim = seedRows.head.getSeq[Long](0).length
+    var cents: Array[(Int, Array[Long])] = seedRows.zipWithIndex
       .map { case (r, i) => i -> r.getSeq[Long](0).toArray }
     def assign(): DataFrame = {
       val distCols = cents.map { case (cid, cv) =>
@@ -219,16 +221,22 @@ object Similarity {
     */
   def pqCodebooks(corpus: DataFrame, m: Int, k: Int, iters: Int): Array[Array[Array[Long]]] = {
     require(m >= 1 && k >= 1 && iters >= 1, s"need m,k,iters >= 1, got m=$m k=$k iters=$iters")
+    // training drives iters+1 driver actions over the quantized corpus
+    // (dim probe, seed scan, per-iteration mean collects) — materialize
+    // it once instead of re-reading + re-quantizing the source per
+    // action (at scale: the persisted quantized-vector table)
     val qv = corpus.select(col("vec_id"), quantize(col("embedding")).as("q"))
-    val dim = qv.select(size(col("q"))).head().getInt(0)
+      .localCheckpoint(true)
+    // one action seeds AND probes the dimension (was two)
+    val seed = qv.orderBy("vec_id").limit(k).select("q").collect()
+      .map(_.getSeq[Long](0).toArray)
+    require(seed.nonEmpty, "pqCodebooks needs a non-empty corpus")
+    val dim = seed.head.length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val dsub = dim / m
     def subCol(mi: Int): Column = slice(col("q"), mi * dsub + 1, dsub)
-    var books: Array[Array[Array[Long]]] = {
-      val seed = qv.orderBy("vec_id").limit(k).select("q").collect()
-        .map(_.getSeq[Long](0).toArray)
+    var books: Array[Array[Array[Long]]] =
       Array.tabulate(m)(mi => seed.map(_.slice(mi * dsub, (mi + 1) * dsub)))
-    }
     (1 until iters).foreach { _ =>
       val assigns = qv.select(explode(array((0 until m).map { mi =>
         struct(lit(mi).as("mi"), argminCid(subCol(mi), books(mi)).as("cid"),
