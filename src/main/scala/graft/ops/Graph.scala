@@ -102,4 +102,44 @@ object Graph {
     }
     ranks.select(col("node"), col("__r").as("pagerank"))
   }
+
+  /** Ancestor transitive closure over a parent-pointer FOREST — the
+    * engine's answer to `WITH RECURSIVE` (Spark has no recursive CTE;
+    * the reference's output schema is exactly this adjacency list,
+    * `main_ingest.py:211-212`, and "reconstruct hierarchy by
+    * self-joins" is its documented query pattern). Returns one row per
+    * (node, ancestor, depth ≥ 1) pair up to `maxDepth`.
+    *
+    * Contract: `edges` is (node, parent) with at most one parent per
+    * node (a forest — XML trees, org charts, category trees). Each
+    * (node, ancestor) pair then has exactly ONE path, so the unrolled
+    * frontier extension generates no duplicates and needs no distinct.
+    * For DAG inputs, dedup/min-depth policy is the caller's.
+    *
+    * Scale shape: `maxDepth` frontier extensions, each one equi-join of
+    * the (≤ node-count) frontier against the edge relation — shuffle on
+    * the ancestor key; the frontier EMPTIES once depth exceeds the
+    * actual tree height, so over-provisioned maxDepth costs empty joins
+    * only (no action per round; the whole unrolled plan is one job —
+    * the [[pageRank]] linear-lineage rule). For depth ≫ 10 use
+    * path-doubling (closure-with-closure joins + distinct, log₂ rounds)
+    * — not implemented because real hierarchy data (XML, org, category)
+    * is shallow.
+    */
+  def ancestorClosure(edges: DataFrame, maxDepth: Int = 8): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
+    val e = edges.select(col("node"), col("parent")).localCheckpoint(true)
+    val d1 = e.select(col("node"), col("parent").as("ancestor"),
+      lit(1L).as("depth"))
+    var acc = d1
+    var frontier = d1
+    for (d <- 2 to maxDepth) {
+      frontier = frontier
+        .join(e.select(col("node").as("ancestor"), col("parent").as("__gp")),
+          Seq("ancestor"))
+        .select(col("node"), col("__gp").as("ancestor"), lit(d.toLong).as("depth"))
+      acc = acc.unionByName(frontier)
+    }
+    acc
+  }
 }

@@ -114,6 +114,62 @@ object LangModel {
         when(col("n_bigrams") > 0, col("lm_score") / col("n_bigrams").cast("double")))
   }
 
+  /** Multinomial Naive-Bayes-style class scoring, trained on the
+    * corpus's own labels and applied back to it (the fasttext-style
+    * classifier shape every corpus pipeline runs for language/domain
+    * ID — t02's fixed marker heuristic upgraded to a TRAINED model).
+    * Per class c and token w, the add-one-smoothed conditional is
+    * p̂(w|c) = (count(w,c)+1)/(tokens(c)+V); a document's class score
+    * is the position-ordered fold sum of p̂(w_i|c) (the log dropped —
+    * deterministic variant per the house rules; no prior term, stated:
+    * with sum scoring a prior would enter additively per position,
+    * compressing nothing), and the prediction is the top class by
+    * (score desc, class asc) — a per-document window, never global.
+    *
+    * Scale shape: the model is the (class, w) count relation —
+    * classes × vocab rows from one map-side-combined groupBy over the
+    * SAME tokenize pass that scores (checkpointed once). Scoring
+    * cross-joins each token position with the (tiny, broadcast) class
+    * list and equi-joins the model — data-sized shuffles only on the
+    * (class, w) key and the per-doc fold. Counts merge algebraically
+    * across batches (q42/t15).
+    *
+    * Returns (idCol, classCol, predicted, best_score) per non-null-text
+    * document.
+    */
+  def nbSelfClassify(docs: DataFrame, idCol: String, textCol: String,
+      classCol: String): DataFrame = {
+    val base = docs.where(col(textCol).isNotNull)
+      .select(col(idCol), col(classCol), split(col(textCol), " ").as("__ws"))
+    val toks = base
+      .select(col(idCol), col(classCol), posexplode(col("__ws")))
+      .withColumnRenamed("col", "w")
+      .localCheckpoint(true)
+    val cw = toks.groupBy(col(classCol).as("__c"), col("w"))
+      .agg(count(lit(1)).as("cw"))
+    val ctot = toks.groupBy(col(classCol).as("__c"))
+      .agg(count(lit(1)).as("ctok"))
+    val vocab = toks.select("w").distinct().count()
+    val classes = ctot.select(col("__c"), col("ctok"))
+    val scored = toks.select(col(idCol), col(classCol), col("pos"), col("w"))
+      .join(broadcast(classes), lit(true))
+      .join(cw, Seq("__c", "w"), "left")
+      .withColumn("__p",
+        (coalesce(col("cw"), lit(0L)) + lit(1L)).cast("double") /
+          (col("ctok") + lit(vocab)).cast("double"))
+      .groupBy(col(idCol), col(classCol), col("__c"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("__p")))).as("__ps"))
+      .withColumn("score",
+        aggregate(col("__ps"), lit(0.0), (acc, x) => acc + x.getField("__p")))
+      .drop("__ps")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("score").desc, col("__c").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col(idCol), col(classCol), col("__c").as("predicted"),
+        col("score").as("best_score"))
+  }
+
   /** Train on the corpus and score it (the self-scored quality-filter
     * form CCNet uses when no external LM exists yet). Unlike
     * train-then-score over two relations, this tokenizes the corpus

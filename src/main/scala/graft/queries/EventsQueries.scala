@@ -18,6 +18,28 @@ import graft.sources.Tables
 object EventsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Markov transition matrix of per-user event sequences — the
+    // session-path analysis behind funnels (e06 checks ONE fixed path;
+    // this profiles every observed step): per-user lag over (ts,
+    // event_id), then (from, to) counts and row-normalized transition
+    // probabilities (one int/int double division, IEEE-deterministic)
+    "e11_markov_transitions" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val tr = Tables.load(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type").as("to_type"))
+        .withColumn("from_type", lag(col("to_type"), 1).over(w))
+        .where(col("from_type").isNotNull)
+      val cnt = tr.groupBy("from_type", "to_type")
+        .agg(count(lit(1)).as("n_transitions"))
+      val tot = cnt.groupBy("from_type").agg(sum("n_transitions").as("__t"))
+      cnt.join(tot, "from_type")
+        .select(col("from_type"), col("to_type"), col("n_transitions"),
+          (col("n_transitions").cast("double") / col("__t").cast("double")).as("p"))
+        .orderBy("from_type", "to_type")
+    }),
+
     "e01_tumbling_window" -> ((s, d) => {
       Tables.load(s, d, "events")
         .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("bucket_us"),
@@ -242,6 +264,20 @@ object EventsQueries {
         |  CAST(sum(n) AS BIGINT) AS n_recent
         |FROM aged WHERE age < 6
         |GROUP BY 1 ORDER BY decayed_score DESC, event_type""".stripMargin,
+
+    "e11_markov_transitions" ->
+      """WITH tr AS (SELECT
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+        |    event_type AS to_type
+        |  FROM events),
+        |cnt AS (SELECT from_type, to_type, count(*) AS n_transitions
+        |  FROM tr WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, CAST(sum(n_transitions) AS BIGINT) AS t
+        |  FROM cnt GROUP BY 1)
+        |SELECT from_type, to_type, n_transitions,
+        |  CAST(n_transitions AS DOUBLE) / CAST(t AS DOUBLE) AS p
+        |FROM cnt JOIN tot USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
 
     "e01_tumbling_window" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type,

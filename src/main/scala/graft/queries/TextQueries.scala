@@ -65,6 +65,21 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // trained NB-style language classifier, self-applied — confusion
+    // matrix vs the true labels (t02's heuristic upgraded to a model;
+    // min/max of best_score ride along — order-independent double
+    // aggregates, so the fold arithmetic is in the hash)
+    "t17_nb_lang_classify" -> ((s, d) => {
+      graft.ops.LangModel.nbSelfClassify(
+          Tables.load(s, d, "documents").select("doc_id", "text", "lang"),
+          "doc_id", "text", "lang")
+        .groupBy("lang", "predicted")
+        .agg(count(lit(1)).as("n_docs"),
+          min("best_score").as("min_score"),
+          max("best_score").as("max_score"))
+        .orderBy("lang", "predicted")
+    }),
+
     "t01_token_stats" -> ((s, d) => {
       Tables.load(s, d, "documents")
         .select(col("lang"),
@@ -439,6 +454,34 @@ object TextQueries {
         |    THEN lm_score / CAST(n_bigrams AS DOUBLE) END AS mean_prob
         |FROM (SELECT doc_id FROM nn) LEFT JOIN sc USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "t17_nb_lang_classify" ->
+      """WITH nn AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |toks AS (SELECT doc_id, lang, p.pos AS pos, p.w AS w FROM (
+        |  SELECT doc_id, lang, unnest(list_transform(range(len(ws)),
+        |      i -> struct_pack(pos := i, w := ws[i + 1]))) AS p
+        |  FROM nn)),
+        |cw AS (SELECT lang AS c, w, count(*) AS cw FROM toks GROUP BY 1, 2),
+        |ctot AS (SELECT lang AS c, count(*) AS ctok FROM toks GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS vocab FROM toks),
+        |sc AS (SELECT doc_id, lang, c,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(list_sort(list(struct_pack(p := pos, q := pr))),
+        |        x -> x.q)), (acc, x) -> acc + x) AS score
+        |  FROM (SELECT t.doc_id, t.lang, ct.c AS c, t.pos,
+        |      CAST(COALESCE(cw.cw, 0) + 1 AS DOUBLE)
+        |        / CAST(ct.ctok + vocab AS DOUBLE) AS pr
+        |    FROM toks t CROSS JOIN ctot ct
+        |      LEFT JOIN cw ON cw.c = ct.c AND cw.w = t.w
+        |      CROSS JOIN v)
+        |  GROUP BY 1, 2, 3),
+        |pred AS (SELECT doc_id, lang, c AS predicted, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, c ASC) AS rn
+        |  FROM sc)
+        |SELECT lang, predicted, count(*) AS n_docs,
+        |  min(score) AS min_score, max(score) AS max_score
+        |FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "t01_token_stats" ->
       """SELECT lang, count(*) AS n_docs,

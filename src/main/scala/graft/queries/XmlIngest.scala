@@ -76,6 +76,28 @@ object XmlIngest {
     }),
 
     "x03_hierarchy_join" -> ((s, d) => hierarchyQuery(s, d)),
+
+    // ancestor transitive closure (the WITH RECURSIVE surface) over the
+    // parsed element forest — x03's one-hop join generalized to every
+    // depth by graft.ops.Graph.ancestorClosure; counts per
+    // (descendant tag, ancestor tag, depth)
+    "x04_ancestor_closure" -> ((s, d) => {
+      val tall = ordersAsElements(s, d).localCheckpoint(true)
+      val names = tall.select(col("element_id"), col("table_name"))
+      val closure = graft.ops.Graph.ancestorClosure(
+        tall.where(col("parent_element_id").isNotNull)
+          .select(col("element_id").as("node"),
+            col("parent_element_id").as("parent")),
+        maxDepth = 8)
+      closure
+        .join(names.select(col("element_id").as("node"),
+          col("table_name").as("descendant_table")), Seq("node"))
+        .join(names.select(col("element_id").as("ancestor"),
+          col("table_name").as("ancestor_table")), Seq("ancestor"))
+        .groupBy("descendant_table", "ancestor_table", "depth")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("descendant_table", "ancestor_table", "depth")
+    }),
   )
 
   val hierarchyQuery: (SparkSession, String) => DataFrame = (s, d) => {
@@ -117,6 +139,24 @@ object XmlIngest {
         |  UNION ALL SELECT 'ePayment_50', 'PatientCareReport', count(*), count(*) FROM orders
         |  UNION ALL SELECT 'eTimes_01', 'PatientCareReport', count(*), count(*) FROM orders
         |) ORDER BY child_table, parent_table""".stripMargin,
+
+    // the synthesized tree is EMSDataSet -> PatientCareReport ->
+    // {eTimes.01, ePayment.50, eDisposition.12?}, so the full closure
+    // is the three depth-1 leaf edges + PCR->root + the three depth-2
+    // leaf->root pairs, each counted arithmetically from orders
+    "x04_ancestor_closure" ->
+      """SELECT * FROM (
+        |  SELECT 'PatientCareReport' AS descendant_table, 'EMSDataSet' AS ancestor_table,
+        |    1::BIGINT AS depth, count(*) AS n_pairs FROM orders
+        |  UNION ALL SELECT 'eTimes_01', 'PatientCareReport', 1, count(*) FROM orders
+        |  UNION ALL SELECT 'eTimes_01', 'EMSDataSet', 2, count(*) FROM orders
+        |  UNION ALL SELECT 'ePayment_50', 'PatientCareReport', 1, count(*) FROM orders
+        |  UNION ALL SELECT 'ePayment_50', 'EMSDataSet', 2, count(*) FROM orders
+        |  UNION ALL SELECT 'eDisposition_12', 'PatientCareReport', 1,
+        |    count(*) FILTER (WHERE o_orderstatus = 'F') FROM orders
+        |  UNION ALL SELECT 'eDisposition_12', 'EMSDataSet', 2,
+        |    count(*) FILTER (WHERE o_orderstatus = 'F') FROM orders
+        |) ORDER BY descendant_table, ancestor_table, depth""".stripMargin,
 
     "x02_xml_value_roundtrip" ->
       """SELECT strftime(o_orderdate, '%Y') AS order_year,

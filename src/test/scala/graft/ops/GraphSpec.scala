@@ -47,6 +47,24 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(r === Map(1L -> 1000000L, 2L -> 1000000L))
   }
 
+  test("ancestorClosure emits every (node, ancestor, depth) pair of a deep chain") {
+    // 1 <- 2 <- ... <- 7: node i has parent i-1
+    val chain = (2L to 7L).map(i => i -> (i - 1)).toDF("node", "parent")
+    val got = Graph.ancestorClosure(chain, maxDepth = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = (for {
+      n <- 2L to 7L; a <- 1L until n
+    } yield (n, a, n - a)).toSet
+    assert(got === want)
+  }
+
+  test("ancestorClosure truncates at maxDepth and handles forests") {
+    val forest = Seq(2L -> 1L, 3L -> 2L, 12L -> 11L).toDF("node", "parent")
+    val got = Graph.ancestorClosure(forest, maxDepth = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((2L, 1L, 1L), (3L, 2L, 1L), (12L, 11L, 1L)))
+  }
+
   test("ranks are invariant to edge partitioning (integer sums commute)") {
     val edges = (1L to 200L).map(i => i -> ((i * 13) % 50 + 1))
     val a = Graph.pageRank(edges.toDF("src", "dst"), 4)

@@ -50,6 +50,34 @@ class LangModelSpec extends AnyFunSuite with SparkSpec {
     assert(out(1).isNullAt(3))
   }
 
+  test("nbSelfClassify recovers separable classes and breaks ties to the lowest class") {
+    val d = Seq(
+      (1L, "aa bb aa", "en"), (2L, "bb aa aa", "en"),
+      (3L, "xx yy xx", "fr"), (4L, "yy xx yy", "fr"),
+      (5L, "aa bb", "en"), (6L, "xx yy", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val out = LangModel.nbSelfClassify(d, "doc_id", "text", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out === Map(1L -> "en", 2L -> "en", 5L -> "en",
+      3L -> "fr", 4L -> "fr", 6L -> "fr"))
+  }
+
+  test("nbSelfClassify best_score matches the hand-computed smoothed fold") {
+    // one doc per class, one shared token: scores computable by hand
+    val d = Seq((1L, "a", "x"), (2L, "a b", "y")).toDF("doc_id", "text", "lang")
+    // vocab = {a, b} -> V=2; class x: ctok=1, c(a,x)=1; class y: ctok=2,
+    // c(a,y)=1, c(b,y)=1.
+    // doc1 under x: (1+1)/(1+2) = 2/3; under y: (1+1)/(2+2) = 1/2 -> x
+    // doc2 under x: 2/3 + (0+1)/(1+2) = 1.0; under y: 1/2 + 1/2 = 1.0
+    //   -> tie, lowest class "x" wins
+    val out = LangModel.nbSelfClassify(d, "doc_id", "text", "lang")
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(2) === "x")
+    assert(out(0).getDouble(3) === 2.0 / 3.0)
+    assert(out(1).getString(2) === "x")
+    assert(out(1).getDouble(3) === 2.0 / 3.0 + 1.0 / 3.0)
+  }
+
   test("scores are invariant to input partitioning (ordered fold, not sum)") {
     val d = (1L to 40L).map(i =>
       i -> Seq.tabulate(12)(j => s"w${(i * 7 + j * 3) % 9}").mkString(" "))
