@@ -114,6 +114,25 @@ object LangModel {
         when(col("n_bigrams") > 0, col("lm_score") / col("n_bigrams").cast("double")))
   }
 
+  /** Algebraic model merge for DISJOINT document sets (a snapshot + a
+    * new batch): bigrams never cross document boundaries, so the
+    * union's counts are exactly the per-part counts summed per key, and
+    * the merged vocabulary is the merged unigram relation's row count —
+    * [[Search.mergeIndex]]'s rule applied to LM counts, making the
+    * model incrementally maintainable at batch cost (t18 shares t16's
+    * oracle, so merged == direct is hash-proven).
+    */
+  def merge(a: BigramModel, b: BigramModel): BigramModel = {
+    def sumBy(x: DataFrame, y: DataFrame, keys: Seq[String], cnt: String): DataFrame =
+      x.withColumnRenamed(cnt, "__a")
+        .join(y.withColumnRenamed(cnt, "__b"), keys, "full_outer")
+        .select(keys.map(col) :+
+          (coalesce(col("__a"), lit(0L)) + coalesce(col("__b"), lit(0L))).as(cnt): _*)
+    val uni = sumBy(a.uni, b.uni, Seq("w1"), "cu")
+    val bi = sumBy(a.bi, b.bi, Seq("w1", "w2"), "cb")
+    BigramModel(uni, bi, uni.count())
+  }
+
   /** Multinomial Naive-Bayes-style class scoring, trained on the
     * corpus's own labels and applied back to it (the fasttext-style
     * classifier shape every corpus pipeline runs for language/domain

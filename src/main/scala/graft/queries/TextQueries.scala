@@ -65,6 +65,19 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // the LM trained INCREMENTALLY — two disjoint halves trained
+    // separately and merged algebraically — must score byte-identically
+    // to t16's direct train: the two queries share ONE oracle (the
+    // t14/t15 pattern), so any merge wrongness breaks this hash while
+    // t16 stays green
+    "t18_bigram_lm_merge" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+      val m = graft.ops.LangModel.merge(
+        graft.ops.LangModel.train(docs.where(col("doc_id") % 2 === 0), "text"),
+        graft.ops.LangModel.train(docs.where(col("doc_id") % 2 =!= 0), "text"))
+      graft.ops.LangModel.score(docs, "doc_id", "text", m).orderBy("doc_id")
+    }),
+
     // trained NB-style language classifier, self-applied — confusion
     // matrix vs the true labels (t02's heuristic upgraded to a model;
     // min/max of best_score ride along — order-independent double
@@ -417,17 +430,12 @@ object TextQueries {
         |ORDER BY qid, rank""".stripMargin.replace("QVALS", qVals)
   }
 
-  val oracles: Map[String, String] = Map(
-    "t14_bm25_topk" -> bm25OracleSql,
-    // the merged index is definitionally buildIndex of the union —
-    // same oracle (the d06/d07 shared-oracle pattern): any merge
-    // wrongness breaks t15's hash while t14 stays green
-    "t15_bm25_incremental_index" -> bm25OracleSql,
-
-    // replays train + score verbatim: same tokenize (string_split),
-    // same smoothed division shape, same position-ordered fold
-    "t16_bigram_lm_score" ->
-      """WITH nn AS (SELECT doc_id, string_split(text, ' ') AS ws
+  /** t16/t18 shared oracle: replays train + score verbatim — same
+    * tokenize (string_split), same smoothed division shape, same
+    * position-ordered fold; t18 must land on the identical bytes.
+    */
+  private val t16OracleSql: String =
+    """WITH nn AS (SELECT doc_id, string_split(text, ' ') AS ws
         |  FROM documents WHERE text IS NOT NULL),
         |uni AS (SELECT w1, count(*) AS cu
         |  FROM (SELECT unnest(ws) AS w1 FROM nn) GROUP BY 1),
@@ -453,7 +461,20 @@ object TextQueries {
         |  CASE WHEN COALESCE(n_bigrams, 0) > 0
         |    THEN lm_score / CAST(n_bigrams AS DOUBLE) END AS mean_prob
         |FROM (SELECT doc_id FROM nn) LEFT JOIN sc USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
+        |ORDER BY doc_id""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "t14_bm25_topk" -> bm25OracleSql,
+    // the merged index is definitionally buildIndex of the union —
+    // same oracle (the d06/d07 shared-oracle pattern): any merge
+    // wrongness breaks t15's hash while t14 stays green
+    "t15_bm25_incremental_index" -> bm25OracleSql,
+
+    // replays train + score verbatim: same tokenize (string_split),
+    // same smoothed division shape, same position-ordered fold
+    "t16_bigram_lm_score" -> t16OracleSql,
+    // merged == direct, hash-proven by the shared oracle
+    "t18_bigram_lm_merge" -> t16OracleSql,
 
     "t17_nb_lang_classify" ->
       """WITH nn AS (SELECT doc_id, lang, string_split(text, ' ') AS ws

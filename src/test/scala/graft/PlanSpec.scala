@@ -171,4 +171,35 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
   }
+
+  test("c14 dsir: the bucket model broadcasts into the scoring join") {
+    val p = plan("c14_dsir_selection")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // top-k is TakeOrdered (per-partition top-k + driver merge), never a
+    // global Sort + Limit
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("g01 pagerank: every superstep is an equi-join + partial aggregation, no cartesian") {
+    val p = plan("g01_user_pagerank")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the integer contribution sum must combine map-side
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"), p)
+  }
+
+  test("t16 bigram LM: count joins are equi-joins; no tokens-x-tokens fallback") {
+    val p = plan("t16_bigram_lm_score")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("t17 NB classify: the per-class expansion is the bounded broadcast cross join, the model join stays an equi-join") {
+    val p = plan("t17_nb_lang_classify")
+    assert(!p.contains("CartesianProduct"), p)
+    // classes relation is explicitly broadcast(lit(true)) — a bounded
+    // (n-classes-sized) BroadcastNestedLoopJoin is the intended plan
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

@@ -78,6 +78,22 @@ class LangModelSpec extends AnyFunSuite with SparkSpec {
     assert(out(1).getDouble(3) === 2.0 / 3.0 + 1.0 / 3.0)
   }
 
+  test("merge of disjoint halves equals training on the union") {
+    val rows = (1L to 30L).map(i =>
+      i -> Seq.tabulate(8)(j => s"w${(i * 3 + j) % 7}").mkString(" "))
+    val d = docs(rows: _*)
+    val merged = LangModel.merge(
+      LangModel.train(d.where(col("doc_id") % 2 === 0), "text"),
+      LangModel.train(d.where(col("doc_id") % 2 =!= 0), "text"))
+    val direct = LangModel.train(d, "text")
+    assert(merged.vocab === direct.vocab)
+    val a = LangModel.score(d, "doc_id", "text", merged)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val b = LangModel.score(d, "doc_id", "text", direct)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("scores are invariant to input partitioning (ordered fold, not sum)") {
     val d = (1L to 40L).map(i =>
       i -> Seq.tabulate(12)(j => s"w${(i * 7 + j * 3) % 9}").mkString(" "))
