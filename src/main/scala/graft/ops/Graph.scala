@@ -103,6 +103,51 @@ object Graph {
     ranks.select(col("node"), col("__r").as("pagerank"))
   }
 
+  /** Per-node triangle participation counts over an undirected graph
+    * given as (src, dst) edge rows (direction ignored; self-loops and
+    * duplicate edges collapsed). Returns (node, n_triangles) for every
+    * node in ≥ 1 triangle.
+    *
+    * Edges are oriented by the DEGREE total order ((deg, id), low →
+    * high) — the orientation web-scale triangle counting ships: a
+    * consistent total order makes the oriented graph acyclic, so every
+    * triangle has exactly one x→y→z chain plus its closing x→z edge
+    * and the two-join plan counts it once; and degree-ordering bounds
+    * max out-degree by O(√m) BY CONSTRUCTION, so the wedge volume
+    * Σ outdeg² cannot be detonated by a hub (a plain id order lets one
+    * low-id hub go quadratic). Both joins shuffle on node keys.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges
+      .where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct().localCheckpoint(true)
+    val deg = und.select(col("u").as("n"))
+      .union(und.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("dg"))
+    val o = und
+      .join(deg.select(col("n").as("u"), col("dg").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("dg").as("dv")), Seq("v"))
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("a"), col("v").as("b")))
+          .otherwise(struct(col("v").as("a"), col("u").as("b"))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .localCheckpoint(true)
+    val tri = o.as("e1")
+      .join(o.as("e2"), col("e1.b") === col("e2.a"))
+      .join(o.as("e3"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+      .localCheckpoint(true)
+    tri.select(col("x").as("node"))
+      .union(tri.select(col("y").as("node")))
+      .union(tri.select(col("z").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** Ancestor transitive closure over a parent-pointer FOREST — the
     * engine's answer to `WITH RECURSIVE` (Spark has no recursive CTE;
     * the reference's output schema is exactly this adjacency list,

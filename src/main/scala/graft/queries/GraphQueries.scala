@@ -42,25 +42,14 @@ object GraphQueries {
         .orderBy("user_id")
     }),
 
-    // per-node triangle participation over the undirected chain graph
-    // — the clustering/community signal; a<b<c canonicalization makes
-    // each triangle count once, and the two-join plan is the textbook
-    // distributed formulation (shuffle on the shared endpoint)
+    // per-node triangle participation — the clustering/community
+    // signal, via the degree-ordered orientation (see
+    // Graph.triangleCounts for why that survives hubs). The result is
+    // orientation-invariant, so the oracle states the semantics over
+    // the simple a<b form.
     "g02_triangle_count" -> ((s, d) => {
-      val und = edges(s, d)
-        .select(least(col("src"), col("dst")).as("a"),
-          greatest(col("src"), col("dst")).as("b"))
-        .distinct().localCheckpoint(true)
-      val tri = und.as("e1")
-        .join(und.as("e2"), col("e1.b") === col("e2.a"))
-        .join(und.as("e3"),
-          col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
-        .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
-        .localCheckpoint(true)
-      tri.select(col("x").as("user_id"))
-        .union(tri.select(col("y").as("user_id")))
-        .union(tri.select(col("z").as("user_id")))
-        .groupBy("user_id").agg(count(lit(1)).as("n_triangles"))
+      Graph.triangleCounts(edges(s, d))
+        .select(col("node").as("user_id"), col("n_triangles"))
         .orderBy("user_id")
     }))
 

@@ -749,6 +749,59 @@ object Relational {
     // point of maintaining an MV incrementally. Inserts-only by
     // design: deletes need retractable states (2×counters) — the
     // snapshot+tombstone path for rows is c11.
+    // rank-family window coverage: deciles, percent_rank, cume_dist per
+    // order status — the distribution-statistics view (which decile is
+    // this order's value in?) closing the window-function surface next
+    // to q22/q26/q27's nav functions. Totally ordered by (cents,
+    // orderkey) so every rank is engine-deterministic; percent_rank is
+    // one int/int double division.
+    "q48_distribution_stats" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("cents"), col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          cents(col("o_totalprice")).as("cents"))
+        .where(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderstatus"), col("o_orderkey"), col("cents"),
+          ntile(10).over(w).cast("long").as("decile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy("o_orderstatus", "cents", "o_orderkey")
+    }),
+
+    // incremental JOIN maintenance — the delta rule that completes the
+    // algebraic-maintenance family (q42 aggregates, c11 rows, q36-q39
+    // sketches, t15/t18 indexes/models): with disjoint splits
+    // A = A0 ∪ dA and B = B0 ∪ dB,
+    //   A⋈B = A0⋈B0 ∪ A0⋈dB ∪ dA⋈B0 ∪ dA⋈dB
+    // so a refresh joins only the DELTA terms against the base — the
+    // materialized A0⋈B0 is reused, the base sides never re-join each
+    // other. All four disjoint terms are summed (integer counts/cents,
+    // order-free) and ride in the same hashed row as the direct join.
+    "q47_incremental_join" -> ((s, d) => {
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+        (col("o_orderkey") % 16 === 0).as("__da"))
+      val li = t(s, d, "lineitem").select(col("l_orderkey"),
+        cents(col("l_extendedprice")).as("price_cents"),
+        (col("l_partkey") % 4 === 0).as("__db"))
+      def term(af: Column, bf: Column): DataFrame =
+        o.where(af).join(li.where(bf), col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("cnt"), sum("price_cents").as("cents"))
+      val maintained = term(!col("__da"), !col("__db"))
+        .unionByName(term(!col("__da"), col("__db")))
+        .unionByName(term(col("__da"), !col("__db")))
+        .unionByName(term(col("__da"), col("__db")))
+        .groupBy("o_orderstatus")
+        .agg(sum("cnt").as("maintained_rows"),
+          sum("cents").as("maintained_cents"))
+      val direct = o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("direct_rows"),
+          sum("price_cents").as("direct_cents"))
+      maintained.join(direct, "o_orderstatus").orderBy("o_orderstatus")
+    }),
+
     "q42_incremental_agg" -> ((s, d) => {
       val li = t(s, d, "lineitem").select(
         col("l_returnflag"), col("l_quantity"),
@@ -1524,6 +1577,42 @@ object Relational {
     // avg is derived from the merged sum+count, never averaged across
     // batches. All sums are exact (integer cents; integral quantities
     // exact in double), so merged == direct hash-matches.
+    "q48_distribution_stats" ->
+      """SELECT o_orderstatus, o_orderkey, cents,
+        |  CAST(ntile(10) OVER w AS BIGINT) AS decile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM (SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 7 = 0)
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY cents, o_orderkey)
+        |ORDER BY o_orderstatus, cents, o_orderkey""".stripMargin,
+
+    // the four disjoint (da, db) terms re-aggregated must equal the
+    // direct join — the oracle states the algebra once via a grouped
+    // join; the Spark side actually EXECUTES the four delta joins
+    "q47_incremental_join" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus,
+        |    (o_orderkey % 16 = 0) AS da FROM orders),
+        |li AS (SELECT l_orderkey,
+        |    CAST(round(l_extendedprice * 100.0) AS BIGINT) AS price_cents,
+        |    (l_partkey % 4 = 0) AS db FROM lineitem),
+        |j AS (SELECT o_orderstatus, da, db, price_cents
+        |  FROM o JOIN li ON o_orderkey = l_orderkey),
+        |parts AS (SELECT o_orderstatus, da, db, count(*) AS cnt,
+        |    CAST(sum(price_cents) AS BIGINT) AS cents
+        |  FROM j GROUP BY 1, 2, 3),
+        |m AS (SELECT o_orderstatus,
+        |    CAST(sum(cnt) AS BIGINT) AS maintained_rows,
+        |    CAST(sum(cents) AS BIGINT) AS maintained_cents
+        |  FROM parts GROUP BY 1),
+        |dct AS (SELECT o_orderstatus, count(*) AS direct_rows,
+        |    CAST(sum(price_cents) AS BIGINT) AS direct_cents
+        |  FROM j GROUP BY 1)
+        |SELECT o_orderstatus, maintained_rows, maintained_cents,
+        |  direct_rows, direct_cents
+        |FROM m JOIN dct USING (o_orderstatus) ORDER BY 1""".stripMargin,
+
     "q42_incremental_agg" ->
       """WITH li AS (SELECT l_returnflag, l_quantity,
         |    CAST(round(l_extendedprice * 100.0) AS BIGINT) AS price_cents,

@@ -78,4 +78,55 @@ class AqeSpec extends AnyFunSuite with SparkSpec {
       assert(agg.rdd.getNumPartitions < 32, s"got ${agg.rdd.getNumPartitions}")
     }
   }
+
+  test("runtime Bloom-filter join pruning injects might_contain on the probe side") {
+    // the row-level runtime filter a selective shuffle join earns at
+    // scale: the filtered build side's keys become a Bloom filter
+    // applied to the probe scan BEFORE the shuffle — SCALING.md's
+    // "filter early" rule done by the engine at runtime. Thresholds
+    // floored so the sf0.001-sized spec input qualifies; broadcast
+    // disabled because a broadcast join already prunes via its hash
+    // relation (no bloom needed or injected there).
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom_spec").toString
+    spark.range(100000).withColumn("k", col("id") % 5000)
+      .write.mode("overwrite").parquet(s"$dir/probe")
+    spark.range(5000).withColumn("k", col("id"))
+      .withColumn("sel", col("id") % 100)
+      .write.mode("overwrite").parquet(s"$dir/build")
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0") {
+      val probe = spark.read.parquet(s"$dir/probe")
+      val build = spark.read.parquet(s"$dir/build").where(col("sel") === 7)
+      val j = probe.join(build, Seq("k"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.toLowerCase.contains("might_contain") ||
+        p.toLowerCase.contains("bloomfilter"), p)
+      assert(j.count() > 0)
+    }
+  }
+
+  test("dynamic partition pruning: a dimension filter prunes fact partitions at runtime") {
+    // DPP = q32's planning-time directory pruning driven by a JOIN's
+    // runtime keys — the mechanism that keeps a date-partitioned 100 TB
+    // fact scan proportional to the dimension filter's selectivity.
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp_spec").toString
+    spark.range(20000).withColumn("part", col("id") % 20)
+      .write.mode("overwrite").partitionBy("part").parquet(s"$dir/fact")
+    withConf(
+      "spark.sql.optimizer.dynamicPartitionPruning.enabled" -> "true",
+      // force the non-broadcast path to exercise the reused-exchange
+      // subquery form too? No — broadcast is the common shape; keep it.
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false") {
+      val fact = spark.read.parquet(s"$dir/fact")
+      val dim = spark.range(20).withColumn("part", col("id"))
+        .where(col("id").isin(3, 4))
+      val j = fact.join(dim, Seq("part"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("dynamicpruning"), p)
+      assert(j.count() === 2000)
+    }
+  }
 }

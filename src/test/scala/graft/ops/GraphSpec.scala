@@ -47,6 +47,29 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(r === Map(1L -> 1000000L, 2L -> 1000000L))
   }
 
+  test("triangleCounts: K4 puts every node in 3 triangles; a path has none") {
+    // K4 on {1,2,3,4} (4 triangles, each node in 3) + a path 10-11-12
+    // (no triangle) + a duplicate/reversed edge and a self-loop that
+    // must not change counts
+    val k4 = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield a -> b
+    val edges = (k4 ++ Seq(10L -> 11L, 11L -> 12L, 2L -> 1L, 5L -> 5L))
+      .toDF("src", "dst")
+    val got = Graph.triangleCounts(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCounts is invariant to edge direction and partitioning") {
+    val es = (1L to 120L).flatMap(i =>
+      Seq(i -> ((i * 7) % 40 + 1), i -> ((i * 11) % 40 + 1)))
+    val a = Graph.triangleCounts(es.toDF("src", "dst"))
+      .orderBy("node").collect().map(_.toSeq)
+    val flipped = es.map { case (s, d) => (d, s) }
+    val b = Graph.triangleCounts(flipped.toDF("src", "dst").repartition(13))
+      .orderBy("node").collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("ancestorClosure emits every (node, ancestor, depth) pair of a deep chain") {
     // 1 <- 2 <- ... <- 7: node i has parent i-1
     val chain = (2L to 7L).map(i => i -> (i - 1)).toDF("node", "parent")
