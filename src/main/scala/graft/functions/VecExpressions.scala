@@ -311,7 +311,8 @@ object VecExpressions {
 object GraftFunctions {
   val all: Seq[(String, Class[_], Seq[Expression] => Expression)] =
     VecExpressions.injectable ++ TextHashExpressions.injectable ++
-      KmvExpressions.injectable ++ MediaExpressions.injectable
+      KmvExpressions.injectable ++ MediaExpressions.injectable ++
+      TextNormExpressions.injectable
 }
 
 /** Session-extensions entry point: registers every native function at

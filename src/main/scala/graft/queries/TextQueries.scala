@@ -13,6 +13,13 @@ import graft.sources.Tables
   */
 object TextQueries {
 
+  /** t19 probes, single-sourced into the Spark literals AND the oracle
+    * SQL: canonically-equivalent but byte-different suffixes — composed
+    * U+00E9 vs e + combining acute U+0301.
+    */
+  private val NfcProbeComposed = " caf\u00e9 r\u00e9sum\u00e9"
+  private val NfcProbeDecomposed = " cafe\u0301 re\u0301sume\u0301"
+
   /** The t14 query workload — one row per (query id, term), shared
     * with the oracle's VALUES list. Terms are pre-deduped per query
     * (Search.bm25TopK's contract).
@@ -76,6 +83,26 @@ object TextQueries {
         graft.ops.LangModel.train(docs.where(col("doc_id") % 2 === 0), "text"),
         graft.ops.LangModel.train(docs.where(col("doc_id") % 2 =!= 0), "text"))
       graft.ops.LangModel.score(docs, "doc_id", "text", m).orderBy("doc_id")
+    }),
+
+    // Unicode NFC canonicalization (native graft expression vs DuckDB
+    // nfc_normalize): every doc is probed with a composed-form and a
+    // decomposed-form suffix — raw md5s differ, NFC md5s must collide,
+    // and all four digests ride in the hash so any normalization
+    // divergence between the engines breaks the compare
+    "t19_nfc_normalize" -> ((s, d) => {
+      import graft.functions.TextNormExpressions.nfc_normalize
+      Tables.load(s, d, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"),
+          md5(concat(col("text"), lit(NfcProbeComposed))).as("raw_c_md5"),
+          md5(concat(col("text"), lit(NfcProbeDecomposed))).as("raw_d_md5"),
+          md5(nfc_normalize(concat(col("text"), lit(NfcProbeComposed))))
+            .as("nfc_c_md5"),
+          md5(nfc_normalize(concat(col("text"), lit(NfcProbeDecomposed))))
+            .as("nfc_d_md5"))
+        .withColumn("raw_equal", col("raw_c_md5") === col("raw_d_md5"))
+        .withColumn("nfc_equal", col("nfc_c_md5") === col("nfc_d_md5"))
+        .orderBy("doc_id")
     }),
 
     // trained NB-style language classifier, self-applied — confusion
@@ -472,6 +499,20 @@ object TextQueries {
 
     // replays train + score verbatim: same tokenize (string_split),
     // same smoothed division shape, same position-ordered fold
+    // the probe constants interpolate from the SAME Scala vals the
+    // Spark literals use — the engines cannot drift on the test data
+    "t19_nfc_normalize" ->
+      s"""SELECT doc_id, raw_c_md5, raw_d_md5, nfc_c_md5, nfc_d_md5,
+         |  (raw_c_md5 = raw_d_md5) AS raw_equal,
+         |  (nfc_c_md5 = nfc_d_md5) AS nfc_equal
+         |FROM (SELECT doc_id,
+         |    md5(text || '$NfcProbeComposed') AS raw_c_md5,
+         |    md5(text || '$NfcProbeDecomposed') AS raw_d_md5,
+         |    md5(nfc_normalize(text || '$NfcProbeComposed')) AS nfc_c_md5,
+         |    md5(nfc_normalize(text || '$NfcProbeDecomposed')) AS nfc_d_md5
+         |  FROM documents WHERE text IS NOT NULL)
+         |ORDER BY doc_id""".stripMargin,
+
     "t16_bigram_lm_score" -> t16OracleSql,
     // merged == direct, hash-proven by the shared oracle
     "t18_bigram_lm_merge" -> t16OracleSql,
