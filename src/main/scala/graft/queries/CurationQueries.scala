@@ -27,6 +27,25 @@ object CurationQueries {
         .orderBy(col("dsir_score").desc, col("doc_id"))
     }),
 
+    // per-group winsorization — outlier clipping at the exact [p5, p95]
+    // band (the numeric-feature curation step; q23 proved Spark's
+    // interpolated `percentile` == DuckDB's quantile_cont). Per-row
+    // output: no double SUMS, so the clipped doubles stay hash-safe.
+    "c15_winsorize" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val bounds = docs.groupBy("lang").agg(
+        expr("percentile(n_chars, 0.05D)").as("lo"),
+        expr("percentile(n_chars, 0.95D)").as("hi"))
+      docs.join(broadcast(bounds), "lang")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          least(greatest(col("n_chars").cast("double"), col("lo")), col("hi"))
+            .as("clipped"),
+          (col("n_chars").cast("double") < col("lo") ||
+            col("n_chars").cast("double") > col("hi")).as("was_clipped"))
+        .orderBy("doc_id")
+    }),
+
     "c01_hash_split" -> ((s, d) => {
       Tables.load(s, d, "documents")
         .select(Curation.splitAssign(col("doc_id")).as("split"), col("text"))
@@ -293,6 +312,17 @@ object CurationQueries {
     "(length(text) - length(replace(text, ' ', '')) + 1)"
 
   val oracles: Map[String, String] = Map(
+    "c15_winsorize" ->
+      """WITH b AS (SELECT lang,
+        |    quantile_cont(n_chars, 0.05) AS lo,
+        |    quantile_cont(n_chars, 0.95) AS hi
+        |  FROM documents GROUP BY 1)
+        |SELECT doc_id, lang, n_chars,
+        |  least(greatest(CAST(n_chars AS DOUBLE), lo), hi) AS clipped,
+        |  (CAST(n_chars AS DOUBLE) < lo OR CAST(n_chars AS DOUBLE) > hi) AS was_clipped
+        |FROM documents JOIN b USING (lang)
+        |ORDER BY doc_id""".stripMargin,
+
     // replays tokenize → md5 bucket → count ratios → position-ordered
     // fold mean → top-100 by (score, id) verbatim
     "c14_dsir_selection" ->
