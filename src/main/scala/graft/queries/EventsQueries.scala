@@ -40,6 +40,27 @@ object EventsQueries {
         .orderBy("from_type", "to_type")
     }),
 
+    // top user paths — the sequence-mining complement of e11's
+    // one-step transitions and e06's FIXED funnel: each user's first 5
+    // events (by ts, event_id) joined into a path string, counted, top
+    // 20 paths by (count desc, path). Per-user windows, then one
+    // map-side-combined count; top-k is TakeOrdered.
+    "e12_top_paths" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.load(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+          row_number().over(w).as("__rn"))
+        .where(col("__rn") <= 5)
+        .groupBy("user_id")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("__rn"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("path"))
+        .limit(20)
+    }),
+
     "e01_tumbling_window" -> ((s, d) => {
       Tables.load(s, d, "events")
         .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("bucket_us"),
@@ -264,6 +285,16 @@ object EventsQueries {
         |  CAST(sum(n) AS BIGINT) AS n_recent
         |FROM aged WHERE age < 6
         |GROUP BY 1 ORDER BY decayed_score DESC, event_type""".stripMargin,
+
+    "e12_top_paths" ->
+      """WITH r AS (SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |p AS (SELECT user_id,
+        |    string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 5 GROUP BY 1)
+        |SELECT path, count(*) AS n_users FROM p GROUP BY 1
+        |ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
 
     "e11_markov_transitions" ->
       """WITH tr AS (SELECT

@@ -21,6 +21,17 @@ object GraphQueries {
     Graph.chainEdges(Tables.load(s, d, "events"),
       Seq(col("event_type"), date_trunc("hour", col("ts"))), "user_id", "ts")
 
+  /** g03 chains within (event type × hour × user segment): the
+    * segment key keeps residue classes disjoint, so the graph has ≥ 4
+    * components and the CC check can't pass vacuously on one
+    * all-connected blob (which is what the unsegmented chain graph
+    * collapses to at every SF).
+    */
+  private def segmentedEdges(s: SparkSession, d: String): DataFrame =
+    Graph.chainEdges(Tables.load(s, d, "events"),
+      Seq(col("event_type"), date_trunc("hour", col("ts")),
+        pmod(col("user_id"), lit(4L))), "user_id", "ts")
+
   /** The same derivation in DuckDB, shared by both oracles (the
     * d06/d07 shared-CTE pattern).
     */
@@ -40,6 +51,23 @@ object GraphQueries {
       Graph.pageRank(edges(s, d), iterations = 5)
         .select(col("node").as("user_id"), col("pagerank"))
         .orderBy("user_id")
+    }),
+
+    // weakly-connected components of the interaction graph — the
+    // community/segment discovery view, reusing the d06/d07 CC engine
+    // (partition-local union-find pre-contraction + distributed
+    // min-label iteration) on GENERIC edges: one row per component
+    // with its canonical (min) member and size. The oracle replays
+    // reachability with the d06 recursive-walk CTE.
+    "g03_user_components" -> ((s, d) => {
+      graft.ops.Dedup.connectedComponents(
+          segmentedEdges(s, d).select(
+            least(col("src"), col("dst")).as("id_a"),
+            greatest(col("src"), col("dst")).as("id_b"))
+            .where(col("id_a") =!= col("id_b")).distinct())
+        .groupBy(col("label").as("component_id"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy("component_id")
     }),
 
     // per-node triangle participation — the clustering/community
@@ -74,6 +102,29 @@ object GraphQueries {
          |SELECT node AS user_id, r AS pagerank FROM r5
          |ORDER BY user_id""".stripMargin
     },
+
+    "g03_user_components" ->
+      s"""WITH RECURSIVE m AS (SELECT event_type, date_trunc('hour', ts) AS h,
+         |    user_id % 4 AS seg, user_id, min(ts) AS mts
+         |  FROM events GROUP BY 1, 2, 3, 4),
+         |ch AS (SELECT user_id AS dst,
+         |    lag(user_id) OVER (PARTITION BY event_type, h, seg
+         |      ORDER BY mts, user_id) AS src
+         |  FROM m),
+         |e AS (SELECT DISTINCT src, dst FROM ch WHERE src IS NOT NULL),
+         |pairs AS (SELECT DISTINCT least(src, dst) AS id_a,
+         |    greatest(src, dst) AS id_b
+         |  FROM e WHERE src <> dst),
+         |sym AS (SELECT id_a AS s, id_b AS t FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |walk(s, t) AS (
+         |  SELECT s, t FROM sym
+         |  UNION
+         |  SELECT w.s, y.t FROM walk w JOIN sym y ON w.t = y.s),
+         |labels AS (SELECT s AS id, least(s, min(t)) AS label
+         |  FROM walk GROUP BY s)
+         |SELECT label AS component_id, count(*) AS n_members
+         |FROM labels GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "g02_triangle_count" ->
       s"""WITH $edgeCtes,
