@@ -16,6 +16,28 @@ import graft.sources.Tables
 object MultimodalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the RESIZE primitive (+ feature extract composed): nearest-
+    // neighbor resample of each payload to 64 sample positions
+    // (pos_i = (i·n) div 64 — the thumbnailing rule at any size, down-
+    // OR up-sampling), then the m05 energy feature over the thumbnail.
+    // Exact integer arithmetic; the oracle replays the byte probes via
+    // hex slicing, so the resample positions are hash-verified
+    "m06_thumbnail_energy" -> ((s, d) => {
+      Tables.load(s, d, "documents")
+        .select(col("doc_id").as("media_id"),
+          col("text").cast("binary").as("payload"))
+        .where(octet_length(col("payload")) > 0)
+        .select(col("media_id"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          expr("""aggregate(transform(transform(sequence(0, 63),
+              i -> CAST(conv(hex(substring(payload,
+                CAST((i * octet_length(payload)) div 64 AS INT) + 1, 1)),
+                16, 10) AS BIGINT)),
+              v -> (v - 128L) * (v - 128L)),
+            0L, (acc, x) -> acc + x)""").as("thumb_energy"))
+        .orderBy("media_id")
+    }),
+
     "m01_media_metadata" -> ((s, d) => {
       val media = Tables.load(s, d, "documents")
         .select(col("doc_id").as("media_id"), col("text").cast("binary").as("payload"))
@@ -98,6 +120,18 @@ object MultimodalQueries {
       |  FROM m)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "m06_thumbnail_energy" ->
+      """WITH b AS (SELECT doc_id AS media_id,
+        |    hex(CAST(text AS BLOB)) AS hx,
+        |    octet_length(CAST(text AS BLOB)) AS n
+        |  FROM documents WHERE octet_length(CAST(text AS BLOB)) > 0)
+        |SELECT media_id, CAST(n AS BIGINT) AS n_bytes,
+        |  CAST(list_sum(list_transform(
+        |    list_transform(range(64), i ->
+        |      ('0x' || substr(hx, 2 * ((i * n) // 64) + 1, 2))::BIGINT),
+        |    v -> (v - 128) * (v - 128))) AS BIGINT) AS thumb_energy
+        |FROM b ORDER BY media_id""".stripMargin,
+
     "m01_media_metadata" ->
       s"""WITH $decodeCte
          |SELECT media_id, n_bytes, width, height, format,
