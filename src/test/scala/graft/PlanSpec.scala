@@ -195,6 +195,18 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("x04 ancestor closure: every frontier extension is an equi-join, no cartesian") {
+    val p = plan("x04_ancestor_closure")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("g02 triangles: wedge and closure joins are equi-joins, no cartesian") {
+    val p = plan("g02_triangle_count")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("t17 NB classify: the per-class expansion is the bounded broadcast cross join, the model join stays an equi-join") {
     val p = plan("t17_nb_lang_classify")
     assert(!p.contains("CartesianProduct"), p)
