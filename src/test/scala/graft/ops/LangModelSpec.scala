@@ -94,6 +94,29 @@ class LangModelSpec extends AnyFunSuite with SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("model survives a parquet round-trip and merges with a new batch (the q46 pattern)") {
+    val rows = (1L to 24L).map(i =>
+      i -> Seq.tabulate(6)(j => s"v${(i + j * 2) % 5}").mkString(" "))
+    val (day1, day2) = rows.partition(_._1 <= 12L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lm_state").toString
+    // day 1: train, persist the MODEL (never the text)
+    val m1 = LangModel.train(docs(day1: _*), "text")
+    m1.uni.write.parquet(s"$dir/uni")
+    m1.bi.write.parquet(s"$dir/bi")
+    // day 2 (fresh "session"): read the model back, merge the batch
+    val restored = LangModel.BigramModel(
+      spark.read.parquet(s"$dir/uni"), spark.read.parquet(s"$dir/bi"),
+      vocab = 0L) // vocab is recomputed by merge from the merged uni
+    val merged = LangModel.merge(restored, LangModel.train(docs(day2: _*), "text"))
+    val direct = LangModel.train(docs(rows: _*), "text")
+    assert(merged.vocab === direct.vocab)
+    val a = LangModel.score(docs(rows: _*), "doc_id", "text", merged)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val b = LangModel.score(docs(rows: _*), "doc_id", "text", direct)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("scores are invariant to input partitioning (ordered fold, not sum)") {
     val d = (1L to 40L).map(i =>
       i -> Seq.tabulate(12)(j => s"w${(i * 7 + j * 3) % 9}").mkString(" "))
