@@ -57,7 +57,51 @@ object PipelineQueries {
       plantRoomOk.add(sfDir); ()
     }
 
+  /** p03 knobs — one definition for the Spark flow and the oracle. */
+  private val P03SelectK = 150
+  private val P03GateK = 120
+  private val P03Budget = 2048L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the TARGETED-selection pipeline (round 5) — the DSIR paper's
+    // actual workflow composed as one dataflow from this round's
+    // operators: exact dedup → content-based importance selection
+    // toward the English slice (c14) → LM fluency gate over the
+    // selection (t16; top P03GateK by (mean_prob, id) — the rank
+    // window is over the BOUNDED P03SelectK-row selection, the s12/c13
+    // bounded-axis rule) → hash split → token-budget shard packing.
+    // Output = the shard manifest; the oracle replays every stage as
+    // one CTE chain reusing c14's and t16's standalone SQL.
+    "p03_targeted_selection" -> ((s, d) => {
+      import graft.ops.{Dedup, LangModel}
+      val docs = Tables.load(s, d, "documents")
+        .select("doc_id", "text", "lang", "source")
+        .where(col("text").isNotNull)
+      val canon = Dedup.exactGroups(docs, "doc_id", "text")
+        .select(col("canonical_id").as("doc_id"))
+      val s1 = docs.join(canon, Seq("doc_id")).localCheckpoint(true)
+      val sel = graft.ops.Curation
+        .dsirSelect(s1, "doc_id", "text", col("lang") === "en", k = P03SelectK)
+        .select("doc_id")
+      val lm = LangModel.selfScore(s1.select("doc_id", "text"), "doc_id", "text")
+        .select(col("doc_id"), coalesce(col("mean_prob"), lit(0.0)).as("__mp"))
+      val wGate = org.apache.spark.sql.expressions.Window
+        .orderBy(col("__mp").desc, col("doc_id"))
+      val gated = sel.join(lm, Seq("doc_id"))
+        .withColumn("__rn", row_number().over(wGate))
+        .where(col("__rn") <= P03GateK).select("doc_id")
+      val s4 = s1.join(gated, Seq("doc_id"))
+        .withColumn("split", graft.ops.Curation.splitAssign(col("doc_id")))
+        .withColumn("__grp", concat_ws("|", col("split"), col("source")))
+      graft.ops.Curation.packShards(s4, "__grp", "doc_id",
+          graft.ops.TextAnalysis.wsTokenCount(col("text")), P03Budget)
+        .groupBy("split", "source", "shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("shard_tokens"),
+          min("doc_id").as("min_doc_id"))
+        .orderBy("split", "source", "shard")
+    }),
+
     "p01_curation_pipeline" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents").select("doc_id", "text", "source")
       requirePlantRoom(docs, d)
@@ -144,6 +188,80 @@ object PipelineQueries {
     // bigram-overlap scoring, t09's rule conditions
     // (TextQueries.qualityFailSqls), c01's split CASE, c02's
     // running-sum packing
+    // every stage restated verbatim from its standalone oracle (c14's
+    // tokenize/bucket/ratio/fold, t16's smoothed bigram fold), rebased
+    // from `documents` onto the deduped s1 relation
+    "p03_targeted_selection" ->
+      s"""WITH nn AS (SELECT doc_id, text, lang, source FROM documents
+         |  WHERE text IS NOT NULL),
+         |ex AS (SELECT min(doc_id) AS doc_id FROM nn
+         |  GROUP BY md5(lower(trim(text)))),
+         |s1 AS (SELECT d.doc_id, d.text, d.lang, d.source
+         |  FROM nn d JOIN ex USING (doc_id)),
+         |dtoks AS (SELECT doc_id, t, p.pos AS pos,
+         |    (('0x' || substr(md5(p.w), 1, 8))::BIGINT) % 1024 AS b
+         |  FROM (SELECT doc_id, (lang = 'en') AS t,
+         |      unnest(list_transform(range(len(string_split(text, ' '))),
+         |        i -> struct_pack(pos := i, w := string_split(text, ' ')[i + 1]))) AS p
+         |    FROM s1)),
+         |draw AS (SELECT b, count(*) AS cr FROM dtoks GROUP BY 1),
+         |dtgt AS (SELECT b, count(*) AS ct FROM dtoks WHERE t GROUP BY 1),
+         |dmodel AS (SELECT b, cr, COALESCE(ct, 0) AS ct
+         |  FROM draw LEFT JOIN dtgt USING (b)),
+         |dsc AS (SELECT doc_id,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(list_sort(list(struct_pack(p := pos, c := r))),
+         |        x -> x.c)), (acc, x) -> acc + x)
+         |      / CAST(count(*) AS DOUBLE) AS dsir_score
+         |  FROM (SELECT doc_id, pos,
+         |      CAST(ct + 1 AS DOUBLE) / CAST(cr + 1 AS DOUBLE) AS r
+         |    FROM dtoks JOIN dmodel USING (b))
+         |  GROUP BY doc_id),
+         |sel AS (SELECT doc_id FROM dsc
+         |  ORDER BY dsir_score DESC, doc_id LIMIT $P03SelectK),
+         |lws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM s1),
+         |luni AS (SELECT w1, count(*) AS cu
+         |  FROM (SELECT unnest(ws) AS w1 FROM lws) GROUP BY 1),
+         |lv AS (SELECT CAST(count(*) AS BIGINT) AS vocab FROM luni),
+         |lpp AS (SELECT doc_id, p.pos AS pos, p.w1 AS w1, p.w2 AS w2 FROM (
+         |  SELECT doc_id, unnest(list_transform(range(len(ws) - 1),
+         |      i -> struct_pack(pos := i, w1 := ws[i + 1], w2 := ws[i + 2]))) AS p
+         |  FROM lws)),
+         |lbi AS (SELECT w1, w2, count(*) AS cb FROM lpp GROUP BY 1, 2),
+         |lprobs AS (SELECT doc_id, pos,
+         |    CAST(COALESCE(cb, 0) + 1 AS DOUBLE)
+         |      / CAST(COALESCE(cu, 0) + vocab AS DOUBLE) AS pr
+         |  FROM lpp LEFT JOIN lbi USING (w1, w2) LEFT JOIN luni USING (w1)
+         |    CROSS JOIN lv),
+         |lsc AS (SELECT doc_id,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(list_sort(list(struct_pack(p := pos, c := pr))),
+         |        x -> x.c)), (acc, x) -> acc + x)
+         |      / CAST(count(*) AS DOUBLE) AS mean_prob
+         |  FROM lprobs GROUP BY doc_id),
+         |gate AS (SELECT doc_id FROM (
+         |  SELECT s.doc_id,
+         |    row_number() OVER (ORDER BY COALESCE(l.mean_prob, CAST(0 AS DOUBLE)) DESC,
+         |      s.doc_id) AS rn
+         |  FROM sel s LEFT JOIN lsc l USING (doc_id)) WHERE rn <= $P03GateK),
+         |sp AS (SELECT doc_id, source,
+         |    CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val'
+         |      ELSE 'test' END AS split,
+         |    n_tokens
+         |  FROM (SELECT d.doc_id, d.source,
+         |      ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bkt,
+         |      CAST((length(d.text) - length(replace(d.text, ' ', '')) + 1) AS BIGINT) AS n_tokens
+         |    FROM s1 d JOIN gate USING (doc_id))),
+         |cum AS (SELECT split, source, doc_id, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY split, source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+         |  FROM sp)
+         |SELECT split, source,
+         |  CAST(floor((c - n_tokens) / $P03Budget) AS BIGINT) AS shard,
+         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+         |  min(doc_id) AS min_doc_id
+         |FROM cum GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
     "p01_curation_pipeline" -> {
       val passAll = passAllSql // one derivation, shared with p02's tail
       s"""WITH RECURSIVE
