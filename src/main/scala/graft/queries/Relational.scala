@@ -749,6 +749,24 @@ object Relational {
     // point of maintaining an MV incrementally. Inserts-only by
     // design: deletes need retractable states (2×counters) — the
     // snapshot+tombstone path for rows is c11.
+    // forward fill (gap filling): last non-null value per user carried
+    // forward in event order — the sensor/telemetry imputation pattern,
+    // via last(_, ignoreNulls) over a running frame. The mask derives
+    // deterministically from the data (error events report no value).
+    "q49_forward_fill" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          when(col("event_type") =!= "error",
+            round(col("value") * 100.0).cast("long")).as("v_cents"))
+        .select(col("user_id"), col("event_id"),
+          col("v_cents"),
+          last(col("v_cents"), ignoreNulls = true).over(w).as("filled_cents"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // rank-family window coverage: deciles, percent_rank, cume_dist per
     // order status — the distribution-statistics view (which decile is
     // this order's value in?) closing the window-function surface next
@@ -1577,6 +1595,17 @@ object Relational {
     // avg is derived from the merged sum+count, never averaged across
     // batches. All sums are exact (integer cents; integral quantities
     // exact in double), so merged == direct hash-matches.
+    "q49_forward_fill" ->
+      """SELECT user_id, event_id, v_cents,
+        |  last_value(v_cents IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents
+        |FROM (SELECT user_id, event_id, ts,
+        |    CASE WHEN event_type <> 'error'
+        |      THEN CAST(round(value * 100.0) AS BIGINT) END AS v_cents
+        |  FROM events)
+        |ORDER BY user_id, event_id""".stripMargin,
+
     "q48_distribution_stats" ->
       """SELECT o_orderstatus, o_orderkey, cents,
         |  CAST(ntile(10) OVER w AS BIGINT) AS decile,
