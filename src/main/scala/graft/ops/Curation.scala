@@ -345,6 +345,60 @@ object Curation {
       .drop("__b", "__brun", "__wrun")
   }
 
+  /** Per-source rate under temperature-rebalanced mixing — see
+    * [[temperatureRates]].
+    */
+  final case class SourceRate(source: String, n: Long, rate: Double)
+
+  /** Temperature-rebalanced source mixing (the multilingual /
+    * multi-source rebalancing rule mBERT/XLM-R popularized:
+    * p_s ∝ share_s^(1/T) flattens the source distribution so small
+    * sources aren't drowned): per-source keep rates that hit a target
+    * of `total · targetNum / targetDen` rows in expectation,
+    * rate_s = min(1, M·p_s / n_s). T is fixed at 2 — the common
+    * setting — BECAUSE that makes the exponent `sqrt`, which IEEE 754
+    * requires correctly rounded, so the rates replay bit-for-bit in
+    * any engine (a general `pow` is libm-rounded and would not; the
+    * t14 no-ln rule, applied to the exponent). The normalizer is a
+    * source-sorted left fold (the ordered-sum house rule).
+    *
+    * The rate table is group-cardinality-sized driver state (the s08
+    * centroid rule): sources are bounded by nature. Returns one
+    * [[SourceRate]] per source, sorted by source.
+    */
+  def temperatureRates(docs: DataFrame, sourceCol: String,
+      targetNum: Long = 1, targetDen: Long = 2): Seq[SourceRate] = {
+    require(targetNum >= 0 && targetDen > 0,
+      s"target fraction must be >= 0 with positive denominator, got $targetNum/$targetDen")
+    val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val total = counts.map(_._2).sum
+    if (total == 0) return Seq.empty
+    val m = total * targetNum / targetDen
+    val ws = counts.map { case (s, n) =>
+      (s, n, math.sqrt(n.toDouble / total.toDouble))
+    }
+    val z = ws.foldLeft(0.0)((acc, x) => acc + x._3)
+    ws.map { case (s, n, w) =>
+      SourceRate(s, n, math.min(1.0, (m.toDouble * (w / z)) / n.toDouble))
+    }.toSeq
+  }
+
+  /** Keep rows by the [[temperatureRates]] table: the c05 hash-
+    * threshold rule (md5 bucket of the id vs rate·10⁴) with the rate
+    * chosen per source — deterministic, reproducible, per-row column
+    * math (the rate table enters the plan as a when-chain of
+    * literals). Sources absent from `rates` are dropped (rate 0).
+    */
+  def applyMixRates(docs: DataFrame, idCol: String, sourceCol: String,
+      rates: Seq[SourceRate]): DataFrame = {
+    val rateCol = rates.sortBy(_.source).foldLeft(lit(0.0)) {
+      case (acc, r) => when(col(sourceCol) === r.source, lit(r.rate)).otherwise(acc)
+    }
+    docs.where(
+      Dedup.md5Hash32(col(idCol).cast("string")) % 10000 < rateCol * 10000)
+  }
+
   /** DSIR-style importance scoring for targeted data selection (Xie et
     * al. 2023, "Data Selection for Language Models via Importance
     * Resampling"): score every document by how much more likely its

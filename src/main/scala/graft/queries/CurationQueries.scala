@@ -27,6 +27,23 @@ object CurationQueries {
         .orderBy(col("dsir_score").desc, col("doc_id"))
     }),
 
+    // temperature-rebalanced source mixing (T = 2, sqrt — the IEEE-
+    // exact exponent; see Curation.temperatureRates): per-source rates
+    // toward a half-corpus target, hash-threshold keep, the rates
+    // themselves in the hashed output
+    "c16_temperature_mix" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.load(s, d, "documents").select("doc_id", "source")
+      val rates = Curation.temperatureRates(docs, "source")
+      val kept = Curation.applyMixRates(docs, "doc_id", "source", rates)
+        .groupBy("source").agg(count(lit(1)).as("n_kept"))
+      rates.toDF("source", "n_docs", "rate")
+        .join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("rate"))
+        .orderBy("source")
+    }),
+
     // per-group winsorization — outlier clipping at the exact [p5, p95]
     // band (the numeric-feature curation step; q23 proved Spark's
     // interpolated `percentile` == DuckDB's quantile_cont). Per-row
@@ -312,6 +329,29 @@ object CurationQueries {
     "(length(text) - length(replace(text, ' ', '')) + 1)"
 
   val oracles: Map[String, String] = Map(
+    // replays count → sqrt-share → source-sorted fold normalizer →
+    // rate → hash-threshold keep with the identical association
+    "c16_temperature_mix" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM c),
+        |w AS (SELECT source, n,
+        |    sqrt(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)) AS wt
+        |  FROM c CROSS JOIN tot),
+        |z AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(list_sort(list(struct_pack(s := source, w := wt))),
+        |      x -> x.w)), (acc, x) -> acc + x) AS zz FROM w),
+        |r AS (SELECT source, n,
+        |    least(CAST(1 AS DOUBLE),
+        |      (CAST((nn * 1) // 2 AS DOUBLE) * (wt / zz)) / CAST(n AS DOUBLE)) AS rate
+        |  FROM w CROSS JOIN z CROSS JOIN tot),
+        |k AS (SELECT d.source, count(*) AS n_kept
+        |  FROM documents d JOIN r USING (source)
+        |  WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000)
+        |    < rate * 10000
+        |  GROUP BY 1)
+        |SELECT source, n AS n_docs, COALESCE(n_kept, 0) AS n_kept, rate
+        |FROM r LEFT JOIN k USING (source) ORDER BY source""".stripMargin,
+
     "c15_winsorize" ->
       """WITH b AS (SELECT lang,
         |    quantile_cont(n_chars, 0.05) AS lo,

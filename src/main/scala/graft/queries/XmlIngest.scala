@@ -88,7 +88,8 @@ object XmlIngest {
         tall.where(col("parent_element_id").isNotNull)
           .select(col("element_id").as("node"),
             col("parent_element_id").as("parent")),
-        maxDepth = 8)
+        maxDepth = 4) // tree height is 2 — still over-provisioned 2x,
+                      // without paying 4 more planned-empty rounds
       closure
         .join(names.select(col("element_id").as("node"),
           col("table_name").as("descendant_table")), Seq("node"))

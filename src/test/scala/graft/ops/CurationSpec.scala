@@ -255,4 +255,25 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(kept == Set((1L, 11L, 3L), (2L, 20L, 1L)))
   }
+
+  test("temperatureRates flattens a skewed mix: small source upweighted (capped at 1), hand-checked") {
+    import spark.implicits._
+    val docs = ((1L to 90L).map(i => i -> "A") ++ (91L to 100L).map(i => i -> "B"))
+      .toDF("doc_id", "source")
+    val rates = Curation.temperatureRates(docs, "source") // target = 50
+    val bySrc = rates.map(r => r.source -> r).toMap
+    // p_A = sqrt(0.9)/Z, Z = sqrt(0.9)+sqrt(0.1): rate_A = 50*p_A/90,
+    // rate_B = 50*p_B/10 = 1.25 -> capped at 1.0
+    val z = math.sqrt(0.9) + math.sqrt(0.1)
+    assert(bySrc("B").rate === 1.0)
+    assert(bySrc("A").rate === (50.0 * (math.sqrt(0.9) / z)) / 90.0)
+    // the whole point: B's post-mix share beats its 10% input share
+    assert(bySrc("B").rate * 10 / (bySrc("A").rate * 90 + bySrc("B").rate * 10) > 0.15)
+    // keep rule is the c05 hash threshold: deterministic, a subset
+    val kept = Curation.applyMixRates(docs, "doc_id", "source", rates)
+    val again = Curation.applyMixRates(docs.repartition(7), "doc_id", "source", rates)
+    assert(kept.collect().map(_.getLong(0)).toSet ===
+      again.collect().map(_.getLong(0)).toSet)
+    assert(kept.where(col("source") === "B").count() === 10) // rate 1.0 keeps all
+  }
 }
