@@ -93,4 +93,30 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     }
     assert(e.getMessage.contains("shard"))
   }
+
+  test("p03 stage interplay: exact copies collapse before selection, so a duplicate can never double-select") {
+    // Mirrors the p03 composition semantics at spec scale: docs 1 and
+    // 101 are byte-identical ('en', the target slice). Dedup keeps the
+    // canonical min id; DSIR selection then sees ONE candidate — if
+    // dedup ran after selection, both could make the top-k and the
+    // shard counts would double.
+    import spark.implicits._
+    import graft.ops.{Curation, Dedup}
+    // texts are doc-unique (the seed word embeds i) — a mod-based word
+    // pool collapsed 21 docs to 7 distinct texts on first run
+    val base = (1L to 20L).map(i => (i,
+      s"seed$i " + Seq.tabulate(7)(j => s"tok${(i * 3 + j) % 7}").mkString(" "),
+      if (i <= 10) "en" else "fr"))
+    val docs = (base :+ ((101L, base.head._2, "en")))
+      .toDF("doc_id", "text", "lang")
+    val canon = Dedup.exactGroups(docs, "doc_id", "text")
+      .select(org.apache.spark.sql.functions.col("canonical_id").as("doc_id"))
+    val s1 = docs.join(canon, Seq("doc_id"))
+    assert(s1.count() === 20) // 101 collapsed into 1
+    val sel = Curation.dsirSelect(s1, "doc_id", "text",
+      org.apache.spark.sql.functions.col("lang") === "en", k = 25)
+    val ids = sel.collect().map(_.getLong(0))
+    assert(ids.length === 20) // k over-provisioned: everything, once
+    assert(ids.distinct.length === ids.length && !ids.contains(101L))
+  }
 }

@@ -57,6 +57,29 @@ class GraphStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(!streamed.contains(10L -> 30L))
   }
 
+  test("stream-maintained edges feed pageRank with batch-identical ranks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch1 = Seq(("click", ts(1), 1L), ("click", ts(2), 2L))
+    val batch2 = Seq(("click", ts(3), 3L), ("view", ts(4), 2L), ("view", ts(5), 1L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_gs_pr").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_gs_prc").toString
+    val in = MemoryStream[(String, Timestamp, Long)]
+    val q = GraphStreams.memberStream(
+      in.toDS().toDF("event_type", "ts", "user_id"), dir, ckpt)
+    try {
+      in.addData(batch1: _*); q.processAllAvailable()
+      in.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val viaStream = Graph.pageRank(GraphStreams.loadEdges(spark, dir), 3)
+      .orderBy("node").collect().map(_.toSeq)
+    val viaBatch = Graph.pageRank(Graph.chainEdges(
+        (batch1 ++ batch2).toDF("event_type", "ts", "user_id"),
+        Seq(col("event_type"), date_trunc("hour", col("ts"))), "user_id", "ts"), 3)
+      .orderBy("node").collect().map(_.toSeq)
+    assert(viaStream.toSeq === viaBatch.toSeq && viaStream.nonEmpty)
+  }
+
   test("loadEdges: empty state yields no edges; uncommitted partials are invisible") {
     import spark.implicits._
     val none = java.nio.file.Files.createTempDirectory("graft_gs_none").toString + "/missing"
