@@ -370,7 +370,10 @@ object Curation {
       targetNum: Long = 1, targetDen: Long = 2): Seq[SourceRate] = {
     require(targetNum >= 0 && targetDen > 0,
       s"target fraction must be >= 0 with positive denominator, got $targetNum/$targetDen")
-    val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+    // null sources carry no rate (applyMixRates' when-chain gives them
+    // 0.0 and drops them); excluding them here keeps the sort total
+    val counts = docs.where(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
     val total = counts.map(_._2).sum
     if (total == 0) return Seq.empty

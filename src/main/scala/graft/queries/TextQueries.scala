@@ -120,6 +120,29 @@ object TextQueries {
         .orderBy("lang", "predicted")
     }),
 
+    // vocabulary coverage / OOV rate: the held-out half scored against
+    // the vocabulary the training half induces — the "will my tokenizer
+    // cover tomorrow's data" check run before committing a vocab (t11's
+    // encode assumes full coverage; this measures where that breaks).
+    // One distinct-vocab relation + one left equi-join; per-lang rates
+    // are single int/int double divisions.
+    "t20_oov_rate" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+        .select("doc_id", "lang", "text").where(col("text").isNotNull)
+      val vocab = docs.where(col("doc_id") % 2 === 0)
+        .select(explode(split(col("text"), " ")).as("w")).distinct()
+        .withColumn("__known", lit(1L))
+      docs.where(col("doc_id") % 2 =!= 0)
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .join(vocab, Seq("w"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("__known").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_rate",
+          col("n_oov").cast("double") / col("n_tokens").cast("double"))
+        .orderBy("lang")
+    }),
+
     "t01_token_stats" -> ((s, d) => {
       Tables.load(s, d, "documents")
         .select(col("lang"),
@@ -512,6 +535,21 @@ object TextQueries {
          |    md5(nfc_normalize(text || '$NfcProbeDecomposed')) AS nfc_d_md5
          |  FROM documents WHERE text IS NOT NULL)
          |ORDER BY doc_id""".stripMargin,
+
+    "t20_oov_rate" ->
+      """WITH nn AS (SELECT doc_id, lang, text FROM documents
+        |  WHERE text IS NOT NULL),
+        |v AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+        |  FROM nn WHERE doc_id % 2 = 0),
+        |held AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+        |  FROM nn WHERE doc_id % 2 <> 0),
+        |j AS (SELECT lang, (v.w IS NULL) AS oov
+        |  FROM held LEFT JOIN v ON held.w = v.w)
+        |SELECT lang, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS oov_rate
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "t16_bigram_lm_score" -> t16OracleSql,
     // merged == direct, hash-proven by the shared oracle
