@@ -29,6 +29,45 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // recall@10 of top-k in the 16-dim PROJECTED space vs the exact
+    // 64-dim ground truth — the s11 evaluation harness pointed at
+    // s13's JL projection, making the projection a measured index
+    // stage rather than a computed artifact. Projected cosines are
+    // left-associated 16-term chains over the fold-built projections
+    // (sqrt is IEEE-correctly-rounded), so the approximate ranks
+    // replay exactly too.
+    "s14_projected_recall" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+      val q = e.where(col("vec_id") < 8)
+      val exact = Similarity.bruteForceTopK(e, q, k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val withNorm = Similarity.randomProjection(
+          e.select("vec_id", "embedding"), "vec_id", "embedding",
+          dim = 64, outDim = 16)
+        .withColumn("nn",
+          (0 until 16).map(i => col(s"p$i") * col(s"p$i")).reduce(_ + _))
+      val qp = withNorm.where(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id") +:
+          (0 until 16).map(i => col(s"p$i").as(s"q$i")) :+
+          col("nn").as("qn"): _*)
+      val cp = withNorm.select(col("vec_id").as("neighbor_id") +:
+        (0 until 16).map(i => col(s"p$i")) :+ col("nn").as("cn"): _*)
+      val dot = (0 until 16).map(i => col(s"q$i") * col(s"p$i")).reduce(_ + _)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("pcos").desc, col("neighbor_id"))
+      val approx = cp.join(broadcast(qp), col("neighbor_id") =!= col("query_id"))
+        .withColumn("pcos", dot / (sqrt(col("qn")) * sqrt(col("cn"))))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 10)
+        .select(col("query_id"), col("neighbor_id"))
+        .withColumn("hit", lit(1))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(col("hit")).as("n_hits"),
+          (count(col("hit")) / lit(10.0)).as("recall_at_10"))
+        .orderBy("query_id")
+    }),
+
     "s02_topk_lsh" -> ((s, d) => {
       val e = Tables.load(s, d, "embeddings")
       Similarity.lshTopK(e, e.where(col("vec_id") < 8), k = 3, bits = 8)
@@ -273,20 +312,68 @@ object SimilarityQueries {
     * exactly as the Scala side derives it, the sum the same ordered
     * index fold.
     */
-  private val s13OracleSql: String = {
-    val cols = (0 until 16).map { j =>
-      s"""  list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |    list_transform(range(64), i ->
-         |      CAST(embedding[i + 1] AS DOUBLE) *
-         |      (CASE WHEN substr(md5(i || ':' || $j), 1, 1) < '8'
-         |        THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END))),
-         |    (acc, x) -> acc + x) AS p$j""".stripMargin
-    }.mkString(",\n")
-    s"SELECT vec_id,\n$cols\nFROM embeddings ORDER BY vec_id"
+  /** The s13 projection columns (shared by s13's oracle and s14's
+    * projection CTE).
+    */
+  private val s13ProjCols: String = (0 until 16).map { j =>
+    s"""  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(range(64), i ->
+       |      CAST(embedding[i + 1] AS DOUBLE) *
+       |      (CASE WHEN substr(md5(i || ':' || $j), 1, 1) < '8'
+       |        THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END))),
+       |    (acc, x) -> acc + x) AS p$j""".stripMargin
+  }.mkString(",\n")
+
+  private val s13OracleSql: String =
+    s"SELECT vec_id,\n$s13ProjCols\nFROM embeddings ORDER BY vec_id"
+
+  /** s14 helper SQL: left-associated 16-term dot product / self-norm
+    * over the projected columns — the identical textual association
+    * the Spark side's reduce builds.
+    */
+  private def projDot(a: String, b: String): String =
+    (0 until 16).map(i => s"$a.p$i * $b.p$i").mkString(" + ")
+
+  /** s14: exact s01-rule ground truth (k=10) left-joined with the
+    * projected-space top-10.
+    */
+  private val s14OracleSql: String = {
+    val dot = (0 until 16).map(i => s"qs.p$i * c.p$i").mkString(" + ")
+    val selfDot = (0 until 16).map(i => s"p$i * p$i").mkString(" + ")
+    s"""WITH $qCte,
+       |n AS (SELECT vec_id, q, CAST(list_dot_product(q, q) AS BIGINT) AS norm FROM qv),
+       |ex AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS rn
+       |  FROM (SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      ${cosine("qs.q", "c.q", "qs.norm", "c.norm")} AS cosine
+       |    FROM n qs JOIN n c ON c.vec_id <> qs.vec_id
+       |    WHERE qs.vec_id < 8)) WHERE rn <= 10),
+       |pr AS (SELECT vec_id,
+       |$s13ProjCols
+       |FROM embeddings),
+       |pn AS (SELECT vec_id, ${(0 until 16).map(i => s"p$i").mkString(", ")},
+       |    ($selfDot) AS nn FROM pr),
+       |ap AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY pcos DESC, neighbor_id) AS rn
+       |  FROM (SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      ($dot) / (sqrt(qs.nn) * sqrt(c.nn)) AS pcos
+       |    FROM pn qs JOIN pn c ON c.vec_id <> qs.vec_id
+       |    WHERE qs.vec_id < 8)) WHERE rn <= 10),
+       |hits AS (SELECT e.query_id, e.neighbor_id, a.query_id AS hit
+       |  FROM ex e LEFT JOIN ap a
+       |    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id)
+       |SELECT query_id, count(hit) AS n_hits,
+       |  count(hit) / CAST(10 AS DOUBLE) AS recall_at_10
+       |FROM hits GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
     "s13_random_projection" -> s13OracleSql,
+    "s14_projected_recall" -> s14OracleSql,
     "s01_topk_bruteforce" ->
       s"""WITH $qCte,
          |n AS (SELECT vec_id, q, CAST(list_dot_product(q, q) AS BIGINT) AS norm FROM qv),
