@@ -61,6 +61,33 @@ object EventsQueries {
         .limit(20)
     }),
 
+    // TIMED funnel — e06's ordering check with per-step deadlines
+    // (the form conversion analysis actually uses): first view, then
+    // first click within 24 h of it, then first purchase within 72 h
+    // of the click (windows sized to the synthetic ~2-events/user/day
+    // density; 10-min windows left every user at stage 1); users counted by furthest stage reached.
+    // Epoch-microsecond integer comparisons (the e01 rule), three
+    // per-user min-aggregations chained by equi-joins.
+    "e13_timed_funnel" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val v = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("us").as("v_us"))
+      val c = ev.where(col("event_type") === "click").join(v, "user_id")
+        .where(col("us") > col("v_us") &&
+          col("us") <= col("v_us") + lit(86400000000L))
+        .groupBy("user_id").agg(min("us").as("c_us"))
+      val p = ev.where(col("event_type") === "purchase").join(c, "user_id")
+        .where(col("us") > col("c_us") &&
+          col("us") <= col("c_us") + lit(259200000000L))
+        .groupBy("user_id").agg(min("us").as("p_us"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select(when(col("p_us").isNotNull, 3L)
+          .when(col("c_us").isNotNull, 2L).otherwise(1L).as("stage_reached"))
+        .groupBy("stage_reached").agg(count(lit(1)).as("n_users"))
+        .orderBy("stage_reached")
+    }),
+
     "e01_tumbling_window" -> ((s, d) => {
       Tables.load(s, d, "events")
         .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("bucket_us"),
@@ -285,6 +312,24 @@ object EventsQueries {
         |  CAST(sum(n) AS BIGINT) AS n_recent
         |FROM aged WHERE age < 6
         |GROUP BY 1 ORDER BY decayed_score DESC, event_type""".stripMargin,
+
+    "e13_timed_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, min(us) AS v_us FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT ev.user_id, min(us) AS c_us
+        |  FROM ev JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND us > v_us AND us <= v_us + 86400000000
+        |  GROUP BY 1),
+        |p AS (SELECT ev.user_id, min(us) AS p_us
+        |  FROM ev JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND us > c_us AND us <= c_us + 259200000000
+        |  GROUP BY 1)
+        |SELECT CAST(CASE WHEN p_us IS NOT NULL THEN 3
+        |    WHEN c_us IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS stage_reached,
+        |  count(*) AS n_users
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "e12_top_paths" ->
       """WITH r AS (SELECT user_id, event_type,
