@@ -50,7 +50,12 @@ object Graph {
       nodeCol: String, tsCol: String): DataFrame = {
     val gs = groupCols.zipWithIndex.map { case (c, i) => c.as(s"__g$i") }
     val gNames = gs.indices.map(i => col(s"__g$i"))
-    val members = events.select(gs :+ col(nodeCol) :+ col(tsCol): _*)
+    // a NULL node would chain as a phantom member (null src/dst edges
+    // downstream); drop such rows instead — same for a null timestamp,
+    // which would sort indeterminately between engines
+    val members = events
+      .where(col(nodeCol).isNotNull && col(tsCol).isNotNull)
+      .select(gs :+ col(nodeCol) :+ col(tsCol): _*)
       .groupBy(gNames :+ col(nodeCol): _*)
       .agg(min(col(tsCol)).as("__mts"))
     val w = Window.partitionBy(gNames: _*)
@@ -119,7 +124,8 @@ object Graph {
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
     val und = edges
-      .where(col("src") =!= col("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .distinct().localCheckpoint(true)
