@@ -88,24 +88,33 @@ object CurateMain {
       format: String, benchmarkPath: Option[String], tau: Double,
       budget: Long, idCol: String, textCol: String,
       sourceCol: String): Unit = {
-    def load(path: String): DataFrame = format match {
+    // `role` keys the quarantine subdir: the corpus and --benchmark loads
+    // must not clobber each other's corrupt-line records (both previously
+    // wrote mode-overwrite to the same `_quarantine` path, so a benchmark
+    // load silently erased the corpus's quarantine — breaking the A22
+    // lands-or-quarantines contract).
+    def load(path: String, role: String): DataFrame = format match {
       case "parquet" =>
+        // same non-null contract as the jsonl branch: Pipeline.curate
+        // requires non-null ids/texts, so a parquet corpus with null rows
+        // must not enter the pipeline unchecked
         spark.read.parquet(path).select(idCol, textCol, sourceCol)
+          .where(col(idCol).isNotNull && col(textCol).isNotNull)
       case _ =>
         val q = Jsonl.quarantine(
           Jsonl.read(spark, path, corpusSchema(idCol, textCol, sourceCol)))
         val nBad = q.corrupt.count()
         if (nBad > 0)
           q.corrupt.coalesce(1).write.mode("overwrite")
-            .text(s"$outDir/_quarantine")
+            .text(s"$outDir/_quarantine/$role")
         println(s"[curate] $path: quarantined $nBad corrupt line(s)")
         val clean = q.clean.where(col(idCol).isNotNull &&
           col(textCol).isNotNull).localCheckpoint(true)
         q.release()
         clean
     }
-    val corpus = load(corpusPath)
-    val benchmark = benchmarkPath.map(load).getOrElse(
+    val corpus = load(corpusPath, "corpus")
+    val benchmark = benchmarkPath.map(load(_, "benchmark")).getOrElse(
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         corpusSchema(idCol, textCol, sourceCol)))
 

@@ -518,9 +518,14 @@ object Similarity {
       val d = md.digest(s"$i:$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
       if ((d(0) & 0x80) == 0) 1.0 else -1.0
     }
-    val guarded = when(size(col(vecCol)) =!= dim,
+    // the null case must be EXPLICIT: size(null) is null, so a plain
+    // `size =!= dim` condition is null (not true) for a NULL embedding
+    // and would silently project null p* columns — the exact failure
+    // this guard exists to prevent
+    val guarded = when(col(vecCol).isNull || size(col(vecCol)) =!= dim,
       raise_error(concat(lit(s"randomProjection: expected dim $dim, got "),
-        size(col(vecCol)).cast("string")))).otherwise(col(vecCol))
+        coalesce(size(col(vecCol)).cast("string"), lit("NULL vector")))))
+      .otherwise(col(vecCol))
     val projCols = (0 until outDim).map { j =>
       val sLit = array((0 until dim).map(i => lit(sign(i, j))): _*)
       aggregate(

@@ -332,7 +332,8 @@ object CurationQueries {
     // replays count → sqrt-share → source-sorted fold normalizer →
     // rate → hash-threshold keep with the identical association
     "c16_temperature_mix" ->
-      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+      """WITH c AS (SELECT source, count(*) AS n FROM documents
+        |  WHERE source IS NOT NULL GROUP BY 1),
         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM c),
         |w AS (SELECT source, n,
         |    sqrt(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)) AS wt

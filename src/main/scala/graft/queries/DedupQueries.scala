@@ -13,9 +13,27 @@ import graft.sources.Tables
   */
 object DedupQueries {
 
+  /** Fail LOUDLY if a synthetic twin-id shift would collide with a
+    * real id: at a larger scale factor a colliding shift silently
+    * breaks the "every twin flagged" non-vacuity gate in BOTH engines
+    * at once (the oracle builds the identical collided input, so the
+    * compare stays green while verifying nothing). The max() is a
+    * column-pruned single-long scan — negligible next to the dedup
+    * work it guards.
+    */
+  private[graft] def requireDisjointShift(df: DataFrame, idCol: String,
+      shift: Long): Unit = {
+    val row = df.agg(max(col(idCol))).head()
+    val maxId = if (row.isNullAt(0)) Long.MinValue else row.getLong(0)
+    require(maxId < shift,
+      s"twin-id shift collides: max($idCol)=$maxId >= $shift — " +
+        "raise the shift in the query AND its oracle together")
+  }
+
   /** documents ∪ exact copies. */
   private def docsWithCopies(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.load(s, d, "documents").select("doc_id", "text", "source")
+    requireDisjointShift(docs, "doc_id", 1000000L)
     docs.unionByName(docs.select((col("doc_id") + 1000000).as("doc_id"),
       col("text"), col("source")))
   }
@@ -23,6 +41,7 @@ object DedupQueries {
   /** documents ∪ near-duplicate copies (one word appended). */
   private[graft] def docsWithMutations(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.load(s, d, "documents").select("doc_id", "text", "source")
+    requireDisjointShift(docs, "doc_id", 1000000L)
     docs.unionByName(docs.select((col("doc_id") + 1000000).as("doc_id"),
       concat(col("text"), lit(" spark")).as("text"), col("source")))
   }
@@ -34,10 +53,12 @@ object DedupQueries {
     * [[bloomSummary]], so the two queries measure the same corpus and
     * the same summary shape by construction.
     */
-  private def bloomProbeCorpus(docs: DataFrame): DataFrame =
+  private def bloomProbeCorpus(docs: DataFrame): DataFrame = {
+    requireDisjointShift(docs, "doc_id", 1000000L)
     docs.select((col("doc_id") + 1000000).as("doc_id"), col("text"))
       .unionByName(docs.select((col("doc_id") + 2000000).as("doc_id"),
         concat(col("text"), lit(" spark")).as("text")))
+  }
 
   /** Four-column flag summary over a [[bloomProbeCorpus]] probe. */
   private def bloomSummary(flags: DataFrame): DataFrame =
@@ -207,6 +228,7 @@ object DedupQueries {
     "d05_embedding_neardup" -> ((s, d) => {
       import graft.functions.VectorFunctions._
       val e = Tables.load(s, d, "embeddings").select("vec_id", "embedding")
+      requireDisjointShift(e, "vec_id", 100000L)
       val all = e.unionByName(e.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
       val b = all.select(col("vec_id"), quantize(col("embedding")).as("q"))
         .withColumn("bucket", signBucket(col("q"), 16))

@@ -47,7 +47,11 @@ object GraphStreams {
     events.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        // mirror Graph.chainEdges' null guards: a null user would become
+        // a null-dst edge, a null ts sorts nondeterministically — drop
+        // both here so loadEdges == chainEdges(union) holds verbatim
         val part = batch
+          .where(col("user_id").isNotNull && col("ts").isNotNull)
           .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"),
             col("user_id"))
           .agg(min(col("ts")).as("mts"))

@@ -45,8 +45,60 @@ class CurateMainSpec extends AnyFunSuite with SparkSpec {
     val mDocs = manifest.agg(org.apache.spark.sql.functions.sum("n_docs"))
       .head().getLong(0)
     assert(mDocs === shards.count())
-    // the corrupt line landed in the quarantine
-    val q = spark.read.text(s"$dir/out/_quarantine")
+    // the corrupt line landed in the corpus quarantine
+    val q = spark.read.text(s"$dir/out/_quarantine/corpus")
     assert(q.count() === 1)
+  }
+
+  test("benchmark quarantine does not clobber the corpus quarantine") {
+    val dir = Files.createTempDirectory("graft_curate_bench").toString
+    val good = (1 to 40).map { i =>
+      val words = Seq.tabulate(25)(j => s"w${(i * 5 + j * 3) % 9}xyz").mkString(" ")
+      s"""{"doc_id": $i, "text": "the and is to of a in $words", "source": "s${i % 2}"}"""
+    }
+    Files.createDirectories(Paths.get(s"$dir/in"))
+    Files.writeString(Paths.get(s"$dir/in/part0.jsonl"),
+      (good :+ """{"doc_id": broken corpus line""").mkString("\n"))
+    // a benchmark with its OWN corrupt line — before the per-role split
+    // this overwrite erased the corpus's quarantine record entirely
+    Files.createDirectories(Paths.get(s"$dir/bench"))
+    Files.writeString(Paths.get(s"$dir/bench/part0.jsonl"),
+      Seq("""{"doc_id": 9001, "text": "benchmark probe text", "source": "b"}""",
+        """{"doc_id": broken bench line""").mkString("\n"))
+
+    CurateMain.run(spark, s"$dir/in", s"$dir/out", "jsonl",
+      benchmarkPath = Some(s"$dir/bench"), tau = 0.5, budget = 256L,
+      idCol = "doc_id", textCol = "text", sourceCol = "source")
+
+    // BOTH quarantines survive, each with its own corrupt line
+    assert(spark.read.text(s"$dir/out/_quarantine/corpus").count() === 1)
+    assert(spark.read.text(s"$dir/out/_quarantine/benchmark").count() === 1)
+  }
+
+  test("parquet corpus: null id/text rows are filtered before the pipeline") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    val dir = Files.createTempDirectory("graft_curate_pq").toString
+    val schema = new StructType()
+      .add("doc_id", LongType).add("text", StringType).add("source", StringType)
+    val rows = (1 to 40).map { i =>
+      val words = Seq.tabulate(25)(j => s"w${(i * 5 + j * 3) % 9}xyz").mkString(" ")
+      Row(i.toLong, s"the and is to of a in $words", s"s${i % 2}")
+    } ++ Seq(Row(null, "the and is to of a null id row", "s0"),
+      Row(99L, null, "s1"))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+      .write.parquet(s"$dir/in")
+
+    CurateMain.run(spark, s"$dir/in", s"$dir/out", "parquet",
+      benchmarkPath = None, tau = 0.5, budget = 256L,
+      idCol = "doc_id", textCol = "text", sourceCol = "source")
+
+    val shards = spark.read.parquet(s"$dir/out/shards")
+    // the null rows never entered the pipeline: no null ids, no doc 99
+    val ids = shards.select("doc_id").collect().map(_.getLong(0))
+    assert(!ids.contains(99L))
+    assert(shards.where(org.apache.spark.sql.functions.col("doc_id").isNull)
+      .count() === 0)
   }
 }

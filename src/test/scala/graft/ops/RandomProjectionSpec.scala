@@ -44,4 +44,18 @@ class RandomProjectionSpec extends AnyFunSuite with SparkSpec {
     }
     assert(e.getMessage.contains("expected dim"))
   }
+
+  test("a NULL embedding raises instead of silently projecting nulls") {
+    // size(null) is null, so a bare `size =!= dim` guard never fires on
+    // a NULL vector — the guard must test isNull explicitly
+    val df = Seq(Tuple2(1L, Seq.tabulate(Dim)(_.toFloat)))
+      .toDF("vec_id", "embedding")
+      .unionByName(Seq(Tuple1(2L)).toDF("vec_id")
+        .withColumn("embedding", lit(null).cast("array<float>")))
+    val e = intercept[Exception] {
+      Similarity.randomProjection(df, "vec_id", "embedding",
+        dim = Dim, outDim = 4).collect()
+    }
+    assert(e.getMessage.contains("NULL vector"))
+  }
 }

@@ -80,6 +80,35 @@ class GraphStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(viaStream.toSeq === viaBatch.toSeq && viaStream.nonEmpty)
   }
 
+  test("null users and timestamps are dropped, mirroring the batch operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // a null user would become a null-dst edge; a null ts would make the
+    // member's first-seen sort nondeterministic — the stream must apply
+    // the SAME guards Graph.chainEdges does, or the documented
+    // "identical output on the union" contract breaks
+    val batch = Seq(
+      ("click", Option(ts(1)), Option(1L)),
+      ("click", Option(ts(2)), Option(2L)),
+      ("click", Option(ts(3)), Option.empty[Long]),   // null user
+      ("click", Option.empty[Timestamp], Option(3L))) // null ts
+    val dir = java.nio.file.Files.createTempDirectory("graft_gs_null").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_gs_nullc").toString
+    val in = MemoryStream[(String, Option[Timestamp], Option[Long])]
+    val q = GraphStreams.memberStream(
+      in.toDS().toDF("event_type", "ts", "user_id"), dir, ckpt)
+    try { in.addData(batch: _*); q.processAllAvailable() } finally q.stop()
+    val streamed = GraphStreams.loadEdges(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val direct = Graph.chainEdges(
+        batch.toDF("event_type", "ts", "user_id"),
+        Seq(col("event_type"), date_trunc("hour", col("ts"))),
+        "user_id", "ts")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(streamed === direct)
+    assert(streamed === Set(1L -> 2L)) // only the two clean rows chain
+  }
+
   test("loadEdges: empty state yields no edges; uncommitted partials are invisible") {
     import spark.implicits._
     val none = java.nio.file.Files.createTempDirectory("graft_gs_none").toString + "/missing"
