@@ -44,18 +44,26 @@ object Bench {
     * measurably degrades mid-suite (c04 4.4 s solo vs 11.5 s late in a
     * leaky full run).
     */
-  private val sinceGc = new java.util.concurrent.atomic.AtomicInteger(0)
-
   private def released(spark: SparkSession): Unit = {
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    // BLOCKING unpersist: the non-blocking variant only enqueues block
+    // removals, so with a fast query cadence the block manager still
+    // carries N queries' checkpoint blocks at once — exactly the
+    // late-suite pressure this hook exists to prevent (checkpoint-heavy
+    // queries measured ~2x slower late-suite than solo despite the old
+    // async sweep).
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     spark.catalog.clearCache()
     // ContextCleaner reclaims broadcast/shuffle/accumulator state only
     // when a GC collects the weak references — and a 24 GB heap under a
     // ~1 GB working set can go hundreds of queries without one, so the
     // executor accumulates every query's broadcast blocks and shuffle
-    // files. A periodic explicit GC (outside the timers) keeps the
-    // suite's 360 executions from carrying each other's garbage.
-    if (sinceGc.incrementAndGet() % 10 == 0) System.gc()
+    // files. An explicit GC after EVERY query (it runs outside the
+    // timers; an every-10th cadence left ~30 s of accumulated pressure
+    // on the suite total), then a short pause so the cleaner thread —
+    // which polls its reference queue on a 100 ms tick — drains the
+    // newly-enqueued refs before the next query starts.
+    System.gc()
+    Thread.sleep(120)
   }
 
   private def jsonEscape(s: String): String =
@@ -93,6 +101,10 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // shuffle-file cleanup normally fires asynchronously from the
+      // ContextCleaner; blocking keeps the 360-execution suite from
+      // stacking dead shuffle files faster than they're removed
+      .config("spark.cleaner.referenceTracking.blocking.shuffle", "true")
       // the status stores retain per-execution plan graphs/metrics and
       // per-stage/task rows even with the UI off; at 120 queries x 3
       // passes (x dozens of AQE stages each) that retained state is

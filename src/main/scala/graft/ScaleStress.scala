@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Curation, Dedup, Graph, Pipeline}
+import graft.sources.Tables
+
+/** Empirical scale-curve harness for the cost models SCALING.md
+  * claims: inflates the sf0.1 corpus k× (disjoint id spaces, per-copy
+  * text mutation so near-dup structure survives without collapsing to
+  * exact dups) and times the heavy families at each scale —
+  * d02 (MinHash LSH pairs), d06 (near-dup CC), d11 (exact
+  * set-similarity join), c04 (cluster keep-best), g01 (chain-edge
+  * PageRank), p01 (the composed pipeline). Near-linear growth in k
+  * confirms the "no quadratic blowup" analyses; d11's runtime budget
+  * guard is additionally TRIPPED on a constructed low-entropy corpus
+  * to prove it fails fast instead of hanging.
+  *
+  * Usage: `SPARK_GRAFT_SF_DIR=... runMain graft.ScaleStress [scales]`
+  * (default scales 1,3,10). One JSON line per measurement on stdout;
+  * quiet machine required for meaningful curves (the bench rules).
+  */
+object ScaleStress {
+
+  private def force(df: DataFrame): Long = df.count()
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val scales = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 3, 10)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs0 = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text", "source").where(col("text").isNotNull)
+      .localCheckpoint(true)
+    val events0 = Tables.load(spark, sfDir, "events")
+      .select("event_type", "ts", "user_id").localCheckpoint(true)
+
+    /** k disjoint copies: ids shifted into copy-i space, copy i > 0
+      * texts get a distinct suffix token so copies are NEAR each other
+      * in structure but not exact duplicates of copy 0.
+      */
+    def inflateDocs(k: Int): DataFrame =
+      (0 until k).map { i =>
+        docs0.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+          (if (i == 0) col("text")
+           else concat(col("text"), lit(s" v$i"))).as("text"),
+          col("source"))
+      }.reduce(_ unionByName _)
+
+    /** The d-family's corpus shape: inflated docs ∪ mutated twins
+      * (shift 1e9, one word appended) — every doc has one near-dup.
+      */
+    def withMutations(d: DataFrame): DataFrame =
+      d.unionByName(d.select((col("doc_id") + 1000000000L).as("doc_id"),
+        concat(col("text"), lit(" spark")).as("text"), col("source")))
+
+    def inflateEvents(k: Int): DataFrame =
+      (0 until k).map { i =>
+        events0.select(col("event_type"), col("ts"),
+          (col("user_id") + lit(i * 10000000L)).as("user_id"))
+      }.reduce(_ unionByName _)
+
+    def emptyBench: DataFrame = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      docs0.schema)
+
+    def report(op: String, scale: Int, sec: Double, rows: Long): Unit =
+      println(s"""{"op":"$op","scale":$scale,"sec":$sec,"rows":$rows}""")
+
+    for (k <- scales) {
+      val corpus = withMutations(inflateDocs(k)).localCheckpoint(true)
+      val plain = inflateDocs(k).localCheckpoint(true)
+      val events = inflateEvents(k).localCheckpoint(true)
+
+      val ops: Seq[(String, () => DataFrame)] = Seq(
+        "d02" -> (() =>
+          Dedup.minHashCandidatePairs(corpus, "doc_id", "text")),
+        "d06" -> (() => Dedup.connectedComponents(
+          Dedup.minHashCandidatePairs(corpus, "doc_id", "text"))),
+        "d11" -> (() => Dedup.prefixFilterPairs(corpus, "doc_id", "text",
+          tauNum = 9, tauDen = 10,
+          tokens = t => array_distinct(Dedup.shingleHashes(t)))),
+        "c04" -> (() => {
+          val labeled = Dedup
+            .connectedComponentsOverBuckets(corpus, "doc_id", "text")
+            .join(corpus, col("id") === col("doc_id"))
+            .select(col("label"), col("doc_id"),
+              length(col("text")).cast("long").as("n_chars"))
+          Curation.keepBest(labeled, "label", "doc_id", col("n_chars"))
+        }),
+        "g01" -> (() => Graph.pageRank(Graph.chainEdges(events,
+          Seq(col("event_type"), date_trunc("hour", col("ts"))),
+          "user_id", "ts"), 5)),
+        "p01" -> (() => Pipeline.curate(plain, emptyBench,
+          "doc_id", "text", "source", 0.5, 4096L)))
+
+      ops.foreach { case (op, build) =>
+        val (rows, sec) = timed(force(build()))
+        report(op, k, sec, rows)
+        spark.sparkContext.getPersistentRDDs.values.foreach { r =>
+          // the per-scale corpus checkpoints must survive the sweep
+          if (r.id != corpus.rdd.id && r.id != plain.rdd.id &&
+            r.id != events.rdd.id) r.unpersist(false)
+        }
+        System.gc()
+      }
+      corpus.unpersist(); plain.unpersist(); events.unpersist()
+    }
+
+    // the d11 budget guard: a low-entropy corpus (every doc the same
+    // short token set) makes every prefix a mega-group; the guard must
+    // refuse in seconds with a diagnosis, not hang in the self-join
+    val lowEntropy = spark.range(0, 20000)
+      .select(col("id").as("doc_id"),
+        lit("alpha beta gamma delta epsilon zeta eta theta").as("text"))
+    val (tripped, guardSec) = timed {
+      try {
+        Dedup.prefixFilterPairs(lowEntropy, "doc_id", "text",
+          tauNum = 9, tauDen = 10,
+          tokens = t => array_distinct(Dedup.shingleHashes(t))).count()
+        false
+      } catch { case e: Exception =>
+        e.getMessage != null && e.getMessage.contains("budget")
+      }
+    }
+    println(s"""{"op":"d11_guard","tripped":$tripped,"sec":$guardSec}""")
+
+    spark.stop()
+  }
+}

@@ -460,6 +460,55 @@ object Curation {
       .select(col(idCol), col("n_tokens"), col("dsir_score"))
   }
 
+  /** The DSIR bucket-count model relation alone — (__b, cr long,
+    * ct long), the ≤ `buckets`-row state [[dsirScores]] builds
+    * internally. Standalone so the model can be maintained
+    * INCREMENTALLY (counts sum across disjoint batches — the q42/t15
+    * rule; [[graft.streaming.ModelStreams]] persists per-batch
+    * partials of exactly this relation) and applied later via
+    * [[dsirScoresWith]].
+    */
+  def dsirModel(docs: DataFrame, textCol: String, isTarget: Column,
+      buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, s"buckets must be > 0, got $buckets")
+    val toks = docs.where(col(textCol).isNotNull)
+      .select(isTarget.as("__t"), explode(split(col(textCol), " ")).as("__w"))
+      .select(col("__t"),
+        pmod(Dedup.md5Hash32(col("__w")), lit(buckets.toLong)).as("__b"))
+    toks.groupBy("__b")
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("__t"), 1L).otherwise(0L)).as("ct"))
+  }
+
+  /** Score documents under a PREBUILT [[dsirModel]] relation — the
+    * incremental-model path (train the model on yesterday's corpus or
+    * a maintained stream state, score today's batch without
+    * re-counting history). Identical scoring math to [[dsirScores]]:
+    * per token position, ratio = (ct+1)/(cr+1); per document, the
+    * position-ordered fold sum divided by the token count. Buckets
+    * absent from the model (never observed at train time) smooth to
+    * cr=0, ct=0 → ratio 1.0 — a no-evidence token is neutral.
+    */
+  def dsirScoresWith(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, s"buckets must be > 0, got $buckets")
+    val toks = docs.where(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(split(col(textCol), " ")))
+      .select(col(idCol), col("pos"),
+        pmod(Dedup.md5Hash32(col("col")), lit(buckets.toLong)).as("__b"))
+    toks.join(broadcast(model), Seq("__b"), "left")
+      .withColumn("__r",
+        (coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double") /
+          (coalesce(col("cr"), lit(0L)) + lit(1L)).cast("double"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("pos"), col("__r")))).as("__rs"),
+        count(lit(1)).as("n_tokens"))
+      .withColumn("dsir_score",
+        aggregate(col("__rs"), lit(0.0), (acc, x) => acc + x.getField("__r"))
+          / col("n_tokens").cast("double"))
+      .select(col(idCol), col("n_tokens"), col("dsir_score"))
+  }
+
   /** Deterministic top-`k` selection under [[dsirScores]] — the
     * resampling step with rank-by-(score, id) in place of Gumbel noise.
     * `orderBy.limit` plans as a distributed TakeOrdered (per-partition

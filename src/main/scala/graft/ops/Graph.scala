@@ -108,6 +108,66 @@ object Graph {
     ranks.select(col("node"), col("__r").as("pagerank"))
   }
 
+  /** [[pageRank]] with a residual stop for callers who need CONVERGED
+    * ranks rather than a fixed-depth approximation: supersteps run in
+    * blocks of `checkEvery`, and after each block one extra action
+    * computes the residual max |Δrank| (in integer rank units); the
+    * loop stops when it drops below `epsilonUnits` or at
+    * `maxIterations`. Returns (ranks, superstepsRun).
+    *
+    * Integer ranks make the stop EXACT as well as cheap: with
+    * `epsilonUnits = 1` the loop runs until the rank vector is
+    * literally a fixpoint (float PageRank can only ever approach one),
+    * and the result is bit-reproducible like g01's.
+    *
+    * Action economics: the fixed-depth variant is ONE action for k
+    * supersteps; this one pays ⌈k/checkEvery⌉ extra residual actions
+    * plus a checkpoint per block (which also keeps the unrolled plan
+    * from growing unboundedly at large k). Raise `checkEvery` when
+    * actions dominate (deep convergence), lower it when supersteps are
+    * expensive (huge graphs).
+    */
+  def pageRankConverged(edges: DataFrame, maxIterations: Int = 50,
+      epsilonUnits: Long = 1L, checkEvery: Int = 5): (DataFrame, Int) = {
+    require(maxIterations >= 1 && checkEvery >= 1 && epsilonUnits >= 0,
+      s"bad args: maxIterations=$maxIterations checkEvery=$checkEvery " +
+        s"epsilonUnits=$epsilonUnits")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val od = e.groupBy("src").agg(count(lit(1)).as("__od"))
+    val ewd = e.join(od, "src")
+      .select(col("src"), col("dst"), col("__od")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    val base = lit(Scale * (DampDen - DampNum) / DampDen)
+    var ranks = nodes.select(col("node"), lit(Scale).as("__r"))
+      .localCheckpoint(true)
+    var done = 0
+    var converged = false
+    while (done < maxIterations && !converged) {
+      val block = math.min(checkEvery, maxIterations - done)
+      var cur = ranks
+      for (_ <- 1 to block) {
+        val inc = cur.join(ewd, cur("node") === ewd("src"))
+          .select(col("dst"),
+            expr(s"($DampNum * __r) div ($DampDen * __od)").as("__c"))
+          .groupBy("dst").agg(sum(col("__c")).as("__inc"))
+        cur = nodes.join(inc, nodes("node") === inc("dst"), "left")
+          .select(col("node"), (base + coalesce(col("__inc"), lit(0L))).as("__r"))
+      }
+      val next = cur.localCheckpoint(true)
+      done += block
+      val residual = next.as("n")
+        .join(ranks.as("p"), col("n.node") === col("p.node"))
+        .agg(coalesce(max(abs(col("n.__r") - col("p.__r"))), lit(0L)))
+        .head().getLong(0)
+      ranks.unpersist()
+      ranks = next
+      converged = residual < epsilonUnits
+    }
+    (ranks.select(col("node"), col("__r").as("pagerank")), done)
+  }
+
   /** Per-node triangle participation counts over an undirected graph
     * given as (src, dst) edge rows (direction ignored; self-loops and
     * duplicate edges collapsed). Returns (node, n_triangles) for every
@@ -173,9 +233,7 @@ object Graph {
     * actual tree height, so over-provisioned maxDepth costs empty joins
     * only (no action per round; the whole unrolled plan is one job —
     * the [[pageRank]] linear-lineage rule). For depth ≫ 10 use
-    * path-doubling (closure-with-closure joins + distinct, log₂ rounds)
-    * — not implemented because real hierarchy data (XML, org, category)
-    * is shallow.
+    * [[ancestorClosureDoubling]] (log₂ rounds).
     */
   def ancestorClosure(edges: DataFrame, maxDepth: Int = 8): DataFrame = {
     require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
@@ -192,5 +250,61 @@ object Graph {
       acc = acc.unionByName(frontier)
     }
     acc
+  }
+
+  /** [[ancestorClosure]] in ⌈log₂ maxDepth⌉ rounds instead of maxDepth
+    * — the deep-hierarchy variant (org trees, category taxonomies,
+    * thread chains with depth 100+, where 100 sequential frontier
+    * joins would serialize the plan).
+    *
+    * Path doubling without a distinct: alongside the accumulated
+    * closure `acc` (all pairs with depth ≤ k) it carries the EXACT-k
+    * pointer table `p` (each node's 2^i-th ancestor — one row per node
+    * that deep, because a forest has one path up). One round doubles
+    * both:
+    *
+    *   acc₂ₖ = accₖ ∪ (accₖ ⋈ pₖ)   — depth d in 1..k extends to d+k;
+    *                                   every pair of depth k+1..2k
+    *                                   decomposes UNIQUELY as
+    *                                   (d−k ≤ k via acc) + (k via p),
+    *                                   so no duplicates arise and no
+    *                                   distinct is needed (the
+    *                                   DAG-input caveat of
+    *                                   ancestorClosure applies here
+    *                                   unchanged);
+    *   p₂ₖ  = pₖ ⋈ pₖ                — the 2k-th ancestor pointer.
+    *
+    * Both sides are checkpointed per round: the doubling join
+    * references accₖ twice, so an unchecked plan would double in SIZE
+    * each round (2^rounds operator copies by round 7) — the eager
+    * checkpoint pins each round to one action and keeps every plan
+    * flat, the price path doubling pays for exponentially fewer
+    * rounds. `p` empties once 2^i exceeds the forest height, so
+    * over-provisioned maxDepth costs log₂ near-empty rounds.
+    *
+    * Output is filtered to depth ≤ maxDepth (the final doubling may
+    * overshoot to the next power of two) — row-for-row equal to
+    * `ancestorClosure(edges, maxDepth)` (property-spec'd on random
+    * forests in `GraphSpec`).
+    */
+  def ancestorClosureDoubling(edges: DataFrame, maxDepth: Int = 64): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
+    val e = edges.select(col("node"), col("parent")).localCheckpoint(true)
+    var acc = e.select(col("node"), col("parent").as("ancestor"),
+      lit(1L).as("depth"))
+    var p = e.select(col("node"), col("parent").as("ancestor"))
+    var k = 1L
+    while (k < maxDepth) {
+      val ext = acc.as("a")
+        .join(p.as("p"), col("a.ancestor") === col("p.node"))
+        .select(col("a.node").as("node"), col("p.ancestor").as("ancestor"),
+          (col("a.depth") + k).as("depth"))
+      acc = acc.unionByName(ext).localCheckpoint(true)
+      p = p.as("l").join(p.as("r"), col("l.ancestor") === col("r.node"))
+        .select(col("l.node").as("node"), col("r.ancestor").as("ancestor"))
+        .localCheckpoint(true)
+      k = k * 2
+    }
+    acc.where(col("depth") <= maxDepth)
   }
 }

@@ -148,6 +148,32 @@ object PipelineStreams {
     readOrEmpty(spark, stateDir,
       fpSchema.add(StructField("batch_id", org.apache.spark.sql.types.LongType)))
 
+  /** Fold every fingerprint partition into ONE base partition under a
+    * fresh NEGATIVE batch id (stream ids are non-negative, so no
+    * future batch collides, and `batch_id < N` history reads keep
+    * including the base). Unlike [[SearchStreams.compact]] this needs
+    * no commit-marker protocol: fingerprint membership is a SET, so a
+    * reader racing the compaction that sees base AND originals
+    * distincts to the identical history — every crash point is safe as
+    * long as the base lands before any original is deleted, and a
+    * replay (base id derives deterministically from the partition set)
+    * overwrites the orphan and finishes the deletes.
+    */
+  def compact(spark: SparkSession, stateDir: String): Unit = {
+    val all = fingerprints(spark, stateDir)
+    val ids = all.select("batch_id").distinct().collect()
+      .map(_.getLong(0)).toIndexedSeq.sorted
+    if (ids.size <= 1) return
+    val base = math.min(ids.min, 0L) - 1L
+    // eager checkpoint: fully materialize the fold before writing a new
+    // partition under the root being read (no read-own-write listing)
+    val folded = all.where(col("batch_id").isin(ids: _*))
+      .select("fingerprint").distinct().localCheckpoint(true)
+    try folded.write.mode("overwrite").parquet(s"$stateDir/batch_id=$base")
+    finally { folded.unpersist(); () }
+    ids.foreach(id => StreamStateDirs.delete(spark, s"$stateDir/batch_id=$id"))
+  }
+
   /** The settled corpus so far (all batches' curated docs). `schema`
     * is the doc schema as written (input columns); `batch_id` rides
     * along from the directory layout.

@@ -49,4 +49,32 @@ class ClosurePropertySpec extends AnyFunSuite with SparkSpec {
       assert(got === want, s"trial $trial (n=$n, ${edges.size} edges)")
     }
   }
+
+  test("path-doubling closure equals the unrolled closure on random forests (seeded)") {
+    val rnd = new Random(20260815L)
+    for (trial <- 1 to 3) {
+      val n = 20 + trial * 15
+      val edges = randomForest(n, 0.8, rnd)
+      // a NON-power-of-two depth exercises the final-round overshoot
+      // filter; the unrolled variant is already walk-proven above
+      val depth = 11
+      val viaDoubling =
+        Graph.ancestorClosureDoubling(edges.toDF("node", "parent"), depth)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(viaDoubling === walkClosure(edges, depth),
+        s"trial $trial (n=$n, ${edges.size} edges)")
+    }
+  }
+
+  test("path-doubling handles a chain deeper than any practical unroll in log rounds") {
+    // a 100-deep chain: the unrolled variant would need 100 sequential
+    // joins; doubling needs 7 checkpointed rounds. Every (node,
+    // ancestor, depth) pair of the full chain must appear.
+    val chain = (2 to 101).map(i => (i.toLong, (i - 1).toLong))
+    val got = Graph.ancestorClosureDoubling(chain.toDF("node", "parent"), 128)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === walkClosure(chain, 128))
+    assert(got.size === (100 * 101) / 2) // Σ depth-of-node pairs
+    assert(got.contains((101L, 1L, 100L))) // the deepest pair
+  }
 }

@@ -96,4 +96,36 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       .orderBy("node").collect().map(_.toSeq)
     assert(a.toSeq === b.toSeq)
   }
+
+  test("pageRankConverged stops at the integer fixpoint, far before maxIterations") {
+    // a -> b, a -> c reaches its EXACT fixpoint at superstep 2 (see the
+    // hand-computed test above); with checkEvery=1 the residual action
+    // detects Δ=0 at superstep 3 and stops — not at maxIterations=50
+    val e = Seq(1L -> 2L, 1L -> 3L).toDF("src", "dst")
+    val (ranks, rounds) =
+      Graph.pageRankConverged(e, maxIterations = 50, epsilonUnits = 1L,
+        checkEvery = 1)
+    assert(rounds < 10, s"expected early stop, ran $rounds supersteps")
+    val r = ranks.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // the converged ranks ARE the fixed-depth ranks at any depth >= 2
+    assert(r === Map(1L -> 150000L, 2L -> 213750L, 3L -> 213750L))
+    val fixed = Graph.pageRank(e, iterations = rounds).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r === fixed)
+  }
+
+  test("pageRankConverged at maxIterations equals the fixed-depth variant on a slow graph") {
+    // the path 1->2->3 only reaches its integer fixpoint at superstep
+    // 4 (rank flows one hop per superstep), so with maxIterations=3
+    // the loop must run exactly 3 and match pageRank(3)
+    val path = Seq(1L -> 2L, 2L -> 3L).toDF("src", "dst")
+    val (ranks, rounds) =
+      Graph.pageRankConverged(path, maxIterations = 3, epsilonUnits = 1L,
+        checkEvery = 2)
+    assert(rounds === 3)
+    val got = ranks.orderBy("node").collect().map(_.toSeq)
+    val want = Graph.pageRank(path, iterations = 3)
+      .orderBy("node").collect().map(_.toSeq)
+    assert(got.toSeq === want.toSeq)
+  }
 }
