@@ -73,7 +73,10 @@ object Plans {
     // the dedup checkpoint: DSIR broadcast-model scoring, bounded LM
     // gate, split + pack), g02 degree-ordered triangles (equi-joins
     // over the oriented edge relation)
-    "p03_targeted_selection", "g02_triangle_count")
+    "p03_targeted_selection", "g02_triangle_count",
+    // round 6: g04 path-doubling closure (log₂ checkpointed doubling
+    // rounds — closure⋈pointer equi-joins, no cartesian, no distinct)
+    "g04_deep_closure")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

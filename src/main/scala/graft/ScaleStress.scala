@@ -51,17 +51,23 @@ object ScaleStress {
     val events0 = Tables.load(spark, sfDir, "events")
       .select("event_type", "ts", "user_id").localCheckpoint(true)
 
-    /** k disjoint copies: ids shifted into copy-i space, copy i > 0
-      * texts get a distinct suffix token so copies are NEAR each other
-      * in structure but not exact duplicates of copy 0.
+    /** k disjoint copies: ids shifted into copy-i space; copy i > 0
+      * texts are vowel-TRANSLATED (a 26-letter rotation per copy) so
+      * copies are DISSIMILAR to each other — duplicate density must
+      * stay constant as k grows (a suffix-token mutation left copies
+      * near-duplicates of each other, which made pair counts grow k²
+      * and measured output volume, not operator scaling).
       */
-    def inflateDocs(k: Int): DataFrame =
+    def inflateDocs(k: Int): DataFrame = {
+      val abc = "abcdefghijklmnopqrstuvwxyz"
       (0 until k).map { i =>
+        val rot = abc.drop(i % 26) + abc.take(i % 26)
         docs0.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
           (if (i == 0) col("text")
-           else concat(col("text"), lit(s" v$i"))).as("text"),
+           else translate(col("text"), abc, rot)).as("text"),
           col("source"))
       }.reduce(_ unionByName _)
+    }
 
     /** The d-family's corpus shape: inflated docs ∪ mutated twins
       * (shift 1e9, one word appended) — every doc has one near-dup.
@@ -87,6 +93,11 @@ object ScaleStress {
       val corpus = withMutations(inflateDocs(k)).localCheckpoint(true)
       val plain = inflateDocs(k).localCheckpoint(true)
       val events = inflateEvents(k).localCheckpoint(true)
+      // snapshot AFTER the corpus checkpoints: the sweep below must
+      // release only what each op pinned, never the corpus itself
+      // (df.rdd.id mints a NEW id, so comparing against it protects
+      // nothing — the SearchStreams snapshot pattern is the safe one)
+      val pinned = spark.sparkContext.getPersistentRDDs.keySet
 
       val ops: Seq[(String, () => DataFrame)] = Seq(
         "d02" -> (() =>
@@ -111,12 +122,19 @@ object ScaleStress {
           "doc_id", "text", "source", 0.5, 4096L)))
 
       ops.foreach { case (op, build) =>
-        val (rows, sec) = timed(force(build()))
-        report(op, k, sec, rows)
-        spark.sparkContext.getPersistentRDDs.values.foreach { r =>
-          // the per-scale corpus checkpoints must survive the sweep
-          if (r.id != corpus.rdd.id && r.id != plain.rdd.id &&
-            r.id != events.rdd.id) r.unpersist(false)
+        // a guarded refusal (d11's candidate budget) is ITSELF a
+        // measurement — record it and keep going
+        try {
+          val (rows, sec) = timed(force(build()))
+          report(op, k, sec, rows)
+        } catch {
+          case e: IllegalStateException if
+            Option(e.getMessage).exists(_.contains("budget")) =>
+            println(s"""{"op":"$op","scale":$k,"guard_tripped":true}""")
+        }
+        val sc = spark.sparkContext
+        (sc.getPersistentRDDs.keySet -- pinned).foreach { id =>
+          sc.getPersistentRDDs.get(id).foreach(_.unpersist(true))
         }
         System.gc()
       }

@@ -79,6 +79,30 @@ object GraphQueries {
       Graph.triangleCounts(edges(s, d))
         .select(col("node").as("user_id"), col("n_triangles"))
         .orderBy("user_id")
+    }),
+
+    // deep-hierarchy closure via PATH DOUBLING (Graph.
+    // ancestorClosureDoubling): x04's frontier unroll answers shallow
+    // XML trees; this one works a chain THOUSANDS of nodes deep
+    // (orders linked to their predecessor within each status) where an
+    // unrolled variant would need depth-many sequential joins —
+    // doubling needs ⌈log₂ 16⌉ = 4 checkpointed rounds for the capped
+    // depth here. Aggregated per depth (counts + key checksums) so the
+    // oracle's recursive CTE states the identical closure.
+    "g04_deep_closure" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_orderkey"))
+      val chainEdges = Tables.load(s, d, "orders")
+        .where(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey").as("node"),
+          lag(col("o_orderkey"), 1).over(w).as("parent"))
+        .where(col("parent").isNotNull)
+      Graph.ancestorClosureDoubling(chainEdges, maxDepth = 16)
+        .groupBy("depth")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("node")).as("sum_nodes"),
+          sum(col("ancestor")).as("sum_ancestors"))
+        .orderBy("depth")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -138,5 +162,23 @@ object GraphQueries {
          |  SELECT x AS user_id FROM tri
          |  UNION ALL SELECT y FROM tri
          |  UNION ALL SELECT z FROM tri)
-         |GROUP BY 1 ORDER BY 1""".stripMargin)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "g04_deep_closure" ->
+      """WITH RECURSIVE base AS (SELECT o_orderstatus AS st, o_orderkey AS k
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |ch AS (SELECT k AS node,
+        |    lag(k) OVER (PARTITION BY st ORDER BY k) AS parent
+        |  FROM base),
+        |e AS (SELECT node, parent FROM ch WHERE parent IS NOT NULL),
+        |walk(node, ancestor, depth) AS (
+        |  SELECT node, parent, 1::BIGINT FROM e
+        |  UNION ALL
+        |  SELECT w.node, e2.parent, w.depth + 1
+        |  FROM walk w JOIN e e2 ON w.ancestor = e2.node
+        |  WHERE w.depth < 16)
+        |SELECT depth, count(*) AS n_pairs,
+        |  CAST(sum(node) AS BIGINT) AS sum_nodes,
+        |  CAST(sum(ancestor) AS BIGINT) AS sum_ancestors
+        |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin)
 }
