@@ -57,14 +57,23 @@ object Bench {
     // when a GC collects the weak references — and a 24 GB heap under a
     // ~1 GB working set can go hundreds of queries without one, so the
     // executor accumulates every query's broadcast blocks and shuffle
-    // files. An explicit GC after EVERY query (it runs outside the
-    // timers; an every-10th cadence left ~30 s of accumulated pressure
-    // on the suite total), then a short pause so the cleaner thread —
-    // which polls its reference queue on a 100 ms tick — drains the
-    // newly-enqueued refs before the next query starts.
-    System.gc()
-    Thread.sleep(120)
+    // files. The GC cadence is a measured optimum (BENCH_GC_EVERY to
+    // A/B): every query costs each NEXT timed query ~0.2-0.7 s of
+    // post-GC re-warmup (suite 180 s); never lets the accumulation
+    // compound catastrophically (suite 404 s); every ~10 amortizes the
+    // re-warmup to noise while keeping the pressure bounded. The
+    // 120 ms pause lets the cleaner thread — which polls its reference
+    // queue on a 100 ms tick — drain the newly-enqueued refs before
+    // the next query starts.
+    if (sinceGc.incrementAndGet() % gcEvery == 0) {
+      System.gc()
+      Thread.sleep(120)
+    }
   }
+
+  private val sinceGc = new java.util.concurrent.atomic.AtomicInteger(0)
+  private lazy val gcEvery =
+    sys.env.getOrElse("BENCH_GC_EVERY", "10").toInt
 
   private def jsonEscape(s: String): String =
     s.flatMap {

@@ -1,0 +1,29 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** StateCompactMain dispatch: each kind reaches its module's compact
+  * (exercised end-to-end in StreamingCompactionSpec /
+  * ModelStreamsSpec; here the CLI routing + the unknown-kind guard).
+  */
+class StateCompactMainSpec extends AnyFunSuite with SparkSpec {
+
+  test("pipeline kind folds fingerprint partitions via the CLI path") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_scm").toString
+    Seq("a", "b").toDF("fingerprint").write.parquet(s"$dir/batch_id=0")
+    Seq("b", "c").toDF("fingerprint").write.parquet(s"$dir/batch_id=1")
+    StateCompactMain.run(spark, "pipeline", dir)
+    val fp = graft.streaming.PipelineStreams.fingerprints(spark, dir)
+    assert(fp.select("fingerprint").distinct().collect()
+      .map(_.getString(0)).toSet === Set("a", "b", "c"))
+    assert(fp.select("batch_id").distinct().count() === 1)
+  }
+
+  test("unknown kind fails loudly") {
+    val e = intercept[IllegalArgumentException] {
+      StateCompactMain.run(spark, "bogus", "/tmp/nowhere")
+    }
+    assert(e.getMessage.contains("unknown state kind"))
+  }
+}
