@@ -117,4 +117,68 @@ object Pipeline {
         TextAnalysis.wsTokenCount(col(textCol)), shardBudget)
       .drop("__grp")
   }
+
+  /** Per-document DISPOSITION audit for [[curate]]'s gate stages — the
+    * "why did my document disappear" answer a 100 TB curation run
+    * needs operationally (debugging a yield drop means attributing it
+    * to a stage, not re-running the pipeline with print statements).
+    * Returns (idCol, disposition string) for EVERY input document:
+    *
+    *   - `dup_exact`    — lost stage 1 (not the canonical min-id row
+    *                      of its normalized-text fingerprint);
+    *   - `dup_near`     — survived 1, lost stage 2 (clustered, not the
+    *                      keep-best winner);
+    *   - `contaminated` — survived 1–2, dropped by the benchmark
+    *                      overlap gate;
+    *   - `low_quality`  — survived 1–3, failed a quality rule;
+    *   - `kept`         — reaches the split/pack stages.
+    *
+    * Stages replay [[curate]]'s operators verbatim (same fingerprints,
+    * same cluster winners, same thresholds), so `kept` here is exactly
+    * curate's output membership. Cost shape: the audit IS stages 1–4
+    * plus id-sized marker joins — the split/pack tail is skipped, and
+    * each marker relation carries ids only (never text), so the extra
+    * joins shuffle keys, not documents.
+    */
+  def dropAudit(docs: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, contaminationTau: Double = 0.5): DataFrame = {
+    require(contaminationTau > 0 && contaminationTau <= 1,
+      s"contaminationTau must be in (0,1], got $contaminationTau")
+    val canon = Dedup.exactGroups(docs, idCol, textCol)
+      .select(col("canonical_id").as(idCol))
+    val s1 = docs.join(canon, Seq(idCol)).localCheckpoint(true)
+
+    val labels = Dedup.connectedComponentsOverBuckets(s1, idCol, textCol)
+    val labeled = labels.join(s1, labels("id") === s1(idCol))
+      .select(col("label"), s1(idCol).as(idCol),
+        length(s1(textCol)).cast("long").as("__q"))
+    val winners = Curation.keepBest(labeled, "label", idCol, col("__q"))
+      .select(col(idCol))
+    val singles = s1.select(col(idCol))
+      .join(labels.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+    val s2ids = winners.unionByName(singles).localCheckpoint(true)
+    val s2 = s1.join(s2ids, Seq(idCol))
+
+    val flagged = Curation.contaminationScores(s2, benchmark, idCol, textCol)
+      .where(col("overlap") >= contaminationTau)
+      .select(col(idCol))
+    val passAll = TextAnalysis.qualityRules
+      .map { case (_, rule) => !rule(col(textCol)) }.reduce(_ && _)
+    val s4ids = s2.join(flagged, Seq(idCol), "left_anti")
+      .where(passAll).select(col(idCol))
+
+    def mark(ids: DataFrame, name: String): DataFrame =
+      ids.select(col(idCol), lit(true).as(name))
+    docs.select(col(idCol))
+      .join(mark(s1.select(col(idCol)), "__s1"), Seq(idCol), "left")
+      .join(mark(s2ids, "__s2"), Seq(idCol), "left")
+      .join(mark(flagged, "__fl"), Seq(idCol), "left")
+      .join(mark(s4ids, "__s4"), Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__s1").isNull, "dup_exact")
+          .when(col("__s2").isNull, "dup_near")
+          .when(col("__fl").isNotNull, "contaminated")
+          .when(col("__s4").isNull, "low_quality")
+          .otherwise("kept").as("disposition"))
+  }
 }

@@ -120,6 +120,25 @@ object PipelineQueries {
         .orderBy("split", "source", "shard")
     }),
 
+    // per-document DISPOSITION audit over p01's exact corpus — the
+    // "why did my document disappear" debugging face
+    // (Pipeline.dropAudit): every input doc attributed to the stage
+    // that dropped it, or 'kept'. Hash-matching the full per-doc
+    // relation pins every stage's membership, not just the survivor
+    // manifest p01 checks.
+    "p04_drop_audit" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents").select("doc_id", "text", "source")
+      requirePlantRoom(docs, d)
+      val corpus = docs
+        .unionByName(docs.select((col("doc_id") + 1000000).as("doc_id"),
+          col("text"), col("source")))
+        .unionByName(docs.select((col("doc_id") + 2000000).as("doc_id"),
+          concat(col("text"), lit(" spark")).as("text"), col("source")))
+      val bench = docs.where(col("doc_id") % 100 === 0)
+      Pipeline.dropAudit(corpus, bench, "doc_id", "text", ContaminationTau)
+        .orderBy("doc_id")
+    }),
+
     // the INCREMENTAL face of the pipeline (PipelineStreams.settleBatch,
     // the per-micro-batch body of incrementalCurate) run as two "days"
     // in one batch job: day2 settles against day1's persisted
@@ -178,6 +197,67 @@ object PipelineQueries {
        |      CAST($tokenExpr AS BIGINT) AS n_words,
        |      ${TextQueries.stopHitsSql} AS stop_hits
        |    FROM (SELECT doc_id, text, source, ' ' || text || ' ' AS p FROM s3$sfx))
+       |  WHERE $passAllSql)""".stripMargin
+
+  /** The p01 stage chain (planted corpus → exact dedup s1 → near-dup
+    * keep-best s2 → decontamination dropset/s3 → quality s4), each
+    * stage the exact SQL its standalone oracle uses: d01's fingerprint
+    * groupBy, d06's bands/pairs/walk (`DedupQueries.bandsCtesFor` —
+    * identical shingle/minhash/band literals), c04's keep-best window,
+    * c03's bigram-overlap scoring, t09's rule conditions
+    * (`TextQueries.qualityFailSqls`). ONE definition shared by the p01
+    * manifest oracle and p04's disposition audit, so the two cannot
+    * drift.
+    */
+  private def p01StageCtes: String =
+    s"""all_docs AS (
+       |  SELECT doc_id, text, source FROM documents
+       |  UNION ALL SELECT doc_id + 1000000, text, source FROM documents
+       |  UNION ALL SELECT doc_id + 2000000, text || ' spark', source FROM documents),
+       |ex AS (SELECT min(doc_id) AS doc_id FROM all_docs
+       |  GROUP BY md5(lower(trim(text)))),
+       |s1 AS (SELECT d.doc_id, d.text, d.source FROM all_docs d JOIN ex USING (doc_id)),
+       |${DedupQueries.bandsCtesFor("s1")},
+       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |walk(src, dst) AS (
+       |  SELECT src, dst FROM sym
+       |  UNION
+       |  SELECT w.src, s.dst FROM walk w JOIN sym s ON w.dst = s.src),
+       |labels AS (SELECT src AS id, least(src, min(dst)) AS label
+       |  FROM walk GROUP BY src),
+       |members AS (SELECT l.label, d.doc_id, d.text, d.source,
+       |    CAST(length(d.text) AS BIGINT) AS n_chars
+       |  FROM labels l JOIN s1 d ON l.id = d.doc_id),
+       |winners AS (SELECT doc_id, text, source FROM (
+       |    SELECT doc_id, text, source,
+       |      row_number() OVER (PARTITION BY label ORDER BY n_chars DESC, doc_id ASC) AS rn
+       |    FROM members) WHERE rn = 1),
+       |s2 AS (SELECT doc_id, text, source FROM winners
+       |  UNION ALL
+       |  SELECT doc_id, text, source FROM s1
+       |  WHERE doc_id NOT IN (SELECT id FROM labels)),
+       |gs2 AS (SELECT doc_id,
+       |    list_distinct(${graft.functions.TextHashExpressions.bigramFoldSql("ws")}) AS gs
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM s2
+       |    WHERE $tokenExpr >= 2)),
+       |bgs AS (SELECT list(DISTINCT g) AS bg FROM (
+       |  SELECT unnest(list_distinct(${graft.functions.TextHashExpressions.bigramFoldSql("ws")})) AS g
+       |  FROM (SELECT string_split(text, ' ') AS ws FROM documents
+       |    WHERE doc_id % 100 = 0 AND $tokenExpr >= 2))),
+       |dropset AS (SELECT doc_id FROM gs2 CROSS JOIN bgs
+       |  WHERE len(list_intersect(gs, bg)) / CAST(len(gs) AS DOUBLE) >= $ContaminationTau),
+       |s3 AS (SELECT doc_id, text, source FROM s2
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM dropset)),
+       |s4 AS (SELECT doc_id, text, source FROM (
+       |    SELECT doc_id, text, source,
+       |      CAST(length(text) AS BIGINT) AS n_chars,
+       |      CAST($tokenExpr AS BIGINT) AS n_words,
+       |      ${TextQueries.stopHitsSql} AS stop_hits
+       |    FROM (SELECT doc_id, text, source, ' ' || text || ' ' AS p FROM s3))
        |  WHERE $passAllSql)""".stripMargin
 
   val oracles: Map[String, String] = Map(
@@ -262,58 +342,9 @@ object PipelineQueries {
          |  min(doc_id) AS min_doc_id
          |FROM cum GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
-    "p01_curation_pipeline" -> {
-      val passAll = passAllSql // one derivation, shared with p02's tail
+    "p01_curation_pipeline" ->
       s"""WITH RECURSIVE
-         |all_docs AS (
-         |  SELECT doc_id, text, source FROM documents
-         |  UNION ALL SELECT doc_id + 1000000, text, source FROM documents
-         |  UNION ALL SELECT doc_id + 2000000, text || ' spark', source FROM documents),
-         |ex AS (SELECT min(doc_id) AS doc_id FROM all_docs
-         |  GROUP BY md5(lower(trim(text)))),
-         |s1 AS (SELECT d.doc_id, d.text, d.source FROM all_docs d JOIN ex USING (doc_id)),
-         |${DedupQueries.bandsCtesFor("s1")},
-         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-         |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
-         |  UNION ALL SELECT id_b, id_a FROM pairs),
-         |walk(src, dst) AS (
-         |  SELECT src, dst FROM sym
-         |  UNION
-         |  SELECT w.src, s.dst FROM walk w JOIN sym s ON w.dst = s.src),
-         |labels AS (SELECT src AS id, least(src, min(dst)) AS label
-         |  FROM walk GROUP BY src),
-         |members AS (SELECT l.label, d.doc_id, d.text, d.source,
-         |    CAST(length(d.text) AS BIGINT) AS n_chars
-         |  FROM labels l JOIN s1 d ON l.id = d.doc_id),
-         |winners AS (SELECT doc_id, text, source FROM (
-         |    SELECT doc_id, text, source,
-         |      row_number() OVER (PARTITION BY label ORDER BY n_chars DESC, doc_id ASC) AS rn
-         |    FROM members) WHERE rn = 1),
-         |s2 AS (SELECT doc_id, text, source FROM winners
-         |  UNION ALL
-         |  SELECT doc_id, text, source FROM s1
-         |  WHERE doc_id NOT IN (SELECT id FROM labels)),
-         |gs2 AS (SELECT doc_id,
-         |    list_distinct(${graft.functions.TextHashExpressions.bigramFoldSql("ws")}) AS gs
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM s2
-         |    WHERE $tokenExpr >= 2)),
-         |bgs AS (SELECT list(DISTINCT g) AS bg FROM (
-         |  SELECT unnest(list_distinct(${graft.functions.TextHashExpressions.bigramFoldSql("ws")})) AS g
-         |  FROM (SELECT string_split(text, ' ') AS ws FROM documents
-         |    WHERE doc_id % 100 = 0 AND $tokenExpr >= 2))),
-         |dropset AS (SELECT doc_id FROM gs2 CROSS JOIN bgs
-         |  WHERE len(list_intersect(gs, bg)) / CAST(len(gs) AS DOUBLE) >= $ContaminationTau),
-         |s3 AS (SELECT doc_id, text, source FROM s2
-         |  WHERE doc_id NOT IN (SELECT doc_id FROM dropset)),
-         |s4 AS (SELECT doc_id, text, source FROM (
-         |    SELECT doc_id, text, source,
-         |      CAST(length(text) AS BIGINT) AS n_chars,
-         |      CAST($tokenExpr AS BIGINT) AS n_words,
-         |      ${TextQueries.stopHitsSql} AS stop_hits
-         |    FROM (SELECT doc_id, text, source, ' ' || text || ' ' AS p FROM s3))
-         |  WHERE $passAll),
+         |$p01StageCtes,
          |sp AS (SELECT doc_id, source,
          |    CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val'
          |      ELSE 'test' END AS split,
@@ -330,8 +361,27 @@ object PipelineQueries {
          |  CAST(floor((c - n_tokens) / $ShardBudget) AS BIGINT) AS shard,
          |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
          |  min(doc_id) AS min_doc_id
-         |FROM cum GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
-    },
+         |FROM cum GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // every input doc's disposition: the CASE walks the stage
+    // relations in pipeline order (dropset ⊂ s2, so the contaminated
+    // arm is reachable only for stage-3 survivors of stages 1-2)
+    "p04_drop_audit" ->
+      s"""WITH RECURSIVE
+         |$p01StageCtes
+         |SELECT d.doc_id,
+         |  CASE WHEN m1.doc_id IS NULL THEN 'dup_exact'
+         |       WHEN m2.doc_id IS NULL THEN 'dup_near'
+         |       WHEN mf.doc_id IS NOT NULL THEN 'contaminated'
+         |       WHEN m4.doc_id IS NULL THEN 'low_quality'
+         |       ELSE 'kept' END AS disposition
+         |FROM all_docs d
+         |LEFT JOIN (SELECT doc_id FROM s1) m1 ON d.doc_id = m1.doc_id
+         |LEFT JOIN (SELECT doc_id FROM s2) m2 ON d.doc_id = m2.doc_id
+         |LEFT JOIN (SELECT doc_id FROM dropset) mf ON d.doc_id = mf.doc_id
+         |LEFT JOIN (SELECT doc_id FROM s4) m4 ON d.doc_id = m4.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
 
     // two-day incremental settle: day2's exact dedup anti-joins
     // against ALL of day1's fingerprints (g1 — including docs the
