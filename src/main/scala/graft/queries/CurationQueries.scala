@@ -27,6 +27,35 @@ object CurationQueries {
         .orderBy(col("dsir_score").desc, col("doc_id"))
     }),
 
+    // CCNet's perplexity bucketing in the deterministic t16 form: every
+    // doc scored by the corpus-trained bigram LM, then terciled per
+    // source by (mean_prob desc, id) — head = most in-distribution.
+    // CCNet trains on the head, studies the middle, drops the tail;
+    // this emits the per-(source, bucket) profile that decision reads.
+    // The ntile window totally orders within source, never globally.
+    "c17_perplexity_buckets" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, d, "documents")
+        .select("doc_id", "text", "source").where(col("text").isNotNull)
+      val scored = graft.ops.LangModel
+        .selfScore(docs.select("doc_id", "text"), "doc_id", "text")
+        .select(col("doc_id"), coalesce(col("mean_prob"), lit(0.0)).as("mp"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("mp").desc, col("doc_id"))
+      docs.select("doc_id", "source").join(scored, Seq("doc_id"))
+        .withColumn("terc", ntile(3).over(w))
+        .select(col("source"),
+          when(col("terc") === 1, "head").when(col("terc") === 2, "middle")
+            .otherwise("tail").as("ppl_bucket"),
+          col("doc_id"), col("mp"))
+        .groupBy("source", "ppl_bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_ids"),
+          min(col("mp")).as("min_mp"),
+          max(col("mp")).as("max_mp"))
+        .orderBy("source", "ppl_bucket")
+    }),
+
     // temperature-rebalanced source mixing (T = 2, sqrt — the IEEE-
     // exact exponent; see Curation.temperatureRates): per-source rates
     // toward a half-corpus target, hash-threshold keep, the rates
@@ -329,6 +358,29 @@ object CurationQueries {
     "(length(text) - length(replace(text, ' ', '')) + 1)"
 
   val oracles: Map[String, String] = Map(
+    // t16's LM chain (TextQueries.lmScoreCtes — identical model math)
+    // rebased onto an nn that carries source, then the same
+    // (mean_prob desc, id) tercile window per source
+    "c17_perplexity_buckets" ->
+      s"""WITH nn AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+         |  FROM documents WHERE text IS NOT NULL),
+         |${TextQueries.lmScoreCtes},
+         |mp AS (SELECT n.doc_id, n.source,
+         |    COALESCE(CASE WHEN s.n_bigrams > 0
+         |      THEN s.lm_score / CAST(s.n_bigrams AS DOUBLE) END,
+         |      CAST(0 AS DOUBLE)) AS mp
+         |  FROM (SELECT doc_id, source FROM nn) n
+         |  LEFT JOIN sc s ON n.doc_id = s.doc_id),
+         |t AS (SELECT source, doc_id, mp,
+         |    ntile(3) OVER (PARTITION BY source ORDER BY mp DESC, doc_id) AS terc
+         |  FROM mp)
+         |SELECT source,
+         |  CASE terc WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+         |    ELSE 'tail' END AS ppl_bucket,
+         |  count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+         |  min(mp) AS min_mp, max(mp) AS max_mp
+         |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // replays count → sqrt-share → source-sorted fold normalizer →
     // rate → hash-threshold keep with the identical association
     "c16_temperature_mix" ->

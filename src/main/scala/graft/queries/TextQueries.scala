@@ -484,10 +484,14 @@ object TextQueries {
     * tokenize (string_split), same smoothed division shape, same
     * position-ordered fold; t18 must land on the identical bytes.
     */
-  private val t16OracleSql: String =
-    """WITH nn AS (SELECT doc_id, string_split(text, ' ') AS ws
-        |  FROM documents WHERE text IS NOT NULL),
-        |uni AS (SELECT w1, count(*) AS cu
+  /** t16's self-trained bigram-LM CTE chain (uni → vocab → pairs →
+    * bi → probs → per-doc fold `sc`) over an `nn` relation the caller
+    * defines with at least (doc_id, ws). ONE definition shared by
+    * t16/t18's score oracle and c17's perplexity-bucket oracle, so the
+    * model math cannot drift between them.
+    */
+  private[queries] val lmScoreCtes: String =
+    """uni AS (SELECT w1, count(*) AS cu
         |  FROM (SELECT unnest(ws) AS w1 FROM nn) GROUP BY 1),
         |v AS (SELECT CAST(count(*) AS BIGINT) AS vocab FROM uni),
         |pp AS (SELECT doc_id, p.pos AS pos, p.w1 AS w1, p.w2 AS w2 FROM (
@@ -505,7 +509,12 @@ object TextQueries {
         |      list_transform(list_sort(list(struct_pack(p := pos, c := pr))),
         |        x -> x.c)), (a, b) -> a + b) AS lm_score,
         |    count(*) AS n_bigrams
-        |  FROM probs GROUP BY 1)
+        |  FROM probs GROUP BY 1)""".stripMargin
+
+  private val t16OracleSql: String =
+    s"""WITH nn AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |$lmScoreCtes
         |SELECT doc_id, COALESCE(n_bigrams, 0) AS n_bigrams,
         |  COALESCE(lm_score, CAST(0 AS DOUBLE)) AS lm_score,
         |  CASE WHEN COALESCE(n_bigrams, 0) > 0
