@@ -629,11 +629,13 @@ object Dedup {
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <=
         col("n") - expr(s"($tauNum * n + $tauDen - 1) div $tauDen") + 1)
-      .select("id", "tok")
+      .select("id", "tok", "rn", "n")
     // RUNTIME budget guard (the RangeJoin.maxBucketsPerInterval house
-    // pattern applied to the cost model above): the exact candidate
-    // volume Σ_tok C(df_among_prefixes, 2) is one cheap aggregate over
-    // the prefix relation — checked BEFORE the self-join so a
+    // pattern applied to the cost model above): the candidate volume
+    // Σ_tok C(df_among_prefixes, 2) — an upper bound now that the
+    // positional filter below prunes entries inside the join — is one
+    // cheap aggregate over the prefix relation, checked BEFORE the
+    // self-join so a
     // low-entropy corpus fails in seconds with a diagnosis instead of
     // discovering the quadratic regime as a multi-hour join. The
     // prefix relation is checkpointed first: the check, and then BOTH
@@ -659,8 +661,23 @@ object Dedup {
           "regime. Use minHashCandidatePairs (d02) or ngramJaccardPairs " +
           "(d04), raise tau, pass an order-sensitive tokenizer (shingle " +
           "hashes), or raise maxCandidatePairs.")
+    // PPJoin positional filter (Xiao et al. 2008), applied per prefix
+    // entry: total overlap ≤ (shared before this entry) + 1 +
+    // min(n_a − rn_a, n_b − rn_b), and at a pair's FIRST shared prefix
+    // token nothing is shared before it — so a pair that can reach
+    // jaccard τ (overlap ≥ α = ⌈τ(n_a+n_b)/(1+τ)⌉) always keeps at
+    // least that first entry, and pruning entries below the bound
+    // loses NO valid pair (integer form: α ≤ u ⟺ τnum·(n_a+n_b) ≤
+    // u·(τnum+τden)). The filter also subsumes the classic length
+    // filter (|a|,|b| within τ of each other). This cuts the verified
+    // candidate set, not just the joined rows: the d11 scale curve
+    // showed candidates growing superlinearly with corpus size, and
+    // most cross-size pairs die here instead of in the verify kernel.
     val cand = prefixCk.as("a").join(prefixCk.as("b"),
-        col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+          lit(tauNum) * (col("a.n") + col("b.n")) <=
+            (lit(1) + least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn"))) *
+              lit(tauNum + tauDen))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     val arrs = toks.groupBy("id").agg(sort_array(collect_list(col("tok"))).as("ts"))
