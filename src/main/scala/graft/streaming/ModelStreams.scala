@@ -60,18 +60,8 @@ object ModelStreams {
         val sc = batch.sparkSession.sparkContext
         val pinnedBefore = sc.getPersistentRDDs.keySet
         val b = batch.localCheckpoint(true)
-        try {
-          val m = LangModel.train(b, textCol)
-          m.uni.write.mode("overwrite")
-            .parquet(s"$modelDir/uni/batch_id=$batchId")
-          m.bi.write.mode("overwrite")
-            .parquet(s"$modelDir/bi/batch_id=$batchId")
-          val spark = b.sparkSession
-          import spark.implicits._
-          Seq(Tuple1(b.count())).toDF("n")
-            .write.mode("overwrite")
-            .parquet(s"$modelDir/stats/batch_id=$batchId")
-        } finally {
+        try writeLmPartials(b, textCol, modelDir, batchId)
+        finally {
           (sc.getPersistentRDDs.keySet -- pinnedBefore).foreach { id =>
             sc.getPersistentRDDs.get(id).foreach(_.unpersist(false))
           }
@@ -79,6 +69,28 @@ object ModelStreams {
         }
       }
       .start()
+
+  /** One batch's LM count partials, written in the stream layout
+    * (uni, bi, then the stats commit marker LAST). The per-batch body
+    * of [[lmStream]], exposed so composed flows — e.g.
+    * [[PipelineStreams.incrementalCurateWithModel]], which trains on
+    * each batch's curated SURVIVORS — reuse the exact same layout and
+    * commit protocol.
+    */
+  def writeLmPartials(batch: DataFrame, textCol: String, modelDir: String,
+      batchId: Long): Unit = {
+    val m = LangModel.train(batch, textCol)
+    m.uni.write.mode("overwrite")
+      .parquet(s"$modelDir/uni/batch_id=$batchId")
+    m.bi.write.mode("overwrite")
+      .parquet(s"$modelDir/bi/batch_id=$batchId")
+    val spark = batch.sparkSession
+    import spark.implicits._
+    Seq(Tuple1(batch.count())).toDF("n")
+      .write.mode("overwrite")
+      .parquet(s"$modelDir/stats/batch_id=$batchId")
+    ()
+  }
 
   /** Start DSIR bucket-model maintenance: per batch, one tokenize pass
     * into the (bucket, cr, ct) partial. `isTargetCol` is a boolean

@@ -141,6 +141,46 @@ object PipelineStreams {
       }
       .start()
 
+  /** [[incrementalCurate]] composed with streaming LM maintenance:
+    * after each batch settles, the batch's curated SURVIVORS train
+    * that batch's LM count partials ([[ModelStreams.writeLmPartials]],
+    * same layout/commit protocol as `lmStream`) — so the corpus-quality
+    * model only ever sees text that passed dedup, decontamination, and
+    * the quality gate (training the perplexity model on rejects skews
+    * it toward exactly the text you filter). The model write happens
+    * AFTER the state write inside the same idempotent batch, so a
+    * retried batch replaces both; `ModelStreams.loadModel(modelDir)`
+    * is then always the model of everything curated so far.
+    */
+  def incrementalCurateWithModel(docs: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String,
+      stateDir: String, outDir: String, modelDir: String,
+      checkpointDir: String,
+      contaminationTau: Double = 0.5): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.localCheckpoint(true)
+        try {
+          val hist = fingerprints(spark, stateDir)
+            .where(col("batch_id") < batchId)
+            .select("fingerprint")
+          val (cur, newFp) =
+            settleBatch(b, benchmark, hist, idCol, textCol, contaminationTau)
+          // the curated batch feeds TWO writers (the output dir and the
+          // LM trainer's tokenize pass) — pin it once
+          val curCk = cur.localCheckpoint(true)
+          try {
+            curCk.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+            newFp.write.mode("overwrite").parquet(s"$stateDir/batch_id=$batchId")
+            ModelStreams.writeLmPartials(
+              curCk.select(col(idCol), col(textCol)), textCol, modelDir, batchId)
+          } finally { curCk.unpersist(); () }
+        } finally { b.unpersist(); () }
+      }
+      .start()
+
   /** All fingerprints ever settled, with their `batch_id` partition
     * column; empty (with the right schema) before the first batch.
     */
