@@ -124,6 +124,41 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental near-dup candidates — d09's settle pattern applied to
+    * the LSH index: `historyBands` is the persisted [[bandKeys]]
+    * relation of everything previously indexed (the index IS the
+    * state, like d09's fingerprint keys and t15's postings), and a new
+    * batch produces exactly the candidate pairs that TOUCH it —
+    * batch×history via one equi-join on the band bucket, plus
+    * batch×batch. History×history pairs are already known from prior
+    * runs and are never recomputed, so the per-batch cost is
+    * batch-sized band rows joining a bucket-partitioned index: refresh
+    * ∝ batch, the corpus never rescanned. Spec/oracle contract: equal
+    * to `minHashCandidatePairs(history ∪ batch)` restricted to pairs
+    * with at least one batch member (d16 states it as SQL).
+    *
+    * The caller appends the batch's band rows to the index afterwards
+    * (idempotent per-batch-id dirs — the [[graft.streaming]] layout);
+    * ids must be unique across history and batch (exact-dedup first).
+    */
+  def incrementalMinHashCandidates(historyBands: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    // two consumers (the probe join and the in-batch self-join) — one
+    // banding pass
+    val nb = bandKeys(batch, idCol, textCol).localCheckpoint(true)
+    val probe = nb.as("a").join(historyBands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+    val inBatch = nb.as("a").join(nb.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    probe.unionByName(inBatch).distinct()
+  }
+
   // --- near-dup clustering ---------------------------------------------------
 
   /** Partition-local union-find pre-contraction: each edge partition is

@@ -181,6 +181,31 @@ object DedupQueries {
     // would void DuckDB's NOT IN entirely (three-valued logic) while
     // Spark's anti join just never matches it — pin the semantics
     // rather than inherit the engines' disagreement.
+    // incremental LSH: the new batch probes the PERSISTED band-bucket
+    // index (batch x history via one bucket equi-join) plus itself —
+    // history x history pairs are already known and never recomputed,
+    // so the refresh is batch-sized (Dedup.incrementalMinHashCandidates;
+    // the d09 settle pattern applied to near-dup detection). Plants:
+    // +1M ids are mutated copies of HISTORY docs (only the index probe
+    // can find their pair), +2M ids are mutated copies of batch docs
+    // (the in-batch self-join must find them).
+    "d16_incremental_lsh" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+        .where(col("text").isNotNull)
+      requireDisjointShift(docs, "doc_id", 1000000L)
+      val hist = docs.where(col("doc_id") % 3 =!= 0)
+      val batch = docs.where(col("doc_id") % 3 === 0)
+        .unionByName(hist.where(col("doc_id") % 10 === 1)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" spark")).as("text")))
+        .unionByName(docs.where(col("doc_id") % 3 === 0 && col("doc_id") % 10 === 2)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(" spark")).as("text")))
+      Dedup.incrementalMinHashCandidates(
+          Dedup.bandKeys(hist, "doc_id", "text"), batch, "doc_id", "text")
+        .orderBy("id_a", "id_b")
+    }),
+
     "d09_incremental_dedup" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents").select("doc_id", "text")
         .where(col("text").isNotNull)
@@ -372,6 +397,29 @@ object DedupQueries {
     "d02_minhash_lsh" ->
       s"""WITH $minhashPairsCtes
          |SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b""".stripMargin,
+
+    // the full corpus's pair relation restricted to pairs touching the
+    // batch == (batch x history) ∪ (batch x batch) — exactly what the
+    // incremental probe computes without rescanning history
+    "d16_incremental_lsh" ->
+      s"""WITH nn AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+         |hist AS (SELECT doc_id, text FROM nn WHERE doc_id % 3 <> 0),
+         |batch AS (SELECT doc_id, text FROM nn WHERE doc_id % 3 = 0
+         |  UNION ALL SELECT doc_id + 1000000, text || ' spark' FROM hist
+         |    WHERE doc_id % 10 = 1
+         |  UNION ALL SELECT doc_id + 2000000, text || ' spark' FROM nn
+         |    WHERE doc_id % 3 = 0 AND doc_id % 10 = 2),
+         |all2 AS (SELECT doc_id, text FROM hist
+         |  UNION ALL SELECT doc_id, text FROM batch),
+         |${bandsCtesFor("all2")},
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |      AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b FROM pairs
+         |WHERE id_a IN (SELECT doc_id FROM batch)
+         |   OR id_b IN (SELECT doc_id FROM batch)
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "d09_incremental_dedup" ->
       """WITH nn AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
