@@ -75,8 +75,10 @@ object Plans {
     // over the oriented edge relation)
     "p03_targeted_selection", "g02_triangle_count",
     // round 6: g04 path-doubling closure (log₂ checkpointed doubling
-    // rounds — closure⋈pointer equi-joins, no cartesian, no distinct)
-    "g04_deep_closure")
+    // rounds — closure⋈pointer equi-joins, no cartesian, no distinct),
+    // p04 disposition audit (stages 1-4 + id-sized marker joins),
+    // d16 incremental LSH (batch bands probe the persisted index)
+    "g04_deep_closure", "p04_drop_audit", "d16_incremental_lsh")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")
