@@ -143,6 +143,49 @@ object TextQueries {
         .orderBy("lang")
     }),
 
+    // trained linear classifier with EXACT integer training (ops
+    // .LinearModel): batch perceptron, lr 1, K epochs — weights,
+    // gradients and margins stay BIGINT end to end, so the trained
+    // model is bit-identical across engines and cluster topologies
+    // (float-gradient training is not). The oracle replays every epoch
+    // as a chained CTE over the same integer feature relation.
+    "t21_perceptron_classify" -> ((s, d) => {
+      val padded = concat(lit(" "), col("text"), lit(" "))
+      val feats = Tables.load(s, d, "documents")
+        .where(col("text").isNotNull && col("lang").isNotNull)
+        .select(col("doc_id") +:
+          when(col("lang") === "en", 1L).otherwise(-1L).as("y") +:
+          PerceptronMarkers.zipWithIndex.map { case (m, i) =>
+            TextAnalysis.occurrencesLit(padded, m).as(s"x${i + 1}")
+          }: _*)
+        .localCheckpoint(true) // every epoch + the scoring pass re-scan
+      val featCols = PerceptronMarkers.indices.map(i => s"x${i + 1}")
+      val w = graft.ops.LinearModel.perceptronTrain(
+        feats, featCols, "y", PerceptronEpochs)
+      graft.ops.LinearModel.perceptronScore(feats, featCols, "y", w)
+        .select("doc_id", "y", "margin", "predicted", "correct")
+        .orderBy("doc_id")
+    }),
+
+    // closed-form OLS via exact integer normal equations (ops
+    // .LinearModel.olsFit): the five sums are one map-side-combined
+    // aggregate, Cramer's rule stays in long arithmetic, and only the
+    // final divisions are IEEE doubles in a fixed shape the oracle
+    // restates — the heuristic-score calibration a curation pipeline
+    // runs (fit expected token count from char count, flag outliers by
+    // residual).
+    "t22_ols_residuals" -> ((s, d) => {
+      val data = Tables.load(s, d, "documents")
+        .where(col("text").isNotNull)
+        .select(col("doc_id"), col("n_chars"),
+          TextAnalysis.wsTokenCount(col("text")).as("n_words"))
+        .localCheckpoint(true) // two passes: the fit, then residuals
+      val (a, b) = graft.ops.LinearModel.olsFit(data, "n_chars", "n_words")
+      graft.ops.LinearModel.olsResiduals(data, "n_chars", "n_words", a, b)
+        .select("doc_id", "n_chars", "n_words", "pred", "residual")
+        .orderBy("doc_id")
+    }),
+
     "t01_token_stats" -> ((s, d) => {
       Tables.load(s, d, "documents")
         .select(col("lang"),
@@ -386,6 +429,38 @@ object TextQueries {
       "stopword" -> s"stop_hits * $RuleStopDen < n_words * $RuleStopNum")
   }
 
+  /** t21's integer feature set — padded marker-occurrence counts —
+    * single-sourced into the Spark exprs AND the oracle SQL so the two
+    * engines cannot drift on what the model sees. x0 is the implicit
+    * bias (always 1); x1.. are these markers in order.
+    */
+  private val PerceptronMarkers: Seq[String] =
+    Seq(" the ", " and ", " la ", " und ")
+  private val PerceptronEpochs = 3
+
+  private def pOccSql(m: String): String =
+    s"CAST((length(p) - length(replace(p, '$m', ''))) / ${m.length} AS BIGINT)"
+  private val perceptronFeatSelects: String =
+    PerceptronMarkers.zipWithIndex.map { case (m, i) =>
+      s"${pOccSql(m)} AS x${i + 1}"
+    }.mkString(",\n    ")
+  private val pMarginSql: String =
+    "w0 + " + PerceptronMarkers.indices
+      .map(i => s"w${i + 1} * x${i + 1}").mkString(" + ")
+  /** One perceptron epoch as SQL: the new weights are the old plus the
+    * misclassified-gradient integer sums, grouped on the (single-row)
+    * previous-epoch weights carried in by cross join.
+    */
+  private def pEpochSql(prev: String): String = {
+    val upd = (0 to PerceptronMarkers.size).map { j =>
+      val g = if (j == 0) "y" else s"y * x$j"
+      s"w$j + CAST(sum(CASE WHEN y * ($pMarginSql) <= 0" +
+        s" THEN $g ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS w$j"
+    }.mkString(",\n    ")
+    val grp = (0 to PerceptronMarkers.size).map(j => s"w$j").mkString(", ")
+    s"SELECT $upd\n  FROM f CROSS JOIN $prev GROUP BY $grp"
+  }
+
   private[queries] val stopHitsSql: String =
     TextAnalysis.stopwords.map(m =>
       s"CAST((length(p) - length(replace(p, '$m', ''))) / ${m.length} AS BIGINT)")
@@ -559,6 +634,55 @@ object TextQueries {
         |  CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE) AS oov_rate
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // every training epoch replayed as a chained CTE: new weights = old
+    // + the misclassified integer gradient sums; all BIGINT, so the
+    // engines agree exactly on the model, the margins and the labels
+    "t21_perceptron_classify" ->
+      s"""WITH f AS (SELECT doc_id,
+         |    CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT)
+         |         ELSE CAST(-1 AS BIGINT) END AS y,
+         |    $perceptronFeatSelects
+         |  FROM (SELECT doc_id, lang, ' ' || text || ' ' AS p FROM documents
+         |        WHERE text IS NOT NULL AND lang IS NOT NULL)),
+         |e0 AS (SELECT ${(0 to PerceptronMarkers.size)
+             .map(j => s"CAST(0 AS BIGINT) AS w$j").mkString(", ")}),
+         |e1 AS (${pEpochSql("e0")}),
+         |e2 AS (${pEpochSql("e1")}),
+         |e3 AS (${pEpochSql("e2")})
+         |SELECT doc_id, y,
+         |  $pMarginSql AS margin,
+         |  CASE WHEN $pMarginSql > 0 THEN CAST(1 AS BIGINT)
+         |       ELSE CAST(-1 AS BIGINT) END AS predicted,
+         |  (CASE WHEN $pMarginSql > 0 THEN CAST(1 AS BIGINT)
+         |        ELSE CAST(-1 AS BIGINT) END) = y AS correct
+         |FROM f CROSS JOIN e3 ORDER BY doc_id""".stripMargin,
+
+    // the normal-equation sums stay integer; slope/intercept/pred/
+    // residual restate the operator's fixed double shapes verbatim
+    "t22_ols_residuals" ->
+      """WITH f AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1
+        |      AS BIGINT) AS n_words
+        |  FROM documents WHERE text IS NOT NULL),
+        |sums AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(n_chars) AS BIGINT) AS sx,
+        |    CAST(sum(n_words) AS BIGINT) AS sy,
+        |    CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx,
+        |    CAST(sum(n_chars * n_words) AS BIGINT) AS sxy
+        |  FROM f),
+        |m AS (SELECT
+        |    CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+        |    n, sx, sy FROM sums),
+        |m2 AS (SELECT slope,
+        |    (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+        |      / CAST(n AS DOUBLE) AS intercept FROM m)
+        |SELECT doc_id, n_chars, n_words,
+        |  intercept + slope * CAST(n_chars AS DOUBLE) AS pred,
+        |  CAST(n_words AS DOUBLE)
+        |    - (intercept + slope * CAST(n_chars AS DOUBLE)) AS residual
+        |FROM f CROSS JOIN m2 ORDER BY doc_id""".stripMargin,
 
     "t16_bigram_lm_score" -> t16OracleSql,
     // merged == direct, hash-proven by the shared oracle
