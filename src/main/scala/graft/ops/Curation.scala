@@ -29,6 +29,56 @@ object Curation {
       .otherwise(lit("test"))
   }
 
+  /** GPT-style training-sequence packing — concat-and-chunk: documents
+    * in global `idCol` order are conceptually concatenated into one
+    * token stream and cut into fixed `ctxLen` windows; every token
+    * position belongs to exactly one pack, and a document may SPAN
+    * pack boundaries (unlike [[packShards]], which assigns whole docs
+    * to a shard per group). Returns per-document
+    * (n_tokens, start_off, pack_first, pack_last, n_packs) — the
+    * layout a sequence-packing data loader materializes.
+    *
+    * The global running sum is computed the 100 TB way: a naive
+    * `Window.orderBy(id)` with no partition funnels the corpus into
+    * ONE task, so instead the cumsum is two-pass — (1) an intra-granule
+    * window partitioned by granule = floor(id/`granule`) (monotone in
+    * id, so granule order IS id order; distributed), and (2) a prefix
+    * sum over the per-granule TOTALS (a rows/granule-sized relation —
+    * the only global window runs over that tiny table) broadcast back.
+    * This is the per-partition-offsets pattern every distributed scan
+    * uses, stated declaratively so Catalyst still prunes/pushes.
+    *
+    * Ids must be unique non-null (the order tiebreak and the granule
+    * math both assume it); token counts must be ≥ 0. Long cumsum is
+    * exact; pack ids are floor divisions of exact nonneg longs.
+    */
+  def sequencePack(docs: DataFrame, idCol: String, tokens: Column,
+      ctxLen: Long, granule: Long = 1024L): DataFrame = {
+    require(ctxLen > 0 && granule > 0,
+      s"ctxLen and granule must be positive (got $ctxLen, $granule)")
+    val base = docs.withColumn("n_tokens", tokens)
+      .withColumn("__g", floor(col(idCol) / granule).cast("long"))
+    val intra = Window.partitionBy(col("__g")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gTotals = base.groupBy(col("__g"))
+      .agg(sum(col("n_tokens")).as("__gt"))
+    val gw = Window.orderBy(col("__g"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val gOffsets = gTotals
+      .withColumn("__goff", coalesce(sum(col("__gt")).over(gw), lit(0L)))
+      .select(col("__g"), col("__goff"))
+    base
+      .withColumn("__ic", sum(col("n_tokens")).over(intra))
+      .join(broadcast(gOffsets), Seq("__g"))
+      .withColumn("start_off", col("__goff") + col("__ic") - col("n_tokens"))
+      .withColumn("pack_first",
+        floor(col("start_off") / ctxLen).cast("long"))
+      .withColumn("pack_last",
+        floor((col("__goff") + col("__ic") - 1) / ctxLen).cast("long"))
+      .withColumn("n_packs", col("pack_last") - col("pack_first") + 1)
+      .drop("__g", "__ic", "__goff")
+  }
+
   /** Token-budget shard packing: within each `packKey` group (e.g.
     * source/domain), documents in `orderCol` order are packed
     * sequentially into shards of ~`budget` tokens — shard id = the

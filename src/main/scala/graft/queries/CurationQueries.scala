@@ -56,6 +56,25 @@ object CurationQueries {
         .orderBy("source", "ppl_bucket")
     }),
 
+    // GPT-style concat-and-chunk sequence packing (Curation
+    // .sequencePack): the corpus as one token stream cut into fixed
+    // 4096-token context windows, docs spanning boundaries — per-doc
+    // stream offsets and pack span, computed via the distributed
+    // two-pass cumsum (intra-granule window + broadcast granule
+    // prefix offsets), never a single global window. The oracle states
+    // the same quantity as one plain global cumsum — hash-matching
+    // PROVES the two-pass decomposition equals the naive global scan.
+    "c18_sequence_packing" -> ((s, d) => {
+      Curation.sequencePack(
+          Tables.load(s, d, "documents").select("doc_id", "text")
+            .where(col("text").isNotNull),
+          "doc_id", TextAnalysis.wsTokenCount(col("text")),
+          ctxLen = 4096L, granule = 64L)
+        .select("doc_id", "n_tokens", "start_off",
+          "pack_first", "pack_last", "n_packs")
+        .orderBy("doc_id")
+    }),
+
     // temperature-rebalanced source mixing (T = 2, sqrt — the IEEE-
     // exact exponent; see Curation.temperatureRates): per-source rates
     // toward a half-corpus target, hash-threshold keep, the rates
@@ -358,6 +377,23 @@ object CurationQueries {
     "(length(text) - length(replace(text, ' ', '')) + 1)"
 
   val oracles: Map[String, String] = Map(
+    // ONE naive global running sum — the semantic spec the operator's
+    // two-pass distributed cumsum must (and does) reproduce exactly
+    "c18_sequence_packing" ->
+      s"""WITH t AS (SELECT doc_id, CAST($tokenExpr AS BIGINT) AS n_tokens
+         |  FROM documents WHERE text IS NOT NULL),
+         |cum AS (SELECT doc_id, n_tokens,
+         |    sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+         |  FROM t)
+         |SELECT doc_id, n_tokens,
+         |  CAST(c - n_tokens AS BIGINT) AS start_off,
+         |  CAST(floor((c - n_tokens) / 4096) AS BIGINT) AS pack_first,
+         |  CAST(floor((c - 1) / 4096) AS BIGINT) AS pack_last,
+         |  CAST(floor((c - 1) / 4096) - floor((c - n_tokens) / 4096)
+         |    + 1 AS BIGINT) AS n_packs
+         |FROM cum ORDER BY doc_id""".stripMargin,
+
     // t16's LM chain (TextQueries.lmScoreCtes — identical model math)
     // rebased onto an nn that carries source, then the same
     // (mean_prob desc, id) tercile window per source

@@ -276,4 +276,24 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       again.collect().map(_.getLong(0)).toSet)
     assert(kept.where(col("source") === "B").count() === 10) // rate 1.0 keeps all
   }
+
+  test("sequencePack: granule size never changes the packing (two-pass cumsum == global scan)") {
+    import spark.implicits._
+    // irregular ids (gaps, non-aligned) and token counts crossing the
+    // ctx boundary mid-doc; ctx 10 so spans are exercised
+    val docs = Seq((1L, 3L), (2L, 9L), (5L, 12L), (7L, 1L), (100L, 4L),
+      (101L, 10L), (203L, 7L)).toDF("id", "nt")
+    def packed(g: Long) =
+      Curation.sequencePack(docs, "id", col("nt"), ctxLen = 10L, granule = g)
+        .select("id", "n_tokens", "start_off", "pack_first", "pack_last", "n_packs")
+        .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].longValue)
+    val base = packed(1L) // every doc its own granule: pure prefix path
+    assert(packed(3L) === base)
+    assert(packed(1024L) === base) // one granule: pure intra-window path
+    // hand-check the spans: doc 2 (start 3, 9 tokens) crosses pack 0->1;
+    // doc 5 (start 12, 12 tokens) spans packs 1..2
+    val byId = base.map(r => r.head -> (r(2), r(3), r(4), r(5))).toMap
+    assert(byId(2L) === ((3L, 0L, 1L, 2L)))
+    assert(byId(5L) === ((12L, 1L, 2L, 2L)))
+  }
 }
