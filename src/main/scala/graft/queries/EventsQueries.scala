@@ -277,6 +277,42 @@ object EventsQueries {
         .agg(count(lit(1)).as("n_active_users"))
         .orderBy("cohort_week_us", "week_offset")
     }),
+
+    // classic RFM segmentation: recency (days from the corpus anchor
+    // date to the user's last event — integer), frequency (event
+    // count), monetary (integer cents — the e01 idiom), terciled by
+    // ntile with a user_id tiebreak so the tiles are a total order.
+    // Scale shape: events aggregate to the USER-level relation first
+    // (map-side combined), so the ntile windows sort users, never
+    // events — orders of magnitude smaller; at extreme user counts the
+    // same scores come from an approx-quantile threshold join instead
+    // (q23's percentile machinery), stated here.
+    "e14_rfm_segments" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.load(s, d, "events")
+        .where(col("user_id").isNotNull && col("ts").isNotNull)
+      val anchor = ev.agg(max(to_date(col("ts"))).as("__anchor"))
+      val rfm = ev.groupBy("user_id")
+        .agg(max(to_date(col("ts"))).as("__last"),
+          count(lit(1)).as("frequency"),
+          coalesce(sum(round(col("value") * 100.0).cast("long")), lit(0L))
+            .as("monetary_cents"))
+        .crossJoin(broadcast(anchor))
+        .withColumn("recency_days",
+          datediff(col("__anchor"), col("__last")).cast("long"))
+        .drop("__anchor", "__last")
+      val rW = Window.orderBy(col("recency_days").asc, col("user_id"))
+      val fW = Window.orderBy(col("frequency").desc, col("user_id"))
+      val mW = Window.orderBy(col("monetary_cents").desc, col("user_id"))
+      rfm.withColumn("r", ntile(3).over(rW).cast("long"))
+        .withColumn("f", ntile(3).over(fW).cast("long"))
+        .withColumn("m", ntile(3).over(mW).cast("long"))
+        .withColumn("segment", concat(col("r").cast("string"),
+          col("f").cast("string"), col("m").cast("string")))
+        .select("user_id", "recency_days", "frequency", "monetary_cents",
+          "r", "f", "m", "segment")
+        .orderBy("user_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -451,5 +487,29 @@ object EventsQueries {
         |  count(*) AS n_active_users
         |FROM cohorts JOIN activity USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "e14_rfm_segments" ->
+      """WITH ev AS (SELECT user_id, ts, value FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |anchor AS (SELECT max(CAST(ts AS DATE)) AS ad FROM ev),
+        |rfm AS (SELECT user_id,
+        |    CAST(date_diff('day', max(CAST(ts AS DATE)), ad) AS BIGINT)
+        |      AS recency_days,
+        |    count(*) AS frequency,
+        |    CAST(COALESCE(sum(CAST(round(value * 100.0) AS BIGINT)), 0)
+        |      AS BIGINT) AS monetary_cents
+        |  FROM ev CROSS JOIN anchor GROUP BY user_id, ad),
+        |sc AS (SELECT user_id, recency_days, frequency, monetary_cents,
+        |    CAST(ntile(3) OVER (ORDER BY recency_days, user_id)
+        |      AS BIGINT) AS r,
+        |    CAST(ntile(3) OVER (ORDER BY frequency DESC, user_id)
+        |      AS BIGINT) AS f,
+        |    CAST(ntile(3) OVER (ORDER BY monetary_cents DESC, user_id)
+        |      AS BIGINT) AS m
+        |  FROM rfm)
+        |SELECT user_id, recency_days, frequency, monetary_cents, r, f, m,
+        |  CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
+        |    AS segment
+        |FROM sc ORDER BY user_id""".stripMargin,
   )
 }

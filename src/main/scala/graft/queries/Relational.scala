@@ -753,6 +753,35 @@ object Relational {
     // forward in event order — the sensor/telemetry imputation pattern,
     // via last(_, ignoreNulls) over a running frame. The mask derives
     // deterministically from the data (error events report no value).
+    // robust outlier detection: per-priority median + MAD (median
+    // absolute deviation) over integer-cent prices — medians of
+    // integer-valued doubles interpolate to half/quarter-integers,
+    // all exactly representable, so the robust z-flag comparison is
+    // engine-exact with NO transcendentals (the classic mean±k·stddev
+    // rule needs sqrt; MAD doesn't, and resists the very outliers it
+    // hunts). Two grouped exact percentiles + one counted flag; at
+    // 100 TB the same shape runs on approx_percentile with a stated
+    // tolerance (q29's sketch) — the groups parallelize either way.
+    "q50_robust_outliers" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .select(col("o_orderpriority").as("grp"),
+          cents(col("o_totalprice")).cast("double").as("cents"))
+      val med = o.groupBy("grp")
+        .agg(expr("percentile(cents, 0.5)").as("median_cents"))
+      val dev = o.join(med, Seq("grp"))
+        .withColumn("dev", abs(col("cents") - col("median_cents")))
+      val mad = dev.groupBy("grp")
+        .agg(expr("percentile(dev, 0.5)").as("mad_cents"))
+      dev.join(mad, Seq("grp"))
+        .groupBy(col("grp").as("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("median_cents")).as("median_cents"),
+          min(col("mad_cents")).as("mad_cents"),
+          sum(when(col("dev") > lit(3.0) * col("mad_cents"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .orderBy("o_orderpriority")
+    }),
+
     "q49_forward_fill" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
@@ -1595,6 +1624,24 @@ object Relational {
     // avg is derived from the merged sum+count, never averaged across
     // batches. All sums are exact (integer cents; integral quantities
     // exact in double), so merged == direct hash-matches.
+    "q50_robust_outliers" ->
+      """WITH o AS (SELECT o_orderpriority AS grp,
+        |    CAST(CAST(round(o_totalprice * 100.0) AS BIGINT) AS DOUBLE)
+        |      AS cents FROM orders),
+        |med AS (SELECT grp, quantile_cont(cents, 0.5) AS median_cents
+        |  FROM o GROUP BY 1),
+        |dev AS (SELECT grp, cents, median_cents,
+        |    abs(cents - median_cents) AS dev
+        |  FROM o JOIN med USING (grp)),
+        |mad AS (SELECT grp, quantile_cont(dev, 0.5) AS mad_cents
+        |  FROM dev GROUP BY 1)
+        |SELECT grp AS o_orderpriority, count(*) AS n_orders,
+        |  min(median_cents) AS median_cents, min(mad_cents) AS mad_cents,
+        |  CAST(sum(CASE WHEN dev > 3.0 * mad_cents THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM dev JOIN mad USING (grp)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q49_forward_fill" ->
       """SELECT user_id, event_id, v_cents,
         |  last_value(v_cents IGNORE NULLS) OVER (
