@@ -87,6 +87,42 @@ object Similarity {
       planes: Array[Array[Long]]): DataFrame =
     bucketedTopK(corpus, queries, k, srpBucket(_, planes))
 
+  /** k-NN GRAPH construction: every corpus vector is a query, so this
+    * is [[bucketedTopK]]'s semantics with the one 100 TB-critical plan
+    * change — the query side is NOT broadcast (it IS the corpus); the
+    * candidate generation is a bucket-keyed equi-self-join, shuffling
+    * both sides on the LSH bucket. The k-NN graph feeds SemDeDup-style
+    * clustering, graph-based label propagation, and diversity pruning.
+    *
+    * Cost is Σ_buckets m² like every LSH self-join in this repo; the
+    * sign-bit bucket count (2^bits) is the knob, and d11's
+    * candidate-budget-guard pattern applies verbatim if a corpus
+    * collapses into few buckets (here the buckets are balanced by
+    * construction on the synthetic corpus; a production caller sizes
+    * `bits` to corpus/2^bits ≈ the per-bucket budget). Output:
+    * (node_id, rank, neighbor_id, cosine) with rank ≤ k per node,
+    * ties broken on neighbor id — nodes whose bucket holds no other
+    * vector emit no rows (stated: an isolated node has no k-NN edge).
+    */
+  def knnGraph(corpus: DataFrame, k: Int, bits: Int = 8): DataFrame = {
+    val base = corpus
+      .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .withColumn("bucket", signBucket(col("q"), bits))
+      .withColumn("norm", normSqQ(col("q")))
+      .localCheckpoint(true) // both sides of the self-join scan it
+    val c = base.select(col("vec_id").as("n_id"), col("q").as("n_q"),
+      col("bucket"), col("norm").as("n_norm"))
+    val q = base.select(col("vec_id").as("query_id"), col("q").as("q_q"),
+      col("bucket"), col("norm").as("q_norm"))
+    topKPerQuery(
+      q.join(c, Seq("bucket"))
+        .where(col("n_id") =!= col("query_id"))
+        .withColumn("cosine",
+          cosineQ(col("q_q"), col("n_q"), col("q_norm"), col("n_norm"))),
+      k)
+      .withColumnRenamed("query_id", "node_id")
+  }
+
   /** Quantized per-label centroids (the label column stands in for a
     * k-means assignment; same plumbing): (c_label, c_q, c_norm).
     */

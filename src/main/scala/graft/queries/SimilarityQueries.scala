@@ -74,6 +74,15 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // the k-NN GRAPH: every vector is a query, so the candidate stage
+    // is a bucket-keyed equi-SELF-join — no broadcast side exists (the
+    // s02 shape would ship the whole corpus to every executor). Feeds
+    // SemDeDup clustering / diversity pruning downstream.
+    "s15_knn_graph" -> ((s, d) => {
+      Similarity.knnGraph(Tables.load(s, d, "embeddings"), k = 3, bits = 8)
+        .orderBy("node_id", "rank")
+    }),
+
     // diversified retrieval: MMR re-rank of a 20-pool down to 5 picks
     // per query (0.5·rel − 0.5·max-sim-to-picked, ties by id). The
     // greedy trajectory is unrolled into the plan and replayed
@@ -511,6 +520,27 @@ object SimilarityQueries {
          |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
          |  FROM scored)
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    },
+
+    // s02's oracle with the query restriction dropped: all nodes rank
+    // their same-bucket neighbors
+    "s15_knn_graph" -> {
+      val bucket = (0 until 8).map { i =>
+        s"CASE WHEN q[${i + 1}] >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH $qCte,
+         |n AS (SELECT vec_id, q, $bucket AS bucket,
+         |    CAST(list_dot_product(q, q) AS BIGINT) AS norm FROM qv),
+         |scored AS (
+         |  SELECT qs.vec_id AS node_id, c.vec_id AS neighbor_id,
+         |    ${cosine("qs.q", "c.q", "qs.norm", "c.norm")} AS cosine
+         |  FROM n qs JOIN n c ON c.bucket = qs.bucket AND c.vec_id <> qs.vec_id)
+         |SELECT node_id, rank, neighbor_id, cosine FROM (
+         |  SELECT node_id, neighbor_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY node_id
+         |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM scored)
+         |WHERE rank <= 3 ORDER BY node_id, rank""".stripMargin
     },
 
     "s06_srp_lsh_topk" -> {

@@ -51,4 +51,28 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(out(0).getAs[Double]("mmr_score") == out(0).getAs[Double]("rel"))
     assert(out(2).getAs[Double]("mmr_score") < out(2).getAs[Double]("rel"))
   }
+
+  test("knnGraph edges stay within LSH buckets, rank top-k, and the plan never broadcasts the corpus") {
+    import spark.implicits._
+    // two sign-separated bucket families: +x-ish vectors and -x-ish
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.2f, 0f, 0f)), (2L, Array(1.0f, 0.1f, 0f, 0f)),
+      (3L, Array(0.9f, 0.3f, 0f, 0f)), (4L, Array(-1.0f, 0.2f, 0f, 0f)),
+      (5L, Array(-0.9f, 0.1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val g = Similarity.knnGraph(corpus, k = 2, bits = 2)
+    val edges = g.collect().map(r =>
+      (r.getAs[Long]("node_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // no cross-sign edge can exist (different sign buckets)
+    assert(edges.forall { case (a, b) => (a <= 3) == (b <= 3) })
+    // every node has a same-bucket peer, so every node emits edges
+    assert(g.select("node_id").distinct().count() === 5)
+    // rank bounded by k
+    assert(g.agg(max("rank")).head().getLong(0) <= 2)
+    // the self-join must be a shuffle equi-join on the bucket — a
+    // broadcast of the corpus side is the anti-pattern this operator
+    // exists to avoid (fine at 5 rows, fatal at 10^9)
+    val p = g.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
