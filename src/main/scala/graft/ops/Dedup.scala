@@ -159,6 +159,60 @@ object Dedup {
     probe.unionByName(inBatch).distinct()
   }
 
+  /** Incremental cluster maintenance — the settle pattern completed:
+    * given the PERSISTED label relation of everything clustered so far
+    * (`historyLabels`: (id, label), labels = component min ids, the
+    * [[connectedComponents]] invariant) and a batch's new candidate
+    * edges (from [[incrementalMinHashCandidates]]: every edge touches
+    * the batch), produce the updated label relation WITHOUT re-running
+    * CC over history. The algebra is union-find contraction lifted to
+    * relations: each new edge's endpoints are replaced by their current
+    * labels (batch nodes not in history lift to themselves), CC runs on
+    * that LABEL graph — batch-edge-sized, orders of magnitude smaller
+    * than the corpus graph — and the resulting old-label → new-label
+    * map joins back: history relabels by one broadcast-sized equi-join
+    * on `label` (only touched labels move), batch nodes take their
+    * mapped label or themselves. Because old labels are component
+    * minima, the label-graph minimum of a merged set IS the global
+    * minimum of the merged component, so the output is exactly
+    * `connectedComponents(allPairs(history ∪ batch))` — the d17 oracle
+    * states that equality over the full corpus.
+    *
+    * Nodes covered: history nodes ∪ batch edge endpoints (the same
+    * paired-nodes-only coverage the batch operator has; a batch doc
+    * with no candidate edge has no cluster to join). Refresh cost ∝
+    * batch edges; history×history never recomputes.
+    */
+  def incrementalClusters(historyLabels: DataFrame,
+      newEdges: DataFrame): DataFrame = {
+    val lifted = newEdges
+      .join(historyLabels.select(col("id").as("__ia"), col("label").as("__la")),
+        col("id_a") === col("__ia"), "left")
+      .join(historyLabels.select(col("id").as("__ib"), col("label").as("__lb")),
+        col("id_b") === col("__ib"), "left")
+      .select(coalesce(col("__la"), col("id_a")).as("la"),
+        coalesce(col("__lb"), col("id_b")).as("lb"))
+      .where(col("la") =!= col("lb"))
+      .select(least(col("la"), col("lb")).as("id_a"),
+        greatest(col("la"), col("lb")).as("id_b"))
+      .distinct()
+      // two consumers below (the remap join and batch-node labeling)
+      // plus the CC iteration — pin the lift once
+      .localCheckpoint(true)
+    val labelMap = connectedComponents(lifted)
+    val histUpdated = historyLabels
+      .join(labelMap.select(col("id").as("__ol"), col("label").as("__nl")),
+        col("label") === col("__ol"), "left")
+      .select(col("id"), coalesce(col("__nl"), col("label")).as("label"))
+    val batchNodes = newEdges.select(col("id_a").as("id"))
+      .unionByName(newEdges.select(col("id_b").as("id"))).distinct()
+      .join(historyLabels.select("id"), Seq("id"), "left_anti")
+    val batchLabeled = batchNodes
+      .join(labelMap.withColumnRenamed("label", "__bl"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__bl"), col("id")).as("label"))
+    histUpdated.unionByName(batchLabeled)
+  }
+
   // --- near-dup clustering ---------------------------------------------------
 
   /** Partition-local union-find pre-contraction: each edge partition is

@@ -206,6 +206,34 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // incremental CLUSTER maintenance (Dedup.incrementalClusters) over
+    // d16's corpus: history is clustered once (the persisted label
+    // state), the batch's probe edges update it via label-graph
+    // contraction — history×history never re-clusters. The oracle runs
+    // the DIRECT full-corpus CC walk: hash-match proves incremental ==
+    // direct, including batch edges that BRIDGE two history clusters.
+    "d17_incremental_clusters" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+        .where(col("text").isNotNull)
+      requireDisjointShift(docs, "doc_id", 1000000L)
+      val hist = docs.where(col("doc_id") % 3 =!= 0)
+      val batch = docs.where(col("doc_id") % 3 === 0)
+        .unionByName(hist.where(col("doc_id") % 10 === 1)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" spark")).as("text")))
+        .unionByName(docs.where(col("doc_id") % 3 === 0 && col("doc_id") % 10 === 2)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(" spark")).as("text")))
+      val histLabels = Dedup.connectedComponents(
+        Dedup.minHashCandidatePairs(hist, "doc_id", "text"))
+      val newEdges = Dedup.incrementalMinHashCandidates(
+        Dedup.bandKeys(hist, "doc_id", "text"), batch, "doc_id", "text")
+      Dedup.incrementalClusters(histLabels, newEdges)
+        .groupBy(col("label").as("canonical_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .orderBy("canonical_id")
+    }),
+
     "d09_incremental_dedup" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents").select("doc_id", "text")
         .where(col("text").isNotNull)
@@ -420,6 +448,35 @@ object DedupQueries {
          |WHERE id_a IN (SELECT doc_id FROM batch)
          |   OR id_b IN (SELECT doc_id FROM batch)
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // the DIRECT walk over d16's full corpus — what the incremental
+    // label-graph contraction must reproduce exactly
+    "d17_incremental_clusters" ->
+      s"""WITH RECURSIVE nn AS (SELECT doc_id, text FROM documents
+         |  WHERE text IS NOT NULL),
+         |hist AS (SELECT doc_id, text FROM nn WHERE doc_id % 3 <> 0),
+         |batch AS (SELECT doc_id, text FROM nn WHERE doc_id % 3 = 0
+         |  UNION ALL SELECT doc_id + 1000000, text || ' spark' FROM hist
+         |    WHERE doc_id % 10 = 1
+         |  UNION ALL SELECT doc_id + 2000000, text || ' spark' FROM nn
+         |    WHERE doc_id % 3 = 0 AND doc_id % 10 = 2),
+         |all2 AS (SELECT doc_id, text FROM hist
+         |  UNION ALL SELECT doc_id, text FROM batch),
+         |${bandsCtesFor("all2")},
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |      AND a.doc_id < b.doc_id),
+         |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |walk(src, dst) AS (
+         |  SELECT src, dst FROM sym
+         |  UNION
+         |  SELECT w.src, s.dst FROM walk w JOIN sym s ON w.dst = s.src),
+         |labels AS (SELECT src AS id, least(src, min(dst)) AS label
+         |  FROM walk GROUP BY src)
+         |SELECT label AS canonical_id, count(*) AS cluster_size
+         |FROM labels GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d09_incremental_dedup" ->
       """WITH nn AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),

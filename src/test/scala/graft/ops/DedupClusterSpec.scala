@@ -167,4 +167,31 @@ class DedupClusterSpec extends AnyFunSuite with SparkSpec {
     }
     assert(count(dir) > 1)
   }
+
+  test("incrementalClusters: a batch edge bridging two history clusters merges them to the global min") {
+    import spark.implicits._
+    // history: {1,2} and {5,6} (labels 1 and 5); batch node 9 bridges
+    // both, batch pair (10,11) forms a fresh cluster, node 20 has an
+    // edge into {1,2} only
+    val histLabels = Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("id", "label")
+    val newEdges = Seq((2L, 9L), (6L, 9L), (10L, 11L), (1L, 20L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.incrementalClusters(histLabels, newEdges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // direct CC over (hist edges implied by labels) ∪ newEdges:
+    // {1,2,5,6,9,20} all reach min 1; {10,11} labels 10
+    assert(got === Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L,
+      9L -> 1L, 20L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("incrementalClusters leaves untouched history clusters byte-identical") {
+    import spark.implicits._
+    val histLabels = Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("id", "label")
+    val newEdges = Seq((2L, 9L)).toDF("id_a", "id_b") // touches {1,2} only
+    val got = Dedup.incrementalClusters(histLabels, newEdges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
 }
