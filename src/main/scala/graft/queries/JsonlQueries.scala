@@ -31,6 +31,11 @@ object JsonlQueries {
     StructField("doc_id", LongType), StructField("text", StringType),
     StructField("source", StringType)))
 
+  private[queries] def csvDir(sfDir: String): String =
+    s"/tmp/graft_j02_corpus_${Paths.get(sfDir).getFileName}"
+  private[queries] def orcDir(sfDir: String): String =
+    s"/tmp/graft_j03_corpus_${Paths.get(sfDir).getFileName}"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j01_jsonl_roundtrip" -> ((s, d) => {
       val dir = corpusDir(d)
@@ -61,6 +66,51 @@ object JsonlQueries {
         .withColumn("n_corrupt", lit(nCorrupt))
         .orderBy("split", "source")
     }),
+
+    // CSV interchange round-trip: Spark WRITES RFC4180 CSV (escape set
+    // to '"' — Spark's backslash default is nonstandard and DuckDB
+    // would misparse it), a hostile probe row (comma, doubled quote,
+    // embedded newline) rides along to force the quoting paths, Spark
+    // reads its own files back multiLine, and the ORACLE parses the
+    // very same bytes with DuckDB's reader — per-row md5s prove the
+    // text survived both engines' CSV stacks byte-identically.
+    "j02_csv_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      val dir = csvDir(d)
+      val probe = Seq((-1L, "a,b \"quoted\" and\na second line", "probe"))
+        .toDF("doc_id", "text", "source")
+      Tables.load(s, d, "documents").select("doc_id", "text", "source")
+        .unionByName(probe)
+        .write.mode("overwrite")
+        .option("header", "true").option("escape", "\"")
+        .csv(dir)
+      s.read.schema(corpusSchema)
+        .option("header", "true").option("escape", "\"")
+        .option("multiLine", "true")
+        .csv(dir)
+        .select(col("doc_id"), col("source"), md5(col("text")).as("text_md5"),
+          length(col("text")).as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // ORC round-trip — the second columnar lake format (built into
+    // Spark): partitioned zstd ORC write, read back through the ORC
+    // scan (partition pruning + pushdown apply as with parquet). The
+    // oracle reads the ORIGINAL parquet — DuckDB has no ORC reader, so
+    // the hash-match proves the ORC write+read preserved every row and
+    // byte rather than reparsing the same file.
+    "j03_orc_roundtrip" -> ((s, d) => {
+      val dir = orcDir(d)
+      Tables.load(s, d, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").partitionBy("source")
+        .option("compression", "zstd")
+        .orc(dir)
+      s.read.orc(dir)
+        .select(col("doc_id"), col("source"), col("lang"),
+          md5(col("text")).as("text_md5"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** DuckDB reads the corpus Spark wrote (`read_json` over the same
@@ -89,5 +139,21 @@ object JsonlQueries {
          |  (SELECT n_corrupt FROM bad) AS n_corrupt
          |FROM parsed WHERE text IS NOT NULL
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // DuckDB parses the very CSV bytes Spark wrote: RFC4180 quoting
+    // (quote '"', escape '"'), quoted newlines on by default
+    "j02_csv_roundtrip" ->
+      s"""SELECT doc_id, source, md5(text) AS text_md5,
+         |  CAST(length(text) AS INTEGER) AS n_chars
+         |FROM read_csv('${csvDir(SfBaseToken)}/*.csv', header=true,
+         |  columns={doc_id: 'BIGINT', text: 'VARCHAR', source: 'VARCHAR'},
+         |  quote='"', escape='"')
+         |ORDER BY doc_id""".stripMargin,
+
+    // the original parquet restated — equality proves the ORC
+    // write+read preserved every row/byte (DuckDB has no ORC reader)
+    "j03_orc_roundtrip" ->
+      """SELECT doc_id, source, lang, md5(text) AS text_md5, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }
