@@ -150,6 +150,37 @@ object Multimodal {
         s" i -> substring(payload, (i - 1) * $strideBytes + 1, $strideBytes))")
         .as("frames"))
 
+  /** Keyframe stride sampling + per-frame content checksums: every
+    * `every`-th frame of the [[sampleFrames]] layout (frame = one
+    * `strideBytes` byte slice; a sub-stride payload is its own single
+    * frame), checksummed over its uppercase-hex rendering — the shared
+    * byte representation both engines state identically (the m05
+    * idiom; DuckDB's md5 is VARCHAR-only, so hex IS the portable byte
+    * view). This is the ffmpeg `-vf select=not(mod(n\,k))` shape: the
+    * skipped frames are never materialized — the generator emits only
+    * the sampled indexes, so the per-row work is (frames/every)
+    * substring+hash ops, not frames. Payload bytes never shuffle (the
+    * multimodal ground rule); output is (media_id, frame_idx,
+    * frame_md5, frame_len) exploded per sampled frame.
+    */
+  def keyframeChecksums(media: DataFrame, strideBytes: Int,
+      every: Int): DataFrame = {
+    require(strideBytes > 0 && every > 0,
+      s"strideBytes and every must be positive (got $strideBytes, $every)")
+    media
+      .select(col("media_id"), col("payload"),
+        explode(expr(
+          s"""transform(
+             |  sequence(0, (greatest(octet_length(payload) div $strideBytes, 1) - 1) div $every),
+             |  i -> i * $every)""".stripMargin)).as("frame_idx"))
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        md5(hex(expr(
+          s"substring(payload, frame_idx * $strideBytes + 1, $strideBytes)")))
+          .as("frame_md5"),
+        expr(s"octet_length(substring(payload, frame_idx * $strideBytes + 1, $strideBytes))")
+          .cast("long").as("frame_len"))
+  }
+
   /** Windowed audio-energy profile over a PCM8-shaped binary payload —
     * the voice-activity / silence-trim primitive of an audio pipeline,
     * on the engine's stub-payload convention (bytes ARE the samples;

@@ -63,6 +63,18 @@ object MultimodalQueries {
         .orderBy("media_id")
     }),
 
+    // keyframe stride sampling: every 3rd frame's CONTENT checksummed
+    // (md5 over the shared uppercase-hex byte view) — proves the
+    // sampled slices are byte-identical in both engines, not merely
+    // counted; skipped frames are never materialized
+    "m07_keyframe_checksums" -> ((s, d) => {
+      val media = Tables.load(s, d, "documents")
+        .select(col("doc_id").as("media_id"),
+          col("text").cast("binary").as("payload"))
+      Multimodal.keyframeChecksums(media, strideBytes = 100, every = 3)
+        .orderBy("media_id", "frame_idx")
+    }),
+
     // REAL codec round-trip: dimensions chosen arithmetically -> PNG
     // bytes encoded on executors (javax.imageio) -> decoded back by the
     // real ImageIo decoder. The oracle states the dimensions from
@@ -143,6 +155,21 @@ object MultimodalQueries {
          |SELECT media_id, greatest(n_bytes // 100, 1) AS n_frames,
          |  CASE WHEN n_bytes < 100 THEN n_bytes ELSE (n_bytes // 100) * 100 END AS frame_bytes
          |FROM d ORDER BY media_id""".stripMargin,
+
+    // frame bytes sliced out of the hex rendering (2 hex chars/byte);
+    // md5 over that hex string matches Spark's md5(hex(frame))
+    "m07_keyframe_checksums" ->
+      """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hxp,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |f AS (SELECT media_id, hxp, greatest(n_bytes // 100, 1) AS n FROM m),
+        |k AS (SELECT media_id, hxp, (i - 1) * 3 AS fi FROM f,
+        |  unnest(generate_series(1, ((n - 1) // 3) + 1)) AS g(i))
+        |SELECT media_id, CAST(fi AS BIGINT) AS frame_idx,
+        |  md5(substr(hxp, fi * 200 + 1, 200)) AS frame_md5,
+        |  CAST(length(substr(hxp, fi * 200 + 1, 200)) // 2 AS BIGINT)
+        |    AS frame_len
+        |FROM k ORDER BY media_id, frame_idx""".stripMargin,
 
     "m04_imageio_roundtrip" ->
       """SELECT doc_id AS media_id,

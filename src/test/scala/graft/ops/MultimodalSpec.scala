@@ -78,4 +78,25 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       // single byte shorter than the window: one short window ("a")
       2L -> ((1L, 961L, 961L, 961.0))))
   }
+
+  test("keyframeChecksums samples every k-th frame with correct indices, lengths and content") {
+    import spark.implicits._
+    // 25-byte payload, stride 4 -> 6 full frames (tail byte dropped);
+    // every=2 samples frames 0, 2, 4. Sub-stride payload -> one frame.
+    val media = Seq((1L, "abcdefghijklmnopqrstuvwxy"), (2L, "xy"))
+      .toDF("media_id", "text")
+      .select(col("media_id"), col("text").cast("binary").as("payload"))
+    val out = Multimodal.keyframeChecksums(media, strideBytes = 4, every = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(out.map(t => (t._1, t._2, t._4)).toSeq ===
+      Seq((1L, 0L, 4L), (1L, 2L, 4L), (1L, 4L, 4L), (2L, 0L, 2L)))
+    // content: frame 2 of media 1 is bytes "ijkl"; its md5 is over the
+    // uppercase hex rendering (the engine-portable byte view)
+    val hexIjkl = "ijkl".getBytes("UTF-8").map("%02X".format(_)).mkString
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(hexIjkl.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out.find(t => t._1 == 1L && t._2 == 2L).get._3 === md)
+  }
 }
