@@ -78,7 +78,16 @@ object Plans {
     // rounds — closure⋈pointer equi-joins, no cartesian, no distinct),
     // p04 disposition audit (stages 1-4 + id-sized marker joins),
     // d16 incremental LSH (batch bands probe the persisted index)
-    "g04_deep_closure", "p04_drop_audit", "d16_incremental_lsh")
+    "g04_deep_closure", "p04_drop_audit", "d16_incremental_lsh",
+    // round 6 cont.: s15 k-NN graph (bucket-keyed LSH self-join — no
+    // broadcast side exists, both sides shuffle on the bucket), c18
+    // sequence packing (two-pass distributed cumsum: intra-granule
+    // windows + broadcast granule prefix offsets; the only global
+    // window is over the granule totals), t21 perceptron scoring
+    // (trained weights re-enter as literals — a codegen'd projection,
+    // zero joins; the d17 label-graph CC plan is RDD-materialized by
+    // the CC engine, so its gate lives in DedupClusterSpec instead)
+    "s15_knn_graph", "c18_sequence_packing", "t21_perceptron_classify")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")
