@@ -235,6 +235,39 @@ object Graph {
     * the [[pageRank]] linear-lineage rule). For depth ≫ 10 use
     * [[ancestorClosureDoubling]] (log₂ rounds).
     */
+  /** Multi-source BFS hop distances — the reachability/blast-radius
+    * view (how far does influence propagate from a seed set): every
+    * node's MINIMUM directed hop count from any seed, bounded by
+    * `maxDepth`. Level-synchronous frontier expansion — round d joins
+    * the frontier to the edge relation and anti-joins everything
+    * already labeled, so a node is claimed exactly once at its true
+    * minimum distance (the visited-set pruning that keeps the work
+    * per round ∝ NEW nodes, where a naive unrolled walk re-expands
+    * every path — exponential on diamond-shaped graphs). Frontier and
+    * accumulator checkpoint per round (the CC/closure discipline);
+    * rounds after the frontier empties cost empty joins only.
+    * Seeds not present in the graph surface at dist 0 (stated).
+    * Output: (id, dist long).
+    */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame,
+      maxDepth: Int = 8): DataFrame = {
+    require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    var dist = seeds.select(col("id")).distinct()
+      .select(col("id"), lit(0L).as("dist")).localCheckpoint(true)
+    var frontier = dist
+    for (d <- 1 to maxDepth) {
+      frontier = frontier.select(col("id").as("src"))
+        .join(e, Seq("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(dist.select("id"), Seq("id"), "left_anti")
+        .select(col("id"), lit(d.toLong).as("dist"))
+        .localCheckpoint(true)
+      dist = dist.unionByName(frontier).localCheckpoint(true)
+    }
+    dist
+  }
+
   def ancestorClosure(edges: DataFrame, maxDepth: Int = 8): DataFrame = {
     require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
     val e = edges.select(col("node"), col("parent")).localCheckpoint(true)

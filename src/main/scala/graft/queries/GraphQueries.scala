@@ -103,6 +103,21 @@ object GraphQueries {
           sum(col("node")).as("sum_nodes"),
           sum(col("ancestor")).as("sum_ancestors"))
         .orderBy("depth")
+    }),
+
+    // multi-source BFS: min directed hop distance from the seed users
+    // (id % 17 == 0) over the interaction chain graph, depth-bounded.
+    // Level-synchronous with visited-set pruning — each node is
+    // claimed once at its true minimum; the oracle's bounded
+    // recursive walk takes min(d) over all paths instead, so the
+    // hash-match proves the pruned BFS equals the exhaustive walk.
+    "g05_bfs_distances" -> ((s, d) => {
+      val seeds = Tables.load(s, d, "events")
+        .where(col("user_id").isNotNull && col("user_id") % 17 === 0)
+        .select(col("user_id").as("id")).distinct()
+      Graph.bfsDistances(edges(s, d), seeds, maxDepth = 3)
+        .select(col("id").as("user_id"), col("dist"))
+        .orderBy("user_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -180,5 +195,19 @@ object GraphQueries {
         |SELECT depth, count(*) AS n_pairs,
         |  CAST(sum(node) AS BIGINT) AS sum_nodes,
         |  CAST(sum(ancestor) AS BIGINT) AS sum_ancestors
-        |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // exhaustive bounded walk + min(d): what the visited-set-pruned
+    // level-synchronous BFS must equal
+    "g05_bfs_distances" ->
+      s"""WITH RECURSIVE $edgeCtes,
+         |seeds AS (SELECT DISTINCT user_id AS id FROM events
+         |  WHERE user_id IS NOT NULL AND user_id % 17 = 0),
+         |walk(id, d) AS (
+         |  SELECT id, 0::BIGINT FROM seeds
+         |  UNION ALL
+         |  SELECT e.dst, w.d + 1 FROM walk w JOIN e ON w.id = e.src
+         |  WHERE w.d < 3)
+         |SELECT id AS user_id, CAST(min(d) AS BIGINT) AS dist
+         |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin)
 }

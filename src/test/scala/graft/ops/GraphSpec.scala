@@ -128,4 +128,21 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       .orderBy("node").collect().map(_.toSeq)
     assert(got.toSeq === want.toSeq)
   }
+
+  test("bfsDistances: diamond paths resolve to the minimum, cycles terminate, bound respected") {
+    import spark.implicits._
+    // diamond 1->{2,3}->4 plus long way 1->5->6->4, a cycle 4->1, and
+    // an unreachable island 8->9; seeds = {1, 7} (7 isolated)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L), (5L, 6L), (6L, 4L), (4L, 1L), (8L, 9L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L, 7L).toDF("id")
+    val got = Graph.bfsDistances(edges, seeds, maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 4 is reached at 2 (via 2 or 3), never relabeled by the length-3
+    // path; the cycle back to 1 does not relabel 1; isolated seed 7
+    // surfaces at 0; island {8,9} is absent
+    assert(got === Map(1L -> 0L, 7L -> 0L, 2L -> 1L, 3L -> 1L,
+      5L -> 1L, 4L -> 2L, 6L -> 2L))
+  }
 }
