@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Curation, Dedup, Graph, Pipeline}
+import graft.ops.{Curation, Dedup, Graph, Pipeline, Similarity}
 import graft.sources.Tables
 
 /** Empirical scale-curve harness for the cost models SCALING.md
@@ -89,10 +89,24 @@ object ScaleStress {
     def report(op: String, scale: Int, sec: Double, rows: Long): Unit =
       println(s"""{"op":"$op","scale":$scale,"sec":$sec,"rows":$rows}""")
 
+    val emb0 = Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").localCheckpoint(true)
+    /** Copy i sign-flips dimension j of the first 8 iff bit j of i is
+      * set: the 8-bit sign bucket XORs with i, so copies land in
+      * disjoint buckets and bucket density is scale-invariant.
+      */
+    def inflateVecs(k: Int): DataFrame =
+      (0 until k).map { i =>
+        emb0.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+          expr(s"transform(embedding, (x, j) -> " +
+            s"IF(j < 8 AND ((($i) >> j) % 2) = 1, -x, x))").as("embedding"))
+      }.reduce(_ unionByName _)
+
     for (k <- scales) {
       val corpus = withMutations(inflateDocs(k)).localCheckpoint(true)
       val plain = inflateDocs(k).localCheckpoint(true)
       val events = inflateEvents(k).localCheckpoint(true)
+      val vecs = inflateVecs(k).localCheckpoint(true)
       // snapshot AFTER the corpus checkpoints: the sweep below must
       // release only what each op pinned, never the corpus itself
       // (df.rdd.id mints a NEW id, so comparing against it protects
@@ -119,7 +133,27 @@ object ScaleStress {
           Seq(col("event_type"), date_trunc("hour", col("ts"))),
           "user_id", "ts"), 5)),
         "p01" -> (() => Pipeline.curate(plain, emptyBench,
-          "doc_id", "text", "source", 0.5, 4096L)))
+          "doc_id", "text", "source", 0.5, 4096L)),
+        // incremental cluster maintenance: history = the base copy
+        // pre-clustered, batch = the mutated twins probing it — the
+        // claim under test is refresh ∝ batch, never history²
+        "d17" -> (() => {
+          val hist = corpus.where(col("doc_id") < 1000000000L)
+          val batch = corpus.where(col("doc_id") >= 1000000000L)
+          Dedup.incrementalClusters(
+            Dedup.connectedComponents(
+              Dedup.minHashCandidatePairs(hist, "doc_id", "text")),
+            Dedup.incrementalMinHashCandidates(
+              Dedup.bandKeys(hist, "doc_id", "text"),
+              batch, "doc_id", "text"))
+        }),
+        // k-NN graph: copies sign-flip the first 8 dims by the copy
+        // index, XOR-remapping the 8-bit sign bucket — copies occupy
+        // DISJOINT buckets, so density (and per-bucket m² cost) stays
+        // constant as k grows: the measured curve demonstrates the
+        // "size bits to corpus/2^bits" rule from the scaladoc instead
+        // of the k² blowup identical copies would fake
+        "s15" -> (() => Similarity.knnGraph(vecs, k = 3, bits = 8)))
 
       ops.foreach { case (op, build) =>
         // a guarded refusal (d11's candidate budget) is ITSELF a
@@ -139,6 +173,7 @@ object ScaleStress {
         System.gc()
       }
       corpus.unpersist(); plain.unpersist(); events.unpersist()
+      vecs.unpersist()
     }
 
     // the d11 budget guard: a low-entropy corpus (every doc the same

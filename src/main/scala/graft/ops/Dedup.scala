@@ -213,6 +213,64 @@ object Dedup {
     histUpdated.unionByName(batchLabeled)
   }
 
+  /** MinHash estimator accuracy, measured in-engine (d18): for every
+    * band-candidate pair, the Jaccard ESTIMATE (matching signature
+    * positions / signature length — the quantity LSH theory says
+    * concentrates around true Jaccard) next to the EXACT shingle-set
+    * Jaccard and the absolute error. This is the tuning view for the
+    * (bands, rows) knobs: the error distribution tells you whether the
+    * signature is long enough for the dedup threshold in force, BEFORE
+    * a 100 TB run commits to it — and it's fully deterministic (fixed
+    * hash permutations, rational arithmetic), so the oracle replays it
+    * bit-for-bit.
+    *
+    * One shingle pass feeds all three uses (signature, band pairs,
+    * exact sets — checkpointed); the exact intersect runs only on
+    * candidate pairs, never all pairs.
+    */
+  def minhashEstimateVsExact(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val sigLen = Bands * Rows
+    val base = docs
+      .select(col(idCol).as("id"), shingleHashes(col(textCol)).as("hs"))
+      .select(col("id"), minHashSignature(col("hs")).as("sig"),
+        array_distinct(col("hs")).as("st"))
+      .localCheckpoint(true)
+    val bands = array((0 until Bands).map { bi =>
+      struct(lit(bi).as("band_idx"),
+        concat_ws("_", (1 to Rows).map(r =>
+          element_at(col("sig"), bi * Rows + r)): _*).as("band_key"))
+    }: _*)
+    val bandRows = base.select(col("id"), explode(bands).as("b"))
+      .select(col("id"), col("b.band_idx"), col("b.band_key"))
+    val pairs = bandRows.as("a").join(bandRows.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val sa = base.select(col("id").as("id_a"), col("sig").as("sig_a"),
+      col("st").as("st_a"))
+    val sb = base.select(col("id").as("id_b"), col("sig").as("sig_b"),
+      col("st").as("st_b"))
+    pairs.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+      .withColumn("est_matches",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v))
+      .withColumn("inter",
+        size(array_intersect(col("st_a"), col("st_b"))).cast("long"))
+      .withColumn("na", size(col("st_a")).cast("long"))
+      .withColumn("nb", size(col("st_b")).cast("long"))
+      .select(col("id_a"), col("id_b"), col("est_matches"),
+        (col("est_matches").cast("double") / lit(sigLen.toDouble))
+          .as("est_jaccard"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"))
+          .as("exact_jaccard"))
+      .withColumn("est_error", abs(col("est_jaccard") - col("exact_jaccard")))
+  }
+
   // --- near-dup clustering ---------------------------------------------------
 
   /** Partition-local union-find pre-contraction: each edge partition is

@@ -139,4 +139,47 @@ object TextAnalysis {
   def rollingHash(text: Column): Column =
     aggregate(split(text, ""), lit(0L),
       (acc, ch) => (acc * 31 + ascii(ch)) % 1000000007L)
+
+  /** Token-distribution drift between two corpora (t23): per-token
+    * chi-square contribution against the pooled expectation — the
+    * train/serve (or yesterday/today) drift monitor every corpus
+    * pipeline runs before a model ships. No logs (the KL form needs
+    * `ln`, which isn't identically rounded across engines): chi-square
+    * is +, −, ×, ÷ on integer-derived doubles in a fixed shape, so the
+    * statistic is engine-exact, and it ranks drifted tokens the same
+    * way KL would for filtering purposes.
+    *
+    * Scale shape: two map-side-combined token counts, one full-outer
+    * merge on the token key (vocabulary-sized), two scalar totals, and
+    * a per-token projection; the only sort is the top-k window over
+    * the vocabulary relation. Counts merge algebraically across
+    * batches (the t18 rule), so the drift monitor is incrementally
+    * maintainable. Returns the k most drifted tokens:
+    * (w, o1, o2, chi2, rank), ties broken on the token.
+    */
+  def tokenDrift(a: DataFrame, b: DataFrame, textCol: String,
+      k: Int): DataFrame = {
+    def counts(df: DataFrame, name: String): DataFrame =
+      df.select(explode(split(col(textCol), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as(name))
+    val joined = counts(a, "o1").join(counts(b, "o2"), Seq("w"), "full_outer")
+      .select(col("w"), coalesce(col("o1"), lit(0L)).as("o1"),
+        coalesce(col("o2"), lit(0L)).as("o2"))
+      .localCheckpoint(true) // totals action + the scored pass
+    val tot = joined.agg(sum("o1"), sum("o2")).head()
+    val (n1, n2) = (tot.getLong(0), tot.getLong(1))
+    require(n1 > 0 && n2 > 0,
+      s"tokenDrift: both corpora must be non-empty (n1=$n1, n2=$n2)")
+    val t = (col("o1") + col("o2")).cast("double")
+    val e1 = t * lit(n1.toDouble) / lit((n1 + n2).toDouble)
+    val e2 = t * lit(n2.toDouble) / lit((n1 + n2).toDouble)
+    val o1d = col("o1").cast("double")
+    val o2d = col("o2").cast("double")
+    val chi2 = (o1d - e1) * (o1d - e1) / e1 + (o2d - e2) * (o2d - e2) / e2
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("chi2").desc, col("w"))
+    joined.withColumn("chi2", chi2)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
 }

@@ -234,6 +234,14 @@ object DedupQueries {
         .orderBy("canonical_id")
     }),
 
+    // estimator accuracy: the minhash Jaccard estimate vs the exact
+    // shingle-set Jaccard per candidate pair — the (bands, rows)
+    // tuning view, deterministic end to end
+    "d18_minhash_estimate" -> ((s, d) => {
+      Dedup.minhashEstimateVsExact(docsWithMutations(s, d), "doc_id", "text")
+        .orderBy("id_a", "id_b")
+    }),
+
     "d09_incremental_dedup" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents").select("doc_id", "text")
         .where(col("text").isNotNull)
@@ -448,6 +456,34 @@ object DedupQueries {
          |WHERE id_a IN (SELECT doc_id FROM batch)
          |   OR id_b IN (SELECT doc_id FROM batch)
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // signature-position matches from the m0..m15 columns; exact
+    // Jaccard from the distinct shingle-hash sets — same sh relation
+    "d18_minhash_estimate" -> {
+      val matchSum = (0 until Dedup.Bands * Dedup.Rows)
+        .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
+        .mkString("\n      + ")
+      s"""WITH $minhashPairsCtes,
+         |sets AS (SELECT doc_id, list_distinct(hs) AS st FROM sh),
+         |x AS (SELECT p.id_a AS id_a, p.id_b AS id_b,
+         |    CAST($matchSum AS BIGINT) AS est_matches,
+         |    CAST(length(list_intersect(s1.st, s2.st)) AS BIGINT) AS inter,
+         |    CAST(length(s1.st) AS BIGINT) AS na,
+         |    CAST(length(s2.st) AS BIGINT) AS nb
+         |  FROM pairs p
+         |  JOIN mh sa ON sa.doc_id = p.id_a
+         |  JOIN mh sb ON sb.doc_id = p.id_b
+         |  JOIN sets s1 ON s1.doc_id = p.id_a
+         |  JOIN sets s2 ON s2.doc_id = p.id_b)
+         |SELECT id_a, id_b, est_matches,
+         |  CAST(est_matches AS DOUBLE) / 16.0 AS est_jaccard,
+         |  CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE)
+         |    AS exact_jaccard,
+         |  abs(CAST(est_matches AS DOUBLE) / 16.0
+         |    - CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE))
+         |    AS est_error
+         |FROM x ORDER BY id_a, id_b""".stripMargin
+    },
 
     // the DIRECT walk over d16's full corpus — what the incremental
     // label-graph contraction must reproduce exactly

@@ -186,6 +186,20 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // corpus drift monitor: chi-square token-distribution divergence
+    // between the en slice and the rest (TextAnalysis.tokenDrift) —
+    // the top drifted tokens are the language markers, found by the
+    // statistic rather than hand-listed (t02's markers, rediscovered)
+    "t23_token_drift" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+        .select("lang", "text").where(col("text").isNotNull)
+      TextAnalysis.tokenDrift(
+          docs.where(col("lang") === "en"),
+          docs.where(col("lang") =!= "en"),
+          "text", k = 50)
+        .orderBy("rank")
+    }),
+
     "t01_token_stats" -> ((s, d) => {
       Tables.load(s, d, "documents")
         .select(col("lang"),
@@ -657,6 +671,40 @@ object TextQueries {
          |  (CASE WHEN $pMarginSql > 0 THEN CAST(1 AS BIGINT)
          |        ELSE CAST(-1 AS BIGINT) END) = y AS correct
          |FROM f CROSS JOIN e3 ORDER BY doc_id""".stripMargin,
+
+    // pooled-expectation chi-square in the same fixed double shape;
+    // totals enter via a cross-joined scalar CTE where Spark uses
+    // driver literals — identical values (long→double is exact)
+    "t23_token_drift" ->
+      """WITH ta AS (SELECT unnest(string_split(text, ' ')) AS w
+        |  FROM documents WHERE text IS NOT NULL AND lang = 'en'),
+        |tb AS (SELECT unnest(string_split(text, ' ')) AS w
+        |  FROM documents WHERE text IS NOT NULL AND lang <> 'en'),
+        |ca AS (SELECT w, count(*) AS o1 FROM ta GROUP BY 1),
+        |cb AS (SELECT w, count(*) AS o2 FROM tb GROUP BY 1),
+        |j AS (SELECT COALESCE(ca.w, cb.w) AS w,
+        |    CAST(COALESCE(o1, 0) AS BIGINT) AS o1,
+        |    CAST(COALESCE(o2, 0) AS BIGINT) AS o2
+        |  FROM ca FULL OUTER JOIN cb ON ca.w = cb.w),
+        |n AS (SELECT CAST(sum(o1) AS BIGINT) AS n1,
+        |    CAST(sum(o2) AS BIGINT) AS n2 FROM j),
+        |sc AS (SELECT w, o1, o2,
+        |    CAST(o1 + o2 AS DOUBLE) * CAST(n1 AS DOUBLE)
+        |      / CAST(n1 + n2 AS DOUBLE) AS e1,
+        |    CAST(o1 + o2 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |      / CAST(n1 + n2 AS DOUBLE) AS e2
+        |  FROM j CROSS JOIN n),
+        |x AS (SELECT w, o1, o2,
+        |    (CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1) / e1
+        |    + (CAST(o2 AS DOUBLE) - e2) * (CAST(o2 AS DOUBLE) - e2) / e2
+        |      AS chi2
+        |  FROM sc)
+        |SELECT w, o1, o2, chi2, rank FROM (
+        |  SELECT w, o1, o2, chi2,
+        |    CAST(row_number() OVER (ORDER BY chi2 DESC, w) AS BIGINT)
+        |      AS rank
+        |  FROM x)
+        |WHERE rank <= 50 ORDER BY rank""".stripMargin,
 
     // the normal-equation sums stay integer; slope/intercept/pred/
     // residual restate the operator's fixed double shapes verbatim
