@@ -753,6 +753,33 @@ object Relational {
     // forward in event order — the sensor/telemetry imputation pattern,
     // via last(_, ignoreNulls) over a running frame. The mask derives
     // deterministically from the data (error events report no value).
+    // declarative data-quality constraint suite (ops.QualityChecks —
+    // the Deequ/dbt-tests shape): uniqueness, not-null, referential
+    // integrity, accepted domains, range rules over the TPC-H core,
+    // one row per check. TPC-H is constraint-clean, so the planted
+    // expectations here are that violations are EXACTLY zero — any
+    // loader regression turns a cell nonzero and the hash breaks.
+    "q51_quality_checks" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val customer = t(s, d, "customer")
+      val lineitem = t(s, d, "lineitem")
+      graft.ops.QualityChecks.suite(Seq(
+        graft.ops.QualityChecks.notNull(orders,
+          Seq("o_orderkey", "o_custkey", "o_orderdate")),
+        graft.ops.QualityChecks.unique(orders, Seq("o_orderkey")),
+        graft.ops.QualityChecks.unique(lineitem,
+          Seq("l_orderkey", "l_linenumber")),
+        graft.ops.QualityChecks.foreignKey(orders, "o_custkey",
+          customer, "c_custkey"),
+        graft.ops.QualityChecks.foreignKey(lineitem, "l_orderkey",
+          orders, "o_orderkey"),
+        graft.ops.QualityChecks.accepted(orders, "o_orderstatus",
+          Seq("O", "F", "P")),
+        graft.ops.QualityChecks.inRange(orders, "o_totalprice",
+          0.0, 1000000.0)))
+        .orderBy("check", "target")
+    }),
+
     // robust outlier detection: per-priority median + MAD (median
     // absolute deviation) over integer-cent prices — medians of
     // integer-valued doubles interpolate to half/quarter-integers,
@@ -1624,6 +1651,55 @@ object Relational {
     // avg is derived from the merged sum+count, never averaged across
     // batches. All sums are exact (integer cents; integral quantities
     // exact in double), so merged == direct hash-matches.
+    "q51_quality_checks" ->
+      """SELECT * FROM (
+        |SELECT 'not_null' AS "check", 'o_orderkey' AS target,
+        |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS violations, count(*) AS total FROM orders
+        |UNION ALL
+        |SELECT 'not_null', 'o_custkey',
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(*) FROM orders
+        |UNION ALL
+        |SELECT 'not_null', 'o_orderdate',
+        |  CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(*) FROM orders
+        |UNION ALL
+        |SELECT 'unique', 'o_orderkey',
+        |  CAST(COALESCE(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END), 0) AS BIGINT),
+        |  CAST(COALESCE(sum(c), 0) AS BIGINT)
+        |FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
+        |UNION ALL
+        |SELECT 'unique', 'l_orderkey,l_linenumber',
+        |  CAST(COALESCE(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END), 0) AS BIGINT),
+        |  CAST(COALESCE(sum(c), 0) AS BIGINT)
+        |FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber)
+        |UNION ALL
+        |SELECT 'foreign_key', 'o_custkey',
+        |  (SELECT count(*) FROM orders o
+        |   LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |     ON o.o_custkey = c.c_custkey
+        |   WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL),
+        |  (SELECT count(*) FROM orders)
+        |UNION ALL
+        |SELECT 'foreign_key', 'l_orderkey',
+        |  (SELECT count(*) FROM lineitem l
+        |   LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |     ON l.l_orderkey = o.o_orderkey
+        |   WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL),
+        |  (SELECT count(*) FROM lineitem)
+        |UNION ALL
+        |SELECT 'accepted_values', 'o_orderstatus',
+        |  CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+        |    AND o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END)
+        |    AS BIGINT), count(*) FROM orders
+        |UNION ALL
+        |SELECT 'in_range', 'o_totalprice',
+        |  CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+        |    AND (o_totalprice < 0.0 OR o_totalprice > 1000000.0)
+        |    THEN 1 ELSE 0 END) AS BIGINT), count(*) FROM orders)
+        |ORDER BY "check", target""".stripMargin,
+
     "q50_robust_outliers" ->
       """WITH o AS (SELECT o_orderpriority AS grp,
         |    CAST(CAST(round(o_totalprice * 100.0) AS BIGINT) AS DOUBLE)
