@@ -91,4 +91,64 @@ class ClusterStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(finalLabels(8L) === finalLabels(1L))
     assert(finalLabels === directLabels(b1 ++ b2 ++ b3 ++ fam("alpha", 30, Seq(8L))))
   }
+
+  test("compaction crash windows: base+originals coexisting read identically; replay converges") {
+    import java.nio.file.{Files, Path => JPath, Paths}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = fam("alpha", 30, Seq(1L, 2L))
+    val b2 = fam("alpha", 30, Seq(5L)) ++ fam("beta", 30, Seq(10L))
+    val dir = Files.createTempDirectory("graft_cs_crash").toString
+    val ckpt = Files.createTempDirectory("graft_cs_crashc").toString
+    val in = MemoryStream[(Long, String)]
+    val q = ClusterStreams.clusterStream(
+      in.toDS().toDF("id", "text"), "id", "text", dir, ckpt)
+    try Seq(b1, b2).foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+
+    def partitionIds(sub: String): Set[Long] = {
+      val p = Paths.get(s"$dir/$sub")
+      if (!Files.isDirectory(p)) Set.empty
+      else {
+        val s = Files.list(p)
+        try s.toArray.map(_.asInstanceOf[JPath].getFileName.toString)
+          .filter(_.startsWith("batch_id="))
+          .map(_.stripPrefix("batch_id=").toLong).toSet
+        finally s.close()
+      }
+    }
+    val beforeLabels = streamedLabels(dir)
+    val beforeBands = ClusterStreams.loadBands(spark, dir)
+      .collect().map(_.toSeq).toSet
+
+    // crash window: base data + covering marker landed, originals NOT
+    // deleted. Labels fold = latest-wins, bands fold = distinct union —
+    // both must read identically with base and originals coexisting.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("batch_id").desc)
+    spark.read.parquet(s"$dir/labels")
+      .where(col("batch_id").isin(0L, 1L))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).select("id", "label")
+      .write.parquet(s"$dir/labels/batch_id=-1")
+    spark.read.parquet(s"$dir/bands")
+      .where(col("batch_id").isin(0L, 1L))
+      .select("id", "band_idx", "band_key").distinct()
+      .write.parquet(s"$dir/bands/batch_id=-1")
+    Seq((0L, Seq(0L, 1L))).toDF("n", "covers")
+      .write.parquet(s"$dir/commits/batch_id=-1")
+    assert(streamedLabels(dir) === beforeLabels)
+    assert(ClusterStreams.loadBands(spark, dir)
+      .collect().map(_.toSeq).toSet === beforeBands)
+    assert(partitionIds("labels") === Set(-1L, 0L, 1L))
+
+    // replay: compact() finishes the interrupted flip
+    ClusterStreams.compact(spark, dir)
+    assert(streamedLabels(dir) === beforeLabels)
+    assert(ClusterStreams.loadBands(spark, dir)
+      .collect().map(_.toSeq).toSet === beforeBands)
+    assert(partitionIds("labels").size === 1)
+    assert(partitionIds("bands").size === 1)
+  }
 }
