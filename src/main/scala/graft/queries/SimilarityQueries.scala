@@ -160,6 +160,32 @@ object SimilarityQueries {
     // to TUNE nprobe/nlists before trusting an index at scale. Both
     // sides reuse the existing operators; the join is on (query,
     // neighbor), so cost is queries × k, independent of corpus size.
+    // the IVF TUNING SWEEP: s11's recall measurement across nprobe ∈
+    // {1, 2, 4} in one relation — the scan-fraction/recall trade-off a
+    // caller reads to size nprobe before a production run (recall must
+    // be monotone in nprobe; the spec-free proof is in the data: each
+    // probe set is a superset of the last). Exact ground truth is
+    // computed ONCE and checkpointed; each sweep point reuses it.
+    "s16_nprobe_sweep" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+      val q = e.where(col("vec_id") < 8)
+      val exact = Similarity.bruteForceTopK(e, q, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(true)
+      Seq(1, 2, 4).map { np =>
+        val approx = Similarity.ivfTopK(e, q, k = 5, nprobe = np)
+          .select(col("query_id"), col("neighbor_id"))
+          .withColumn("hit", lit(1))
+        exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+          .groupBy("query_id")
+          .agg(count(col("hit")).as("n_hits"),
+            (count(col("hit")) / lit(5.0)).as("recall_at_5"))
+          .withColumn("nprobe", lit(np.toLong))
+      }.reduce(_ unionByName _)
+        .select("nprobe", "query_id", "n_hits", "recall_at_5")
+        .orderBy("nprobe", "query_id")
+    }),
+
     "s11_ann_recall" -> ((s, d) => {
       val e = Tables.load(s, d, "embeddings")
       val q = e.where(col("vec_id") < 8)
@@ -301,7 +327,10 @@ object SimilarityQueries {
     * assignments, lists = rn 1, probes = rn <= 2 for queries vec_id <
     * 8) — shared verbatim with the s10 composed index.
     */
-  private val ivfCoarseCtes =
+  /** IVF coarse structure up to the inverted lists, shared by every
+    * nprobe; [[ivfProbesFor]] appends a probe CTE for a given nprobe.
+    */
+  private val ivfListsCtes =
     s"""comp AS (SELECT vec_id, label, unnest(q) AS v, unnest(range(64)) AS pos FROM qv),
        |cent AS (SELECT label AS c_label, pos, CAST(round(avg(v)) AS BIGINT) AS cv
        |  FROM comp GROUP BY 1, 2),
@@ -313,9 +342,15 @@ object SimilarityQueries {
        |      ${cosine("v.q", "c.c_q", "v.norm", "c.c_norm")} DESC, c.c_label) AS rn
        |  FROM vn v CROSS JOIN centn c),
        |lists AS (SELECT r.vec_id AS n_id, v.q AS n_q, v.norm AS n_norm, r.c_label AS list_label
-       |  FROM ranked r JOIN vn v ON v.vec_id = r.vec_id WHERE r.rn = 1),
-       |probes AS (SELECT r.vec_id AS query_id, v.q AS q_q, v.norm AS q_norm, r.c_label AS list_label
-       |  FROM ranked r JOIN vn v ON v.vec_id = r.vec_id WHERE r.rn <= 2 AND r.vec_id < 8)""".stripMargin
+       |  FROM ranked r JOIN vn v ON v.vec_id = r.vec_id WHERE r.rn = 1)""".stripMargin
+
+  private def ivfProbesFor(nprobe: Int, name: String): String =
+    s"""$name AS (SELECT r.vec_id AS query_id, v.q AS q_q, v.norm AS q_norm, r.c_label AS list_label
+       |  FROM ranked r JOIN vn v ON v.vec_id = r.vec_id WHERE r.rn <= $nprobe AND r.vec_id < 8)""".stripMargin
+
+  private val ivfCoarseCtes =
+    s"""$ivfListsCtes,
+       |${ivfProbesFor(2, "probes")}""".stripMargin
 
   /** s13: one projected column per j, the sign derived from md5("i:j")
     * exactly as the Scala side derives it, the sum the same ordered
@@ -612,6 +647,47 @@ object SimilarityQueries {
     // side in one statement (CTE names are disjoint), matched on
     // (query, neighbor); the division is over exact integers cast to
     // DOUBLE, so even recall hash-matches
+    "s16_nprobe_sweep" -> {
+      def point(np: Int): String =
+        s"""SELECT CAST($np AS BIGINT) AS nprobe, b.query_id AS query_id,
+           |  CAST(count(i.n_id) AS BIGINT) AS n_hits,
+           |  CAST(count(i.n_id) AS DOUBLE) / 5 AS recall_at_5
+           |FROM brank b LEFT JOIN irank$np i
+           |  ON b.query_id = i.query_id AND b.neighbor_id = i.n_id
+           |GROUP BY 1, 2""".stripMargin
+      def chain(np: Int): String =
+        s"""${ivfProbesFor(np, s"probes$np")},
+           |iscored$np AS (SELECT p.query_id, l.n_id,
+           |    ${cosine("p.q_q", "l.n_q", "p.q_norm", "l.n_norm")} AS cosine
+           |  FROM lists l JOIN probes$np p ON l.list_label = p.list_label
+           |  WHERE l.n_id <> p.query_id),
+           |irank$np AS (SELECT query_id, n_id FROM (
+           |    SELECT query_id, n_id,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY cosine DESC, n_id) AS rank
+           |    FROM iscored$np)
+           |  WHERE rank <= 5)""".stripMargin
+      s"""WITH $qCte,
+         |n AS (SELECT vec_id, q, CAST(list_dot_product(q, q) AS BIGINT) AS norm FROM qv),
+         |bscored AS (
+         |  SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${cosine("qs.q", "c.q", "qs.norm", "c.norm")} AS cosine
+         |  FROM n qs JOIN n c ON c.vec_id <> qs.vec_id
+         |  WHERE qs.vec_id < 8),
+         |brank AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cosine DESC, neighbor_id) AS rank
+         |    FROM bscored)
+         |  WHERE rank <= 5),
+         |$ivfListsCtes,
+         |${chain(1)},
+         |${chain(2)},
+         |${chain(4)}
+         |SELECT * FROM (${point(1)} UNION ALL ${point(2)} UNION ALL ${point(4)})
+         |ORDER BY nprobe, query_id""".stripMargin
+    },
+
     "s11_ann_recall" ->
       s"""WITH $qCte,
          |n AS (SELECT vec_id, q, CAST(list_dot_product(q, q) AS BIGINT) AS norm FROM qv),
