@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.streaming.{GraphStreams, ModelStreams, PipelineStreams,
-  SearchStreams}
+import graft.streaming.{ClusterStreams, GraphStreams, ModelStreams,
+  PipelineStreams, SearchStreams}
 
 /** CLI face of the streaming-state compactions — the off-peak job a
   * long-running deployment schedules so per-micro-batch state
@@ -17,11 +17,12 @@ import graft.streaming.{GraphStreams, ModelStreams, PipelineStreams,
   * runMain graft.StateCompactMain search   <indexDir>   # BM25 tf/df/lens/stats
   * runMain graft.StateCompactMain lm       <modelDir>   # bigram-LM counts
   * runMain graft.StateCompactMain dsir     <stateDir>   # DSIR bucket counts
+  * runMain graft.StateCompactMain clusters <stateDir>   # LSH bands + labels
   * }}}
   */
 object StateCompactMain {
   private val usage =
-    "usage: StateCompactMain <graph|pipeline|search|lm|dsir> <stateDir>"
+    "usage: StateCompactMain <graph|pipeline|search|lm|dsir|clusters> <stateDir>"
 
   def main(args: Array[String]): Unit = {
     require(args.length == 2, usage)
@@ -46,6 +47,7 @@ object StateCompactMain {
       case "search"   => SearchStreams.compact(spark, dir)
       case "lm"       => ModelStreams.compact(spark, dir, Seq("uni", "bi"))
       case "dsir"     => ModelStreams.compact(spark, dir, Seq("buckets"))
+      case "clusters" => ClusterStreams.compact(spark, dir)
       case other => throw new IllegalArgumentException(
         s"unknown state kind: $other\n$usage")
     }

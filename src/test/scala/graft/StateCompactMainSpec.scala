@@ -20,6 +20,14 @@ class StateCompactMainSpec extends AnyFunSuite with SparkSpec {
     assert(fp.select("batch_id").distinct().count() === 1)
   }
 
+  test("clusters kind routes to ClusterStreams.compact (no-op safe on fresh state)") {
+    // routing check: an empty state dir (no commits) is a legal no-op —
+    // the full fold + crash-window behavior lives in ClusterStreamsSpec
+    val dir = java.nio.file.Files.createTempDirectory("graft_scm_cs").toString
+    StateCompactMain.run(spark, "clusters", dir)
+    assert(graft.streaming.ClusterStreams.loadLabels(spark, dir).count() === 0)
+  }
+
   test("unknown kind fails loudly") {
     val e = intercept[IllegalArgumentException] {
       StateCompactMain.run(spark, "bogus", "/tmp/nowhere")
