@@ -224,10 +224,20 @@ object DedupQueries {
         .unionByName(docs.where(col("doc_id") % 3 === 0 && col("doc_id") % 10 === 2)
           .select((col("doc_id") + 2000000L).as("doc_id"),
             concat(col("text"), lit(" spark")).as("text")))
-      val histLabels = Dedup.connectedComponents(
-        Dedup.minHashCandidatePairs(hist, "doc_id", "text"))
+      // ONE banding pass over history: the persisted-index stand-in is
+      // checkpointed and feeds BOTH the history clustering (its pair
+      // derivation) and the batch probe — exactly what production
+      // does, where the band relation is parquet state read twice
+      val hb = Dedup.bandKeys(hist, "doc_id", "text").localCheckpoint(true)
+      val histPairs = hb.as("a").join(hb.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_key") === col("b.band_key") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct()
+      val histLabels = Dedup.connectedComponents(histPairs)
       val newEdges = Dedup.incrementalMinHashCandidates(
-        Dedup.bandKeys(hist, "doc_id", "text"), batch, "doc_id", "text")
+        hb, batch, "doc_id", "text")
       Dedup.incrementalClusters(histLabels, newEdges)
         .groupBy(col("label").as("canonical_id"))
         .agg(count(lit(1)).as("cluster_size"))
