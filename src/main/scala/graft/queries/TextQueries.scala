@@ -200,6 +200,31 @@ object TextQueries {
         .orderBy("rank")
     }),
 
+    // tokenizer fertility per language: BPE tokens per word and BYTES
+    // per BPE token (UTF-8 octet length, not chars — zh costs ~3 bytes
+    // per char, which is the whole point of the metric). The
+    // vocabulary-budget planning view: fertility tells you which
+    // languages a byte-level tokenizer taxes. Single int/int double
+    // divisions over map-side-combined sums.
+    "t24_tokenizer_fertility" -> ((s, d) => {
+      Tables.load(s, d, "documents")
+        .where(col("text").isNotNull)
+        .select(col("lang"),
+          octet_length(col("text")).cast("long").as("nb"),
+          TextAnalysis.wsTokenCount(col("text")).as("ws"),
+          TextAnalysis.bpeTokenCount(split(col("text"), " ")).as("bpe"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("nb").as("total_bytes"),
+          sum("ws").as("ws_tokens"),
+          sum("bpe").as("bpe_tokens"))
+        .withColumn("fertility",
+          col("bpe_tokens").cast("double") / col("ws_tokens").cast("double"))
+        .withColumn("bytes_per_bpe",
+          col("total_bytes").cast("double") / col("bpe_tokens").cast("double"))
+        .orderBy("lang")
+    }),
+
     "t01_token_stats" -> ((s, d) => {
       Tables.load(s, d, "documents")
         .select(col("lang"),
@@ -763,6 +788,23 @@ object TextQueries {
         |SELECT lang, predicted, count(*) AS n_docs,
         |  min(score) AS min_score, max(score) AS max_score
         |FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "t24_tokenizer_fertility" ->
+      """SELECT lang, n_docs, total_bytes, ws_tokens, bpe_tokens,
+        |  CAST(bpe_tokens AS DOUBLE) / CAST(ws_tokens AS DOUBLE)
+        |    AS fertility,
+        |  CAST(total_bytes AS DOUBLE) / CAST(bpe_tokens AS DOUBLE)
+        |    AS bytes_per_bpe
+        |FROM (SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(CAST(octet_length(encode(text)) AS BIGINT)) AS BIGINT)
+        |      AS total_bytes,
+        |    CAST(sum(CAST(length(text) - length(replace(text, ' ', '')) + 1
+        |      AS BIGINT)) AS BIGINT) AS ws_tokens,
+        |    CAST(sum(CAST(list_sum(list_transform(string_split(text, ' '),
+        |      w -> ceil(length(w) / 4.0))) AS BIGINT)) AS BIGINT)
+        |      AS bpe_tokens
+        |  FROM documents WHERE text IS NOT NULL GROUP BY 1)
+        |ORDER BY lang""".stripMargin,
 
     "t01_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
