@@ -107,6 +107,22 @@ object ScaleStress {
       val plain = inflateDocs(k).localCheckpoint(true)
       val events = inflateEvents(k).localCheckpoint(true)
       val vecs = inflateVecs(k).localCheckpoint(true)
+      // d17's PERSISTED state, built OUTSIDE the timed closure: the
+      // claim under measurement is "refresh ∝ batch" — timing the
+      // history banding/clustering would measure re-clustering instead
+      // (in production these are parquet state from prior runs)
+      val hist17 = corpus.where(col("doc_id") < 1000000000L)
+      val batch17 = corpus.where(col("doc_id") >= 1000000000L)
+      val histBands17 = Dedup.bandKeys(hist17, "doc_id", "text")
+        .localCheckpoint(true)
+      val histLabels17 = Dedup.connectedComponents(
+          histBands17.as("a").join(histBands17.as("b"),
+              col("a.band_idx") === col("b.band_idx") &&
+                col("a.band_key") === col("b.band_key") &&
+                col("a.id") < col("b.id"))
+            .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+            .distinct())
+        .localCheckpoint(true)
       // snapshot AFTER the corpus checkpoints: the sweep below must
       // release only what each op pinned, never the corpus itself
       // (df.rdd.id mints a NEW id, so comparing against it protects
@@ -134,19 +150,13 @@ object ScaleStress {
           "user_id", "ts"), 5)),
         "p01" -> (() => Pipeline.curate(plain, emptyBench,
           "doc_id", "text", "source", 0.5, 4096L)),
-        // incremental cluster maintenance: history = the base copy
-        // pre-clustered, batch = the mutated twins probing it — the
-        // claim under test is refresh ∝ batch, never history²
-        "d17" -> (() => {
-          val hist = corpus.where(col("doc_id") < 1000000000L)
-          val batch = corpus.where(col("doc_id") >= 1000000000L)
-          Dedup.incrementalClusters(
-            Dedup.connectedComponents(
-              Dedup.minHashCandidatePairs(hist, "doc_id", "text")),
-            Dedup.incrementalMinHashCandidates(
-              Dedup.bandKeys(hist, "doc_id", "text"),
-              batch, "doc_id", "text"))
-        }),
+        // incremental cluster maintenance: the timed work is ONLY the
+        // refresh — probe join + batch-edge CC + label remap over the
+        // pre-built (checkpointed) history state above — so the curve
+        // measures the "refresh ∝ batch, never history²" claim itself
+        "d17" -> (() => Dedup.incrementalClusters(histLabels17,
+          Dedup.incrementalMinHashCandidates(
+            histBands17, batch17, "doc_id", "text"))),
         // k-NN graph: copies sign-flip the first 8 dims by the copy
         // index, XOR-remapping the 8-bit sign bucket — copies occupy
         // DISJOINT buckets, so density (and per-bucket m² cost) stays
@@ -173,7 +183,7 @@ object ScaleStress {
         System.gc()
       }
       corpus.unpersist(); plain.unpersist(); events.unpersist()
-      vecs.unpersist()
+      vecs.unpersist(); histBands17.unpersist(); histLabels17.unpersist()
     }
 
     // the d11 budget guard: a low-entropy corpus (every doc the same

@@ -99,15 +99,22 @@ object Dedup {
     * into the 16 permutation minima would re-evaluate md5 per
     * permutation (16x the dominant cost — measured 82s -> ~5s at sf0.1).
     */
+  /** The (band_idx, band_key) structs of a signature column — ONE
+    * definition shared by [[bandKeys]] and [[minhashEstimateVsExact]],
+    * so the estimator's candidate set can never drift from the
+    * production dedup's band layout.
+    */
+  private def sigBands(sig: Column): Column =
+    array((0 until Bands).map { bi =>
+      struct(lit(bi).as("band_idx"),
+        concat_ws("_", (1 to Rows).map(r => element_at(sig, bi * Rows + r)): _*).as("band_key"))
+    }: _*)
+
   def bandKeys(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val withSig = docs
       .select(col(idCol).as("id"), shingleHashes(col(textCol)).as("hs"))
       .select(col("id"), minHashSignature(col("hs")).as("sig"))
-    val bands = array((0 until Bands).map { bi =>
-      struct(lit(bi).as("band_idx"),
-        concat_ws("_", (1 to Rows).map(r => element_at(col("sig"), bi * Rows + r)): _*).as("band_key"))
-    }: _*)
-    withSig.select(col("id"), explode(bands).as("b"))
+    withSig.select(col("id"), explode(sigBands(col("sig"))).as("b"))
       .select(col("id"), col("b.band_idx"), col("b.band_key"))
   }
 
@@ -236,12 +243,7 @@ object Dedup {
       .select(col("id"), minHashSignature(col("hs")).as("sig"),
         array_distinct(col("hs")).as("st"))
       .localCheckpoint(true)
-    val bands = array((0 until Bands).map { bi =>
-      struct(lit(bi).as("band_idx"),
-        concat_ws("_", (1 to Rows).map(r =>
-          element_at(col("sig"), bi * Rows + r)): _*).as("band_key"))
-    }: _*)
-    val bandRows = base.select(col("id"), explode(bands).as("b"))
+    val bandRows = base.select(col("id"), explode(sigBands(col("sig"))).as("b"))
       .select(col("id"), col("b.band_idx"), col("b.band_key"))
     val pairs = bandRows.as("a").join(bandRows.as("b"),
         col("a.band_idx") === col("b.band_idx") &&

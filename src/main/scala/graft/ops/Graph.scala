@@ -235,6 +235,23 @@ object Graph {
     * the [[pageRank]] linear-lineage rule). For depth ≫ 10 use
     * [[ancestorClosureDoubling]] (log₂ rounds).
     */
+  def ancestorClosure(edges: DataFrame, maxDepth: Int = 8): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
+    val e = edges.select(col("node"), col("parent")).localCheckpoint(true)
+    val d1 = e.select(col("node"), col("parent").as("ancestor"),
+      lit(1L).as("depth"))
+    var acc = d1
+    var frontier = d1
+    for (d <- 2 to maxDepth) {
+      frontier = frontier
+        .join(e.select(col("node").as("ancestor"), col("parent").as("__gp")),
+          Seq("ancestor"))
+        .select(col("node"), col("__gp").as("ancestor"), lit(d.toLong).as("depth"))
+      acc = acc.unionByName(frontier)
+    }
+    acc
+  }
+
   /** Multi-source BFS hop distances — the reachability/blast-radius
     * view (how far does influence propagate from a seed set): every
     * node's MINIMUM directed hop count from any seed, bounded by
@@ -266,23 +283,6 @@ object Graph {
       dist = dist.unionByName(frontier).localCheckpoint(true)
     }
     dist
-  }
-
-  def ancestorClosure(edges: DataFrame, maxDepth: Int = 8): DataFrame = {
-    require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
-    val e = edges.select(col("node"), col("parent")).localCheckpoint(true)
-    val d1 = e.select(col("node"), col("parent").as("ancestor"),
-      lit(1L).as("depth"))
-    var acc = d1
-    var frontier = d1
-    for (d <- 2 to maxDepth) {
-      frontier = frontier
-        .join(e.select(col("node").as("ancestor"), col("parent").as("__gp")),
-          Seq("ancestor"))
-        .select(col("node"), col("__gp").as("ancestor"), lit(d.toLong).as("depth"))
-      acc = acc.unionByName(frontier)
-    }
-    acc
   }
 
   /** [[ancestorClosure]] in ⌈log₂ maxDepth⌉ rounds instead of maxDepth

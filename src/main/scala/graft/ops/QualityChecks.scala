@@ -31,7 +31,8 @@ object QualityChecks {
     */
   def notNull(df: DataFrame, cols: Seq[String]): DataFrame =
     df.agg(count(lit(1)).as("__n"),
-        cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__$c")): _*)
+        cols.map(c => coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)),
+          lit(0L)).as(s"__$c")): _*)
       .select(explode(array(cols.map(c =>
         result("not_null", c, col(s"__$c"), col("__n"))): _*)).as("r"))
       .select("r.*")
@@ -65,22 +66,29 @@ object QualityChecks {
       .select("r.*")
   }
 
-  /** Domain membership: non-null values outside the accepted set. */
+  /** Domain membership: non-null values outside the accepted set.
+    * Violation sums coalesce to 0 on an empty input — an empty-load
+    * regression must read as (0 violations, 0 total), not NULL, or a
+    * `violations === 0` CI gate would pass the broken batch vacuously.
+    */
   def accepted(df: DataFrame, colName: String,
       values: Seq[String]): DataFrame =
     df.agg(count(lit(1)).as("__n"),
-        sum(when(col(colName).isNotNull &&
-          !col(colName).isin(values: _*), 1L).otherwise(0L)).as("__viol"))
+        coalesce(sum(when(col(colName).isNotNull &&
+          !col(colName).isin(values: _*), 1L).otherwise(0L)), lit(0L))
+          .as("__viol"))
       .select(result("accepted_values", colName,
         col("__viol"), col("__n")).as("r")).select("r.*")
 
-  /** Closed-interval range rule on non-null values. */
+  /** Closed-interval range rule on non-null values (empty input reads
+    * 0, not NULL — see [[accepted]]).
+    */
   def inRange(df: DataFrame, colName: String, lo: Double,
       hi: Double): DataFrame =
     df.agg(count(lit(1)).as("__n"),
-        sum(when(col(colName).isNotNull &&
-          (col(colName) < lo || col(colName) > hi), 1L).otherwise(0L))
-          .as("__viol"))
+        coalesce(sum(when(col(colName).isNotNull &&
+          (col(colName) < lo || col(colName) > hi), 1L).otherwise(0L)),
+          lit(0L)).as("__viol"))
       .select(result("in_range", colName, col("__viol"), col("__n")).as("r"))
       .select("r.*")
 

@@ -413,6 +413,35 @@ object Similarity {
       k)
   }
 
+  /** [[ivfTopK]] across several nprobe values at once (the s16 tuning
+    * sweep): the nprobe-INDEPENDENT structure — centroids, the
+    * corpus's list assignment, the queries' ranked-centroid relation —
+    * is computed once and checkpointed; each sweep point is only a
+    * probe-rank filter plus the list equi-join. Output adds `nprobe`.
+    */
+  def ivfTopKSweep(corpus: DataFrame, queries: DataFrame, k: Int,
+      nprobes: Seq[Int]): DataFrame = {
+    require(nprobes.nonEmpty, "ivfTopKSweep: empty nprobe list")
+    val cents = centroids(corpus)
+    val lists = rankedCentroids(quantized(corpus), cents).where(col("rn") === 1)
+      .select(col("vec_id").as("n_id"), col("q").as("n_q"),
+        col("norm").as("n_norm"), col("c_label").as("list_label"))
+      .localCheckpoint(true)
+    val qRanked = rankedCentroids(quantized(queries), cents)
+      .select(col("vec_id").as("query_id"), col("q").as("q_q"),
+        col("norm").as("q_norm"), col("c_label").as("list_label"), col("rn"))
+      .localCheckpoint(true)
+    nprobes.map { np =>
+      val probes = qRanked.where(col("rn") <= np).drop("rn")
+      topKPerQuery(
+        lists.join(broadcast(probes), Seq("list_label"))
+          .where(col("n_id") =!= col("query_id"))
+          .withColumn("cosine",
+            cosineQ(col("q_q"), col("n_q"), col("q_norm"), col("n_norm"))),
+        k).withColumn("nprobe", lit(np.toLong))
+    }.reduce(_ unionByName _)
+  }
+
   /** Maximal-marginal-relevance re-rank: retrieve a `poolSize` pool per
     * query (exact brute force — the expensive, corpus-wide stage), then
     * greedily pick `k` items maximizing

@@ -77,16 +77,26 @@ object JsonlQueries {
     "j02_csv_roundtrip" -> ((s, d) => {
       import s.implicits._
       val dir = csvDir(d)
-      val probe = Seq((-1L, "a,b \"quoted\" and\na second line", "probe"))
+      // -2 pins the EMPTY-string case: Spark writes quoted "" and the
+      // oracle reads with allow_quoted_nulls=false, so both engines
+      // agree it round-trips as '' (md5 d41d8...), never NULL
+      val probe = Seq(
+        (-1L, "a,b \"quoted\" and\na second line", "probe"),
+        (-2L, "", "probe"))
         .toDF("doc_id", "text", "source")
       Tables.load(s, d, "documents").select("doc_id", "text", "source")
         .unionByName(probe)
         .write.mode("overwrite")
         .option("header", "true").option("escape", "\"")
         .csv(dir)
+      // nullValue pointed at a sentinel that never occurs: Spark's
+      // default ("") would read the quoted-empty field back as NULL —
+      // the corpus is written null-free, so '' must round-trip as ''
+      // (DuckDB side states the same via allow_quoted_nulls=false)
       s.read.schema(corpusSchema)
         .option("header", "true").option("escape", "\"")
         .option("multiLine", "true")
+        .option("nullValue", "\u0000")
         .csv(dir)
         .select(col("doc_id"), col("source"), md5(col("text")).as("text_md5"),
           length(col("text")).as("n_chars"))
@@ -147,7 +157,7 @@ object JsonlQueries {
          |  CAST(length(text) AS INTEGER) AS n_chars
          |FROM read_csv('${csvDir(SfBaseToken)}/*.csv', header=true,
          |  columns={doc_id: 'BIGINT', text: 'VARCHAR', source: 'VARCHAR'},
-         |  quote='"', escape='"')
+         |  quote='"', escape='"', allow_quoted_nulls=false)
          |ORDER BY doc_id""".stripMargin,
 
     // the original parquet restated — equality proves the ORC

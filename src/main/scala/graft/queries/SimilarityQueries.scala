@@ -167,21 +167,23 @@ object SimilarityQueries {
     // probe set is a superset of the last). Exact ground truth is
     // computed ONCE and checkpointed; each sweep point reuses it.
     "s16_nprobe_sweep" -> ((s, d) => {
+      import s.implicits._
       val e = Tables.load(s, d, "embeddings")
       val q = e.where(col("vec_id") < 8)
       val exact = Similarity.bruteForceTopK(e, q, k = 5)
         .select(col("query_id"), col("neighbor_id"))
         .localCheckpoint(true)
-      Seq(1, 2, 4).map { np =>
-        val approx = Similarity.ivfTopK(e, q, k = 5, nprobe = np)
-          .select(col("query_id"), col("neighbor_id"))
-          .withColumn("hit", lit(1))
-        exact.join(approx, Seq("query_id", "neighbor_id"), "left")
-          .groupBy("query_id")
-          .agg(count(col("hit")).as("n_hits"),
-            (count(col("hit")) / lit(5.0)).as("recall_at_5"))
-          .withColumn("nprobe", lit(np.toLong))
-      }.reduce(_ unionByName _)
+      // sweep computes the nprobe-independent IVF structure ONCE
+      // (Similarity.ivfTopKSweep); recall per point is one outer join
+      // of the level-expanded ground truth against the sweep hits
+      val hits = Similarity.ivfTopKSweep(e, q, k = 5, Seq(1, 2, 4))
+        .select(col("nprobe"), col("query_id"), col("neighbor_id"))
+        .withColumn("hit", lit(1))
+      exact.crossJoin(broadcast(Seq(1L, 2L, 4L).toDF("nprobe")))
+        .join(hits, Seq("nprobe", "query_id", "neighbor_id"), "left")
+        .groupBy("nprobe", "query_id")
+        .agg(count(col("hit")).as("n_hits"),
+          (count(col("hit")) / lit(5.0)).as("recall_at_5"))
         .select("nprobe", "query_id", "n_hits", "recall_at_5")
         .orderBy("nprobe", "query_id")
     }),

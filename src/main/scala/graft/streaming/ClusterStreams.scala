@@ -82,8 +82,16 @@ object ClusterStreams {
         val b = batch.where(col(textCol).isNotNull)
           .select(col(idCol).cast("long").as(idCol), col(textCol))
           .localCheckpoint(true) // banded twice (probe + append)
-        val histBands = loadBands(spark, stateDir)
-        val histLabels = loadLabels(spark, stateDir)
+        // state reads EXCLUDE this batch id (PipelineStreams'
+        // batch_id < N guard): a batch replayed after its marker
+        // landed but before the streaming checkpoint committed would
+        // otherwise see ITSELF as history — every lifted edge would
+        // collapse (la = lb), the recomputed delta would be empty, and
+        // the overwrite would erase the batch's labels. Self-excluded,
+        // the replay recomputes the identical delta (compaction bases
+        // carry negative ids, so they always stay in).
+        val histBands = loadBandsBelow(spark, stateDir, batchId)
+        val histLabels = loadLabelsBelow(spark, stateDir, batchId)
         val newEdges = Dedup.incrementalMinHashCandidates(
           histBands, b, idCol, textCol)
         val updated = Dedup.incrementalClusters(histLabels, newEdges)
@@ -122,8 +130,12 @@ object ClusterStreams {
   /** The persisted band index over every committed batch — the
     * `historyBands` input of the next probe.
     */
-  def loadBands(spark: SparkSession, stateDir: String): DataFrame = {
-    val committed = committedAndCovered(spark, stateDir)._1
+  def loadBands(spark: SparkSession, stateDir: String): DataFrame =
+    loadBandsBelow(spark, stateDir, Long.MaxValue)
+
+  private[streaming] def loadBandsBelow(spark: SparkSession,
+      stateDir: String, below: Long): DataFrame = {
+    val committed = committedAndCovered(spark, stateDir)._1.filter(_ < below)
     PipelineStreams.readOrEmpty(spark, s"$stateDir/bands", bandSchema)
       .where(col("batch_id").isin(committed: _*))
       .select("id", "band_idx", "band_key")
@@ -133,8 +145,12 @@ object ClusterStreams {
     * Spec-pinned equal to the batch clustering over the union of all
     * committed batches.
     */
-  def loadLabels(spark: SparkSession, stateDir: String): DataFrame = {
-    val committed = committedAndCovered(spark, stateDir)._1
+  def loadLabels(spark: SparkSession, stateDir: String): DataFrame =
+    loadLabelsBelow(spark, stateDir, Long.MaxValue)
+
+  private[streaming] def loadLabelsBelow(spark: SparkSession,
+      stateDir: String, below: Long): DataFrame = {
+    val committed = committedAndCovered(spark, stateDir)._1.filter(_ < below)
     val w = Window.partitionBy(col("id")).orderBy(col("batch_id").desc)
     PipelineStreams.readOrEmpty(spark, s"$stateDir/labels", labelSchema)
       .where(col("batch_id").isin(committed: _*))

@@ -92,6 +92,45 @@ class ClusterStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(finalLabels === directLabels(b1 ++ b2 ++ b3 ++ fam("alpha", 30, Seq(8L))))
   }
 
+  test("a replayed batch recomputes its identical delta (self-excluded state reads)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = fam("alpha", 30, Seq(1L, 2L)) ++ fam("beta", 30, Seq(10L))
+    val b2 = fam("alpha", 30, Seq(5L)) ++ fam("gamma", 30, Seq(20L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_cs_rp").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cs_rpc").toString
+    val in = MemoryStream[(Long, String)]
+    val q = ClusterStreams.clusterStream(
+      in.toDS().toDF("id", "text"), "id", "text", dir, ckpt)
+    try Seq(b1, b2).foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+
+    // the crash-replay scenario: batch 1's marker landed, the stream
+    // replays it. State reads self-exclude batch 1, so the recomputed
+    // delta must be byte-identical to what batch 1 originally wrote —
+    // the overwrite is then a no-op, never an erasure.
+    val stored = spark.read.parquet(s"$dir/labels/batch_id=1")
+      .select("id", "label").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val histLabels = ClusterStreams.loadLabelsBelow(spark, dir, 1L)
+    val replayEdges = Dedup.incrementalMinHashCandidates(
+      ClusterStreams.loadBandsBelow(spark, dir, 1L),
+      b2.toDF("id", "text"), "id", "text")
+    val updated = Dedup.incrementalClusters(histLabels, replayEdges)
+    val recomputed = updated
+      .join(histLabels.withColumnRenamed("label", "__old"), Seq("id"), "left")
+      .where(col("__old").isNull || col("__old") =!= col("label"))
+      .select("id", "label").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(recomputed === stored)
+    assert(stored.nonEmpty) // non-vacuous: batch 1 really wrote a delta
+    // and self-exclusion really excludes: below-1 state is exactly b1's
+    assert(ClusterStreams.loadLabelsBelow(spark, dir, 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      === directLabels(b1))
+  }
+
   test("compaction crash windows: base+originals coexisting read identically; replay converges") {
     import java.nio.file.{Files, Path => JPath, Paths}
     import org.apache.spark.sql.functions._
