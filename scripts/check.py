@@ -5,7 +5,7 @@ compare (rows sorted, columns sorted by name, exact value match).
 
 Usage: python3 scripts/check.py [sfDir] [outDir] [--no-run]
 """
-import json, math, subprocess, sys
+import json, math, os, subprocess, sys
 from pathlib import Path
 
 import duckdb
@@ -14,13 +14,22 @@ import pyarrow.parquet as pq
 args = [a for a in sys.argv[1:] if not a.startswith("--")]
 SF = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
 OUT = args[1] if len(args) > 1 else "/tmp/verify_out"
+# --only=a,b,c: dump + compare a subset (sets VERIFY_ONLY for the
+# graft.Verify run and restricts the DuckDB compare to the same names)
+ONLY = None
+for a in sys.argv[1:]:
+    if a.startswith("--only="):
+        ONLY = [s for s in a[len("--only="):].split(",") if s]
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 if "--no-run" not in sys.argv:
+    env = dict(os.environ)
+    if ONLY:
+        env["VERIFY_ONLY"] = ",".join(ONLY)
     r = subprocess.run(
         ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
-        cwd="/root/repo", capture_output=True, text=True)
+        cwd="/root/repo", capture_output=True, text=True, env=env)
     sys.stdout.write(r.stdout[-3000:])
     if r.returncode != 0:
         sys.stderr.write(r.stderr[-3000:])
@@ -33,6 +42,11 @@ for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
 oracle = json.loads(Path(f"{OUT}/oracle_sql.json").read_text())
+if ONLY:
+    missing = [n for n in ONLY if n not in oracle]
+    oracle = {n: oracle[n] for n in ONLY if n in oracle}
+    if missing:
+        print(f"NOTE: --only names without an oracle (rows-only): {missing}")
 
 def norm(v):
     if isinstance(v, float):

@@ -96,20 +96,33 @@ object Similarity {
     *
     * Cost is Σ_buckets m² like every LSH self-join in this repo; the
     * sign-bit bucket count (2^bits) is the knob, and d11's
-    * candidate-budget-guard pattern applies verbatim if a corpus
-    * collapses into few buckets (here the buckets are balanced by
-    * construction on the synthetic corpus; a production caller sizes
-    * `bits` to corpus/2^bits ≈ the per-bucket budget). Output:
+    * candidate-budget guard runs HERE too (round 7): Σ C(bucket, 2) is
+    * checked against `maxCandidatePairs` BEFORE the self-join, so a
+    * corpus that collapses into few buckets (skew, correlated
+    * embeddings) or simply outgrows 2^bits fails fast with a diagnosis
+    * instead of entering the quadratic regime. Size `bits` with
+    * [[scaledBits]] (expected volume then stays linear in n); use
+    * [[knnGraphBanded]] when high bits costs too much recall. Output:
     * (node_id, rank, neighbor_id, cosine) with rank ≤ k per node,
     * ties broken on neighbor id — nodes whose bucket holds no other
     * vector emit no rows (stated: an isolated node has no k-NN edge).
     */
-  def knnGraph(corpus: DataFrame, k: Int, bits: Int = 8): DataFrame = {
+  def knnGraph(corpus: DataFrame, k: Int, bits: Int = 8,
+      maxCandidatePairs: Long = 1L << 26): DataFrame = {
+    require(maxCandidatePairs > 0, "maxCandidatePairs must be positive")
     val base = corpus
       .select(col("vec_id"), quantize(col("embedding")).as("q"))
       .withColumn("bucket", signBucket(col("q"), bits))
       .withColumn("norm", normSqQ(col("q")))
-      .localCheckpoint(true) // both sides of the self-join scan it
+      .localCheckpoint(true) // guard + both sides of the self-join scan it
+    assertCandidateBudget(base.groupBy("bucket").agg(count(lit(1)).as("m")),
+      maxCandidatePairs,
+      s"knnGraph: sign-bucket self-join candidate volume exceeds the " +
+        s"$maxCandidatePairs budget — 2^$bits buckets are too few for this " +
+        "corpus (expected volume grows as n^2/2^bits, and skewed/correlated " +
+        "embeddings concentrate it further). Raise `bits` (see scaledBits), " +
+        "use knnGraphBanded for recall at higher bits, or raise " +
+        "maxCandidatePairs.")
     val c = base.select(col("vec_id").as("n_id"), col("q").as("n_q"),
       col("bucket"), col("norm").as("n_norm"))
     val q = base.select(col("vec_id").as("query_id"), col("q").as("q_q"),
@@ -122,6 +135,98 @@ object Similarity {
       k)
       .withColumnRenamed("query_id", "node_id")
   }
+
+  /** RUNTIME candidate-budget guard (d11's `prefixFilterPairs` house
+    * pattern applied to every LSH self-join): Σ_buckets C(m, 2) is one
+    * cheap aggregate over the already-checkpointed bucket relation,
+    * checked BEFORE the self-join so a skewed corpus fails in seconds
+    * with a diagnosis instead of discovering the quadratic regime as a
+    * multi-hour join. The sum is taken in DOUBLE — a degenerate corpus
+    * can push Σ C(m, 2) past 2^63, and a wrapped-negative Long would
+    * silently DISABLE the guard in exactly the regime it exists to
+    * catch; double precision loss (>2^53) is irrelevant to a budget
+    * comparison.
+    */
+  private def assertCandidateBudget(bucketCounts: DataFrame,
+      maxCandidatePairs: Long, diagnosis: String): Unit = {
+    val nCand = bucketCounts
+      .agg(coalesce(
+        sum(col("m").cast("double") * (col("m") - 1).cast("double") / 2.0),
+        lit(0.0)))
+      .head().getDouble(0)
+    if (nCand > maxCandidatePairs.toDouble)
+      throw new IllegalStateException(f"candidate volume $nCand%.0f: $diagnosis")
+  }
+
+  /** Corpus-scaled LSH bucket width: the smallest `bits` whose 2^bits
+    * buckets hold ≤ `targetBucketSize` vectors each in expectation —
+    * the SemDeDup argument (k scales with n so per-cluster work stays
+    * bounded) applied to sign-bucket LSH. Expected candidate volume is
+    * then ≤ n·targetBucketSize/2, linear in n by construction.
+    */
+  def scaledBits(corpusSize: Long, targetBucketSize: Long = 1024L,
+      minBits: Int = 4, maxBits: Int = 30): Int = {
+    require(targetBucketSize > 0, "targetBucketSize must be positive")
+    var bits = minBits
+    while (bits < maxBits && (corpusSize >> bits) > targetBucketSize) bits += 1
+    bits
+  }
+
+  /** Multi-band k-NN graph — the recall knob that makes high `bits`
+    * usable: `bands` independent seeded SRP bucketings, a pair is a
+    * candidate if it collides in ANY band (union + distinct, the
+    * classic LSH banding OR-construction), then exact cosine re-rank.
+    * Raising bits-per-band cuts candidate volume ~2×/bit; adding a band
+    * restores recall at +1 self-join of the id+bucket relation.
+    *
+    * Plan shape, deliberate: the band/bucket relation carries ids and
+    * buckets ONLY — vectors never ride the candidate union or the
+    * distinct; scoring re-attaches the two vectors by id against the
+    * one checkpointed base. Budget-guarded like [[knnGraph]], summed
+    * across bands.
+    */
+  def knnGraphBanded(corpus: DataFrame, k: Int, bands: Int = 2,
+      bitsPerBand: Int = 6, dim: Int = 64,
+      maxCandidatePairs: Long = 1L << 26): DataFrame = {
+    require(bands > 0, "bands must be positive")
+    val base = corpus
+      .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .withColumn("norm", normSqQ(col("q")))
+      .localCheckpoint(true)
+    val banded = (0 until bands).map { b =>
+      base.select(col("vec_id"), lit(b).as("band"),
+        srpBucket(col("q"), bandPlanes(b, bitsPerBand, dim)).as("bucket"))
+    }.reduce(_ unionAll _).localCheckpoint(true)
+    assertCandidateBudget(
+      banded.groupBy("band", "bucket").agg(count(lit(1)).as("m")),
+      maxCandidatePairs,
+      s"knnGraphBanded: banded self-join candidate volume exceeds the " +
+        s"$maxCandidatePairs budget across $bands bands × 2^$bitsPerBand " +
+        "buckets. Raise bitsPerBand (see scaledBits), drop a band, or " +
+        "raise maxCandidatePairs.")
+    val pairs = banded.select(col("band"), col("bucket"),
+        col("vec_id").as("node_id"))
+      .join(banded.select(col("band"), col("bucket"),
+        col("vec_id").as("n_id")), Seq("band", "bucket"))
+      .where(col("n_id") =!= col("node_id"))
+      .select("node_id", "n_id").distinct()
+    val scored = pairs
+      .join(base.select(col("vec_id").as("node_id"), col("q").as("q_q"),
+        col("norm").as("q_norm")), "node_id")
+      .join(base.select(col("vec_id").as("n_id"), col("q").as("n_q"),
+        col("norm").as("n_norm")), "n_id")
+      .withColumn("cosine",
+        cosineQ(col("q_q"), col("n_q"), col("q_norm"), col("n_norm")))
+      .withColumnRenamed("node_id", "query_id")
+    topKPerQuery(scored, k).withColumnRenamed("query_id", "node_id")
+  }
+
+  /** The per-band SRP hyperplanes — seed derivation is part of the
+    * cross-engine contract (the s17 oracle embeds the same literals).
+    */
+  def bandPlanes(band: Int, bitsPerBand: Int, dim: Int): Array[Array[Long]] =
+    graft.functions.VectorFunctions.srpPlanes(bitsPerBand, dim,
+      seed = 101L + band)
 
   /** Quantized per-label centroids (the label column stands in for a
     * k-means assignment; same plumbing): (c_label, c_q, c_norm).

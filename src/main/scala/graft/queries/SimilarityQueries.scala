@@ -83,6 +83,17 @@ object SimilarityQueries {
         .orderBy("node_id", "rank")
     }),
 
+    // the multi-band k-NN graph (LSH OR-construction): 2 seeded SRP
+    // bands × 6 bits — a pair is a candidate if it collides in ANY
+    // band, distinct'd, then exact cosine re-rank. The recall knob that
+    // makes corpus-scaled (high) bits usable at 100 TB; budget-guarded
+    // like s15. The oracle replays both bands' plane literals verbatim.
+    "s17_knn_graph_banded" -> ((s, d) => {
+      Similarity.knnGraphBanded(Tables.load(s, d, "embeddings"), k = 3,
+          bands = 2, bitsPerBand = 6)
+        .orderBy("node_id", "rank")
+    }),
+
     // diversified retrieval: MMR re-rank of a 20-pool down to 5 picks
     // per query (0.5·rel − 0.5·max-sim-to-picked, ties by id). The
     // greedy trajectory is unrolled into the plan and replayed
@@ -247,6 +258,19 @@ object SimilarityQueries {
     s"""qv AS (SELECT vec_id, label,
        |    $quantExpr AS q
        |  FROM embeddings)""".stripMargin
+
+  /** The oracle statement of VectorFunctions.srpBucket for a literal
+    * plane set (shared by the s06 and s17 oracles' band expressions).
+    */
+  private def srpBucketSql(planes: Array[Array[Long]]): String =
+    planes.zipWithIndex.map { case (plane, i) =>
+      val terms = plane.zipWithIndex.collect {
+        case (1L, j)  => s"+ q[${j + 1}]"
+        case (-1L, j) => s"- q[${j + 1}]"
+      }
+      val dot = if (terms.isEmpty) "0" else terms.mkString(" ").stripPrefix("+ ")
+      s"CASE WHEN ($dot) >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END"
+    }.mkString("\n      + ")
 
   private def cosine(aq: String, bq: String, an: String, bn: String) =
     s"list_dot_product($aq, $bq) / (sqrt(CAST($an AS DOUBLE)) * sqrt(CAST($bn AS DOUBLE)))"
@@ -580,16 +604,39 @@ object SimilarityQueries {
          |WHERE rank <= 3 ORDER BY node_id, rank""".stripMargin
     },
 
+    // s15's oracle generalized to the OR-construction: two seeded SRP
+    // bands (plane literals regenerated from the SAME bandPlanes seeds
+    // the engine uses), candidate pairs distinct'd across bands, exact
+    // cosine re-rank
+    "s17_knn_graph_banded" -> {
+      val bandCtes = (0 until 2).map { b =>
+        val bucket = srpBucketSql(
+          graft.ops.Similarity.bandPlanes(b, bitsPerBand = 6, dim = 64))
+        s"SELECT vec_id, $b AS band, $bucket AS bucket FROM n"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH $qCte,
+         |n AS (SELECT vec_id, q,
+         |    CAST(list_dot_product(q, q) AS BIGINT) AS norm FROM qv),
+         |bands AS (
+         |  $bandCtes),
+         |pairs AS (SELECT DISTINCT x.vec_id AS node_id, y.vec_id AS neighbor_id
+         |  FROM bands x JOIN bands y
+         |    ON y.band = x.band AND y.bucket = x.bucket AND y.vec_id <> x.vec_id),
+         |scored AS (SELECT p.node_id, p.neighbor_id,
+         |    ${cosine("a.q", "c.q", "a.norm", "c.norm")} AS cosine
+         |  FROM pairs p JOIN n a ON a.vec_id = p.node_id
+         |    JOIN n c ON c.vec_id = p.neighbor_id)
+         |SELECT node_id, rank, neighbor_id, cosine FROM (
+         |  SELECT node_id, neighbor_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY node_id
+         |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM scored)
+         |WHERE rank <= 3 ORDER BY node_id, rank""".stripMargin
+    },
+
     "s06_srp_lsh_topk" -> {
-      val planes = graft.functions.VectorFunctions.srpPlanes(bits = 8, dim = 64)
-      val bucket = planes.zipWithIndex.map { case (plane, i) =>
-        val terms = plane.zipWithIndex.collect {
-          case (1L, j)  => s"+ q[${j + 1}]"
-          case (-1L, j) => s"- q[${j + 1}]"
-        }
-        val dot = if (terms.isEmpty) "0" else terms.mkString(" ").stripPrefix("+ ")
-        s"CASE WHEN ($dot) >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END"
-      }.mkString("\n      + ")
+      val bucket = srpBucketSql(
+        graft.functions.VectorFunctions.srpPlanes(bits = 8, dim = 64))
       s"""WITH $qCte,
          |n AS (SELECT vec_id, q,
          |    $bucket AS bucket,

@@ -75,4 +75,74 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("knnGraph candidate-budget guard trips BEFORE the self-join on a skewed corpus") {
+    import spark.implicits._
+    // every vector lands in the same sign bucket (all dims positive):
+    // 6 vectors -> C(6,2)=15 candidate pairs > the budget of 10. The
+    // guard must fail fast with a diagnosis pointing at `bits`.
+    val skewed = (1L to 6L).map(i =>
+      (i, Array(1.0f, 0.5f + i * 0.01f, 0.3f, 0.2f))).toDF("vec_id", "embedding")
+    val ex = intercept[IllegalStateException] {
+      Similarity.knnGraph(skewed, k = 2, bits = 2, maxCandidatePairs = 10L)
+    }
+    assert(ex.getMessage.contains("bits"), ex.getMessage)
+    assert(ex.getMessage.contains("budget"), ex.getMessage)
+    // same corpus under an adequate budget still answers
+    assert(Similarity.knnGraph(skewed, k = 2, bits = 2,
+      maxCandidatePairs = 15L).count() > 0)
+  }
+
+  test("knnGraphBanded guard sums candidate volume across bands") {
+    import spark.implicits._
+    val skewed = (1L to 6L).map(i =>
+      (i, Array(1.0f, 0.5f + i * 0.01f, 0.3f, 0.2f))).toDF("vec_id", "embedding")
+    // 2 bands x (up to) C(6,2) pairs each; a 15-pair budget that a
+    // single band could satisfy must still trip when both bands' sums
+    // exceed it
+    val ex = intercept[IllegalStateException] {
+      Similarity.knnGraphBanded(skewed, k = 2, bands = 2, bitsPerBand = 1,
+        dim = 4, maxCandidatePairs = 15L)
+    }
+    assert(ex.getMessage.contains("bitsPerBand"), ex.getMessage)
+  }
+
+  test("scaledBits keeps expected bucket size bounded and is monotone in n") {
+    assert(Similarity.scaledBits(1024L) == 4)           // floor
+    assert(Similarity.scaledBits(1L << 20) == 10)       // 2^20/2^10 = 1024
+    assert(Similarity.scaledBits(3_000_000L) == 12)     // 3M/2^12 ~ 732
+    val bs = Seq(1L << 10, 1L << 15, 1L << 20, 1L << 30).map(
+      Similarity.scaledBits(_))
+    assert(bs == bs.sorted, s"monotone: $bs")
+    // the contract: n / 2^bits <= target once past the floor
+    for (n <- Seq(1L << 16, 1L << 22, 1L << 28))
+      assert((n >> Similarity.scaledBits(n)) <= 1024L)
+  }
+
+  test("knnGraphBanded is the OR-construction: adding a band only grows the candidate pair set") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val corpus = (1L to 24L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
+    // k >= n makes the top-k filter vacuous, so the output IS the
+    // scored candidate set — band-2's must be a superset of band-1's
+    def pairs(bands: Int) =
+      Similarity.knnGraphBanded(corpus, k = 30, bands = bands,
+        bitsPerBand = 3, dim = 8)
+        .select("node_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val one = pairs(1); val two = pairs(2)
+    assert(one.subsetOf(two), s"missing: ${one -- two}")
+    // distinct'd: no duplicate edge survives the cross-band union
+    val g = Similarity.knnGraphBanded(corpus, k = 30, bands = 2,
+      bitsPerBand = 3, dim = 8)
+    assert(g.count() ==
+      g.select("node_id", "neighbor_id").distinct().count())
+    // symmetric candidate generation: the self-join admits (a,b) iff
+    // (b,a), and k is vacuous, so the edge set is symmetric
+    assert(two.forall { case (a, b) => two.contains((b, a)) })
+    val p = g.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
