@@ -289,18 +289,7 @@ object EventsQueries {
     // (q23's percentile machinery), stated here.
     "e14_rfm_segments" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val ev = Tables.load(s, d, "events")
-        .where(col("user_id").isNotNull && col("ts").isNotNull)
-      val anchor = ev.agg(max(to_date(col("ts"))).as("__anchor"))
-      val rfm = ev.groupBy("user_id")
-        .agg(max(to_date(col("ts"))).as("__last"),
-          count(lit(1)).as("frequency"),
-          coalesce(sum(round(col("value") * 100.0).cast("long")), lit(0L))
-            .as("monetary_cents"))
-        .crossJoin(broadcast(anchor))
-        .withColumn("recency_days",
-          datediff(col("__anchor"), col("__last")).cast("long"))
-        .drop("__anchor", "__last")
+      val rfm = rfmUserRelation(s, d)
       val rW = Window.orderBy(col("recency_days").asc, col("user_id"))
       val fW = Window.orderBy(col("frequency").desc, col("user_id"))
       val mW = Window.orderBy(col("monetary_cents").desc, col("user_id"))
@@ -313,7 +302,54 @@ object EventsQueries {
           "r", "f", "m", "segment")
         .orderBy("user_id")
     }),
+
+    // e14's segmentation WITHOUT the three global ntile windows — the
+    // form that survives 100×: k−1 quantile thresholds per metric
+    // (exact order statistics at ntile's own boundary ranks, computed
+    // over the distinct-VALUE axis, never a per-row sort) broadcast
+    // into pure column math. Tie groups land in one tile — the
+    // at-scale semantics; on distinct-valued data this equals ntile
+    // exactly (SegmentationSpec). The oracle replays the identical
+    // histogram + boundary-rank rule.
+    "e15_rfm_threshold_segments" -> ((s, d) => {
+      import graft.ops.Segmentation
+      val rfm = rfmUserRelation(s, d).localCheckpoint(true)
+      val tiled = Segmentation.quantileTiles(rfm,
+        Seq(("recency_days", true), ("frequency", false),
+          ("monetary_cents", false)), k = 3)
+      tiled
+        .withColumnRenamed("recency_days_tile", "r")
+        .withColumnRenamed("frequency_tile", "f")
+        .withColumnRenamed("monetary_cents_tile", "m")
+        .withColumn("segment", concat(col("r").cast("string"),
+          col("f").cast("string"), col("m").cast("string")))
+        .select("user_id", "recency_days", "frequency", "monetary_cents",
+          "r", "f", "m", "segment")
+        .orderBy("user_id")
+    }),
   )
+
+  /** The user-level RFM relation shared by e14 (ntile face) and e15
+    * (threshold-join face): recency (days from the corpus anchor to the
+    * user's last event), frequency (event count), monetary (integer
+    * cents). Events aggregate to users BEFORE any segmentation, so
+    * downstream work touches users, never events.
+    */
+  private def rfmUserRelation(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val ev = Tables.load(s, d, "events")
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
+    val anchor = ev.agg(max(to_date(col("ts"))).as("__anchor"))
+    ev.groupBy("user_id")
+      .agg(max(to_date(col("ts"))).as("__last"),
+        count(lit(1)).as("frequency"),
+        coalesce(sum(round(col("value") * 100.0).cast("long")), lit(0L))
+          .as("monetary_cents"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("recency_days",
+        datediff(col("__anchor"), col("__last")).cast("long"))
+      .drop("__anchor", "__last")
+  }
 
   val oracles: Map[String, String] = Map(
     // the oracle uses the naive BETWEEN join (DuckDB's IEJoin handles
@@ -511,5 +547,47 @@ object EventsQueries {
         |  CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
         |    AS segment
         |FROM sc ORDER BY user_id""".stripMargin,
+
+    // e15 replays the threshold rule itself: distinct-value histogram,
+    // cumulative counts, min value whose cum reaches ntile's boundary
+    // rank b_t = t*(n//3) + least(t, n%3); descending metrics run on
+    // the negated scale (exactly the engine's orientation rule)
+    "e15_rfm_threshold_segments" -> {
+      def thrCte(name: String, vExpr: String) =
+        s"""h_$name AS (SELECT $vExpr AS v, count(*) AS c FROM rfm GROUP BY 1),
+           |c_$name AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM h_$name),
+           |t_$name AS (SELECT max(CASE WHEN t = 1 THEN thr END) AS t1,
+           |    max(CASE WHEN t = 2 THEN thr END) AS t2
+           |  FROM (SELECT t, min(v) AS thr FROM c_$name
+           |    JOIN bounds ON cum >= b GROUP BY t))""".stripMargin
+      def tile(vExpr: String, t: String) =
+        s"""CAST(1 + CASE WHEN $vExpr > $t.t1 THEN 1 ELSE 0 END
+           |    + CASE WHEN $vExpr > $t.t2 THEN 1 ELSE 0 END AS BIGINT)""".stripMargin
+      s"""WITH ev AS (SELECT user_id, ts, value FROM events
+         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         |anchor AS (SELECT max(CAST(ts AS DATE)) AS ad FROM ev),
+         |rfm AS (SELECT user_id,
+         |    CAST(date_diff('day', max(CAST(ts AS DATE)), ad) AS BIGINT)
+         |      AS recency_days,
+         |    count(*) AS frequency,
+         |    CAST(COALESCE(sum(CAST(round(value * 100.0) AS BIGINT)), 0)
+         |      AS BIGINT) AS monetary_cents
+         |  FROM ev CROSS JOIN anchor GROUP BY user_id, ad),
+         |nrows AS (SELECT count(*) AS n FROM rfm),
+         |bounds AS (SELECT t, t * (n // 3) + least(t, n % 3) AS b
+         |  FROM nrows CROSS JOIN (VALUES (1), (2)) v(t)),
+         |${thrCte("r", "recency_days")},
+         |${thrCte("f", "-frequency")},
+         |${thrCte("m", "-monetary_cents")},
+         |sc AS (SELECT user_id, recency_days, frequency, monetary_cents,
+         |    ${tile("recency_days", "t_r")} AS r,
+         |    ${tile("-frequency", "t_f")} AS f,
+         |    ${tile("-monetary_cents", "t_m")} AS m
+         |  FROM rfm CROSS JOIN t_r CROSS JOIN t_f CROSS JOIN t_m)
+         |SELECT user_id, recency_days, frequency, monetary_cents, r, f, m,
+         |  CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
+         |    AS segment
+         |FROM sc ORDER BY user_id""".stripMargin
+    },
   )
 }
