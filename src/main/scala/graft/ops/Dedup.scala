@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators (SURVEY §2C): exact, MinHash-LSH, SimHash,
@@ -940,6 +941,68 @@ object Dedup {
     base.join(dupPos, Seq(idCol), "left")
       .withColumn("cleaned", cleaned)
       .drop("__ps")
+  }
+
+  /** EXACT repeated-substring dedup — the suffix-array member of the
+    * Lee et al. 2022 family that d14/d15 sample: every maximal token
+    * span of length ≥ `l` whose text occurs at ≥ 2 distinct
+    * (document, position) sites corpus-wide, found exactly (no stride,
+    * no sampling, within-doc repeats count — d14 requires ≥ 2 distinct
+    * DOCUMENTS; both semantics stated).
+    *
+    * The suffix-array insight, relationally: a span of length ≥ l is
+    * duplicated iff every one of its fixed-width l-token windows is —
+    * so grouping suffixes by their FIRST l TOKENS (the fixed-width
+    * suffix key; equal keys = the adjacent-suffix LCP ≥ l test) finds
+    * exactly the duplicated window starts, and maximal spans are the
+    * islands of overlapping-or-adjacent starts. Three stages:
+    *
+    *  1. window enumeration — per document, `transform(sequence(...))`
+    *     emits the l-gram at every position as pure column math (no
+    *     per-position window function);
+    *  2. one groupBy on the l-gram (map-side combined) keeps keys with
+    *     ≥ 2 occurrences — THE data-sized shuffle, the exactness price
+    *     (the key is the raw token text, so equality is literal, never
+    *     probabilistic; a 100 TB run shuffles a 128-bit gram hash
+    *     instead and re-verifies groups, the d02→d11 ladder);
+    *  3. a semi-join flags duplicated starts, and the island merge
+    *     (new island when start > max prior end) runs per DOCUMENT —
+    *     the only window, bounded by document length like d15's cut
+    *     fold, never corpus-sized.
+    *
+    * Output: one row per maximal duplicated span —
+    * (idCol, span_start, span_end, span_tokens), token positions
+    * 0-based, end exclusive.
+    */
+  def exactDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      l: Int): DataFrame = {
+    require(l >= 1, s"l must be >= 1 (got $l)")
+    val base = docs.where(col(textCol).isNotNull)
+      .select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .where(size(col("__toks")) >= l)
+    val grams = base.select(col(idCol),
+      posexplode(expr(
+        s"""transform(sequence(0, size(__toks) - $l),
+           |  i -> array_join(slice(__toks, i + 1, $l), ' '))""".stripMargin))
+        .as(Seq("__p", "__gram")))
+    val dup = grams.groupBy("__gram").agg(count(lit(1)).as("__occ"))
+      .where(col("__occ") >= 2).select("__gram")
+    val starts = grams.join(dup, Seq("__gram"), "left_semi")
+      .select(col(idCol), col("__p").cast("long").as("__p"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__p"))
+    val prevEnd = max(col("__p") + l)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    starts
+      .withColumn("__brk",
+        when(col("__p") > coalesce(prevEnd, lit(-1L)), 1L).otherwise(0L))
+      .withColumn("__island", sum(col("__brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min(col("__p")).as("span_start"),
+        (max(col("__p")) + l).as("span_end"))
+      .withColumn("span_tokens", col("span_end") - col("span_start"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        col("span_tokens"))
   }
 
   // --- semantic dedup (SemDeDup) -------------------------------------------

@@ -335,6 +335,16 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // the EXACT member of the Lee et al. family (suffix-array form):
+    // every maximal token span >= 8 tokens occurring at >= 2 corpus
+    // positions, found by fixed-width suffix-key grouping — no stride,
+    // no sampling, where d14/d15 test only stride-aligned starts
+    "d19_exact_dup_spans" -> ((s, d) => {
+      Dedup.exactDuplicatedSpans(Tables.load(s, d, "documents"),
+          "doc_id", "text", l = 8)
+        .orderBy("doc_id", "span_start")
+    }),
+
     // SemDeDup: k-means clusters bound the pairwise cosine search
     // (candidates = Σ|cluster|², n²/k expected; the paper scales k with
     // n to keep clusters bounded). Training is s08's deterministic
@@ -749,6 +759,37 @@ object DedupQueries {
          |  CAST(length(cleaned) AS BIGINT) AS n_kept_chars,
          |  md5(cleaned) AS cleaned_md5
          |FROM cl ORDER BY doc_id""".stripMargin
+    },
+
+    // word-token l-gram enumeration via the parallel-unnest list idiom
+    // (d15's), groupBy-HAVING for duplicated grams, per-doc island
+    // merge replaying the engine's break rule verbatim
+    "d19_exact_dup_spans" -> {
+      val l = 8
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+         |  FROM documents WHERE text IS NOT NULL),
+         |sh AS (SELECT doc_id,
+         |    generate_series(1, len(ts) - ${l - 1}) AS ss,
+         |    list_transform(generate_series(1, len(ts) - ${l - 1}),
+         |      i -> array_to_string(list_slice(ts, i, i + ${l - 1}), ' ')) AS gs
+         |  FROM toks WHERE len(ts) >= $l),
+         |grams AS (SELECT doc_id, CAST(unnest(ss) - 1 AS BIGINT) AS pos,
+         |    unnest(gs) AS gram FROM sh),
+         |dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+         |starts AS (SELECT doc_id, pos FROM grams JOIN dup USING (gram)),
+         |brk AS (SELECT doc_id, pos,
+         |    CASE WHEN pos > coalesce(max(pos + $l) OVER (PARTITION BY doc_id
+         |      ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      -1) THEN 1 ELSE 0 END AS b
+         |  FROM starts),
+         |isl AS (SELECT doc_id, pos,
+         |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |  FROM brk)
+         |SELECT doc_id, min(pos) AS span_start,
+         |  max(pos) + $l AS span_end,
+         |  max(pos) + $l - min(pos) AS span_tokens
+         |FROM isl GROUP BY doc_id, island
+         |ORDER BY doc_id, span_start""".stripMargin
     },
 
     // same k-means replay as s08 (shared CTE chain, retargeted at the
