@@ -86,7 +86,8 @@ object Graph {
     * `iterations` a caller would re-introduce a checkpoint every ~10
     * supersteps to bound planning time.
     */
-  def pageRank(edges: DataFrame, iterations: Int = 5): DataFrame = {
+  def pageRank(edges: DataFrame, iterations: Int = 5,
+      seed: Option[DataFrame] = None): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     val od = e.groupBy("src").agg(count(lit(1)).as("__od"))
@@ -96,7 +97,7 @@ object Graph {
       .union(e.select(col("dst").as("node")))
       .distinct().localCheckpoint(true)
     val base = lit(Scale * (DampDen - DampNum) / DampDen)
-    var ranks = nodes.select(col("node"), lit(Scale).as("__r"))
+    var ranks = seededRanks(nodes, seed)
     for (_ <- 1 to iterations) {
       val inc = ranks.join(ewd, ranks("node") === ewd("src"))
         .select(col("dst"),
@@ -107,6 +108,24 @@ object Graph {
     }
     ranks.select(col("node"), col("__r").as("pagerank"))
   }
+
+  /** Initial rank vector: uniform `Scale`, or — the WARM START
+    * (round 7) — yesterday's persisted (node, pagerank) relation. New
+    * nodes (absent from the seed — a graph delta) start at `Scale`;
+    * departed nodes drop via the join. Because the integer superstep is
+    * a deterministic map, resuming k steps from a k-step cold run
+    * equals a 2k-step cold run EXACTLY (g06's oracle states the 2k
+    * unroll), and a converged warm start re-reaches the fixpoint in a
+    * fraction of the supersteps after a small delta (spec-measured).
+    */
+  private def seededRanks(nodes: DataFrame, seed: Option[DataFrame]): DataFrame =
+    seed match {
+      case None => nodes.select(col("node"), lit(Scale).as("__r"))
+      case Some(s) =>
+        nodes.join(s.select(col("node"), col("pagerank").as("__seed")),
+            Seq("node"), "left")
+          .select(col("node"), coalesce(col("__seed"), lit(Scale)).as("__r"))
+    }
 
   /** [[pageRank]] with a residual stop for callers who need CONVERGED
     * ranks rather than a fixed-depth approximation: supersteps run in
@@ -128,7 +147,8 @@ object Graph {
     * expensive (huge graphs).
     */
   def pageRankConverged(edges: DataFrame, maxIterations: Int = 50,
-      epsilonUnits: Long = 1L, checkEvery: Int = 5): (DataFrame, Int) = {
+      epsilonUnits: Long = 1L, checkEvery: Int = 5,
+      seed: Option[DataFrame] = None): (DataFrame, Int) = {
     require(maxIterations >= 1 && checkEvery >= 1 && epsilonUnits >= 0,
       s"bad args: maxIterations=$maxIterations checkEvery=$checkEvery " +
         s"epsilonUnits=$epsilonUnits")
@@ -140,8 +160,7 @@ object Graph {
       .union(e.select(col("dst").as("node")))
       .distinct().localCheckpoint(true)
     val base = lit(Scale * (DampDen - DampNum) / DampDen)
-    var ranks = nodes.select(col("node"), lit(Scale).as("__r"))
-      .localCheckpoint(true)
+    var ranks = seededRanks(nodes, seed).localCheckpoint(true)
     var done = 0
     var converged = false
     while (done < maxIterations && !converged) {
