@@ -78,45 +78,57 @@ object ClusterStreams {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val spark = batch.sparkSession
         val b = batch.where(col(textCol).isNotNull)
           .select(col(idCol).cast("long").as(idCol), col(textCol))
           .localCheckpoint(true) // banded twice (probe + append)
-        // state reads EXCLUDE this batch id (PipelineStreams'
-        // batch_id < N guard): a batch replayed after its marker
-        // landed but before the streaming checkpoint committed would
-        // otherwise see ITSELF as history — every lifted edge would
-        // collapse (la = lb), the recomputed delta would be empty, and
-        // the overwrite would erase the batch's labels. Self-excluded,
-        // the replay recomputes the identical delta (compaction bases
-        // carry negative ids, so they always stay in).
-        val histBands = loadBandsBelow(spark, stateDir, batchId)
-        val histLabels = loadLabelsBelow(spark, stateDir, batchId)
-        val newEdges = Dedup.incrementalMinHashCandidates(
-          histBands, b, idCol, textCol)
-        val updated = Dedup.incrementalClusters(histLabels, newEdges)
-        // delta: ids absent from history or relabeled by this batch
-        val delta = updated
-          .join(histLabels.withColumnRenamed("label", "__old"),
-            Seq("id"), "left")
-          .where(col("__old").isNull || col("__old") =!= col("label"))
-          .select(col("id"), col("label"))
-        delta.write.mode("overwrite")
-          .parquet(s"$stateDir/labels/batch_id=$batchId")
-        Dedup.bandKeys(b, idCol, textCol)
-          .select("id", "band_idx", "band_key")
-          .write.mode("overwrite")
-          .parquet(s"$stateDir/bands/batch_id=$batchId")
-        // marker LAST: the batch exists iff its commit row does
-        import spark.implicits._
-        Seq(Tuple1(0L)).toDF("n")
-          .write.mode("overwrite")
-          .parquet(s"$stateDir/commits/batch_id=$batchId")
-        ()
+        try settleClusterBatch(b, idCol, textCol, stateDir, batchId)
+        finally { b.unpersist(); () }
       }
       .start()
 
-  private def committedAndCovered(spark: SparkSession,
+  /** The per-batch cluster settle — probe, contract, write, commit —
+    * shared by [[clusterStream]] and the composed curation stream
+    * ([[PipelineStreams.incrementalCurateClustered]], which feeds it
+    * the batch's exact-dedup SURVIVORS). `b` must be pre-filtered
+    * (non-null text) and pinned (it is banded twice).
+    */
+  private[streaming] def settleClusterBatch(b: DataFrame, idCol: String,
+      textCol: String, stateDir: String, batchId: Long): Unit = {
+    val spark = b.sparkSession
+    // state reads EXCLUDE this batch id (PipelineStreams'
+    // batch_id < N guard): a batch replayed after its marker
+    // landed but before the streaming checkpoint committed would
+    // otherwise see ITSELF as history — every lifted edge would
+    // collapse (la = lb), the recomputed delta would be empty, and
+    // the overwrite would erase the batch's labels. Self-excluded,
+    // the replay recomputes the identical delta (compaction bases
+    // carry negative ids, so they always stay in).
+    val histBands = loadBandsBelow(spark, stateDir, batchId)
+    val histLabels = loadLabelsBelow(spark, stateDir, batchId)
+    val newEdges = Dedup.incrementalMinHashCandidates(
+      histBands, b, idCol, textCol)
+    val updated = Dedup.incrementalClusters(histLabels, newEdges)
+    // delta: ids absent from history or relabeled by this batch
+    val delta = updated
+      .join(histLabels.withColumnRenamed("label", "__old"),
+        Seq("id"), "left")
+      .where(col("__old").isNull || col("__old") =!= col("label"))
+      .select(col("id"), col("label"))
+    delta.write.mode("overwrite")
+      .parquet(s"$stateDir/labels/batch_id=$batchId")
+    Dedup.bandKeys(b, idCol, textCol)
+      .select("id", "band_idx", "band_key")
+      .write.mode("overwrite")
+      .parquet(s"$stateDir/bands/batch_id=$batchId")
+    // marker LAST: the batch exists iff its commit row does
+    import spark.implicits._
+    Seq(Tuple1(0L)).toDF("n")
+      .write.mode("overwrite")
+      .parquet(s"$stateDir/commits/batch_id=$batchId")
+    ()
+  }
+
+  private[streaming] def committedAndCovered(spark: SparkSession,
       stateDir: String): (IndexedSeq[Long], IndexedSeq[Long]) = {
     val rows = PipelineStreams
       .readOrEmpty(spark, s"$stateDir/commits", commitSchema)

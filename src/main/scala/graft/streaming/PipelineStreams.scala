@@ -181,6 +181,166 @@ object PipelineStreams {
       }
       .start()
 
+  /** [[incrementalCurate]] with the near-dup stage COMPOSED IN (round
+    * 7 — previously deferred to the batch compaction by design; with
+    * d16/d17/[[ClusterStreams]] proven, the keep-best stage settles per
+    * batch too). Per micro-batch:
+    *
+    *  1. exact-dedup settle against the fingerprint state (stage 1,
+    *     as [[incrementalCurate]]);
+    *  2. the survivors' gate verdicts (decontamination + quality) are
+    *     computed NOW — they are doc-local, so per-batch is exact — and
+    *     persisted as a `__passes` flag on the CANDIDATE relation
+    *     (`cands/batch_id=N`: stage-1 survivors + `__q` quality +
+    *     flag). Candidates are persisted UNFILTERED because p01's stage
+    *     order gates AFTER keep-best: a cluster whose best member fails
+    *     a gate contributes nothing — the passing loser was already a
+    *     near-dup drop;
+    *  3. the survivors feed the cluster state
+    *     ([[ClusterStreams.settleClusterBatch]] — persisted band-index
+    *     probe + label-graph contraction), whose commit marker (written
+    *     LAST) gates this batch's candidates too.
+    *
+    * Keep-best is RETROACTIVE (a later batch can deliver a better
+    * cluster member), so winner selection is a READ-TIME fold —
+    * [[curatedClustered]] joins the candidate relation against the
+    * CURRENT labels, ranks members per cluster by (quality desc, id),
+    * unions cluster non-members, then applies the persisted gate flag:
+    * exactly [[graft.ops.Pipeline.curate]] stages 1–4 over the union of
+    * all committed batches (spec-pinned, including a cross-batch
+    * near-dup pair only the persisted index catches). State writes stay
+    * ∝ batch; only the winner fold touches the (id-keyed, text-free…
+    * except the doc row itself) candidate relation.
+    */
+  def incrementalCurateClustered(docs: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String,
+      stateDir: String, checkpointDir: String,
+      contaminationTau: Double = 0.5): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.functions.TextHashExpressions.register(spark)
+        graft.functions.TextHashExpressions.register(benchmark.sparkSession)
+        graft.functions.VecExpressions.register(spark)
+        graft.functions.VecExpressions.register(benchmark.sparkSession)
+        val b = batch.where(col(textCol).isNotNull).localCheckpoint(true)
+        try {
+          val hist = fingerprints(spark, s"$stateDir/fp")
+            .where(col("batch_id") < batchId)
+            .select("fingerprint")
+          val groups = Dedup.exactGroups(b, idCol, textCol)
+          val unseen = groups.join(hist, Seq("fingerprint"), "left_anti")
+          // consumed by the gate scorer, the cands write and the
+          // cluster settle's two banding passes — pin once
+          val s1 = b.join(unseen.select(col("canonical_id").as(idCol)),
+            Seq(idCol)).localCheckpoint(true)
+          try {
+            val flagged = Curation
+              .contaminationScores(s1, benchmark, idCol, textCol)
+              .where(col("overlap") >= contaminationTau)
+              .select(col(idCol), lit(true).as("__flagged"))
+            val passAll = TextAnalysis.qualityRules
+              .map { case (_, rule) => !rule(col(textCol)) }.reduce(_ && _)
+            val cands = s1.join(flagged, Seq(idCol), "left")
+              .withColumn("__q", length(col(textCol)).cast("long"))
+              .withColumn("__passes", col("__flagged").isNull && passAll)
+              .drop("__flagged")
+            cands.write.mode("overwrite")
+              .parquet(s"$stateDir/cands/batch_id=$batchId")
+            val newFp = groups.select("fingerprint")
+              .join(hist, Seq("fingerprint"), "left_anti")
+            newFp.write.mode("overwrite")
+              .parquet(s"$stateDir/fp/batch_id=$batchId")
+            // cluster settle writes its commit marker LAST — the one
+            // marker gating this batch's cands + labels + bands
+            ClusterStreams.settleClusterBatch(
+              s1.select(col(idCol), col(textCol)), idCol, textCol,
+              s"$stateDir/cluster", batchId)
+          } finally { s1.unpersist(); () }
+        } finally { b.unpersist(); () }
+      }
+      .start()
+
+  /** The curated view of [[incrementalCurateClustered]]'s state:
+    * Pipeline.curate stages 1–4 over every committed batch. Candidates
+    * are admitted only for batch ids the cluster commit markers vouch
+    * for (committed ∪ covered-by-a-base — so a compaction fold keeps
+    * history readable and a crashed batch stays invisible), deduped
+    * per id (latest-wins — base/original coexistence mid-compaction
+    * changes nothing because the fold is per-id identical), then
+    * cluster winners are ranked by (quality desc, id) against the
+    * CURRENT labels, non-members pass through, and the persisted gate
+    * flag applies last.
+    */
+  def curatedClustered(spark: SparkSession, stateDir: String,
+      docSchema: StructType, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (effective, covered) = ClusterStreams
+      .committedAndCovered(spark, s"$stateDir/cluster")
+    val valid = (effective ++ covered).distinct
+    val candSchema = docSchema
+      .add(StructField("__q", org.apache.spark.sql.types.LongType))
+      .add(StructField("__passes", org.apache.spark.sql.types.BooleanType))
+      .add(StructField("batch_id", org.apache.spark.sql.types.LongType))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("batch_id").desc)
+    val cands = readOrEmpty(spark, s"$stateDir/cands", candSchema)
+      .where(col("batch_id").isin(valid: _*))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn", "batch_id")
+    val labels = ClusterStreams.loadLabels(spark, s"$stateDir/cluster")
+    val members = cands
+      .join(labels.withColumnRenamed("id", idCol), Seq(idCol))
+    val winners = Curation.keepBest(members, "label", idCol, col("__q"))
+      .drop("label", "cluster_size")
+    val singles = cands
+      .join(labels.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+    winners.unionByName(singles)
+      .where(col("__passes"))
+      .drop("__q", "__passes")
+  }
+
+  /** Compaction for the composed state: fold the cluster state
+    * ([[ClusterStreams.compact]] — marker protocol), the fingerprint
+    * set ([[compact]]), then fold the candidate partitions under the
+    * cluster base id so the marker keeps vouching for them. Candidate
+    * rows are unique per id, so base/original coexistence at any crash
+    * point reads identically through [[curatedClustered]]'s per-id
+    * fold; a replay recomputes the same base id and finishes the
+    * deletes.
+    */
+  def compactClustered(spark: SparkSession, stateDir: String,
+      idCol: String): Unit = {
+    ClusterStreams.compact(spark, s"$stateDir/cluster")
+    compact(spark, s"$stateDir/fp")
+    val (effective, covered) = ClusterStreams
+      .committedAndCovered(spark, s"$stateDir/cluster")
+    if (effective.isEmpty) return
+    val base = effective.min
+    val valid = (effective ++ covered).distinct
+    val candDirs = Try(spark.read.parquet(s"$stateDir/cands")
+        .select("batch_id").distinct().collect().map(_.getLong(0)).toSeq)
+      .getOrElse(Seq.empty)
+    val toFold = candDirs.filter(id => valid.contains(id) && id != base)
+    if (toFold.isEmpty) return
+    // per-id dedup in the fold: a crash-replayed fold re-reads its own
+    // base, and without this the base would accumulate duplicate rows
+    // (harmless to readers — the per-id fold hides them — but unbounded)
+    val folded = spark.read.parquet(s"$stateDir/cands")
+      .where(col("batch_id").isin((toFold :+ base).distinct: _*))
+      .drop("batch_id").dropDuplicates(idCol).localCheckpoint(true)
+    try folded.write.mode("overwrite")
+      .parquet(s"$stateDir/cands/batch_id=$base")
+    finally { folded.unpersist(); () }
+    toFold.foreach(id =>
+      StreamStateDirs.delete(spark, s"$stateDir/cands/batch_id=$id"))
+    // a crashed prior batch's cands (id never committed) are dead rows
+    // the valid filter already hides; delete them too
+    candDirs.filterNot(id => valid.contains(id) || id == base).foreach(id =>
+      StreamStateDirs.delete(spark, s"$stateDir/cands/batch_id=$id"))
+  }
+
   /** All fingerprints ever settled, with their `batch_id` partition
     * column; empty (with the right schema) before the first batch.
     */
