@@ -146,6 +146,22 @@ object CurationQueries {
         .orderBy("source")
     }),
 
+    // LEAKAGE-SAFE splits: a near-dup pair straddling train/test leaks
+    // evaluation data into training (the hazard c08 detects post-hoc);
+    // here it is impossible BY CONSTRUCTION — the split hash keys on
+    // the near-dup cluster's canonical label (min id), own id for
+    // non-clustered docs, so a whole cluster lands in one split. Same
+    // split rule as c01, keyed one level up.
+    "c19_leakage_safe_split" -> ((s, d) => {
+      val docs = DedupQueries.docsWithMutations(s, d)
+      val labels = Dedup.connectedComponentsOverBuckets(docs, "doc_id", "text")
+      docs.join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .withColumn("split_key", coalesce(col("label"), col("doc_id")))
+        .select(col("doc_id"), col("split_key"),
+          Curation.splitAssign(col("split_key")).as("split"))
+        .orderBy("doc_id")
+    }),
+
     // near-dup clusters canonicalized by QUALITY (longest member, ties
     // to min id) instead of d06's min-id rule — the keep-best shape
     // real dedup pipelines want. Clusters come from the star-contracted
@@ -515,6 +531,29 @@ object CurationQueries {
          |  CAST(sum(CASE WHEN overlap >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_over_50,
          |  CAST(sum(CASE WHEN overlap >= 0.75 THEN 1 ELSE 0 END) AS BIGINT) AS n_over_75
          |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the same recursive-walk labels as c04's oracle, then c01's split
+    // rule keyed on COALESCE(label, doc_id)
+    "c19_leakage_safe_split" ->
+      s"""WITH RECURSIVE ${DedupQueries.minhashPairsCtes},
+         |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |walk(src, dst) AS (
+         |  SELECT src, dst FROM sym
+         |  UNION
+         |  SELECT w.src, s.dst FROM walk w JOIN sym s ON w.dst = s.src),
+         |labels AS (SELECT src AS id, least(src, min(dst)) AS label
+         |  FROM walk GROUP BY src),
+         |keyed AS (SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS split_key
+         |  FROM all_docs d LEFT JOIN labels l ON l.id = d.doc_id),
+         |b AS (SELECT doc_id, split_key,
+         |    ('0x' || substr(md5(CAST(split_key AS VARCHAR)), 1, 8))::BIGINT % 100
+         |      AS bkt
+         |  FROM keyed)
+         |SELECT doc_id, split_key,
+         |  CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val'
+         |    ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
 
     "c04_cluster_keep_best" ->
       s"""WITH RECURSIVE ${DedupQueries.minhashPairsCtes},

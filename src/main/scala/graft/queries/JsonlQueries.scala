@@ -35,6 +35,8 @@ object JsonlQueries {
     s"/tmp/graft_j02_corpus_${Paths.get(sfDir).getFileName}"
   private[queries] def orcDir(sfDir: String): String =
     s"/tmp/graft_j03_corpus_${Paths.get(sfDir).getFileName}"
+  private[queries] def evoDir(sfDir: String): String =
+    s"/tmp/graft_j04_corpus_${Paths.get(sfDir).getFileName}"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j01_jsonl_roundtrip" -> ((s, d) => {
@@ -103,6 +105,29 @@ object JsonlQueries {
         .orderBy("doc_id")
     }),
 
+    // ADDITIVE schema evolution at the lake layer — the reference's
+    // ALTER TABLE ADD COLUMN contract (A13, main_ingest.py:252-272)
+    // restated for parquet: day 1 writes the original two-column
+    // schema, day 2 writes the schema with a new column, and ONE
+    // mergeSchema read serves both vintages (old rows surface the new
+    // column as NULL — exactly what the reference's backfilled TEXT
+    // column holds). The oracle restates the merged view from the
+    // source table, proving the two-vintage round-trip lost nothing.
+    "j04_schema_evolution" -> ((s, d) => {
+      val dir = evoDir(d)
+      val docs = Tables.load(s, d, "documents")
+      docs.where(pmod(col("doc_id"), lit(2)) === 0)
+        .select("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/day=1")
+      docs.where(pmod(col("doc_id"), lit(2)) === 1)
+        .select("doc_id", "text", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/day=2")
+      s.read.option("mergeSchema", "true").parquet(dir)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("n_chars"), col("day").cast("long").as("day"))
+        .orderBy("doc_id")
+    }),
+
     // ORC round-trip — the second columnar lake format (built into
     // Spark): partitioned zstd ORC write, read back through the ORC
     // scan (partition pruning + pushdown apply as with parquet). The
@@ -164,6 +189,14 @@ object JsonlQueries {
     // write+read preserved every row/byte (DuckDB has no ORC reader)
     "j03_orc_roundtrip" ->
       """SELECT doc_id, source, lang, md5(text) AS text_md5, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // merged-view restatement: old-vintage rows carry NULL for the
+    // evolved column, day derives from the vintage rule
+    "j04_schema_evolution" ->
+      """SELECT doc_id, md5(text) AS text_md5,
+        |  CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE NULL END AS n_chars,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS BIGINT) AS day
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -780,6 +780,22 @@ object Relational {
         .orderBy("check", "target")
     }),
 
+    // multi-level aggregation in ONE pass: ROLLUP emits the (flag,
+    // status) cells, the per-flag subtotals and the grand total from a
+    // single scan — the OLAP-cube surface (report rollups at 100 TB
+    // run as one shuffle, not three queries); grouping_id
+    // disambiguates a rolled-up NULL from a data NULL in both engines
+    "q52_rollup" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_rows"),
+          sum(cents(col("l_extendedprice"))).as("sum_price_cents"))
+        .select("l_returnflag", "l_linestatus", "gid", "n_rows",
+          "sum_price_cents")
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    }),
+
     // robust outlier detection: per-priority median + MAD (median
     // absolute deviation) over integer-cent prices — medians of
     // integer-valued doubles interpolate to half/quarter-integers,
@@ -1699,6 +1715,15 @@ object Relational {
         |    AND (o_totalprice < 0.0 OR o_totalprice > 1000000.0)
         |    THEN 1 ELSE 0 END) AS BIGINT), count(*) FROM orders)
         |ORDER BY "check", target""".stripMargin,
+
+    "q52_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_cents
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
 
     "q50_robust_outliers" ->
       """WITH o AS (SELECT o_orderpriority AS grp,

@@ -251,6 +251,42 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // PMI collocations in the house no-ln form (t06's precedent): the
+    // association ratio p(w1,w2)/(p(w1)p(w2)) = c12·N²/(M·c1·c2) is an
+    // exact rational — numerator and denominator ride as BIGINTs, the
+    // ONE double division is shape-identical in both engines. Corpus
+    // totals N/M are two driver scalars (the model-rides-the-driver
+    // pattern); top-k is orderBy+limit — Spark plans TakeOrdered, a
+    // distributed heap top-k, never a single-partition global sort.
+    "t25_pmi_collocations" -> ((s, d) => {
+      val t = Tables.load(s, d, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .localCheckpoint(true) // unigram + bigram passes share the scan
+      val uni = t.select(explode(col("ws")).as("w"))
+      val uc = uni.groupBy("w").agg(count(lit(1)).as("c"))
+      val n = uni.count()
+      val bg = t.where(size(col("ws")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(ws) - 1),
+            |  i -> struct(element_at(ws, i) AS w1,
+            |              element_at(ws, i + 1) AS w2))""".stripMargin))
+          .as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .localCheckpoint(true) // counted twice (M and the pair groupBy)
+      val m = bg.count()
+      bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .where(col("c12") >= 5)
+        .join(uc.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+        .join(uc.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+        .withColumn("score_num", col("c12") * lit(n) * lit(n))
+        .withColumn("score_den", lit(m) * col("c1") * col("c2"))
+        .withColumn("pmi_ratio",
+          col("score_num").cast("double") / col("score_den"))
+        .select("w1", "w2", "c12", "score_num", "score_den", "pmi_ratio")
+        .orderBy(col("pmi_ratio").desc, col("w1"), col("w2"))
+        .limit(50)
+    }),
+
     "t05_top_terms" -> ((s, d) => {
       // term frequency + top-k per group: explode tokens, count, rank
       val w = org.apache.spark.sql.expressions.Window
@@ -831,6 +867,33 @@ object TextQueries {
          |    $stopHitsSql AS stop_hits
          |  FROM (SELECT doc_id, text, ' ' || text || ' ' AS p FROM documents))
          |ORDER BY doc_id""".stripMargin,
+
+    // bigram enumeration via the parallel-unnest list idiom; the
+    // integer products associate left like the engine's, and the one
+    // double division is shape-identical
+    "t25_pmi_collocations" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |uni AS (SELECT unnest(ws) AS w FROM t),
+        |uc AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM uni),
+        |bgl AS (SELECT
+        |    list_transform(generate_series(1, len(ws) - 1), i -> ws[i]) AS w1s,
+        |    list_transform(generate_series(1, len(ws) - 1), i -> ws[i + 1]) AS w2s
+        |  FROM t WHERE len(ws) >= 2),
+        |bg AS (SELECT unnest(w1s) AS w1, unnest(w2s) AS w2 FROM bgl),
+        |mm AS (SELECT count(*) AS m FROM bg),
+        |bc AS (SELECT w1, w2, count(*) AS c12 FROM bg
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |scored AS (SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+        |    CAST(c12 * n * n AS BIGINT) AS score_num,
+        |    CAST(m * u1.c * u2.c AS BIGINT) AS score_den,
+        |    CAST(c12 * n * n AS DOUBLE) / CAST(m * u1.c * u2.c AS DOUBLE)
+        |      AS pmi_ratio
+        |  FROM bc CROSS JOIN nn CROSS JOIN mm
+        |    JOIN uc u1 ON u1.w = bc.w1 JOIN uc u2 ON u2.w = bc.w2)
+        |SELECT w1, w2, c12, score_num, score_den, pmi_ratio FROM scored
+        |ORDER BY pmi_ratio DESC, w1, w2 LIMIT 50""".stripMargin,
 
     "t05_top_terms" ->
       """SELECT lang, word, freq, rank FROM (
