@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Curation, Dedup, Graph, Pipeline, Similarity}
+import graft.ops.{Curation, Dedup, Graph, Pipeline, Segmentation, Similarity}
 import graft.sources.Tables
 
 /** Empirical scale-curve harness for the cost models SCALING.md
@@ -89,6 +89,21 @@ object ScaleStress {
     def report(op: String, scale: Int, sec: Double, rows: Long): Unit =
       println(s"""{"op":"$op","scale":$scale,"sec":$sec,"rows":$rows}""")
 
+    /** The e14/e15 user-level metric relation from the inflated events
+      * (recency + frequency; the monetary column is not inflated).
+      */
+    def rfmOf(ev: DataFrame): DataFrame = {
+      val live = ev.where(col("user_id").isNotNull && col("ts").isNotNull)
+      val anchor = live.agg(max(to_date(col("ts"))).as("__anchor"))
+      live.groupBy("user_id")
+        .agg(max(to_date(col("ts"))).as("__last"),
+          count(lit(1)).as("frequency"))
+        .crossJoin(broadcast(anchor))
+        .withColumn("recency_days",
+          datediff(col("__anchor"), col("__last")).cast("long"))
+        .drop("__anchor", "__last")
+    }
+
     val emb0 = Tables.load(spark, sfDir, "embeddings")
       .select("vec_id", "embedding").localCheckpoint(true)
     /** Copy i sign-flips dimension j of the first 8 iff bit j of i is
@@ -163,7 +178,30 @@ object ScaleStress {
         // constant as k grows: the measured curve demonstrates the
         // "size bits to corpus/2^bits" rule from the scaladoc instead
         // of the k² blowup identical copies would fake
-        "s15" -> (() => Similarity.knnGraph(vecs, k = 3, bits = 8)))
+        "s15" -> (() => Similarity.knnGraph(vecs, k = 3, bits = 8)),
+        // the banded variant under CORPUS-SCALED bits: bitsPerBand
+        // grows with n (scaledBits), so per-band candidate volume stays
+        // ~n·target/2 — the curve shows the r7 guard+scaling story
+        // holding where FIXED bits would go quadratic
+        "s17" -> (() => {
+          val n = vecs.count()
+          Similarity.knnGraphBanded(vecs, k = 3, bands = 2,
+            bitsPerBand = Similarity.scaledBits(n, targetBucketSize = 128L))
+        }),
+        // the e14-class hazard vs its r7 fix, measured side by side:
+        // the ntile form's three global windows funnel every user into
+        // one task; the threshold form's only window runs over the
+        // distinct-VALUE axis
+        "e14_ntile" -> (() => {
+          import org.apache.spark.sql.expressions.Window
+          val rfm = rfmOf(events)
+          val rW = Window.orderBy(col("recency_days").asc, col("user_id"))
+          val fW = Window.orderBy(col("frequency").desc, col("user_id"))
+          rfm.withColumn("r", ntile(3).over(rW).cast("long"))
+            .withColumn("f", ntile(3).over(fW).cast("long"))
+        }),
+        "e15" -> (() => Segmentation.quantileTiles(rfmOf(events),
+          Seq(("recency_days", true), ("frequency", false)), k = 3)))
 
       ops.foreach { case (op, build) =>
         // a guarded refusal (d11's candidate budget) is ITSELF a
@@ -203,6 +241,22 @@ object ScaleStress {
       }
     }
     println(s"""{"op":"d11_guard","tripped":$tripped,"sec":$guardSec}""")
+
+    // the s15 budget guard (round 7): an all-positive-coordinate corpus
+    // collapses every vector into ONE sign bucket — C(30000, 2) ≈ 4.5e8
+    // candidates against the 2^26 default budget; the guard must refuse
+    // before the self-join, in seconds
+    val skewVecs = spark.range(0, 30000)
+      .select(col("id").as("vec_id"),
+        expr("transform(sequence(1, 16), " +
+          "j -> CAST(1.0 + (id % 97) / 100.0 AS FLOAT))").as("embedding"))
+    val (s15Tripped, s15GuardSec) = timed {
+      try { Similarity.knnGraph(skewVecs, k = 3, bits = 8).count(); false }
+      catch { case e: Exception =>
+        e.getMessage != null && e.getMessage.contains("budget")
+      }
+    }
+    println(s"""{"op":"s15_guard","tripped":$s15Tripped,"sec":$s15GuardSec}""")
 
     spark.stop()
   }
