@@ -1005,6 +1005,40 @@ object Dedup {
         col("span_tokens"))
   }
 
+  /** The removal twin of [[exactDuplicatedSpans]] (d15 : d14 ::
+    * this : d19): cut every token covered by a maximal duplicated
+    * span — ALL occurrences, the d15 rule — and keep the stitched
+    * remainder. Unlike d15's char-stride cuts, spans here are exact
+    * token islands, so the rewrite is one indexed `filter` over the
+    * token array against the doc's (bounded) span list — pure codegen'd
+    * column math; text tokens never join anything, only the id-keyed
+    * span relation does.
+    *
+    * Returns non-null-text `docs` rows plus (n_tokens, kept array
+    * columns folded to) `cleaned` — callers digest it (md5) rather than
+    * ship text.
+    */
+  def removeExactDuplicatedSpans(docs: DataFrame, idCol: String,
+      textCol: String, l: Int): DataFrame = {
+    require(!docs.columns.exists(_.equalsIgnoreCase("cleaned")),
+      "removeExactDuplicatedSpans produces `cleaned`; rename that input column")
+    val spans = exactDuplicatedSpans(docs, idCol, textCol, l)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e")))).as("__spans"))
+    docs.where(col(textCol).isNotNull)
+      .join(spans, Seq(idCol), "left")
+      .withColumn("__toks", split(col(textCol), " "))
+      .withColumn("__kept", expr(
+        """CASE WHEN __spans IS NULL THEN __toks
+          |ELSE filter(__toks, (w, i) ->
+          |  NOT exists(__spans, sp -> i >= sp.s AND i < sp.e)) END""".stripMargin))
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+      .withColumn("n_kept_tokens", size(col("__kept")).cast("long"))
+      .withColumn("cleaned", array_join(col("__kept"), " "))
+      .drop("__spans", "__toks", "__kept")
+  }
+
   // --- semantic dedup (SemDeDup) -------------------------------------------
 
   /** Cosine threshold for [[semDedup]], shared with the d13 oracle. */

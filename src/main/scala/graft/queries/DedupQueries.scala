@@ -345,6 +345,18 @@ object DedupQueries {
         .orderBy("doc_id", "span_start")
     }),
 
+    // d19's removal twin (d15 : d14 :: d20 : d19): every token covered
+    // by an exact duplicated span is cut, all occurrences; the cleaned
+    // text's md5 rides the hash so the rewrite is byte-verified
+    // without shipping texts
+    "d20_exact_span_removal" -> ((s, d) => {
+      Dedup.removeExactDuplicatedSpans(Tables.load(s, d, "documents"),
+          "doc_id", "text", l = 8)
+        .select(col("doc_id"), col("n_tokens"), col("n_kept_tokens"),
+          md5(col("cleaned")).as("cleaned_md5"))
+        .orderBy("doc_id")
+    }),
+
     // SemDeDup: k-means clusters bound the pairwise cosine search
     // (candidates = Σ|cluster|², n²/k expected; the paper scales k with
     // n to keep clusters bounded). Training is s08's deterministic
@@ -424,6 +436,35 @@ object DedupQueries {
        |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bands a JOIN bands b
        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** The d19 CTE chain through the maximal-duplicated-span relation
+    * (`spans(doc_id, span_start, span_end)`), shared by the d19 and
+    * d20 oracles — the detection and the rewrite must agree on the
+    * spans or the pair drifts.
+    */
+  private def exactSpanCtes(l: Int): String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+       |  FROM documents WHERE text IS NOT NULL),
+       |sh AS (SELECT doc_id,
+       |    generate_series(1, len(ts) - ${l - 1}) AS ss,
+       |    list_transform(generate_series(1, len(ts) - ${l - 1}),
+       |      i -> array_to_string(list_slice(ts, i, i + ${l - 1}), ' ')) AS gs
+       |  FROM toks WHERE len(ts) >= $l),
+       |grams AS (SELECT doc_id, CAST(unnest(ss) - 1 AS BIGINT) AS pos,
+       |    unnest(gs) AS gram FROM sh),
+       |dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+       |starts AS (SELECT doc_id, pos FROM grams JOIN dup USING (gram)),
+       |brk AS (SELECT doc_id, pos,
+       |    CASE WHEN pos > coalesce(max(pos + $l) OVER (PARTITION BY doc_id
+       |      ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      -1) THEN 1 ELSE 0 END AS b
+       |  FROM starts),
+       |isl AS (SELECT doc_id, pos,
+       |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM brk),
+       |spans AS (SELECT doc_id, min(pos) AS span_start,
+       |    max(pos) + $l AS span_end
+       |  FROM isl GROUP BY doc_id, island)""".stripMargin
 
   /** ONE clustering oracle (components of the pair relation) shared by
     * d06 and d07 — the two engines' clustering forms must stay checked
@@ -763,34 +804,36 @@ object DedupQueries {
 
     // word-token l-gram enumeration via the parallel-unnest list idiom
     // (d15's), groupBy-HAVING for duplicated grams, per-doc island
-    // merge replaying the engine's break rule verbatim
-    "d19_exact_dup_spans" -> {
-      val l = 8
-      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+    // merge replaying the engine's break rule verbatim (CTE chain
+    // shared with d20's removal oracle)
+    "d19_exact_dup_spans" ->
+      s"""WITH ${exactSpanCtes(8)}
+         |SELECT doc_id, span_start, span_end,
+         |  span_end - span_start AS span_tokens
+         |FROM spans ORDER BY doc_id, span_start""".stripMargin,
+
+    // d19's spans applied as the rewrite: indexed list_filter drops
+    // every covered token (DuckDB lambda indexes are 1-based, the
+    // engine's 0-based — the i-1 below is the alignment)
+    "d20_exact_span_removal" ->
+      s"""WITH ${exactSpanCtes(8)},
+         |sp AS (SELECT doc_id,
+         |    list(struct_pack(s := span_start, e := span_end)
+         |      ORDER BY span_start) AS spans
+         |  FROM spans GROUP BY doc_id),
+         |nn AS (SELECT doc_id, string_split(text, ' ') AS ws
          |  FROM documents WHERE text IS NOT NULL),
-         |sh AS (SELECT doc_id,
-         |    generate_series(1, len(ts) - ${l - 1}) AS ss,
-         |    list_transform(generate_series(1, len(ts) - ${l - 1}),
-         |      i -> array_to_string(list_slice(ts, i, i + ${l - 1}), ' ')) AS gs
-         |  FROM toks WHERE len(ts) >= $l),
-         |grams AS (SELECT doc_id, CAST(unnest(ss) - 1 AS BIGINT) AS pos,
-         |    unnest(gs) AS gram FROM sh),
-         |dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
-         |starts AS (SELECT doc_id, pos FROM grams JOIN dup USING (gram)),
-         |brk AS (SELECT doc_id, pos,
-         |    CASE WHEN pos > coalesce(max(pos + $l) OVER (PARTITION BY doc_id
-         |      ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-         |      -1) THEN 1 ELSE 0 END AS b
-         |  FROM starts),
-         |isl AS (SELECT doc_id, pos,
-         |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-         |  FROM brk)
-         |SELECT doc_id, min(pos) AS span_start,
-         |  max(pos) + $l AS span_end,
-         |  max(pos) + $l - min(pos) AS span_tokens
-         |FROM isl GROUP BY doc_id, island
-         |ORDER BY doc_id, span_start""".stripMargin
-    },
+         |cl AS (SELECT n.doc_id, n.ws,
+         |    CASE WHEN p.spans IS NULL THEN n.ws
+         |    ELSE list_filter(n.ws, (w, i) -> len(list_filter(p.spans,
+         |      q -> (i - 1) >= q.s AND (i - 1) < q.e)) = 0) END AS kept
+         |  FROM nn n LEFT JOIN sp p USING (doc_id))
+         |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+         |  CAST(len(kept) AS BIGINT) AS n_kept_tokens,
+         |  -- DuckDB's array_to_string([]) is NULL where Spark's
+         |  -- array_join([]) is '' — a fully-cut doc must hash as ''
+         |  md5(coalesce(array_to_string(kept, ' '), '')) AS cleaned_md5
+         |FROM cl ORDER BY doc_id""".stripMargin,
 
     // same k-means replay as s08 (shared CTE chain, retargeted at the
     // doubled corpus), then the within-cluster lower-id-wins cosine

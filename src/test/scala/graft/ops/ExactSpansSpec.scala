@@ -52,6 +52,27 @@ class ExactSpansSpec extends AnyFunSuite with SparkSpec {
     assert(out.isEmpty)
   }
 
+  test("removal cuts exactly the spanned tokens, all occurrences, and leaves clean docs byte-identical") {
+    import spark.implicits._
+    val shared = (0 until 8).map(i => s"s$i").mkString(" ")
+    val aHead = (0 until 3).map(i => s"a$i").mkString(" ")
+    val aTail = (0 until 2).map(i => s"y$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$aHead $shared $aTail"),
+      (2L, shared),                                     // fully duplicated
+      (3L, (0 until 6).map(i => s"u$i").mkString(" "))) // clean
+      .toDF("doc_id", "text")
+    val out = Dedup.removeExactDuplicatedSpans(docs, "doc_id", "text", l = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_kept_tokens"),
+          r.getAs[String]("cleaned"))).toMap
+    assert(out(1L) == ((13L, 5L, s"$aHead $aTail")), out(1L))
+    // the fully-duplicated doc is cut to nothing (all occurrences cut,
+    // the d15 rule — canonical selection is d01/c04's job, not this op's)
+    assert(out(2L) == ((8L, 0L, "")), out(2L))
+    assert(out(3L) == ((6L, 6L, (0 until 6).map(i => s"u$i").mkString(" "))))
+  }
+
   test("consistency with d14's sampled profile: verbatim-duplicate docs are fully covered in both; unique docs in neither") {
     import spark.implicits._
     // texts long enough for d14's char shingles (k=8, stride=2) to
