@@ -48,14 +48,25 @@ object Segmentation {
     * broadcast join against the k−1 bounds; k−1 longs return to the
     * driver.
     */
-  def exactThresholds(df: DataFrame, metric: String, k: Int): Seq[Long] = {
-    val spark = df.sparkSession
+  def exactThresholds(df: DataFrame, metric: String, k: Int): Seq[Long] =
+    thresholdsFromCounts(
+      df.groupBy(col(metric).cast("long").as("v"))
+        .agg(count(lit(1)).as("c")),
+      k)
+
+  /** The order-statistic rule over an ALREADY-AGGREGATED value
+    * histogram `(v long, c long)` — the face the STREAMING maintenance
+    * uses ([[graft.streaming.ModelStreams]] merges per-batch histogram
+    * partials algebraically; counts over disjoint doc sets sum), so
+    * thresholds over a growing corpus never rescan history.
+    */
+  def thresholdsFromCounts(hist: DataFrame, k: Int): Seq[Long] = {
+    val spark = hist.sparkSession
     import spark.implicits._
-    val n = df.count()
+    val n = hist.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
     val bounds = ntileBoundaryRanks(n, k).zipWithIndex
       .map { case (b, i) => (i + 1, b) }.toDF("t", "bound")
-    val cum = df.groupBy(col(metric).cast("long").as("v"))
-      .agg(count(lit(1)).as("c"))
+    val cum = hist
       .withColumn("cum", sum(col("c")).over(Window.orderBy(col("v"))))
     cum.join(broadcast(bounds), col("cum") >= col("bound"))
       .groupBy("t").agg(min(col("v")).as("thr"))

@@ -41,6 +41,9 @@ object ModelStreams {
   private def dsirSchema = StructType(Seq(
     StructField("__b", LongType), StructField("cr", LongType),
     StructField("ct", LongType), StructField("batch_id", LongType)))
+  private def histSchema = StructType(Seq(
+    StructField("metric", StringType), StructField("v", LongType),
+    StructField("c", LongType), StructField("batch_id", LongType)))
   // commit marker; `covers` marks a compacted base (see SearchStreams)
   private def statsSchema = StructType(Seq(
     StructField("n", LongType),
@@ -114,6 +117,67 @@ object ModelStreams {
       }
       .start()
 
+  /** Streaming maintenance of VALUE HISTOGRAMS for quantile-threshold
+    * segmentation ([[graft.ops.Segmentation]], e15's scalable form):
+    * per batch, each metric column's (value → count) partial lands
+    * under its batch id; the merged histogram (one keyed sum) feeds
+    * [[graft.ops.Segmentation.thresholdsFromCounts]], so tile
+    * thresholds over a GROWING corpus derive from vocabulary-of-values
+    *-sized state — history is never re-scanned. Contract: metrics are
+    * per-DOCUMENT (append-only — a re-aggregated per-user metric would
+    * need retraction; use the batch operator over the settled user
+    * relation for those). Null metric values carry no histogram mass.
+    */
+  def histStream(docs: DataFrame, metricCols: Seq[String], stateDir: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val b = batch.localCheckpoint(true) // one pass per metric
+        try {
+          metricCols.map { m =>
+            b.where(col(m).isNotNull)
+              .groupBy(lit(m).as("metric"), col(m).cast("long").as("v"))
+              .agg(count(lit(1)).as("c"))
+          }.reduce(_ unionByName _)
+            .write.mode("overwrite")
+            .parquet(s"$stateDir/hist/batch_id=$batchId")
+          val spark = batch.sparkSession
+          import spark.implicits._
+          Seq(Tuple1(0L)).toDF("n")
+            .write.mode("overwrite")
+            .parquet(s"$stateDir/stats/batch_id=$batchId")
+          ()
+        } finally { b.unpersist(); () }
+      }
+      .start()
+
+  /** The merged value histogram of one metric — (v, c), one row per
+    * distinct value. `ascending = false` negates the value axis (the
+    * [[graft.ops.Segmentation]] orientation rule for DESC tiles).
+    */
+  def loadHistogram(spark: SparkSession, stateDir: String, metric: String,
+      ascending: Boolean = true): DataFrame = {
+    val ids = effectiveIds(spark, stateDir)
+    val base = PipelineStreams.readOrEmpty(spark, s"$stateDir/hist", histSchema)
+      .where(col("batch_id").isin(ids: _*))
+      .where(col("metric") === metric)
+    val oriented =
+      if (ascending) base.select(col("v"), col("c"))
+      else base.select((-col("v")).as("v"), col("c"))
+    oriented.groupBy("v").agg(sum("c").as("c"))
+  }
+
+  /** Tile thresholds of one maintained metric, anytime: the merged
+    * histogram through [[graft.ops.Segmentation.thresholdsFromCounts]]
+    * — spec-pinned equal to the batch `exactThresholds` over the union
+    * of all committed batches, through compaction.
+    */
+  def loadThresholds(spark: SparkSession, stateDir: String, metric: String,
+      k: Int, ascending: Boolean = true): Seq[Long] =
+    graft.ops.Segmentation.thresholdsFromCounts(
+      loadHistogram(spark, stateDir, metric, ascending), k)
+
   /** Committed = stats rows minus covered ids (the SearchStreams
     * rule — the model scalars and counts are sums, never allowed to
     * double-count).
@@ -157,7 +221,8 @@ object ModelStreams {
     * the [[SearchStreams.compact]] protocol verbatim (sums ⇒ atomic
     * flip via a covering stats row written last; covered partitions
     * GC'd marker-first). `rels` names the count relations of the state
-    * dir: ("uni", "bi") for an LM dir, ("buckets") for a DSIR dir.
+    * dir: ("uni", "bi") for an LM dir, ("buckets") for a DSIR dir,
+    * ("hist") for a histogram dir.
     */
   def compact(spark: SparkSession, dir: String, rels: Seq[String]): Unit = {
     val statRows = PipelineStreams
@@ -177,7 +242,8 @@ object ModelStreams {
     val specs: Map[String, (StructType, Seq[String], Seq[String])] = Map(
       "uni" -> ((uniSchema, Seq("w1"), Seq("cu"))),
       "bi" -> ((biSchema, Seq("w1", "w2"), Seq("cb"))),
-      "buckets" -> ((dsirSchema, Seq("__b"), Seq("cr", "ct"))))
+      "buckets" -> ((dsirSchema, Seq("__b"), Seq("cr", "ct"))),
+      "hist" -> ((histSchema, Seq("metric", "v"), Seq("c"))))
     val folded = rels.map { r =>
       val (schema, keyCols, cntCols) = specs(r)
       val df = PipelineStreams.readOrEmpty(spark, s"$dir/$r", schema)

@@ -89,4 +89,41 @@ class ModelStreamsSpec extends AnyFunSuite with SparkSpec {
     ModelStreams.compact(spark, dir, Seq("buckets"))
     assert(rows(ModelStreams.loadDsirModel(spark, dir)) === rows(direct))
   }
+
+  test("streamed histogram partials yield the batch exactThresholds, asc and desc, through compaction") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // doc-level metrics (append-only): two batches, overlapping values
+    val batch1 = Seq((1L, 10L, 3L), (2L, 20L, 9L), (3L, 10L, 1L),
+      (4L, 35L, 7L))
+    val batch2 = Seq((11L, 50L, 2L), (12L, 20L, 8L), (13L, 60L, 4L),
+      (14L, 5L, 6L), (15L, 40L, 5L))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_ms_hist").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ms_histc").toString
+    val in = MemoryStream[(Long, Long, Long)]
+    val q = ModelStreams.histStream(
+      in.toDS().toDF("doc_id", "n_chars", "quality"),
+      Seq("n_chars", "quality"), dir, ckpt)
+    try {
+      in.addData(batch1: _*); q.processAllAvailable()
+      in.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val union = (batch1 ++ batch2).toDF("doc_id", "n_chars", "quality")
+    def direct(metric: String, asc: Boolean) =
+      graft.ops.Segmentation.exactThresholds(
+        if (asc) union
+        else union.withColumn(metric, -col(metric)), metric, 3)
+    assert(ModelStreams.loadThresholds(spark, dir, "n_chars", 3) ==
+      direct("n_chars", asc = true))
+    assert(ModelStreams.loadThresholds(spark, dir, "quality", 3,
+      ascending = false) == direct("quality", asc = false))
+
+    ModelStreams.compact(spark, dir, Seq("hist"))
+    assert(ModelStreams.loadThresholds(spark, dir, "n_chars", 3) ==
+      direct("n_chars", asc = true))
+    assert(ModelStreams.loadThresholds(spark, dir, "quality", 3,
+      ascending = false) == direct("quality", asc = false))
+  }
 }
