@@ -119,7 +119,10 @@ object Plans {
     "s17_knn_graph_banded", "e15_rfm_threshold_segments",
     "d19_exact_dup_spans", "g06_warm_pagerank", "q52_rollup",
     "c19_leakage_safe_split", "t25_pmi_collocations",
-    "j04_schema_evolution")
+    "j04_schema_evolution",
+    // d20 span removal (spans join + indexed array filter), m08 frame
+    // dedup (checksum groupBy + join — payloads never shuffle)
+    "d20_exact_span_removal", "m08_frame_dedup")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

@@ -181,6 +181,29 @@ object Multimodal {
           .cast("long").as("frame_len"))
   }
 
+  /** Exact FRAME dedup profile (m08) — d01's fingerprint dedup applied
+    * to multimodal payload frames: every frame of the stride layout is
+    * content-checksummed ([[keyframeChecksums]] with `every = 1`), and
+    * a frame is duplicated iff its checksum occurs at ≥ 2 (media,
+    * frame) positions corpus-wide — re-encoded copies, looping clips
+    * and shared intros/outros all surface here. Per media:
+    * (n_frames, n_dup_frames, dup_fraction). The groupBy shuffles
+    * 32-char checksums, never payload bytes (the multimodal ground
+    * rule); cost is one hash pass + one map-side-combined count + one
+    * checksum equi-join — the d14 scale shape on binary.
+    */
+  def frameDedupProfile(media: DataFrame, strideBytes: Int): DataFrame = {
+    val frames = keyframeChecksums(media, strideBytes, every = 1)
+      .select(col("media_id"), col("frame_md5"))
+    val occ = frames.groupBy("frame_md5").agg(count(lit(1)).as("__occ"))
+    frames.join(occ, "frame_md5")
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("__occ") >= 2, 1L).otherwise(0L)).as("n_dup_frames"))
+      .withColumn("dup_fraction",
+        col("n_dup_frames") / col("n_frames").cast("double"))
+  }
+
   /** Windowed audio-energy profile over a PCM8-shaped binary payload —
     * the voice-activity / silence-trim primitive of an audio pipeline,
     * on the engine's stub-payload convention (bytes ARE the samples;

@@ -75,6 +75,18 @@ object MultimodalQueries {
         .orderBy("media_id", "frame_idx")
     }),
 
+    // exact frame dedup across media — d01's rule on binary frames:
+    // a frame is duplicated iff its content checksum occurs at >= 2
+    // corpus positions (copies, loops, shared intros); checksums
+    // shuffle, payload bytes never do
+    "m08_frame_dedup" -> ((s, d) => {
+      val media = Tables.load(s, d, "documents")
+        .select(col("doc_id").as("media_id"),
+          col("text").cast("binary").as("payload"))
+      Multimodal.frameDedupProfile(media, strideBytes = 100)
+        .orderBy("media_id")
+    }),
+
     // REAL codec round-trip: dimensions chosen arithmetically -> PNG
     // bytes encoded on executors (javax.imageio) -> decoded back by the
     // real ImageIo decoder. The oracle states the dimensions from
@@ -170,6 +182,25 @@ object MultimodalQueries {
         |  CAST(length(substr(hxp, fi * 200 + 1, 200)) // 2 AS BIGINT)
         |    AS frame_len
         |FROM k ORDER BY media_id, frame_idx""".stripMargin,
+
+    // m07's frame enumeration with every frame kept (every = 1), then
+    // the d14-shaped occurrence count + join
+    "m08_frame_dedup" ->
+      """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hxp,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |f AS (SELECT media_id, hxp, greatest(n_bytes // 100, 1) AS n FROM m),
+        |k AS (SELECT media_id,
+        |    md5(substr(hxp, (i - 1) * 200 + 1, 200)) AS frame_md5
+        |  FROM f, unnest(generate_series(1, n)) AS g(i)),
+        |occ AS (SELECT frame_md5, count(*) AS occ FROM k GROUP BY 1)
+        |SELECT media_id, count(*) AS n_frames,
+        |  CAST(sum(CASE WHEN occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_frames,
+        |  CAST(sum(CASE WHEN occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    / CAST(count(*) AS DOUBLE) AS dup_fraction
+        |FROM k JOIN occ USING (frame_md5)
+        |GROUP BY media_id ORDER BY media_id""".stripMargin,
 
     "m04_imageio_roundtrip" ->
       """SELECT doc_id AS media_id,
