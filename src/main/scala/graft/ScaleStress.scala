@@ -189,18 +189,23 @@ object ScaleStress {
             bitsPerBand = Similarity.scaledBits(n, targetBucketSize = 128L))
         }),
         // the e14-class hazard vs its r7 fix, measured side by side:
-        // the ntile form's three global windows funnel every user into
+        // the ntile form's two global windows funnel every user into
         // one task; the threshold form's only window runs over the
-        // distinct-VALUE axis
+        // distinct-VALUE axis. Both thunks pin the user-level relation
+        // first (quantileTiles runs several driver actions over it —
+        // an unpinned rfm would recompute the events groupBy per
+        // action and the curve would measure recomputation, not the
+        // operator)
         "e14_ntile" -> (() => {
           import org.apache.spark.sql.expressions.Window
-          val rfm = rfmOf(events)
+          val rfm = rfmOf(events).localCheckpoint(true)
           val rW = Window.orderBy(col("recency_days").asc, col("user_id"))
           val fW = Window.orderBy(col("frequency").desc, col("user_id"))
           rfm.withColumn("r", ntile(3).over(rW).cast("long"))
             .withColumn("f", ntile(3).over(fW).cast("long"))
         }),
-        "e15" -> (() => Segmentation.quantileTiles(rfmOf(events),
+        "e15" -> (() => Segmentation.quantileTiles(
+          rfmOf(events).localCheckpoint(true),
           Seq(("recency_days", true), ("frequency", false)), k = 3)))
 
       ops.foreach { case (op, build) =>

@@ -944,18 +944,25 @@ object Dedup {
   }
 
   /** EXACT repeated-substring dedup — the suffix-array member of the
-    * Lee et al. 2022 family that d14/d15 sample: every maximal token
-    * span of length ≥ `l` whose text occurs at ≥ 2 distinct
-    * (document, position) sites corpus-wide, found exactly (no stride,
-    * no sampling, within-doc repeats count — d14 requires ≥ 2 distinct
-    * DOCUMENTS; both semantics stated).
+    * Lee et al. 2022 family that d14/d15 sample: duplicated-token
+    * COVERAGE, found exactly (no stride, no sampling, within-doc
+    * repeats count — d14 requires ≥ 2 distinct DOCUMENTS; both
+    * semantics stated). A token is covered iff some `l`-token window
+    * containing it occurs at ≥ 2 distinct (document, position) sites
+    * corpus-wide; output spans are the maximal covered runs — exactly
+    * the ranges ExactSubstr dedup cuts. PRECISION of the semantics:
+    * an island is a union of (possibly different) duplicated windows,
+    * so the island's text as a WHOLE need not repeat anywhere (two
+    * abutting windows duplicated at two different remote sites merge
+    * into one island); every length-l slice aligned on a duplicated
+    * start does. Consumers wanting verbatim-repeating extents read the
+    * per-window dup relation, not the merged islands.
     *
-    * The suffix-array insight, relationally: a span of length ≥ l is
-    * duplicated iff every one of its fixed-width l-token windows is —
-    * so grouping suffixes by their FIRST l TOKENS (the fixed-width
-    * suffix key; equal keys = the adjacent-suffix LCP ≥ l test) finds
-    * exactly the duplicated window starts, and maximal spans are the
-    * islands of overlapping-or-adjacent starts. Three stages:
+    * The suffix-array connection, relationally: grouping suffixes by
+    * their FIRST l TOKENS (the fixed-width suffix key; equal keys =
+    * the adjacent-suffix LCP ≥ l test) finds exactly the duplicated
+    * window starts, and the coverage islands are the
+    * overlapping-or-adjacent starts merged. Three stages:
     *
     *  1. window enumeration — per document, `transform(sequence(...))`
     *     emits the l-gram at every position as pure column math (no
@@ -970,7 +977,7 @@ object Dedup {
     *     the only window, bounded by document length like d15's cut
     *     fold, never corpus-sized.
     *
-    * Output: one row per maximal duplicated span —
+    * Output: one row per maximal covered run —
     * (idCol, span_start, span_end, span_tokens), token positions
     * 0-based, end exclusive.
     */
@@ -1020,8 +1027,10 @@ object Dedup {
     */
   def removeExactDuplicatedSpans(docs: DataFrame, idCol: String,
       textCol: String, l: Int): DataFrame = {
-    require(!docs.columns.exists(_.equalsIgnoreCase("cleaned")),
-      "removeExactDuplicatedSpans produces `cleaned`; rename that input column")
+    Seq("cleaned", "n_tokens", "n_kept_tokens").foreach { r =>
+      require(!docs.columns.exists(_.equalsIgnoreCase(r)),
+        s"removeExactDuplicatedSpans produces `$r`; rename that input column")
+    }
     val spans = exactDuplicatedSpans(docs, idCol, textCol, l)
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("span_start").as("s"),

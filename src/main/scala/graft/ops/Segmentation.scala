@@ -49,8 +49,14 @@ object Segmentation {
     * driver.
     */
   def exactThresholds(df: DataFrame, metric: String, k: Int): Seq[Long] =
+    // null metric rows carry no histogram mass (the same rule as the
+    // streaming maintenance, ModelStreams.histStream — the two paths
+    // must agree or loadThresholds' equality contract breaks; a null
+    // also must not count toward n, where it would shift every
+    // boundary rank)
     thresholdsFromCounts(
-      df.groupBy(col(metric).cast("long").as("v"))
+      df.where(col(metric).isNotNull)
+        .groupBy(col(metric).cast("long").as("v"))
         .agg(count(lit(1)).as("c")),
       k)
 
@@ -79,16 +85,21 @@ object Segmentation {
     */
   def approxThresholds(df: DataFrame, metric: String, k: Int,
       accuracy: Int = 10000): Seq[Long] = {
-    val n = df.count()
+    // nulls excluded BEFORE counting n: percentile_approx ignores
+    // them, so counting them would skew every boundary fraction
+    val live = df.where(col(metric).isNotNull)
+    val n = live.count()
     val fracs = ntileBoundaryRanks(n, k).map(_.toDouble / n)
-    df.agg(percentile_approx(col(metric).cast("long"),
+    live.agg(percentile_approx(col(metric).cast("long"),
         typedLit(fracs), lit(accuracy)).as("ts"))
       .head().getSeq[Long](0).toSeq
   }
 
   /** Tile assignment from driver-side thresholds: 1 + |{t : v > thr_t}|
     * — pure column math. `ascending = false` tiles the negated metric
-    * (tile 1 = largest values), matching a DESC ntile.
+    * (tile 1 = largest values), matching a DESC ntile. A NULL metric
+    * carries no histogram mass (thresholds ignore it) and lands in
+    * tile 1 here — filter or impute upstream if that is not wanted.
     */
   def tileColumn(metric: Column, thresholds: Seq[Long],
       ascending: Boolean): Column = {

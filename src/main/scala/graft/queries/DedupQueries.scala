@@ -336,9 +336,10 @@ object DedupQueries {
     }),
 
     // the EXACT member of the Lee et al. family (suffix-array form):
-    // every maximal token span >= 8 tokens occurring at >= 2 corpus
-    // positions, found by fixed-width suffix-key grouping — no stride,
-    // no sampling, where d14/d15 test only stride-aligned starts
+    // maximal runs of tokens covered by an 8-gram occurring at >= 2
+    // corpus positions, found by fixed-width suffix-key grouping — no
+    // stride, no sampling, where d14/d15 test only stride-aligned
+    // starts (coverage semantics: see exactDuplicatedSpans' scaladoc)
     "d19_exact_dup_spans" -> ((s, d) => {
       Dedup.exactDuplicatedSpans(Tables.load(s, d, "documents"),
           "doc_id", "text", l = 8)

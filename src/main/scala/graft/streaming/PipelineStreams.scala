@@ -65,6 +65,32 @@ object PipelineStreams {
   def settleBatch(batch: DataFrame, benchmark: DataFrame, historyFp: DataFrame,
       idCol: String, textCol: String,
       contaminationTau: Double = 0.5): (DataFrame, DataFrame) = {
+    val (s1, unseen) = stageOne(batch, benchmark, historyFp, idCol, textCol)
+
+    // stage 3 (stage 2 is the batch compaction's job — see object doc):
+    // benchmark decontamination, anti-join on the flagged ids; docs
+    // under two words have no bigram and pass by definition.
+    val flagged = Curation.contaminationScores(s1, benchmark, idCol, textCol)
+      .where(col("overlap") >= contaminationTau)
+      .select(col(idCol))
+    val s3 = s1.join(flagged, Seq(idCol), "left_anti")
+
+    // stage 4: quality gate — the conjunction of every rule.
+    val curated = s3.where(qualityPass(textCol))
+
+    (curated, unseen.select("fingerprint"))
+  }
+
+  /** Stage 1 shared by [[settleBatch]] and
+    * [[incrementalCurateClustered]] (one copy — the two faces must not
+    * drift): exact dedup of the batch against accumulated history.
+    * Returns (s1 = the batch's canonical unseen rows, unseen = the
+    * batch's NEW fingerprint/canonical-id relation — its fingerprints
+    * are exactly the state delta to persist).
+    */
+  private def stageOne(batch: DataFrame, benchmark: DataFrame,
+      historyFp: DataFrame, idCol: String,
+      textCol: String): (DataFrame, DataFrame) = {
     // streams run micro-batches on a CLONED session whose function
     // registry snapshot predates any lazy self-registration — pin the
     // native bigram hash on BOTH sessions plans analyze against here
@@ -81,32 +107,21 @@ object PipelineStreams {
     // applies: null-text rows are dropped at the door.
     val live = batch.where(col(textCol).isNotNull)
     val hist = historyFp.select(col("fingerprint")).distinct()
-
-    // stage 1: in-batch canonical (min id per fingerprint), minus
-    // history — one map-side-combined groupBy + one anti join on the
-    // pre-aggregated key set (Dedup.incrementalNew's scale shape, fed
-    // the fingerprint relation directly).
+    // in-batch canonical (min id per fingerprint), minus history — one
+    // map-side-combined groupBy + one anti join on the pre-aggregated
+    // key set (Dedup.incrementalNew's scale shape, fed the fingerprint
+    // relation directly)
     val groups = Dedup.exactGroups(live, idCol, textCol)
     val unseen = groups.join(hist, Seq("fingerprint"), "left_anti")
     val s1 = live.join(
       unseen.select(col("canonical_id").as(idCol)), Seq(idCol))
-
-    // stage 3 (stage 2 is the batch compaction's job — see object doc):
-    // benchmark decontamination, anti-join on the flagged ids; docs
-    // under two words have no bigram and pass by definition.
-    val flagged = Curation.contaminationScores(s1, benchmark, idCol, textCol)
-      .where(col("overlap") >= contaminationTau)
-      .select(col(idCol))
-    val s3 = s1.join(flagged, Seq(idCol), "left_anti")
-
-    // stage 4: quality gate — the conjunction of every rule.
-    val passAll = TextAnalysis.qualityRules
-      .map { case (_, rule) => !rule(col(textCol)) }.reduce(_ && _)
-    val curated = s3.where(passAll)
-
-    val newFp = groups.select("fingerprint").join(hist, Seq("fingerprint"), "left_anti")
-    (curated, newFp)
+    (s1, unseen)
   }
+
+  /** The stage-4 quality conjunction, single-sourced. */
+  private def qualityPass(textCol: String) =
+    TextAnalysis.qualityRules
+      .map { case (_, rule) => !rule(col(textCol)) }.reduce(_ && _)
 
   /** Run the incremental settle over a streaming `docs` frame (e.g.
     * [[graft.sources.Jsonl.readStream]] on a landing dir). Appends
@@ -220,40 +235,33 @@ object PipelineStreams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
-        graft.functions.TextHashExpressions.register(spark)
-        graft.functions.TextHashExpressions.register(benchmark.sparkSession)
-        graft.functions.VecExpressions.register(spark)
-        graft.functions.VecExpressions.register(benchmark.sparkSession)
-        val b = batch.where(col(textCol).isNotNull).localCheckpoint(true)
+        val b = batch.localCheckpoint(true)
         try {
           val hist = fingerprints(spark, s"$stateDir/fp")
             .where(col("batch_id") < batchId)
             .select("fingerprint")
-          val groups = Dedup.exactGroups(b, idCol, textCol)
-          val unseen = groups.join(hist, Seq("fingerprint"), "left_anti")
+          val (s1raw, unseen) = stageOne(b, benchmark, hist, idCol, textCol)
           // consumed by the gate scorer, the cands write and the
           // cluster settle's two banding passes — pin once
-          val s1 = b.join(unseen.select(col("canonical_id").as(idCol)),
-            Seq(idCol)).localCheckpoint(true)
+          val s1 = s1raw.localCheckpoint(true)
           try {
             val flagged = Curation
               .contaminationScores(s1, benchmark, idCol, textCol)
               .where(col("overlap") >= contaminationTau)
               .select(col(idCol), lit(true).as("__flagged"))
-            val passAll = TextAnalysis.qualityRules
-              .map { case (_, rule) => !rule(col(textCol)) }.reduce(_ && _)
             val cands = s1.join(flagged, Seq(idCol), "left")
               .withColumn("__q", length(col(textCol)).cast("long"))
-              .withColumn("__passes", col("__flagged").isNull && passAll)
+              .withColumn("__passes",
+                col("__flagged").isNull && qualityPass(textCol))
               .drop("__flagged")
             cands.write.mode("overwrite")
               .parquet(s"$stateDir/cands/batch_id=$batchId")
-            val newFp = groups.select("fingerprint")
-              .join(hist, Seq("fingerprint"), "left_anti")
-            newFp.write.mode("overwrite")
+            unseen.select("fingerprint").write.mode("overwrite")
               .parquet(s"$stateDir/fp/batch_id=$batchId")
             // cluster settle writes its commit marker LAST — the one
-            // marker gating this batch's cands + labels + bands
+            // marker gating this batch's cands + fingerprints + labels
+            // + bands (see compactClustered: fp folds are also
+            // restricted to marker-vouched ids)
             ClusterStreams.settleClusterBatch(
               s1.select(col(idCol), col(textCol)), idCol, textCol,
               s"$stateDir/cluster", batchId)
@@ -313,32 +321,52 @@ object PipelineStreams {
   def compactClustered(spark: SparkSession, stateDir: String,
       idCol: String): Unit = {
     ClusterStreams.compact(spark, s"$stateDir/cluster")
-    compact(spark, s"$stateDir/fp")
     val (effective, covered) = ClusterStreams
       .committedAndCovered(spark, s"$stateDir/cluster")
     if (effective.isEmpty) return
     val base = effective.min
     val valid = (effective ++ covered).distinct
-    val candDirs = Try(spark.read.parquet(s"$stateDir/cands")
-        .select("batch_id").distinct().collect().map(_.getLong(0)).toSeq)
-      .getOrElse(Seq.empty)
-    val toFold = candDirs.filter(id => valid.contains(id) && id != base)
+    // BOTH row states fold ONLY marker-vouched partitions. Folding an
+    // unvouched fp/batch_id=N (a batch that crashed after its fp write
+    // but before its cluster commit) into the negative base would hand
+    // the replayed batch its OWN fingerprints as history — the whole
+    // batch would anti-join to empty and its documents silently vanish
+    // (the poisoned-replay window). Unvouched dirs stay under their own
+    // id: invisible to readers, excluded from the replay's
+    // `batch_id < N` history read, and overwritten by the replay.
+    foldVouched(spark, s"$stateDir/fp", valid, base, "fingerprint")
+    foldVouched(spark, s"$stateDir/cands", valid, base, idCol)
+  }
+
+  /** Fold a per-batch-id row state's marker-vouched partitions into
+    * `base`. Per-key dedup in the fold: a crash-replayed fold re-reads
+    * its own base, and without it the base would accumulate duplicate
+    * rows (harmless to readers — their per-key folds hide them — but
+    * unbounded). Safe at every crash point: base+originals coexisting
+    * read identically (set semantics), and a replay recomputes the
+    * same base id and finishes the deletes.
+    */
+  private def foldVouched(spark: SparkSession, dir: String,
+      valid: Seq[Long], base: Long, dedupCol: String): Unit = {
+    // cast: bare partition discovery infers batch_id as INT (the
+    // schema'd readers pin LONG); and ONLY a missing dir means "no
+    // state" — any other read failure must propagate, not silently
+    // skip the fold
+    val ids = Try(spark.read.parquet(dir)
+        .select(col("batch_id").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSeq) match {
+      case scala.util.Success(s) => s
+      case scala.util.Failure(e) if pathMissing(e) => Seq.empty
+      case scala.util.Failure(e) => throw e
+    }
+    val toFold = ids.filter(id => valid.contains(id) && id != base)
     if (toFold.isEmpty) return
-    // per-id dedup in the fold: a crash-replayed fold re-reads its own
-    // base, and without this the base would accumulate duplicate rows
-    // (harmless to readers — the per-id fold hides them — but unbounded)
-    val folded = spark.read.parquet(s"$stateDir/cands")
+    val folded = spark.read.parquet(dir)
       .where(col("batch_id").isin((toFold :+ base).distinct: _*))
-      .drop("batch_id").dropDuplicates(idCol).localCheckpoint(true)
-    try folded.write.mode("overwrite")
-      .parquet(s"$stateDir/cands/batch_id=$base")
+      .drop("batch_id").dropDuplicates(dedupCol).localCheckpoint(true)
+    try folded.write.mode("overwrite").parquet(s"$dir/batch_id=$base")
     finally { folded.unpersist(); () }
-    toFold.foreach(id =>
-      StreamStateDirs.delete(spark, s"$stateDir/cands/batch_id=$id"))
-    // a crashed prior batch's cands (id never committed) are dead rows
-    // the valid filter already hides; delete them too
-    candDirs.filterNot(id => valid.contains(id) || id == base).foreach(id =>
-      StreamStateDirs.delete(spark, s"$stateDir/cands/batch_id=$id"))
+    toFold.foreach(id => StreamStateDirs.delete(spark, s"$dir/batch_id=$id"))
   }
 
   /** All fingerprints ever settled, with their `batch_id` partition
@@ -361,8 +389,20 @@ object PipelineStreams {
     */
   def compact(spark: SparkSession, stateDir: String): Unit = {
     val all = fingerprints(spark, stateDir)
-    val ids = all.select("batch_id").distinct().collect()
+    val allIds = all.select("batch_id").distinct().collect()
       .map(_.getLong(0)).toIndexedSeq.sorted
+    // NEVER fold the newest (max) batch partition: this layout has no
+    // commit markers, so the newest partition may belong to a batch
+    // whose streaming checkpoint hasn't committed — folding it into the
+    // negative base would hand the replayed batch its own fingerprints
+    // as history (`batch_id < N` admits the base) and the batch would
+    // settle to empty. Only the newest id can be in that state (batches
+    // are sequential: N+1 exists only after N's checkpoint commits), so
+    // excluding it closes the window; the skipped partition folds on
+    // the next compaction. (The composed layout has real markers —
+    // see compactClustered — and doesn't need this conservatism.)
+    if (allIds.isEmpty) return
+    val ids = allIds.filterNot(id => id >= 0 && id == allIds.max)
     if (ids.size <= 1) return
     val base = math.min(ids.min, 0L) - 1L
     // eager checkpoint: fully materialize the fold before writing a new

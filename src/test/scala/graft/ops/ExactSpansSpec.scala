@@ -46,6 +46,23 @@ class ExactSpansSpec extends AnyFunSuite with SparkSpec {
     assert(out.toSeq == Seq((1L, 0L, 12L), (2L, 0L, 12L)), out.toSeq)
   }
 
+  test("COVERAGE semantics pinned: abutting windows duplicated at DIFFERENT sites merge into one island whose whole text repeats nowhere") {
+    // doc A carries w0..w3 (duplicated in doc B) immediately followed
+    // by x0..x3 (duplicated in doc C): A's dup starts are {0, 4}, the
+    // break rule merges them (4 > 4 is false), and the island [0, 8)
+    // is a run of COVERED tokens even though no 8-token span of A
+    // occurs twice — the documented coverage semantics, exactly what
+    // ExactSubstr removal cuts
+    val w = (0 until 4).map(i => s"w$i").mkString(" ")
+    val x = (0 until 4).map(i => s"x$i").mkString(" ")
+    val out = spans(Seq(
+      (1L, s"$w $x"),
+      (2L, s"b0 b1 $w"),
+      (3L, s"c0 c1 $x")), l = 4)
+    assert(out.toSeq == Seq((1L, 0L, 8L), (2L, 2L, 6L), (3L, 2L, 6L)),
+      out.toSeq)
+  }
+
   test("docs shorter than l emit nothing and do not error") {
     val out = spans(Seq((1L, "only three tokens"), (2L, "only three tokens")),
       l = 8)

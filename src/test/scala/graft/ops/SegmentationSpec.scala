@@ -46,6 +46,17 @@ class SegmentationSpec extends AnyFunSuite with SparkSpec {
     assert(tiled(10L) < tiled(20L))
   }
 
+  test("null metric rows carry no threshold mass (both paths), matching the streaming histogram rule") {
+    import spark.implicits._
+    val clean = Seq((1L, Some(10L)), (2L, Some(20L)), (3L, Some(30L)))
+    val withNulls = clean ++ Seq((4L, None: Option[Long]), (5L, None: Option[Long]))
+    def df(rows: Seq[(Long, Option[Long])]) = rows.toDF("id", "v")
+    assert(Segmentation.exactThresholds(df(withNulls), "v", 2) ==
+      Segmentation.exactThresholds(df(clean), "v", 2))
+    assert(Segmentation.approxThresholds(df(withNulls), "v", 2) ==
+      Segmentation.approxThresholds(df(clean), "v", 2))
+  }
+
   test("approx path: tiles are monotone in the metric and within [1, k]") {
     import spark.implicits._
     val df = (1L to 500L).map(i => (i, i * 7L % 501L)).toDF("id", "v")

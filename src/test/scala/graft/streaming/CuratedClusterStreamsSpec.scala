@@ -106,6 +106,46 @@ class CuratedClusterStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(curatedRows(state) == expected)
   }
 
+  test("compactClustered folds only marker-vouched partitions: a crashed batch's fp/cands stay under their own id") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val state = java.nio.file.Files.createTempDirectory("graft_ccs3_state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ccs3_ckpt").toString
+    val bench = Seq((999L, famText("zz", "benx"), "srcA"))
+      .toDF("doc_id", "text", "source")
+    val b1 = Seq((1L, famText("gg", "e1xx"), "srcA"))
+    val b2 = Seq((2L, famText("hh", "e2xx"), "srcA"))
+    val in = MemoryStream[(Long, String, String)]
+    val q = PipelineStreams.incrementalCurateClustered(
+      in.toDS().toDF("doc_id", "text", "source"), bench,
+      "doc_id", "text", state, ckpt)
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // simulate a batch that crashed after its fp write but BEFORE its
+    // cluster commit marker: fp/batch_id=7 exists, no marker vouches it
+    Seq("deadbeef").toDF("fingerprint")
+      .write.parquet(s"$state/fp/batch_id=7")
+    PipelineStreams.compactClustered(spark, state, "doc_id")
+    val fpIds = PipelineStreams.fingerprints(spark, s"$state/fp")
+      .select("batch_id").distinct().collect().map(_.getLong(0)).toSet
+    // vouched partitions (0, 1) folded into the negative base; the
+    // crashed partition must survive under its own id — folding it
+    // into the base would hand the replayed batch its own fingerprints
+    // as history (batch_id < 7 admits the base) and the batch would
+    // settle to empty
+    assert(fpIds.exists(_ < 0L) && fpIds.contains(7L), fpIds)
+    assert(!fpIds.contains(0L) && !fpIds.contains(1L), fpIds)
+    val below7 = PipelineStreams.fingerprints(spark, s"$state/fp")
+      .where(col("batch_id") < 7).select("fingerprint")
+      .collect().map(_.getString(0)).toSet
+    assert(!below7.contains("deadbeef"),
+      "the replayed batch must not see its own fingerprints")
+    // and the curated view is unchanged by the crashed debris
+    assert(curatedRows(state) == batchRows(b1 ++ b2, bench))
+  }
+
   test("a batch arriving AFTER compaction still probes the folded index (cross-compaction near-dup)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -105,6 +105,29 @@ class PipelineStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(PipelineStreams.curated(spark, noDir, docSchema).count() == 0)
   }
 
+  test("compact never folds the newest fingerprint partition (the possibly-uncommitted batch)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ps_cmp").toString
+    Seq("a").toDF("fingerprint").write.parquet(s"$dir/batch_id=0")
+    Seq("b").toDF("fingerprint").write.parquet(s"$dir/batch_id=1")
+    Seq("c").toDF("fingerprint").write.parquet(s"$dir/batch_id=2")
+    PipelineStreams.compact(spark, dir)
+    val ids = PipelineStreams.fingerprints(spark, dir)
+      .select("batch_id").distinct().collect().map(_.getLong(0)).toSet
+    // 0 and 1 folded into the negative base; 2 (the newest — the only
+    // id that can belong to a batch whose checkpoint hasn't committed)
+    // must remain under its own id, so a replay of batch 2 still
+    // excludes its own fingerprints via batch_id < 2
+    assert(ids == Set(-1L, 2L), ids)
+    val all = PipelineStreams.fingerprints(spark, dir)
+      .select("fingerprint").as[String].collect().toSet
+    assert(all == Set("a", "b", "c"))
+    val below2 = PipelineStreams.fingerprints(spark, dir)
+      .where(col("batch_id") < 2).select("fingerprint")
+      .as[String].collect().toSet
+    assert(below2 == Set("a", "b"), "the replayed batch must not see itself")
+  }
+
   test("a corrupt state read PROPAGATES instead of settling against an empty history") {
     // only path-not-found means "no state yet"; any other failure must
     // fail the micro-batch (an empty-history fallback would re-admit
