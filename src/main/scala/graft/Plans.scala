@@ -121,8 +121,11 @@ object Plans {
     "c19_leakage_safe_split", "t25_pmi_collocations",
     "j04_schema_evolution",
     // d20 span removal (spans join + indexed array filter), m08 frame
-    // dedup (checksum groupBy + join — payloads never shuffle)
-    "d20_exact_span_removal", "m08_frame_dedup")
+    // dedup (checksum groupBy + join — payloads never shuffle), g07
+    // degree profile (full-outer node merge), q53 set ops
+    // (INTERSECT/EXCEPT as aggregates/anti-joins)
+    "d20_exact_span_removal", "m08_frame_dedup", "g07_degree_profile",
+    "q53_set_ops")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

@@ -77,6 +77,22 @@ object GraphQueries {
         .orderBy("user_id")
     }),
 
+    // degree profile of the interaction graph — the first diagnostic a
+    // graph pipeline runs (hub detection, skew sizing for the join
+    // strategies above): per-node total degree folded to a
+    // (degree, n_nodes) histogram; two map-side-combined counts + one
+    // full-outer merge on the node key, output bounded by max degree
+    "g07_degree_profile" -> ((s, d) => {
+      val e = edges(s, d)
+      val out = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outd"))
+      val in = e.groupBy(col("dst").as("node")).agg(count(lit(1)).as("ind"))
+      out.join(in, Seq("node"), "full_outer")
+        .select((coalesce(col("outd"), lit(0L)) +
+          coalesce(col("ind"), lit(0L))).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("degree")
+    }),
+
     // the incremental-daily PageRank pattern: yesterday's 5-superstep
     // ranks (persisted — localCheckpoint stands in for the q46 parquet
     // round-trip) seed 5 MORE supersteps. The integer superstep is a
@@ -166,6 +182,16 @@ object GraphQueries {
     // superstep, so the warm-start oracle IS the 10-superstep unroll
     // of g01's chain (shared generator — the two replays cannot drift)
     "g06_warm_pagerank" -> pagerankSql(10),
+
+    "g07_degree_profile" ->
+      s"""WITH $edgeCtes,
+         |od AS (SELECT src AS node, count(*) AS outd FROM e GROUP BY 1),
+         |ind AS (SELECT dst AS node, count(*) AS ind FROM e GROUP BY 1),
+         |deg AS (SELECT CAST(COALESCE(o.outd, 0) + COALESCE(i.ind, 0)
+         |    AS BIGINT) AS degree
+         |  FROM od o FULL OUTER JOIN ind i USING (node))
+         |SELECT degree, count(*) AS n_nodes FROM deg
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "g03_user_components" ->
       s"""WITH RECURSIVE m AS (SELECT event_type, date_trunc('hour', ts) AS h,

@@ -780,6 +780,23 @@ object Relational {
         .orderBy("check", "target")
     }),
 
+    // the relational set operations (INTERSECT/EXCEPT — the 2B surface
+    // piece the semi/anti joins don't spell): customer cohorts by
+    // activity year, each set op one distinct + set-op node (Catalyst
+    // plans them as aggregates/anti-joins; no driver work)
+    "q53_set_ops" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      def active(y: Int) = orders
+        .where(year(col("o_orderdate")) === y)
+        .select(col("o_custkey"))
+      val y94 = active(1994)
+      val y95 = active(1995)
+      y94.intersect(y95).withColumn("status", lit("both"))
+        .unionByName(y94.except(y95).withColumn("status", lit("only_1994")))
+        .unionByName(y95.except(y94).withColumn("status", lit("only_1995")))
+        .orderBy("o_custkey", "status")
+    }),
+
     // multi-level aggregation in ONE pass: ROLLUP emits the (flag,
     // status) cells, the per-flag subtotals and the grand total from a
     // single scan — the OLAP-cube surface (report rollups at 100 TB
@@ -1715,6 +1732,21 @@ object Relational {
         |    AND (o_totalprice < 0.0 OR o_totalprice > 1000000.0)
         |    THEN 1 ELSE 0 END) AS BIGINT), count(*) FROM orders)
         |ORDER BY "check", target""".stripMargin,
+
+    "q53_set_ops" ->
+      """WITH y94 AS (SELECT o_custkey FROM orders
+        |  WHERE year(o_orderdate) = 1994),
+        |y95 AS (SELECT o_custkey FROM orders
+        |  WHERE year(o_orderdate) = 1995)
+        |SELECT o_custkey, 'both' AS status
+        |  FROM (SELECT o_custkey FROM y94 INTERSECT SELECT o_custkey FROM y95)
+        |UNION ALL
+        |SELECT o_custkey, 'only_1994'
+        |  FROM (SELECT o_custkey FROM y94 EXCEPT SELECT o_custkey FROM y95)
+        |UNION ALL
+        |SELECT o_custkey, 'only_1995'
+        |  FROM (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y94)
+        |ORDER BY o_custkey, status""".stripMargin,
 
     "q52_rollup" ->
       """SELECT l_returnflag, l_linestatus,

@@ -13,11 +13,16 @@ class StateCompactMainSpec extends AnyFunSuite with SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_scm").toString
     Seq("a", "b").toDF("fingerprint").write.parquet(s"$dir/batch_id=0")
     Seq("b", "c").toDF("fingerprint").write.parquet(s"$dir/batch_id=1")
+    Seq("d").toDF("fingerprint").write.parquet(s"$dir/batch_id=2")
     StateCompactMain.run(spark, "pipeline", dir)
     val fp = graft.streaming.PipelineStreams.fingerprints(spark, dir)
     assert(fp.select("fingerprint").distinct().collect()
-      .map(_.getString(0)).toSet === Set("a", "b", "c"))
-    assert(fp.select("batch_id").distinct().count() === 1)
+      .map(_.getString(0)).toSet === Set("a", "b", "c", "d"))
+    // batches 0/1 fold into the base; the newest (2) stays put — the
+    // markerless layout's possibly-uncommitted-batch conservatism
+    // (round-7 review fix, pinned in StreamingCompactionSpec)
+    assert(fp.select("batch_id").distinct().collect()
+      .map(_.getLong(0)).toSet === Set(-1L, 2L))
   }
 
   test("clusters kind routes to ClusterStreams.compact (no-op safe on fresh state)") {
