@@ -125,7 +125,9 @@ object Plans {
     // degree profile (full-outer node merge), q53 set ops
     // (INTERSECT/EXCEPT as aggregates/anti-joins)
     "d20_exact_span_removal", "m08_frame_dedup", "g07_degree_profile",
-    "q53_set_ops")
+    "q53_set_ops",
+    // c20 curriculum pack (LM chain + threshold tiles + per-stage pack)
+    "c20_curriculum_pack")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

@@ -56,6 +56,34 @@ object CurationQueries {
         .orderBy("source", "ppl_bucket")
     }),
 
+    // CURRICULUM packing — c17's difficulty signal composed with c02's
+    // shard packing through e15's threshold tiles: every doc scored by
+    // the corpus LM (t16 chain), terciled into curriculum stages by
+    // quantile THRESHOLDS (no global sort — the e15 machinery; tile 1
+    // = most in-distribution = trains first), then token-budget-packed
+    // WITHIN each stage in id order. The easy→hard data ordering
+    // curriculum training consumes, with every constituent already
+    // proven: LM scores are engine-exact doubles, floor(mp·1e9) puts
+    // them on the integer grid both engines share, and the only
+    // windows are per-stage pack cumsums.
+    "c20_curriculum_pack" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+        .select("doc_id", "text").where(col("text").isNotNull)
+      val scored = graft.ops.LangModel.selfScore(docs, "doc_id", "text")
+        .select(col("doc_id"), coalesce(col("mean_prob"), lit(0.0)).as("mp"))
+      val withUnits = docs.join(scored, Seq("doc_id"))
+        .withColumn("mp_units", floor(col("mp") * 1000000000d).cast("long"))
+        .localCheckpoint(true) // quantileTiles runs driver actions over it
+      val staged = graft.ops.Segmentation.quantileTiles(withUnits,
+          Seq(("mp_units", false)), k = 3)
+        .withColumnRenamed("mp_units_tile", "stage")
+      Curation.packShards(
+          staged.withColumn("__k", col("stage").cast("string")),
+          "__k", "doc_id", TextAnalysis.wsTokenCount(col("text")), 4096L)
+        .select("doc_id", "stage", "n_tokens", "shard")
+        .orderBy("doc_id")
+    }),
+
     // GPT-style concat-and-chunk sequence packing (Curation
     // .sequencePack): the corpus as one token stream cut into fixed
     // 4096-token context windows, docs spanning boundaries — per-doc
@@ -409,6 +437,45 @@ object CurationQueries {
          |  CAST(floor((c - 1) / 4096) - floor((c - n_tokens) / 4096)
          |    + 1 AS BIGINT) AS n_packs
          |FROM cum ORDER BY doc_id""".stripMargin,
+
+    // t16's LM chain + e15's histogram/boundary-rank threshold rule on
+    // -floor(mp·1e9) + c02's per-stage pack cumsum, chained — every
+    // constituent CTE shape reused from its standalone oracle
+    "c20_curriculum_pack" ->
+      s"""WITH nn AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |  FROM documents WHERE text IS NOT NULL),
+         |${TextQueries.lmScoreCtes},
+         |mp AS (SELECT n.doc_id,
+         |    COALESCE(CASE WHEN s.n_bigrams > 0
+         |      THEN s.lm_score / CAST(s.n_bigrams AS DOUBLE) END,
+         |      CAST(0 AS DOUBLE)) AS mp
+         |  FROM (SELECT doc_id FROM nn) n
+         |  LEFT JOIN sc s ON n.doc_id = s.doc_id),
+         |u AS (SELECT doc_id, CAST(floor(mp * 1000000000) AS BIGINT) AS mpu
+         |  FROM mp),
+         |nr AS (SELECT count(*) AS n FROM u),
+         |bounds AS (SELECT t, t * (n // 3) + least(t, n % 3) AS b
+         |  FROM nr CROSS JOIN (VALUES (1), (2)) v(t)),
+         |h AS (SELECT -mpu AS v, count(*) AS c FROM u GROUP BY 1),
+         |cm AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM h),
+         |thr AS (SELECT max(CASE WHEN t = 1 THEN x END) AS t1,
+         |    max(CASE WHEN t = 2 THEN x END) AS t2
+         |  FROM (SELECT t, min(v) AS x FROM cm
+         |    JOIN bounds ON cum >= b GROUP BY t)),
+         |st AS (SELECT doc_id,
+         |    CAST(1 + CASE WHEN -mpu > t1 THEN 1 ELSE 0 END
+         |      + CASE WHEN -mpu > t2 THEN 1 ELSE 0 END AS BIGINT) AS stage
+         |  FROM u CROSS JOIN thr),
+         |tk AS (SELECT nn.doc_id, st.stage,
+         |    CAST(len(ws) AS BIGINT) AS n_tokens
+         |  FROM nn JOIN st USING (doc_id)),
+         |cum2 AS (SELECT doc_id, stage, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY stage ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+         |  FROM tk)
+         |SELECT doc_id, stage, n_tokens,
+         |  CAST(floor((c - n_tokens) / 4096) AS BIGINT) AS shard
+         |FROM cum2 ORDER BY doc_id""".stripMargin,
 
     // t16's LM chain (TextQueries.lmScoreCtes — identical model math)
     // rebased onto an nn that carries source, then the same
