@@ -193,8 +193,12 @@ object Multimodal {
     * checksum equi-join — the d14 scale shape on binary.
     */
   def frameDedupProfile(media: DataFrame, strideBytes: Int): DataFrame = {
+    // pin: the occurrence count AND the join probe both consume the
+    // frame relation — unpinned, the payload substring+hash pass (the
+    // dominant cost) would run twice
     val frames = keyframeChecksums(media, strideBytes, every = 1)
       .select(col("media_id"), col("frame_md5"))
+      .localCheckpoint(true)
     val occ = frames.groupBy("frame_md5").agg(count(lit(1)).as("__occ"))
     frames.join(occ, "frame_md5")
       .groupBy("media_id")

@@ -70,6 +70,11 @@ object Segmentation {
     val spark = hist.sparkSession
     import spark.implicits._
     val n = hist.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
+    // empty histogram (no batches yet / all-null metric) ⇒ no
+    // thresholds ⇒ every row tiles to 1 — the defined "anytime"
+    // answer the streaming reader (ModelStreams.loadThresholds)
+    // promises, not a require crash
+    if (n == 0L) return Seq.empty
     val bounds = ntileBoundaryRanks(n, k).zipWithIndex
       .map { case (b, i) => (i + 1, b) }.toDF("t", "bound")
     val cum = hist
@@ -89,6 +94,7 @@ object Segmentation {
     // them, so counting them would skew every boundary fraction
     val live = df.where(col(metric).isNotNull)
     val n = live.count()
+    if (n == 0L) return Seq.empty // same defined answer as the exact path
     val fracs = ntileBoundaryRanks(n, k).map(_.toDouble / n)
     live.agg(percentile_approx(col(metric).cast("long"),
         typedLit(fracs), lit(accuracy)).as("ts"))

@@ -129,7 +129,9 @@ object ModelStreams {
     * relation for those). Null metric values carry no histogram mass.
     */
   def histStream(docs: DataFrame, metricCols: Seq[String], stateDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String): StreamingQuery = {
+    require(metricCols.nonEmpty,
+      "histStream needs at least one metric column")
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -151,6 +153,7 @@ object ModelStreams {
         } finally { b.unpersist(); () }
       }
       .start()
+  }
 
   /** The merged value histogram of one metric — (v, c), one row per
     * distinct value. `ascending = false` negates the value axis (the

@@ -360,6 +360,17 @@ object PipelineStreams {
       case scala.util.Failure(e) => throw e
     }
     val toFold = ids.filter(id => valid.contains(id) && id != base)
+    // GC for dead debris: an unvouched id BELOW the vouched horizon
+    // (max vouched id) can never be a live batch — in-flight and
+    // future ids exceed every committed id within a checkpoint
+    // lineage — so it is a crashed batch that was replayed under a
+    // rewrite (its dir superseded) or abandoned; reclaim it. Unvouched
+    // ids ABOVE the horizon are left alone: they may be the very next
+    // batch mid-replay, and its own overwrite-then-commit reclaims
+    // them.
+    val horizon = valid.max
+    ids.filter(id => !valid.contains(id) && id < horizon).foreach(id =>
+      StreamStateDirs.delete(spark, s"$dir/batch_id=$id"))
     if (toFold.isEmpty) return
     val folded = spark.read.parquet(dir)
       .where(col("batch_id").isin((toFold :+ base).distinct: _*))

@@ -57,6 +57,17 @@ class SegmentationSpec extends AnyFunSuite with SparkSpec {
       Segmentation.approxThresholds(df(clean), "v", 2))
   }
 
+  test("empty histogram (no data / all-null metric) yields no thresholds and tile 1, not a crash") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("v", "c")
+    assert(Segmentation.thresholdsFromCounts(empty, 3) == Seq.empty)
+    val allNull = Seq((1L, None: Option[Long]), (2L, None: Option[Long]))
+      .toDF("id", "v")
+    val tiled = Segmentation.quantileTiles(allNull, Seq(("v", true)), k = 3)
+      .select("v_tile").collect().map(_.getLong(0)).toSet
+    assert(tiled == Set(1L))
+  }
+
   test("approx path: tiles are monotone in the metric and within [1, k]") {
     import spark.implicits._
     val df = (1L to 500L).map(i => (i, i * 7L % 501L)).toDF("id", "v")

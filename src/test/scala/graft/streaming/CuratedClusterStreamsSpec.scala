@@ -127,6 +127,10 @@ class CuratedClusterStreamsSpec extends AnyFunSuite with SparkSpec {
     // cluster commit marker: fp/batch_id=7 exists, no marker vouches it
     Seq("deadbeef").toDF("fingerprint")
       .write.parquet(s"$state/fp/batch_id=7")
+    // and dead debris BELOW the vouched horizon (an unvouched negative
+    // id can never be a live batch) — compaction must reclaim it
+    Seq("stale").toDF("fingerprint")
+      .write.parquet(s"$state/fp/batch_id=-9")
     PipelineStreams.compactClustered(spark, state, "doc_id")
     val fpIds = PipelineStreams.fingerprints(spark, s"$state/fp")
       .select("batch_id").distinct().collect().map(_.getLong(0)).toSet
@@ -137,6 +141,7 @@ class CuratedClusterStreamsSpec extends AnyFunSuite with SparkSpec {
     // settle to empty
     assert(fpIds.exists(_ < 0L) && fpIds.contains(7L), fpIds)
     assert(!fpIds.contains(0L) && !fpIds.contains(1L), fpIds)
+    assert(!fpIds.contains(-9L), s"below-horizon debris must be GC'd: $fpIds")
     val below7 = PipelineStreams.fingerprints(spark, s"$state/fp")
       .where(col("batch_id") < 7).select("fingerprint")
       .collect().map(_.getString(0)).toSet
