@@ -126,8 +126,10 @@ object Plans {
     // (INTERSECT/EXCEPT as aggregates/anti-joins)
     "d20_exact_span_removal", "m08_frame_dedup", "g07_degree_profile",
     "q53_set_ops",
-    // c20 curriculum pack (LM chain + threshold tiles + per-stage pack)
-    "c20_curriculum_pack")
+    // c20 curriculum pack (LM chain + threshold tiles + per-stage
+    // pack), x05 attribute pivot (map-key projection over the tall
+    // scan — the reference's wide-table shape)
+    "c20_curriculum_pack", "x05_attribute_pivot")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

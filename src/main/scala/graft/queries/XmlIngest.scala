@@ -33,10 +33,13 @@ object XmlIngest {
     o.as[(Long, String, String, Long)].flatMap { case (key, status, odate, cents) =>
       val dispo =
         if (status == "F") s"<eDisposition.12>transported</eDisposition.12>" else ""
+      // eTimes.01 carries two ATTRIBUTES (one mixed-case — the wide
+      // view's case-blind lookup contract, x05); attributes add no
+      // elements, so x01–x04's counts are untouched
       val xml =
         s"""<EMSDataSet xmlns="http://www.nemsis.org">
            |<PatientCareReport UUID="pcr-$key">
-           |<eTimes.01>$odate</eTimes.01>
+           |<eTimes.01 seq="${key % 7}" UniT="iso">$odate</eTimes.01>
            |<ePayment.50>$cents</ePayment.50>
            |$dispo
            |</PatientCareReport>
@@ -81,6 +84,21 @@ object XmlIngest {
     // parsed element forest — x03's one-hop join generalized to every
     // depth by graft.ops.Graph.ancestorClosure; counts per
     // (descendant tag, ancestor tag, depth)
+    // the reference's PER-TAG WIDE TABLE (A11/A16's attribute pivot,
+    // main_ingest.py:219-227: one TEXT column per observed attribute)
+    // as an oracle-checked relation: TagTables.wideView pivots the
+    // attributes map of every eTimes_01 row into `seq`/`unit` columns
+    // — case-BLIND against the XML's mixed-case `UniT` key (the DDL
+    // lowercasing contract) — beside the `{table}_value` text column.
+    // The oracle restates every cell arithmetically from orders.
+    "x05_attribute_pivot" -> ((s, d) => {
+      TagTables.wideView(ordersAsElements(s, d), "eTimes_01",
+          Seq("seq", "unit"))
+        .select(col("pcr_uuid_context"), col("etimes_01_value"),
+          col("seq"), col("unit"))
+        .orderBy("pcr_uuid_context")
+    }),
+
     "x04_ancestor_closure" -> ((s, d) => {
       val tall = ordersAsElements(s, d).localCheckpoint(true)
       val names = tall.select(col("element_id"), col("table_name"))
@@ -129,6 +147,16 @@ object XmlIngest {
         |    count(*) FILTER (WHERE o_orderstatus = 'F'),
         |    count(*) FILTER (WHERE o_orderstatus = 'F') FROM orders
         |) ORDER BY table_name""".stripMargin,
+
+    // every wide-view cell restated from orders: value = the date
+    // text, seq/unit = the planted attributes (unit proves the
+    // case-blind `UniT` lookup)
+    "x05_attribute_pivot" ->
+      """SELECT 'pcr-' || CAST(o_orderkey AS VARCHAR) AS pcr_uuid_context,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS etimes_01_value,
+        |  CAST(o_orderkey % 7 AS VARCHAR) AS seq,
+        |  'iso' AS unit
+        |FROM orders ORDER BY pcr_uuid_context""".stripMargin,
 
     "x03_hierarchy_join" ->
       """SELECT * FROM (
