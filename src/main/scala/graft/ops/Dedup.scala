@@ -852,6 +852,100 @@ object Dedup {
         (col("inter") / col("un").cast("double")).as("jaccard"))
   }
 
+  /** EXACT containment join (the asymmetric prefix filter): every
+    * ordered pair (a, b), a ≠ b, with containment |A∩B| / |A| >= tau —
+    * the doc-IN-doc signal a symmetric Jaccard join is structurally
+    * blind to. An excerpt of half a document has containment 1.0 in
+    * its source but Jaccard ≈ 0.5, so [[prefixFilterPairs]] at a
+    * near-dup threshold never surfaces it; quotes, excerpts and
+    * boilerplate supersets are exactly what a curation run removes
+    * (drop the CONTAINED member, keep the superset).
+    *
+    * Filter theorem, asymmetric form: C(A,B) >= tau requires overlap
+    * >= ceil(tau·|A|); under any global token order, by pigeonhole A's
+    * first |A| − ceil(tau·|A|) + 1 tokens in that order must intersect
+    * B's FULL token set. So the candidate join is A-prefix × the whole
+    * token relation: only the PROBE side shrinks to a prefix — the
+    * indexed side cannot be shortened, because tau bounds nothing
+    * about |B| (that asymmetry is the entire difference from the
+    * Jaccard form, and the reason a separate operator exists). No
+    * false negatives by construction; a PPJoin-style positional filter
+    * adds nothing here — the probe prefix bound rn <= n − ceil(tau·n)
+    * + 1 already IS the positional bound when the other side carries
+    * no rank. The global order is (df asc, token): prefixes are made
+    * of each doc's rarest tokens, the smallest possible fan-out.
+    *
+    * COST MODEL: candidate volume is Σ_tok dfp(tok)·(df(tok) − 1) —
+    * dfp from the prefix relation but df from the FULL relation, so
+    * the quadratic cliff on low-entropy corpora is steeper than the
+    * Jaccard form's Σ C(dfp, 2). The same runtime guard discipline
+    * applies: the exact volume is aggregated BEFORE the join and
+    * `maxCandidatePairs` turns the degenerate regime into an immediate
+    * diagnosable error. Verification re-joins candidates against the
+    * per-doc sorted token arrays (the d11 two-pointer kernel); the one
+    * double division only formats an integer-decided containment.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      tauNum: Int, tauDen: Int,
+      tokens: Column => Column = c =>
+        filter(array_distinct(split(c, " ")), t => length(t) > 0),
+      maxCandidatePairs: Long = 1L << 26): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      s"tau must be a fraction in (0,1]: $tauNum/$tauDen")
+    require(maxCandidatePairs > 0,
+      s"maxCandidatePairs must be > 0, got $maxCandidatePairs")
+    // the tokenized corpus feeds four consumers (df table, prefix
+    // rank, the probe join's indexed side, verify arrays) — one
+    // materialization (the prefixFilterPairs discipline)
+    val toks = docs
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+      .localCheckpoint(true)
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val part = org.apache.spark.sql.expressions.Window.partitionBy("id")
+    val w = part.orderBy(col("df"), col("tok"))
+    val prefix = toks.join(dfreq, "tok")
+      .withColumn("n", count(lit(1)).over(part))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <=
+        col("n") - expr(s"($tauNum * n + $tauDen - 1) div $tauDen") + 1)
+      .select("id", "tok")
+    val prefixCk = prefix.localCheckpoint(true)
+    // budget guard: Σ dfp·(df − 1) in DOUBLE (the d11 overflow rule —
+    // a wrapped Long would disable the guard exactly when it matters)
+    val nCand = prefixCk.groupBy("tok")
+      .agg(count(lit(1)).as("dfp"))
+      .join(dfreq, "tok")
+      .agg(coalesce(
+        sum(col("dfp").cast("double") * (col("df") - 1).cast("double")),
+        lit(0.0)))
+      .head().getDouble(0)
+    if (nCand > maxCandidatePairs.toDouble)
+      throw new IllegalStateException(
+        f"containmentPairs: candidate volume $nCand%.0f exceeds the " +
+          s"$maxCandidatePairs budget — low-entropy corpus in the quadratic " +
+          "regime (the indexed side is the FULL token relation; the cliff " +
+          "is steeper than prefixFilterPairs'). Raise tau, pass an " +
+          "order-sensitive tokenizer (shingle hashes), pre-block the " +
+          "corpus, or raise maxCandidatePairs.")
+    val cand = prefixCk.as("a").join(toks.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val arrs = toks.groupBy("id").agg(sort_array(collect_list(col("tok"))).as("ts"))
+    val interCol =
+      if (toks.schema("tok").dataType == org.apache.spark.sql.types.LongType)
+        graft.functions.VecExpressions.sorted_intersect_size(col("ts_a"), col("ts_b"))
+      else size(array_intersect(col("ts_a"), col("ts_b"))).cast("long")
+    cand
+      .join(arrs.select(col("id").as("id_a"), col("ts").as("ts_a")), "id_a")
+      .join(arrs.select(col("id").as("id_b"), col("ts").as("ts_b")), "id_b")
+      .withColumn("inter", interCol)
+      .withColumn("n_a", size(col("ts_a")).cast("long"))
+      .where(col("inter") * tauDen >= col("n_a") * tauNum)
+      .select(col("id_a"), col("id_b"),
+        (col("inter") / col("n_a").cast("double")).as("containment"))
+  }
+
   /** Cross-document duplicated-span profile (the per-document signal
     * behind Lee et al. 2022, "Deduplicating Training Data Makes
     * Language Models Better": repeated substrings across documents are

@@ -105,4 +105,45 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(dir)
   }
+
+  /** Distributed 0-based global row index in `orderCol` order — the
+    * general operator behind c18's sequence packing, exposed because
+    * "number every row of a 100 TB table" is its own primitive
+    * (training-order assignment, stable surrogate keys, offset files).
+    * `row_number() OVER (ORDER BY x)` funnels the corpus into ONE
+    * task; this is the two-pass form: (1) an intra-granule row_number
+    * partitioned by granule = floor(order/`granule`) (monotone in the
+    * order value, so granule order IS the global order; distributed),
+    * (2) a prefix sum over the per-granule COUNTS (the only global
+    * window runs over that rows/granule-sized relation) broadcast
+    * back. Size `granule` so the totals relation stays driver-small:
+    * order-domain/granule ≈ thousands of granules at any corpus size.
+    *
+    * `orderCol` must be a non-null, non-negative long expression;
+    * `tie` breaks equal order values deterministically (pass the
+    * unique id — with a unique `orderCol` it never fires but keeps
+    * the operator total-order-safe under collisions, e.g. hash
+    * orders).
+    */
+  def globalIndex(df: DataFrame, orderCol: Column, tie: Column,
+      granule: Long, out: String = "global_idx"): DataFrame = {
+    require(granule > 0, s"granule must be positive, got $granule")
+    // integer `div`, not `/`+cast: a double quotient loses exactness
+    // past 2^53 — hash-valued orders live in [0, 2^60)
+    val base = df.withColumn("__ord", orderCol.cast("long"))
+      .withColumn("__g", expr(s"__ord div ${granule}L"))
+    val intra = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("__ord"), tie)
+    val gTotals = base.groupBy(col("__g")).agg(count(lit(1)).as("__gt"))
+    val gw = org.apache.spark.sql.expressions.Window.orderBy(col("__g"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val gOffsets = gTotals
+      .withColumn("__goff", coalesce(sum(col("__gt")).over(gw), lit(0L)))
+      .select(col("__g"), col("__goff"))
+    base
+      .withColumn("__rn", row_number().over(intra).cast("long"))
+      .join(broadcast(gOffsets), Seq("__g"))
+      .withColumn(out, col("__goff") + col("__rn") - 1)
+      .drop("__g", "__rn", "__goff", "__ord")
+  }
 }

@@ -46,6 +46,19 @@ object DedupQueries {
       concat(col("text"), lit(" spark")).as("text"), col("source")))
   }
 
+  /** documents ∪ prefix-excerpt twins (the first half of each text):
+    * every excerpt's shingle set is a SUBSET of its source's (a string
+    * prefix generates a position-aligned subset of the source's stride
+    * windows), so containment(excerpt, source) = 1.0 while Jaccard is
+    * only ~0.5 — the pair a symmetric near-dup join never reports.
+    */
+  private[graft] def docsWithExcerpts(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+    requireDisjointShift(docs, "doc_id", 1000000L)
+    docs.unionByName(docs.select((col("doc_id") + 1000000).as("doc_id"),
+      expr("substring(text, 1, greatest(length(text) div 2, 8))").as("text")))
+  }
+
   /** d08/d10 probe one shared corpus: ids +1000000 are exact copies (a
     * Bloom filter must flag every one — no false negatives), ids
     * +2000000 are mutations (any flag is a false positive). The id
@@ -122,6 +135,22 @@ object DedupQueries {
     // mutations (J ≈ 0.96) still qualify.
     "d11_prefix_filter_join" -> ((s, d) => {
       Dedup.prefixFilterPairs(docsWithMutations(s, d), "doc_id", "text",
+          tauNum = 9, tauDen = 10,
+          tokens = t => array_distinct(Dedup.shingleHashes(t)))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // the ASYMMETRIC complement of d11: exact containment join at
+    // C(A,B) = |A∩B|/|A| >= 9/10 over the same shingle universe. The
+    // corpus plants prefix-excerpt twins whose containment in their
+    // source is exactly 1.0 but whose Jaccard (~0.5) is invisible to
+    // every symmetric query in this pack — quote/excerpt/boilerplate-
+    // superset detection, the Lee et al. "drop the contained member"
+    // signal. Only the probe side carries a prefix (tau bounds nothing
+    // about |B|), so candidates join prefix × full-token relation
+    // under the same pre-join budget guard discipline as d11.
+    "d21_containment_join" -> ((s, d) => {
+      Dedup.containmentPairs(docsWithExcerpts(s, d), "doc_id", "text",
           tauNum = 9, tauDen = 10,
           tokens = t => array_distinct(Dedup.shingleHashes(t)))
         .orderBy("id_a", "id_b")
@@ -678,6 +707,38 @@ object DedupQueries {
          |  inter / CAST(n_a + n_b - inter AS DOUBLE) AS jaccard
          |FROM ver
          |WHERE inter * 10 >= (n_a + n_b - inter) * 9
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // containment replay: same global (df, token) order, same probe
+    // prefix, candidates = prefix × FULL token relation (the
+    // asymmetric form), same integer threshold inter·10 >= n_a·9 —
+    // the division only formats an already-made decision
+    "d21_containment_join" ->
+      s"""WITH all_docs AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 1000000,
+         |    substr(text, 1, greatest(length(text) // 2, 8)) FROM documents),
+         |toks AS (SELECT DISTINCT doc_id AS id,
+         |    unnest(list_transform(generate_series(1, greatest(length(text) - ${Dedup.ShingleK - 1}, 1), ${Dedup.ShingleStride}),
+         |      i -> $shinglePoly)) AS tok
+         |  FROM all_docs),
+         |dfreq AS (SELECT tok, count(*) AS df FROM toks GROUP BY 1),
+         |sized AS (SELECT id, count(*) AS n FROM toks GROUP BY 1),
+         |ranked AS (SELECT t.id, t.tok, s.n,
+         |    row_number() OVER (PARTITION BY t.id ORDER BY d.df, t.tok) AS rn
+         |  FROM toks t JOIN dfreq d USING (tok) JOIN sized s USING (id)),
+         |prefix AS (SELECT id, tok FROM ranked
+         |  WHERE rn <= n - ((9 * n + 9) // 10) + 1),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM prefix a JOIN toks b ON a.tok = b.tok AND a.id <> b.id),
+         |arrs AS (SELECT id, list_sort(list(tok)) AS ts FROM toks GROUP BY 1),
+         |ver AS (SELECT c.id_a, c.id_b,
+         |    len(list_intersect(a.ts, b.ts)) AS inter,
+         |    len(a.ts) AS n_a
+         |  FROM cand c JOIN arrs a ON a.id = c.id_a JOIN arrs b ON b.id = c.id_b)
+         |SELECT id_a, id_b,
+         |  inter / CAST(n_a AS DOUBLE) AS containment
+         |FROM ver
+         |WHERE inter * 10 >= n_a * 9
          |ORDER BY id_a, id_b""".stripMargin,
 
     // fuzzy-join replay: same two blocking passes, same length

@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+/** The containment join's contract is COMPLETENESS in the asymmetric
+  * form: every ordered pair with |A∩B|/|A| >= tau must be found. The
+  * property test compares against brute-force all-ordered-pairs
+  * containment — equality both ways also catches false positives in
+  * the verify step. The headline behavioral claim — an excerpt is
+  * found by containment but invisible to the Jaccard join at the same
+  * threshold — is pinned directly.
+  */
+class ContainmentSpec extends AnyFunSuite with SparkSpec {
+
+  private def bruteForce(docs: Seq[(Long, String)], tauNum: Int,
+      tauDen: Int): Set[(Long, Long)] = {
+    val sets = docs.map { case (i, t) =>
+      i -> t.split(" ").filter(_.nonEmpty).toSet }
+    (for {
+      (a, sa) <- sets
+      (b, sb) <- sets
+      if a != b && sa.nonEmpty
+      inter = (sa & sb).size
+      if inter * tauDen >= sa.size * tauNum
+    } yield (a, b)).toSet
+  }
+
+  test("property: containment pairs equal brute-force on randomized corpora") {
+    import spark.implicits._
+    val vocab = ('a' to 't').map(_.toString)
+    for (seed <- Seq(7, 42, 1234)) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (1L to 60L).map { i =>
+        val n = 3 + rnd.nextInt(8)
+        (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val got = Dedup.containmentPairs(docs.toDF("doc_id", "text"),
+          "doc_id", "text", tauNum = 3, tauDen = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == bruteForce(docs, 3, 5), s"seed $seed")
+    }
+  }
+
+  test("excerpt scores containment 1.0 in its source; the Jaccard join misses it") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon"), // subset: C(2,1)=1.0, J=0.5
+      (3L, "unrelated words entirely here"))
+    val df = docs.toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(df, "doc_id", "text",
+        tauNum = 9, tauDen = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // asymmetric: (2 contained-in 1) qualifies, (1 in 2) is C=0.5 and must not
+    assert(cont.keySet == Set((2L, 1L)))
+    assert(cont((2L, 1L)) == 1.0)
+    val jacc = Dedup.prefixFilterPairs(df, "doc_id", "text",
+        tauNum = 9, tauDen = 10)
+      .collect()
+    assert(jacc.isEmpty, "J(1,2)=0.5 must be invisible at tau=9/10")
+  }
+
+  test("identical docs qualify in BOTH directions") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"))
+    val got = Dedup.containmentPairs(docs.toDF("doc_id", "text"),
+        "doc_id", "text", tauNum = 9, tauDen = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got == Map((1L, 2L) -> 1.0, (2L, 1L) -> 1.0))
+  }
+
+  test("candidate-budget guard trips on a low-entropy corpus with a diagnosis") {
+    import spark.implicits._
+    val lowEntropy = (1L to 40L)
+      .map(i => (i, s"alpha beta gamma delta w${i % 2}"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalStateException] {
+      Dedup.containmentPairs(lowEntropy, "doc_id", "text",
+        tauNum = 3, tauDen = 5, maxCandidatePairs = 50L)
+    }
+    assert(e.getMessage.contains("candidate volume"), e.getMessage)
+    // same corpus under a sufficient budget returns normally
+    assert(Dedup.containmentPairs(lowEntropy, "doc_id", "text",
+      tauNum = 3, tauDen = 5, maxCandidatePairs = 100000L).count() >= 0)
+  }
+
+  test("empty docs and doubled spaces produce no phantom tokens or pairs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha  beta"),
+      (2L, "alpha beta"),
+      (3L, ""))
+    val got = Dedup.containmentPairs(docs.toDF("doc_id", "text"),
+        "doc_id", "text", tauNum = 3, tauDen = 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got == Map((1L, 2L) -> 1.0, (2L, 1L) -> 1.0))
+  }
+}
