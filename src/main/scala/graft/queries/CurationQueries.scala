@@ -84,6 +84,24 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // deterministic training-order shuffle: the global permutation a
+    // trainer consumes, as hash order — every doc's position is
+    // reproducible (reruns, audits, resume-from-step all need the
+    // SAME order; rand() or a cluster-dependent shuffle is neither)
+    // and sources interleave uniformly because md5 ignores them. The
+    // position is assigned by Layout.globalIndex's two-pass form (the
+    // c18 machinery generalized), never a single-task global sort;
+    // the 32-bit hash WILL collide at corpus scale, so (hash, id) is
+    // the total order in both engines — collisions cost nothing
+    "c21_shuffle_order" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents").select("doc_id", "source")
+        .withColumn("__h", Dedup.md5Hash32(col("doc_id").cast("string")))
+      graft.ops.Layout.globalIndex(docs, col("__h"), col("doc_id"),
+          granule = 1L << 24, out = "shuffle_pos")
+        .select("doc_id", "source", "shuffle_pos")
+        .orderBy("doc_id")
+    }),
+
     // GPT-style concat-and-chunk sequence packing (Curation
     // .sequencePack): the corpus as one token stream cut into fixed
     // 4096-token context windows, docs spanning boundaries — per-doc
@@ -421,6 +439,16 @@ object CurationQueries {
     "(length(text) - length(replace(text, ' ', '')) + 1)"
 
   val oracles: Map[String, String] = Map(
+    // ONE naive global row_number over (hash, id) — the permutation
+    // the two-pass global index must (and does) reproduce exactly
+    "c21_shuffle_order" ->
+      """WITH h AS (SELECT doc_id, source,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+        |  FROM documents)
+        |SELECT doc_id, source,
+        |  row_number() OVER (ORDER BY hv, doc_id) - 1 AS shuffle_pos
+        |FROM h ORDER BY doc_id""".stripMargin,
+
     // ONE naive global running sum — the semantic spec the operator's
     // two-pass distributed cumsum must (and does) reproduce exactly
     "c18_sequence_packing" ->

@@ -797,6 +797,21 @@ object Relational {
         .orderBy("o_custkey", "status")
     }),
 
+    // distributed global row numbering — the dense-surrogate-key /
+    // offset-file primitive: row_number() OVER (ORDER BY key) funnels
+    // the corpus into ONE task; Layout.globalIndex is the two-pass
+    // form (intra-granule windows + a broadcast prefix sum over the
+    // granule COUNTS — the only global window runs over that tiny
+    // relation). The oracle replays the naive global window,
+    // hash-proving the decomposition
+    "q54_global_index" -> ((s, d) => {
+      graft.ops.Layout.globalIndex(
+          t(s, d, "orders").select("o_orderkey"),
+          col("o_orderkey"), col("o_orderkey"), granule = 4096L)
+        .select("o_orderkey", "global_idx")
+        .orderBy("o_orderkey")
+    }),
+
     // multi-level aggregation in ONE pass: ROLLUP emits the (flag,
     // status) cells, the per-flag subtotals and the grand total from a
     // single scan — the OLAP-cube surface (report rollups at 100 TB
@@ -1747,6 +1762,11 @@ object Relational {
         |SELECT o_custkey, 'only_1995'
         |  FROM (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y94)
         |ORDER BY o_custkey, status""".stripMargin,
+
+    "q54_global_index" ->
+      """SELECT o_orderkey,
+        |  row_number() OVER (ORDER BY o_orderkey) - 1 AS global_idx
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q52_rollup" ->
       """SELECT l_returnflag, l_linestatus,
