@@ -182,4 +182,40 @@ object TextAnalysis {
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
   }
+
+  /** Per-source encoding-anomaly profile — the decode-sanity gate a
+    * pretraining pipeline runs BEFORE any text operator trusts its
+    * input: bare C0 control characters (minus \t \n \r, which are
+    * legitimate text) betray binary-as-text and transport mangling;
+    * U+FFFD replacement characters are the tombstones a lossy decode
+    * leaves behind (every one is a byte sequence some upstream reader
+    * could not interpret). Both are counted per document as a
+    * length-difference after codegen'd regexp/replace stripping —
+    * pure per-row column math, no shuffle until the one map-side-
+    * combined per-source rollup. NULL text contributes to n_docs but
+    * to no anomaly count (stated, not inherited: a NULL length would
+    * silently vanish from a bare sum in both engines anyway — the
+    * coalesce makes the rule explicit).
+    *
+    * Returns (source, n_docs, n_flagged, ctrl_chars, repl_chars,
+    * flagged_rate) — rate is the one int/int double division.
+    */
+  def encodingProfile(docs: DataFrame, textCol: String,
+      sourceCol: String): DataFrame = {
+    val t = col(textCol)
+    val ctrl =
+      (length(t) - length(regexp_replace(t,
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""))).cast("long")
+    val repl =
+      (length(t) - length(regexp_replace(t, "\uFFFD", ""))).cast("long")
+    docs.select(col(sourceCol).as("source"), ctrl.as("__c"), repl.as("__r"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__c") + col("__r") > 0, 1L).otherwise(0L))
+          .as("n_flagged"),
+        sum(coalesce(col("__c"), lit(0L))).as("ctrl_chars"),
+        sum(coalesce(col("__r"), lit(0L))).as("repl_chars"))
+      .withColumn("flagged_rate",
+        col("n_flagged") / col("n_docs").cast("double"))
+  }
 }

@@ -287,6 +287,25 @@ object TextQueries {
         .limit(50)
     }),
 
+    // encoding-anomaly gate: bare C0 control chars (binary-as-text,
+    // transport mangling) and U+FFFD replacement chars (lossy-decode
+    // tombstones) counted per source. The clean synthetic corpus
+    // would make the check vacuous, so probe twins are planted: +1M
+    // ids carry two bell chars, +2M ids carry one replacement char —
+    // every planted anomaly must surface in exactly its class, and
+    // every original doc must stay clean, or the hash breaks
+    "t26_encoding_quality" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents").select("doc_id", "text", "source")
+      DedupQueries.requireDisjointShift(docs, "doc_id", 1000000L)
+      val probed = docs
+        .unionByName(docs.select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit("\u0007\u0007")).as("text"), col("source")))
+        .unionByName(docs.select((col("doc_id") + 2000000).as("doc_id"),
+          concat(col("text"), lit("\uFFFD")).as("text"), col("source")))
+      TextAnalysis.encodingProfile(probed, "text", "source")
+        .orderBy("source")
+    }),
+
     "t05_top_terms" -> ((s, d) => {
       // term frequency + top-k per group: explode tokens, count, rank
       val w = org.apache.spark.sql.expressions.Window
@@ -673,6 +692,30 @@ object TextQueries {
         |ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same probes (chr(7)/chr(65533) = the Spark literals), same
+    // C0-minus-whitespace class (RE2 and Java both read \xNN), same
+    // length-difference counts; the rate is the one double division
+    "t26_encoding_quality" ->
+      """WITH probed AS (SELECT doc_id, text, source FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text || chr(7) || chr(7),
+        |    source FROM documents
+        |  UNION ALL SELECT doc_id + 2000000, text || chr(65533),
+        |    source FROM documents),
+        |per AS (SELECT source,
+        |    CAST(length(text) - length(regexp_replace(text,
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS BIGINT) AS c,
+        |    CAST(length(text) - length(replace(text, chr(65533), ''))
+        |      AS BIGINT) AS r
+        |  FROM probed)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN c + r > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_flagged,
+        |  CAST(sum(coalesce(c, 0)) AS BIGINT) AS ctrl_chars,
+        |  CAST(sum(coalesce(r, 0)) AS BIGINT) AS repl_chars,
+        |  CAST(sum(CASE WHEN c + r > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    / CAST(count(*) AS DOUBLE) AS flagged_rate
+        |FROM per GROUP BY source ORDER BY source""".stripMargin,
+
     "t14_bm25_topk" -> bm25OracleSql,
     // the merged index is definitionally buildIndex of the union —
     // same oracle (the d06/d07 shared-oracle pattern): any merge
