@@ -245,6 +245,83 @@ object Multimodal {
           col("total_energy") / col("n_windows").cast("double")))
   }
 
+  /** Perceptual near-dup pairs over binary payloads — aHash (average
+    * hash), the classic perceptual-dedup primitive (LAION-style image
+    * dedup runs exactly this family): thumbnail each payload to 32
+    * sample bytes at positions (i·n) div 32 (the m06 resize rule),
+    * threshold each sample against the thumbnail MEAN (32·v_i >= Σv —
+    * no division), pack the 32 verdict bits into one BIGINT. A
+    * re-encode or small edit that preserves gross byte structure
+    * flips few bits, so near-dups sit within small hamming distance
+    * — the d03 detection shape on binary: equi-join on each of 4
+    * 8-bit bands (pigeonhole: hamming <= 3 of 32 bits agrees exactly
+    * on >= 1 band, recall 1.0), then bit_count(xor) verify.
+    *
+    * Payload bytes never shuffle (the multimodal ground rule): the
+    * hash is one codegen'd projection per row; only (id, ahash, band)
+    * rows travel. Mean-threshold bits are CORRELATED across media
+    * (unlike simhash's pseudo-random text bits), so band buckets can
+    * skew toward a few hot keys — the s17/d11 lesson — and the
+    * candidate volume Σ C(bucket, 2) is therefore aggregated BEFORE
+    * the self-join: a degenerate corpus (uniform payload structure)
+    * fails in seconds with a diagnosis instead of a quadratic join.
+    */
+  def perceptualHashPairs(media: DataFrame, maxHamming: Int = 3,
+      maxCandidatePairs: Long = 1L << 26): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 32,
+      s"maxHamming must be in [0, 32], got $maxHamming")
+    require(maxCandidatePairs > 0,
+      s"maxCandidatePairs must be > 0, got $maxCandidatePairs")
+    val hashed = media
+      .where(expr("octet_length(payload) > 0"))
+      .select(col("media_id"), expr(
+        """transform(sequence(0, 31),
+          |  i -> CAST(conv(hex(substring(payload,
+          |    CAST((i * octet_length(payload)) div 32 AS INT) + 1, 1)),
+          |    16, 10) AS BIGINT))""".stripMargin).as("__v"))
+      .withColumn("__s", expr("aggregate(__v, 0L, (a, x) -> a + x)"))
+      .withColumn("ahash", expr(
+        """aggregate(sequence(0, 31), 0L,
+          |  (acc, i) -> acc + IF(32 * element_at(__v, i + 1) >= __s,
+          |    shiftleft(1L, i), 0L))""".stripMargin))
+      .select("media_id", "ahash")
+      // the band relation feeds the budget check AND both self-join
+      // sides — one materialization, and the hash pass (the payload
+      // read) never reruns
+      .localCheckpoint(true)
+    val bands = hashed.select(col("media_id"), col("ahash"),
+      explode(array((0 until 4).map { bi =>
+        struct(lit(bi).as("band_idx"),
+          shiftright(col("ahash"), bi * 8).bitwiseAND(255).as("band_key"))
+      }: _*)).as("b"))
+      .select(col("media_id"), col("ahash"), col("b.band_idx"), col("b.band_key"))
+      .localCheckpoint(true)
+    val nCand = bands.groupBy("band_idx", "band_key")
+      .agg(count(lit(1)).as("m"))
+      .agg(coalesce(
+        sum(col("m").cast("double") * (col("m") - 1).cast("double") / 2.0),
+        lit(0.0)))
+      .head().getDouble(0)
+    if (nCand > maxCandidatePairs.toDouble)
+      throw new IllegalStateException(
+        f"perceptualHashPairs: band-bucket candidate volume $nCand%.0f " +
+          s"exceeds the $maxCandidatePairs budget — mean-threshold bits " +
+          "have collapsed onto few buckets (structurally uniform corpus). " +
+          "Pre-block by payload size class, widen the hash, or raise " +
+          "maxCandidatePairs.")
+    val a = bands.as("a"); val b = bands.as("b")
+    a.join(b, col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        col("a.ahash").as("h_a"), col("b.ahash").as("h_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Column-expression twin of the stub decode (codegen'd, used by the
     * oracle-checked query m01 — same arithmetic as Deterministic).
     */

@@ -87,6 +87,27 @@ object MultimodalQueries {
         .orderBy("media_id")
     }),
 
+    // perceptual near-dup detection — aHash over the 32-position
+    // thumbnail (mean-threshold bits, the LAION-style image-dedup
+    // primitive) + d03's band join and hamming verify, on binary.
+    // Twins (+1M) get ONE leading byte swapped: gross byte structure
+    // survives, so the twin lands within small hamming of its source
+    // — the pair exact frame dedup (m08) can't see, found without
+    // payload bytes ever shuffling
+    "m09_phash_neardup" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+        .where(col("text").isNotNull && length(col("text")) > 0)
+      DedupQueries.requireDisjointShift(docs, "doc_id", 1000000L)
+      val media = docs
+        .select(col("doc_id").as("media_id"),
+          col("text").cast("binary").as("payload"))
+        .unionByName(docs.select((col("doc_id") + 1000000).as("media_id"),
+          concat(lit("Z"), expr("substring(text, 2)")).cast("binary")
+            .as("payload")))
+      Multimodal.perceptualHashPairs(media, maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
     // REAL codec round-trip: dimensions chosen arithmetically -> PNG
     // bytes encoded on executors (javax.imageio) -> decoded back by the
     // real ImageIo decoder. The oracle states the dimensions from
@@ -201,6 +222,40 @@ object MultimodalQueries {
         |    / CAST(count(*) AS DOUBLE) AS dup_fraction
         |FROM k JOIN occ USING (frame_md5)
         |GROUP BY media_id ORDER BY media_id""".stripMargin,
+
+    // same thumbnail positions (bytes via hex slicing), same
+    // mean-threshold bit rule (32·v_i >= Σv — no division), same
+    // 4x8-bit band join and bit_count(xor) verify
+    "m09_phash_neardup" -> {
+      val bandRows = (0 until 4).map { bi =>
+        s"SELECT media_id, ahash, $bi AS band_idx, (ahash >> ${bi * 8}) & 255 AS band_key FROM h"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH docs AS (SELECT doc_id, text FROM documents
+         |  WHERE text IS NOT NULL AND length(text) > 0),
+         |m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+         |    octet_length(encode(text)) AS n FROM docs
+         |  UNION ALL SELECT doc_id + 1000000,
+         |    hex(encode('Z' || substr(text, 2))),
+         |    octet_length(encode('Z' || substr(text, 2))) FROM docs),
+         |v AS (SELECT media_id, list_transform(range(32),
+         |    i -> ('0x' || substr(hx, 2 * ((i * n) // 32) + 1, 2))::BIGINT) AS v
+         |  FROM m WHERE n > 0),
+         |sv AS (SELECT media_id, v, CAST(list_sum(v) AS BIGINT) AS s FROM v),
+         |h AS (SELECT media_id, CAST(list_sum(list_transform(range(32),
+         |    i -> CASE WHEN 32 * v[i + 1] >= s
+         |      THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END))
+         |    AS BIGINT) AS ahash FROM sv),
+         |bands AS (
+         |  $bandRows),
+         |cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+         |    a.ahash AS ha, b.ahash AS hb
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |      AND a.media_id < b.media_id)
+         |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin
+    },
 
     "m04_imageio_roundtrip" ->
       """SELECT doc_id AS media_id,
