@@ -233,6 +233,64 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** k-core decomposition by iterative peeling: the maximal subgraph
+    * in which every node has degree >= k — the community/bot-ring/
+    * influence-core primitive (a dense core survives peeling; casual
+    * periphery does not). Each round recomputes degrees over the
+    * SURVIVING edge set and drops nodes below k; removal cascades
+    * (dropping a node can push its neighbors under k), so peeling
+    * repeats until a fixpoint.
+    *
+    * Scale shape: one map-side-combined degree count + two semi-joins
+    * per round, each over the (shrinking) surviving edge relation;
+    * rounds are bounded by the cascade depth, not the node count
+    * (real graphs converge in a handful). Every round checkpoints —
+    * the [[pageRank]] linear-lineage rule — and the convergence test
+    * is ONE count action per round over that checkpointed relation
+    * (the [[pageRankConverged]] discipline). A graph that has not
+    * converged within `maxRounds` throws LOUDLY: returning a
+    * partially peeled subgraph would silently claim core membership
+    * for nodes the next cascade removes. Converged output is the
+    * exact fixpoint, so an oracle unrolling MORE rounds than needed
+    * replays it verbatim (peeling is idempotent at the fixpoint).
+    *
+    * Returns (node, core_degree) for surviving nodes — core_degree is
+    * the degree WITHIN the core (>= k by construction).
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 12): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("node"))
+        .union(e.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+    var e = edges
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct().localCheckpoint(true)
+    var nEdges = e.count()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val keep = degrees(e).where(col("deg") >= k).select("node")
+      val next = e
+        .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .localCheckpoint(true)
+      val n = next.count()
+      converged = n == nEdges
+      e = next; nEdges = n; round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"kCore: not converged after $maxRounds peel rounds " +
+          s"($nEdges edges remain) — raise maxRounds; a partial peel " +
+          "is NOT a k-core.")
+    degrees(e).withColumnRenamed("deg", "core_degree")
+  }
+
   /** Ancestor transitive closure over a parent-pointer FOREST — the
     * engine's answer to `WITH RECURSIVE` (Spark has no recursive CTE;
     * the reference's output schema is exactly this adjacency list,

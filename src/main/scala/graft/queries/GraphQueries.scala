@@ -125,6 +125,24 @@ object GraphQueries {
         .orderBy("component_id")
     }),
 
+    // k-core decomposition — the dense-community / bot-ring primitive:
+    // iterative peeling until every surviving node keeps >= 6
+    // neighbors among survivors (removal cascades; g07's histogram is
+    // the view that picks k). The %16-segmented chain graph gives the
+    // peel real work at verify SF (4 cascade rounds); the operator
+    // converges loudly or throws — a partial peel is never returned —
+    // and the fixpoint is idempotent, so the oracle's fixed 12-round
+    // unroll replays it exactly
+    "g08_kcore" -> ((s, d) => {
+      Graph.kCore(
+          Graph.chainEdges(Tables.load(s, d, "events"),
+            Seq(col("event_type"), date_trunc("hour", col("ts")),
+              pmod(col("user_id"), lit(16L))), "user_id", "ts"),
+          k = 6, maxRounds = 12)
+        .select(col("node").as("user_id"), col("core_degree"))
+        .orderBy("user_id")
+    }),
+
     // per-node triangle participation — the clustering/community
     // signal, via the degree-ordered orientation (see
     // Graph.triangleCounts for why that survives hubs). The result is
@@ -176,6 +194,41 @@ object GraphQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // 12 literal peel rounds (degree -> keep -> filter, chained CTEs,
+    // the t12 k-step pattern): the operator converges in <= 12 rounds
+    // or throws, and the fixpoint is idempotent under further rounds,
+    // so the fixed unroll replays the converged core exactly
+    "g08_kcore" -> {
+      // each round reads its predecessor 3x — MATERIALIZED stops the
+      // inliner from expanding the chain 3^12-fold (the Spark side
+      // checkpoints per round for the same reason)
+      val rounds = (1 to 12).map { i =>
+        val prev = s"e${i - 1}"
+        s"""d$i AS MATERIALIZED (SELECT node, count(*) AS deg FROM
+           |  (SELECT a AS node FROM $prev UNION ALL SELECT b FROM $prev)
+           |  GROUP BY 1),
+           |k$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= 6),
+           |e$i AS MATERIALIZED (SELECT a, b FROM $prev
+           |  WHERE a IN (SELECT node FROM k$i)
+           |    AND b IN (SELECT node FROM k$i))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH m AS (SELECT event_type, date_trunc('hour', ts) AS h,
+         |    user_id % 16 AS seg, user_id, min(ts) AS mts
+         |  FROM events GROUP BY 1, 2, 3, 4),
+         |ch AS (SELECT user_id AS dst,
+         |    lag(user_id) OVER (PARTITION BY event_type, h, seg
+         |      ORDER BY mts, user_id) AS src
+         |  FROM m),
+         |e AS (SELECT DISTINCT src, dst FROM ch WHERE src IS NOT NULL),
+         |e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+         |    greatest(src, dst) AS b
+         |  FROM e WHERE src <> dst),
+         |$rounds
+         |SELECT node AS user_id, count(*) AS core_degree FROM
+         |  (SELECT a AS node FROM e12 UNION ALL SELECT b FROM e12)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
     "g01_user_pagerank" -> pagerankSql(5),
 
     // resume(5 from 5) == cold(10) for the deterministic integer
