@@ -946,6 +946,30 @@ object Dedup {
         (col("inter") / col("n_a").cast("double")).as("containment"))
   }
 
+  /** The superset-KEEP rewrite over a [[containmentPairs]] relation —
+    * what Lee et al.'s dedup does with containment: drop the CONTAINED
+    * member, keep the superset (the excerpt adds no training signal
+    * its source doesn't already carry). Mutual containment
+    * (near-identical docs contained in each other) keeps the lower
+    * id — without the tie-break a mutual pair drops BOTH members.
+    * Greedy, not transitive-closure: a doc is dropped iff some pair
+    * says so, matching the one-pass rewrite a production run applies.
+    *
+    * Returns (id, kept_in) for dropped docs, kept_in = the smallest
+    * qualifying container (deterministic attribution). Cost: one
+    * self-join of the pair relation (mutuality probe) + one groupBy —
+    * pair-relation-sized, never corpus-sized.
+    */
+  def supersetDrops(pairs: DataFrame): DataFrame = {
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    p.as("p").join(p.as("q"),
+        col("q.id_a") === col("p.id_b") && col("q.id_b") === col("p.id_a"),
+        "left_outer")
+      .where(col("q.id_a").isNull || col("p.id_a") > col("p.id_b"))
+      .groupBy(col("p.id_a").as("id"))
+      .agg(min(col("p.id_b")).as("kept_in"))
+  }
+
   /** Cross-document duplicated-span profile (the per-document signal
     * behind Lee et al. 2022, "Deduplicating Training Data Makes
     * Language Models Better": repeated substrings across documents are

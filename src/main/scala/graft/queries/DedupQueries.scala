@@ -156,6 +156,27 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // d21's detection composed into the REWRITE (the d14->d15 pattern
+    // for the containment family): every contained doc dropped with
+    // attribution to its smallest container, mutual pairs keep the
+    // lower id, kept/dropped status for the WHOLE corpus in one
+    // relation — every excerpt twin must come back dropped into its
+    // source or the hash breaks
+    "d22_superset_removal" -> ((s, d) => {
+      val corpus = docsWithExcerpts(s, d)
+      val pairs = Dedup.containmentPairs(corpus, "doc_id", "text",
+        tauNum = 9, tauDen = 10,
+        tokens = t => array_distinct(Dedup.shingleHashes(t)))
+      val drops = Dedup.supersetDrops(pairs)
+        .withColumnRenamed("id", "doc_id")
+      corpus.select("doc_id").join(drops, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("kept_in").isNull, lit("kept")).otherwise(lit("dropped"))
+            .as("status"),
+          col("kept_in"))
+        .orderBy("doc_id")
+    }),
+
     // fuzzy entity resolution over part names: every part gets a dirty
     // twin with ONE deterministic character deletion (at position
     // p_partkey % length — sometimes inside the prefix block,
@@ -441,6 +462,35 @@ object DedupQueries {
         s"CAST(CASE WHEN i + $j <= length(text) THEN ord(substr(text, (i + $j)::INT, 1)) ELSE 0 END AS BIGINT) * $pw"
     }.mkString("(", " + ", ") % 4294967296")
 
+  /** d21/d22 shared chain (the d06/d07 pattern): excerpt corpus ->
+    * distinct shingle tokens -> global (df, token) order -> probe
+    * prefix -> prefix × full-token candidates -> verified (id_a, id_b,
+    * inter, n_a). Both oracles end in the same integer threshold, so
+    * detection and the rewrite that consumes it cannot drift.
+    */
+  private val containmentCtes: String =
+    s"""all_docs AS (SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 1000000,
+       |    substr(text, 1, greatest(length(text) // 2, 8)) FROM documents),
+       |toks AS (SELECT DISTINCT doc_id AS id,
+       |    unnest(list_transform(generate_series(1, greatest(length(text) - ${Dedup.ShingleK - 1}, 1), ${Dedup.ShingleStride}),
+       |      i -> $shinglePoly)) AS tok
+       |  FROM all_docs),
+       |dfreq AS (SELECT tok, count(*) AS df FROM toks GROUP BY 1),
+       |sized AS (SELECT id, count(*) AS n FROM toks GROUP BY 1),
+       |ranked AS (SELECT t.id, t.tok, s.n,
+       |    row_number() OVER (PARTITION BY t.id ORDER BY d.df, t.tok) AS rn
+       |  FROM toks t JOIN dfreq d USING (tok) JOIN sized s USING (id)),
+       |prefix AS (SELECT id, tok FROM ranked
+       |  WHERE rn <= n - ((9 * n + 9) // 10) + 1),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM prefix a JOIN toks b ON a.tok = b.tok AND a.id <> b.id),
+       |arrs AS (SELECT id, list_sort(list(tok)) AS ts FROM toks GROUP BY 1),
+       |ver AS (SELECT c.id_a, c.id_b,
+       |    len(list_intersect(a.ts, b.ts)) AS inter,
+       |    len(a.ts) AS n_a
+       |  FROM cand c JOIN arrs a ON a.id = c.id_a JOIN arrs b ON b.id = c.id_b)""".stripMargin
+
   /** The sh -> mh -> bands CTE chain over any relation with
     * (doc_id, text), CTE names prefixed with `p` so two corpora can be
     * banded side by side in one statement (c08 decontamination).
@@ -714,32 +764,31 @@ object DedupQueries {
     // asymmetric form), same integer threshold inter·10 >= n_a·9 —
     // the division only formats an already-made decision
     "d21_containment_join" ->
-      s"""WITH all_docs AS (SELECT doc_id, text FROM documents
-         |  UNION ALL SELECT doc_id + 1000000,
-         |    substr(text, 1, greatest(length(text) // 2, 8)) FROM documents),
-         |toks AS (SELECT DISTINCT doc_id AS id,
-         |    unnest(list_transform(generate_series(1, greatest(length(text) - ${Dedup.ShingleK - 1}, 1), ${Dedup.ShingleStride}),
-         |      i -> $shinglePoly)) AS tok
-         |  FROM all_docs),
-         |dfreq AS (SELECT tok, count(*) AS df FROM toks GROUP BY 1),
-         |sized AS (SELECT id, count(*) AS n FROM toks GROUP BY 1),
-         |ranked AS (SELECT t.id, t.tok, s.n,
-         |    row_number() OVER (PARTITION BY t.id ORDER BY d.df, t.tok) AS rn
-         |  FROM toks t JOIN dfreq d USING (tok) JOIN sized s USING (id)),
-         |prefix AS (SELECT id, tok FROM ranked
-         |  WHERE rn <= n - ((9 * n + 9) // 10) + 1),
-         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-         |  FROM prefix a JOIN toks b ON a.tok = b.tok AND a.id <> b.id),
-         |arrs AS (SELECT id, list_sort(list(tok)) AS ts FROM toks GROUP BY 1),
-         |ver AS (SELECT c.id_a, c.id_b,
-         |    len(list_intersect(a.ts, b.ts)) AS inter,
-         |    len(a.ts) AS n_a
-         |  FROM cand c JOIN arrs a ON a.id = c.id_a JOIN arrs b ON b.id = c.id_b)
+      s"""WITH $containmentCtes
          |SELECT id_a, id_b,
          |  inter / CAST(n_a AS DOUBLE) AS containment
          |FROM ver
          |WHERE inter * 10 >= n_a * 9
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // shares d21's whole chain (the d06/d07 pattern — detection and
+    // rewrite cannot drift), then applies the same keep rule: drop a
+    // doc iff contained in another, mutual pairs keep the lower id
+    "d22_superset_removal" ->
+      s"""WITH $containmentCtes,
+         |pairs AS (SELECT id_a, id_b FROM ver
+         |  WHERE inter * 10 >= n_a * 9),
+         |dr AS (SELECT p.id_a AS doc_id, min(p.id_b) AS kept_in
+         |  FROM pairs p LEFT JOIN pairs q
+         |    ON q.id_a = p.id_b AND q.id_b = p.id_a
+         |  WHERE q.id_a IS NULL OR p.id_a > p.id_b
+         |  GROUP BY 1)
+         |SELECT a.doc_id,
+         |  CASE WHEN dr.doc_id IS NULL THEN 'kept' ELSE 'dropped' END
+         |    AS status,
+         |  dr.kept_in
+         |FROM all_docs a LEFT JOIN dr ON a.doc_id = dr.doc_id
+         |ORDER BY a.doc_id""".stripMargin,
 
     // fuzzy-join replay: same two blocking passes, same length
     // pre-filter, same levenshtein cap and (dist, id) best-match rule

@@ -87,6 +87,33 @@ class ContainmentSpec extends AnyFunSuite with SparkSpec {
       tauNum = 3, tauDen = 5, maxCandidatePairs = 100000L).count() >= 0)
   }
 
+  test("supersetDrops: contained members drop with attribution; mutual keeps lower id") {
+    import spark.implicits._
+    // chain (10 in 20), (10 in 30), (20 in 30): greedy drops 10 and
+    // 20, keeps 30; kept_in = smallest qualifying container.
+    // (40, 50) mutual: only 50 (the higher id) drops.
+    val pairs = Seq(
+      (10L, 20L), (10L, 30L), (20L, 30L),
+      (40L, 50L), (50L, 40L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.supersetDrops(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 20L, 20L -> 30L, 50L -> 40L))
+  }
+
+  test("supersetDrops composed over an excerpt corpus drops exactly the excerpts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "unrelated words entirely here"))
+    val pairs = Dedup.containmentPairs(docs.toDF("doc_id", "text"),
+      "doc_id", "text", tauNum = 9, tauDen = 10)
+    val got = Dedup.supersetDrops(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(2L -> 1L))
+  }
+
   test("empty docs and doubled spaces produce no phantom tokens or pairs") {
     import spark.implicits._
     val docs = Seq(
