@@ -156,6 +156,29 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // UNICODE-canonical exact dedup — t19's NFC expression composed
+    // into d01's fingerprint: composed and decomposed renderings of
+    // the same text are byte-DIFFERENT (raw md5 dedup keeps both —
+    // the multilingual-corpus trap) but must land in one group once
+    // the fingerprint normalizes first. Every doc gets a composed-
+    // suffix original and a decomposed-suffix twin; every group must
+    // come back with n_copies = 2 or the hash breaks
+    "d23_canonical_dedup" -> ((s, d) => {
+      import graft.functions.TextNormExpressions.nfc_normalize
+      val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+        .where(col("text").isNotNull)
+      requireDisjointShift(docs, "doc_id", 1000000L)
+      val corpus = docs
+        .select(col("doc_id"),
+          concat(col("text"), lit(TextQueries.NfcProbeComposed)).as("text"))
+        .unionByName(docs.select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(TextQueries.NfcProbeDecomposed)).as("text")))
+      Dedup.exactGroups(
+          corpus.select(col("doc_id"), nfc_normalize(col("text")).as("text")),
+          "doc_id", "text")
+        .orderBy("canonical_id")
+    }),
+
     // d21's detection composed into the REWRITE (the d14->d15 pattern
     // for the containment family): every contained doc dropped with
     // attribution to its smallest container, mutual pairs keep the
@@ -770,6 +793,23 @@ object DedupQueries {
          |FROM ver
          |WHERE inter * 10 >= n_a * 9
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // same probes (interpolated from the SAME Scala vals the Spark
+    // literals use), same normalize-then-fingerprint order
+    "d23_canonical_dedup" ->
+      s"""WITH nn AS (SELECT doc_id, text FROM documents
+         |  WHERE text IS NOT NULL),
+         |all_docs AS (
+         |  SELECT doc_id, text || '${TextQueries.NfcProbeComposed}' AS text
+         |    FROM nn
+         |  UNION ALL
+         |  SELECT doc_id + 1000000,
+         |    text || '${TextQueries.NfcProbeDecomposed}' FROM nn),
+         |grp AS (SELECT md5(lower(trim(nfc_normalize(text)))) AS fingerprint,
+         |    min(doc_id) AS canonical_id, count(*) AS n_copies
+         |  FROM all_docs GROUP BY 1)
+         |SELECT fingerprint, canonical_id, n_copies FROM grp
+         |ORDER BY canonical_id""".stripMargin,
 
     // shares d21's whole chain (the d06/d07 pattern — detection and
     // rewrite cannot drift), then applies the same keep rule: drop a

@@ -17,8 +17,8 @@ object TextQueries {
     * SQL: canonically-equivalent but byte-different suffixes — composed
     * U+00E9 vs e + combining acute U+0301.
     */
-  private val NfcProbeComposed = " caf\u00e9 r\u00e9sum\u00e9"
-  private val NfcProbeDecomposed = " cafe\u0301 re\u0301sume\u0301"
+  private[queries] val NfcProbeComposed = " caf\u00e9 r\u00e9sum\u00e9"
+  private[queries] val NfcProbeDecomposed = " cafe\u0301 re\u0301sume\u0301"
 
   /** The t14 query workload — one row per (query id, term), shared
     * with the oracle's VALUES list. Terms are pre-deduped per query
