@@ -129,7 +129,24 @@ object Plans {
     // c20 curriculum pack (LM chain + threshold tiles + per-stage
     // pack), x05 attribute pivot (map-key projection over the tall
     // scan — the reference's wide-table shape)
-    "c20_curriculum_pack", "x05_attribute_pivot")
+    "c20_curriculum_pack", "x05_attribute_pivot",
+    // round 7 cont.: d21 containment join (prefix × full-token
+    // equi-join, the asymmetric form), d22 superset removal (d21 +
+    // pair-sized mutuality self-join), d23 canonical dedup (NFC
+    // normalize inside the fingerprint groupBy), g08 k-core (the plan
+    // covers the converged survivor relation — per-round peel joins
+    // are checkpointed by design, gates in KCoreSpec), m09 perceptual
+    // hash pairs (band self-join over checkpointed 32-bit hashes,
+    // payloads never shuffle), q54 global index / c21 shuffle order
+    // (intra-granule windows + broadcast granule-offset join — the
+    // two-pass row numbering), t26 encoding profile (codegen'd strips
+    // + one rollup)
+    "d21_containment_join", "d22_superset_removal", "d23_canonical_dedup",
+    "g08_kcore", "m09_phash_neardup", "q54_global_index",
+    "c21_shuffle_order", "t26_encoding_quality",
+    // p05 containment pipeline (stages after the dedup checkpoint:
+    // containment drop anti-join, quality gate, split + pack)
+    "p05_containment_pipeline")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

@@ -76,6 +76,16 @@ object ScaleStress {
       d.unionByName(d.select((col("doc_id") + 1000000000L).as("doc_id"),
         concat(col("text"), lit(" spark")).as("text"), col("source")))
 
+    /** d21's corpus shape: inflated docs ∪ half-prefix excerpt twins —
+      * every doc has one contained excerpt; cross-copy containment is
+      * nil (copies are vowel-rotated), so pair density stays constant
+      * as k grows.
+      */
+    def withExcerpts(d: DataFrame): DataFrame =
+      d.unionByName(d.select((col("doc_id") + 1000000000L).as("doc_id"),
+        expr("substring(text, 1, greatest(length(text) div 2, 8))")
+          .as("text"), col("source")))
+
     def inflateEvents(k: Int): DataFrame =
       (0 until k).map { i =>
         events0.select(col("event_type"), col("ts"),
@@ -206,7 +216,40 @@ object ScaleStress {
         }),
         "e15" -> (() => Segmentation.quantileTiles(
           rfmOf(events).localCheckpoint(true),
-          Seq(("recency_days", true), ("frequency", false)), k = 3)))
+          Seq(("recency_days", true), ("frequency", false)), k = 3)),
+        // containment join (r7 cont.): the asymmetric prefix filter —
+        // probe prefixes join the FULL token relation, so its curve is
+        // the one to watch (the cost model says Σ dfp·(df−1), linear
+        // while rare-token df stays bounded under inflation)
+        "d21" -> (() => Dedup.containmentPairs(
+          withExcerpts(plain), "doc_id", "text",
+          tauNum = 9, tauDen = 10,
+          tokens = t => array_distinct(Dedup.shingleHashes(t)))),
+        // k-core peeling (r7 cont.): copies are structurally identical
+        // disjoint subgraphs, so cascade DEPTH (and hence round count)
+        // is scale-invariant — the curve isolates per-round work ∝
+        // surviving edges
+        "g08" -> (() => Graph.kCore(Graph.chainEdges(events,
+          Seq(col("event_type"), date_trunc("hour", col("ts")),
+            pmod(col("user_id"), lit(16L))), "user_id", "ts"),
+          k = 6, maxRounds = 24)),
+        // the q54/c21 pair, measured side by side (the e14/e15 story
+        // for row numbering): the naive global row_number funnels the
+        // corpus into ONE task; the two-pass granule form distributes
+        // all but the granule-totals window
+        "c21_naive" -> (() => {
+          import org.apache.spark.sql.expressions.Window
+          val h = plain.withColumn("__h",
+            Dedup.md5Hash32(col("doc_id").cast("string")))
+          h.withColumn("shuffle_pos",
+            row_number().over(Window.orderBy(col("__h"), col("doc_id")))
+              .cast("long") - 1)
+        }),
+        "c21" -> (() => graft.ops.Layout.globalIndex(
+          plain.withColumn("__h",
+            Dedup.md5Hash32(col("doc_id").cast("string"))),
+          col("__h"), col("doc_id"), granule = 1L << 24,
+          out = "shuffle_pos")))
 
       ops.foreach { case (op, build) =>
         // a guarded refusal (d11's candidate budget) is ITSELF a
@@ -262,6 +305,37 @@ object ScaleStress {
       }
     }
     println(s"""{"op":"s15_guard","tripped":$s15Tripped,"sec":$s15GuardSec}""")
+
+    // the m09 budget guard (round 7 cont.): byte-identical payloads
+    // give every media the same aHash — one bucket per band,
+    // 4·C(200000, 2) ≈ 8e10 candidates vs the 2^26 default; the guard
+    // must refuse before the self-join
+    val uniformMedia = spark.range(0, 200000)
+      .select(col("id").as("media_id"),
+        lit("q" * 64).cast("binary").as("payload"))
+    val (m09Tripped, m09GuardSec) = timed {
+      try {
+        graft.ops.Multimodal.perceptualHashPairs(uniformMedia).count(); false
+      } catch { case e: Exception =>
+        e.getMessage != null && e.getMessage.contains("budget")
+      }
+    }
+    println(s"""{"op":"m09_guard","tripped":$m09Tripped,"sec":$m09GuardSec}""")
+
+    // the d21 budget guard: the same low-entropy corpus through the
+    // asymmetric filter — its indexed side is the FULL token relation,
+    // so the refusal matters even more than d11's
+    val (d21Tripped, d21GuardSec) = timed {
+      try {
+        Dedup.containmentPairs(lowEntropy, "doc_id", "text",
+          tauNum = 9, tauDen = 10,
+          tokens = t => array_distinct(Dedup.shingleHashes(t))).count()
+        false
+      } catch { case e: Exception =>
+        e.getMessage != null && e.getMessage.contains("budget")
+      }
+    }
+    println(s"""{"op":"d21_guard","tripped":$d21Tripped,"sec":$d21GuardSec}""")
 
     spark.stop()
   }

@@ -485,20 +485,18 @@ object DedupQueries {
         s"CAST(CASE WHEN i + $j <= length(text) THEN ord(substr(text, (i + $j)::INT, 1)) ELSE 0 END AS BIGINT) * $pw"
     }.mkString("(", " + ", ") % 4294967296")
 
-  /** d21/d22 shared chain (the d06/d07 pattern): excerpt corpus ->
+  /** The containment-verify chain over any (doc_id, text) relation:
     * distinct shingle tokens -> global (df, token) order -> probe
     * prefix -> prefix × full-token candidates -> verified (id_a, id_b,
-    * inter, n_a). Both oracles end in the same integer threshold, so
-    * detection and the rewrite that consumes it cannot drift.
+    * inter, n_a), tau fixed at 9/10. Shared by d21, d22 AND the p05
+    * pipeline oracle (the d06/d07 pattern at three consumers), so
+    * detection, the rewrite, and the composed flow cannot drift.
     */
-  private val containmentCtes: String =
-    s"""all_docs AS (SELECT doc_id, text FROM documents
-       |  UNION ALL SELECT doc_id + 1000000,
-       |    substr(text, 1, greatest(length(text) // 2, 8)) FROM documents),
-       |toks AS (SELECT DISTINCT doc_id AS id,
+  private[queries] def containmentVerCtes(rel: String): String =
+    s"""toks AS (SELECT DISTINCT doc_id AS id,
        |    unnest(list_transform(generate_series(1, greatest(length(text) - ${Dedup.ShingleK - 1}, 1), ${Dedup.ShingleStride}),
        |      i -> $shinglePoly)) AS tok
-       |  FROM all_docs),
+       |  FROM $rel),
        |dfreq AS (SELECT tok, count(*) AS df FROM toks GROUP BY 1),
        |sized AS (SELECT id, count(*) AS n FROM toks GROUP BY 1),
        |ranked AS (SELECT t.id, t.tok, s.n,
@@ -513,6 +511,13 @@ object DedupQueries {
        |    len(list_intersect(a.ts, b.ts)) AS inter,
        |    len(a.ts) AS n_a
        |  FROM cand c JOIN arrs a ON a.id = c.id_a JOIN arrs b ON b.id = c.id_b)""".stripMargin
+
+  /** d21/d22 shared chain: the excerpt corpus + the verify chain. */
+  private val containmentCtes: String =
+    s"""all_docs AS (SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 1000000,
+       |    substr(text, 1, greatest(length(text) // 2, 8)) FROM documents),
+       |${containmentVerCtes("all_docs")}""".stripMargin
 
   /** The sh -> mh -> bands CTE chain over any relation with
     * (doc_id, text), CTE names prefixed with `p` so two corpora can be

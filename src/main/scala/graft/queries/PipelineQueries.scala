@@ -102,6 +102,50 @@ object PipelineQueries {
         .orderBy("split", "source", "shard")
     }),
 
+    // the CONTAINMENT-curated pipeline (the p03 composition pattern
+    // for the r7 containment family): exact dedup → superset-keep
+    // removal (d21 detection + d22 rewrite — excerpts/quotes drop
+    // into their sources, a class p01's Jaccard stage can't see) →
+    // quality gate → hash split → shard pack. Plants: +1M exact
+    // copies (stage 1 kills), +2M half-excerpts (the containment
+    // stage drops each into its source; sub-16-char docs yield an
+    // excerpt equal to the whole text, killed at stage 1 — same rule
+    // both engines). Output = the shard manifest; any stage wrongness
+    // changes membership and breaks the hash.
+    "p05_containment_pipeline" -> ((s, d) => {
+      import graft.ops.{Curation, Dedup, TextAnalysis}
+      val docs = Tables.load(s, d, "documents")
+        .select("doc_id", "text", "source").where(col("text").isNotNull)
+      requirePlantRoom(docs, d)
+      val corpus = docs
+        .unionByName(docs.select((col("doc_id") + 1000000).as("doc_id"),
+          col("text"), col("source")))
+        .unionByName(docs.select((col("doc_id") + 2000000).as("doc_id"),
+          expr("substring(text, 1, greatest(length(text) div 2, 8))")
+            .as("text"), col("source")))
+      val canon = Dedup.exactGroups(corpus, "doc_id", "text")
+        .select(col("canonical_id").as("doc_id"))
+      val s1 = corpus.join(canon, Seq("doc_id")).localCheckpoint(true)
+      val pairs = Dedup.containmentPairs(s1, "doc_id", "text",
+        tauNum = 9, tauDen = 10,
+        tokens = t => array_distinct(Dedup.shingleHashes(t)))
+      val drops = Dedup.supersetDrops(pairs)
+        .select(col("id").as("doc_id"))
+      val s2 = s1.join(drops, Seq("doc_id"), "left_anti")
+      val passAll = TextAnalysis.qualityRules
+        .map { case (_, rule) => !rule(col("text")) }.reduce(_ && _)
+      val s4 = s2.where(passAll)
+        .withColumn("split", Curation.splitAssign(col("doc_id")))
+        .withColumn("__grp", concat_ws("|", col("split"), col("source")))
+      Curation.packShards(s4, "__grp", "doc_id",
+          TextAnalysis.wsTokenCount(col("text")), ShardBudget)
+        .groupBy("split", "source", "shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("shard_tokens"),
+          min("doc_id").as("min_doc_id"))
+        .orderBy("split", "source", "shard")
+    }),
+
     "p01_curation_pipeline" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents").select("doc_id", "text", "source")
       requirePlantRoom(docs, d)
@@ -338,6 +382,56 @@ object PipelineQueries {
          |  FROM sp)
          |SELECT split, source,
          |  CAST(floor((c - n_tokens) / $P03Budget) AS BIGINT) AS shard,
+         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+         |  min(doc_id) AS min_doc_id
+         |FROM cum GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // every stage verbatim from its standalone oracle: d01's
+    // fingerprint groupBy, d21's verify chain + d22's keep rule
+    // (DedupQueries.containmentVerCtes — shared, cannot drift), t09's
+    // quality conditions, c01's split CASE, c02's running-sum packing
+    "p05_containment_pipeline" ->
+      s"""WITH nn AS (SELECT doc_id, text, source FROM documents
+         |  WHERE text IS NOT NULL),
+         |all_docs AS (
+         |  SELECT doc_id, text, source FROM nn
+         |  UNION ALL SELECT doc_id + 1000000, text, source FROM nn
+         |  UNION ALL SELECT doc_id + 2000000,
+         |    substr(text, 1, greatest(length(text) // 2, 8)), source FROM nn),
+         |ex AS (SELECT min(doc_id) AS doc_id FROM all_docs
+         |  GROUP BY md5(lower(trim(text)))),
+         |s1 AS (SELECT d.doc_id, d.text, d.source
+         |  FROM all_docs d JOIN ex USING (doc_id)),
+         |${DedupQueries.containmentVerCtes("s1")},
+         |cpairs AS (SELECT id_a, id_b FROM ver
+         |  WHERE inter * 10 >= n_a * 9),
+         |dr AS (SELECT p.id_a AS doc_id FROM cpairs p
+         |  LEFT JOIN cpairs q ON q.id_a = p.id_b AND q.id_b = p.id_a
+         |  WHERE q.id_a IS NULL OR p.id_a > p.id_b
+         |  GROUP BY 1),
+         |s2 AS (SELECT doc_id, text, source FROM s1
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM dr)),
+         |s4 AS (SELECT doc_id, text, source FROM (
+         |    SELECT doc_id, text, source,
+         |      CAST(length(text) AS BIGINT) AS n_chars,
+         |      CAST($tokenExpr AS BIGINT) AS n_words,
+         |      ${TextQueries.stopHitsSql} AS stop_hits
+         |    FROM (SELECT doc_id, text, source, ' ' || text || ' ' AS p FROM s2))
+         |  WHERE $passAllSql),
+         |sp AS (SELECT doc_id, source,
+         |    CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val'
+         |      ELSE 'test' END AS split,
+         |    n_tokens
+         |  FROM (SELECT doc_id, source,
+         |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bkt,
+         |      CAST($tokenExpr AS BIGINT) AS n_tokens
+         |    FROM s4)),
+         |cum AS (SELECT split, source, doc_id, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY split, source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+         |  FROM sp)
+         |SELECT split, source,
+         |  CAST(floor((c - n_tokens) / $ShardBudget) AS BIGINT) AS shard,
          |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
          |  min(doc_id) AS min_doc_id
          |FROM cum GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
