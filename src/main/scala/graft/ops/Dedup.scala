@@ -946,6 +946,131 @@ object Dedup {
         (col("inter") / col("n_a").cast("double")).as("containment"))
   }
 
+  /** The persisted containment index ([[incrementalContainmentPairs]]):
+    * history tokens, history prefixes and the history df table, all
+    * under the FROZEN (history-df, token) global order. At 100 TB
+    * these are three parquet tables a daily job reads back — the q46
+    * persist-the-sketch pattern at index granularity.
+    */
+  final case class ContainmentIndex(toks: DataFrame, prefix: DataFrame,
+    dfreq: DataFrame)
+
+  /** Build the persisted index from a history corpus: the d21 chain's
+    * first half, stopped before any join — everything downstream
+    * (probe, verify) reuses these relations.
+    */
+  def containmentIndex(history: DataFrame, idCol: String, textCol: String,
+      tauNum: Int, tauDen: Int,
+      tokens: Column => Column = c =>
+        filter(array_distinct(split(c, " ")), t => length(t) > 0)): ContainmentIndex = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      s"tau must be a fraction in (0,1]: $tauNum/$tauDen")
+    val toks = history
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+      .localCheckpoint(true)
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+      .localCheckpoint(true)
+    val part = org.apache.spark.sql.expressions.Window.partitionBy("id")
+    val w = part.orderBy(col("df"), col("tok"))
+    val prefix = toks.join(dfreq, "tok")
+      .withColumn("n", count(lit(1)).over(part))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <=
+        col("n") - expr(s"($tauNum * n + $tauDen - 1) div $tauDen") + 1)
+      .select("id", "tok")
+      .localCheckpoint(true)
+    ContainmentIndex(toks, prefix, dfreq)
+  }
+
+  /** Incremental containment detection — the d16 settle pattern for
+    * the ASYMMETRIC family: a new batch probes the persisted
+    * [[containmentIndex]]; history×history pairs are already known and
+    * never recompute, so the refresh is batch-sized.
+    *
+    * The theory that makes this exact: the prefix-filter theorem holds
+    * for ANY shared total order — df-rarest-first is only the fan-out
+    * heuristic, not a correctness requirement. So the index FREEZES
+    * the order at build time ((history-df, token); batch-new tokens
+    * coalesce to df 0 = rarest-first position), history prefixes stay
+    * valid verbatim, and the batch computes its prefixes under the
+    * same frozen order. Asymmetry needs BOTH probe directions: a
+    * batch doc contained in history (batch.prefix × history.toks), a
+    * history doc contained in a batch superset (history.prefix ×
+    * batch.toks), plus the in-batch join. Candidate volume for all
+    * three terms is aggregated BEFORE any join (the d11/d21 guard).
+    *
+    * Returns (id_a, id_b, containment) for every qualifying ordered
+    * pair TOUCHING the batch.
+    */
+  def incrementalContainmentPairs(index: ContainmentIndex, batch: DataFrame,
+      idCol: String, textCol: String, tauNum: Int, tauDen: Int,
+      tokens: Column => Column = c =>
+        filter(array_distinct(split(c, " ")), t => length(t) > 0),
+      maxCandidatePairs: Long = 1L << 26): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      s"tau must be a fraction in (0,1]: $tauNum/$tauDen")
+    require(maxCandidatePairs > 0,
+      s"maxCandidatePairs must be > 0, got $maxCandidatePairs")
+    val btoks = batch
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+      .localCheckpoint(true)
+    val part = org.apache.spark.sql.expressions.Window.partitionBy("id")
+    // the frozen order: history df, unseen tokens at 0 (rarest-first)
+    val w = part.orderBy(col("df"), col("tok"))
+    val bprefix = btoks
+      .join(index.dfreq, Seq("tok"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .withColumn("n", count(lit(1)).over(part))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <=
+        col("n") - expr(s"($tauNum * n + $tauDen - 1) div $tauDen") + 1)
+      .select("id", "tok")
+      .localCheckpoint(true)
+    // budget guard over all three probe terms: Σ_tok bp·hd + hp·bt + bp·bt
+    def cnt(df: DataFrame, as: String) =
+      df.groupBy("tok").agg(count(lit(1)).as(as))
+    val vol = cnt(bprefix, "bp")
+      .join(cnt(btoks, "bt"), Seq("tok"), "full_outer")
+      .join(cnt(index.prefix, "hp"), Seq("tok"), "full_outer")
+      .join(index.dfreq.withColumnRenamed("df", "hd"), Seq("tok"), "full_outer")
+      .select((coalesce(col("bp"), lit(0L)).cast("double") * coalesce(col("hd"), lit(0L)).cast("double") +
+        coalesce(col("hp"), lit(0L)).cast("double") * coalesce(col("bt"), lit(0L)).cast("double") +
+        coalesce(col("bp"), lit(0L)).cast("double") * coalesce(col("bt"), lit(0L)).cast("double")).as("v"))
+      .agg(coalesce(sum(col("v")), lit(0.0)))
+      .head().getDouble(0)
+    if (vol > maxCandidatePairs.toDouble)
+      throw new IllegalStateException(
+        f"incrementalContainmentPairs: candidate volume $vol%.0f exceeds " +
+          s"the $maxCandidatePairs budget — see containmentPairs' cost " +
+          "model; raise tau, re-tokenize, or raise maxCandidatePairs.")
+    val candBH = bprefix.as("a").join(index.toks.as("b"),
+        col("a.tok") === col("b.tok"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val candHB = index.prefix.as("a").join(btoks.as("b"),
+        col("a.tok") === col("b.tok"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val candBB = bprefix.as("a").join(btoks.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val cand = candBH.unionByName(candHB).unionByName(candBB).distinct()
+    // verify arrays: history arrs would be the index's fourth persisted
+    // relation in production; derived here from index.toks
+    val arrs = index.toks.unionByName(btoks)
+      .groupBy("id").agg(sort_array(collect_list(col("tok"))).as("ts"))
+    val interCol =
+      if (btoks.schema("tok").dataType == org.apache.spark.sql.types.LongType)
+        graft.functions.VecExpressions.sorted_intersect_size(col("ts_a"), col("ts_b"))
+      else size(array_intersect(col("ts_a"), col("ts_b"))).cast("long")
+    cand
+      .join(arrs.select(col("id").as("id_a"), col("ts").as("ts_a")), "id_a")
+      .join(arrs.select(col("id").as("id_b"), col("ts").as("ts_b")), "id_b")
+      .withColumn("inter", interCol)
+      .withColumn("n_a", size(col("ts_a")).cast("long"))
+      .where(col("inter") * tauDen >= col("n_a") * tauNum)
+      .select(col("id_a"), col("id_b"),
+        (col("inter") / col("n_a").cast("double")).as("containment"))
+  }
+
   /** The superset-KEEP rewrite over a [[containmentPairs]] relation —
     * what Lee et al.'s dedup does with containment: drop the CONTAINED
     * member, keep the superset (the excerpt adds no training signal

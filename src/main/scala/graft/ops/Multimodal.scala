@@ -245,6 +245,41 @@ object Multimodal {
           col("total_energy") / col("n_windows").cast("double")))
   }
 
+  /** Silence segmentation over a PCM8-shaped payload — the VAD /
+    * silence-trim REGION operator the m05 energy profile feeds: runs
+    * of consecutive windows at-or-below `maxEnergy` become one
+    * segment row (media_id, start_win, end_win, n_windows,
+    * segment_energy), the spans an audio pipeline cuts or keeps.
+    * Run-length grouping is the d19 island trick relationally:
+    * win_idx − row_number() over (media, win order) is constant
+    * exactly within a consecutive run, so islands fall out of one
+    * partitioned window + one groupBy — no sequential scan, no UDF.
+    * Energies come from the native codegen'd [[graft.functions
+    * .Pcm8WindowEnergy]] (one fused byte loop); payload bytes never
+    * shuffle — only (media_id, win_idx, energy) rows for QUIET
+    * windows travel, and the window partitions by media so the sort
+    * is per-media, never global. An empty payload yields no segments.
+    */
+  def silenceSegments(media: DataFrame, windowBytes: Int,
+      maxEnergy: Long): DataFrame = {
+    require(windowBytes >= 1, s"windowBytes must be >= 1, got $windowBytes")
+    require(maxEnergy >= 0, s"maxEnergy must be >= 0, got $maxEnergy")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("win_idx")
+    media.select(col("media_id"),
+        posexplode(graft.functions.MediaExpressions
+          .pcm8_window_energy(col("payload"), windowBytes)))
+      .select(col("media_id"), (col("pos") + 1).cast("long").as("win_idx"),
+        col("col").as("energy"))
+      .where(col("energy") <= maxEnergy)
+      .withColumn("__isl", col("win_idx") - row_number().over(w))
+      .groupBy(col("media_id"), col("__isl"))
+      .agg(min("win_idx").as("start_win"), max("win_idx").as("end_win"),
+        count(lit(1)).as("n_windows"), sum("energy").as("segment_energy"))
+      .select("media_id", "start_win", "end_win", "n_windows",
+        "segment_energy")
+  }
+
   /** Perceptual near-dup pairs over binary payloads — aHash (average
     * hash), the classic perceptual-dedup primitive (LAION-style image
     * dedup runs exactly this family): thumbnail each payload to 32

@@ -156,6 +156,41 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // the d16 settle pattern for the CONTAINMENT family: the persisted
+    // index (history tokens/prefixes/df under the FROZEN history-df
+    // order — the prefix theorem holds for ANY shared total order, so
+    // freezing costs no recall) is probed by the batch in all three
+    // directions the asymmetry needs. Plants: +1M excerpts of HISTORY
+    // docs (only the batch.prefix × history.toks probe finds their
+    // source), +2M in-batch excerpts, +3M batch SUPERSETS of history
+    // docs (text doubled — only the history.prefix × batch.toks
+    // direction finds history contained in them)
+    "d24_incremental_containment" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+        .where(col("text").isNotNull)
+      requireDisjointShift(docs, "doc_id", 1000000L)
+      val hist = docs.where(col("doc_id") % 3 =!= 0)
+      val batch = docs.where(col("doc_id") % 3 === 0)
+        .unionByName(hist.where(col("doc_id") % 10 === 1)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            expr("substring(text, 1, greatest(length(text) div 2, 8))")
+              .as("text")))
+        .unionByName(docs.where(col("doc_id") % 3 === 0 && col("doc_id") % 10 === 2)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            expr("substring(text, 1, greatest(length(text) div 2, 8))")
+              .as("text")))
+        .unionByName(hist.where(col("doc_id") % 10 === 3)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            concat(col("text"), lit(" "), col("text")).as("text")))
+      val idx = Dedup.containmentIndex(hist, "doc_id", "text",
+        tauNum = 9, tauDen = 10,
+        tokens = t => array_distinct(Dedup.shingleHashes(t)))
+      Dedup.incrementalContainmentPairs(idx, batch, "doc_id", "text",
+          tauNum = 9, tauDen = 10,
+          tokens = t => array_distinct(Dedup.shingleHashes(t)))
+        .orderBy("id_a", "id_b")
+    }),
+
     // UNICODE-canonical exact dedup — t19's NFC expression composed
     // into d01's fingerprint: composed and decomposed renderings of
     // the same text are byte-DIFFERENT (raw md5 dedup keeps both —
@@ -798,6 +833,62 @@ object DedupQueries {
          |FROM ver
          |WHERE inter * 10 >= n_a * 9
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // frozen-order replay: history prefixes under (hist-df, tok),
+    // batch prefixes under (COALESCE(hist-df, 0), tok), the same three
+    // candidate directions, the same integer threshold
+    "d24_incremental_containment" -> {
+      val tokExpr =
+        s"""unnest(list_transform(generate_series(1, greatest(length(text) - ${Dedup.ShingleK - 1}, 1), ${Dedup.ShingleStride}),
+           |      i -> $shinglePoly))""".stripMargin
+      s"""WITH nn AS (SELECT doc_id, text FROM documents
+         |  WHERE text IS NOT NULL),
+         |hist AS (SELECT doc_id, text FROM nn WHERE doc_id % 3 <> 0),
+         |batch AS (SELECT doc_id, text FROM nn WHERE doc_id % 3 = 0
+         |  UNION ALL SELECT doc_id + 1000000,
+         |    substr(text, 1, greatest(length(text) // 2, 8))
+         |    FROM hist WHERE doc_id % 10 = 1
+         |  UNION ALL SELECT doc_id + 2000000,
+         |    substr(text, 1, greatest(length(text) // 2, 8))
+         |    FROM nn WHERE doc_id % 3 = 0 AND doc_id % 10 = 2
+         |  UNION ALL SELECT doc_id + 3000000, text || ' ' || text
+         |    FROM hist WHERE doc_id % 10 = 3),
+         |htoks AS (SELECT DISTINCT doc_id AS id, $tokExpr AS tok FROM hist),
+         |btoks AS (SELECT DISTINCT doc_id AS id, $tokExpr AS tok FROM batch),
+         |hdf AS (SELECT tok, count(*) AS df FROM htoks GROUP BY 1),
+         |hranked AS (SELECT t.id, t.tok, s.n,
+         |    row_number() OVER (PARTITION BY t.id ORDER BY d.df, t.tok) AS rn
+         |  FROM htoks t JOIN hdf d USING (tok)
+         |  JOIN (SELECT id, count(*) AS n FROM htoks GROUP BY 1) s USING (id)),
+         |hprefix AS (SELECT id, tok FROM hranked
+         |  WHERE rn <= n - ((9 * n + 9) // 10) + 1),
+         |branked AS (SELECT t.id, t.tok, s.n,
+         |    row_number() OVER (PARTITION BY t.id
+         |      ORDER BY COALESCE(d.df, 0), t.tok) AS rn
+         |  FROM btoks t LEFT JOIN hdf d USING (tok)
+         |  JOIN (SELECT id, count(*) AS n FROM btoks GROUP BY 1) s USING (id)),
+         |bprefix AS (SELECT id, tok FROM branked
+         |  WHERE rn <= n - ((9 * n + 9) // 10) + 1),
+         |cand AS (SELECT DISTINCT id_a, id_b FROM (
+         |  SELECT a.id AS id_a, b.id AS id_b
+         |    FROM bprefix a JOIN htoks b ON a.tok = b.tok
+         |  UNION ALL SELECT a.id, b.id
+         |    FROM hprefix a JOIN btoks b ON a.tok = b.tok
+         |  UNION ALL SELECT a.id, b.id
+         |    FROM bprefix a JOIN btoks b ON a.tok = b.tok AND a.id <> b.id)),
+         |arrs AS (SELECT id, list_sort(list(tok)) AS ts FROM
+         |  (SELECT id, tok FROM htoks UNION ALL SELECT id, tok FROM btoks)
+         |  GROUP BY 1),
+         |ver AS (SELECT c.id_a, c.id_b,
+         |    len(list_intersect(a.ts, b.ts)) AS inter,
+         |    len(a.ts) AS n_a
+         |  FROM cand c JOIN arrs a ON a.id = c.id_a JOIN arrs b ON b.id = c.id_b)
+         |SELECT id_a, id_b,
+         |  inter / CAST(n_a AS DOUBLE) AS containment
+         |FROM ver
+         |WHERE inter * 10 >= n_a * 9
+         |ORDER BY id_a, id_b""".stripMargin
+    },
 
     // same probes (interpolated from the SAME Scala vals the Spark
     // literals use), same normalize-then-fingerprint order

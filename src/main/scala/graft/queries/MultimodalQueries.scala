@@ -15,6 +15,12 @@ import graft.sources.Tables
   */
 object MultimodalQueries {
 
+  /** m10's quiet-window threshold — ONE definition for the Spark flow
+    * and the oracle; sits near the corpus's 25th energy percentile so
+    * both single- and multi-window segments occur at every SF.
+    */
+  private val SilenceMaxEnergy = 195000L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the RESIZE primitive (+ feature extract composed): nearest-
     // neighbor resample of each payload to 64 sample positions
@@ -85,6 +91,23 @@ object MultimodalQueries {
           col("text").cast("binary").as("payload"))
       Multimodal.frameDedupProfile(media, strideBytes = 100)
         .orderBy("media_id")
+    }),
+
+    // silence segmentation — the VAD/silence-trim REGION view of m05's
+    // energy profile: consecutive quiet windows (energy <= the shared
+    // threshold) collapse to one segment row via the relational
+    // island trick (win_idx - row_number is constant within a run);
+    // at the chosen threshold the verify corpus yields both single-
+    // and multi-window segments, so the run-length grouping is
+    // exercised, not vacuous
+    "m10_silence_segments" -> ((s, d) => {
+      val media = Tables.load(s, d, "documents")
+        .where(length(col("text")) > 0)
+        .select(col("doc_id").as("media_id"),
+          col("text").cast("binary").as("payload"))
+      Multimodal.silenceSegments(media, windowBytes = 100,
+          maxEnergy = SilenceMaxEnergy)
+        .orderBy("media_id", "start_win")
     }),
 
     // perceptual near-dup detection — aHash over the 32-position
@@ -222,6 +245,31 @@ object MultimodalQueries {
         |    / CAST(count(*) AS DOUBLE) AS dup_fraction
         |FROM k JOIN occ USING (frame_md5)
         |GROUP BY media_id ORDER BY media_id""".stripMargin,
+
+    // m05's window/hex/energy CTEs + the same island trick
+    "m10_silence_segments" ->
+      s"""WITH media AS (SELECT doc_id AS media_id, hex(encode(text)) AS hxp,
+         |    octet_length(encode(text)) AS n
+         |  FROM documents WHERE length(text) > 0),
+         |wins AS (SELECT media_id, i AS win_idx,
+         |    substr(hxp, (i - 1) * 200 + 1, 200) AS hx
+         |  FROM media,
+         |    unnest(generate_series(1, greatest(n // 100, 1))) AS g(i)),
+         |en AS (SELECT media_id, win_idx,
+         |    CAST(list_sum(list_transform(generate_series(1, length(hx) // 2),
+         |      j -> (('0x' || substr(hx, 2 * j - 1, 2))::BIGINT - 128)
+         |         * (('0x' || substr(hx, 2 * j - 1, 2))::BIGINT - 128))) AS BIGINT) AS e
+         |  FROM wins),
+         |sil AS (SELECT media_id, win_idx, e,
+         |    win_idx - row_number() OVER (PARTITION BY media_id
+         |      ORDER BY win_idx) AS isl
+         |  FROM en WHERE e <= $SilenceMaxEnergy)
+         |SELECT media_id, CAST(min(win_idx) AS BIGINT) AS start_win,
+         |  CAST(max(win_idx) AS BIGINT) AS end_win,
+         |  count(*) AS n_windows,
+         |  CAST(sum(e) AS BIGINT) AS segment_energy
+         |FROM sil GROUP BY media_id, isl
+         |ORDER BY media_id, start_win""".stripMargin,
 
     // same thumbnail positions (bytes via hex slicing), same
     // mean-threshold bit rule (32·v_i >= Σv — no division), same

@@ -114,6 +114,61 @@ class ContainmentSpec extends AnyFunSuite with SparkSpec {
     assert(got == Map(2L -> 1L))
   }
 
+  test("incremental == direct-on-union restricted to batch-touching pairs (frozen order is exact)") {
+    import spark.implicits._
+    val vocab = ('a' to 'p').map(_.toString)
+    for (seed <- Seq(5, 77)) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (1L to 50L).map { i =>
+        val n = 3 + rnd.nextInt(8)
+        (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val (hist, batch) = docs.partition(_._1 % 3 != 0)
+      val batchIds = batch.map(_._1).toSet
+      val direct = Dedup.containmentPairs(docs.toDF("doc_id", "text"),
+          "doc_id", "text", tauNum = 3, tauDen = 5)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+        .filter { case ((a, b), _) => batchIds(a) || batchIds(b) }.toMap
+      val idx = Dedup.containmentIndex(hist.toDF("doc_id", "text"),
+        "doc_id", "text", tauNum = 3, tauDen = 5)
+      val inc = Dedup.incrementalContainmentPairs(idx,
+          batch.toDF("doc_id", "text"), "doc_id", "text",
+          tauNum = 3, tauDen = 5)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      assert(inc == direct, s"seed $seed")
+    }
+  }
+
+  test("incremental finds BOTH asymmetric directions across the index boundary") {
+    import spark.implicits._
+    val hist = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "mu nu xi"))
+    val batch = Seq(
+      (30L, "alpha beta gamma delta epsilon"),      // contained IN history
+      (31L, "mu nu xi omicron pi rho sigma tau"))   // CONTAINS history doc 2
+    val idx = Dedup.containmentIndex(hist.toDF("doc_id", "text"),
+      "doc_id", "text", tauNum = 9, tauDen = 10)
+    val got = Dedup.incrementalContainmentPairs(idx,
+        batch.toDF("doc_id", "text"), "doc_id", "text",
+        tauNum = 9, tauDen = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got == Map((30L, 1L) -> 1.0, (2L, 31L) -> 1.0))
+  }
+
+  test("incremental budget guard trips across all three probe terms") {
+    import spark.implicits._
+    val hist = (1L to 30L).map(i => (i, "alpha beta gamma delta"))
+    val batch = (100L to 130L).map(i => (i, "alpha beta gamma delta"))
+    val idx = Dedup.containmentIndex(hist.toDF("doc_id", "text"),
+      "doc_id", "text", tauNum = 3, tauDen = 5)
+    val e = intercept[IllegalStateException] {
+      Dedup.incrementalContainmentPairs(idx, batch.toDF("doc_id", "text"),
+        "doc_id", "text", tauNum = 3, tauDen = 5, maxCandidatePairs = 50L)
+    }
+    assert(e.getMessage.contains("candidate volume"), e.getMessage)
+  }
+
   test("empty docs and doubled spaces produce no phantom tokens or pairs") {
     import spark.implicits._
     val docs = Seq(

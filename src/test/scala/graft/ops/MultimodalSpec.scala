@@ -79,6 +79,26 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       2L -> ((1L, 961L, 961L, 961.0))))
   }
 
+  test("silenceSegments: consecutive quiet windows collapse to runs; gaps split; empty payload yields nothing") {
+    import spark.implicits._
+    // windowBytes=1: per-byte energy (b-128)^2. 'a'=97 -> 961 (quiet at
+    // <= 1000), ' '=32 -> 9216 (loud). "aa aa" -> quiet runs [1,2] and
+    // [4,5] split by the loud space at 3. "aaa" -> one run [1,3].
+    val media = Seq((1L, "aa aa"), (2L, "aaa"), (3L, ""))
+      .toDF("media_id", "text")
+      .select(col("media_id"), col("text").cast("binary").as("payload"))
+    val out = Multimodal.silenceSegments(media, windowBytes = 1,
+        maxEnergy = 1000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .sortBy(t => (t._1, t._2))
+    assert(out.toSeq === Seq(
+      (1L, 1L, 2L, 2L, 1922L),
+      (1L, 4L, 5L, 2L, 1922L),
+      (2L, 1L, 3L, 3L, 2883L)))
+  }
+
   test("keyframeChecksums samples every k-th frame with correct indices, lengths and content") {
     import spark.implicits._
     // 25-byte payload, stride 4 -> 6 full frames (tail byte dropped);
