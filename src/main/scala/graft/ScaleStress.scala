@@ -189,14 +189,17 @@ object ScaleStress {
         // "size bits to corpus/2^bits" rule from the scaladoc instead
         // of the k² blowup identical copies would fake
         "s15" -> (() => Similarity.knnGraph(vecs, k = 3, bits = 8)),
-        // the banded variant under CORPUS-SCALED bits: bitsPerBand
-        // grows with n (scaledBits), so per-band candidate volume stays
-        // ~n·target/2 — the curve shows the r7 guard+scaling story
-        // holding where FIXED bits would go quadratic
+        // the banded variant under MEASURED-OCCUPANCY bits (the r8 fix
+        // for r7's 2.28 tail exponent): scaledBits seeds from the mean
+        // model, then targetP99Occupancy escalates bitsPerBand until
+        // the measured p99 bucket size meets the target — real SRP
+        // skew is sized against what the buckets actually hold, not
+        // what n/2^bits predicts
         "s17" -> (() => {
           val n = vecs.count()
           Similarity.knnGraphBanded(vecs, k = 3, bands = 2,
-            bitsPerBand = Similarity.scaledBits(n, targetBucketSize = 128L))
+            bitsPerBand = Similarity.scaledBits(n, targetBucketSize = 128L),
+            targetP99Occupancy = 128L)
         }),
         // the e14-class hazard vs its r7 fix, measured side by side:
         // the ntile form's two global windows funnel every user into

@@ -875,10 +875,20 @@ object Dedup {
     * no rank. The global order is (df asc, token): prefixes are made
     * of each doc's rarest tokens, the smallest possible fan-out.
     *
-    * COST MODEL: candidate volume is Σ_tok dfp(tok)·(df(tok) − 1) —
-    * dfp from the prefix relation but df from the FULL relation, so
-    * the quadratic cliff on low-entropy corpora is steeper than the
-    * Jaccard form's Σ C(dfp, 2). The same runtime guard discipline
+    * LENGTH LOWER-BOUND (the AllPairs filter, asymmetric form):
+    * |A∩B| ≤ |B|, so C(A,B) ≥ τ additionally forces |B| ≥ ⌈τ·|A|⌉ —
+    * both token relations carry per-doc sizes and the candidate join
+    * prunes `b.n·tauDen < a.n·tauNum` pairs before they exist. On
+    * mixed-length corpora this is the difference between the token
+    * df products and the (much smaller) products among comparable
+    * lengths; output is unchanged (every pruned pair provably fails
+    * verification).
+    *
+    * COST MODEL: unfiltered candidate volume is Σ_tok dfp(tok)·
+    * (df(tok) − 1) — dfp from the prefix relation but df from the
+    * FULL relation, so the quadratic cliff on low-entropy corpora is
+    * steeper than the Jaccard form's Σ C(dfp, 2); the length bound
+    * divides out the cross-length terms. The same runtime guard discipline
     * applies: the exact volume is aggregated BEFORE the join and
     * `maxCandidatePairs` turns the degenerate regime into an immediate
     * diagnosable error. Verification re-joins candidates against the
@@ -908,27 +918,32 @@ object Dedup {
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <=
         col("n") - expr(s"($tauNum * n + $tauDen - 1) div $tauDen") + 1)
-      .select("id", "tok")
+      .select("id", "tok", "n")
     val prefixCk = prefix.localCheckpoint(true)
-    // budget guard: Σ dfp·(df − 1) in DOUBLE (the d11 overflow rule —
-    // a wrapped Long would disable the guard exactly when it matters)
-    val nCand = prefixCk.groupBy("tok")
-      .agg(count(lit(1)).as("dfp"))
-      .join(dfreq, "tok")
-      .agg(coalesce(
-        sum(col("dfp").cast("double") * (col("df") - 1).cast("double")),
-        lit(0.0)))
-      .head().getDouble(0)
+    // AllPairs length lower-bound: C(A,B) ≥ τ forces |B| ≥ ⌈τ·|A|⌉
+    // (|A∩B| ≤ |B|), so the indexed side carries per-doc sizes and
+    // any candidate with b.n·tauDen < a.n·tauNum is provably dead —
+    // the asymmetric family's analogue of the Jaccard length filter,
+    // and the pruning that keeps mixed-length corpora off the cliff.
+    val sizes = toks.groupBy("id").agg(count(lit(1)).as("n"))
+    val toksN = toks.join(sizes, "id").localCheckpoint(true)
+    // budget guard over the LENGTH-FILTERED volume (in DOUBLE — the
+    // d11 overflow rule: a wrapped Long would disable the guard
+    // exactly when it matters)
+    val nCand = lengthFilteredCandVolume(prefixCk, toksN, tauNum, tauDen,
+      selfRows = prefixCk.count())
     if (nCand > maxCandidatePairs.toDouble)
       throw new IllegalStateException(
         f"containmentPairs: candidate volume $nCand%.0f exceeds the " +
           s"$maxCandidatePairs budget — low-entropy corpus in the quadratic " +
-          "regime (the indexed side is the FULL token relation; the cliff " +
-          "is steeper than prefixFilterPairs'). Raise tau, pass an " +
-          "order-sensitive tokenizer (shingle hashes), pre-block the " +
-          "corpus, or raise maxCandidatePairs.")
-    val cand = prefixCk.as("a").join(toks.as("b"),
-        col("a.tok") === col("b.tok") && col("a.id") =!= col("b.id"))
+          "regime even after the length lower-bound (the indexed side is " +
+          "the FULL token relation; the cliff is steeper than " +
+          "prefixFilterPairs'). Raise tau, pass an order-sensitive " +
+          "tokenizer (shingle hashes), pre-block the corpus, or raise " +
+          "maxCandidatePairs.")
+    val cand = prefixCk.as("a").join(toksN.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") =!= col("b.id") &&
+          col("b.n") * tauDen >= col("a.n") * tauNum)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     val arrs = toks.groupBy("id").agg(sort_array(collect_list(col("tok"))).as("ts"))
@@ -944,6 +959,39 @@ object Dedup {
       .where(col("inter") * tauDen >= col("n_a") * tauNum)
       .select(col("id_a"), col("id_b"),
         (col("inter") / col("n_a").cast("double")).as("containment"))
+  }
+
+  /** Length-filtered candidate-volume upper bound for the containment
+    * family's pre-join budget guard. Both inputs carry (id, tok, n);
+    * the true post-filter volume is Σ over candidate rows surviving
+    * `b.n·tauDen ≥ a.n·tauNum` — computing that exactly IS the join
+    * being guarded, so docs group into log₂ length buckets and a
+    * bucket pair contributes its full dfp·df product iff its most
+    * permissive corner (min probe n vs max indexed n) could survive.
+    * Conservative by construction (may refuse a corpus the filtered
+    * join would survive — guard semantics), exact when every doc in a
+    * bucket pair passes, and the bucket join is Σ_tok (≤ ~40)² rows —
+    * never candidate-volume-sized. `selfRows` subtracts the probe
+    * side's guaranteed self-matches (a doc's own rows on the indexed
+    * side always pass the corner test), keeping the bound tight and
+    * still an upper bound on the non-self volume.
+    */
+  private def lengthFilteredCandVolume(probePrefix: DataFrame,
+      indexedToks: DataFrame, tauNum: Int, tauDen: Int,
+      selfRows: Long = 0L): Double = {
+    val p = probePrefix
+      .withColumn("minN", expr("cast(power(2, cast(floor(log2(n)) as int)) as double)"))
+      .groupBy("tok", "minN").agg(count(lit(1)).as("dfp"))
+    val t = indexedToks
+      .withColumn("maxN", expr("cast(power(2, cast(floor(log2(n)) as int) + 1) as double) - 1"))
+      .groupBy("tok", "maxN").agg(count(lit(1)).as("df"))
+    val joined = p.as("p").join(t.as("t"),
+        col("p.tok") === col("t.tok") &&
+          col("t.maxN") * tauDen >= col("p.minN") * tauNum)
+      .agg(coalesce(
+        sum(col("dfp").cast("double") * col("df").cast("double")), lit(0.0)))
+      .head().getDouble(0)
+    math.max(0.0, joined - selfRows.toDouble)
   }
 
   /** The persisted containment index ([[incrementalContainmentPairs]]):
@@ -997,7 +1045,15 @@ object Dedup {
     * batch doc contained in history (batch.prefix × history.toks), a
     * history doc contained in a batch superset (history.prefix ×
     * batch.toks), plus the in-batch join. Candidate volume for all
-    * three terms is aggregated BEFORE any join (the d11/d21 guard).
+    * three terms is aggregated BEFORE any join (the d11/d21 guard),
+    * each term under the AllPairs length lower-bound the candidate
+    * joins enforce (|B| ≥ ⌈τ·|A|⌉, see [[containmentPairs]]).
+    *
+    * PRECONDITION, enforced loudly: history and batch document ids
+    * must be DISJOINT. A re-ingested id would merge both token sets
+    * in the verify arrays and emit corrupted containments, so the
+    * overlap check (one join of the two id-sized size relations)
+    * throws before any candidate work.
     *
     * Returns (id_a, id_b, containment) for every qualifying ordered
     * pair TOUCHING the batch.
@@ -1024,33 +1080,48 @@ object Dedup {
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <=
         col("n") - expr(s"($tauNum * n + $tauDen - 1) div $tauDen") + 1)
-      .select("id", "tok")
+      .select("id", "tok", "n")
       .localCheckpoint(true)
-    // budget guard over all three probe terms: Σ_tok bp·hd + hp·bt + bp·bt
-    def cnt(df: DataFrame, as: String) =
-      df.groupBy("tok").agg(count(lit(1)).as(as))
-    val vol = cnt(bprefix, "bp")
-      .join(cnt(btoks, "bt"), Seq("tok"), "full_outer")
-      .join(cnt(index.prefix, "hp"), Seq("tok"), "full_outer")
-      .join(index.dfreq.withColumnRenamed("df", "hd"), Seq("tok"), "full_outer")
-      .select((coalesce(col("bp"), lit(0L)).cast("double") * coalesce(col("hd"), lit(0L)).cast("double") +
-        coalesce(col("hp"), lit(0L)).cast("double") * coalesce(col("bt"), lit(0L)).cast("double") +
-        coalesce(col("bp"), lit(0L)).cast("double") * coalesce(col("bt"), lit(0L)).cast("double")).as("v"))
-      .agg(coalesce(sum(col("v")), lit(0.0)))
-      .head().getDouble(0)
+    // the settle contract REQUIRES disjoint id spaces: an id in both
+    // history and batch would merge both token multisets in the verify
+    // arrays and corrupt every containment it touches — fail loudly
+    // (one join of the two id-sized size relations, never corpus-sized)
+    val hsizes = index.toks.groupBy("id").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val bsizes = btoks.groupBy("id").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val clash = hsizes.join(bsizes, "id").limit(1).count()
+    if (clash > 0)
+      throw new IllegalArgumentException(
+        "incrementalContainmentPairs: batch contains document ids already " +
+          "present in the history index — history/batch id spaces must be " +
+          "disjoint (a shared id would merge both token sets in the verify " +
+          "arrays and emit corrupted containments). Re-key the batch or " +
+          "rebuild the index without the re-ingested ids.")
+    val htoksN = index.toks.join(hsizes, "id")
+    val btoksN = btoks.join(bsizes, "id").localCheckpoint(true)
+    val hprefixN = index.prefix.join(hsizes, "id")
+    // budget guard over all three probe terms, each under the AllPairs
+    // length lower-bound (see containmentPairs / lengthFilteredCandVolume)
+    val vol =
+      lengthFilteredCandVolume(bprefix, htoksN, tauNum, tauDen) +
+      lengthFilteredCandVolume(hprefixN, btoksN, tauNum, tauDen) +
+      lengthFilteredCandVolume(bprefix, btoksN, tauNum, tauDen,
+        selfRows = bprefix.count())
     if (vol > maxCandidatePairs.toDouble)
       throw new IllegalStateException(
         f"incrementalContainmentPairs: candidate volume $vol%.0f exceeds " +
           s"the $maxCandidatePairs budget — see containmentPairs' cost " +
           "model; raise tau, re-tokenize, or raise maxCandidatePairs.")
-    val candBH = bprefix.as("a").join(index.toks.as("b"),
-        col("a.tok") === col("b.tok"))
+    val lenOk = col("b.n") * tauDen >= col("a.n") * tauNum
+    val candBH = bprefix.as("a").join(htoksN.as("b"),
+        col("a.tok") === col("b.tok") && lenOk)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-    val candHB = index.prefix.as("a").join(btoks.as("b"),
-        col("a.tok") === col("b.tok"))
+    val candHB = hprefixN.as("a").join(btoksN.as("b"),
+        col("a.tok") === col("b.tok") && lenOk)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-    val candBB = bprefix.as("a").join(btoks.as("b"),
-        col("a.tok") === col("b.tok") && col("a.id") =!= col("b.id"))
+    val candBB = bprefix.as("a").join(btoksN.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") =!= col("b.id") && lenOk)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
     val cand = candBH.unionByName(candHB).unionByName(candBB).distinct()
     // verify arrays: history arrs would be the index's fourth persisted
@@ -1213,8 +1284,10 @@ object Dedup {
     *  2. one groupBy on the l-gram (map-side combined) keeps keys with
     *     ≥ 2 occurrences — THE data-sized shuffle, the exactness price
     *     (the key is the raw token text, so equality is literal, never
-    *     probabilistic; a 100 TB run shuffles a 128-bit gram hash
-    *     instead and re-verifies groups, the d02→d11 ladder);
+    *     probabilistic; the 100 TB run shuffles a 128-bit gram hash
+    *     instead and re-verifies groups, the d02→d11 ladder —
+    *     implemented as [[exactDuplicatedSpansHashed]], identical
+    *     output by property spec);
     *  3. a semi-join flags duplicated starts, and the island merge
     *     (new island when start > max prior end) runs per DOCUMENT —
     *     the only window, bounded by document length like d15's cut
@@ -1239,6 +1312,16 @@ object Dedup {
       .where(col("__occ") >= 2).select("__gram")
     val starts = grams.join(dup, Seq("__gram"), "left_semi")
       .select(col(idCol), col("__p").cast("long").as("__p"))
+    mergeSpanIslands(starts, idCol, l)
+  }
+
+  /** Stage 3 of the exact-span family (shared by [[exactDuplicatedSpans]]
+    * and [[exactDuplicatedSpansHashed]]): merge duplicated window
+    * starts into maximal covered runs. Per-DOCUMENT window only —
+    * bounded by document length, never corpus-sized.
+    */
+  private def mergeSpanIslands(starts: DataFrame, idCol: String,
+      l: Int): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(col("__p"))
     val prevEnd = max(col("__p") + l)
       .over(w.rowsBetween(Window.unboundedPreceding, -1))
@@ -1253,6 +1336,50 @@ object Dedup {
       .withColumn("span_tokens", col("span_end") - col("span_start"))
       .select(col(idCol), col("span_start"), col("span_end"),
         col("span_tokens"))
+  }
+
+  /** The 100 TB form of [[exactDuplicatedSpans]], promised by its
+    * scaladoc since r7 and implemented here: the data-sized shuffle
+    * carries a 128-bit gram HASH (md5 of the l-gram) instead of the
+    * raw token text — at corpus scale the l-gram relation dominates
+    * the job's bytes and hashing divides the shuffled width by the
+    * mean gram length. Exactness is NOT delegated to the hash: hash
+    * groups with ≥ 2 occurrences are only CANDIDATES; their raw grams
+    * are re-derived by position against the per-doc token arrays
+    * (an id-keyed join — candidate-sized, not corpus-sized) and
+    * re-grouped on the literal text, so a 128-bit collision costs a
+    * few re-verified rows, never a wrong span. Identical output to
+    * the raw-text form by construction (property-spec'd).
+    */
+  def exactDuplicatedSpansHashed(docs: DataFrame, idCol: String,
+      textCol: String, l: Int): DataFrame = {
+    require(l >= 1, s"l must be >= 1 (got $l)")
+    val base = docs.where(col(textCol).isNotNull)
+      .select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .where(size(col("__toks")) >= l)
+      .localCheckpoint(true) // scanned by the hash pass AND the re-verify join
+    // the gram text exists only inside this projection; what shuffles
+    // is (id, pos, 16-byte hash)
+    val gramHashes = base.select(col(idCol),
+      posexplode(expr(
+        s"""transform(sequence(0, size(__toks) - $l),
+           |  i -> unhex(md5(array_join(slice(__toks, i + 1, $l), ' '))))"""
+          .stripMargin))
+        .as(Seq("__p", "__h")))
+    val dupH = gramHashes.groupBy("__h").agg(count(lit(1)).as("__occ"))
+      .where(col("__occ") >= 2).select("__h")
+    // candidates re-attach their doc's tokens by id and re-derive the
+    // raw gram at the flagged position only
+    val candGram = gramHashes.join(dupH, Seq("__h"), "left_semi")
+      .join(base, Seq(idCol))
+      .select(col(idCol), col("__p"),
+        expr(s"array_join(slice(__toks, __p + 1, $l), ' ')").as("__gram"))
+      .localCheckpoint(true) // feeds the verify groupBy AND the semi-join
+    val verified = candGram.groupBy("__gram").agg(count(lit(1)).as("__occ"))
+      .where(col("__occ") >= 2).select("__gram")
+    val starts = candGram.join(verified, Seq("__gram"), "left_semi")
+      .select(col(idCol), col("__p").cast("long").as("__p"))
+    mergeSpanIslands(starts, idCol, l)
   }
 
   /** The removal twin of [[exactDuplicatedSpans]] (d15 : d14 ::

@@ -417,4 +417,196 @@ object Graph {
     }
     acc.where(col("depth") <= maxDepth)
   }
+
+  /** Min-label fixpoint with POINTER JUMPING — the shared kernel of
+    * [[stronglyConnectedComponents]]'s two phases. Propagates
+    * `min(label)` along `rel`'s (from → to) direction until no label
+    * shrinks: each iteration is one relax (edge groupBy-min) plus one
+    * jump (labels chase their own label's label — f(v) ← min(f(v),
+    * f(f(v))), valid because "x's label reaches x" is an invariant
+    * both steps preserve), so a length-d chain converges in O(log d)
+    * iterations instead of d — the path-doubling discipline of
+    * [[ancestorClosureDoubling]] applied to labels. One count action
+    * per iteration over the checkpointed label relation; throws
+    * loudly on non-convergence ([[kCore]] rule).
+    */
+  private def minLabelFixpoint(nodes: DataFrame, rel: DataFrame,
+      maxIters: Int, what: String): DataFrame = {
+    var f = nodes.select(col("id"), col("id").as("lbl")).localCheckpoint(true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val relaxed = rel
+        .join(f.select(col("id").as("from"), col("lbl").as("flbl")), Seq("from"))
+        .groupBy(col("to").as("id")).agg(min("flbl").as("elbl"))
+      val base = f.join(relaxed, Seq("id"), "left")
+        .select(col("id"), col("lbl").as("old"),
+          least(col("lbl"), coalesce(col("elbl"), col("lbl"))).as("l1"))
+        .localCheckpoint(true) // feeds the jump map AND the jump join
+      val jmap = base.select(col("id").as("l1"), col("l1").as("l2"))
+      val next = base.join(jmap, Seq("l1"), "left")
+        .select(col("id"), col("old"),
+          least(col("l1"), coalesce(col("l2"), col("l1"))).as("lbl"))
+        .localCheckpoint(true)
+      changed = next.where(col("lbl") < col("old")).count()
+      f = next.select("id", "lbl")
+      it += 1
+    }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"stronglyConnectedComponents: $what labeling not converged after " +
+          s"$maxIters iterations — raise maxIters (each iteration doubles " +
+          "the propagated distance, so this is a pathological graph).")
+    f
+  }
+
+  /** Strongly connected components over a DIRECTED edge relation —
+    * the cycle-detection primitive the weak-CC family (g03) cannot
+    * express: u and v share an SCC iff each reaches the other, the
+    * "can this cascade loop?" check a schema consumer runs over the
+    * reference's FK edge graph (`main_ingest.py:607-613` — directed
+    * parent→child CASCADE edges) and the link-farm/ring detector over
+    * the event chain graph.
+    *
+    * Algorithm: iterative COLORING (the FW-BW-coloring family, Slota
+    * et al.'s Multistep shape), all classes processed in parallel per
+    * round, each phase the house min-label machinery:
+    *
+    *  1. forward labels — f(v) = min id that REACHES v (relax + jump,
+    *     [[minLabelFixpoint]]). Key closure property: if f(v) = c,
+    *     every node on any c→v path also labels c (a smaller label on
+    *     the path would have propagated to v), so each color class is
+    *     closed under the paths that witness it;
+    *  2. within-class backward labels — r(v) = min id v REACHES
+    *     through same-class edges; by (1) the class minimum c is
+    *     reachable within the class iff v reaches c at all, so
+    *     f(v) = c ∧ r(v) = c  ⟺  c →* v ∧ v →* c  ⟺  v ∈ SCC(c);
+    *  3. emit those members with scc = c, remove them, repeat on the
+    *     remainder — every class loses at least its pivot SCC per
+    *     round.
+    *
+    * Scale shape: each round is two O(log diameter)-iteration label
+    * fixpoints over the SHRINKING remainder, every intermediate
+    * checkpointed, one count action per iteration. The degenerate
+    * regime is a long CHAIN of singleton SCCs (a path graph peels one
+    * pivot per round) — real interaction graphs collapse into few
+    * dense cores plus periphery and finish in a handful of rounds;
+    * the `maxRounds` guard throws LOUDLY with the remainder size
+    * rather than returning a partial labeling ([[kCore]] rule).
+    * Nodes are the endpoints of non-null edges; self-loops are
+    * dropped (they never change an SCC).
+    *
+    * Returns (id, scc) — scc is the smallest node id in the
+    * component, so singleton nodes label themselves.
+    */
+  def stronglyConnectedComponents(edges: DataFrame, maxRounds: Int = 10,
+      maxIters: Int = 30): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    val e0 = edges
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    var nodes = e0.select(col("src").as("id"))
+      .union(e0.select(col("dst").as("id")))
+      .distinct().localCheckpoint(true)
+    var e = e0.where(col("src") =!= col("dst")).localCheckpoint(true)
+    var result: DataFrame = null
+    var remaining = nodes.count()
+    var round = 0
+    while (remaining > 0 && round < maxRounds) {
+      val f = minLabelFixpoint(nodes,
+        e.select(col("src").as("from"), col("dst").as("to")),
+        maxIters, "forward")
+      // same-class edge restriction for the backward phase
+      val ec = e
+        .join(f.select(col("id").as("src"), col("lbl").as("scl")), Seq("src"))
+        .join(f.select(col("id").as("dst"), col("lbl").as("dcl")), Seq("dst"))
+        .where(col("scl") === col("dcl"))
+        .select(col("src"), col("dst")).localCheckpoint(true)
+      // backward: propagate "min id I can reach" AGAINST edge direction
+      val r = minLabelFixpoint(nodes,
+        ec.select(col("dst").as("from"), col("src").as("to")),
+        maxIters, "backward")
+      val scc = f.join(r.withColumnRenamed("lbl", "rl"), Seq("id"))
+        .where(col("lbl") === col("rl"))
+        .select(col("id"), col("lbl").as("scc")).localCheckpoint(true)
+      result =
+        (if (result == null) scc else result.unionByName(scc))
+          .localCheckpoint(true)
+      nodes = nodes.join(scc.select("id"), Seq("id"), "left_anti")
+        .localCheckpoint(true)
+      e = e.join(scc.select(col("id").as("src")), Seq("src"), "left_anti")
+        .join(scc.select(col("id").as("dst")), Seq("dst"), "left_anti")
+        .localCheckpoint(true)
+      remaining = nodes.count()
+      round += 1
+    }
+    if (remaining > 0)
+      throw new IllegalStateException(
+        s"stronglyConnectedComponents: $remaining nodes unassigned after " +
+          s"$maxRounds rounds — a long chain of singleton SCCs peels one " +
+          "pivot per round; raise maxRounds. A partial labeling is NOT " +
+          "an SCC decomposition.")
+    result
+  }
+
+  /** Label-propagation community detection (synchronous LPA, Raghavan
+    * et al. 2007) over an UNDIRECTED edge relation — the clustering
+    * step after the s15 k-NN graph that SemDeDup-style curation runs
+    * (near-duplicate neighborhoods condense into communities; modules
+    * in the interaction graph surface without a modularity solver).
+    * Weak CC (g03) answers "touching at all"; LPA answers "densely
+    * touching": a single bridge edge joins two cliques into one weak
+    * component but LPA keeps them distinct communities.
+    *
+    * DETERMINISM is the house rule floating-point LPA breaks: updates
+    * are SYNCHRONOUS (all nodes vote on the step-t labels — async
+    * visit order is scheduler-dependent), the vote is an integer
+    * count, and ties break on the smallest label, so the result is
+    * identical across partitionings and replayable superstep-by-
+    * superstep by the oracle. Classic LPA caveat, stated: synchronous
+    * updates can 2-cycle on bipartite-ish structure, which a FIXED
+    * superstep count turns into a deterministic output rather than a
+    * non-terminating loop — `supersteps` is part of the contract,
+    * exactly like the g01 PageRank unroll.
+    *
+    * Scale shape per superstep: one symmetrized-edge join to the
+    * label relation, one (node, label) count groupBy, one per-node
+    * window over that node's DISTINCT candidate labels (bounded by
+    * degree, never corpus-wide), checkpointed ([[pageRank]] linear-
+    * lineage rule). Input rows are (src, dst); direction, self-loops
+    * and duplicates are normalized away.
+    *
+    * Returns (id, community) — community = the surviving label,
+    * itself a node id.
+    */
+  def labelPropagationCommunities(edges: DataFrame,
+      supersteps: Int = 4): DataFrame = {
+    require(supersteps >= 1, s"supersteps must be >= 1, got $supersteps")
+    val sym = edges
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"))
+      .unionByName(edges
+        .where(col("src").isNotNull && col("dst").isNotNull &&
+          col("src") =!= col("dst"))
+        .select(col("dst").as("a"), col("src").as("b")))
+      .distinct().localCheckpoint(true)
+    var lbl = sym.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("community")).localCheckpoint(true)
+    val w = Window.partitionBy("id")
+      .orderBy(col("votes").desc, col("cand").asc)
+    for (_ <- 1 to supersteps) {
+      lbl = sym
+        .join(lbl.select(col("id").as("b"), col("community").as("cand")),
+          Seq("b"))
+        .groupBy(col("a").as("id"), col("cand"))
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select(col("id"), col("cand").as("community"))
+        .localCheckpoint(true)
+    }
+    lbl
+  }
 }

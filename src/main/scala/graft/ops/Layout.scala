@@ -119,19 +119,27 @@ object Layout {
     * back. Size `granule` so the totals relation stays driver-small:
     * order-domain/granule ≈ thousands of granules at any corpus size.
     *
-    * `orderCol` must be a non-null, non-negative long expression;
-    * `tie` breaks equal order values deterministically (pass the
-    * unique id — with a unique `orderCol` it never fires but keeps
-    * the operator total-order-safe under collisions, e.g. hash
-    * orders).
+    * `orderCol` must be a non-null long expression — the full signed
+    * range is supported: the granule uses FLOOR division (Spark's
+    * `div` truncates toward zero, which would collapse the −granule..
+    * +granule window into one granule straddling 0 and break the
+    * global order for negative keys). `tie` breaks equal order values
+    * deterministically (pass the unique id — with a unique `orderCol`
+    * it never fires but keeps the operator total-order-safe under
+    * collisions, e.g. hash orders).
     */
   def globalIndex(df: DataFrame, orderCol: Column, tie: Column,
       granule: Long, out: String = "global_idx"): DataFrame = {
     require(granule > 0, s"granule must be positive, got $granule")
-    // integer `div`, not `/`+cast: a double quotient loses exactness
-    // past 2^53 — hash-valued orders live in [0, 2^60)
+    // integer FLOOR div, not `/`+cast (a double quotient loses
+    // exactness past 2^53 — hash-valued orders live in [0, 2^60))
+    // and not bare `div` (truncation toward zero maps -1 and +1 to
+    // the same granule 0, silently interleaving negative and
+    // positive orders)
     val base = df.withColumn("__ord", orderCol.cast("long"))
-      .withColumn("__g", expr(s"__ord div ${granule}L"))
+      .withColumn("__g", expr(
+        s"(__ord div ${granule}L) - " +
+          s"(CASE WHEN __ord % ${granule}L < 0 THEN 1 ELSE 0 END)"))
     val intra = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__g")).orderBy(col("__ord"), tie)
     val gTotals = base.groupBy(col("__g")).agg(count(lit(1)).as("__gt"))

@@ -288,9 +288,14 @@ object Multimodal {
     * no division), pack the 32 verdict bits into one BIGINT. A
     * re-encode or small edit that preserves gross byte structure
     * flips few bits, so near-dups sit within small hamming distance
-    * — the d03 detection shape on binary: equi-join on each of 4
-    * 8-bit bands (pigeonhole: hamming <= 3 of 32 bits agrees exactly
-    * on >= 1 band, recall 1.0), then bit_count(xor) verify.
+    * — the d03 detection shape on binary: equi-join on each of
+    * `maxHamming + 1` bands splitting the 32 bits evenly (pigeonhole:
+    * <= maxHamming differing bits cannot touch all maxHamming + 1
+    * bands, so a qualifying pair agrees exactly on >= 1 band — recall
+    * 1.0 for ANY allowed threshold, not just the 4-band default's 3),
+    * then bit_count(xor) verify. maxHamming is capped at 31: 32 would
+    * need a 0-bit band (every pair a candidate — that is a cross
+    * join, not a banded join).
     *
     * Payload bytes never shuffle (the multimodal ground rule): the
     * hash is one codegen'd projection per row; only (id, ahash, band)
@@ -303,8 +308,8 @@ object Multimodal {
     */
   def perceptualHashPairs(media: DataFrame, maxHamming: Int = 3,
       maxCandidatePairs: Long = 1L << 26): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 32,
-      s"maxHamming must be in [0, 32], got $maxHamming")
+    require(maxHamming >= 0 && maxHamming <= 31,
+      s"maxHamming must be in [0, 31], got $maxHamming")
     require(maxCandidatePairs > 0,
       s"maxCandidatePairs must be > 0, got $maxCandidatePairs")
     val hashed = media
@@ -324,10 +329,18 @@ object Multimodal {
       // sides — one materialization, and the hash pass (the payload
       // read) never reruns
       .localCheckpoint(true)
+    // band count derived from the threshold (pigeonhole needs
+    // maxHamming + 1 bands); widths split the 32 bits as evenly as
+    // integer division allows — for the default maxHamming = 3 this
+    // is exactly the classic 4 x 8-bit layout
+    val nBands = maxHamming + 1
     val bands = hashed.select(col("media_id"), col("ahash"),
-      explode(array((0 until 4).map { bi =>
+      explode(array((0 until nBands).map { bi =>
+        val lo = bi * 32 / nBands
+        val hi = (bi + 1) * 32 / nBands
         struct(lit(bi).as("band_idx"),
-          shiftright(col("ahash"), bi * 8).bitwiseAND(255).as("band_key"))
+          shiftright(col("ahash"), lo)
+            .bitwiseAND((1L << (hi - lo)) - 1L).as("band_key"))
       }: _*)).as("b"))
       .select(col("media_id"), col("ahash"), col("b.band_idx"), col("b.band_key"))
       .localCheckpoint(true)

@@ -184,26 +184,60 @@ object Similarity {
     * distinct; scoring re-attaches the two vectors by id against the
     * one checkpointed base. Budget-guarded like [[knnGraph]], summed
     * across bands.
+    *
+    * SKEW-AWARE SIZING (`targetP99Occupancy` > 0): mean-occupancy
+    * sizing ([[scaledBits]]) under-sizes when real SRP buckets skew —
+    * correlated embeddings concentrate mass in few buckets and the
+    * n²/2^bits model's tail goes quadratic while the mean looks fine
+    * (the measured r7 cliff: 10→30× tail exponent 2.28). So the
+    * operator measures what the model guesses: build the band
+    * relation, take the p99 bucket occupancy (exact `percentile` over
+    * the already-aggregated bucket-count relation — bucket-count-
+    * sized, never corpus-sized), and while p99 exceeds the target,
+    * raise bitsPerBand by log₂(p99/target) and re-measure. Each probe
+    * is one cheap aggregate; convergence is 2–3 rounds because every
+    * added bit halves occupancy IN THE MEASURED TAIL, not in the
+    * mean. When the corpus is small enough that the starting bits
+    * already meet the target (every test SF), the escalation never
+    * fires and output is bit-identical to the fixed-bits form.
     */
   def knnGraphBanded(corpus: DataFrame, k: Int, bands: Int = 2,
       bitsPerBand: Int = 6, dim: Int = 64,
-      maxCandidatePairs: Long = 1L << 26): DataFrame = {
+      maxCandidatePairs: Long = 1L << 26,
+      targetP99Occupancy: Long = 0L, maxBits: Int = 24): DataFrame = {
     require(bands > 0, "bands must be positive")
+    require(targetP99Occupancy >= 0, "targetP99Occupancy must be >= 0")
     val base = corpus
       .select(col("vec_id"), quantize(col("embedding")).as("q"))
       .withColumn("norm", normSqQ(col("q")))
       .localCheckpoint(true)
-    val banded = (0 until bands).map { b =>
+    def bandRel(bits: Int) = (0 until bands).map { b =>
       base.select(col("vec_id"), lit(b).as("band"),
-        srpBucket(col("q"), bandPlanes(b, bitsPerBand, dim)).as("bucket"))
+        srpBucket(col("q"), bandPlanes(b, bits, dim)).as("bucket"))
     }.reduce(_ unionAll _).localCheckpoint(true)
+    def p99Of(rel: DataFrame): Double = rel
+      .groupBy("band", "bucket").agg(count(lit(1)).as("m"))
+      .agg(expr("percentile(m, 0.99)")).head().getDouble(0)
+    var bits = bitsPerBand
+    var banded = bandRel(bits)
+    if (targetP99Occupancy > 0L) {
+      var p99 = p99Of(banded)
+      while (p99 > targetP99Occupancy.toDouble && bits < maxBits) {
+        val step = math.max(1,
+          math.ceil(math.log(p99 / targetP99Occupancy) / math.log(2.0)).toInt)
+        bits = math.min(maxBits, bits + step)
+        banded = bandRel(bits)
+        p99 = p99Of(banded)
+      }
+    }
     assertCandidateBudget(
       banded.groupBy("band", "bucket").agg(count(lit(1)).as("m")),
       maxCandidatePairs,
       s"knnGraphBanded: banded self-join candidate volume exceeds the " +
-        s"$maxCandidatePairs budget across $bands bands × 2^$bitsPerBand " +
-        "buckets. Raise bitsPerBand (see scaledBits), drop a band, or " +
-        "raise maxCandidatePairs.")
+        s"$maxCandidatePairs budget across $bands bands × 2^$bits " +
+        "buckets. Raise bitsPerBand (see scaledBits), set " +
+        "targetP99Occupancy to size bits from measured tail occupancy, " +
+        "drop a band, or raise maxCandidatePairs.")
     val pairs = banded.select(col("band"), col("bucket"),
         col("vec_id").as("node_id"))
       .join(banded.select(col("band"), col("bucket"),

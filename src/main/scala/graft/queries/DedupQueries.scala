@@ -466,6 +466,17 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // d19's 100 TB form (r8): the corpus-sized shuffle carries the
+    // 128-bit gram hash, candidates re-derive their raw grams by
+    // position and re-verify on literal text — identical spans by
+    // construction, so the oracle IS d19's raw-text statement: the
+    // hash never appears in the contract, only in the plan
+    "d25_exact_dup_spans_hashed" -> ((s, d) => {
+      Dedup.exactDuplicatedSpansHashed(Tables.load(s, d, "documents"),
+          "doc_id", "text", l = 8)
+        .orderBy("doc_id", "span_start")
+    }),
+
     // SemDeDup: k-means clusters bound the pairwise cosine search
     // (candidates = Σ|cluster|², n²/k expected; the paper scales k with
     // n to keep clusters bounded). Training is s08's deterministic
@@ -1054,6 +1065,16 @@ object DedupQueries {
     // merge replaying the engine's break rule verbatim (CTE chain
     // shared with d20's removal oracle)
     "d19_exact_dup_spans" ->
+      s"""WITH ${exactSpanCtes(8)}
+         |SELECT doc_id, span_start, span_end,
+         |  span_end - span_start AS span_tokens
+         |FROM spans ORDER BY doc_id, span_start""".stripMargin,
+
+    // d25 = d19's semantics under the hashed-shuffle plan: the hash is
+    // engine-internal (verified back to literal text), so the oracle
+    // is the SAME raw-gram statement — any collision mishandling or
+    // verify drift breaks this hash-match
+    "d25_exact_dup_spans_hashed" ->
       s"""WITH ${exactSpanCtes(8)}
          |SELECT doc_id, span_start, span_end,
          |  span_end - span_start AS span_tokens

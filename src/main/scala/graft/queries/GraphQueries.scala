@@ -191,6 +191,34 @@ object GraphQueries {
       Graph.bfsDistances(edges(s, d), seeds, maxDepth = 3)
         .select(col("id").as("user_id"), col("dist"))
         .orderBy("user_id")
+    }),
+
+    // SCC over the DIRECTED chain graph — cycles exist because users
+    // recur across (type × hour) groups in both orders, and the weak
+    // CC (g03) is blind to direction: a one-way feeder into a ring is
+    // the same weak component but NOT the same SCC. The oracle states
+    // pure mutual reachability over a recursive closure — no trace of
+    // the engine's coloring algorithm leaks into the contract.
+    // maxRounds is generous: rounds after the decomposition empties
+    // never run, and the guard throws rather than mislabel.
+    "g09_scc" -> ((s, d) => {
+      Graph.stronglyConnectedComponents(edges(s, d), maxRounds = 64)
+        .select(col("id").as("user_id"), col("scc"))
+        .orderBy("user_id")
+    }),
+
+    // LPA communities over the s15 k-NN graph — the SemDeDup-adjacent
+    // clustering the graph exists to feed: synchronous integer votes,
+    // smallest-label ties, 4 supersteps (part of the contract, the
+    // g01 unroll discipline). Weak CC would collapse bridge-joined
+    // neighborhoods; LPA keeps dense cores distinct.
+    "g10_knn_communities" -> ((s, d) => {
+      val knn = graft.ops.Similarity
+        .knnGraph(Tables.load(s, d, "embeddings"), k = 3, bits = 8)
+        .select(col("node_id").as("src"), col("neighbor_id").as("dst"))
+      Graph.labelPropagationCommunities(knn, supersteps = 4)
+        .select(col("id").as("vec_id"), col("community"))
+        .orderBy("vec_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -227,6 +255,47 @@ object GraphQueries {
          |SELECT node AS user_id, count(*) AS core_degree FROM
          |  (SELECT a AS node FROM e12 UNION ALL SELECT b FROM e12)
          |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // SEMANTIC statement, not an algorithm replay: scc(v) = min over
+    // {v} ∪ {u : u →* v ∧ v →* u} via a recursive-CTE closure — the
+    // engine's coloring rounds must land on exactly this relation
+    "g09_scc" ->
+      s"""WITH RECURSIVE $edgeCtes,
+         |dd AS (SELECT src, dst FROM e WHERE src <> dst),
+         |reach AS (SELECT src AS s, dst AS d FROM dd
+         |  UNION SELECT reach.s, dd.dst FROM reach JOIN dd ON reach.d = dd.src),
+         |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |mut AS (SELECT a.s AS u, a.d AS v FROM reach a
+         |  JOIN reach b ON a.s = b.d AND a.d = b.s)
+         |SELECT n.id AS user_id,
+         |  CAST(least(n.id, coalesce(min(m.v), n.id)) AS BIGINT) AS scc
+         |FROM nodes n LEFT JOIN mut m ON m.u = n.id
+         |GROUP BY n.id ORDER BY user_id""".stripMargin,
+
+    // 4 literal LPA supersteps over the SHARED s15 ranked CTE chain
+    // (SimilarityQueries.knnRankedCtes): symmetrize, count neighbor
+    // votes on the previous step's labels, row_number tie-break
+    // (votes desc, label asc) — the engine's window verbatim
+    "g10_knn_communities" -> {
+      val steps = (1 to 4).map { i =>
+        val prev = s"l${i - 1}"
+        s"""l$i AS MATERIALIZED (SELECT id, cand AS community FROM (
+           |  SELECT id, cand,
+           |    row_number() OVER (PARTITION BY id
+           |      ORDER BY votes DESC, cand) AS rn
+           |  FROM (SELECT s.a AS id, l.community AS cand, count(*) AS votes
+           |    FROM sym s JOIN $prev l ON l.id = s.b GROUP BY s.a, l.community))
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${SimilarityQueries.knnRankedCtes},
+         |ke AS (SELECT node_id AS src, neighbor_id AS dst FROM ranked
+         |  WHERE rank <= 3),
+         |sym AS (SELECT src AS a, dst AS b FROM ke
+         |  UNION SELECT dst, src FROM ke),
+         |l0 AS (SELECT DISTINCT a AS id, a AS community FROM sym),
+         |$steps
+         |SELECT id AS vec_id, community FROM l4 ORDER BY vec_id""".stripMargin
     },
 
     "g01_user_pagerank" -> pagerankSql(5),

@@ -275,6 +275,29 @@ object SimilarityQueries {
   private def cosine(aq: String, bq: String, an: String, bn: String) =
     s"list_dot_product($aq, $bq) / (sqrt(CAST($an AS DOUBLE)) * sqrt(CAST($bn AS DOUBLE)))"
 
+  /** The s15 k-NN-graph statement through its ranked relation
+    * (`ranked(node_id, neighbor_id, cosine, rank)`) — shared by the
+    * s15 oracle and GraphQueries' g10 community oracle (the d19/d20
+    * shared-CTE discipline: the graph and everything computed over it
+    * replay ONE statement).
+    */
+  private[queries] def knnRankedCtes: String = {
+    val bucket = (0 until 8).map { i =>
+      s"CASE WHEN q[${i + 1}] >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END"
+    }.mkString(" + ")
+    s"""$qCte,
+       |n AS (SELECT vec_id, q, $bucket AS bucket,
+       |    CAST(list_dot_product(q, q) AS BIGINT) AS norm FROM qv),
+       |scored AS (
+       |  SELECT qs.vec_id AS node_id, c.vec_id AS neighbor_id,
+       |    ${cosine("qs.q", "c.q", "qs.norm", "c.norm")} AS cosine
+       |  FROM n qs JOIN n c ON c.bucket = qs.bucket AND c.vec_id <> qs.vec_id),
+       |ranked AS (SELECT node_id, neighbor_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY node_id
+       |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM scored)""".stripMargin
+  }
+
   /** The two-iteration integer-Lloyd training + final-assignment CTE
     * chain (qv → init → a1 → m1 → c2 → a2; a2 carries vec_id, q, cid,
     * dist) replaying Similarity.kmeansAssign(k = 8, iters = 2) — shared
@@ -584,25 +607,12 @@ object SimilarityQueries {
     },
 
     // s02's oracle with the query restriction dropped: all nodes rank
-    // their same-bucket neighbors
-    "s15_knn_graph" -> {
-      val bucket = (0 until 8).map { i =>
-        s"CASE WHEN q[${i + 1}] >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END"
-      }.mkString(" + ")
-      s"""WITH $qCte,
-         |n AS (SELECT vec_id, q, $bucket AS bucket,
-         |    CAST(list_dot_product(q, q) AS BIGINT) AS norm FROM qv),
-         |scored AS (
-         |  SELECT qs.vec_id AS node_id, c.vec_id AS neighbor_id,
-         |    ${cosine("qs.q", "c.q", "qs.norm", "c.norm")} AS cosine
-         |  FROM n qs JOIN n c ON c.bucket = qs.bucket AND c.vec_id <> qs.vec_id)
-         |SELECT node_id, rank, neighbor_id, cosine FROM (
-         |  SELECT node_id, neighbor_id, cosine,
-         |    CAST(row_number() OVER (PARTITION BY node_id
-         |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
-         |  FROM scored)
-         |WHERE rank <= 3 ORDER BY node_id, rank""".stripMargin
-    },
+    // their same-bucket neighbors (CTE chain shared with the g10
+    // community oracle — the graph and its clustering cannot drift)
+    "s15_knn_graph" ->
+      s"""WITH $knnRankedCtes
+         |SELECT node_id, rank, neighbor_id, cosine FROM ranked
+         |WHERE rank <= 3 ORDER BY node_id, rank""".stripMargin,
 
     // s15's oracle generalized to the OR-construction: two seeded SRP
     // bands (plane literals regenerated from the SAME bandPlanes seeds

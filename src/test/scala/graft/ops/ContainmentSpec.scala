@@ -169,6 +169,41 @@ class ContainmentSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("candidate volume"), e.getMessage)
   }
 
+  test("length lower-bound admits a mixed-length corpus whose UNFILTERED volume exceeds budget") {
+    import spark.implicits._
+    // 5 identical long docs (12 shared tokens) + 200 two-token shorts
+    // each carrying one shared token: the long probes' prefix tokens
+    // are high-df, so the unfiltered volume (Σ dfp·(df−1) ≈ 500+)
+    // refused a 150 budget before r8 — but every long×short candidate
+    // is provably dead (|B|=2 < ⌈3/5·12⌉=8), so the length-filtered
+    // volume is ~100 and the operator must now RUN, and still agree
+    // with brute force.
+    val commons = (1 to 12).map(j => s"c$j")
+    val longs = (1L to 5L).map(i => (i, commons.mkString(" ")))
+    val shorts = (100L until 300L).map(i =>
+      (i, s"c${(i % 12) + 1} s$i"))
+    val docs = longs ++ shorts
+    val got = Dedup.containmentPairs(docs.toDF("doc_id", "text"),
+        "doc_id", "text", tauNum = 3, tauDen = 5, maxCandidatePairs = 150L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == bruteForce(docs, 3, 5))
+    assert(got == (for { a <- 1L to 5L; b <- 1L to 5L; if a != b }
+      yield (a, b)).toSet, "exactly the identical-long pairs")
+  }
+
+  test("incremental refuses loudly when batch re-ingests a history id") {
+    import spark.implicits._
+    val hist = Seq((1L, "alpha beta gamma"), (2L, "mu nu xi"))
+    val idx = Dedup.containmentIndex(hist.toDF("doc_id", "text"),
+      "doc_id", "text", tauNum = 3, tauDen = 5)
+    val batch = Seq((2L, "mu nu xi omicron"), (9L, "alpha beta"))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalContainmentPairs(idx, batch.toDF("doc_id", "text"),
+        "doc_id", "text", tauNum = 3, tauDen = 5)
+    }
+    assert(e.getMessage.contains("disjoint"), e.getMessage)
+  }
+
   test("empty docs and doubled spaces produce no phantom tokens or pairs") {
     import spark.implicits._
     val docs = Seq(

@@ -110,4 +110,25 @@ class ExactSpansSpec extends AnyFunSuite with SparkSpec {
     assert(sampled(1L) == 1.0 && sampled(2L) == 1.0, sampled)
     assert(sampled(3L) == 0.0, sampled)
   }
+
+  test("property: hashed-shuffle form == raw-text form on randomized corpora") {
+    import spark.implicits._
+    // low-vocab corpora breed heavy genuine gram duplication (the
+    // regime the hash pass must not corrupt); sweep l across the
+    // window sizes the islands depend on
+    for (seed <- Seq(3, 19, 101); l <- Seq(2, 4)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = ('a' to 'f').map(_.toString)
+      val docs = (1L to 40L).map { i =>
+        val n = rnd.nextInt(20)
+        (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val raw = Dedup.exactDuplicatedSpans(df, "doc_id", "text", l)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val hashed = Dedup.exactDuplicatedSpansHashed(df, "doc_id", "text", l)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(hashed == raw, s"seed=$seed l=$l")
+    }
+  }
 }

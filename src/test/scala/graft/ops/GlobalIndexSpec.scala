@@ -52,6 +52,24 @@ class GlobalIndexSpec extends AnyFunSuite with SparkSpec {
     assert(run(1) == run(13))
   }
 
+  test("negative orders index correctly (floor-div granules, not trunc)") {
+    import spark.implicits._
+    // orders straddle 0: trunc-toward-zero `div` would merge the
+    // (-granule, granule) window into one granule 0 and interleave
+    // negatives with positives; floor semantics must keep the global
+    // order exact for the full signed range
+    val rnd = new scala.util.Random(3)
+    val rows = (1L to 400L).map(i => (i, rnd.nextInt(1 << 16).toLong - (1L << 15)))
+    val expected = naive(rows)
+    val df = rows.toDF("id", "ord")
+    for (granule <- Seq(1L, 7L, 1024L, 1L << 30)) {
+      val got = Layout.globalIndex(df, col("ord"), col("id"), granule)
+        .select("id", "global_idx")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"granule $granule")
+    }
+  }
+
   test("granule must be positive") {
     import spark.implicits._
     val df = Seq((1L, 1L)).toDF("id", "ord")

@@ -38,6 +38,47 @@ class PerceptualHashSpec extends AnyFunSuite with SparkSpec {
     assert(got.isEmpty)
   }
 
+  test("maxHamming > 3 derives maxHamming+1 bands: a 5-bit spread pair IS found") {
+    import spark.implicits._
+    // payloads engineered so the two ahashes differ in exactly 5 bits
+    // at positions {1,2,9,17,25} — one differing bit in EVERY 8-bit
+    // band of the old fixed 4-band layout (which therefore had no
+    // clean band and silently dropped the pair despite maxHamming=5).
+    // The derived 6-band layout leaves band [10,16) clean -> found.
+    val highA = Set(0, 1, 2, 9, 17, 25, 4, 12, 20, 28)
+    val highB = highA -- Set(1, 2, 9, 17, 25)
+    def payload(high: Set[Int]): Array[Byte] =
+      (0 until 32).map(i => if (high(i)) 250.toByte else 2.toByte).toArray
+    val df = Seq((1L, payload(highA)), (2L, payload(highB)))
+      .toDF("media_id", "payload")
+    val got = Multimodal.perceptualHashPairs(df, maxHamming = 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got == Map((1L, 2L) -> 5L), s"got $got")
+    // the same pair is invisible at the default threshold (hamming 5 > 3)
+    assert(Multimodal.perceptualHashPairs(df).collect().isEmpty)
+  }
+
+  test("property: banding is exact recall vs the 31-band exhaustive form") {
+    import spark.implicits._
+    // maxHamming=31 uses 32 one-bit bands: every pair differing in
+    // <= 31 bits collides somewhere, so its output is the full
+    // hamming-<=31 pair relation — the brute-force reference. Any
+    // tighter threshold must return exactly its restriction.
+    val rnd = new scala.util.Random(13)
+    val docs = (1L to 24L).map { i =>
+      (i, Array.fill(32)((rnd.nextInt(256) - 128).toByte)) }
+    val df = docs.toDF("media_id", "payload")
+    val all = Multimodal.perceptualHashPairs(df, maxHamming = 31,
+        maxCandidatePairs = 1L << 20)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    for (h <- Seq(3, 5, 9)) {
+      val got = Multimodal.perceptualHashPairs(df, maxHamming = h,
+          maxCandidatePairs = 1L << 20)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      assert(got == all.filter(_._2 <= h), s"maxHamming=$h")
+    }
+  }
+
   test("budget guard trips on a structurally uniform corpus with a diagnosis") {
     val uniform = (1L to 60L).map(i => (i, "q" * 64))
     val e = intercept[IllegalStateException] {

@@ -119,6 +119,43 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       assert((n >> Similarity.scaledBits(n)) <= 1024L)
   }
 
+  test("occupancy-scaled bits: escalation survives a skewed corpus the fixed bits refuse") {
+    import spark.implicits._
+    // all 40 vectors share the sign pattern in every dim at 1 bit, so
+    // fixed bitsPerBand=1 collapses them into one bucket per band:
+    // 2 bands x C(40,2) = 1560 candidates > the 400 budget -> the
+    // fixed form trips the guard. With targetP99Occupancy the operator
+    // MEASURES the p99 occupancy (40), escalates bits by
+    // ceil(log2(40/8)) and re-measures until the tail fits — same
+    // corpus, same budget, answers instead of refusing.
+    val rnd = new scala.util.Random(11)
+    val skewed = (1L to 40L).map(i =>
+      (i, Array.fill(8)(0.2f + rnd.nextFloat() * 0.8f))).toDF("vec_id", "embedding")
+    intercept[IllegalStateException] {
+      Similarity.knnGraphBanded(skewed, k = 2, bands = 2, bitsPerBand = 1,
+        dim = 8, maxCandidatePairs = 400L)
+    }
+    val g = Similarity.knnGraphBanded(skewed, k = 2, bands = 2,
+      bitsPerBand = 1, dim = 8, maxCandidatePairs = 400L,
+      targetP99Occupancy = 8L)
+    assert(g.count() >= 0) // ran: the guard was satisfied post-escalation
+  }
+
+  test("occupancy-scaled bits: identical output to fixed bits when the target is already met") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val corpus = (1L to 24L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
+    def edges(target: Long) =
+      Similarity.knnGraphBanded(corpus, k = 3, bands = 2, bitsPerBand = 3,
+        dim = 8, targetP99Occupancy = target)
+        .collect().map(r => (r.getAs[Long]("node_id"), r.getAs[Long]("rank"),
+          r.getAs[Long]("neighbor_id"))).toSet
+    // 24 vectors over 2^3 buckets: p99 occupancy is well under 24, so
+    // a generous target must leave the plan and the output untouched
+    assert(edges(0L) == edges(24L))
+  }
+
   test("knnGraphBanded is the OR-construction: adding a band only grows the candidate pair set") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
