@@ -140,6 +140,144 @@ object Multimodal {
       }(enc)
   }
 
+  /** Distributed WAV (RIFF) ENCODE — the audio twin of [[encodePng]]
+    * and the harness that makes [[decodeWav]] oracle-checkable
+    * END-TO-END (m11): sample values are chosen arithmetically by the
+    * caller, serialized to genuine RIFF/WAVE PCM bytes on executors
+    * (pure header math, zero dependencies), and the decoder must hand
+    * them back exactly. 8-bit unsigned mono PCM — the one WAV layout
+    * whose data chunk IS the PCM8 byte stream the m05/m06/m10 energy
+    * family consumes, so a decoded real container feeds
+    * [[windowEnergy]]/[[silenceSegments]] with no conversion.
+    *
+    * Input needs (media_id long, sample_rate int > 0, samples
+    * array<int> with values in [0, 255]); returns (media_id, payload
+    * binary). Malformed rows fail loudly with their media_id (the
+    * [[encodePng]] stance).
+    */
+  def encodeWav(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(
+      StructType(Seq(
+        StructField("media_id", LongType),
+        StructField("payload", BinaryType))))
+    media.select(col("media_id"), col("sample_rate").cast("int"),
+        col("samples"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          if (r.isNullAt(1) || r.getInt(1) <= 0)
+            throw new IllegalArgumentException(
+              s"media_id $id: sample_rate must be positive non-null")
+          if (r.isNullAt(2))
+            throw new IllegalArgumentException(
+              s"media_id $id: samples must be non-null")
+          val rate = r.getInt(1)
+          val samples = r.getSeq[Int](2)
+          val n = samples.length
+          val bb = java.nio.ByteBuffer.allocate(44 + n)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+          bb.putInt(36 + n)
+          bb.put("WAVE".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+          bb.put("fmt ".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+          bb.putInt(16)          // PCM fmt chunk size
+          bb.putShort(1)         // audio format: PCM
+          bb.putShort(1)         // channels: mono
+          bb.putInt(rate)
+          bb.putInt(rate)        // byte rate = rate * channels * 1 byte
+          bb.putShort(1)         // block align
+          bb.putShort(8)         // bits per sample
+          bb.put("data".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+          bb.putInt(n)
+          var i = 0
+          while (i < n) {
+            val s = samples(i)
+            if (s < 0 || s > 255)
+              throw new IllegalArgumentException(
+                s"media_id $id: sample $i = $s outside [0, 255]")
+            bb.put(s.toByte)
+            i += 1
+          }
+          Row(id, bb.array())
+        }
+      }(enc)
+  }
+
+  val wavSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("n_channels", IntegerType),
+    StructField("bits_per_sample", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("pcm", BinaryType)))
+
+  /** Real WAV/RIFF container DECODE — the audio member of the
+    * [[MediaDecoder.ImageIo]] family (header parse + PCM extraction,
+    * zero dependencies): validates the RIFF/WAVE magic, WALKS the
+    * chunk list (unknown chunks — LIST/INFO/fact — are skipped by
+    * their declared size, odd sizes consume the RIFF pad byte, so
+    * real-world files with metadata chunks parse), reads the PCM
+    * format fields from `fmt ` and hands back the raw `data` bytes.
+    * Non-PCM encodings and truncated/malformed containers fail LOUDLY
+    * with the media_id — fabricated audio metadata would poison every
+    * downstream energy gate.
+    *
+    * For 8-bit mono output, `pcm` is directly the PCM8 stream
+    * [[windowEnergy]]/[[silenceSegments]]/[[keyframeChecksums]]
+    * consume — rename it to `payload` and the whole m05/m06/m10
+    * family runs on real container bytes (m11 proves the loop).
+    */
+  def decodeWav(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(wavSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val b = r.getAs[Array[Byte]](1)
+          def fail(why: String) = throw new IllegalArgumentException(
+            s"media_id $id: not a WAV payload — $why")
+          def ascii(off: Int) = new String(b, off, 4,
+            java.nio.charset.StandardCharsets.US_ASCII)
+          def leInt(off: Int): Int =
+            (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+              ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+          def leShort(off: Int): Int =
+            (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+          if (b == null || b.length < 12) fail("shorter than a RIFF header")
+          if (ascii(0) != "RIFF") fail(s"magic '${ascii(0)}' != 'RIFF'")
+          if (ascii(8) != "WAVE") fail(s"form '${ascii(8)}' != 'WAVE'")
+          var pos = 12
+          var rate = -1; var channels = -1; var bits = -1
+          var data: Array[Byte] = null
+          while (pos + 8 <= b.length) {
+            val cid = ascii(pos)
+            val sz = leInt(pos + 4)
+            if (sz < 0 || pos + 8 + sz > b.length)
+              fail(s"chunk '$cid' declares $sz bytes past payload end")
+            if (cid == "fmt ") {
+              if (sz < 16) fail(s"fmt chunk too small ($sz bytes)")
+              val audioFormat = leShort(pos + 8)
+              if (audioFormat != 1)
+                fail(s"audio format $audioFormat is not PCM")
+              channels = leShort(pos + 10)
+              rate = leInt(pos + 12)
+              bits = leShort(pos + 22)
+            } else if (cid == "data") {
+              data = java.util.Arrays.copyOfRange(b, pos + 8, pos + 8 + sz)
+            }
+            pos += 8 + sz + (sz & 1) // odd chunks carry a pad byte
+          }
+          if (rate < 0) fail("no fmt chunk")
+          if (data == null) fail("no data chunk")
+          if (channels <= 0 || bits <= 0 || bits % 8 != 0)
+            fail(s"implausible fmt: channels=$channels bits=$bits")
+          Row(id, rate, channels, bits,
+            data.length.toLong / (channels * (bits / 8)), data)
+        }
+      }(enc)
+  }
+
   /** Frame sampling for "video" payloads: every strideBytes-th byte as a
     * frame marker — the plumbing shape of ffmpeg-style keyframe
     * extraction (array-of-binary output column).

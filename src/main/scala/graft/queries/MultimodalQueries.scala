@@ -150,6 +150,48 @@ object MultimodalQueries {
         .orderBy("media_id")
     }),
 
+    // REAL audio container round-trip (the m04 pattern for WAV/RIFF):
+    // samples chosen arithmetically (alternating 25-sample silence /
+    // tone stretches) -> genuine RIFF/WAVE PCM8 bytes encoded on
+    // executors -> decoded back by the real chunk-walking parser ->
+    // the m05/m10 energy family runs ON THE EXTRACTED PCM. The oracle
+    // states rates, sample counts, energies and silence segments from
+    // arithmetic alone, so a header-math or chunk-walk regression
+    // anywhere in the container loop breaks the hash-match.
+    "m11_wav_roundtrip" -> ((s, d) => {
+      val spec = Tables.load(s, d, "documents").where(col("doc_id") < 300)
+        .select(col("doc_id").as("media_id"))
+        .withColumn("sample_rate",
+          (lit(8000) + (col("media_id") % 3) * 4000).cast("int"))
+        .withColumn("samples", expr(
+          """transform(sequence(0, CAST(100 + (media_id % 5) * 50 AS INT) - 1),
+            |  i -> CAST(IF((i div 25) % 2 = 0, 128,
+            |    128 + (media_id + i) % 40) AS INT))""".stripMargin))
+      val decoded = Multimodal.decodeWav(Multimodal.encodeWav(spec))
+        .localCheckpoint(true) // feeds the header stats AND both DSP consumers
+      val pcm = decoded.select(col("media_id"), col("pcm").as("payload"))
+      val energy = Multimodal.windowEnergy(pcm, windowBytes = 25)
+        .select(col("media_id"), col("n_windows"), col("total_energy"))
+      val sil = Multimodal
+        .silenceSegments(pcm, windowBytes = 25, maxEnergy = 0L)
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_silence_segments"),
+          sum("n_windows").as("n_silent_windows"))
+      decoded.select(col("media_id"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("n_channels").cast("long").as("n_channels"),
+          col("bits_per_sample").cast("long").as("bits_per_sample"),
+          col("n_samples"))
+        .join(energy, "media_id")
+        .join(sil, Seq("media_id"), "left")
+        .select(col("media_id"), col("sample_rate"), col("n_channels"),
+          col("bits_per_sample"), col("n_samples"), col("n_windows"),
+          col("total_energy"),
+          coalesce(col("n_silence_segments"), lit(0L)).as("n_silence_segments"),
+          coalesce(col("n_silent_windows"), lit(0L)).as("n_silent_windows"))
+        .orderBy("media_id")
+    }),
+
     "m02_media_by_format" -> ((s, d) => {
       val media = Tables.load(s, d, "documents")
         .select(col("doc_id").as("media_id"), col("text").cast("binary").as("payload"))
@@ -311,6 +353,32 @@ object MultimodalQueries {
         |  CAST(8 + doc_id % 16 AS BIGINT) AS height,
         |  'png' AS format
         |FROM documents WHERE doc_id < 100 ORDER BY media_id""".stripMargin,
+
+    // everything from arithmetic: the WAV layer must hand the samples
+    // back exactly, so the energy/silence numbers double as a byte-
+    // level check on the RIFF header math and chunk walk. Windows are
+    // 25 samples; even window ordinals are all-128 (silent, energy 0),
+    // odd ones carry ((media_id+i) % 40)-amplitude tones; n is a
+    // multiple of 25, so silent windows are isolated single-window
+    // islands — n_windows/2 of each
+    "m11_wav_roundtrip" ->
+      """WITH p AS (SELECT doc_id AS media_id,
+        |    8000 + (doc_id % 3) * 4000 AS sample_rate,
+        |    100 + (doc_id % 5) * 50 AS n
+        |  FROM documents WHERE doc_id < 300)
+        |SELECT media_id,
+        |  CAST(sample_rate AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS n_channels,
+        |  CAST(8 AS BIGINT) AS bits_per_sample,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(n // 25 AS BIGINT) AS n_windows,
+        |  CAST(list_sum(list_transform(range(n), i ->
+        |    CASE WHEN (i // 25) % 2 = 1
+        |      THEN ((media_id + i) % 40) * ((media_id + i) % 40)
+        |      ELSE 0 END)) AS BIGINT) AS total_energy,
+        |  CAST(n // 50 AS BIGINT) AS n_silence_segments,
+        |  CAST(n // 50 AS BIGINT) AS n_silent_windows
+        |FROM p ORDER BY media_id""".stripMargin,
 
     "m02_media_by_format" ->
       s"""WITH $decodeCte
