@@ -979,11 +979,18 @@ object Dedup {
   private def lengthFilteredCandVolume(probePrefix: DataFrame,
       indexedToks: DataFrame, tauNum: Int, tauDen: Int,
       selfRows: Long = 0L): Double = {
+    // bucket via INTEGER bit arithmetic (length(bin(n)) - 1 ==
+    // floor(log2(n)) exactly): floating log(x)/log(2) can round DOWN on
+    // exact powers of two, putting a 2^k-token doc in bucket k-1 whose
+    // maxN = 2^k - 1 < n — a knife-edge pair the real length filter
+    // keeps would silently vanish from a "conservative" bound
     val p = probePrefix
-      .withColumn("minN", expr("cast(power(2, cast(floor(log2(n)) as int)) as double)"))
+      .withColumn("minN",
+        expr("cast(shiftleft(1L, length(bin(n)) - 1) as double)"))
       .groupBy("tok", "minN").agg(count(lit(1)).as("dfp"))
     val t = indexedToks
-      .withColumn("maxN", expr("cast(power(2, cast(floor(log2(n)) as int) + 1) as double) - 1"))
+      .withColumn("maxN",
+        expr("cast(shiftleft(1L, length(bin(n))) as double) - 1"))
       .groupBy("tok", "maxN").agg(count(lit(1)).as("df"))
     val joined = p.as("p").join(t.as("t"),
         col("p.tok") === col("t.tok") &&

@@ -510,7 +510,11 @@ object Graph {
       .union(e0.select(col("dst").as("id")))
       .distinct().localCheckpoint(true)
     var e = e0.where(col("src") =!= col("dst")).localCheckpoint(true)
-    var result: DataFrame = null
+    // start from an EMPTY typed (id, scc) relation, not null: an empty
+    // edge input (or all-null endpoints) never enters the round loop,
+    // and the contract is "empty decomposition", not an NPE downstream
+    var result: DataFrame =
+      nodes.withColumn("scc", col("id")).where(lit(false))
     var remaining = nodes.count()
     var round = 0
     while (remaining > 0 && round < maxRounds) {
@@ -530,9 +534,7 @@ object Graph {
       val scc = f.join(r.withColumnRenamed("lbl", "rl"), Seq("id"))
         .where(col("lbl") === col("rl"))
         .select(col("id"), col("lbl").as("scc")).localCheckpoint(true)
-      result =
-        (if (result == null) scc else result.unionByName(scc))
-          .localCheckpoint(true)
+      result = result.unionByName(scc).localCheckpoint(true)
       nodes = nodes.join(scc.select("id"), Seq("id"), "left_anti")
         .localCheckpoint(true)
       e = e.join(scc.select(col("id").as("src")), Seq("src"), "left_anti")

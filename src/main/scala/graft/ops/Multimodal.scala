@@ -253,7 +253,11 @@ object Multimodal {
           while (pos + 8 <= b.length) {
             val cid = ascii(pos)
             val sz = leInt(pos + 4)
-            if (sz < 0 || pos + 8 + sz > b.length)
+            // Long arithmetic: a declared size near Int.MaxValue would
+            // wrap `pos + 8 + sz` negative and slip past an Int check,
+            // turning the promised media_id diagnostic into a raw
+            // ArrayIndexOutOfBounds from copyOfRange
+            if (sz < 0 || pos.toLong + 8L + sz > b.length)
               fail(s"chunk '$cid' declares $sz bytes past payload end")
             if (cid == "fmt ") {
               if (sz < 16) fail(s"fmt chunk too small ($sz bytes)")

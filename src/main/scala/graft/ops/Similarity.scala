@@ -215,9 +215,12 @@ object Similarity {
       base.select(col("vec_id"), lit(b).as("band"),
         srpBucket(col("q"), bandPlanes(b, bits, dim)).as("bucket"))
     }.reduce(_ unionAll _).localCheckpoint(true)
+    // coalesce: percentile over an EMPTY band relation is NULL — an
+    // empty corpus must fall through to an empty graph, not NPE here
     def p99Of(rel: DataFrame): Double = rel
       .groupBy("band", "bucket").agg(count(lit(1)).as("m"))
-      .agg(expr("percentile(m, 0.99)")).head().getDouble(0)
+      .agg(coalesce(expr("percentile(m, 0.99)"), lit(0.0)))
+      .head().getDouble(0)
     var bits = bitsPerBand
     var banded = bandRel(bits)
     if (targetP99Occupancy > 0L) {

@@ -49,22 +49,66 @@ object XmlIngest {
     }.toDF()
   }
 
-  /** The SHARED parsed tall relation (r8): all five x-queries read the
-    * same synthesized corpus, so ONE StAX pass materializes it per
-    * (session, sf dir) and every query reuses the checkpointed blocks
-    * — previously each query re-synthesized and re-parsed, ~5× the
-    * parse cost per full-suite run. Sharing is the FAITHFUL cost
+  /** The SHARED parsed tall relation (r8, storage fixed r9): all five
+    * x-queries read the same synthesized corpus, so ONE StAX pass
+    * materializes it per (session, sf dir) and every query reuses the
+    * result — previously each query re-synthesized and re-parsed, ~5×
+    * the parse cost per full-suite run. Sharing is the FAITHFUL cost
     * model, not a bench trick: the real ingest path parses each file
     * once into the lake and every downstream query reads the lake.
-    * Per-query attribution note: the first x-query run in a session
-    * pays the parse. computeIfAbsent keeps the materialization
-    * single-flight under Verify's concurrent query threads.
+    *
+    * r9: the shared result is a WRITE-ONCE TEMP PARQUET, not a
+    * localCheckpoint. A checkpoint truncates lineage at its blocks, so
+    * any harness/session that blocking-unpersists persistent RDDs
+    * between queries (Bench.released does, by design) permanently
+    * poisoned the cache — every later x-query threw
+    * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (BENCH_r08 n_err=5). A parquet
+    * on disk survives unpersist/clearCache and IS the lake cost model
+    * the comment above argues. Per-query attribution: the first
+    * x-query in a session pays parse + write (~one extra scan-write
+    * over the checkpoint it replaces).
+    *
+    * Concurrency/lifecycle: the map holds a per-key lazy holder so
+    * computeIfAbsent only constructs the holder under the CHM bin
+    * lock — the Spark job runs outside it, single-flight per key via
+    * the holder's own lazy lock (Verify's concurrent query threads).
+    * Entries are evicted (and their temp dirs deleted) when their
+    * session ends, so stopped sessions don't pin disk or serve a
+    * stale corpus to a recreated session with the same dir.
     */
+  private final class LazyPath(f: => String) { lazy val value: String = f }
   private val tallCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def tallElements(s: SparkSession, d: String): DataFrame =
-    tallCache.computeIfAbsent((s, d),
-      _ => ordersAsElements(s, d).localCheckpoint(true))
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), LazyPath]()
+  private def evictOnEnd(s: SparkSession): Unit =
+    s.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          val it = tallCache.entrySet().iterator()
+          while (it.hasNext) {
+            val en = it.next()
+            if (en.getKey._1 eq s) {
+              it.remove()
+              try {
+                val dir = java.nio.file.Paths.get(en.getValue.value).getParent
+                java.nio.file.Files.walk(dir).sorted(
+                  java.util.Comparator.reverseOrder[java.nio.file.Path]())
+                  .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+              } catch { case scala.util.control.NonFatal(_) => () }
+            }
+          }
+        }
+      })
+  private def tallElements(s: SparkSession, d: String): DataFrame = {
+    val path = tallCache.computeIfAbsent((s, d), _ => new LazyPath({
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-xmltall-").resolve("tall").toString
+      ordersAsElements(s, d).write.mode("overwrite").parquet(tmp)
+      evictOnEnd(s)
+      tmp
+    })).value
+    s.read.parquet(path)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // group-by-tag routing (A11) + distinct key extraction (A10) over the
@@ -139,8 +183,9 @@ object XmlIngest {
   val hierarchyQuery: (SparkSession, String) => DataFrame = (s, d) => {
     // the adjacency-list tree join (SURVEY §2B row 2): child rows joined
     // to their parents on parent_element_id = element_id. The parse is
-    // materialized once (localCheckpoint) so the self-join's two branches
-    // don't each re-run the StAX flatMap — same single-pass trick as x02.
+    // materialized once (shared temp parquet) so the self-join's two
+    // branches don't each re-run the StAX flatMap — same single-pass
+    // trick as x02.
     val tall = tallElements(s, d)
     val child = tall.select(col("table_name").as("child_table"),
       col("parent_element_id"), col("pcr_uuid_context").as("child_pcr"))
