@@ -161,7 +161,17 @@ object Plans {
     "d12_fuzzy_join", "e10_click_attribution", "e11_markov_transitions",
     "e12_top_paths", "e13_timed_funnel",
     "q06_topk_per_group", "q07_running_total", "q22_lag_lead",
-    "q25_correlated_subquery", "q26_range_frame", "q27_window_nav")
+    "q25_correlated_subquery", "q26_range_frame", "q27_window_nav",
+    // round 8/9: g09 SCC (post-fixpoint decomposition — per-round
+    // label joins are checkpointed by design), g10 LPA over the k-NN
+    // graph (vote joins + per-node argmax windows), d25 hashed-gram
+    // spans (gram groupBy + island windows), m11/m12 WAV round-trips
+    // (codec mapPartitions + energy join), d26 blocked containment
+    // (the d21 chain over block-qualified tokens), x06 FK cascade SCC
+    // (hierarchy edge join into the decomposition)
+    "g09_scc", "g10_knn_communities", "d25_exact_dup_spans_hashed",
+    "m11_wav_roundtrip", "m12_wav16_stereo_roundtrip",
+    "d26_blocked_containment", "x06_fk_cascade_scc")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

@@ -31,6 +31,37 @@ object ScaleStress {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Pull the computed candidate volume and the configured budget out
+    * of a guard-refusal message (every guard states both: "candidate
+    * volume N exceeds the M budget"), so a tripped row in
+    * scale_curves.jsonl documents its MARGIN — how far past the budget
+    * the corpus was — instead of a bare `true`.
+    */
+  private def guardFields(msg: String): String = {
+    val vol = """volume (\d[\d.]*(?:[eE][-+]?\d+)?)""".r
+      .findFirstMatchIn(msg).map(_.group(1))
+    val bud = """(\d+) budget""".r.findFirstMatchIn(msg).map(_.group(1))
+    vol.map(v => s""","volume":$v""").getOrElse("") +
+      bud.map(b => s""","budget":$b""").getOrElse("")
+  }
+
+  /** One budget-guard probe: times the refusal, records tripped +
+    * volume/budget margin. Guards must refuse in SECONDS (pre-join
+    * aggregate), so `sec` here is itself part of the claim.
+    */
+  private def guardProbe(name: String)(f: => Long): Unit = {
+    val t0 = System.nanoTime()
+    val msg =
+      try { f; None }
+      catch {
+        case e: Exception if Option(e.getMessage).exists(_.contains("budget")) =>
+          Some(e.getMessage)
+      }
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(s"""{"op":"$name","tripped":${msg.isDefined},"sec":$sec""" +
+      s"""${msg.map(guardFields).getOrElse("")}}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val scales = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 3, 10)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -228,6 +259,17 @@ object ScaleStress {
           withExcerpts(plain), "doc_id", "text",
           tauNum = 9, tauDen = 10,
           tokens = t => array_distinct(Dedup.shingleHashes(t)))),
+        // the pre-blocked escape hatch (r9): containment within equal
+        // `source` only — the blocking contract a corpus past the
+        // unblocked budget opts into. Excerpt twins inherit their
+        // base's source, so every planted pair stays in-block; the
+        // curve should keep running where plain d21 guard-trips
+        // (measured 30× margin was 1.47×, one 20-way block's savings)
+        "d21b" -> (() => Dedup.containmentPairs(
+          withExcerpts(plain), "doc_id", "text",
+          tauNum = 9, tauDen = 10,
+          tokens = t => array_distinct(Dedup.shingleHashes(t)),
+          blockBy = Some(col("source")))),
         // k-core peeling (r7 cont.): copies are structurally identical
         // disjoint subgraphs, so cascade DEPTH (and hence round count)
         // is scale-invariant — the curve isolates per-round work ∝
@@ -254,7 +296,18 @@ object ScaleStress {
           col("__h"), col("doc_id"), granule = 1L << 24,
           out = "shuffle_pos")))
 
-      ops.foreach { case (op, build) =>
+      // SCALE_OPS=d21,s17 runs a subset (the BENCH_ONLY pattern): the
+      // heavy families take minutes per scale, so iterating on one
+      // fix must not pay the whole matrix. Unknown names fail loudly.
+      val opFilter = sys.env.get("SCALE_OPS").map { list =>
+        val want = list.split(',').map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = want -- ops.map(_._1).toSet
+        if (unknown.nonEmpty)
+          throw new IllegalArgumentException(
+            s"SCALE_OPS names not in ScaleStress ops: ${unknown.toSeq.sorted.mkString(", ")}")
+        want
+      }
+      ops.filter(o => opFilter.forall(_.contains(o._1))).foreach { case (op, build) =>
         // a guarded refusal (d11's candidate budget) is ITSELF a
         // measurement — record it and keep going
         try {
@@ -263,7 +316,8 @@ object ScaleStress {
         } catch {
           case e: IllegalStateException if
             Option(e.getMessage).exists(_.contains("budget")) =>
-            println(s"""{"op":"$op","scale":$k,"guard_tripped":true}""")
+            println(s"""{"op":"$op","scale":$k,"guard_tripped":true""" +
+              s"""${guardFields(e.getMessage)}}""")
         }
         val sc = spark.sparkContext
         (sc.getPersistentRDDs.keySet -- pinned).foreach { id =>
@@ -281,17 +335,11 @@ object ScaleStress {
     val lowEntropy = spark.range(0, 20000)
       .select(col("id").as("doc_id"),
         lit("alpha beta gamma delta epsilon zeta eta theta").as("text"))
-    val (tripped, guardSec) = timed {
-      try {
-        Dedup.prefixFilterPairs(lowEntropy, "doc_id", "text",
-          tauNum = 9, tauDen = 10,
-          tokens = t => array_distinct(Dedup.shingleHashes(t))).count()
-        false
-      } catch { case e: Exception =>
-        e.getMessage != null && e.getMessage.contains("budget")
-      }
+    guardProbe("d11_guard") {
+      Dedup.prefixFilterPairs(lowEntropy, "doc_id", "text",
+        tauNum = 9, tauDen = 10,
+        tokens = t => array_distinct(Dedup.shingleHashes(t))).count()
     }
-    println(s"""{"op":"d11_guard","tripped":$tripped,"sec":$guardSec}""")
 
     // the s15 budget guard (round 7): an all-positive-coordinate corpus
     // collapses every vector into ONE sign bucket — C(30000, 2) ≈ 4.5e8
@@ -301,13 +349,9 @@ object ScaleStress {
       .select(col("id").as("vec_id"),
         expr("transform(sequence(1, 16), " +
           "j -> CAST(1.0 + (id % 97) / 100.0 AS FLOAT))").as("embedding"))
-    val (s15Tripped, s15GuardSec) = timed {
-      try { Similarity.knnGraph(skewVecs, k = 3, bits = 8).count(); false }
-      catch { case e: Exception =>
-        e.getMessage != null && e.getMessage.contains("budget")
-      }
+    guardProbe("s15_guard") {
+      Similarity.knnGraph(skewVecs, k = 3, bits = 8).count()
     }
-    println(s"""{"op":"s15_guard","tripped":$s15Tripped,"sec":$s15GuardSec}""")
 
     // the m09 budget guard (round 7 cont.): byte-identical payloads
     // give every media the same aHash — one bucket per band,
@@ -316,29 +360,18 @@ object ScaleStress {
     val uniformMedia = spark.range(0, 200000)
       .select(col("id").as("media_id"),
         lit("q" * 64).cast("binary").as("payload"))
-    val (m09Tripped, m09GuardSec) = timed {
-      try {
-        graft.ops.Multimodal.perceptualHashPairs(uniformMedia).count(); false
-      } catch { case e: Exception =>
-        e.getMessage != null && e.getMessage.contains("budget")
-      }
+    guardProbe("m09_guard") {
+      graft.ops.Multimodal.perceptualHashPairs(uniformMedia).count()
     }
-    println(s"""{"op":"m09_guard","tripped":$m09Tripped,"sec":$m09GuardSec}""")
 
     // the d21 budget guard: the same low-entropy corpus through the
     // asymmetric filter — its indexed side is the FULL token relation,
     // so the refusal matters even more than d11's
-    val (d21Tripped, d21GuardSec) = timed {
-      try {
-        Dedup.containmentPairs(lowEntropy, "doc_id", "text",
-          tauNum = 9, tauDen = 10,
-          tokens = t => array_distinct(Dedup.shingleHashes(t))).count()
-        false
-      } catch { case e: Exception =>
-        e.getMessage != null && e.getMessage.contains("budget")
-      }
+    guardProbe("d21_guard") {
+      Dedup.containmentPairs(lowEntropy, "doc_id", "text",
+        tauNum = 9, tauDen = 10,
+        tokens = t => array_distinct(Dedup.shingleHashes(t))).count()
     }
-    println(s"""{"op":"d21_guard","tripped":$d21Tripped,"sec":$d21GuardSec}""")
 
     spark.stop()
   }

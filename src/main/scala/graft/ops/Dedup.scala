@@ -894,12 +894,30 @@ object Dedup {
     * diagnosable error. Verification re-joins candidates against the
     * per-doc sorted token arrays (the d11 two-pointer kernel); the one
     * double division only formats an integer-decided containment.
+    *
+    * PRE-BLOCKING (`blockBy`, the documented escape hatch when even
+    * the length-bounded volume exceeds the budget): pairs are sought
+    * only WITHIN equal values of the blocking column — a stated
+    * domain assumption (e.g. excerpts never cross `source`), not an
+    * approximation within a block. Implemented as exact token
+    * QUALIFICATION: tok ↦ blockKey·2³² + tok, blockKey = the md5-
+    * derived 31-bit key of the block value ([[md5Hash32]] mod 2³¹ —
+    * the sum then fits signed 64-bit exactly) — distinct
+    * blocks occupy disjoint token spaces, so the unchanged df order /
+    * prefix / budget-guard / candidate machinery provably never pairs
+    * across blocks, and within a block every count is bit-identical
+    * to running the operator on that block alone. Candidate volume
+    * drops from Σ_tok dfp·df to the per-block sums — on a B-block
+    * corpus with spread tokens, ~1/B. Requires an integer-hash
+    * tokenizer producing 32-bit values (the [[shingleHashes]] path);
+    * the qualification is restated verbatim in the oracle.
     */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
       tauNum: Int, tauDen: Int,
       tokens: Column => Column = c =>
         filter(array_distinct(split(c, " ")), t => length(t) > 0),
-      maxCandidatePairs: Long = 1L << 26): DataFrame = {
+      maxCandidatePairs: Long = 1L << 26,
+      blockBy: Option[Column] = None): DataFrame = {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
       s"tau must be a fraction in (0,1]: $tauNum/$tauDen")
     require(maxCandidatePairs > 0,
@@ -907,9 +925,29 @@ object Dedup {
     // the tokenized corpus feeds four consumers (df table, prefix
     // rank, the probe join's indexed side, verify arrays) — one
     // materialization (the prefixFilterPairs discipline)
-    val toks = docs
-      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
-      .localCheckpoint(true)
+    // block key reduced to 31 bits: bkey·2³² + tok must fit SIGNED
+    // 64-bit (max = (2³¹−1)·2³² + 2³²−1 = Long.MaxValue exactly; the
+    // full 32-bit key overflows under ANSI arithmetic). A key
+    // collision merges two blocks — which only ADDS candidate scope,
+    // never drops a within-block pair: the conservative direction.
+    val toks0 = docs
+      .select(col(idCol).as("id"),
+        blockBy.map(b => pmod(md5Hash32(b.cast("string")),
+            lit(2147483648L)))
+          .getOrElse(lit(0L)).as("bkey"),
+        explode(tokens(col(textCol))).as("tok0"))
+    val toks = (blockBy match {
+      case None => toks0.select(col("id"), col("tok0").as("tok"))
+      case Some(_) =>
+        val dt = toks0.schema("tok0").dataType
+        require(dt == org.apache.spark.sql.types.LongType ||
+            dt == org.apache.spark.sql.types.IntegerType,
+          s"containmentPairs: blockBy requires an integer-hash tokenizer " +
+            s"producing 32-bit values (shingleHashes), got $dt")
+        toks0.select(col("id"),
+          (col("bkey") * lit(4294967296L) +
+            pmod(col("tok0").cast("long"), lit(4294967296L))).as("tok"))
+    }).localCheckpoint(true)
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
     val part = org.apache.spark.sql.expressions.Window.partitionBy("id")
     val w = part.orderBy(col("df"), col("tok"))
@@ -939,7 +977,8 @@ object Dedup {
           "regime even after the length lower-bound (the indexed side is " +
           "the FULL token relation; the cliff is steeper than " +
           "prefixFilterPairs'). Raise tau, pass an order-sensitive " +
-          "tokenizer (shingle hashes), pre-block the corpus, or raise " +
+          "tokenizer (shingle hashes), pre-block the corpus (blockBy = a " +
+          "column containment never crosses, e.g. source), or raise " +
           "maxCandidatePairs.")
     val cand = prefixCk.as("a").join(toksN.as("b"),
         col("a.tok") === col("b.tok") && col("a.id") =!= col("b.id") &&

@@ -203,13 +203,81 @@ object Multimodal {
       }(enc)
   }
 
+  /** 16-bit PCM encode twin (m12): mono or stereo from signed
+    * [-32768, 32767] sample arrays — real WAV corpora are 16-bit, so
+    * the decoder's downconversion path needs a spec-compliant
+    * generator to round-trip against. Input (media_id long,
+    * sample_rate int > 0, left array<int>, right array<int> —
+    * null right = mono); stereo requires equal lengths. Interleaved
+    * little-endian int16 frames, the [[encodeWav]] loud-failure
+    * stance throughout.
+    */
+  def encodeWav16(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(
+      StructType(Seq(
+        StructField("media_id", LongType),
+        StructField("payload", BinaryType))))
+    media.select(col("media_id"), col("sample_rate").cast("int"),
+        col("left"), col("right"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          if (r.isNullAt(1) || r.getInt(1) <= 0)
+            throw new IllegalArgumentException(
+              s"media_id $id: sample_rate must be positive non-null")
+          if (r.isNullAt(2))
+            throw new IllegalArgumentException(
+              s"media_id $id: left channel must be non-null")
+          val rate = r.getInt(1)
+          val left = r.getSeq[Int](2)
+          val right = if (r.isNullAt(3)) null else r.getSeq[Int](3)
+          if (right != null && right.length != left.length)
+            throw new IllegalArgumentException(
+              s"media_id $id: stereo channels differ in length " +
+                s"(${left.length} vs ${right.length})")
+          val channels = if (right == null) 1 else 2
+          val n = left.length
+          val dataBytes = n * channels * 2
+          val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+          bb.putInt(36 + dataBytes)
+          bb.put("WAVE".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+          bb.put("fmt ".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+          bb.putInt(16)                      // PCM fmt chunk size
+          bb.putShort(1)                     // audio format: PCM
+          bb.putShort(channels.toShort)
+          bb.putInt(rate)
+          bb.putInt(rate * channels * 2)     // byte rate
+          bb.putShort((channels * 2).toShort) // block align
+          bb.putShort(16)                    // bits per sample
+          bb.put("data".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+          bb.putInt(dataBytes)
+          var i = 0
+          while (i < n) {
+            def checked(s: Int, ch: String): Short = {
+              if (s < -32768 || s > 32767)
+                throw new IllegalArgumentException(
+                  s"media_id $id: $ch sample $i = $s outside [-32768, 32767]")
+              s.toShort
+            }
+            bb.putShort(checked(left(i), "left"))
+            if (right != null) bb.putShort(checked(right(i), "right"))
+            i += 1
+          }
+          Row(id, bb.array())
+        }
+      }(enc)
+  }
+
   val wavSchema: StructType = StructType(Seq(
     StructField("media_id", LongType),
     StructField("sample_rate", IntegerType),
     StructField("n_channels", IntegerType),
     StructField("bits_per_sample", IntegerType),
     StructField("n_samples", LongType),
-    StructField("pcm", BinaryType)))
+    StructField("pcm", BinaryType),
+    StructField("pcm8", BinaryType)))
 
   /** Real WAV/RIFF container DECODE — the audio member of the
     * [[MediaDecoder.ImageIo]] family (header parse + PCM extraction,
@@ -226,6 +294,14 @@ object Multimodal {
     * [[windowEnergy]]/[[silenceSegments]]/[[keyframeChecksums]]
     * consume — rename it to `payload` and the whole m05/m06/m10
     * family runs on real container bytes (m11 proves the loop).
+    *
+    * The `pcm8` column (m12) is that stream for EVERY supported
+    * format: 8/16-bit, mono/stereo, normalized to one unsigned byte
+    * per frame — stereo downmixes by floor-average `(l + r) >> 1`,
+    * 16-bit downconverts by `(s >> 8) + 128` (arithmetic shift =
+    * floor division, so the rule is exact-integer and the oracle
+    * restates it as floor() arithmetic). Unsupported bit widths and
+    * channel counts fail loudly with the media_id.
     */
   def decodeWav(media: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
@@ -276,8 +352,46 @@ object Multimodal {
           if (data == null) fail("no data chunk")
           if (channels <= 0 || bits <= 0 || bits % 8 != 0)
             fail(s"implausible fmt: channels=$channels bits=$bits")
-          Row(id, rate, channels, bits,
-            data.length.toLong / (channels * (bits / 8)), data)
+          if (bits != 8 && bits != 16)
+            fail(s"bits-per-sample $bits unsupported (8 or 16)")
+          if (channels > 2)
+            fail(s"$channels channels unsupported (mono or stereo)")
+          val frameBytes = channels * (bits / 8)
+          if (data.length % frameBytes != 0)
+            fail(s"data size ${data.length} not a multiple of the " +
+              s"$frameBytes-byte frame")
+          val frames = data.length / frameBytes
+          // normalized PCM8 stream: one unsigned byte per frame.
+          // Stereo downmix (l + r) >> 1 BEFORE the 16-bit >> 8
+          // downconversion — both arithmetic shifts are floor
+          // divisions, so the composed rule is floor((l + r) / 512)
+          // + 128, restatable exactly in the oracle
+          val pcm8 =
+            if (bits == 8 && channels == 1) data
+            else {
+              val out = new Array[Byte](frames)
+              var fi = 0
+              while (fi < frames) {
+                val base = fi * frameBytes
+                val v =
+                  if (bits == 8) {
+                    val l = data(base) & 0xFF
+                    val r = data(base + 1) & 0xFF
+                    (l + r) >> 1
+                  } else {
+                    def s16(off: Int): Int =
+                      ((data(off) & 0xFF) | (data(off + 1) << 8)).toShort.toInt
+                    val m =
+                      if (channels == 1) s16(base)
+                      else (s16(base) + s16(base + 2)) >> 1
+                    (m >> 8) + 128
+                  }
+                out(fi) = v.toByte
+                fi += 1
+              }
+              out
+            }
+          Row(id, rate, channels, bits, frames.toLong, data, pcm8)
         }
       }(enc)
   }

@@ -156,6 +156,29 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // d21's PRE-BLOCKED face (the budget escape hatch): containment
+    // sought only within equal `source` — the stated domain assumption
+    // that excerpts never cross sources. Exact within each block
+    // (excerpt twins inherit their base doc's source, so every
+    // base↔excerpt pair survives); candidate volume drops to the
+    // per-block sums (~1/B on B spread blocks — the measured d21 30×
+    // guard-trip margin was 1.47×, well inside one block's savings).
+    "d26_blocked_containment" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+        .select("doc_id", "text", "source")
+      requireDisjointShift(docs, "doc_id", 1000000L)
+      val corpus = docs.unionByName(docs.select(
+        (col("doc_id") + 1000000).as("doc_id"),
+        expr("substring(text, 1, greatest(length(text) div 2, 8))")
+          .as("text"),
+        col("source")))
+      Dedup.containmentPairs(corpus, "doc_id", "text",
+          tauNum = 9, tauDen = 10,
+          tokens = t => array_distinct(Dedup.shingleHashes(t)),
+          blockBy = Some(col("source")))
+        .orderBy("id_a", "id_b")
+    }),
+
     // the d16 settle pattern for the CONTAINMENT family: the persisted
     // index (history tokens/prefixes/df under the FROZEN history-df
     // order — the prefix theorem holds for ANY shared total order, so
@@ -538,12 +561,12 @@ object DedupQueries {
     * pipeline oracle (the d06/d07 pattern at three consumers), so
     * detection, the rewrite, and the composed flow cannot drift.
     */
-  private[queries] def containmentVerCtes(rel: String): String =
-    s"""toks AS (SELECT DISTINCT doc_id AS id,
-       |    unnest(list_transform(generate_series(1, greatest(length(text) - ${Dedup.ShingleK - 1}, 1), ${Dedup.ShingleStride}),
-       |      i -> $shinglePoly)) AS tok
-       |  FROM $rel),
-       |dfreq AS (SELECT tok, count(*) AS df FROM toks GROUP BY 1),
+  /** The containment verify chain AFTER the `toks(id, tok)` CTE —
+    * shared by the plain (d21/d22) and block-qualified (d26) corpora,
+    * which differ only in how `toks` is built.
+    */
+  private def containmentVerTail: String =
+    s"""dfreq AS (SELECT tok, count(*) AS df FROM toks GROUP BY 1),
        |sized AS (SELECT id, count(*) AS n FROM toks GROUP BY 1),
        |ranked AS (SELECT t.id, t.tok, s.n,
        |    row_number() OVER (PARTITION BY t.id ORDER BY d.df, t.tok) AS rn
@@ -557,6 +580,28 @@ object DedupQueries {
        |    len(list_intersect(a.ts, b.ts)) AS inter,
        |    len(a.ts) AS n_a
        |  FROM cand c JOIN arrs a ON a.id = c.id_a JOIN arrs b ON b.id = c.id_b)""".stripMargin
+
+  private[queries] def containmentVerCtes(rel: String): String =
+    s"""toks AS (SELECT DISTINCT doc_id AS id,
+       |    unnest(list_transform(generate_series(1, greatest(length(text) - ${Dedup.ShingleK - 1}, 1), ${Dedup.ShingleStride}),
+       |      i -> $shinglePoly)) AS tok
+       |  FROM $rel),
+       |$containmentVerTail""".stripMargin
+
+  /** d26's block-qualified twin: tok ↦ blockKey·2³² + tok over a
+    * relation carrying `source` — the engine's `blockBy` rule
+    * restated verbatim (md5-derived 32-bit key, disjoint token
+    * spaces per block), so the whole verify chain is reused.
+    */
+  private def containmentVerCtesBlocked(rel: String): String =
+    s"""rawtoks AS (SELECT DISTINCT doc_id AS id,
+       |    ('0x' || substr(md5(source), 1, 8))::BIGINT % 2147483648 AS bkey,
+       |    unnest(list_transform(generate_series(1, greatest(length(text) - ${Dedup.ShingleK - 1}, 1), ${Dedup.ShingleStride}),
+       |      i -> $shinglePoly)) AS tok0
+       |  FROM $rel),
+       |toks AS (SELECT DISTINCT id, bkey * 4294967296 + tok0 AS tok
+       |  FROM rawtoks),
+       |$containmentVerTail""".stripMargin
 
   /** d21/d22 shared chain: the excerpt corpus + the verify chain. */
   private val containmentCtes: String =
@@ -839,6 +884,21 @@ object DedupQueries {
     // the division only formats an already-made decision
     "d21_containment_join" ->
       s"""WITH $containmentCtes
+         |SELECT id_a, id_b,
+         |  inter / CAST(n_a AS DOUBLE) AS containment
+         |FROM ver
+         |WHERE inter * 10 >= n_a * 9
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the blocked replay: same excerpt corpus carrying source, tokens
+    // block-qualified bkey·2³² + tok, then the identical verify chain —
+    // cross-source pairs share no qualified tokens BY CONSTRUCTION
+    "d26_blocked_containment" ->
+      s"""WITH all_docs AS (SELECT doc_id, text, source FROM documents
+         |  UNION ALL SELECT doc_id + 1000000,
+         |    substr(text, 1, greatest(length(text) // 2, 8)), source
+         |  FROM documents),
+         |${containmentVerCtesBlocked("all_docs")}
          |SELECT id_a, id_b,
          |  inter / CAST(n_a AS DOUBLE) AS containment
          |FROM ver

@@ -192,6 +192,41 @@ object MultimodalQueries {
         .orderBy("media_id")
     }),
 
+    // m11's 16-BIT + STEREO face: real corpora are 16-bit PCM, so the
+    // codec round-trips signed 16-bit samples (stereo for 2/3 of the
+    // media — the stereo probe — mono for the rest), and the decoder's
+    // normalized `pcm8` stream ((l+r)>>1 downmix then (s>>8)+128
+    // downconversion, both floor divisions so the oracle restates them
+    // as floor() arithmetic) feeds the UNCHANGED m05 energy operator.
+    "m12_wav16_stereo_roundtrip" -> ((s, d) => {
+      val spec = Tables.load(s, d, "documents").where(col("doc_id") < 300)
+        .select(col("doc_id").as("media_id"))
+        .withColumn("sample_rate",
+          (lit(16000) + (col("media_id") % 2) * 28100).cast("int"))
+        .withColumn("n", (lit(80) + (col("media_id") % 4) * 40).cast("int"))
+        .withColumn("left", expr(
+          """transform(sequence(0, n - 1),
+            |  i -> CAST(((media_id * 131 + CAST(i AS BIGINT) * 257) % 65536)
+            |    - 32768 AS INT))""".stripMargin))
+        .withColumn("right", expr(
+          """IF(media_id % 3 = 0, CAST(NULL AS ARRAY<INT>),
+            |  transform(sequence(0, n - 1),
+            |    i -> CAST(((media_id * 37 + CAST(i AS BIGINT) * 101) % 65536)
+            |      - 32768 AS INT)))""".stripMargin))
+      val decoded = Multimodal.decodeWav(Multimodal.encodeWav16(spec))
+        .localCheckpoint(true) // feeds the header stats AND the DSP consumer
+      val pcm8 = decoded.select(col("media_id"), col("pcm8").as("payload"))
+      val energy = Multimodal.windowEnergy(pcm8, windowBytes = 20)
+        .select(col("media_id"), col("n_windows"), col("total_energy"))
+      decoded.select(col("media_id"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("n_channels").cast("long").as("n_channels"),
+          col("bits_per_sample").cast("long").as("bits_per_sample"),
+          col("n_samples"))
+        .join(energy, "media_id")
+        .orderBy("media_id")
+    }),
+
     "m02_media_by_format" -> ((s, d) => {
       val media = Tables.load(s, d, "documents")
         .select(col("doc_id").as("media_id"), col("text").cast("binary").as("payload"))
@@ -379,6 +414,36 @@ object MultimodalQueries {
         |  CAST(n // 50 AS BIGINT) AS n_silence_segments,
         |  CAST(n // 50 AS BIGINT) AS n_silent_windows
         |FROM p ORDER BY media_id""".stripMargin,
+
+    // the sample formulas replayed arithmetically; pcm8 deviation
+    // v = floor((l+r)/512) stereo / floor(l/256) mono (the composed
+    // floor divisions the engine's arithmetic shifts compute), window
+    // energy = Σ v² per 20-frame window
+    "m12_wav16_stereo_roundtrip" ->
+      """WITH p AS (SELECT doc_id AS media_id,
+        |    16000 + (doc_id % 2) * 28100 AS sample_rate,
+        |    80 + (doc_id % 4) * 40 AS n,
+        |    (doc_id % 3) <> 0 AS stereo
+        |  FROM documents WHERE doc_id < 300),
+        |s AS (SELECT media_id, stereo, i,
+        |    ((media_id * 131 + i * 257) % 65536) - 32768 AS l,
+        |    ((media_id * 37 + i * 101) % 65536) - 32768 AS r
+        |  FROM p, unnest(generate_series(0, n - 1)) AS g(i)),
+        |b AS (SELECT media_id, i // 20 AS w,
+        |    CASE WHEN stereo THEN CAST(floor((l + r) / 512.0) AS BIGINT)
+        |         ELSE CAST(floor(l / 256.0) AS BIGINT) END AS v
+        |  FROM s),
+        |en AS (SELECT media_id, w, sum(v * v) AS e FROM b GROUP BY 1, 2),
+        |tot AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_windows,
+        |    CAST(sum(e) AS BIGINT) AS total_energy
+        |  FROM en GROUP BY 1)
+        |SELECT p.media_id,
+        |  CAST(p.sample_rate AS BIGINT) AS sample_rate,
+        |  CAST(CASE WHEN p.stereo THEN 2 ELSE 1 END AS BIGINT) AS n_channels,
+        |  CAST(16 AS BIGINT) AS bits_per_sample,
+        |  CAST(p.n AS BIGINT) AS n_samples,
+        |  t.n_windows, t.total_energy
+        |FROM p JOIN tot t USING (media_id) ORDER BY media_id""".stripMargin,
 
     "m02_media_by_format" ->
       s"""WITH $decodeCte

@@ -464,9 +464,37 @@ object SimilarityQueries {
        |FROM hits GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** s04's oracle (round 9 — the last convertible `no_oracle` row):
+    * the native `vec_cosine` expression accumulates dot and both
+    * norms LEFT-TO-RIGHT in double over float-cast elements, then
+    * dot / (sqrt·sqrt) — every step an IEEE correctly-rounded double
+    * op, so an unrolled left-associated 64-term chain over
+    * CAST(embedding[i] AS DOUBLE) replays the score BIT-FOR-BIT
+    * (float→double casts are exact; 0.0 + p₁ ≡ p₁). The window
+    * tie-break is the house (cosine desc, neighbor_id) rule.
+    */
+  private def s04OracleSql: String = {
+    def chain(a: String, b: String) = (1 to 64)
+      .map(i => s"CAST($a.embedding[$i] AS DOUBLE) * CAST($b.embedding[$i] AS DOUBLE)")
+      .mkString(" + ")
+    val dot = chain("q", "c"); val na = chain("q", "q"); val nb = chain("c", "c")
+    s"""WITH scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    CASE WHEN ($na) = 0 OR ($nb) = 0 THEN 0.0
+       |         ELSE ($dot) / (sqrt($na) * sqrt($nb)) END AS cosine
+       |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 8)
+       |SELECT query_id, rank, neighbor_id, cosine FROM (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM scored) t WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "s13_random_projection" -> s13OracleSql,
     "s14_projected_recall" -> s14OracleSql,
+    "s04_topk_native" -> s04OracleSql,
     "s01_topk_bruteforce" ->
       s"""WITH $qCte,
          |n AS (SELECT vec_id, q, CAST(list_dot_product(q, q) AS BIGINT) AS norm FROM qv),

@@ -160,6 +160,39 @@ object XmlIngest {
         .orderBy("pcr_uuid_context")
     }),
 
+    // the reference's FK cascade graph question asked AT the graph
+    // operator (main_ingest.py:607-613 infers parent→child FK edges;
+    // "can this cascade loop?" is exactly SCC over that edge
+    // relation): table-level cascade edges derived from the parsed
+    // forest (distinct parent-table → child-table pairs, the x03
+    // join collapsed to tables), plus ONE planted derived-table
+    // back-edge (eDisposition_12 → EMSDataSet, present iff any
+    // disposition element parsed — trees are acyclic, so the cycle
+    // must be planted to make the check non-vacuous AND stays
+    // data-dependent). The SCC decomposition over table-name ids:
+    // the planted cycle condenses {EMSDataSet, PatientCareReport,
+    // eDisposition_12} into one component, the leaf tags stay
+    // singletons. String ids are safe: both engines order ASCII
+    // table names identically (binary collation).
+    "x06_fk_cascade_scc" -> ((s, d) => {
+      val tall = tallElements(s, d)
+      val names = tall.select(col("element_id"), col("table_name"))
+      val fkEdges = tall.where(col("parent_element_id").isNotNull)
+        .join(names.select(col("element_id").as("parent_element_id"),
+          col("table_name").as("parent_table")), Seq("parent_element_id"))
+        .select(col("parent_table").as("src"),
+          col("table_name").as("dst"))
+        .distinct()
+      val planted = fkEdges.where(col("dst") === "eDisposition_12")
+        .select(col("dst").as("src"), lit("EMSDataSet").as("dst"))
+        .distinct()
+      graft.ops.Graph
+        .stronglyConnectedComponents(fkEdges.unionByName(planted),
+          maxRounds = 16)
+        .select(col("id").as("table_name"), col("scc"))
+        .orderBy("table_name")
+    }),
+
     "x04_ancestor_closure" -> ((s, d) => {
       val tall = tallElements(s, d)
       val names = tall.select(col("element_id"), col("table_name"))
@@ -248,6 +281,34 @@ object XmlIngest {
         |  UNION ALL SELECT 'eDisposition_12', 'EMSDataSet', 2,
         |    count(*) FILTER (WHERE o_orderstatus = 'F') FROM orders
         |) ORDER BY descendant_table, ancestor_table, depth""".stripMargin,
+
+    // SEMANTIC statement (the g09 rule): scc(v) = min over {v} ∪
+    // {u : u →* v ∧ v →* u} via a recursive closure — the edge set
+    // restated from orders (each row present iff its element parses:
+    // the eDisposition edges and the planted back-edge exist iff any
+    // 'F'-status order exists), no trace of the coloring algorithm
+    "x06_fk_cascade_scc" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT 'EMSDataSet' AS src, 'PatientCareReport' AS dst
+        |    WHERE EXISTS (SELECT 1 FROM orders)
+        |  UNION ALL SELECT 'PatientCareReport', 'eTimes_01'
+        |    WHERE EXISTS (SELECT 1 FROM orders)
+        |  UNION ALL SELECT 'PatientCareReport', 'ePayment_50'
+        |    WHERE EXISTS (SELECT 1 FROM orders)
+        |  UNION ALL SELECT 'PatientCareReport', 'eDisposition_12'
+        |    WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderstatus = 'F')
+        |  UNION ALL SELECT 'eDisposition_12', 'EMSDataSet'
+        |    WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderstatus = 'F')
+        |),
+        |reach AS (SELECT src AS s, dst AS d FROM e
+        |  UNION SELECT reach.s, e.dst FROM reach JOIN e ON reach.d = e.src),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |mut AS (SELECT a.s AS u, a.d AS v FROM reach a
+        |  JOIN reach b ON a.s = b.d AND a.d = b.s)
+        |SELECT n.id AS table_name,
+        |  least(n.id, coalesce(min(m.v), n.id)) AS scc
+        |FROM nodes n LEFT JOIN mut m ON m.u = n.id
+        |GROUP BY n.id ORDER BY table_name""".stripMargin,
 
     "x02_xml_value_roundtrip" ->
       """SELECT strftime(o_orderdate, '%Y') AS order_year,

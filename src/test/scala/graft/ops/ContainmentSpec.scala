@@ -204,6 +204,50 @@ class ContainmentSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("disjoint"), e.getMessage)
   }
 
+  test("blockBy == union of per-block runs; cross-block pairs are out of scope") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val vocab = ('a' to 'j').map(_.toString)
+    // two blocks SHARING texts: unblocked finds cross-block pairs,
+    // blocked must not — and within each block must match a solo run
+    val base = (1L to 30L).map { i =>
+      val n = 3 + rnd.nextInt(6)
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val docs = base.map { case (i, t) => (i, t, "blockA") } ++
+      base.map { case (i, t) => (i + 100L, t, "blockB") }
+    val toks: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      t => array_distinct(Dedup.shingleHashes(t))
+    def pairsOf(df: org.apache.spark.sql.DataFrame,
+        block: Option[org.apache.spark.sql.Column]) =
+      Dedup.containmentPairs(df, "doc_id", "text", tauNum = 3, tauDen = 5,
+          tokens = toks, blockBy = block)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = docs.toDF("doc_id", "text", "source")
+    val blocked = pairsOf(all, Some(col("source")))
+    val soloA = pairsOf(all.where(col("source") === "blockA"), None)
+    val soloB = pairsOf(all.where(col("source") === "blockB"), None)
+    assert(blocked == (soloA ++ soloB))
+    // the unblocked run DOES see cross-block pairs (every doc has an
+    // exact twin in the other block), proving the blocked run pruned
+    // real candidates rather than matching vacuously
+    val unblocked = pairsOf(all, None)
+    assert(unblocked.exists { case (a, b) => (a < 100L) != (b < 100L) })
+    assert(blocked.forall { case (a, b) => (a < 100L) == (b < 100L) })
+  }
+
+  test("blockBy refuses non-integer tokenizers loudly") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq((1L, "a b c", "s1")).toDF("doc_id", "text", "source")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.containmentPairs(docs, "doc_id", "text", tauNum = 1, tauDen = 2,
+        blockBy = Some(col("source")))
+    }
+    assert(e.getMessage.contains("integer-hash tokenizer"))
+  }
+
   test("empty docs and doubled spaces produce no phantom tokens or pairs") {
     import spark.implicits._
     val docs = Seq(

@@ -33,6 +33,17 @@ class SccLpaSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
+  test("empty or all-null edge input yields an EMPTY (id, scc) relation, not null") {
+    import spark.implicits._
+    val empty = runScc(Seq.empty)
+    assert(empty.isEmpty)
+    val allNull = Graph.stronglyConnectedComponents(
+        Seq((Option.empty[Long], Option.empty[Long]))
+          .toDF("src", "dst"))
+    assert(allNull.columns.toSeq == Seq("id", "scc"))
+    assert(allNull.count() == 0L)
+  }
+
   test("planted cycles: two rings joined by a one-way bridge stay separate SCCs") {
     // ring 1-2-3-1, ring 5-6-7-5, bridge 3 -> 5 (one-way: no merge),
     // plus a dangling tail 7 -> 9 (singleton)

@@ -81,6 +81,83 @@ class WavCodecSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("16-bit mono round-trips header + pcm8 = (s >> 8) + 128 per sample") {
+    import spark.implicits._
+    val left = Seq(-32768, -256, -255, -1, 0, 255, 256, 32767)
+    val spec = Seq((3L, 22050, left, Option.empty[Seq[Int]]))
+      .toDF("media_id", "sample_rate", "left", "right")
+    val got = Multimodal.decodeWav(Multimodal.encodeWav16(spec)).head()
+    assert(got.getInt(1) == 22050 && got.getInt(2) == 1 && got.getInt(3) == 16)
+    assert(got.getLong(4) == left.length.toLong)
+    val want = left.map(s => ((s >> 8) + 128) & 0xFF)
+    assert(got.getAs[Array[Byte]](6).map(_ & 0xFF).toSeq == want)
+    // raw pcm survives byte-exactly too (LE int16)
+    val raw = got.getAs[Array[Byte]](5)
+    val back = raw.grouped(2).map(p =>
+      ((p(0) & 0xFF) | (p(1) << 8)).toShort.toInt).toSeq
+    assert(back == left)
+  }
+
+  test("16-bit stereo downmixes pcm8 by the composed floor rule (l+r) >> 1 >> 8") {
+    import spark.implicits._
+    val l = Seq(-32768, 1000, -1001, 32767)
+    val r = Seq(-32768, -999, -1000, 32767)
+    val spec = Seq((4L, 44100, l, Some(r)))
+      .toDF("media_id", "sample_rate", "left", "right")
+    val got = Multimodal.decodeWav(Multimodal.encodeWav16(spec)).head()
+    assert(got.getInt(2) == 2 && got.getInt(3) == 16)
+    assert(got.getLong(4) == l.length.toLong) // frames, not raw samples
+    val want = l.zip(r).map { case (a, b) => ((((a + b) >> 1) >> 8) + 128) & 0xFF }
+    assert(got.getAs[Array[Byte]](6).map(_ & 0xFF).toSeq == want)
+  }
+
+  test("8-bit mono pcm8 IS the pcm stream; stereo 16-bit feeds energy unchanged") {
+    import spark.implicits._
+    val spec8 = Seq((6L, 8000, Seq(1, 2, 3))).toDF("media_id", "sample_rate", "samples")
+    val d8 = Multimodal.decodeWav(Multimodal.encodeWav(spec8)).head()
+    assert(d8.getAs[Array[Byte]](5).toSeq == d8.getAs[Array[Byte]](6).toSeq)
+    // constant stereo (l = r = 512) -> pcm8 byte 130, per-window energy 2²·w
+    val n = 40
+    val spec16 = Seq((8L, 16000, Seq.fill(n)(512), Some(Seq.fill(n)(512))))
+      .toDF("media_id", "sample_rate", "left", "right")
+    val pcm8 = Multimodal.decodeWav(Multimodal.encodeWav16(spec16))
+      .select(col("media_id"), col("pcm8").as("payload"))
+    val e = Multimodal.windowEnergy(pcm8, windowBytes = 20).head()
+    assert(e.getLong(1) == 2L && e.getLong(2) == n.toLong * 4)
+  }
+
+  test("encodeWav16 refuses out-of-range samples and mismatched stereo lengths") {
+    import spark.implicits._
+    val over = intercept[Exception] {
+      Multimodal.encodeWav16(Seq((1L, 8000, Seq(32768), Option.empty[Seq[Int]]))
+        .toDF("media_id", "sample_rate", "left", "right")).collect()
+    }
+    assert((Option(over.getCause).map(_.getMessage).getOrElse("") +
+      over.getMessage).contains("media_id 1"))
+    intercept[Exception] {
+      Multimodal.encodeWav16(Seq((2L, 8000, Seq(1, 2), Some(Seq(1))))
+        .toDF("media_id", "sample_rate", "left", "right")).collect()
+    }
+  }
+
+  test("decode refuses unsupported bit widths and channel counts loudly") {
+    import spark.implicits._
+    val wav = Multimodal.encodeWav16(
+        Seq((9L, 8000, Seq(1, 2, 3, 4), Option.empty[Seq[Int]]))
+          .toDF("media_id", "sample_rate", "left", "right"))
+      .head().getAs[Array[Byte]](1)
+    // fmt chunk starts at offset 12; bits-per-sample at 12+8+14 = 34,
+    // channels at 12+8+2 = 22
+    def patched(off: Int, v: Int) = wav.updated(off, v.toByte)
+    for (bad <- Seq(patched(34, 24), patched(22, 3))) {
+      val e = intercept[Exception] {
+        Multimodal.decodeWav(Seq((9L, bad)).toDF("media_id", "payload")).collect()
+      }
+      val msg = Option(e.getCause).map(_.getMessage).getOrElse("") + e.getMessage
+      assert(msg.contains("media_id 9"), msg)
+    }
+  }
+
   test("out-of-range samples and bad rates are refused at encode time") {
     import spark.implicits._
     intercept[Exception] {
