@@ -127,6 +127,50 @@ object Graph {
           .select(col("node"), coalesce(col("__seed"), lit(Scale)).as("__r"))
     }
 
+  /** Personalized PageRank (g11): the teleport mass lands only on the
+    * SEED set — rank(v) = [v ∈ S]·(1−d)·Scale + d·Σ in-contributions —
+    * so ranks measure proximity TO the seeds (random walks restart at
+    * S, never uniformly), the seed-relative relevance a
+    * recommendation / similar-entity query runs where global
+    * PageRank's uniform teleport would wash the locality out. Same
+    * deterministic integer machinery as [[pageRank]] (Scale units,
+    * integer-division contributions, order-independent sums —
+    * bit-identical across engines/partitionings/retries; the oracle
+    * replays the k-superstep unroll with the seed-conditional base);
+    * non-seed nodes unreachable from S converge to exactly 0. Each
+    * superstep is one rank⋈edge equi-join + one map-side-combined
+    * sum; the seed flag rides the checkpointed node relation, so
+    * personalization adds no extra join.
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      iterations: Int = 5): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val od = e.groupBy("src").agg(count(lit(1)).as("__od"))
+    val ewd = e.join(od, "src")
+      .select(col("src"), col("dst"), col("__od")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+    val flagged = nodes
+      .join(seeds.select(col("node")).distinct().withColumn("__s", lit(1L)),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("__s"), lit(0L)).as("__s"))
+      .localCheckpoint(true)
+    val baseVal = Scale * (DampDen - DampNum) / DampDen
+    var ranks = flagged.select(col("node"), (col("__s") * Scale).as("__r"))
+    for (_ <- 1 to iterations) {
+      val inc = ranks.join(ewd, ranks("node") === ewd("src"))
+        .select(col("dst"),
+          expr(s"($DampNum * __r) div ($DampDen * __od)").as("__c"))
+        .groupBy("dst").agg(sum(col("__c")).as("__inc"))
+      ranks = flagged.join(inc, flagged("node") === inc("dst"), "left")
+        .select(col("node"),
+          (col("__s") * baseVal + coalesce(col("__inc"), lit(0L))).as("__r"))
+    }
+    ranks.select(col("node"), col("__r").as("pagerank"))
+  }
+
   /** [[pageRank]] with a residual stop for callers who need CONVERGED
     * ranks rather than a fixed-depth approximation: supersteps run in
     * blocks of `checkEvery`, and after each block one extra action

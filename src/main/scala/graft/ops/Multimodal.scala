@@ -536,6 +536,43 @@ object Multimodal {
         "segment_energy")
   }
 
+  /** Scene-change segmentation over a frame-stride payload (m13) —
+    * the video CUT detector composing the m07 frame layout with the
+    * m10 island machinery: each strideBytes frame gets the native
+    * codegen'd energy signature (one fused byte loop, window =
+    * frame), consecutive frames whose |Δenergy| exceeds `minDelta`
+    * mark a cut, and scenes are the runs between cuts — scene_idx =
+    * the running cut count per media (one per-media cumulative
+    * window over frame order, never a global sort), one groupBy
+    * emits (media_id, scene_idx, start_frame, end_frame, n_frames,
+    * scene_energy). The ffmpeg `select='gt(scene,t)'` shape on the
+    * house deterministic-integer signature. Payload bytes never
+    * shuffle — only (media_id, frame_idx, energy) rows travel.
+    */
+  def sceneSegments(media: DataFrame, strideBytes: Int,
+      minDelta: Long): DataFrame = {
+    require(strideBytes >= 1, s"strideBytes must be >= 1, got $strideBytes")
+    require(minDelta >= 0, s"minDelta must be >= 0, got $minDelta")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame_idx")
+    media.select(col("media_id"),
+        posexplode(graft.functions.MediaExpressions
+          .pcm8_window_energy(col("payload"), strideBytes)))
+      .select(col("media_id"), col("pos").cast("long").as("frame_idx"),
+        col("col").as("energy"))
+      .withColumn("__prev", lag("energy", 1).over(w))
+      .withColumn("__cut",
+        when(col("__prev").isNotNull &&
+          abs(col("energy") - col("__prev")) > minDelta, 1L).otherwise(0L))
+      .withColumn("scene_idx", sum("__cut").over(w))
+      .groupBy("media_id", "scene_idx")
+      .agg(min("frame_idx").as("start_frame"),
+        max("frame_idx").as("end_frame"),
+        count(lit(1)).as("n_frames"), sum("energy").as("scene_energy"))
+      .select("media_id", "scene_idx", "start_frame", "end_frame",
+        "n_frames", "scene_energy")
+  }
+
   /** Perceptual near-dup pairs over binary payloads — aHash (average
     * hash), the classic perceptual-dedup primitive (LAION-style image
     * dedup runs exactly this family): thumbnail each payload to 32

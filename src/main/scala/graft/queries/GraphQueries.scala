@@ -207,6 +207,22 @@ object GraphQueries {
         .orderBy("user_id")
     }),
 
+    // personalized PageRank from the user_id % 5 == 0 seed cohort —
+    // ranks measure proximity TO the seeds (walks restart at S), the
+    // seed-relative relevance query global PageRank's uniform teleport
+    // washes out; unreachable nodes land at exactly 0 (integer ranks
+    // make that statement precise). Oracle = the 5-superstep unroll
+    // with the seed-conditional base.
+    "g11_personalized_pagerank" -> ((s, d) => {
+      val es = edges(s, d)
+      val seeds = es.select(col("src").as("node"))
+        .union(es.select(col("dst").as("node")))
+        .where(pmod(col("node"), lit(5L)) === 0).distinct()
+      Graph.personalizedPageRank(es, seeds, iterations = 5)
+        .select(col("node").as("user_id"), col("pagerank"))
+        .orderBy("user_id")
+    }),
+
     // LPA communities over the s15 k-NN graph — the SemDeDup-adjacent
     // clustering the graph exists to feed: synchronous integer votes,
     // smallest-label ties, 4 supersteps (part of the contract, the
@@ -299,6 +315,34 @@ object GraphQueries {
     },
 
     "g01_user_pagerank" -> pagerankSql(5),
+
+    // the g01 unroll with the seed-conditional base: r0 = Scale on
+    // seeds / 0 elsewhere, each step's teleport term gated by the
+    // same node % 5 = 0 predicate the engine's seed relation states
+    "g11_personalized_pagerank" -> {
+      val iters = (1 to 5).map { i =>
+        val prev = s"r${i - 1}"
+        s"""r$i AS (SELECT n.node,
+           |  CAST(CASE WHEN n.node % 5 = 0 THEN 150000 ELSE 0 END
+           |    + COALESCE(s.inc, 0) AS BIGINT) AS r
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS node,
+           |      CAST(sum((85 * p.r) // (100 * od.od)) AS BIGINT) AS inc
+           |    FROM e JOIN $prev p ON e.src = p.node
+           |      JOIN od ON e.src = od.src
+           |    GROUP BY 1) s ON n.node = s.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $edgeCtes,
+         |nodes AS (SELECT DISTINCT node FROM
+         |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         |od AS (SELECT src, count(*) AS od FROM e GROUP BY 1),
+         |r0 AS (SELECT node,
+         |  CAST(CASE WHEN node % 5 = 0 THEN 1000000 ELSE 0 END AS BIGINT) AS r
+         |  FROM nodes),
+         |$iters
+         |SELECT node AS user_id, r AS pagerank FROM r5
+         |ORDER BY user_id""".stripMargin
+    },
 
     // resume(5 from 5) == cold(10) for the deterministic integer
     // superstep, so the warm-start oracle IS the 10-superstep unroll

@@ -227,6 +227,19 @@ object MultimodalQueries {
         .orderBy("media_id")
     }),
 
+    // scene-change segmentation — the video cut detector over the m07
+    // frame layout: per-frame integer energy signatures, a cut where
+    // |Δenergy| > 5000 between consecutive frames, scenes = runs
+    // between cuts via a per-media running cut count
+    "m13_scene_segments" -> ((s, d) => {
+      val media = Tables.load(s, d, "documents")
+        .where(length(col("text")) > 0)
+        .select(col("doc_id").as("media_id"),
+          col("text").cast("binary").as("payload"))
+      Multimodal.sceneSegments(media, strideBytes = 100, minDelta = 5000L)
+        .orderBy("media_id", "scene_idx")
+    }),
+
     "m02_media_by_format" -> ((s, d) => {
       val media = Tables.load(s, d, "documents")
         .select(col("doc_id").as("media_id"), col("text").cast("binary").as("payload"))
@@ -444,6 +457,35 @@ object MultimodalQueries {
         |  CAST(p.n AS BIGINT) AS n_samples,
         |  t.n_windows, t.total_energy
         |FROM p JOIN tot t USING (media_id) ORDER BY media_id""".stripMargin,
+
+    // same hex byte extraction and integer energy as m05, then the
+    // cut/run windows restated verbatim (lag + running sum)
+    "m13_scene_segments" ->
+      """WITH media AS (SELECT doc_id AS media_id, hex(encode(text)) AS hxp,
+        |    octet_length(encode(text)) AS n
+        |  FROM documents WHERE length(text) > 0),
+        |f AS (SELECT media_id, i - 1 AS frame_idx,
+        |    substr(hxp, (i - 1) * 200 + 1, 200) AS hx
+        |  FROM media,
+        |    unnest(generate_series(1, greatest(n // 100, 1))) AS g(i)),
+        |en AS (SELECT media_id, frame_idx,
+        |    CAST(list_sum(list_transform(generate_series(1, length(hx) // 2),
+        |      j -> (('0x' || substr(hx, 2 * j - 1, 2))::BIGINT - 128)
+        |         * (('0x' || substr(hx, 2 * j - 1, 2))::BIGINT - 128))) AS BIGINT) AS energy
+        |  FROM f),
+        |cuts AS (SELECT media_id, frame_idx, energy,
+        |    CASE WHEN lag(energy) OVER w IS NOT NULL
+        |          AND abs(energy - lag(energy) OVER w) > 5000
+        |      THEN 1 ELSE 0 END AS cut
+        |  FROM en WINDOW w AS (PARTITION BY media_id ORDER BY frame_idx)),
+        |sc AS (SELECT media_id, frame_idx, energy,
+        |    CAST(sum(cut) OVER (PARTITION BY media_id
+        |      ORDER BY frame_idx) AS BIGINT) AS scene_idx
+        |  FROM cuts)
+        |SELECT media_id, scene_idx,
+        |  min(frame_idx) AS start_frame, max(frame_idx) AS end_frame,
+        |  count(*) AS n_frames, CAST(sum(energy) AS BIGINT) AS scene_energy
+        |FROM sc GROUP BY 1, 2 ORDER BY media_id, scene_idx""".stripMargin,
 
     "m02_media_by_format" ->
       s"""WITH $decodeCte

@@ -40,6 +40,28 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(r === Map(1L -> 150000L, 2L -> 213750L, 3L -> 213750L))
   }
 
+  test("personalizedPageRank: teleport lands only on seeds; unreachable nodes are exactly 0") {
+    // seed {1}: 1 -> 2, and an ISOLATED pair 3 -> 4 unreachable from
+    // the seed. r0: 1=Scale, others 0.
+    // iter1: r(1)=150000, r(2)=0+85*1000000/100=850000, r(3)=r(4)=0
+    // iter2: r(2)=85*150000/100=127500; stable from iter3 on
+    val e = Seq(1L -> 2L, 3L -> 4L).toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val r = Graph.personalizedPageRank(e, seeds, iterations = 5).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r === Map(1L -> 150000L, 2L -> 127500L, 3L -> 0L, 4L -> 0L))
+  }
+
+  test("personalizedPageRank with ALL nodes seeded equals plain pageRank") {
+    val e = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 1L -> 3L).toDF("src", "dst")
+    val all = Seq(1L, 2L, 3L).map(Tuple1(_)).toDF("node")
+    val plain = Graph.pageRank(e, iterations = 6).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val pers = Graph.personalizedPageRank(e, all, iterations = 6).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(pers === plain)
+  }
+
   test("a 2-cycle is the exact fixpoint (mass conserved by integer division)") {
     val e = Seq(1L -> 2L, 2L -> 1L).toDF("src", "dst")
     val r = Graph.pageRank(e, iterations = 7).collect()

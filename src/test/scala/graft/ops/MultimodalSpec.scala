@@ -119,4 +119,25 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       .digest(hexIjkl.getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(out.find(t => t._1 == 1L && t._2 == 2L).get._3 === md)
   }
+
+  test("sceneSegments: cuts where |Δenergy| > minDelta split frame runs into scenes") {
+    import spark.implicits._
+    // frames of 4 bytes: A = all-128 (energy 0), B = all-138
+    // (energy 4·10² = 400); layout A A B B A with minDelta 100 ->
+    // cuts at frames 2 and 4 -> scenes [0,1] [2,3] [4,4]
+    val a = Array.fill(4)(128.toByte); val b = Array.fill(4)(138.toByte)
+    val payload = a ++ a ++ b ++ b ++ a
+    val media = Seq((1L, payload)).toDF("media_id", "payload")
+    val out = Multimodal.sceneSegments(media, strideBytes = 4, minDelta = 100L)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .sortBy(_._1)
+    assert(out.toSeq === Seq(
+      (0L, 0L, 1L, 2L, 0L), (1L, 2L, 3L, 2L, 800L), (2L, 4L, 4L, 1L, 0L)))
+    // a constant payload is ONE scene regardless of length
+    val const = Seq((2L, Array.fill(40)(200.toByte))).toDF("media_id", "payload")
+    val one = Multimodal.sceneSegments(const, strideBytes = 4, minDelta = 0L)
+      .collect()
+    assert(one.length == 1 && one.head.getLong(4) == 10L)
+  }
 }
