@@ -171,7 +171,10 @@ object Plans {
     // (hierarchy edge join into the decomposition)
     "g09_scc", "g10_knn_communities", "d25_exact_dup_spans_hashed",
     "m11_wav_roundtrip", "m12_wav16_stereo_roundtrip",
-    "d26_blocked_containment", "x06_fk_cascade_scc")
+    "d26_blocked_containment", "x06_fk_cascade_scc",
+    // g11 personalized PageRank (seed-flagged superstep joins), m13
+    // scene segmentation (per-media lag + running-sum windows)
+    "g11_personalized_pagerank", "m13_scene_segments")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")
