@@ -174,7 +174,15 @@ object Plans {
     "d26_blocked_containment", "x06_fk_cascade_scc",
     // g11 personalized PageRank (seed-flagged superstep joins), m13
     // scene segmentation (per-media lag + running-sum windows)
-    "g11_personalized_pagerank", "m13_scene_segments")
+    "g11_personalized_pagerank", "m13_scene_segments",
+    // round 9: g12 HyperBall (edges⋈registers equi-join + (id, bucket)
+    // max-merge per round — constant sketch state per node), d27 CDC
+    // chunk dedup (one generated pass per doc, then chunk-hash groupBy
+    // + per-source stats join)
+    "g12_hyperball_nf", "d27_cdc_chunks",
+    // c22 hard negatives (broadcast anchors over the corpus scan +
+    // per-anchor top-k window)
+    "c22_hard_negatives")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

@@ -259,6 +259,105 @@ case class SimHash32Expr(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Content-defined chunking (the FastCDC/rsync family): split `text`
+  * into variable-size chunks whose boundaries are chosen by CONTENT —
+  * position i ends a chunk when the 32-bit masked polynomial hash of
+  * the w-gram ENDING at i satisfies h ≡ 0 (mod divisor) — so an
+  * insertion or deletion only re-chunks its local neighbourhood,
+  * where fixed-width blocks (m03) shift every subsequent boundary.
+  * This is the storage-dedup primitive (rsync, LBFS, FastCDC) applied
+  * to corpus text: chunk-level dedup finds shared boilerplate between
+  * documents whose offsets differ.
+  *
+  * ONE generated pass per row, O(n): the window hash is maintained by
+  * the exact rolling update h' = (h − code_out·31^(w−1))·31 + code_in
+  * (mod 2^32 — Java wrap-around masked to 32 bits), which equals the
+  * direct polynomial the DuckDB oracle states position by position.
+  * Expected chunk length ≈ divisor; no min/max clamp — a clamp makes
+  * boundaries history-dependent (sequential state), which would break
+  * the oracle's per-position restatement. The final partial chunk is
+  * emitted unless a boundary fell exactly at the end; empty text →
+  * empty array. BMP contract as ShingleHash32 (UTF-16 units == the
+  * oracle's codepoints).
+  */
+case class CdcChunks(child: Expression, w: Int, divisor: Int)
+    extends UnaryExpression {
+  require(w >= 2 && w <= 10, "window must be in 2..10 (oracle BIGINT bound, as ShingleHash32)")
+  require(divisor >= 2, "divisor must be >= 2 (1 would cut at every position)")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string argument")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "cdc_chunks"
+
+  /** 31^(w−1) mod 2^32 — the outgoing-character weight. */
+  private val outPow: Long =
+    (1 until w).foldLeft(1L)((acc, _) => (acc * 31L) & 0xFFFFFFFFL)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.toString
+    val n = s.length
+    val chunks = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.unsafe.types.UTF8String]
+    var h = 0L
+    var start = 0
+    var i = 0
+    while (i < n) {
+      // drop the outgoing character from H(i−1) BEFORE the multiply-add
+      // (afterwards its weight would already be 31^w, not 31^(w−1))
+      if (i >= w) h = (h - (s.charAt(i - w) * outPow & 0xFFFFFFFFL)) & 0xFFFFFFFFL
+      h = (h * 31L + s.charAt(i)) & 0xFFFFFFFFL
+      if (i >= w - 1 && h % divisor == 0) {
+        chunks += org.apache.spark.unsafe.types.UTF8String
+          .fromString(s.substring(start, i + 1))
+        start = i + 1
+      }
+      i += 1
+    }
+    if (start < n)
+      chunks += org.apache.spark.unsafe.types.UTF8String
+        .fromString(s.substring(start, n))
+    new GenericArrayData(chunks.toArray[Any])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val s = ctx.freshName("s")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val h = ctx.freshName("h")
+      val start = ctx.freshName("start")
+      val i = ctx.freshName("i")
+      s"""
+         |java.lang.String $s = $a.toString();
+         |int $n = $s.length();
+         |java.util.ArrayList<Object> $out = new java.util.ArrayList<Object>();
+         |long $h = 0L;
+         |int $start = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($i >= $w) {
+         |    $h = ($h - ($s.charAt($i - $w) * ${outPow}L & 0xFFFFFFFFL)) & 0xFFFFFFFFL;
+         |  }
+         |  $h = ($h * 31L + $s.charAt($i)) & 0xFFFFFFFFL;
+         |  if ($i >= ${w - 1} && $h % $divisor == 0) {
+         |    $out.add(org.apache.spark.unsafe.types.UTF8String.fromString(
+         |      $s.substring($start, $i + 1)));
+         |    $start = $i + 1;
+         |  }
+         |}
+         |if ($start < $n) {
+         |  $out.add(org.apache.spark.unsafe.types.UTF8String.fromString(
+         |    $s.substring($start, $n)));
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out.toArray());
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): CdcChunks =
+    copy(child = c)
+}
+
 object TextHashExpressions {
 
   /** The DuckDB statement of the per-token masked rolling hash used by
@@ -301,6 +400,28 @@ object TextHashExpressions {
       org.apache.spark.sql.functions.lit(stride))
   }
 
+  def cdc_chunks(text: Column, w: Int, divisor: Int): Column = {
+    register(SparkSession.active)
+    org.apache.spark.sql.functions.call_function(
+      "cdc_chunks", text,
+      org.apache.spark.sql.functions.lit(w),
+      org.apache.spark.sql.functions.lit(divisor))
+  }
+
+  /** The DuckDB statement of [[CdcChunks]]'s boundary predicate as a
+    * list of 1-based END positions: for each e in w..n, the DIRECT
+    * window polynomial Σ code(text[e−w+j]) · 31^(w−1−j) mod 2^32
+    * (mathematically equal to the engine's rolling update), kept where
+    * ≡ 0 (mod divisor). Literal powers generated from [[polyPowers]]
+    * so the two statements cannot drift.
+    */
+  def cdcBoundsSql(w: Int, divisor: Int, text: String = "text"): String = {
+    val poly = polyPowers(w).zipWithIndex.map { case (pw, j) =>
+      s"CAST(ord(substr($text, (e - ${w - 1} + $j)::INT, 1)) AS BIGINT) * $pw"
+    }.mkString("(", " + ", ") % 4294967296")
+    s"list_filter(generate_series($w, length($text)), e -> $poly % $divisor = 0)"
+  }
+
   /** (name, expression class, builder): the ONE function table both
     * [[register]] and `GraftExtensions` consume.
     */
@@ -309,7 +430,10 @@ object TextHashExpressions {
       es => ShingleHash32(es.head,
         es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])),
     ("bigram_hash32", classOf[BigramHash32], es => BigramHash32(es.head)),
-    ("simhash32", classOf[SimHash32Expr], es => SimHash32Expr(es.head)))
+    ("simhash32", classOf[SimHash32Expr], es => SimHash32Expr(es.head)),
+    ("cdc_chunks", classOf[CdcChunks],
+      es => CdcChunks(es.head,
+        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])))
 
   /** Idempotent per-session registration (resolution goes through the
     * function registry — no private Spark internals).

@@ -655,4 +655,98 @@ object Graph {
     }
     lbl
   }
+
+  /** HyperBall sketch geometry — mirrors the q38 cross-engine HLL
+    * contract (m = 64 registers from the low 6 bits of the 32-bit md5
+    * hash, 26-bit register values, rho ∈ 1..27, harmonic sum kept as
+    * the exact integer Σ 2^(27−rho)) so the per-node sketches below
+    * hash-match a DuckDB replay register by register.
+    */
+  val HbM = 64
+  private val HbValueBits = 26
+
+  /** rho(v) = leading zeros of the 26-bit value + 1 (v = 0 → 27): the
+    * q38 pure-integer threshold ladder — no log2, whose libm rounding
+    * the two engines need not share.
+    */
+  private def hbRho(v: Column): Column =
+    (2 to HbValueBits).foldLeft(
+      when(v >= (1L << (HbValueBits - 1)), 1)) { (acc, i) =>
+      acc.when(v >= (1L << (HbValueBits - i)), i)
+    }.otherwise(HbValueBits + 1)
+
+  /** The same ladder as SQL text — generated, not transcribed (shared
+    * with the g12 oracle so the two ladders cannot drift).
+    */
+  def hbRhoSql(v: String): String =
+    (1 to HbValueBits).map { i =>
+      s"WHEN $v >= ${1L << (HbValueBits - i)} THEN $i"
+    }.mkString("CASE ", " ", s" ELSE ${HbValueBits + 1} END")
+
+  /** HyperBall (Boldi–Vigna 2013): the approximate NEIGHBOURHOOD
+    * FUNCTION — for every node v and radius r, |{u : v →≤r u}| — via
+    * one HLL sketch per node, max-merged along out-edges each round.
+    * This is THE 100 TB way to centralities: the exact ball relation
+    * (g04/x04 closures) is Θ(Σ|ball|) rows — quadratic on dense
+    * graphs — while HyperBall carries a fixed m-register sketch per
+    * node, so a round is one edges⋈registers equi-join + one
+    * (id, bucket) max-aggregation (map-side combinable), whatever the
+    * ball sizes. Common Crawl's published harmonic-centrality ranks
+    * are computed exactly this way.
+    *
+    * DETERMINISM: registers are integer (bucket, rho) pairs under MAX
+    * — order-independent, retry-safe — and the returned harmonic sum
+    * `s_present` = Σ 2^(27−rho) is exact integer, so every row
+    * hash-matches a register-level DuckDB replay (the q38 contract,
+    * per node per radius instead of per source). The float HLL
+    * estimate uses the q38 literal-arithmetic formula, identical text
+    * both engines.
+    *
+    * Returns (id, r, n_regs, s_present, hll_estimate) for r = 0..radius
+    * — r = 0 is the self-only sketch (the calibration row: its
+    * estimate must be ≈1 for every node). Self-loops dropped; rows
+    * with null endpoints dropped. Lineage is checkpointed per round
+    * ([[pageRank]] linear-lineage rule).
+    */
+  def hyperBall(edges: DataFrame, radius: Int): DataFrame = {
+    require(radius >= 1, s"radius must be >= 1, got $radius")
+    val e = edges
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+    var regs = nodes
+      .select(col("id"),
+        graft.ops.Dedup.md5Hash32(col("id").cast("string")).as("h"))
+      .select(col("id"), pmod(col("h"), lit(HbM.toLong)).as("bucket"),
+        hbRho(expr(s"h div $HbM")).as("rho"))
+      .localCheckpoint(true)
+    def stats(rel: DataFrame, r: Int): DataFrame = {
+      val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(HbM.toDouble))
+      rel.groupBy("id").agg(
+        count(lit(1)).as("n_regs"),
+        sum(expr("shiftleft(cast(1 as bigint), cast(27 - rho as int))"))
+          .as("s_present"))
+        .select(col("id"), lit(r.toLong).as("r"), col("n_regs"),
+          col("s_present"),
+          (alpha * lit((HbM * HbM).toDouble) * lit(134217728.0) /
+            (col("s_present") +
+              (lit(HbM.toLong) - col("n_regs")) * lit(134217728L))
+            .cast("double")).as("hll_estimate"))
+    }
+    var out = stats(regs, 0)
+    for (r <- 1 to radius) {
+      regs = regs
+        .unionByName(e
+          .join(regs.select(col("id").as("dst"), col("bucket"), col("rho")),
+            Seq("dst"))
+          .select(col("src").as("id"), col("bucket"), col("rho")))
+        .groupBy("id", "bucket").agg(max(col("rho")).as("rho"))
+        .localCheckpoint(true)
+      out = out.unionByName(stats(regs, r))
+    }
+    out
+  }
 }

@@ -57,6 +57,48 @@ object Similarity {
       k)
   }
 
+  /** Hard-negative mining (contrastive training, c22): for each query
+    * vector, the top-k HIGHEST-cosine vectors whose label DIFFERS —
+    * the negatives a contrastive or triplet loss learns most from —
+    * excluding pairs with cosine > `dupMax`: a near-identical vector
+    * carrying a different label is overwhelmingly LABEL NOISE (the
+    * d05/d13 near-dup finding restated), and training on it as a
+    * negative teaches the model to separate duplicates. Both rules
+    * (label inequality, the dup ceiling) ride the one scored relation;
+    * queries broadcast like [[bruteForceTopK]] (anchors are a sampled
+    * sliver of the corpus), so the corpus never shuffles — at 100 TB
+    * the same shape holds with the s02/s06 bucketed candidate join
+    * replacing the full scan. Cosines are the house quantized-exact
+    * doubles, so the dup ceiling cuts at the same pair in both
+    * engines. Output: (query_id, rank, neighbor_id, neighbor_label,
+    * cosine).
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+      dupMax: Double): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(dupMax > 0.0 && dupMax <= 1.0,
+      s"dupMax must be in (0, 1], got $dupMax")
+    val c = corpus.select(col("vec_id").as("n_id"),
+        col("label").cast("long").as("n_label"),
+        quantize(col("embedding")).as("n_q"))
+      .withColumn("n_norm", normSqQ(col("n_q")))
+    val q = queries.select(col("vec_id").as("query_id"),
+        col("label").cast("long").as("q_label"),
+        quantize(col("embedding")).as("q_q"))
+      .withColumn("q_norm", normSqQ(col("q_q")))
+    val scored = c.join(broadcast(q),
+        col("n_id") =!= col("query_id") && col("n_label") =!= col("q_label"))
+      .withColumn("cosine",
+        cosineQ(col("q_q"), col("n_q"), col("q_norm"), col("n_norm")))
+      .where(col("cosine") <= lit(dupMax))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("n_id").as("neighbor_id"),
+        col("n_label").as("neighbor_label"), col("cosine"))
+  }
+
   /** ANN top-k for any deterministic bucketing function: score only
     * same-bucket vectors (recall < 1 by design — the standard LSH
     * tradeoff; oracles apply the identical rule).

@@ -102,6 +102,30 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // hard-negative mining for contrastive training: per anchor (every
+    // 50th vector), the top-5 highest-cosine DIFFERENT-label vectors
+    // with near-duplicates excluded (cosine > 0.95 ≈ label noise, the
+    // d05/d13 finding applied as a mining rule). The corpus is unioned
+    // with a label-flipped id-shifted copy of itself (the d13 planted-
+    // twin pattern) so the exclusion is non-vacuous: WITHOUT the dup
+    // ceiling every anchor's rank-1 would be its own flipped twin at
+    // cosine 1.0; with it, no twin may surface at all — both engines
+    // state the same ceiling, so the gate proves the rule fires.
+    "c22_hard_negatives" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+        .select("vec_id", "label", "embedding")
+      val maxId = e.agg(max("vec_id")).head().getLong(0)
+      require(maxId < 100000,
+        s"c22's twin-id shift collides: max(vec_id)=$maxId >= 100000 — " +
+          "raise the shift in the query AND its oracle together")
+      val all = e.unionByName(e.select(
+        (col("vec_id") + 100000).as("vec_id"),
+        (col("label") + 1).as("label"), col("embedding")))
+      val anchors = e.where(pmod(col("vec_id"), lit(50L)) === 0)
+      graft.ops.Similarity.hardNegatives(all, anchors, k = 5, dupMax = 0.95)
+        .orderBy("query_id", "rank")
+    }),
+
     // GPT-style concat-and-chunk sequence packing (Curation
     // .sequencePack): the corpus as one token stream cut into fixed
     // 4096-token context windows, docs spanning boundaries — per-doc
@@ -448,6 +472,34 @@ object CurationQueries {
         |SELECT doc_id, source,
         |  row_number() OVER (ORDER BY hv, doc_id) - 1 AS shuffle_pos
         |FROM h ORDER BY doc_id""".stripMargin,
+
+    // the planted-twin corpus (id + 100000, label + 1), then the
+    // label-inequality + dup-ceiling scored join and per-anchor
+    // ranking — quantExpr/cosine shared with the s-family oracles
+    // (one copy), anchors drawn from the REAL corpus only
+    "c22_hard_negatives" ->
+      s"""WITH all_e AS (
+         |  SELECT vec_id, label, embedding FROM embeddings
+         |  UNION ALL SELECT vec_id + 100000, label + 1, embedding
+         |    FROM embeddings),
+         |qv AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |    ${SimilarityQueries.quantExpr} AS q
+         |  FROM all_e),
+         |n AS (SELECT vec_id, label, q,
+         |    CAST(list_dot_product(q, q) AS BIGINT) AS norm FROM qv),
+         |scored AS (
+         |  SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    c.label AS neighbor_label,
+         |    ${SimilarityQueries.cosineSql("qs.q", "c.q", "qs.norm", "c.norm")} AS cosine
+         |  FROM n qs JOIN n c
+         |    ON c.vec_id <> qs.vec_id AND c.label <> qs.label
+         |  WHERE qs.vec_id % 50 = 0 AND qs.vec_id < 100000)
+         |SELECT query_id, rank, neighbor_id, neighbor_label, cosine FROM (
+         |  SELECT query_id, neighbor_id, neighbor_label, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM scored WHERE cosine <= 0.95)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // ONE naive global running sum — the semantic spec the operator's
     // two-pass distributed cumsum must (and does) reproduce exactly

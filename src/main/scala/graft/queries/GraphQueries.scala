@@ -235,6 +235,20 @@ object GraphQueries {
       Graph.labelPropagationCommunities(knn, supersteps = 4)
         .select(col("id").as("vec_id"), col("community"))
         .orderBy("vec_id")
+    }),
+
+    // HyperBall neighbourhood function at radius ≤ 2 — per-node HLL
+    // sketches max-merged along out-edges, the constant-state-per-node
+    // alternative to the g04/x04 exact ball materialization (whose row
+    // count is Σ|ball|, quadratic on dense graphs). Registers and the
+    // harmonic sum are exact integers (the q38 cross-engine HLL
+    // contract), so the oracle replays both merge rounds register by
+    // register; the r = 0 rows are the self-only calibration sketch.
+    "g12_hyperball_nf" -> ((s, d) => {
+      Graph.hyperBall(edges(s, d), radius = 2)
+        .select(col("id").as("user_id"), col("r"), col("n_regs"),
+          col("s_present"), col("hll_estimate"))
+        .orderBy("user_id", "r")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -342,6 +356,46 @@ object GraphQueries {
          |$iters
          |SELECT node AS user_id, r AS pagerank FROM r5
          |ORDER BY user_id""".stripMargin
+    },
+
+    // both HyperBall merge rounds unrolled: pX = own registers UNION
+    // registers pulled across out-edges, rX = per-(id, bucket) max —
+    // the g11 unroll discipline applied to (bucket, rho) sketches.
+    // The rho ladder is GENERATED from the same code as the engine's
+    // (Graph.hbRhoSql), so the two ladders cannot drift; the float
+    // estimate is the q38 literal-arithmetic formula, identical text.
+    "g12_hyperball_nf" -> {
+      val rounds = (1 to 2).map { i =>
+        val prev = s"r${i - 1}"
+        s"""p$i AS (SELECT e2.src AS id, p.bucket, p.rho
+           |    FROM e2 JOIN $prev p ON p.id = e2.dst
+           |  UNION ALL SELECT id, bucket, rho FROM $prev),
+           |r$i AS (SELECT id, bucket, max(rho) AS rho FROM p$i GROUP BY 1, 2)""".stripMargin
+      }.mkString(",\n")
+      val stats = (0 to 2).map { i =>
+        s"""st$i AS (SELECT id, CAST($i AS BIGINT) AS r,
+           |    count(*) AS n_regs,
+           |    CAST(sum(1::BIGINT << (27 - rho)) AS BIGINT) AS s_present
+           |  FROM r$i GROUP BY id)""".stripMargin
+      }.mkString(",\n")
+      val m = Graph.HbM
+      s"""WITH $edgeCtes,
+         |e2 AS (SELECT src, dst FROM e WHERE src <> dst),
+         |n AS (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM e2 UNION ALL SELECT dst FROM e2)),
+         |h AS (SELECT id,
+         |    ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))::BIGINT AS h
+         |  FROM n),
+         |r0 AS (SELECT id, h % $m AS bucket,
+         |    ${Graph.hbRhoSql(s"(h // $m)")} AS rho FROM h),
+         |$rounds,
+         |$stats
+         |SELECT id AS user_id, r, n_regs, s_present,
+         |  0.7213 / (1.0 + 1.079 / $m.0) * ${m * m}.0 * 134217728.0 /
+         |    CAST(s_present + ($m - n_regs) * 134217728 AS DOUBLE) AS hll_estimate
+         |FROM (SELECT * FROM st0 UNION ALL SELECT * FROM st1
+         |      UNION ALL SELECT * FROM st2)
+         |ORDER BY user_id, r""".stripMargin
     },
 
     // resume(5 from 5) == cold(10) for the deterministic integer

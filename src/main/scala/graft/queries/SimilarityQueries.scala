@@ -251,8 +251,14 @@ object SimilarityQueries {
     * (round 2 shipped a rounding divergence in exactly this
     * expression; a fix must reach every oracle that quantizes or none).
     */
-  private val quantExpr =
+  private[queries] val quantExpr =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+
+  /** The cosine statement shared with the c22 oracle (one copy, like
+    * [[quantExpr]]).
+    */
+  private[queries] def cosineSql(aq: String, bq: String, an: String,
+      bn: String): String = cosine(aq, bq, an, bn)
 
   private val qCte =
     s"""qv AS (SELECT vec_id, label,

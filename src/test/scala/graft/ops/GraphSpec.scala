@@ -167,4 +167,52 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(got === Map(1L -> 0L, 7L -> 0L, 2L -> 1L, 3L -> 1L,
       5L -> 1L, 4L -> 2L, 6L -> 2L))
   }
+
+  /** The engine's register derivation replayed in pure Scala: 32-bit
+    * md5 prefix hash, bucket = low 6 bits (mod 64), rho = leading
+    * zeros of the 26-bit value + 1.
+    */
+  private def expectedSketch(ids: Set[Long]): (Long, Long) = {
+    val regs = ids.toSeq.map { id =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(8)
+      val h = java.lang.Long.parseLong(hex, 16)
+      val v = h / 64
+      val rho = (1 to 26).find(i => v >= (1L << (26 - i))).getOrElse(27)
+      (h % 64) -> rho
+    }.groupBy(_._1).map { case (b, rs) => b -> rs.map(_._2).max }
+    (regs.size.toLong, regs.values.map(r => 1L << (27 - r)).sum)
+  }
+
+  test("hyperBall: sketches equal the reachable-set registers on a path graph") {
+    // 1 -> 2 -> 3: out-balls are r0 {v}, r1(1) = {1,2}, r2(1) = {1,2,3}
+    val e = Seq(1L -> 2L, 2L -> 3L).toDF("src", "dst")
+    val got = Graph.hyperBall(e, radius = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val balls = Map(
+      (1L, 0L) -> Set(1L), (2L, 0L) -> Set(2L), (3L, 0L) -> Set(3L),
+      (1L, 1L) -> Set(1L, 2L), (2L, 1L) -> Set(2L, 3L), (3L, 1L) -> Set(3L),
+      (1L, 2L) -> Set(1L, 2L, 3L), (2L, 2L) -> Set(2L, 3L),
+      (3L, 2L) -> Set(3L))
+    assert(got === balls.map { case (k, ids) => k -> expectedSketch(ids) })
+  }
+
+  test("hyperBall: partitioning-invariant and monotone in the radius") {
+    val e = (1L to 40L).map(i => i -> (i % 40 + 1)).toDF("src", "dst")
+    val a = Graph.hyperBall(e, radius = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val b = Graph.hyperBall(e.repartition(7), radius = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(a.toSeq === b.toSeq)
+    // registers only ever max-merge: n_regs never shrinks as r grows
+    val byNode = a.groupBy(_._1._1)
+    byNode.values.foreach { rows =>
+      val ordered = rows.sortBy(_._1._2).map(_._2._1)
+      assert(ordered.zip(ordered.tail).forall { case (x, y) => x <= y })
+    }
+  }
 }

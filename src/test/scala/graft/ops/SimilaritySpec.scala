@@ -182,4 +182,24 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("hardNegatives: same-label excluded, near-dup ceiling fires, ranking by cosine") {
+    import spark.implicits._
+    // anchor 0 (label 0); 1 = same-label twin (must never appear);
+    // 2 = DIFFERENT-label exact twin (cosine 1.0 -> cut by dupMax);
+    // 3, 4 = genuine negatives at decreasing cosine
+    val corpus = Seq(
+      (0L, 0, Array(1.0f, 0.0f, 0.0f)),
+      (1L, 0, Array(1.0f, 0.0f, 0.0f)),
+      (2L, 1, Array(1.0f, 0.0f, 0.0f)),
+      (3L, 1, Array(0.9f, 0.4f, 0.0f)),
+      (4L, 2, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val anchors = corpus.where(col("vec_id") === 0L)
+    val got = Similarity.hardNegatives(corpus, anchors, k = 5, dupMax = 0.95)
+      .collect().map(r => (r.getLong(2), r.getLong(1), r.getLong(3)))
+    // 1 is same-label (excluded by rule), 2 is a flipped-label dup
+    // (excluded by the ceiling); 3 then 4 rank by cosine
+    assert(got.toSeq === Seq((3L, 1L, 1L), (4L, 2L, 2L)))
+  }
 }
