@@ -181,8 +181,10 @@ object Plans {
     // + per-source stats join)
     "g12_hyperball_nf", "d27_cdc_chunks",
     // c22 hard negatives (broadcast anchors over the corpus scan +
-    // per-anchor top-k window)
-    "c22_hard_negatives")
+    // per-anchor top-k window), c23 segment LM filter (chunk explode →
+    // LM joins → per-source ntile → ordered rebuild), m14 decimation
+    // (codec round-trip + codegen'd decimate + dual-rate energy join)
+    "c22_hard_negatives", "c23_segment_lm_filter", "m14_resample_decimate")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

@@ -91,6 +91,59 @@ case class Pcm8WindowEnergy(child: Expression, windowBytes: Int)
     copy(child = c)
 }
 
+/** 2:1 PCM8 decimation in ONE generated pass (m14): output sample j =
+  * ⌊(u(2j) + u(2j+1)) / 2⌋ over UNSIGNED bytes — the box-filter
+  * half-rate resampler (average-then-drop), the cheapest alias-
+  * guarded downsample. Both inputs are non-negative (0..255), so
+  * truncating and floor division agree and the DuckDB oracle's `//`
+  * states the identical value. An odd trailing sample passes through
+  * unaveraged; empty payloads stay empty. Output length = ⌈n/2⌉.
+  */
+case class Pcm8Decimate(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a binary argument")
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "pcm8_decimate"
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    val n = b.length
+    val out = new Array[Byte]((n + 1) / 2)
+    var j = 0
+    while (j < out.length) {
+      val a = b(2 * j) & 0xFF
+      val v = if (2 * j + 1 < n) (a + (b(2 * j + 1) & 0xFF)) / 2 else a
+      out(j) = v.toByte
+      j += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val j = ctx.freshName("j")
+      val x = ctx.freshName("x")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $a.length;
+         |byte[] $out = new byte[($n + 1) / 2];
+         |for (int $j = 0; $j < $out.length; $j++) {
+         |  int $x = $a[2 * $j] & 0xFF;
+         |  int $v = (2 * $j + 1 < $n) ? ($x + ($a[2 * $j + 1] & 0xFF)) / 2 : $x;
+         |  $out[$j] = (byte) $v;
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Pcm8Decimate =
+    copy(child = c)
+}
+
 object MediaExpressions {
 
   def pcm8_window_energy(payload: Column, windowBytes: Int): Column = {
@@ -102,9 +155,15 @@ object MediaExpressions {
 
   /** (name, expression class, builder) — consumed by [[register]] and
     * `GraftExtensions`' aggregate table. */
+  def pcm8_decimate(payload: Column): Column = {
+    register(SparkSession.active)
+    org.apache.spark.sql.functions.call_function("pcm8_decimate", payload)
+  }
+
   val injectable: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
     ("pcm8_window_energy", classOf[Pcm8WindowEnergy],
-      es => Pcm8WindowEnergy(es.head, windowArg(es))))
+      es => Pcm8WindowEnergy(es.head, windowArg(es))),
+    ("pcm8_decimate", classOf[Pcm8Decimate], es => Pcm8Decimate(es.head)))
 
   /** The second argument must be a foldable INT literal — validated
     * with a typed analysis message instead of the opaque

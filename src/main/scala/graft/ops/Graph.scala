@@ -656,6 +656,88 @@ object Graph {
     lbl
   }
 
+  /** [[stronglyConnectedComponents]] for SCHEMA-SIZED graphs: the FK
+    * cascade graph (x06) has one node per TABLE — dozens, whatever
+    * the data volume — so the distributed FW-BW machinery pays ~30
+    * scheduler round-trips per peel round to label a relation that
+    * fits in one partition. This variant collects the edge list
+    * (BOUNDED, enforced loudly — the house bounded-collect rule:
+    * model scalars, k seeds, and here a schema's table graph) and
+    * runs an iterative Tarjan on the driver. Same contract as the
+    * distributed form: (id, scc), scc = the smallest member id,
+    * self-loops and null endpoints dropped — the `SccLpaSpec`
+    * equivalence test pins the two implementations to each other.
+    * Data-scale graphs (g09's event chains) must keep using
+    * [[stronglyConnectedComponents]]; the guard here REFUSES rather
+    * than degrade into a driver bottleneck.
+    */
+  def sccBounded(edges: DataFrame, maxEdges: Int = 100000): DataFrame = {
+    val spark = edges.sparkSession
+    val e0 = edges
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .select(col("src").cast("string"), col("dst").cast("string"))
+      .distinct()
+    val collected = e0.limit(maxEdges + 1).collect()
+    require(collected.length <= maxEdges,
+      s"sccBounded: edge relation exceeds maxEdges=$maxEdges — this " +
+        "entry point is for schema-sized graphs (one node per table); " +
+        "use stronglyConnectedComponents for data-scale graphs.")
+    val es = collected.map(r => (r.getString(0), r.getString(1)))
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+    val adj = es.filter(p => p._1 != p._2).groupBy(_._1)
+      .map { case (s, ps) => s -> ps.map(_._2).sorted.toList }
+    // iterative Tarjan (explicit stack — no recursion depth limit)
+    val index = scala.collection.mutable.HashMap.empty[String, Int]
+    val low = scala.collection.mutable.HashMap.empty[String, Int]
+    val onStack = scala.collection.mutable.HashSet.empty[String]
+    val stack = scala.collection.mutable.ArrayBuffer.empty[String]
+    val comp = scala.collection.mutable.HashMap.empty[String, List[String]]
+    var counter = 0
+    for (root <- nodes if !index.contains(root)) {
+      // explicit DFS frames: fnode(i) with its yet-unscanned successors
+      val fnode = scala.collection.mutable.ArrayBuffer.empty[String]
+      val fsucc = scala.collection.mutable.ArrayBuffer.empty[List[String]]
+      index(root) = counter; low(root) = counter; counter += 1
+      stack += root; onStack += root
+      fnode += root; fsucc += adj.getOrElse(root, Nil)
+      while (fnode.nonEmpty) {
+        val v = fnode.last
+        fsucc.last match {
+          case w :: rest =>
+            fsucc(fsucc.length - 1) = rest
+            if (!index.contains(w)) { // tree edge: descend
+              index(w) = counter; low(w) = counter; counter += 1
+              stack += w; onStack += w
+              fnode += w; fsucc += adj.getOrElse(w, Nil)
+            } else if (onStack(w)) { // back/cross edge into the stack
+              low(v) = math.min(low(v), index(w))
+            }
+          case Nil => // v fully scanned: close the frame
+            if (low(v) == index(v)) {
+              var members = List.empty[String]
+              var done = false
+              while (!done) {
+                val w = stack.remove(stack.length - 1)
+                onStack -= w
+                members = w :: members
+                done = w == v
+              }
+              members.foreach(m => comp(m) = members)
+            }
+            fnode.remove(fnode.length - 1)
+            fsucc.remove(fsucc.length - 1)
+            if (fnode.nonEmpty) {
+              val p = fnode.last
+              low(p) = math.min(low(p), low(v))
+            }
+        }
+      }
+    }
+    val rows = nodes.map(n => (n, comp(n).min))
+    import spark.implicits._
+    rows.toSeq.toDF("id", "scc")
+  }
+
   /** HyperBall sketch geometry — mirrors the q38 cross-engine HLL
     * contract (m = 64 registers from the low 6 bits of the 32-bit md5
     * hash, 26-bit register values, rho ∈ 1..27, harmonic sum kept as

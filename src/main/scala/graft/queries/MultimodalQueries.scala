@@ -257,6 +257,43 @@ object MultimodalQueries {
     // Σ(sample-128)² per 100-byte window, bytes read through hex()
     // identically in both engines, so even this signal-processing
     // query is oracle-exact
+    // 2:1 box-filter decimation (m14): the m11 synthetic corpus run
+    // through encode → decode → pcm8_decimate (average-then-drop in
+    // one generated pass) with the m05 energy profile measured on
+    // BOTH rates — the resample every audio pipeline runs before
+    // feature extraction, as a codegen'd expression instead of a
+    // per-sample shuffle. Unsigned bytes make floor and truncating
+    // division agree, so the oracle's `//` replays each output
+    // sample; the energy windows inherit the m05 full-windows rule
+    // (the decimated stream's partial tail window is dropped by both
+    // engines).
+    "m14_resample_decimate" -> ((s, d) => {
+      val spec = Tables.load(s, d, "documents").where(col("doc_id") < 300)
+        .select(col("doc_id").as("media_id"))
+        .withColumn("sample_rate",
+          (lit(8000) + (col("media_id") % 3) * 4000).cast("int"))
+        .withColumn("samples", expr(
+          """transform(sequence(0, CAST(100 + (media_id % 5) * 50 AS INT) - 1),
+            |  i -> CAST(IF((i div 25) % 2 = 0, 128,
+            |    128 + (media_id + i) % 40) AS INT))""".stripMargin))
+      val decoded = Multimodal.decodeWav(Multimodal.encodeWav(spec))
+        .localCheckpoint(true) // feeds both rates' energy consumers
+      val pcm = decoded.select(col("media_id"), col("pcm").as("payload"))
+      val deci = pcm.select(col("media_id"),
+        graft.functions.MediaExpressions.pcm8_decimate(col("payload"))
+          .as("payload"))
+      val eIn = Multimodal.windowEnergy(pcm, windowBytes = 25)
+        .select(col("media_id"), col("n_windows").as("in_windows"),
+          col("total_energy").as("in_energy"))
+      val eOut = Multimodal.windowEnergy(deci, windowBytes = 25)
+        .select(col("media_id"), col("n_windows").as("out_windows"),
+          col("total_energy").as("out_energy"))
+      decoded.select(col("media_id"), col("n_samples"))
+        .withColumn("n_out", expr("(n_samples + 1) div 2"))
+        .join(eIn, Seq("media_id")).join(eOut, Seq("media_id"))
+        .orderBy("media_id")
+    }),
+
     "m05_audio_energy" -> ((s, d) => {
       val media = Tables.load(s, d, "documents")
         .where(length(col("text")) > 0)
@@ -432,6 +469,38 @@ object MultimodalQueries {
     // v = floor((l+r)/512) stereo / floor(l/256) mono (the composed
     // floor divisions the engine's arithmetic shifts compute), window
     // energy = Σ v² per 20-frame window
+    // the m11 sample formula, each output sample restated as the
+    // pair-average (`//` == the engine's truncating division —
+    // operands non-negative), full-windows energy on both rates
+    "m14_resample_decimate" ->
+      """WITH p AS (SELECT doc_id AS media_id,
+        |    100 + (doc_id % 5) * 50 AS n
+        |  FROM documents WHERE doc_id < 300),
+        |s AS (SELECT media_id, n, i,
+        |    CASE WHEN (i // 25) % 2 = 0 THEN 128
+        |         ELSE 128 + (media_id + i) % 40 END AS v
+        |  FROM p, unnest(generate_series(0, n - 1)) AS g(i)),
+        |d AS (SELECT a.media_id, a.n, a.i // 2 AS j,
+        |    CASE WHEN b.v IS NULL THEN a.v ELSE (a.v + b.v) // 2 END AS v
+        |  FROM s a LEFT JOIN s b
+        |    ON b.media_id = a.media_id AND b.i = a.i + 1
+        |  WHERE a.i % 2 = 0),
+        |ein AS (SELECT media_id,
+        |    CAST(sum((v - 128) * (v - 128)) AS BIGINT) AS in_energy
+        |  FROM s WHERE i < (n // 25) * 25 GROUP BY 1),
+        |eout AS (SELECT media_id,
+        |    CAST(sum((v - 128) * (v - 128)) AS BIGINT) AS out_energy
+        |  FROM d WHERE j < (((n + 1) // 2) // 25) * 25 GROUP BY 1)
+        |SELECT p.media_id,
+        |  CAST(p.n AS BIGINT) AS n_samples,
+        |  CAST((p.n + 1) // 2 AS BIGINT) AS n_out,
+        |  CAST(p.n // 25 AS BIGINT) AS in_windows,
+        |  ein.in_energy,
+        |  CAST(((p.n + 1) // 2) // 25 AS BIGINT) AS out_windows,
+        |  eout.out_energy
+        |FROM p JOIN ein USING (media_id) JOIN eout USING (media_id)
+        |ORDER BY media_id""".stripMargin,
+
     "m12_wav16_stereo_roundtrip" ->
       """WITH p AS (SELECT doc_id AS media_id,
         |    16000 + (doc_id % 2) * 28100 AS sample_rate,

@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.BoundReference
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.BinaryType
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkSpec
 
@@ -55,5 +56,30 @@ class MediaExpressionsSpec extends AnyFunSuite with SparkSpec {
     // a BIGINT literal evals to Long, not Int
     assert(analysisMessage("SELECT pcm8_window_energy(b, 1000000000000) FROM pcm_in")
       .contains("foldable integer literal"))
+  }
+
+  test("pcm8_decimate: pair averages, odd tail passthrough, unsigned bytes, empty, null") {
+    import spark.implicits._
+    def run(bytes: Array[Byte]): Seq[Int] =
+      Seq(Tuple1(bytes)).toDF("b")
+        .select(MediaExpressions.pcm8_decimate(col("b")))
+        .head().getAs[Array[Byte]](0).toSeq.map(_ & 0xFF)
+    // (10+20)/2=15, (30+41)/2=35 (truncating), odd tail 99 unaveraged
+    assert(run(Array[Byte](10, 20, 30, 41, 99)) == Seq(15, 35, 99))
+    // unsigned: 0xFF + 0x01 -> 128, never (-1 + 1)/2 = 0
+    assert(run(Array(0xFF.toByte, 0x01.toByte)) == Seq(128))
+    assert(run(Array.emptyByteArray) == Seq())
+    val n = Seq(Tuple1(null: Array[Byte])).toDF("b")
+      .select(MediaExpressions.pcm8_decimate(col("b"))).head()
+    assert(n.isNullAt(0))
+    // halving twice == quartering the length (composability)
+    val big = Array.tabulate[Byte](101)(i => (i * 7 % 256).toByte)
+    val once = run(big)
+    assert(once.length == 51)
+    val twice = Seq(Tuple1(big)).toDF("b")
+      .select(MediaExpressions.pcm8_decimate(
+        MediaExpressions.pcm8_decimate(col("b"))))
+      .head().getAs[Array[Byte]](0)
+    assert(twice.length == 26)
   }
 }

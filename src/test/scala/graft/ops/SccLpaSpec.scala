@@ -91,6 +91,31 @@ class SccLpaSpec extends AnyFunSuite with SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L), got)
   }
 
+  test("sccBounded: pinned to the distributed decomposition on randomized digraphs; guard refuses") {
+    import spark.implicits._
+    val n = 24
+    for (seed <- Seq(2, 41, 97)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = (1 to 70).map(_ =>
+        (1L + rnd.nextInt(n), 1L + rnd.nextInt(n))).distinct
+        .filter { case (u, v) => u != v }
+      // string ids: sccBounded's contract (the x06 table graph); pad
+      // so string min-order == numeric min-order
+      val sEdges = edges.map { case (u, v) => (f"n$u%03d", f"n$v%03d") }
+        .toDF("src", "dst")
+      val dist = Graph.stronglyConnectedComponents(sEdges, maxRounds = 24)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toSeq.sorted
+      val bounded = Graph.sccBounded(sEdges)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toSeq.sorted
+      assert(bounded == dist, s"seed $seed")
+    }
+    val big = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      Graph.sccBounded(big, maxEdges = 2)
+    }
+    assert(ex.getMessage.contains("maxEdges"))
+  }
+
   test("LPA: a bridge edge joins weak components but NOT communities") {
     import spark.implicits._
     def clique(ids: Seq[Long]) =
