@@ -184,7 +184,10 @@ object Plans {
     // per-anchor top-k window), c23 segment LM filter (chunk explode →
     // LM joins → per-source ntile → ordered rebuild), m14 decimation
     // (codec round-trip + codegen'd decimate + dual-rate energy join)
-    "c22_hard_negatives", "c23_segment_lm_filter", "m14_resample_decimate")
+    "c22_hard_negatives", "c23_segment_lm_filter", "m14_resample_decimate",
+    // s18 multiprobe (exploded probe ring -> bucket equi-join), g13
+    // effective radius (register-round RDD scans -> final-ball join)
+    "s18_multiprobe_topk", "g13_effective_radius")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

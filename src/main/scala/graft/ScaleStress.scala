@@ -278,6 +278,30 @@ object ScaleStress {
           Seq(col("event_type"), date_trunc("hour", col("ts")),
             pmod(col("user_id"), lit(16L))), "user_id", "ts"),
           k = 6, maxRounds = 24)),
+        // HyperBall (r9): per-round cost is one edges⋈registers join +
+        // a (node, bucket) max-merge — state per node is CONSTANT (64
+        // registers), so the curve should track |edges| linearly, the
+        // property that separates it from the quadratic exact closure
+        "g12" -> (() => Graph.hyperBall(Graph.chainEdges(events,
+          Seq(col("event_type"), date_trunc("hour", col("ts"))),
+          "user_id", "ts"), radius = 2)),
+        // CDC chunk dedup (r9): one generated pass per doc + a chunk-
+        // hash groupBy over the ~n/31-row chunk relation — d01's scale
+        // shape; the curve guards against the per-character-explode
+        // regression the operator was designed to avoid
+        "d27" -> (() => {
+          val ck = corpus.select(col("source"),
+            explode(graft.functions.TextHashExpressions
+              .cdc_chunks(col("text"), 8, 31)).as("chunk"))
+          ck.select(col("source"), md5(col("chunk")).as("h"),
+              length(col("chunk")).cast("long").as("len"))
+            .groupBy("source", "h")
+            .agg(count(lit(1)).as("cnt"), min("len").as("len"))
+            .groupBy("source").agg(
+              sum("cnt").as("n_chunks"),
+              count(lit(1)).as("n_distinct_chunks"),
+              sum((col("cnt") - 1) * col("len")).as("dup_chars"))
+        }),
         // the q54/c21 pair, measured side by side (the e14/e15 story
         // for row numbering): the naive global row_number funnels the
         // corpus into ONE task; the two-pass granule form distributes

@@ -124,6 +124,46 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 8): DataFrame =
     bucketedTopK(corpus, queries, k, signBucket(_, bits))
 
+  /** Multiprobe SRP LSH top-k (Lv et al., VLDB 2007): each query
+    * probes its own bucket AND every Hamming-distance-1 neighbour
+    * bucket (flip one sign bit) — the standard way to buy recall
+    * WITHOUT more hash tables: a near neighbour that lands across one
+    * hyperplane (the dominant miss mode — one marginal projection) is
+    * recovered by the flipped probe, so one table at b bits probes
+    * like b+1 tables. The deterministic variant: the full radius-1
+    * ring, not margin-ordered partial probing (which reorders the SAME
+    * candidate set at this T and would need per-query float margins
+    * in the contract). Cost shape: the CORPUS is bucketed and
+    * shuffled once; only the (tiny, broadcast) query side explodes
+    * ×(b+1), and buckets partition the corpus, so probe buckets are
+    * disjoint — no candidate is scored twice and the join stays a
+    * plain bucket equi-join. Recall ordering vs the single-probe s06
+    * at identical planes is spec-gated.
+    */
+  def multiprobeTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      planes: Array[Array[Long]]): DataFrame = {
+    val bits = planes.length
+    def withBucket(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), quantize(col("embedding")).as("q"))
+        .withColumn("bucket", srpBucket(col("q"), planes))
+        .withColumn("norm", normSqQ(col("q")))
+    val c = withBucket(corpus)
+      .select(col("vec_id").as("n_id"), col("q").as("n_q"),
+        col("bucket"), col("norm").as("n_norm"))
+    val probes = array(
+      (0 until bits).map(i => col("bucket").bitwiseXOR(lit(1L << i))) :+
+        col("bucket"): _*)
+    val q = withBucket(queries)
+      .select(col("vec_id").as("query_id"), col("q").as("q_q"),
+        col("norm").as("q_norm"), explode(probes).as("bucket"))
+    topKPerQuery(
+      c.join(broadcast(q), Seq("bucket"))
+        .where(col("n_id") =!= col("query_id"))
+        .withColumn("cosine",
+          cosineQ(col("q_q"), col("n_q"), col("q_norm"), col("n_norm"))),
+      k)
+  }
+
   /** Seeded signed-random-projection LSH top-k. */
   def srpTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       planes: Array[Array[Long]]): DataFrame =

@@ -44,6 +44,52 @@ object GraphQueries {
       |  FROM m),
       |e AS (SELECT DISTINCT src, dst FROM ch WHERE src IS NOT NULL)""".stripMargin
 
+  /** The HyperBall register chain unrolled to `radius` rounds (the
+    * g11 unroll discipline for (bucket, rho) sketches): pX = own
+    * registers UNION registers pulled across out-edges, rX = the
+    * per-(id, bucket) max, ending in `allst(id, r, n_regs,
+    * s_present)`. The rho ladder is GENERATED from the engine's code
+    * (Graph.hbRhoSql) so the two ladders cannot drift. Shared by the
+    * g12 and g13 oracles — the d06/d07 one-statement rule.
+    */
+  private def hyperballCtes(radius: Int): String = {
+    val rounds = (1 to radius).map { i =>
+      val prev = s"r${i - 1}"
+      s"""p$i AS (SELECT e2.src AS id, p.bucket, p.rho
+         |    FROM e2 JOIN $prev p ON p.id = e2.dst
+         |  UNION ALL SELECT id, bucket, rho FROM $prev),
+         |r$i AS (SELECT id, bucket, max(rho) AS rho FROM p$i GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val stats = (0 to radius).map { i =>
+      s"""st$i AS (SELECT id, CAST($i AS BIGINT) AS r,
+         |    count(*) AS n_regs,
+         |    CAST(sum(1::BIGINT << (27 - rho)) AS BIGINT) AS s_present
+         |  FROM r$i GROUP BY id)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 to radius).map(i => s"SELECT * FROM st$i")
+      .mkString(" UNION ALL ")
+    val m = Graph.HbM
+    s"""$edgeCtes,
+       |e2 AS (SELECT src, dst FROM e WHERE src <> dst),
+       |n AS (SELECT DISTINCT id FROM
+       |  (SELECT src AS id FROM e2 UNION ALL SELECT dst FROM e2)),
+       |h AS (SELECT id,
+       |    ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))::BIGINT AS h
+       |  FROM n),
+       |r0 AS (SELECT id, h % $m AS bucket,
+       |    ${Graph.hbRhoSql(s"(h // $m)")} AS rho FROM h),
+       |$rounds,
+       |$stats,
+       |allst AS ($union)""".stripMargin
+  }
+
+  /** The q38 literal-arithmetic HLL estimate over allst's columns. */
+  private val hbEstSql: String = {
+    val m = Graph.HbM
+    s"""0.7213 / (1.0 + 1.079 / $m.0) * ${m * m}.0 * 134217728.0 /
+       |    CAST(s_present + ($m - n_regs) * 134217728 AS DOUBLE)""".stripMargin
+  }
+
   /** The k-superstep integer-PageRank unroll shared by the g01 (k=5)
     * and g06 (k=10; warm resume == cold 2k) oracles.
     */
@@ -249,6 +295,25 @@ object GraphQueries {
         .select(col("id").as("user_id"), col("r"), col("n_regs"),
           col("s_present"), col("hll_estimate"))
         .orderBy("user_id", "r")
+    }),
+
+    // effective radius at 90% — THE HyperBall application (Boldi–
+    // Vigna's "four degrees of separation" statistic, per node): the
+    // smallest r whose estimated ball holds ≥ 90% of the radius-3
+    // ball. Well-defined because the register estimate is monotone in
+    // r (registers only max-merge: each rho bump or new register
+    // shrinks the harmonic denominator). The 0.9·est comparison is
+    // the same literal double arithmetic in both engines.
+    "g13_effective_radius" -> ((s, d) => {
+      val hb = Graph.hyperBall(edges(s, d), radius = 3)
+        .localCheckpoint(true) // feeds the final-ball join AND the min
+      val fin = hb.where(col("r") === 3)
+        .select(col("id"), col("hll_estimate").as("fe"))
+      hb.join(fin, Seq("id"))
+        .where(col("hll_estimate") >= lit(0.9) * col("fe"))
+        .groupBy("id").agg(min("r").as("eff_r"))
+        .select(col("id").as("user_id"), col("eff_r"))
+        .orderBy("user_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -364,39 +429,21 @@ object GraphQueries {
     // The rho ladder is GENERATED from the same code as the engine's
     // (Graph.hbRhoSql), so the two ladders cannot drift; the float
     // estimate is the q38 literal-arithmetic formula, identical text.
-    "g12_hyperball_nf" -> {
-      val rounds = (1 to 2).map { i =>
-        val prev = s"r${i - 1}"
-        s"""p$i AS (SELECT e2.src AS id, p.bucket, p.rho
-           |    FROM e2 JOIN $prev p ON p.id = e2.dst
-           |  UNION ALL SELECT id, bucket, rho FROM $prev),
-           |r$i AS (SELECT id, bucket, max(rho) AS rho FROM p$i GROUP BY 1, 2)""".stripMargin
-      }.mkString(",\n")
-      val stats = (0 to 2).map { i =>
-        s"""st$i AS (SELECT id, CAST($i AS BIGINT) AS r,
-           |    count(*) AS n_regs,
-           |    CAST(sum(1::BIGINT << (27 - rho)) AS BIGINT) AS s_present
-           |  FROM r$i GROUP BY id)""".stripMargin
-      }.mkString(",\n")
-      val m = Graph.HbM
-      s"""WITH $edgeCtes,
-         |e2 AS (SELECT src, dst FROM e WHERE src <> dst),
-         |n AS (SELECT DISTINCT id FROM
-         |  (SELECT src AS id FROM e2 UNION ALL SELECT dst FROM e2)),
-         |h AS (SELECT id,
-         |    ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))::BIGINT AS h
-         |  FROM n),
-         |r0 AS (SELECT id, h % $m AS bucket,
-         |    ${Graph.hbRhoSql(s"(h // $m)")} AS rho FROM h),
-         |$rounds,
-         |$stats
-         |SELECT id AS user_id, r, n_regs, s_present,
-         |  0.7213 / (1.0 + 1.079 / $m.0) * ${m * m}.0 * 134217728.0 /
-         |    CAST(s_present + ($m - n_regs) * 134217728 AS DOUBLE) AS hll_estimate
-         |FROM (SELECT * FROM st0 UNION ALL SELECT * FROM st1
-         |      UNION ALL SELECT * FROM st2)
-         |ORDER BY user_id, r""".stripMargin
-    },
+    "g12_hyperball_nf" ->
+      s"""WITH ${hyperballCtes(2)}
+         |SELECT id AS user_id, r, n_regs, s_present, $hbEstSql AS hll_estimate
+         |FROM allst ORDER BY user_id, r""".stripMargin,
+
+    // the same register chain unrolled one round deeper, then the
+    // min-r-at-90% pivot against the radius-3 ball
+    "g13_effective_radius" ->
+      s"""WITH ${hyperballCtes(3)},
+         |est AS (SELECT id, r, $hbEstSql AS est FROM allst),
+         |fin AS (SELECT id, est AS fe FROM est WHERE r = 3)
+         |SELECT e.id AS user_id, min(e.r) AS eff_r
+         |FROM est e JOIN fin f ON e.id = f.id
+         |WHERE e.est >= 0.9 * f.fe
+         |GROUP BY e.id ORDER BY user_id""".stripMargin,
 
     // resume(5 from 5) == cold(10) for the deterministic integer
     // superstep, so the warm-start oracle IS the 10-superstep unroll

@@ -118,6 +118,19 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // multiprobe over the SAME planes/queries as s06: each query also
+    // probes every flip-one-bit bucket (the radius-1 ring), recovering
+    // neighbours lost across a single marginal hyperplane — recall ≥
+    // s06 at identical tables by construction (superset candidates;
+    // spec-gated). The corpus buckets once; only the broadcast query
+    // side explodes ×9.
+    "s18_multiprobe_topk" -> ((s, d) => {
+      val planes = graft.functions.VectorFunctions.srpPlanes(bits = 8, dim = 64)
+      val e = Tables.load(s, d, "embeddings")
+      Similarity.multiprobeTopK(e, e.where(col("vec_id") < 8), k = 3, planes)
+        .orderBy("query_id", "rank")
+    }),
+
     "s05_topk_ivf" -> ((s, d) => {
       // Note on recall: the synthetic embeddings are near-orthogonal
       // (no cluster structure), so probing 2/10 IVF lists measures
@@ -689,6 +702,32 @@ object SimilarityQueries {
          |  SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
          |    ${cosine("qs.q", "c.q", "qs.norm", "c.norm")} AS cosine
          |  FROM n qs JOIN n c ON c.bucket = qs.bucket AND c.vec_id <> qs.vec_id
+         |  WHERE qs.vec_id < 8)
+         |SELECT query_id, rank, neighbor_id, cosine FROM (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM scored)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    },
+
+    // the s06 statement with the probe ring: a candidate joins when
+    // the corpus bucket equals the query bucket OR any xor-one-bit
+    // variant — the literal 2^i list generated, not transcribed
+    "s18_multiprobe_topk" -> {
+      val bucket = srpBucketSql(
+        graft.functions.VectorFunctions.srpPlanes(bits = 8, dim = 64))
+      val ring = (0 until 8).map(i => s"xor(qs.bucket, ${1L << i})")
+        .mkString(", ")
+      s"""WITH $qCte,
+         |n AS (SELECT vec_id, q,
+         |    $bucket AS bucket,
+         |    CAST(list_dot_product(q, q) AS BIGINT) AS norm FROM qv),
+         |scored AS (
+         |  SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${cosine("qs.q", "c.q", "qs.norm", "c.norm")} AS cosine
+         |  FROM n qs JOIN n c
+         |    ON c.bucket IN (qs.bucket, $ring) AND c.vec_id <> qs.vec_id
          |  WHERE qs.vec_id < 8)
          |SELECT query_id, rank, neighbor_id, cosine FROM (
          |  SELECT query_id, neighbor_id, cosine,

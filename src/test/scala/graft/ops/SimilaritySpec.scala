@@ -183,6 +183,31 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("multiprobeTopK: superset of single-probe candidates, recovers one-plane misses") {
+    import spark.implicits._
+    val planes = graft.functions.VectorFunctions.srpPlanes(bits = 8, dim = 16)
+    val rnd = new scala.util.Random(7)
+    val corpus = (0L until 200L).map(i =>
+      (i, 0, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "label", "embedding")
+    val queries = corpus.where(col("vec_id") < 5)
+    def neighbors(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(2)).toSet
+    // k large enough that ranking never hides a candidate: the
+    // multiprobe result must CONTAIN every single-probe neighbor
+    val single = neighbors(Similarity.srpTopK(corpus, queries, k = 200, planes))
+    val multi = neighbors(Similarity.multiprobeTopK(corpus, queries, k = 200, planes))
+    assert(single.subsetOf(multi), s"missing: ${single -- multi}")
+    // and the ring genuinely widens it on a random corpus
+    assert(multi.size > single.size,
+      s"radius-1 probing added nothing (single=${single.size})")
+    // plan: bucket equi-join, never a cartesian
+    val p = Similarity.multiprobeTopK(corpus, queries, k = 3, planes)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("hardNegatives: same-label excluded, near-dup ceiling fires, ranking by cosine") {
     import spark.implicits._
     // anchor 0 (label 0); 1 = same-label twin (must never appear);
