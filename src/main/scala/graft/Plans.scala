@@ -186,8 +186,11 @@ object Plans {
     // (codec round-trip + codegen'd decimate + dual-rate energy join)
     "c22_hard_negatives", "c23_segment_lm_filter", "m14_resample_decimate",
     // s18 multiprobe (exploded probe ring -> bucket equi-join), g13
-    // effective radius (register-round RDD scans -> final-ball join)
-    "s18_multiprobe_topk", "g13_effective_radius")
+    // effective radius (register-round RDD scans -> final-ball join),
+    // d28 incremental CDC (two index aggs -> algebraic merge -> stats
+    // join), m15 peak normalize (codec + normalize + dual profile join)
+    "s18_multiprobe_topk", "g13_effective_radius",
+    "d28_incremental_cdc", "m15_peak_normalize")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

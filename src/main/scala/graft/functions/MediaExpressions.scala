@@ -144,6 +144,80 @@ case class Pcm8Decimate(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Peak (gain) normalization in ONE generated pass (m15): scale every
+  * sample so the loudest reaches full scale — the level-matching step
+  * audio pipelines run before energy thresholds or features compare
+  * across recordings. Two row-local scans: peak = max |u(i) − 128|,
+  * then out(i) = 128 ± (|u(i) − 128| · 127) / peak with the MAGNITUDE
+  * scaled and the sign re-applied — scaling a signed value directly
+  * would hit the truncate-vs-floor divergence on negative operands
+  * (Java truncates toward zero, the oracle's `//` floors); magnitudes
+  * are non-negative, where the two agree. All-silence payloads (peak
+  * 0) pass through unchanged.
+  */
+case class Pcm8Normalize(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a binary argument")
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "pcm8_normalize"
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    var peak = 0
+    var i = 0
+    while (i < b.length) {
+      val m = math.abs((b(i) & 0xFF) - 128)
+      if (m > peak) peak = m
+      i += 1
+    }
+    if (peak == 0) b
+    else {
+      val out = new Array[Byte](b.length)
+      i = 0
+      while (i < b.length) {
+        val d = (b(i) & 0xFF) - 128
+        val m = math.abs(d) * 127 / peak
+        out(i) = (if (d >= 0) 128 + m else 128 - m).toByte
+        i += 1
+      }
+      out
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val peak = ctx.freshName("peak")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val m = ctx.freshName("m")
+      s"""
+         |int $peak = 0;
+         |for (int $i = 0; $i < $a.length; $i++) {
+         |  int $m = java.lang.Math.abs(($a[$i] & 0xFF) - 128);
+         |  if ($m > $peak) $peak = $m;
+         |}
+         |byte[] $out;
+         |if ($peak == 0) {
+         |  $out = $a;
+         |} else {
+         |  $out = new byte[$a.length];
+         |  for (int $i = 0; $i < $a.length; $i++) {
+         |    int $d = ($a[$i] & 0xFF) - 128;
+         |    int $m = java.lang.Math.abs($d) * 127 / $peak;
+         |    $out[$i] = (byte) ($d >= 0 ? 128 + $m : 128 - $m);
+         |  }
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Pcm8Normalize =
+    copy(child = c)
+}
+
 object MediaExpressions {
 
   def pcm8_window_energy(payload: Column, windowBytes: Int): Column = {
@@ -160,10 +234,16 @@ object MediaExpressions {
     org.apache.spark.sql.functions.call_function("pcm8_decimate", payload)
   }
 
+  def pcm8_normalize(payload: Column): Column = {
+    register(SparkSession.active)
+    org.apache.spark.sql.functions.call_function("pcm8_normalize", payload)
+  }
+
   val injectable: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
     ("pcm8_window_energy", classOf[Pcm8WindowEnergy],
       es => Pcm8WindowEnergy(es.head, windowArg(es))),
-    ("pcm8_decimate", classOf[Pcm8Decimate], es => Pcm8Decimate(es.head)))
+    ("pcm8_decimate", classOf[Pcm8Decimate], es => Pcm8Decimate(es.head)),
+    ("pcm8_normalize", classOf[Pcm8Normalize], es => Pcm8Normalize(es.head)))
 
   /** The second argument must be a foldable INT literal — validated
     * with a typed analysis message instead of the opaque

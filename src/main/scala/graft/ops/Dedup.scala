@@ -1520,4 +1520,51 @@ object Dedup {
       .select(col("vec_id"), col("cid"),
         coalesce(col("dup"), lit(false)).as("is_semantic_dup"))
   }
+
+  /** Per-(source, chunk-hash) index over content-defined chunks (the
+    * d27 primitive, see `CdcChunks`): one generated pass per doc,
+    * then a map-side-combinable groupBy over the ~n/divisor-row chunk
+    * relation. The index is the MERGEABLE state: counts add, lengths
+    * min — so incremental maintenance (d28) is pure algebra over two
+    * independently built indexes, never a recompute of history.
+    */
+  def cdcChunkIndex(docs: DataFrame, w: Int = 8, divisor: Int = 31): DataFrame =
+    docs.where(col("text").isNotNull)
+      .select(col("source"),
+        explode(graft.functions.TextHashExpressions
+          .cdc_chunks(col("text"), w, divisor)).as("chunk"))
+      .select(col("source"), md5(col("chunk")).as("h"),
+        length(col("chunk")).cast("long").as("len"))
+      .groupBy("source", "h")
+      .agg(count(lit(1)).as("cnt"), min("len").as("len"))
+
+  /** Algebraic merge of two chunk indexes: definitionally equal to
+    * [[cdcChunkIndex]] of the unioned corpora (counts are sums over
+    * disjoint doc sets; a hash's length is content-determined, so min
+    * is a no-op across sides) — d28 shares d27's oracle to prove it.
+    */
+  def cdcChunkMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("source", "h")
+      .agg(sum("cnt").as("cnt"), min("len").as("len"))
+
+  /** The d27 reporting face over any chunk index: per-source chunk
+    * volume, distinct volume, and the duplicated-character mass
+    * chunk-level dedup would reclaim. `docs` supplies n_docs (every
+    * source keeps a row even when all its texts are empty).
+    */
+  def cdcChunkStats(docs: DataFrame, index: DataFrame): DataFrame = {
+    val stats = index.groupBy("source").agg(
+      sum("cnt").as("n_chunks"),
+      count(lit(1)).as("n_distinct_chunks"),
+      sum(col("cnt") * col("len")).as("total_chars"),
+      sum((col("cnt") - 1) * col("len")).as("dup_chars"))
+    docs.where(col("text").isNotNull)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .join(stats, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_distinct_chunks"), lit(0L)).as("n_distinct_chunks"),
+        coalesce(col("total_chars"), lit(0L)).as("total_chars"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+  }
 }

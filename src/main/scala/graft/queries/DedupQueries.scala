@@ -511,28 +511,24 @@ object DedupQueries {
     // rows, not n), then a chunk-hash groupBy; scale shape is exact
     // dedup's (d01), never pairwise.
     "d27_cdc_chunks" -> ((s, d) => {
-      import graft.functions.TextHashExpressions
-      val docs = Tables.load(s, d, "documents").where(col("text").isNotNull)
-      val ck = docs.select(col("source"),
-        explode(TextHashExpressions.cdc_chunks(col("text"), 8, 31))
-          .as("chunk"))
-      val grp = ck
-        .select(col("source"), md5(col("chunk")).as("h"),
-          length(col("chunk")).cast("long").as("len"))
-        .groupBy("source", "h")
-        .agg(count(lit(1)).as("cnt"), min("len").as("len"))
-      val stats = grp.groupBy("source").agg(
-        sum("cnt").as("n_chunks"),
-        count(lit(1)).as("n_distinct_chunks"),
-        sum(col("cnt") * col("len")).as("total_chars"),
-        sum((col("cnt") - 1) * col("len")).as("dup_chars"))
-      docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
-        .join(stats, Seq("source"), "left")
-        .select(col("source"), col("n_docs"),
-          coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
-          coalesce(col("n_distinct_chunks"), lit(0L)).as("n_distinct_chunks"),
-          coalesce(col("total_chars"), lit(0L)).as("total_chars"),
-          coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+      val docs = Tables.load(s, d, "documents")
+      Dedup.cdcChunkStats(docs, Dedup.cdcChunkIndex(docs))
+        .orderBy("source")
+    }),
+
+    // the chunk index maintained INCREMENTALLY (the t14/t15 merge
+    // discipline): two disjoint halves indexed separately, merged by
+    // pure algebra (counts add, lengths min), reported through the
+    // same stats face — and gated against d27's ORACLE, so any merge
+    // wrongness breaks this hash while d27 stays green. Refresh cost
+    // ∝ the batch: history chunks never recompute.
+    "d28_incremental_cdc" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val hist = docs.where(pmod(col("doc_id"), lit(2L)) === 0)
+      val batch = docs.where(pmod(col("doc_id"), lit(2L)) === 1)
+      Dedup.cdcChunkStats(docs,
+          Dedup.cdcChunkMerge(
+            Dedup.cdcChunkIndex(hist), Dedup.cdcChunkIndex(batch)))
         .orderBy("source")
     }),
 
@@ -561,6 +557,40 @@ object DedupQueries {
   )
 
   // --- oracle SQL, sharing literal params with the Spark plans -------------
+
+  private val d27OracleSql: String =
+      s"""WITH nn AS (SELECT doc_id, source, text, length(text) AS n
+         |  FROM documents WHERE text IS NOT NULL),
+         |bd AS (SELECT doc_id, source, text, n,
+         |    ${graft.functions.TextHashExpressions.cdcBoundsSql(8, 31)} AS bnds
+         |  FROM nn),
+         |we AS (SELECT doc_id, source, text, n,
+         |    CASE WHEN n = 0 THEN bnds
+         |         WHEN len(bnds) > 0 AND bnds[len(bnds)] = n THEN bnds
+         |         ELSE list_append(bnds, n) END AS ends
+         |  FROM bd),
+         |ck AS (SELECT source, u.c AS chunk FROM we,
+         |    unnest(list_transform(range(1, len(ends) + 1), i ->
+         |      substr(text,
+         |        (CASE WHEN i = 1 THEN 0 ELSE ends[i - 1] END + 1)::INT,
+         |        (ends[i] - CASE WHEN i = 1 THEN 0 ELSE ends[i - 1] END)::INT)))
+         |      AS u(c)),
+         |grp AS (SELECT source, md5(chunk) AS h, count(*) AS cnt,
+         |    min(length(chunk)) AS len
+         |  FROM ck GROUP BY 1, 2),
+         |st AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_chunks,
+         |    count(*) AS n_distinct_chunks,
+         |    CAST(sum(cnt * len) AS BIGINT) AS total_chars,
+         |    CAST(sum((cnt - 1) * len) AS BIGINT) AS dup_chars
+         |  FROM grp GROUP BY source),
+         |base AS (SELECT source, count(*) AS n_docs FROM nn GROUP BY source)
+         |SELECT b.source AS source, n_docs,
+         |  COALESCE(n_chunks, 0) AS n_chunks,
+         |  COALESCE(n_distinct_chunks, 0) AS n_distinct_chunks,
+         |  COALESCE(total_chars, 0) AS total_chars,
+         |  COALESCE(dup_chars, 0) AS dup_chars
+         |FROM base b LEFT JOIN st USING (source) ORDER BY source""".stripMargin
+
 
   private val mhExprs: String = Dedup.minHashParams.zipWithIndex.map {
     case ((a, b), i) =>
@@ -1180,38 +1210,10 @@ object DedupQueries {
     // position polynomial (mathematically equal mod 2^32; literal
     // powers generated from the same code), boundary ends -> chunk
     // slices -> per-source chunk-hash dedup accounting
-    "d27_cdc_chunks" ->
-      s"""WITH nn AS (SELECT doc_id, source, text, length(text) AS n
-         |  FROM documents WHERE text IS NOT NULL),
-         |bd AS (SELECT doc_id, source, text, n,
-         |    ${graft.functions.TextHashExpressions.cdcBoundsSql(8, 31)} AS bnds
-         |  FROM nn),
-         |we AS (SELECT doc_id, source, text, n,
-         |    CASE WHEN n = 0 THEN bnds
-         |         WHEN len(bnds) > 0 AND bnds[len(bnds)] = n THEN bnds
-         |         ELSE list_append(bnds, n) END AS ends
-         |  FROM bd),
-         |ck AS (SELECT source, u.c AS chunk FROM we,
-         |    unnest(list_transform(range(1, len(ends) + 1), i ->
-         |      substr(text,
-         |        (CASE WHEN i = 1 THEN 0 ELSE ends[i - 1] END + 1)::INT,
-         |        (ends[i] - CASE WHEN i = 1 THEN 0 ELSE ends[i - 1] END)::INT)))
-         |      AS u(c)),
-         |grp AS (SELECT source, md5(chunk) AS h, count(*) AS cnt,
-         |    min(length(chunk)) AS len
-         |  FROM ck GROUP BY 1, 2),
-         |st AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_chunks,
-         |    count(*) AS n_distinct_chunks,
-         |    CAST(sum(cnt * len) AS BIGINT) AS total_chars,
-         |    CAST(sum((cnt - 1) * len) AS BIGINT) AS dup_chars
-         |  FROM grp GROUP BY source),
-         |base AS (SELECT source, count(*) AS n_docs FROM nn GROUP BY source)
-         |SELECT b.source AS source, n_docs,
-         |  COALESCE(n_chunks, 0) AS n_chunks,
-         |  COALESCE(n_distinct_chunks, 0) AS n_distinct_chunks,
-         |  COALESCE(total_chars, 0) AS total_chars,
-         |  COALESCE(dup_chars, 0) AS dup_chars
-         |FROM base b LEFT JOIN st USING (source) ORDER BY source""".stripMargin,
+    "d27_cdc_chunks" -> d27OracleSql,
+    // merged == direct, hash-proven by the shared oracle (t15 pattern)
+    "d28_incremental_cdc" -> d27OracleSql,
+
 
     // d19's spans applied as the rewrite: indexed list_filter drops
     // every covered token (DuckDB lambda indexes are 1-based, the

@@ -294,6 +294,41 @@ object MultimodalQueries {
         .orderBy("media_id")
     }),
 
+    // peak (gain) normalization (m15): the m11 corpus levelled to
+    // full scale in one generated pass — the step that makes energy
+    // thresholds comparable across recordings. Peaks are read through
+    // the EXISTING energy expression at windowBytes = 1 (a 1-byte
+    // window's energy IS the squared sample magnitude, so max over
+    // the profile = peak² — no new operator needed for the gate);
+    // magnitude-scaled integer division keeps truncation and the
+    // oracle's floor in agreement.
+    "m15_peak_normalize" -> ((s, d) => {
+      import graft.functions.MediaExpressions
+      val spec = Tables.load(s, d, "documents").where(col("doc_id") < 300)
+        .select(col("doc_id").as("media_id"))
+        .withColumn("sample_rate",
+          (lit(8000) + (col("media_id") % 3) * 4000).cast("int"))
+        .withColumn("samples", expr(
+          """transform(sequence(0, CAST(100 + (media_id % 5) * 50 AS INT) - 1),
+            |  i -> CAST(IF((i div 25) % 2 = 0, 128,
+            |    128 + (media_id + i) % 40) AS INT))""".stripMargin))
+      val decoded = Multimodal.decodeWav(Multimodal.encodeWav(spec))
+        .localCheckpoint(true)
+      val pcm = decoded.select(col("media_id"), col("n_samples"),
+        col("pcm").as("payload"))
+      val norm = pcm.select(col("media_id"),
+        MediaExpressions.pcm8_normalize(col("payload")).as("payload"))
+      def profile(df: DataFrame, peakName: String, totName: String) =
+        df.select(col("media_id"),
+          MediaExpressions.pcm8_window_energy(col("payload"), 1).as("es"))
+          .select(col("media_id"), array_max(col("es")).as(peakName),
+            expr("aggregate(es, 0L, (a, e) -> a + e)").as(totName))
+      pcm.select(col("media_id"), col("n_samples"))
+        .join(profile(pcm, "peak_in_sq", "in_energy"), Seq("media_id"))
+        .join(profile(norm, "peak_out_sq", "out_energy"), Seq("media_id"))
+        .orderBy("media_id")
+    }),
+
     "m05_audio_energy" -> ((s, d) => {
       val media = Tables.load(s, d, "documents")
         .where(length(col("text")) > 0)
@@ -469,6 +504,29 @@ object MultimodalQueries {
     // v = floor((l+r)/512) stereo / floor(l/256) mono (the composed
     // floor divisions the engine's arithmetic shifts compute), window
     // energy = Σ v² per 20-frame window
+    // per-media peak from the sample formula, the magnitude-scaled
+    // rewrite (non-negative operands, so `//` == the engine's
+    // truncation), peaks and energies over the full stream
+    "m15_peak_normalize" ->
+      """WITH p AS (SELECT doc_id AS media_id,
+        |    100 + (doc_id % 5) * 50 AS n
+        |  FROM documents WHERE doc_id < 300),
+        |s AS (SELECT media_id, n, i,
+        |    CASE WHEN (i // 25) % 2 = 0 THEN 0
+        |         ELSE (media_id + i) % 40 END AS d
+        |  FROM p, unnest(generate_series(0, n - 1)) AS g(i)),
+        |pk AS (SELECT media_id, max(d) AS peak FROM s GROUP BY 1),
+        |o AS (SELECT s.media_id, s.n, s.d,
+        |    CASE WHEN pk.peak = 0 THEN s.d
+        |         ELSE (s.d * 127) // pk.peak END AS m
+        |  FROM s JOIN pk USING (media_id))
+        |SELECT media_id, CAST(max(n) AS BIGINT) AS n_samples,
+        |  CAST(max(d * d) AS BIGINT) AS peak_in_sq,
+        |  CAST(max(m * m) AS BIGINT) AS peak_out_sq,
+        |  CAST(sum(d * d) AS BIGINT) AS in_energy,
+        |  CAST(sum(m * m) AS BIGINT) AS out_energy
+        |FROM o GROUP BY media_id ORDER BY media_id""".stripMargin,
+
     // the m11 sample formula, each output sample restated as the
     // pair-average (`//` == the engine's truncating division —
     // operands non-negative), full-windows energy on both rates

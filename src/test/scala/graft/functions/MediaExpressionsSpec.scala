@@ -82,4 +82,26 @@ class MediaExpressionsSpec extends AnyFunSuite with SparkSpec {
       .head().getAs[Array[Byte]](0)
     assert(twice.length == 26)
   }
+
+  test("pcm8_normalize: negative branch, full-scale peak, silence passthrough, idempotent") {
+    import spark.implicits._
+    def run(bytes: Array[Byte]): Seq[Int] =
+      Seq(Tuple1(bytes)).toDF("b")
+        .select(MediaExpressions.pcm8_normalize(col("b")))
+        .head().getAs[Array[Byte]](0).toSeq.map(_ & 0xFF)
+    // d = -100 and +50, peak 100: -100 -> 128 - 127 = 1 (the NEGATIVE
+    // branch the m15 oracle corpus never exercises), +50 -> 128 + 63
+    // (50*127/100 truncated — magnitude-scaled, not floor-of-signed)
+    assert(run(Array((128 - 100).toByte, (128 + 50).toByte)) == Seq(1, 191))
+    // silence passes through, never divides by zero
+    assert(run(Array.fill[Byte](4)(128.toByte)) == Seq(128, 128, 128, 128))
+    // a normalized payload has peak 127, and renormalizing at peak
+    // 127 is the identity (m * 127 / 127 == m): idempotence
+    val onceN = run(Array((128 - 90).toByte, 128.toByte, (128 + 45).toByte))
+    assert(onceN.map(v => math.abs(v - 128)).max == 127)
+    val twiceN = Seq(Tuple1(onceN.map(_.toByte).toArray)).toDF("b")
+      .select(MediaExpressions.pcm8_normalize(col("b")))
+      .head().getAs[Array[Byte]](0).toSeq.map(_ & 0xFF)
+    assert(twiceN == onceN)
+  }
 }
