@@ -190,7 +190,11 @@ object Plans {
     // d28 incremental CDC (two index aggs -> algebraic merge -> stats
     // join), m15 peak normalize (codec + normalize + dual profile join)
     "s18_multiprobe_topk", "g13_effective_radius",
-    "d28_incremental_cdc", "m15_peak_normalize")
+    "d28_incremental_cdc", "m15_peak_normalize",
+    // p06 segment-curated pipeline (plan covers the post-rebuild
+    // stages: canon groupBy + keep join + pack window; the rebuild is
+    // the eager checkpoint boundary, the p01 discipline)
+    "p06_segment_curated")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

@@ -98,6 +98,49 @@ object Curation {
         floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / budget).cast("long"))
   }
 
+  /** CCNet's paragraph-granularity quality filter (c23, and stage 1
+    * of the p06 pipeline): segment every doc into `chunkSize`-word
+    * windows ([[chunkTokens]], overlap 0), score each segment with
+    * the self-trained t16 bigram LM, tercile-bucket per source
+    * (head/middle/tail — the c17 ntile discipline at segment grain),
+    * drop the tail third, and REASSEMBLE each doc from its surviving
+    * segments in order. Returns (doc_id, source, n_segments, n_kept,
+    * cleaned) — `cleaned` may be '' when every segment fell in the
+    * tail. Segment ids pack as doc_id·1000 + chunk_idx, bounds
+    * enforced loudly (the oracle states the same packing).
+    */
+  def segmentLmFilter(docs: DataFrame, chunkSize: Int = 32): DataFrame = {
+    val segs = chunkTokens(docs.where(col("text").isNotNull), "text",
+        chunkSize, overlap = 0)
+      .select(col("doc_id"), col("source"), col("chunk_idx"),
+        array_join(col("chunk_words"), " ").as("seg_text"))
+      .localCheckpoint(true) // feeds the id bound, the LM, and the rebuild
+    val maxIdx = segs.agg(max("chunk_idx")).head().getLong(0)
+    require(maxIdx < 1000,
+      s"segmentLmFilter seg-id packing overflows: max chunk_idx $maxIdx " +
+        ">= 1000 — raise the multiplier here AND in the c23/p06 oracles")
+    val withId = segs
+      .withColumn("seg_id", col("doc_id") * 1000 + col("chunk_idx"))
+    val scored = graft.ops.LangModel
+      .selfScore(withId.select("seg_id", "seg_text"), "seg_id", "seg_text")
+      .select(col("seg_id"), coalesce(col("mean_prob"), lit(0.0)).as("mp"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("mp").desc, col("seg_id"))
+    val kept = withId.join(scored, Seq("seg_id"))
+      .withColumn("terc", ntile(3).over(w))
+      .where(col("terc") <= 2)
+    val rebuilt = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(expr(
+        "transform(sort_array(collect_list(struct(chunk_idx, seg_text))), x -> x.seg_text)"),
+        " ").as("cleaned"))
+    segs.groupBy("doc_id", "source").agg(count(lit(1)).as("n_segments"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_segments"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
   /** Benchmark-contamination check via bigram-hash overlap: the
     * benchmark's distinct bigram hashes are collected into ONE set
     * (benchmark suites are small by nature) and broadcast; each corpus

@@ -113,37 +113,10 @@ object CurationQueries {
     // pattern — an all-tail doc must hash as ''). Segment ids are
     // doc_id·1000 + chunk_idx, bounds enforced loudly.
     "c23_segment_lm_filter" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val docs = Tables.load(s, d, "documents")
-        .select("doc_id", "text", "source").where(col("text").isNotNull)
-      val segs = Curation.chunkTokens(docs, "text", chunkSize = 32, overlap = 0)
-        .select(col("doc_id"), col("source"), col("chunk_idx"),
-          array_join(col("chunk_words"), " ").as("seg_text"))
-        .localCheckpoint(true) // feeds the id bound, the LM, and the rebuild
-      val maxIdx = segs.agg(max("chunk_idx")).head().getLong(0)
-      require(maxIdx < 1000,
-        s"c23 seg-id packing overflows: max chunk_idx $maxIdx >= 1000 — " +
-          "raise the multiplier in the query AND its oracle together")
-      val withId = segs
-        .withColumn("seg_id", col("doc_id") * 1000 + col("chunk_idx"))
-      val scored = graft.ops.LangModel
-        .selfScore(withId.select("seg_id", "seg_text"), "seg_id", "seg_text")
-        .select(col("seg_id"), coalesce(col("mean_prob"), lit(0.0)).as("mp"))
-      val w = Window.partitionBy(col("source"))
-        .orderBy(col("mp").desc, col("seg_id"))
-      val kept = withId.join(scored, Seq("seg_id"))
-        .withColumn("terc", ntile(3).over(w))
-        .where(col("terc") <= 2)
-      val rebuilt = kept.groupBy("doc_id").agg(
-        count(lit(1)).as("n_kept"),
-        array_join(expr(
-          "transform(sort_array(collect_list(struct(chunk_idx, seg_text))), x -> x.seg_text)"),
-          " ").as("cleaned"))
-      val nseg = segs.groupBy("doc_id").agg(count(lit(1)).as("n_segments"))
-      nseg.join(rebuilt, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_segments"),
-          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-          md5(coalesce(col("cleaned"), lit("")).cast("binary")).as("cleaned_md5"))
+      Curation.segmentLmFilter(
+          Tables.load(s, d, "documents").select("doc_id", "text", "source"))
+        .select(col("doc_id"), col("n_segments"), col("n_kept"),
+          md5(col("cleaned").cast("binary")).as("cleaned_md5"))
         .orderBy("doc_id")
     }),
 
@@ -507,6 +480,38 @@ object CurationQueries {
   private val tokenExpr =
     "(length(text) - length(replace(text, ' ', '')) + 1)"
 
+  /** The segment-LM-filter chain (Curation.segmentLmFilter restated:
+    * c06 slicing at 32/0 → t16 LM scoring over packed seg_ids → c17
+    * per-source ntile → ordered rebuild), ending in `k(doc_id,
+    * n_kept, cleaned)` + `ns(doc_id, n_segments)`. Shared by the c23
+    * and p06 oracles — the d06/d07 one-statement rule.
+    */
+  private[queries] val segmentFilterCtes: String =
+    s"""d0 AS (SELECT doc_id, source, string_split(text, ' ') AS dws
+       |  FROM documents WHERE text IS NOT NULL),
+       |seg AS (SELECT doc_id, source, CAST(i AS BIGINT) AS chunk_idx,
+       |    doc_id * 1000 + i AS seg_id,
+       |    list_slice(dws, i * 32 + 1, i * 32 + 32) AS ws
+       |  FROM (SELECT doc_id, source, dws,
+       |      unnest(generate_series(0,
+       |        CAST(greatest(ceil(len(dws) / 32.0) - 1, 0) AS INT))) AS i
+       |    FROM d0)),
+       |nn AS (SELECT seg_id AS doc_id, ws FROM seg),
+       |${TextQueries.lmScoreCtes},
+       |mp AS (SELECT s.seg_id, s.doc_id AS real_doc, s.source,
+       |    s.chunk_idx, s.ws,
+       |    COALESCE(CASE WHEN c.n_bigrams > 0
+       |      THEN c.lm_score / CAST(c.n_bigrams AS DOUBLE) END,
+       |      CAST(0 AS DOUBLE)) AS mp
+       |  FROM seg s LEFT JOIN sc c ON s.seg_id = c.doc_id),
+       |t AS (SELECT *, ntile(3) OVER (PARTITION BY source
+       |    ORDER BY mp DESC, seg_id) AS terc FROM mp),
+       |k AS (SELECT real_doc AS doc_id, count(*) AS n_kept,
+       |    array_to_string(flatten(list(ws ORDER BY chunk_idx)), ' ')
+       |      AS cleaned
+       |  FROM t WHERE terc <= 2 GROUP BY 1),
+       |ns AS (SELECT doc_id, count(*) AS n_segments FROM seg GROUP BY 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // ONE naive global row_number over (hash, id) — the permutation
     // the two-pass global index must (and does) reproduce exactly
@@ -521,32 +526,10 @@ object CurationQueries {
     // the c06 segmentation + t16 LM CTEs (both shared: the segment
     // slicing restates Curation.chunkTokens at 32/0, the scoring CTE
     // is TextQueries.lmScoreCtes verbatim over seg_ids), then the c17
-    // ntile + the d20-style ordered rebuild
+    // ntile + the d20-style ordered rebuild; the CTE chain itself is
+    // shared with the p06 pipeline oracle (one statement)
     "c23_segment_lm_filter" ->
-      s"""WITH d0 AS (SELECT doc_id, source, string_split(text, ' ') AS dws
-         |  FROM documents WHERE text IS NOT NULL),
-         |seg AS (SELECT doc_id, source, CAST(i AS BIGINT) AS chunk_idx,
-         |    doc_id * 1000 + i AS seg_id,
-         |    list_slice(dws, i * 32 + 1, i * 32 + 32) AS ws
-         |  FROM (SELECT doc_id, source, dws,
-         |      unnest(generate_series(0,
-         |        CAST(greatest(ceil(len(dws) / 32.0) - 1, 0) AS INT))) AS i
-         |    FROM d0)),
-         |nn AS (SELECT seg_id AS doc_id, ws FROM seg),
-         |${TextQueries.lmScoreCtes},
-         |mp AS (SELECT s.seg_id, s.doc_id AS real_doc, s.source,
-         |    s.chunk_idx, s.ws,
-         |    COALESCE(CASE WHEN c.n_bigrams > 0
-         |      THEN c.lm_score / CAST(c.n_bigrams AS DOUBLE) END,
-         |      CAST(0 AS DOUBLE)) AS mp
-         |  FROM seg s LEFT JOIN sc c ON s.seg_id = c.doc_id),
-         |t AS (SELECT *, ntile(3) OVER (PARTITION BY source
-         |    ORDER BY mp DESC, seg_id) AS terc FROM mp),
-         |k AS (SELECT real_doc AS doc_id, count(*) AS n_kept,
-         |    array_to_string(flatten(list(ws ORDER BY chunk_idx)), ' ')
-         |      AS cleaned
-         |  FROM t WHERE terc <= 2 GROUP BY 1),
-         |ns AS (SELECT doc_id, count(*) AS n_segments FROM seg GROUP BY 1)
+      s"""WITH $segmentFilterCtes
          |SELECT ns.doc_id AS doc_id, n_segments,
          |  COALESCE(n_kept, 0) AS n_kept,
          |  md5(COALESCE(cleaned, '')) AS cleaned_md5

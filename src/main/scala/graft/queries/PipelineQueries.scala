@@ -146,6 +146,34 @@ object PipelineQueries {
         .orderBy("split", "source", "shard")
     }),
 
+    // the round-9 composition: segment-level LM cleaning (c23's
+    // operator as stage 1 — docs survive with their tail third cut),
+    // exact dedup ON THE CLEANED TEXT (cleaning collapses docs that
+    // differed only in their dropped segments — dedup must run after
+    // the rewrite, the ordering this pipeline exists to state), then
+    // per-source shard packing of the survivors. Fully-cut docs
+    // (cleaned = '') drop before dedup so the empty string never
+    // becomes a canonical text.
+    "p06_segment_curated" -> ((s, d) => {
+      import graft.ops.{Curation, Dedup, TextAnalysis}
+      val docs = Tables.load(s, d, "documents")
+        .select("doc_id", "text", "source").where(col("text").isNotNull)
+      val reb = Curation.segmentLmFilter(docs)
+        .select(col("doc_id"), col("source"), col("cleaned").as("text"))
+        .where(length(col("text")) > 0)
+        .localCheckpoint(true) // feeds the canon groupBy AND the keep join
+      val canon = Dedup.exactGroups(reb, "doc_id", "text")
+        .select(col("canonical_id").as("doc_id"))
+      val s2 = reb.join(canon, Seq("doc_id"))
+      Curation.packShards(s2, "source", "doc_id",
+          TextAnalysis.wsTokenCount(col("text")), ShardBudget)
+        .groupBy("source", "shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("shard_tokens"),
+          min("doc_id").as("min_doc_id"))
+        .orderBy("source", "shard")
+    }),
+
     "p01_curation_pipeline" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents").select("doc_id", "text", "source")
       requirePlantRoom(docs, d)
@@ -435,6 +463,31 @@ object PipelineQueries {
          |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
          |  min(doc_id) AS min_doc_id
          |FROM cum GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // the shared segment-filter chain (CurationQueries.segmentFilterCtes
+    // — c23's statement verbatim), then d01's fingerprint dedup over
+    // the REBUILT text and the p01 packing cumsum per source
+    "p06_segment_curated" ->
+      s"""WITH ${CurationQueries.segmentFilterCtes},
+         |reb AS (SELECT ns.doc_id AS doc_id, d.source, k.cleaned AS text
+         |  FROM ns JOIN (SELECT DISTINCT doc_id, source FROM d0) d USING (doc_id)
+         |  JOIN k USING (doc_id)
+         |  WHERE length(k.cleaned) > 0),
+         |canon AS (SELECT min(doc_id) AS doc_id FROM reb
+         |  GROUP BY md5(lower(trim(text)))),
+         |s2 AS (SELECT r.doc_id, r.source, r.text
+         |  FROM reb r JOIN canon USING (doc_id)),
+         |tok AS (SELECT doc_id, source,
+         |    CAST($tokenExpr AS BIGINT) AS n_tokens FROM s2),
+         |cum AS (SELECT source, doc_id, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+         |  FROM tok)
+         |SELECT source,
+         |  CAST(floor((c - n_tokens) / $ShardBudget) AS BIGINT) AS shard,
+         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+         |  min(doc_id) AS min_doc_id
+         |FROM cum GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "p01_curation_pipeline" ->
       s"""WITH RECURSIVE
