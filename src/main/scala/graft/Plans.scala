@@ -194,7 +194,10 @@ object Plans {
     // p06 segment-curated pipeline (plan covers the post-rebuild
     // stages: canon groupBy + keep join + pack window; the rebuild is
     // the eager checkpoint boundary, the p01 discipline)
-    "p06_segment_curated")
+    "p06_segment_curated",
+    // t27 vocab growth (first-doc groupBy join + the two-pass cumsum's
+    // granule windows and broadcast offset joins)
+    "t27_vocab_growth")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

@@ -52,31 +52,47 @@ object Curation {
     * math both assume it); token counts must be ≥ 0. Long cumsum is
     * exact; pack ids are floor divisions of exact nonneg longs.
     */
+  /** Distributed INCLUSIVE running sum of `valueCol` in `idCol`
+    * order — the two-pass granule cumsum (intra-granule window +
+    * broadcast granule prefix offsets) shared by [[sequencePack]],
+    * the q54 global index, and t27's vocabulary-growth curve. The one
+    * global window runs over the granule-totals axis (corpus/granule
+    * rows), never the corpus — the c21_naive single-task funnel
+    * designed out. Hash-matching any consumer against a plain global
+    * cumsum oracle PROVES the decomposition.
+    */
+  def runningSum(df: DataFrame, idCol: String, valueCol: String,
+      granule: Long, out: String): DataFrame = {
+    require(granule > 0, s"granule must be positive (got $granule)")
+    val base = df.withColumn("__g", floor(col(idCol) / granule).cast("long"))
+    val intra = Window.partitionBy(col("__g")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gw = Window.orderBy(col("__g"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val gOffsets = base.groupBy(col("__g"))
+      .agg(sum(col(valueCol)).as("__gt"))
+      .withColumn("__goff", coalesce(sum(col("__gt")).over(gw), lit(0L)))
+      .select(col("__g"), col("__goff"))
+    base
+      .withColumn("__ic", sum(col(valueCol)).over(intra))
+      .join(broadcast(gOffsets), Seq("__g"))
+      .withColumn(out, col("__goff") + col("__ic"))
+      .drop("__g", "__ic", "__goff")
+  }
+
   def sequencePack(docs: DataFrame, idCol: String, tokens: Column,
       ctxLen: Long, granule: Long = 1024L): DataFrame = {
     require(ctxLen > 0 && granule > 0,
       s"ctxLen and granule must be positive (got $ctxLen, $granule)")
-    val base = docs.withColumn("n_tokens", tokens)
-      .withColumn("__g", floor(col(idCol) / granule).cast("long"))
-    val intra = Window.partitionBy(col("__g")).orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val gTotals = base.groupBy(col("__g"))
-      .agg(sum(col("n_tokens")).as("__gt"))
-    val gw = Window.orderBy(col("__g"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val gOffsets = gTotals
-      .withColumn("__goff", coalesce(sum(col("__gt")).over(gw), lit(0L)))
-      .select(col("__g"), col("__goff"))
-    base
-      .withColumn("__ic", sum(col("n_tokens")).over(intra))
-      .join(broadcast(gOffsets), Seq("__g"))
-      .withColumn("start_off", col("__goff") + col("__ic") - col("n_tokens"))
+    runningSum(docs.withColumn("n_tokens", tokens), idCol, "n_tokens",
+        granule, "__cum")
+      .withColumn("start_off", col("__cum") - col("n_tokens"))
       .withColumn("pack_first",
         floor(col("start_off") / ctxLen).cast("long"))
       .withColumn("pack_last",
-        floor((col("__goff") + col("__ic") - 1) / ctxLen).cast("long"))
+        floor((col("__cum") - 1) / ctxLen).cast("long"))
       .withColumn("n_packs", col("pack_last") - col("pack_first") + 1)
-      .drop("__g", "__ic", "__goff")
+      .drop("__cum")
   }
 
   /** Token-budget shard packing: within each `packKey` group (e.g.

@@ -291,6 +291,36 @@ object TextQueries {
     // transport mangling) and U+FFFD replacement chars (lossy-decode
     // tombstones) counted per source. The clean synthetic corpus
     // would make the check vacuous, so probe twins are planted: +1M
+    // Heaps-law vocabulary growth (t27): the corpus as one doc_id-
+    // ordered token stream, reporting cumulative tokens vs cumulative
+    // DISTINCT tokens at every document — the V ≈ K·N^β curve that
+    // sizes tokenizer vocabularies and predicts OOV decay. "New at
+    // doc d" = tokens whose FIRST containing doc is d (one groupBy
+    // min), so the distinct-count cumsum needs no stateful scan; both
+    // running sums ride the two-pass granule cumsum (runningSum — the
+    // c18 discipline), and the oracle states each as ONE plain global
+    // cumsum, hash-proving the decomposition.
+    "t27_vocab_growth" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+        .where(col("text").isNotNull).select("doc_id", "text")
+      val newPerDoc = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(min("doc_id").as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("new_tokens"))
+      val base = docs
+        .select(col("doc_id"),
+          graft.ops.TextAnalysis.wsTokenCount(col("text")).as("n_tokens"))
+        .join(newPerDoc, Seq("doc_id"), "left")
+        .withColumn("new_tokens", coalesce(col("new_tokens"), lit(0L)))
+      val c1 = graft.ops.Curation.runningSum(base, "doc_id", "n_tokens",
+        granule = 64L, out = "cum_tokens")
+      graft.ops.Curation.runningSum(c1, "doc_id", "new_tokens",
+          granule = 64L, out = "cum_vocab")
+        .select(col("doc_id"), col("n_tokens"), col("cum_tokens"),
+          col("cum_vocab"))
+        .orderBy("doc_id")
+    }),
+
     // ids carry two bell chars, +2M ids carry one replacement char —
     // every planted anomaly must surface in exactly its class, and
     // every original doc must stay clean, or the hash breaks
@@ -692,6 +722,33 @@ object TextQueries {
         |ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the naive statement: plain global cumsums over the same
+    // first-doc relation — the engine's two-pass granule form must
+    // reproduce them exactly (the c18 proof pattern, twice)
+    "t27_vocab_growth" ->
+      """WITH nn AS (SELECT doc_id, text FROM documents
+        |  WHERE text IS NOT NULL),
+        |t AS (SELECT doc_id,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1
+        |      AS BIGINT) AS n_tokens
+        |  FROM nn),
+        |fd AS (SELECT w, min(doc_id) AS doc_id FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM nn)
+        |  GROUP BY w),
+        |nw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS new_tokens
+        |  FROM fd GROUP BY 1),
+        |j AS (SELECT t.doc_id, t.n_tokens,
+        |    COALESCE(nw.new_tokens, 0) AS new_tokens
+        |  FROM t LEFT JOIN nw USING (doc_id))
+        |SELECT doc_id, n_tokens,
+        |  CAST(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_tokens,
+        |  CAST(sum(new_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_vocab
+        |FROM j ORDER BY doc_id""".stripMargin,
+
     // same probes (chr(7)/chr(65533) = the Spark literals), same
     // C0-minus-whitespace class (RE2 and Java both read \xNN), same
     // length-difference counts; the rate is the one double division
