@@ -358,6 +358,132 @@ case class CdcChunks(child: Expression, w: Int, divisor: Int)
     copy(child = c)
 }
 
+/** Winnowing fingerprints (Schleimer–Wilkerson–Aiken, SIGMOD 2003 — the
+  * MOSS document-fingerprinting scheme): per k-character gram the same
+  * 32-bit polynomial hash as [[ShingleHash32]], then over every window
+  * of `w` consecutive gram hashes the RIGHTMOST minimum is selected;
+  * the distinct selected positions are the document's fingerprints.
+  * Guarantee: any shared substring of length >= w + k - 1 between two
+  * documents yields at least one shared fingerprint, while the expected
+  * density is only 2/(w+1) of the grams — the sampling is CONTENT-
+  * locked, so the same boilerplate selects the same grams in every
+  * document regardless of its offset (the CDC idea applied to
+  * similarity fingerprints instead of chunk boundaries).
+  *
+  * ONE generated pass, O(n + m·w) with m = n-k+1 grams and w a small
+  * constant: the gram hashes come from the CdcChunks rolling update
+  * and the per-window rightmost-min scan re-reads only w entries.
+  * Output: array<long> of `pos · 2^32 + hash` (pos = 1-based gram
+  * start), strictly increasing in pos — the rightmost-min selection is
+  * non-decreasing as the window slides (a freshly selected position
+  * can only be >= the previous one while that one is still in scope),
+  * so consecutive-duplicate suppression yields the distinct set in
+  * order. Texts with 0 < m < w grams get ONE fingerprint (the
+  * rightmost min of all m) so every doc with a full gram is indexed;
+  * m < 1 yields an empty array. BMP contract as ShingleHash32.
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k >= 2 && k <= 8, "gram size must be in 2..8 (long-sum bound, as ShingleHash32)")
+  require(w >= 2 && w <= 64, "winnow window must be in 2..64")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string argument")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+
+  /** 31^(k−1) mod 2^32 — the outgoing-character weight. */
+  private val outPow: Long =
+    (1 until k).foldLeft(1L)((acc, _) => (acc * 31L) & 0xFFFFFFFFL)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.toString
+    val n = s.length
+    val m = n - k + 1
+    if (m < 1) return new GenericArrayData(Array.empty[Any])
+    val g = new Array[Long](m)
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      if (i >= k) h = (h - (s.charAt(i - k) * outPow & 0xFFFFFFFFL)) & 0xFFFFFFFFL
+      h = (h * 31L + s.charAt(i)) & 0xFFFFFFFFL
+      if (i >= k - 1) g(i - k + 1) = h
+      i += 1
+    }
+    val nWin = math.max(m - w + 1, 1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var last = -1
+    var j = 0
+    while (j < nWin) {
+      val end = math.min(j + w - 1, m - 1)
+      var best = j
+      var p = j + 1
+      while (p <= end) {
+        if (g(p) <= g(best)) best = p // <= : rightmost minimum
+        p += 1
+      }
+      if (best != last) {
+        out += ((best + 1).toLong << 32) | g(best)
+        last = best
+      }
+      j += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val s = ctx.freshName("s")
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val g = ctx.freshName("g")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      val last = ctx.freshName("last")
+      val nWin = ctx.freshName("nWin")
+      val j = ctx.freshName("j")
+      val end = ctx.freshName("end")
+      val best = ctx.freshName("best")
+      val p = ctx.freshName("p")
+      s"""
+         |java.lang.String $s = $a.toString();
+         |int $n = $s.length();
+         |int $m = $n - $k + 1;
+         |java.util.ArrayList<Object> $out = new java.util.ArrayList<Object>();
+         |if ($m >= 1) {
+         |  long[] $g = new long[$m];
+         |  long $h = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($i >= $k) {
+         |      $h = ($h - ($s.charAt($i - $k) * ${outPow}L & 0xFFFFFFFFL)) & 0xFFFFFFFFL;
+         |    }
+         |    $h = ($h * 31L + $s.charAt($i)) & 0xFFFFFFFFL;
+         |    if ($i >= ${k - 1}) $g[$i - ${k - 1}] = $h;
+         |  }
+         |  int $nWin = java.lang.Math.max($m - $w + 1, 1);
+         |  int $last = -1;
+         |  for (int $j = 0; $j < $nWin; $j++) {
+         |    int $end = java.lang.Math.min($j + ${w - 1}, $m - 1);
+         |    int $best = $j;
+         |    for (int $p = $j + 1; $p <= $end; $p++) {
+         |      if ($g[$p] <= $g[$best]) $best = $p;
+         |    }
+         |    if ($best != $last) {
+         |      $out.add(java.lang.Long.valueOf((((long) ($best + 1)) << 32) | $g[$best]));
+         |      $last = $best;
+         |    }
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out.toArray());
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): WinnowFingerprints =
+    copy(child = c)
+}
+
 object TextHashExpressions {
 
   /** The DuckDB statement of the per-token masked rolling hash used by
@@ -408,6 +534,45 @@ object TextHashExpressions {
       org.apache.spark.sql.functions.lit(divisor))
   }
 
+  def winnow_fingerprints(text: Column, k: Int, w: Int): Column = {
+    register(SparkSession.active)
+    org.apache.spark.sql.functions.call_function(
+      "winnow_fingerprints", text,
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(w))
+  }
+
+  /** The DuckDB statement of [[WinnowFingerprints]]'s gram-hash list:
+    * per 1-based start position, the direct k-gram polynomial (literal
+    * powers from [[polyPowers]] — mathematically equal to the engine's
+    * rolling update). Compose with [[winnowSelectSql]] via a CTE that
+    * names this list `gs`.
+    */
+  def winnowGramsSql(k: Int, text: String = "text"): String = {
+    val poly = polyPowers(k).zipWithIndex.map { case (pw, j) =>
+      s"CAST(ord(substr($text, (i + $j)::INT, 1)) AS BIGINT) * $pw"
+    }.mkString("(", " + ", ") % 4294967296")
+    s"CASE WHEN length($text) < $k THEN CAST([] AS BIGINT[]) " +
+      s"ELSE list_transform(generate_series(1, length($text) - ${k - 1}), i -> $poly) END"
+  }
+
+  /** The DuckDB statement of the winnowing SELECTION over a gram-hash
+    * list column `gs`: per window j (slices are 1-based inclusive), the
+    * RIGHTMOST index achieving the window minimum —
+    * `len(slice) + 1 − list_position(list_reverse(slice), list_min(slice))`
+    * — deduplicated and sorted; the short-text single-window case rides
+    * the same greatest/least clamps the engine uses. Yields the sorted
+    * list of selected 1-based gram positions.
+    */
+  def winnowSelectSql(w: Int, gs: String = "gs"): String = {
+    val slice = s"$gs[j:least(j + ${w - 1}, len($gs))]"
+    s"""CASE WHEN len($gs) = 0 THEN CAST([] AS BIGINT[]) ELSE
+       |  list_sort(list_distinct(list_transform(
+       |    generate_series(1, greatest(len($gs) - ${w - 1}, 1)),
+       |    j -> j - 1 + len($slice) + 1
+       |         - list_position(list_reverse($slice), list_min($slice))))) END""".stripMargin
+  }
+
   /** The DuckDB statement of [[CdcChunks]]'s boundary predicate as a
     * list of 1-based END positions: for each e in w..n, the DIRECT
     * window polynomial Σ code(text[e−w+j]) · 31^(w−1−j) mod 2^32
@@ -433,6 +598,9 @@ object TextHashExpressions {
     ("simhash32", classOf[SimHash32Expr], es => SimHash32Expr(es.head)),
     ("cdc_chunks", classOf[CdcChunks],
       es => CdcChunks(es.head,
+        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])),
+    ("winnow_fingerprints", classOf[WinnowFingerprints],
+      es => WinnowFingerprints(es.head,
         es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])))
 
   /** Idempotent per-session registration (resolution goes through the

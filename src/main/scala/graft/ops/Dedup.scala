@@ -1567,4 +1567,40 @@ object Dedup {
         coalesce(col("total_chars"), lit(0L)).as("total_chars"),
         coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
   }
+
+  /** Winnowing fingerprint profile (Schleimer–Wilkerson–Aiken 2003 —
+    * the MOSS scheme, see `WinnowFingerprints`): per document, the
+    * gram count, the selected fingerprint count (expected density
+    * 2/(w+1)), and how many of its fingerprints are SHARED — selected
+    * by at least one other document too. Because selection is
+    * content-locked, shared boilerplate selects the same grams in
+    * every document regardless of offset, so shared-fingerprint mass
+    * is the plagiarism/boilerplate signal at ~2/(w+1) of the d19
+    * shuffle volume: only the selected (hash, doc) rows travel, never
+    * one row per gram. Scale shape: one generated pass per doc, one
+    * map-side-combined groupBy over the fingerprint relation, one
+    * equi-join back on the 32-bit hash (d01's shape, never pairwise).
+    */
+  def winnowStats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 5, w: Int = 8): DataFrame = {
+    val fps = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        greatest(length(col(textCol)) - (k - 1), lit(0)).cast("long").as("n_grams"),
+        graft.functions.TextHashExpressions
+          .winnow_fingerprints(col(textCol), k, w).as("fps"))
+    // explode_outer keeps fingerprint-free docs (text shorter than k)
+    // in the profile with zero counts
+    val ex = fps.select(col("doc_id"), col("n_grams"),
+      explode_outer(col("fps")).as("packed"))
+      .withColumn("h", col("packed").bitwiseAND(lit(0xFFFFFFFFL)))
+    val shared = ex.where(col("h").isNotNull)
+      .groupBy("h").agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2)
+      .select(col("h"), lit(true).as("is_shared"))
+    ex.join(shared, Seq("h"), "left")
+      .groupBy("doc_id", "n_grams")
+      .agg(count(col("h")).as("n_fingerprints"),
+        count(when(col("is_shared"), lit(1))).as("n_shared_fp"))
+      .select("doc_id", "n_grams", "n_fingerprints", "n_shared_fp")
+  }
 }

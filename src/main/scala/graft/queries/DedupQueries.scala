@@ -532,6 +532,19 @@ object DedupQueries {
         .orderBy("source")
     }),
 
+    // Winnowing fingerprints (the MOSS plagiarism-detection scheme):
+    // content-locked sampling of k-gram hashes — every window of w
+    // consecutive grams contributes its rightmost minimum — so any
+    // shared substring of >= w+k-1 chars yields a shared fingerprint
+    // at ~2/(w+1) of the gram volume. Per doc: grams, fingerprints
+    // selected, fingerprints shared with other docs (the boilerplate
+    // signal d14 measures exhaustively, here at winnowed cost).
+    "d29_winnow_fingerprints" -> ((s, d) => {
+      Dedup.winnowStats(Tables.load(s, d, "documents"),
+          "doc_id", "text", k = 5, w = 8)
+        .orderBy("doc_id")
+    }),
+
     // SemDeDup: k-means clusters bound the pairwise cosine search
     // (candidates = Σ|cluster|², n²/k expected; the paper scales k with
     // n to keep clusters bounded). Training is s08's deterministic
@@ -591,6 +604,29 @@ object DedupQueries {
          |  COALESCE(dup_chars, 0) AS dup_chars
          |FROM base b LEFT JOIN st USING (source) ORDER BY source""".stripMargin
 
+
+  /** d29: grams via the direct polynomial, selection via the rightmost-
+    * window-min statement, shared = selected by >= 2 docs — the literal
+    * k/w parameters ride in from the same builders the engine uses.
+    */
+  private val d29OracleSql: String =
+    s"""WITH nn AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+       |g AS (SELECT doc_id, greatest(length(text) - 4, 0) AS n_grams,
+       |    ${graft.functions.TextHashExpressions.winnowGramsSql(5)} AS gs
+       |  FROM nn),
+       |sel AS (SELECT doc_id, n_grams, gs,
+       |    ${graft.functions.TextHashExpressions.winnowSelectSql(8)} AS ps
+       |  FROM g),
+       |fp AS (SELECT doc_id, gs[u.p::INT] AS h FROM sel, unnest(ps) AS u(p)),
+       |sh AS (SELECT h FROM fp GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       |cnt AS (SELECT f.doc_id, count(*) AS n_fingerprints,
+       |    count(*) FILTER (WHERE s.h IS NOT NULL) AS n_shared_fp
+       |  FROM fp f LEFT JOIN (SELECT h, true AS x FROM sh) s USING (h)
+       |  GROUP BY f.doc_id)
+       |SELECT g.doc_id AS doc_id, g.n_grams AS n_grams,
+       |  COALESCE(cnt.n_fingerprints, 0) AS n_fingerprints,
+       |  COALESCE(cnt.n_shared_fp, 0) AS n_shared_fp
+       |FROM g LEFT JOIN cnt USING (doc_id) ORDER BY doc_id""".stripMargin
 
   private val mhExprs: String = Dedup.minHashParams.zipWithIndex.map {
     case ((a, b), i) =>
@@ -1213,6 +1249,8 @@ object DedupQueries {
     "d27_cdc_chunks" -> d27OracleSql,
     // merged == direct, hash-proven by the shared oracle (t15 pattern)
     "d28_incremental_cdc" -> d27OracleSql,
+
+    "d29_winnow_fingerprints" -> d29OracleSql,
 
 
     // d19's spans applied as the rewrite: indexed list_filter drops
