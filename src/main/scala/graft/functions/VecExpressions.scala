@@ -312,7 +312,7 @@ object GraftFunctions {
   val all: Seq[(String, Class[_], Seq[Expression] => Expression)] =
     VecExpressions.injectable ++ TextHashExpressions.injectable ++
       KmvExpressions.injectable ++ MediaExpressions.injectable ++
-      TextNormExpressions.injectable
+      TextNormExpressions.injectable ++ PatternScanExpressions.injectable
 }
 
 /** Session-extensions entry point: registers every native function at

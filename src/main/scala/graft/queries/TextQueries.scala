@@ -321,6 +321,28 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // blocklist scan (the curation badword/PII-trigger gate) via ONE
+    // Aho-Corasick pass: P patterns counted (overlapping starts
+    // included) in a single generated text walk — the per-pattern
+    // builtin costs P passes and cannot count overlaps. The list
+    // deliberately nests patterns ("can" inside "scan", "ark" inside
+    // "spark") and self-overlaps ("a a" in "a a a") so the automaton's
+    // fail-closure is load-bearing, not decorative.
+    "t28_blocklist_scan" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents").where(col("text").isNotNull)
+      val patArr = array(blocklist.map(lit): _*)
+      docs.select(col("source"),
+          graft.functions.PatternScanExpressions
+            .multi_pattern_counts(col("text"), blocklist).as("c"))
+        .select(col("source"), posexplode(col("c")).as(Seq("pi", "n")))
+        .select(col("source"),
+          element_at(patArr, col("pi") + 1).as("pattern"), col("n"))
+        .groupBy("source", "pattern")
+        .agg(sum("n").as("n_hits"),
+          count(when(col("n") > 0, 1)).as("n_docs_hit"))
+        .orderBy("source", "pattern")
+    }),
+
     // ids carry two bell chars, +2M ids carry one replacement char —
     // every planted anomaly must surface in exactly its class, and
     // every original doc must stay clean, or the hash breaks
@@ -721,7 +743,29 @@ object TextQueries {
         |FROM (SELECT doc_id FROM nn) LEFT JOIN sc USING (doc_id)
         |ORDER BY doc_id""".stripMargin
 
+  /** t28's blocklist: nested and self-overlapping patterns so the AC
+    * fail-closure is exercised; shared by the query and its oracle.
+    */
+  private val blocklist =
+    Seq("scan", "can", "spark", "ark", "a a", "slow")
+
+  private val t28OracleSql: String = {
+    val per = blocklist.map { p =>
+      val esc = p.replace("'", "''")
+      s"SELECT source, '$esc' AS pattern, " +
+        graft.functions.PatternScanExpressions.patternCountSql(p) +
+        " AS c FROM nn"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH nn AS (SELECT source, text FROM documents WHERE text IS NOT NULL),
+       |h AS ($per)
+       |SELECT source, pattern, CAST(sum(c) AS BIGINT) AS n_hits,
+       |  CAST(count(*) FILTER (WHERE c > 0) AS BIGINT) AS n_docs_hit
+       |FROM h GROUP BY source, pattern ORDER BY source, pattern""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "t28_blocklist_scan" -> t28OracleSql,
+
     // the naive statement: plain global cumsums over the same
     // first-doc relation — the engine's two-pass granule form must
     // reproduce them exactly (the c18 proof pattern, twice)
