@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -484,6 +484,66 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     copy(child = c)
 }
 
+/** Longest common prefix of two SUFFIXES of the same text: character
+  * count shared by the suffixes starting at 1-based positions i and j —
+  * the adjacent-rank LCP step of the suffix-array family (d31), kept as
+  * an in-place scan so no suffix COPY is ever materialized (the naive
+  * `substring(text, i)` pair allocates O(n) per row; this walks the
+  * shared prefix only). Out-of-range positions contribute an empty
+  * suffix (LCP 0). BMP contract as the sibling expressions.
+  */
+case class LcpAt(text: Expression, i: Expression, j: Expression)
+    extends TernaryExpression {
+  override def first: Expression = text
+  override def second: Expression = i
+  override def third: Expression = j
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (text.dataType == StringType && i.dataType == IntegerType &&
+        j.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, int, int) arguments")
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "lcp_at"
+
+  override def nullSafeEval(t: Any, iv: Any, jv: Any): Any = {
+    val s = t.toString
+    var a = iv.asInstanceOf[Int] - 1
+    var b = jv.asInstanceOf[Int] - 1
+    var n = 0
+    if (a >= 0 && b >= 0) {
+      while (a < s.length && b < s.length && s.charAt(a) == s.charAt(b)) {
+        a += 1; b += 1; n += 1
+      }
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, iv, jv) => {
+      val s = ctx.freshName("s")
+      val a = ctx.freshName("a")
+      val b = ctx.freshName("b")
+      val n = ctx.freshName("n")
+      s"""
+         |java.lang.String $s = $t.toString();
+         |int $a = $iv - 1;
+         |int $b = $jv - 1;
+         |int $n = 0;
+         |if ($a >= 0 && $b >= 0) {
+         |  while ($a < $s.length() && $b < $s.length()
+         |      && $s.charAt($a) == $s.charAt($b)) {
+         |    $a++; $b++; $n++;
+         |  }
+         |}
+         |${ev.value} = $n;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): LcpAt = LcpAt(f, s, t)
+}
+
 object TextHashExpressions {
 
   /** The DuckDB statement of the per-token masked rolling hash used by
@@ -532,6 +592,11 @@ object TextHashExpressions {
       "cdc_chunks", text,
       org.apache.spark.sql.functions.lit(w),
       org.apache.spark.sql.functions.lit(divisor))
+  }
+
+  def lcp_at(text: Column, i: Column, j: Column): Column = {
+    register(SparkSession.active)
+    org.apache.spark.sql.functions.call_function("lcp_at", text, i, j)
   }
 
   def winnow_fingerprints(text: Column, k: Int, w: Int): Column = {
@@ -601,7 +666,8 @@ object TextHashExpressions {
         es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])),
     ("winnow_fingerprints", classOf[WinnowFingerprints],
       es => WinnowFingerprints(es.head,
-        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])))
+        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])),
+    ("lcp_at", classOf[LcpAt], es => LcpAt(es.head, es(1), es(2))))
 
   /** Idempotent per-session registration (resolution goes through the
     * function registry — no private Spark internals).

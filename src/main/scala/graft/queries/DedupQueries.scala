@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, TextAnalysis}
+import graft.ops.{Dedup, SuffixArray, TextAnalysis}
 import graft.sources.Tables
 
 /** Dedup pack over `documents` / `embeddings` (SURVEY §2C). The test
@@ -545,6 +545,29 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // Distributed suffix-array construction (prefix doubling): the
+    // per-position suffix RANK relation — n (doc, pos, rank) rows,
+    // never n² suffix bytes — built in ⌈log₂ len⌉ rank-refinement
+    // rounds with early exit. The oracle states the DEFINITION
+    // (rank() over suffix strings) that the engine must reproduce
+    // without ever comparing a string after round 0.
+    "d30_suffix_ranks" -> ((s, d) => {
+      SuffixArray.suffixRanks(Tables.load(s, d, "documents"),
+          "doc_id", "text")
+        .orderBy("doc_id", "pos")
+    }),
+
+    // THE suffix-array application (Lee et al. 2022's exact form):
+    // longest substring occurring twice in a document = max LCP over
+    // rank-adjacent suffix pairs; witness tie-broken lexicographically.
+    // Catches repeats of ANY length where d19/d25 see only >= l-gram
+    // repeats.
+    "d31_longest_repeat" -> ((s, d) => {
+      SuffixArray.longestRepeatedSubstring(Tables.load(s, d, "documents"),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // SemDeDup: k-means clusters bound the pairwise cosine search
     // (candidates = Σ|cluster|², n²/k expected; the paper scales k with
     // n to keep clusters bounded). Training is s08's deterministic
@@ -627,6 +650,49 @@ object DedupQueries {
        |  COALESCE(cnt.n_fingerprints, 0) AS n_fingerprints,
        |  COALESCE(cnt.n_shared_fp, 0) AS n_shared_fp
        |FROM g LEFT JOIN cnt USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** d30: the suffix-array DEFINITION — per document, rank each suffix
+    * by its full string (all suffixes of a document are pairwise
+    * distinct, so rank/dense_rank/row_number coincide). The engine
+    * must reproduce this order from rank arithmetic alone.
+    */
+  private val d30OracleSql: String =
+    """WITH nn AS (SELECT doc_id, text FROM documents
+      |  WHERE text IS NOT NULL AND length(text) >= 1),
+      |p AS (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS pos
+      |  FROM nn)
+      |SELECT doc_id, CAST(pos AS INT) AS pos,
+      |  CAST(rank() OVER (PARTITION BY doc_id
+      |    ORDER BY substr(text, pos::INT)) AS BIGINT) AS suffix_rank
+      |FROM p ORDER BY doc_id, pos""".stripMargin
+
+  /** d31: longest repeated substring stated through the same
+    * rank-adjacency identity the engine uses — lag() over suffix order
+    * is the rank-1 neighbor — with the LCP as the first differing
+    * character position (list arithmetic, no UDF).
+    */
+  private val d31OracleSql: String =
+    """WITH nn AS (SELECT doc_id, text FROM documents
+      |  WHERE text IS NOT NULL AND length(text) >= 1),
+      |p AS (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS pos
+      |  FROM nn),
+      |s AS (SELECT doc_id, substr(text, pos::INT) AS suf FROM p),
+      |o AS (SELECT doc_id, suf,
+      |    lag(suf) OVER (PARTITION BY doc_id ORDER BY suf) AS prev
+      |  FROM s),
+      |l AS (SELECT doc_id, suf,
+      |    CASE WHEN prev IS NULL THEN 0 ELSE COALESCE(
+      |      list_min(list_filter(
+      |        generate_series(1, least(length(suf), length(prev))),
+      |        k -> substr(suf, k::INT, 1) != substr(prev, k::INT, 1))) - 1,
+      |      least(length(suf), length(prev))) END AS lcp
+      |  FROM o),
+      |m AS (SELECT doc_id, CAST(max(lcp) AS BIGINT) AS lrs_len FROM l
+      |  GROUP BY doc_id)
+      |SELECT l.doc_id AS doc_id, m.lrs_len AS lrs_len,
+      |  min(substr(l.suf, 1, m.lrs_len::INT)) AS lrs
+      |FROM l JOIN m ON l.doc_id = m.doc_id AND l.lcp = m.lrs_len
+      |GROUP BY l.doc_id, m.lrs_len ORDER BY doc_id""".stripMargin
 
   private val mhExprs: String = Dedup.minHashParams.zipWithIndex.map {
     case ((a, b), i) =>
@@ -1251,6 +1317,10 @@ object DedupQueries {
     "d28_incremental_cdc" -> d27OracleSql,
 
     "d29_winnow_fingerprints" -> d29OracleSql,
+
+    "d30_suffix_ranks" -> d30OracleSql,
+
+    "d31_longest_repeat" -> d31OracleSql,
 
 
     // d19's spans applied as the rewrite: indexed list_filter drops
