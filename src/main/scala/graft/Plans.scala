@@ -197,7 +197,18 @@ object Plans {
     "p06_segment_curated",
     // t27 vocab growth (first-doc groupBy join + the two-pass cumsum's
     // granule windows and broadcast offset joins)
-    "t27_vocab_growth")
+    "t27_vocab_growth",
+    // d29 winnowing (one generated pass → fingerprint explode →
+    // 32-bit-hash share join), d30/d31 suffix array (the ONE head
+    // exchange + per-round window sorts; d31 adds the rank-adjacency
+    // lead window, per-doc pair fold, and the text-once LCP join),
+    // t28 blocklist scan (reference-object automaton inside codegen →
+    // posexplode → per-source rollup)
+    "d29_winnow_fingerprints", "d30_suffix_ranks", "d31_longest_repeat",
+    "t28_blocklist_scan",
+    // d32 generalized suffix array (offset cumsum window → tagged rank
+    // loop → adjacency window → per-group pair fold → one-decode LCP)
+    "d32_cross_doc_repeats")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

@@ -318,7 +318,17 @@ object ScaleStress {
           plain.withColumn("__h",
             Dedup.md5Hash32(col("doc_id").cast("string"))),
           col("__h"), col("doc_id"), granule = 1L << 24,
-          out = "shuffle_pos")))
+          out = "shuffle_pos")),
+        // suffix ranks (r9): n (doc, pos, rank) rows, one head
+        // exchange + log₄ in-partition window-sort rounds — expected
+        // ~linear in corpus chars; tie depth (hence round count) is
+        // scale-invariant because copies are vowel-rotated, never
+        // repeated
+        "d30" -> (() => graft.ops.SuffixArray
+          .suffixRanks(plain, "doc_id", "text")),
+        // winnowing (r9): one generated pass per doc, then the d01
+        // groupBy/join shape over ~2/(w+1) of the gram volume
+        "d29" -> (() => Dedup.winnowStats(plain, "doc_id", "text")))
 
       // SCALE_OPS=d21,s17 runs a subset (the BENCH_ONLY pattern): the
       // heavy families take minutes per scale, so iterating on one

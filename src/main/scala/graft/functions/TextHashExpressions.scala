@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -544,6 +544,85 @@ case class LcpAt(text: Expression, i: Expression, j: Expression)
       f: Expression, s: Expression, t: Expression): LcpAt = LcpAt(f, s, t)
 }
 
+/** Batched [[LcpAt]]: the LCPs of MANY suffix pairs of ONE text in a
+  * single evaluation — `array<struct<pos_a int, pos_b int>>` in,
+  * `array<int>` out, element i the LCP of the suffixes at pairs[i].
+  * The point is the char decode: a per-pair scalar expression inside
+  * `transform()` re-decodes the whole UTF-8 text EVERY element
+  * (`UTF8String.toString` is a full copy — measured 170 s on d32's
+  * group-concatenated strings, ~74 KB × 74k pairs × 20 groups); this
+  * decodes once per ROW and scans pairs in place. Null pair entries
+  * are not expected (builder arrays are struct-complete); i/j
+  * out-of-range contribute LCP 0, as LcpAt.
+  */
+case class LcpPairs(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = right.dataType match {
+    case ArrayType(s: StructType, _)
+        if left.dataType == StringType && s.size == 2 &&
+          s.fields.forall(_.dataType == IntegerType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, array<struct<int,int>>) arguments")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "lcp_pairs"
+
+  override def nullSafeEval(t: Any, ps: Any): Any = {
+    val s = t.toString
+    val arr = ps.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val out = new Array[Int](arr.numElements())
+    var e = 0
+    while (e < out.length) {
+      val st = arr.getStruct(e, 2)
+      var a = st.getInt(0) - 1
+      var b = st.getInt(1) - 1
+      var n = 0
+      if (a >= 0 && b >= 0) {
+        while (a < s.length && b < s.length && s.charAt(a) == s.charAt(b)) {
+          a += 1; b += 1; n += 1
+        }
+      }
+      out(e) = n
+      e += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, ps) => {
+      val s = ctx.freshName("s")
+      val out = ctx.freshName("out")
+      val e = ctx.freshName("e")
+      val st = ctx.freshName("st")
+      val a = ctx.freshName("a")
+      val b = ctx.freshName("b")
+      val n = ctx.freshName("n")
+      s"""
+         |java.lang.String $s = $t.toString();
+         |int[] $out = new int[$ps.numElements()];
+         |for (int $e = 0; $e < $out.length; $e++) {
+         |  org.apache.spark.sql.catalyst.InternalRow $st = $ps.getStruct($e, 2);
+         |  int $a = $st.getInt(0) - 1;
+         |  int $b = $st.getInt(1) - 1;
+         |  int $n = 0;
+         |  if ($a >= 0 && $b >= 0) {
+         |    while ($a < $s.length() && $b < $s.length()
+         |        && $s.charAt($a) == $s.charAt($b)) {
+         |      $a++; $b++; $n++;
+         |    }
+         |  }
+         |  $out[$e] = $n;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): LcpPairs = LcpPairs(l, r)
+}
+
 object TextHashExpressions {
 
   /** The DuckDB statement of the per-token masked rolling hash used by
@@ -597,6 +676,11 @@ object TextHashExpressions {
   def lcp_at(text: Column, i: Column, j: Column): Column = {
     register(SparkSession.active)
     org.apache.spark.sql.functions.call_function("lcp_at", text, i, j)
+  }
+
+  def lcp_pairs(text: Column, pairs: Column): Column = {
+    register(SparkSession.active)
+    org.apache.spark.sql.functions.call_function("lcp_pairs", text, pairs)
   }
 
   def winnow_fingerprints(text: Column, k: Int, w: Int): Column = {
@@ -667,7 +751,8 @@ object TextHashExpressions {
     ("winnow_fingerprints", classOf[WinnowFingerprints],
       es => WinnowFingerprints(es.head,
         es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])),
-    ("lcp_at", classOf[LcpAt], es => LcpAt(es.head, es(1), es(2))))
+    ("lcp_at", classOf[LcpAt], es => LcpAt(es.head, es(1), es(2))),
+    ("lcp_pairs", classOf[LcpPairs], es => LcpPairs(es.head, es(1))))
 
   /** Idempotent per-session registration (resolution goes through the
     * function registry — no private Spark internals).

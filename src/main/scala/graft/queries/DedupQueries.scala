@@ -568,6 +568,19 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // The GENERALIZED suffix array (cross-document): each source's
+    // doc_id-ordered, sentinel-joined concatenation ranked as one
+    // virtual string; the longest substring occurring in TWO DIFFERENT
+    // documents is the source's shared-boilerplate measure, exact at
+    // any length (the cross-doc form of Lee et al. 2022 — d14/d19 see
+    // only fixed-l grams). Max over rank-adjacent cross-doc pairs ==
+    // max over all cross-doc pairs (the LCP-min-over-path argument).
+    "d32_cross_doc_repeats" -> ((s, d) => {
+      SuffixArray.crossDocRepeats(Tables.load(s, d, "documents"),
+          "doc_id", "text", "source")
+        .orderBy("source")
+    }),
+
     // SemDeDup: k-means clusters bound the pairwise cosine search
     // (candidates = Σ|cluster|², n²/k expected; the paper scales k with
     // n to keep clusters bounded). Training is s08's deterministic
@@ -693,6 +706,45 @@ object DedupQueries {
       |  min(substr(l.suf, 1, m.lrs_len::INT)) AS lrs
       |FROM l JOIN m ON l.doc_id = m.doc_id AND l.lcp = m.lrs_len
       |GROUP BY l.doc_id, m.lrs_len ORDER BY doc_id""".stripMargin
+
+  /** d32: the generalized-suffix-array statement — per source, the
+    * chr(1)-joined doc_id-ordered concatenation, suffixes at REAL
+    * (non-sentinel) positions ordered as strings, lag() giving the
+    * rank-adjacent neighbor with its owning doc, LCP as list
+    * arithmetic, max restricted to cross-document pairs.
+    */
+  private val d32OracleSql: String =
+    """WITH nn AS (SELECT source, doc_id, text FROM documents
+      |  WHERE text IS NOT NULL AND length(text) >= 1),
+      |cat AS (SELECT source, string_agg(text, chr(1) ORDER BY doc_id) AS t
+      |  FROM nn GROUP BY source),
+      |off AS (SELECT source, doc_id, text,
+      |    COALESCE(sum(length(text) + 1) OVER (PARTITION BY source
+      |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND 1 PRECEDING), 0) AS off
+      |  FROM nn),
+      |p AS (SELECT o.source, o.doc_id, o.off + u.i AS gpos
+      |  FROM off o, unnest(generate_series(1, length(o.text))) u(i)),
+      |s AS (SELECT p.source, p.doc_id, p.gpos,
+      |    substr(c.t, p.gpos::INT) AS suf
+      |  FROM p JOIN cat c USING (source)),
+      |o2 AS (SELECT source, doc_id, suf,
+      |    lag(suf) OVER (PARTITION BY source ORDER BY suf) AS prev,
+      |    lag(doc_id) OVER (PARTITION BY source ORDER BY suf) AS prev_doc
+      |  FROM s),
+      |l AS (SELECT source, suf,
+      |    CASE WHEN prev IS NULL OR prev_doc = doc_id THEN 0 ELSE COALESCE(
+      |      list_min(list_filter(
+      |        generate_series(1, least(length(suf), length(prev))),
+      |        k -> substr(suf, k::INT, 1) != substr(prev, k::INT, 1))) - 1,
+      |      least(length(suf), length(prev))) END AS lcp
+      |  FROM o2),
+      |m AS (SELECT source, CAST(max(lcp) AS BIGINT) AS cross_len FROM l
+      |  GROUP BY source)
+      |SELECT l.source AS source, m.cross_len AS cross_len,
+      |  min(substr(l.suf, 1, m.cross_len::INT)) AS witness
+      |FROM l JOIN m ON l.source = m.source AND l.lcp = m.cross_len
+      |GROUP BY l.source, m.cross_len ORDER BY source""".stripMargin
 
   private val mhExprs: String = Dedup.minHashParams.zipWithIndex.map {
     case ((a, b), i) =>
@@ -1321,6 +1373,8 @@ object DedupQueries {
     "d30_suffix_ranks" -> d30OracleSql,
 
     "d31_longest_repeat" -> d31OracleSql,
+
+    "d32_cross_doc_repeats" -> d32OracleSql,
 
 
     // d19's spans applied as the rewrite: indexed list_filter drops

@@ -80,6 +80,46 @@ class SuffixArraySpec extends AnyFunSuite with SparkSpec {
     assert(rows === Seq(3, 6, 0, 3, 0))
   }
 
+  /** Brute cross-doc reference: all substrings of the sentinel-joined
+    * concatenation occurring at two positions owned by different docs.
+    */
+  private def refCross(docs: Seq[(Long, String)]): (Long, String) = {
+    val sorted = docs.sortBy(_._1)
+    val t = sorted.map(_._2).mkString("")
+    val owner = sorted.zipWithIndex.flatMap { case ((_, s), di) =>
+      s.map(_ => di) :+ -1 // sentinel owner -1
+    }.dropRight(1)
+    val cands = for {
+      len <- t.length to 1 by -1
+      i <- 0 to t.length - len
+      j <- (i + 1) to t.length - len
+      if owner(i) >= 0 && owner(j) >= 0 && owner(i) != owner(j)
+      if t.regionMatches(i, t, j, len)
+    } yield t.substring(i, i + len)
+    cands.headOption match {
+      case Some(first) =>
+        (first.length.toLong, cands.takeWhile(_.length == first.length).min)
+      case None => (0L, "")
+    }
+  }
+
+  test("cross-doc repeats equal brute force over the sentinel-joined concatenation") {
+    val groups: Seq[(String, Seq[(Long, String)])] = Seq(
+      "g1" -> Seq((1L, "xxSHARED BOILERPLATE yy"), (2L, "zz SHARED BOILERPLATE ww"),
+        (3L, "nothing in common")),
+      "g2" -> Seq((10L, "abcabcabc"), (11L, "qqq")), // within-doc repeat only
+      "g3" -> Seq((20L, "solo document")),           // no pairs at all
+      "g4" -> Seq((30L, "tail end"), (31L, "tail end")) // full-doc duplicate
+    )
+    val df = groups.flatMap { case (g, ds) => ds.map(d => (d._1, d._2, g)) }
+      .toDF("doc_id", "text", "source")
+    val got = SuffixArray.crossDocRepeats(df, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    groups.foreach { case (g, ds) =>
+      assert(got(g) === refCross(ds), s"cross-doc diverged for $g")
+    }
+  }
+
   test("null and empty texts yield no suffix rows, not errors") {
     val df = Seq((1L, "ab"), (2L, ""), (3L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
