@@ -1568,6 +1568,54 @@ object Dedup {
         coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
   }
 
+  /** The exploded winnowed-fingerprint relation: one row per selected
+    * (doc, position) with the 32-bit hash unpacked; fingerprint-free
+    * docs (text shorter than k) keep a null-hash row so the stats
+    * face reports them with zeros.
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 5, w: Int = 8): DataFrame =
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        greatest(length(col(textCol)) - (k - 1), lit(0)).cast("long").as("n_grams"),
+        graft.functions.TextHashExpressions
+          .winnow_fingerprints(col(textCol), k, w).as("fps"))
+      .select(col("doc_id"), col("n_grams"),
+        explode_outer(col("fps")).as("packed"))
+      .withColumn("h", col("packed").bitwiseAND(lit(0xFFFFFFFFL)))
+
+  /** Per-hash index over winnowed fingerprints: how many DISTINCT
+    * documents selected each hash. The MERGEABLE state of the family:
+    * indexes over disjoint doc sets merge by summing (a doc
+    * contributes to each side at most once), so incremental
+    * maintenance (d33) is pure algebra — history never re-fingerprints.
+    */
+  def winnowIndex(fps: DataFrame): DataFrame =
+    fps.where(col("h").isNotNull)
+      .groupBy("h").agg(countDistinct(col("doc_id")).as("nd"))
+
+  /** Algebraic merge of two winnow indexes built over DISJOINT doc
+    * sets — definitionally equal to [[winnowIndex]] of the union
+    * (distinct-doc counts add across disjoint sides); d33 shares d29's
+    * oracle to prove it.
+    */
+  def winnowIndexMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("h").agg(sum("nd").as("nd"))
+
+  /** The d29 reporting face over any fingerprint index: per doc, gram
+    * count, fingerprints selected, fingerprints shared with at least
+    * one OTHER document (nd >= 2 in the index).
+    */
+  def winnowStatsFromIndex(fps: DataFrame, index: DataFrame): DataFrame = {
+    val shared = index.where(col("nd") >= 2)
+      .select(col("h"), lit(true).as("is_shared"))
+    fps.join(shared, Seq("h"), "left")
+      .groupBy("doc_id", "n_grams")
+      .agg(count(col("h")).as("n_fingerprints"),
+        count(when(col("is_shared"), lit(1))).as("n_shared_fp"))
+      .select("doc_id", "n_grams", "n_fingerprints", "n_shared_fp")
+  }
+
   /** Winnowing fingerprint profile (Schleimer–Wilkerson–Aiken 2003 —
     * the MOSS scheme, see `WinnowFingerprints`): per document, the
     * gram count, the selected fingerprint count (expected density
@@ -1583,24 +1631,7 @@ object Dedup {
     */
   def winnowStats(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 5, w: Int = 8): DataFrame = {
-    val fps = docs.where(col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"),
-        greatest(length(col(textCol)) - (k - 1), lit(0)).cast("long").as("n_grams"),
-        graft.functions.TextHashExpressions
-          .winnow_fingerprints(col(textCol), k, w).as("fps"))
-    // explode_outer keeps fingerprint-free docs (text shorter than k)
-    // in the profile with zero counts
-    val ex = fps.select(col("doc_id"), col("n_grams"),
-      explode_outer(col("fps")).as("packed"))
-      .withColumn("h", col("packed").bitwiseAND(lit(0xFFFFFFFFL)))
-    val shared = ex.where(col("h").isNotNull)
-      .groupBy("h").agg(countDistinct(col("doc_id")).as("nd"))
-      .where(col("nd") >= 2)
-      .select(col("h"), lit(true).as("is_shared"))
-    ex.join(shared, Seq("h"), "left")
-      .groupBy("doc_id", "n_grams")
-      .agg(count(col("h")).as("n_fingerprints"),
-        count(when(col("is_shared"), lit(1))).as("n_shared_fp"))
-      .select("doc_id", "n_grams", "n_fingerprints", "n_shared_fp")
+    val fps = winnowFingerprints(docs, idCol, textCol, k, w)
+    winnowStatsFromIndex(fps, winnowIndex(fps))
   }
 }

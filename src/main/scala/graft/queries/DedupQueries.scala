@@ -568,6 +568,24 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // the winnow index maintained INCREMENTALLY (the d28/t15 merge
+    // discipline): two disjoint halves fingerprinted separately,
+    // their per-hash distinct-doc counts merged by pure algebra
+    // (disjoint doc sets => counts add), reported through the same
+    // stats face — and gated against d29's ORACLE, so any merge
+    // wrongness breaks this hash while d29 stays green. Refresh cost
+    // ∝ the batch: history docs never re-fingerprint.
+    "d33_incremental_winnow" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val fps = Dedup.winnowFingerprints(docs, "doc_id", "text", k = 5, w = 8)
+      val hist = fps.where(pmod(col("doc_id"), lit(2L)) === 0)
+      val batch = fps.where(pmod(col("doc_id"), lit(2L)) === 1)
+      Dedup.winnowStatsFromIndex(fps,
+          Dedup.winnowIndexMerge(
+            Dedup.winnowIndex(hist), Dedup.winnowIndex(batch)))
+        .orderBy("doc_id")
+    }),
+
     // The GENERALIZED suffix array (cross-document): each source's
     // doc_id-ordered, sentinel-joined concatenation ranked as one
     // virtual string; the longest substring occurring in TWO DIFFERENT
@@ -1375,6 +1393,8 @@ object DedupQueries {
     "d31_longest_repeat" -> d31OracleSql,
 
     "d32_cross_doc_repeats" -> d32OracleSql,
+
+    "d33_incremental_winnow" -> d29OracleSql,
 
 
     // d19's spans applied as the rewrite: indexed list_filter drops
