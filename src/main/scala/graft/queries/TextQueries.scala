@@ -343,6 +343,63 @@ object TextQueries {
         .orderBy("source", "pattern")
     }),
 
+    // Good-Turing count-of-counts (the KenLM/SRILM smoothing input):
+    // N_r = how many token types occur exactly r times, and the GT
+    // adjusted count r* = (r+1)·N_{r+1}/N_r kept as an exact RATIONAL
+    // (numerator/denominator integers — no libm, the house rule), for
+    // the low-r rows smoothing actually uses. Two-level aggregation:
+    // token → r (map-side combined), r → N_r (tiny), one equi-join on
+    // r+1. The r=1 row's N_1/N is the unseen-mass estimate that
+    // decides how much probability a corpus LM reserves for OOV.
+    "t29_good_turing" -> ((s, d) => {
+      val toks = Tables.load(s, d, "documents")
+        .where(col("text").isNotNull)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .where(length(col("w")) > 0)
+      val byType = toks.groupBy("w").agg(count(lit(1)).as("r"))
+      val nr = byType.groupBy("r").agg(count(lit(1)).as("n_r"))
+      val nxt = nr.select((col("r") - 1).as("r"), col("n_r").as("n_next"))
+      // the 20 SMALLEST occurrence counts present (not r <= 20: where
+      // the low-count tail sits is corpus-dependent, and an absolute
+      // cut can select nothing). The count-of-counts relation is
+      // vocab-bounded, so the ordering window is tiny.
+      nr.withColumn("ord", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("r"))))
+        .where(col("ord") <= 20).drop("ord")
+        .join(nxt, Seq("r"), "left")
+        .select(col("r"), col("n_r"),
+          coalesce(col("n_next"), lit(0L)).as("n_next"),
+          ((col("r") + 1) * coalesce(col("n_next"), lit(0L)))
+            .as("gt_num"),
+          col("n_r").as("gt_den"))
+        .orderBy("r")
+    }),
+
+    // Zipf octave profile (the rank-frequency sanity check run on
+    // every corpus): token types bucketed by rank OCTAVE [2^k, 2^(k+1))
+    // — the exact-integer form of the log-log Zipf plot (octave =
+    // floor(log2 rank) via binary-string length, never floating log2:
+    // the ADVICE.md log2-rounding hazard designed out). A Zipfian
+    // corpus has near-constant occurrence mass per octave; collapse or
+    // explosion flags synthetic/degenerate text. Vocab-sized state
+    // only: the global rank window orders TYPES, never corpus rows.
+    "t30_zipf_octaves" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byType = Tables.load(s, d, "documents")
+        .where(col("text").isNotNull)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .where(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+      byType
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("cnt").desc, col("w").asc)).cast("long"))
+        .withColumn("octave",
+          (length(conv(col("rank"), 10, 2)) - 1).cast("long"))
+        .groupBy("octave")
+        .agg(count(lit(1)).as("n_types"), sum("cnt").as("occurrences"))
+        .orderBy("octave")
+    }),
+
     // ids carry two bell chars, +2M ids carry one replacement char —
     // every planted anomaly must surface in exactly its class, and
     // every original doc must stay clean, or the hash breaks
@@ -765,6 +822,37 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "t28_blocklist_scan" -> t28OracleSql,
+
+    // two-level counting + the rational GT adjustment as integers
+    "t29_good_turing" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |tt AS (SELECT w FROM toks WHERE length(w) > 0),
+        |bt AS (SELECT w, CAST(count(*) AS BIGINT) AS r FROM tt GROUP BY w),
+        |nr0 AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM bt GROUP BY r),
+        |nr AS (SELECT r, n_r FROM nr0
+        |  QUALIFY row_number() OVER (ORDER BY r) <= 20),
+        |nx AS (SELECT r - 1 AS r, n_r AS n_next FROM nr0)
+        |SELECT nr.r AS r, nr.n_r AS n_r,
+        |  COALESCE(nx.n_next, 0) AS n_next,
+        |  CAST((nr.r + 1) * COALESCE(nx.n_next, 0) AS BIGINT) AS gt_num,
+        |  nr.n_r AS gt_den
+        |FROM nr LEFT JOIN nx USING (r)
+        |ORDER BY r""".stripMargin,
+
+    // octave via minimal binary-string length — bin() here == Spark's
+    // conv(rank, 10, 2), both exact where floating log2 rounds
+    "t30_zipf_octaves" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |tt AS (SELECT w FROM toks WHERE length(w) > 0),
+        |bt AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tt GROUP BY w),
+        |rk AS (SELECT cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, w ASC) AS rank FROM bt)
+        |SELECT CAST(length(bin(rank)) - 1 AS BIGINT) AS octave,
+        |  CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(sum(cnt) AS BIGINT) AS occurrences
+        |FROM rk GROUP BY 1 ORDER BY octave""".stripMargin,
 
     // the naive statement: plain global cumsums over the same
     // first-doc relation — the engine's two-pass granule form must
