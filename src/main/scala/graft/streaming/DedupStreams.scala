@@ -172,4 +172,36 @@ object DedupStreams {
           }
       }
   }
+
+  /** Streaming maintenance of the winnowed-fingerprint share index
+    * (d29/d33's state): each micro-batch of landing documents is
+    * fingerprinted ONCE and its per-hash distinct-doc counts land as
+    * a partial under `indexDir/batch_id=N` — the per-batch-id
+    * idempotent overwrite layout ([[SearchStreams]]' discipline), so
+    * a retried batch replaces its own output and no read-modify-write
+    * ever happens on the hot path. [[loadWinnowIndex]] merges partials
+    * with ONE hash-keyed sum — d33's disjoint-doc algebra, spec-pinned
+    * equal to the batch index. Contract: doc ids unique across batches
+    * (settle the stream with exact dedup first, as SearchStreams).
+    */
+  def winnowIndexStream(docs: DataFrame, idCol: String, textCol: String,
+      indexDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        Dedup.winnowIndex(Dedup.winnowFingerprints(batch, idCol, textCol))
+          .write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
+        ()
+      }
+      .start()
+
+  /** The full share index from the partial layout: one sum per hash.
+    * Readable while the stream runs (each partial dir is replaced
+    * atomically per batch).
+    */
+  def loadWinnowIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame =
+    spark.read.parquet(indexDir)
+      .groupBy("h").agg(sum("nd").as("nd"))
 }

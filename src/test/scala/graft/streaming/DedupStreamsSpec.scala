@@ -179,4 +179,42 @@ class DedupStreamsSpec extends AnyFunSuite with SparkSpec {
       assert(pairs.size == 5 && (all -- pairs).size == 1)
     } finally q.stop()
   }
+
+  test("streaming winnow index partials merge to the batch index; stats face agrees") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("winnow-stream-").toString
+    val in = MemoryStream[(Long, String)]
+    val q = DedupStreams.winnowIndexStream(in.toDS().toDF("doc_id", "text"),
+      "doc_id", "text", s"$dir/index", s"$dir/ckpt")
+    try {
+      in.addData(docs(0), docs(1))
+      q.processAllAvailable()
+      in.addData(docs(2), docs(3)) // doc 4 repeats doc 1's text verbatim
+      q.processAllAvailable()
+      val streamed = DedupStreams.loadWinnowIndex(spark, s"$dir/index")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val fps = Dedup.winnowFingerprints(docs.toDF("doc_id", "text"),
+        "doc_id", "text")
+      val batch = Dedup.winnowIndex(fps)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed === batch)
+      // and the d29 face over the streamed index == over the batch index
+      val viaStream = Dedup.winnowStatsFromIndex(fps,
+          DedupStreams.loadWinnowIndex(spark, s"$dir/index"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val viaBatch = Dedup.winnowStats(docs.toDF("doc_id", "text"),
+          "doc_id", "text")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(viaStream === viaBatch)
+      // cross-batch sharing is the point: docs 1 and 4 landed in
+      // DIFFERENT batches and every one of their fingerprints must
+      // still count as shared through the merged index
+      val d1 = viaStream(1L)
+      assert(d1._2 > 0 && d1._2 === d1._3,
+        s"identical cross-batch doc not fully shared: $d1")
+    } finally q.stop()
+  }
 }
