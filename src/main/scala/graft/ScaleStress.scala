@@ -328,7 +328,13 @@ object ScaleStress {
           .suffixRanks(plain, "doc_id", "text")),
         // winnowing (r9): one generated pass per doc, then the d01
         // groupBy/join shape over ~2/(w+1) of the gram volume
-        "d29" -> (() => Dedup.winnowStats(plain, "doc_id", "text")))
+        "d29" -> (() => Dedup.winnowStats(plain, "doc_id", "text")),
+        // generalized suffix array (r9): positions scale ×k while
+        // copies stay mutually dissimilar (vowel rotation), so tie
+        // depth — hence round count — is scale-invariant and the
+        // curve should track corpus chars linearly
+        "d32" -> (() => graft.ops.SuffixArray
+          .crossDocRepeats(plain, "doc_id", "text", "source")))
 
       // SCALE_OPS=d21,s17 runs a subset (the BENCH_ONLY pattern): the
       // heavy families take minutes per scale, so iterating on one
