@@ -90,8 +90,13 @@ object SuffixArray {
       // refinement, and so on. Each extra lead is one more column in
       // a sort the round pays anyway; rounds drop from log₂ to log₄.
       val stepped = (1 to 3).foldLeft(r) { (df, m) =>
+        // clamp: 3h can pass Int.MaxValue on a near-2^31-char group,
+        // and a negative lead offset is an error — any offset past
+        // Int.MaxValue is past every position, so the clamp still
+        // yields the correct all-(-1) column
+        val d = math.min(m * h, Int.MaxValue.toLong).toInt
         df.withColumn(s"rank$m",
-          coalesce(lead(col("rank"), (m * h).toInt).over(wPos), lit(-1L)))
+          coalesce(lead(col("rank"), d).over(wPos), lit(-1L)))
       }
       r = stepped
         .select(Seq(col("gid"), col("pos"),
