@@ -208,7 +208,13 @@ object Plans {
     "t28_blocklist_scan",
     // d32 generalized suffix array (offset cumsum window → tagged rank
     // loop → adjacency window → per-group pair fold → one-decode LCP)
-    "d32_cross_doc_repeats")
+    "d32_cross_doc_repeats",
+    // d33 incremental winnow index (two per-batch index aggs →
+    // algebraic share-merge → d29's share join, the settle face), t29
+    // Good-Turing (count-of-counts double groupBy + smoothed-rate
+    // join), t30 Zipf octaves (rank window over the term table →
+    // octave rollup)
+    "d33_incremental_winnow", "t29_good_turing", "t30_zipf_octaves")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")
