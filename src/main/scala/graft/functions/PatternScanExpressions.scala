@@ -73,7 +73,14 @@ final class AhoCorasick(val patterns: Seq[String]) extends Serializable {
         queue += v
       }
     }
-    (chars.map(_.toArray).toArray, nexts.map(_.toArray).toArray,
+    // sort each state's (char, next) pairs by char AFTER the build
+    // (construction and fail-link BFS probe insertion order, which is
+    // fine) so the scan's lookup really is Arrays.binarySearch
+    val sortedPairs = chars.zip(nexts).map { case (cs, ns) =>
+      val perm = cs.indices.sortBy(cs)
+      (perm.map(cs).toArray, perm.map(ns).toArray)
+    }
+    (sortedPairs.map(_._1).toArray, sortedPairs.map(_._2).toArray,
       fail, ends.map(_.toArray).toArray)
   }
 
@@ -86,7 +93,7 @@ final class AhoCorasick(val patterns: Seq[String]) extends Serializable {
       val c = s.charAt(i)
       var moved = false
       while (!moved) {
-        val idx = childChars(st).indexOf(c)
+        val idx = java.util.Arrays.binarySearch(childChars(st), c)
         if (idx >= 0) { st = childNexts(st)(idx); moved = true }
         else if (st == 0) moved = true
         else st = failLink(st)

@@ -1568,13 +1568,22 @@ object Dedup {
         coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
   }
 
+  /** The shared winnowing parameters (gram length k, window w): the
+    * ONE definition the batch operators (d29/d33), their oracles, and
+    * the streaming index ([[graft.streaming.DedupStreams
+    * .winnowIndexStream]]) all default to — stream and batch cannot
+    * drift unless a caller overrides both deliberately.
+    */
+  val WinnowK = 5
+  val WinnowW = 8
+
   /** The exploded winnowed-fingerprint relation: one row per selected
     * (doc, position) with the 32-bit hash unpacked; fingerprint-free
     * docs (text shorter than k) keep a null-hash row so the stats
     * face reports them with zeros.
     */
   def winnowFingerprints(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", k: Int = 5, w: Int = 8): DataFrame =
+      textCol: String = "text", k: Int = WinnowK, w: Int = WinnowW): DataFrame =
     docs.where(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"),
         greatest(length(col(textCol)) - (k - 1), lit(0)).cast("long").as("n_grams"),
@@ -1630,7 +1639,7 @@ object Dedup {
     * equi-join back on the 32-bit hash (d01's shape, never pairwise).
     */
   def winnowStats(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", k: Int = 5, w: Int = 8): DataFrame = {
+      textCol: String = "text", k: Int = WinnowK, w: Int = WinnowW): DataFrame = {
     val fps = winnowFingerprints(docs, idCol, textCol, k, w)
     winnowStatsFromIndex(fps, winnowIndex(fps))
   }

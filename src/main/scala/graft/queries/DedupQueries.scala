@@ -541,7 +541,7 @@ object DedupQueries {
     // signal d14 measures exhaustively, here at winnowed cost).
     "d29_winnow_fingerprints" -> ((s, d) => {
       Dedup.winnowStats(Tables.load(s, d, "documents"),
-          "doc_id", "text", k = 5, w = 8)
+          "doc_id", "text", k = Dedup.WinnowK, w = Dedup.WinnowW)
         .orderBy("doc_id")
     }),
 
@@ -577,7 +577,7 @@ object DedupQueries {
     // ∝ the batch: history docs never re-fingerprint.
     "d33_incremental_winnow" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents")
-      val fps = Dedup.winnowFingerprints(docs, "doc_id", "text", k = 5, w = 8)
+      val fps = Dedup.winnowFingerprints(docs, "doc_id", "text", k = Dedup.WinnowK, w = Dedup.WinnowW)
       val hist = fps.where(pmod(col("doc_id"), lit(2L)) === 0)
       val batch = fps.where(pmod(col("doc_id"), lit(2L)) === 1)
       Dedup.winnowStatsFromIndex(fps,
@@ -665,11 +665,11 @@ object DedupQueries {
     */
   private val d29OracleSql: String =
     s"""WITH nn AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
-       |g AS (SELECT doc_id, greatest(length(text) - 4, 0) AS n_grams,
-       |    ${graft.functions.TextHashExpressions.winnowGramsSql(5)} AS gs
+       |g AS (SELECT doc_id, greatest(length(text) - ${Dedup.WinnowK - 1}, 0) AS n_grams,
+       |    ${graft.functions.TextHashExpressions.winnowGramsSql(Dedup.WinnowK)} AS gs
        |  FROM nn),
        |sel AS (SELECT doc_id, n_grams, gs,
-       |    ${graft.functions.TextHashExpressions.winnowSelectSql(8)} AS ps
+       |    ${graft.functions.TextHashExpressions.winnowSelectSql(Dedup.WinnowW)} AS ps
        |  FROM g),
        |fp AS (SELECT doc_id, gs[u.p::INT] AS h FROM sel, unnest(ps) AS u(p)),
        |sh AS (SELECT h FROM fp GROUP BY h HAVING count(DISTINCT doc_id) >= 2),

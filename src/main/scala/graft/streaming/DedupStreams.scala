@@ -177,31 +177,74 @@ object DedupStreams {
     * (d29/d33's state): each micro-batch of landing documents is
     * fingerprinted ONCE and its per-hash distinct-doc counts land as
     * a partial under `indexDir/batch_id=N` — the per-batch-id
-    * idempotent overwrite layout ([[SearchStreams]]' discipline), so
-    * a retried batch replaces its own output and no read-modify-write
-    * ever happens on the hot path. [[loadWinnowIndex]] merges partials
-    * with ONE hash-keyed sum — d33's disjoint-doc algebra, spec-pinned
-    * equal to the batch index. Contract: doc ids unique across batches
+    * idempotent layout ([[SearchStreams]]' discipline), so a retried
+    * batch replaces its own output and no read-modify-write ever
+    * happens on the hot path. Each partial is STAGED to a temp dir
+    * and renamed into place ([[publishPartial]]) — a reader never
+    * observes a half-written partial, even mid-commit or during a
+    * failure replay. [[loadWinnowIndex]] merges partials with ONE
+    * hash-keyed sum — d33's disjoint-doc algebra, spec-pinned equal
+    * to the batch index. Contract: doc ids unique across batches
     * (settle the stream with exact dedup first, as SearchStreams).
+    *
+    * `k`/`w` default to the shared batch constants
+    * ([[graft.ops.Dedup.WinnowK]]/[[graft.ops.Dedup.WinnowW]]) so the
+    * streamed index cannot silently drift from the d29/d33 batch index
+    * it is spec-pinned to equal; override both sides together or
+    * neither.
     */
   def winnowIndexStream(docs: DataFrame, idCol: String, textCol: String,
-      indexDir: String, checkpointDir: String)
+      indexDir: String, checkpointDir: String,
+      k: Int = Dedup.WinnowK, w: Int = Dedup.WinnowW)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        Dedup.winnowIndex(Dedup.winnowFingerprints(batch, idCol, textCol))
-          .write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
-        ()
+        publishPartial(
+          Dedup.winnowIndex(Dedup.winnowFingerprints(batch, idCol, textCol, k, w)),
+          indexDir, batchId)
       }
       .start()
 
+  /** Write a per-batch partial via stage-then-rename: the parquet
+    * lands under `indexDir/.staging-batch_id=N`, then one filesystem
+    * rename moves it to `indexDir/batch_id=N` (after dropping any
+    * prior attempt's dir — replay-idempotent). Readers listing the
+    * index dir see each partial either absent or complete, never
+    * half-written; the dot-prefixed staging dir is invisible to
+    * Spark's file listing even mid-write.
+    */
+  private[streaming] def publishPartial(partial: DataFrame,
+      indexDir: String, batchId: Long): Unit = {
+    val conf = partial.sparkSession.sparkContext.hadoopConfiguration
+    val staged = new org.apache.hadoop.fs.Path(
+      s"$indexDir/.staging-batch_id=$batchId")
+    val committed = new org.apache.hadoop.fs.Path(
+      s"$indexDir/batch_id=$batchId")
+    val fs = committed.getFileSystem(conf)
+    partial.write.mode("overwrite").parquet(staged.toString)
+    if (fs.exists(committed)) fs.delete(committed, true)
+    require(fs.rename(staged, committed),
+      s"failed to publish index partial $staged -> $committed")
+  }
+
   /** The full share index from the partial layout: one sum per hash.
-    * Readable while the stream runs (each partial dir is replaced
-    * atomically per batch).
+    * Readable while the stream runs (partials are staged and renamed
+    * in whole — see [[publishPartial]]); before the first batch
+    * commits (index dir missing or empty) the index is EMPTY, not an
+    * error.
     */
   def loadWinnowIndex(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): DataFrame =
-    spark.read.parquet(indexDir)
-      .groupBy("h").agg(sum("nd").as("nd"))
+      indexDir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasPartial = fs.exists(p) && fs.listStatus(p)
+      .exists(_.getPath.getName.startsWith("batch_id="))
+    if (!hasPartial) {
+      import spark.implicits._
+      Seq.empty[(Long, Long)].toDF("h", "nd")
+    } else
+      spark.read.parquet(indexDir)
+        .groupBy("h").agg(sum("nd").as("nd"))
+  }
 }
