@@ -1,6 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import scala.collection.mutable.ListBuffer
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -17,115 +19,279 @@ import org.apache.spark.sql.functions._
   * key prefix pins twice the character prefix and licenses the next
   * component — with the past-the-end sentinel −1 ordering a proper
   * prefix before any extension: exactly lexicographic suffix order.
-  * Positions are dense per group, so every +d lookup is
-  * `lead(rank, d)` over position order — windows on the ONE group
-  * partitioning the loop holds throughout (a single exchange at the
-  * chain head, in-partition sorts after); no string is compared after
-  * round 0, no suffix is ever materialized.
+  *
+  * TWO physical forms of the same algebra, dispatched per group by
+  * size ([[GiantGroupThreshold]]):
+  *
+  *  - the WINDOW path (groups that fit a task): positions are dense
+  *    per group, so every +d lookup is `lead(rank, d)` over position
+  *    order and every re-rank a `dense_rank` window — one exchange at
+  *    the chain head, in-partition sorts after. Parallelism across
+  *    groups; skew bound = the largest group.
+  *  - the WIDE path (giant groups — one outlier document must not
+  *    serialize the job): the +d lookups become ONE balanced
+  *    explode/re-group shuffle on (group, pos), and the re-rank is a
+  *    RANGE-PARTITIONED TWO-PASS dense rank (the `Curation.runningSum`
+  *    granule discipline): range-split on (key, pos) — the pos
+  *    tiebreak lets one giant tie-class span partitions — rank within
+  *    each range locally, then add per-range distinct-key offsets
+  *    (boundary-shared keys deducted), computed from `numPartitions`
+  *    driver rows. No step is bounded by a group's size.
   *
   * Scale shape: rows are (group, pos, rank) triples — n rows total for
-  * an n-char corpus, never n² suffix bytes. Per-group ranking windows
-  * parallelize across groups (skew bound = the largest group);
-  * a single giant text would swap the window for the range-partitioned
-  * two-pass dense rank (the `Curation.runningSum` granule discipline)
-  * — same algebra, documented in SCALING.md. Each round is
-  * checkpointed (the iterative-operator lineage discipline) and the
-  * loop EXITS EARLY once every rank in every group is unique —
-  * natural text separates in far fewer than log₂(len) rounds.
+  * an n-char corpus, never n² suffix bytes. Each round is checkpointed
+  * (the iterative-operator lineage discipline) and loops EXIT EARLY —
+  * the ranks loop once every group's ranks are unique, the repeat
+  * loop ([[crossDocRepeats]]) as soon as no ≥2-member class survives,
+  * which is far earlier. Natural text separates in far fewer than
+  * log₄(len) rounds.
   */
 object SuffixArray {
 
-  /** The rank-refinement core over a (gid, pos, c0[, tag]) relation
-    * with pos dense 1..N per gid: round-0 dense rank of an 8-char
-    * composite code key (codes at pos+1..pos+7 are lead() columns —
-    * never an O(pos) substring probe, never the text in the shuffle),
-    * then quadrupling rounds until every group's ranks are unique.
-    * An optional `tag` column (e.g. the owning doc of a position in
-    * the generalized form) rides through every round — one narrow
-    * column per checkpoint instead of a post-hoc (gid, pos) re-join
-    * over the whole relation (measured 3.3 s of d32's 20 s).
-    * Returns (gid, pos, rank[, tag]).
+  /** Per-group character count above which the per-group window
+    * machinery (single-task sorts per group) is swapped for the
+    * range-partitioned wide path. 2M chars keeps a window-path group
+    * sort comfortably inside one task's CPU/memory budget; a web
+    * outlier (100 MB page, concatenated shard) reroutes instead of
+    * serializing every rank round.
     */
-  private def ranksFromCodes(codes: DataFrame, maxLen: Long,
-      maxRounds: Int): DataFrame = {
-    val tagCols: Seq[Column] =
-      if (codes.columns.contains("tag")) Seq(col("tag")) else Nil
-    val k0 = 8L
-    val wPos = Window.partitionBy("gid").orderBy("pos")
-    val codeCols = col("c0") +: (1 until k0.toInt).map(o =>
-      coalesce(lead(col("c0"), o).over(wPos), lit(0)).as(s"c$o"))
-    // EXPLICIT gid repartition at the chain head: every round's
-    // windows require hashpartitioning(gid), so this one exchange
-    // is the only one in the whole loop (localCheckpoint preserves
-    // partitioning) — and being user-specified, AQE won't coalesce it
-    // to a single partition the way it does the auto-planned window
-    // exchange at bench scale (~50 MB input ⇒ 1 partition ⇒ every
-    // CPU-bound rank sort serialized; measured 10x on the suite box)
-    val par = codes.sparkSession.sparkContext.defaultParallelism
-    var r = codes
-      .repartition(par, col("gid"))
-      .select(Seq(col("gid"), col("pos")) ++ codeCols ++ tagCols: _*)
-      .select(Seq(col("gid"), col("pos"),
+  val GiantGroupThreshold: Long = 2L * 1024 * 1024
+
+  private val K0 = 8
+
+  // ------------------------------------------------------------------
+  // shared plumbing
+  // ------------------------------------------------------------------
+
+  private def tagCols(df: DataFrame): Seq[Column] =
+    if (df.columns.contains("tag")) Seq(col("tag")) else Nil
+
+  /** Converged when every group's dense ranks are all distinct: the
+    * max equals the position count (one action per round).
+    */
+  private def allUnique(r: DataFrame): Boolean = r.groupBy("gid")
+    .agg(max("rank").as("m"), count(lit(1)).as("n"))
+    .where(col("m") =!= col("n")).limit(1).count() == 0
+
+  /** One refinement/rank strategy: [[WindowOps]] for groups that fit a
+    * task, [[WideOps]] for giant groups. Both state the SAME algebra:
+    * gram builds the round-0 8-code composite key per position,
+    * rank0 dense-ranks it per group, refine quadruples h via the
+    * (rank, rank₊ₕ, rank₊₂ₕ, rank₊₃ₕ) key.
+    */
+  private sealed trait RankOps {
+    def gram(codes: DataFrame): DataFrame
+    def rank0(g8: DataFrame): DataFrame
+    def refine(r: DataFrame, h: Long): DataFrame
+  }
+
+  /** Per-group windows: one explicit gid repartition at the chain
+    * head (user-specified so AQE won't coalesce it to one partition
+    * at small input sizes — measured 10x on the suite box), then
+    * every round is lead() + dense_rank() on the partitioning the
+    * chain already holds (localCheckpoint preserves it).
+    */
+  private object WindowOps extends RankOps {
+    def gram(codes: DataFrame): DataFrame = {
+      val wPos = Window.partitionBy("gid").orderBy("pos")
+      val par = codes.sparkSession.sparkContext.defaultParallelism
+      val kcols = col("c0").as("k0") +: (1 until K0).map(o =>
+        coalesce(lead(col("c0"), o).over(wPos), lit(0)).as(s"k$o"))
+      codes.repartition(par, col("gid"))
+        .select(Seq(col("gid"), col("pos")) ++ kcols ++ tagCols(codes): _*)
+    }
+    def rank0(g8: DataFrame): DataFrame =
+      g8.select(Seq(col("gid"), col("pos"),
         dense_rank().over(Window.partitionBy("gid")
-            .orderBy((0 until k0.toInt).map(o => col(s"c$o")): _*))
-          .cast("long").as("rank")) ++ tagCols: _*)
-      .localCheckpoint(true)
-    def allUnique(): Boolean = r.groupBy("gid")
-      .agg(max("rank").as("m"), count(lit(1)).as("n"))
-      .where(col("m") =!= col("n")).limit(1).count() == 0
-    var h = k0
-    var rounds = 0
-    var done = allUnique()
-    while (!done && h < maxLen) {
-      require(rounds < maxRounds,
-        s"suffix ranking did not converge in $maxRounds rounds " +
-          s"(maxLen=$maxLen) — corpus shape unexpected, refusing to spin")
+            .orderBy((0 until K0).map(o => col(s"k$o")): _*))
+          .cast("long").as("rank")) ++ tagCols(g8): _*)
+    def refine(r: DataFrame, h: Long): DataFrame = {
+      val wPos = Window.partitionBy("gid").orderBy("pos")
       // positions are dense 1..n per group, so "rank of the suffix d
       // ahead" is lead(rank, d) over pos order — a WINDOW on the
-      // partitioning the loop already holds (no exchange at all),
-      // never a self-join shuffle. QUADRUPLING, not doubling: the
-      // same window pass also reads the ranks at +2h and +3h, so the
-      // composite key (r, r₊ₕ, r₊₂ₕ, r₊₃ₕ) orders by a 4h-prefix —
-      // (r, r₊ₕ) ties fix the 2h-prefix, making r₊₂ₕ the valid next
-      // refinement, and so on. Each extra lead is one more column in
-      // a sort the round pays anyway; rounds drop from log₂ to log₄.
+      // partitioning the loop already holds, never a self-join.
+      // QUADRUPLING: the same pass reads ranks at +2h and +3h too —
+      // (r, r₊ₕ) ties fix the 2h-prefix, licensing r₊₂ₕ, and so on;
+      // rounds drop from log₂ to log₄. Offsets clamp to Int.MaxValue:
+      // a lead past every position correctly yields the all-(−1)
+      // column, and window-path groups are < GiantGroupThreshold
+      // chars anyway.
       val stepped = (1 to 3).foldLeft(r) { (df, m) =>
-        // clamp: 3h can pass Int.MaxValue on a near-2^31-char group,
-        // and a negative lead offset is an error — any offset past
-        // Int.MaxValue is past every position, so the clamp still
-        // yields the correct all-(-1) column
         val d = math.min(m * h, Int.MaxValue.toLong).toInt
         df.withColumn(s"rank$m",
           coalesce(lead(col("rank"), d).over(wPos), lit(-1L)))
       }
-      r = stepped
-        .select(Seq(col("gid"), col("pos"),
-          dense_rank().over(Window.partitionBy("gid")
-            .orderBy("rank", "rank1", "rank2", "rank3"))
-            .cast("long").as("rank")) ++ tagCols: _*)
-        .localCheckpoint(true)
-      // converged when every group's ranks are all distinct: the
-      // dense max equals the position count (one action per round,
-      // the iterative-operator discipline)
-      done = allUnique()
+      stepped.select(Seq(col("gid"), col("pos"),
+        dense_rank().over(Window.partitionBy("gid")
+          .orderBy("rank", "rank1", "rank2", "rank3"))
+          .cast("long").as("rank")) ++ tagCols(r): _*)
+    }
+  }
+
+  /** Giant-group form: per-position lookups via one balanced
+    * explode/re-group shuffle, per-group dense rank via the
+    * range-partitioned two-pass form. Nothing is bounded by a single
+    * group's size — the documented fallback d30/d31 owed, implemented.
+    */
+  private object WideOps extends RankOps {
+    def gram(codes: DataFrame): DataFrame =
+      fetchShifted(codes, "c0", (0L until K0.toLong), lit(0L))
+    def rank0(g8: DataFrame): DataFrame =
+      globalDenseRankPerGid(g8, (0 until K0).map(i => s"k$i"))
+    def refine(r: DataFrame, h: Long): DataFrame =
+      globalDenseRankPerGid(
+        fetchShifted(r, "rank", Seq(0L, h, 2 * h, 3 * h), lit(-1L)),
+        (0 until 4).map(i => s"k$i"))
+  }
+
+  /** The +offset lookup without windows: each (gid, pos, v) row is
+    * exploded to (gid, pos − o, slot, v) for every requested offset o
+    * and re-grouped on (gid, pos) — ONE shuffle, hash-balanced on
+    * (gid, pos), so a giant group spreads over the cluster instead of
+    * pinning one task. Missing slots (past the group end) take
+    * `default`; an optional `tag` column rides slot 0.
+    */
+  private def fetchShifted(df: DataFrame, valueCol: String,
+      offsets: Seq[Long], default: Column): DataFrame = {
+    val hasTag = df.columns.contains("tag")
+    val posType = df.schema("pos").dataType
+    val nullTag: Column =
+      if (hasTag) lit(null).cast(df.schema("tag").dataType) else lit(null)
+    val slots = offsets.zipWithIndex.map { case (o, i) =>
+      struct(
+        (col("pos").cast("long") - lit(o)).as("tpos"),
+        lit(i).as("slot"),
+        col(valueCol).cast("long").as("v"),
+        (if (hasTag && o == 0L) col("tag") else nullTag).as("tag"))
+    }
+    val exploded = df
+      .select(col("gid"), explode(array(slots: _*)).as("e"))
+      .select(col("gid"), col("e.tpos").as("pos"), col("e.slot").as("slot"),
+        col("e.v").as("v"), col("e.tag").as("tag"))
+      .where(col("pos") >= 1)
+    val aggs = offsets.indices.map(i =>
+      coalesce(max(when(col("slot") === i, col("v"))), default.cast("long"))
+        .as(s"k$i")) ++
+      (if (hasTag) Seq(max(when(col("slot") === 0, col("tag"))).as("tag"))
+       else Nil)
+    exploded.groupBy(col("gid"), col("pos"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("pos", col("pos").cast(posType))
+  }
+
+  /** Per-group dense rank without a per-group window: range-partition
+    * on (gid, keys…, pos) — the pos tiebreak deliberately lets one
+    * giant tie-class STRADDLE partitions, which is what keeps an
+    * adversarial all-equal-key group balanced — dense-rank within each
+    * range, then add per-range offsets (distinct keys strictly below
+    * the range, boundary-shared keys deducted once per boundary)
+    * computed from ≤ numPartitions driver rows. Finally normalize to
+    * per-gid ranks by subtracting each gid's min (gid leads the range
+    * order, so a gid's ranks are contiguous). The `Curation.runningSum`
+    * two-pass granule discipline, applied to ranking.
+    */
+  private def globalDenseRankPerGid(df: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val par = spark.sparkContext.defaultParallelism
+    val rangeCols = (col("gid") +: keyCols.map(col)) :+ col("pos")
+    val ranged = df.repartitionByRange(par, rangeCols: _*)
+      .withColumn("__part", spark_partition_id())
+      .localCheckpoint(true) // pins partition ids for the stats pass
+    val keyStruct = struct(col("gid") +: keyCols.map(col): _*)
+    // bounded driver state: one (nd, min, max) row per range partition
+    val stats = ranged.groupBy("__part")
+      .agg(countDistinct(keyStruct).as("nd"),
+        min(keyStruct).as("mn"), max(keyStruct).as("mx"))
+      .collect().sortBy(_.getInt(0))
+    var u = 0L // distinct keys in ranges processed so far
+    var prevMax: Row = null
+    val offs = stats.map { s =>
+      val nd = s.getLong(1)
+      val dup = prevMax != null && prevMax == s.getStruct(2)
+      val off = u - (if (dup) 1L else 0L)
+      u += nd - (if (dup) 1L else 0L)
+      prevMax = s.getStruct(3)
+      (s.getInt(0), off)
+    }.toSeq
+    val offDf = offs.toDF("__part", "__off")
+    val w = Window.partitionBy(col("__part"))
+      .orderBy(col("gid") +: keyCols.map(col): _*)
+    val ranked = ranged.join(broadcast(offDf), Seq("__part"))
+      .withColumn("__grank", dense_rank().over(w).cast("long") + col("__off"))
+    // per-gid normalize: gids are few on the wide path (giant groups
+    // only), so the min table broadcasts
+    val mins = ranked.groupBy("gid").agg(min(col("__grank")).as("__gmin"))
+    ranked.join(broadcast(mins), Seq("gid"))
+      .withColumn("rank", col("__grank") - col("__gmin") + 1L)
+      .select(Seq(col("gid"), col("pos"), col("rank")) ++ tagCols(df): _*)
+  }
+
+  /** Split a (gid, …) relation by membership in `giantGids`; both
+    * joins broadcast the (small) giant-group list, so neither filter
+    * shuffles or skews.
+    */
+  private def splitByGiants(df: DataFrame, giantGids: DataFrame)
+      : (DataFrame, DataFrame) =
+    (df.join(broadcast(giantGids), Seq("gid"), "left_anti"),
+      df.join(broadcast(giantGids), Seq("gid"), "left_semi"))
+
+  /** The full ranks loop (round 0 + quadrupling until per-group
+    * uniqueness) under one strategy.
+    */
+  private def ranksLoop(codes: DataFrame, maxLen: Long, maxRounds: Int,
+      ops: RankOps): DataFrame = {
+    var r = ops.rank0(ops.gram(codes)).localCheckpoint(true)
+    var h = K0.toLong
+    var rounds = 0
+    var done = allUnique(r)
+    while (!done && h < maxLen) {
+      require(rounds < maxRounds,
+        s"suffix ranking did not converge in $maxRounds rounds " +
+          s"(maxLen=$maxLen) — corpus shape unexpected, refusing to spin")
+      r = ops.refine(r, h).localCheckpoint(true)
+      done = allUnique(r)
       h *= 4
       rounds += 1
     }
     r
   }
 
+  /** Rank-refinement over (gid, pos, c0[, tag]) with pos dense 1..N
+    * per gid: groups up to `giantThreshold` chars take the window
+    * path, larger ones the wide path; outputs union. Returns
+    * (gid, pos, rank[, tag]).
+    */
+  private def ranksFromCodes(codes: DataFrame, maxLen: Long,
+      maxRounds: Int, giantGids: DataFrame, hasGiants: Boolean): DataFrame =
+    if (!hasGiants) ranksLoop(codes, maxLen, maxRounds, WindowOps)
+    else {
+      val c = codes.localCheckpoint(true) // two consumers below
+      val (small, giant) = splitByGiants(c, giantGids)
+      ranksLoop(small, maxLen, maxRounds, WindowOps)
+        .unionByName(ranksLoop(giant, maxLen, maxRounds, WideOps))
+    }
+
   /** (doc_id, pos, suffix_rank): the rank (1-based, dense, per
     * document) of the suffix starting at 1-based `pos` in the
     * document's lexicographic suffix order. Empty/null texts yield no
-    * rows (they have no suffixes).
+    * rows (they have no suffixes). Documents longer than
+    * `giantThreshold` chars reroute to the wide path — one outlier
+    * document no longer serializes each rank round into a single
+    * task.
     */
   def suffixRanks(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", maxRounds: Int = 40): DataFrame = {
+      textCol: String = "text", maxRounds: Int = 40,
+      giantThreshold: Long = GiantGroupThreshold): DataFrame = {
     val base = docs
       .where(col(textCol).isNotNull && length(col(textCol)) >= 1)
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))
     val maxLen = base.agg(coalesce(max(length(col("text"))), lit(0)))
       .head().getInt(0) // bounded driver scalar: the round count
+    val giantGids = base.where(length(col("text")) > giantThreshold)
+      .select(col("doc_id").as("gid"))
+    val hasGiants = giantGids.limit(1).count() > 0
     // per-position char codes come from ONE split per document —
     // `substring(text, pos, 1)` per position is O(pos) on UTF-8 bytes
     // (quadratic per doc: measured 16 s of a 19 s build at sf0.1).
@@ -137,28 +303,226 @@ object SuffixArray {
         posexplode(split(col("text"), "")).as(Seq("p0", "ch")))
       .select(col("gid"), (col("p0") + 1).as("pos"),
         ascii(col("ch")).as("c0"))
-    ranksFromCodes(codes, maxLen.toLong, maxRounds)
+    ranksFromCodes(codes, maxLen.toLong, maxRounds, giantGids, hasGiants)
       .select(col("gid").as("doc_id"), col("pos"),
         col("rank").as("suffix_rank"))
   }
+
+  // ------------------------------------------------------------------
+  // longest-repeat core: per-group class binary search
+  // ------------------------------------------------------------------
+  //
+  // The longest substring occurring at two positions (optionally: in
+  // two different documents) of a group equals the largest m for
+  // which some EQUIVALENCE CLASS of "same first m characters" has ≥ 2
+  // members (≥ 2 distinct owning docs for the cross form). Classes at
+  // prefix length m are recoverable from the rank relation at any
+  // level h ≤ m < 4h: the key (r_h(i), r_h(i+o₁), r_h(i+o₂),
+  // r_h(i+o₃)) with offsets o_j = min(j·h, m−h) covers [0, m) exactly
+  // — equal keys ⟺ equal m-prefixes, and the key tuples ORDER like
+  // the prefixes, so the lexicographically smallest witness is the
+  // minimum qualifying key. That turns the whole problem into:
+  //
+  //   1. refine ranks only until no ≥2-member (cross-doc) class
+  //      survives, FREEZING each group's last-true level h_g — far
+  //      fewer rounds than full uniqueness;
+  //   2. per group, binary-search m ∈ [h_g, 4·h_g) with one bounded
+  //      class-exists pass per step (all groups step together, each
+  //      carrying its own mid);
+  //   3. one witness pass at m* picks min (key, pos).
+  //
+  // No rank-adjacency window (the skew bound of the lead() form), no
+  // per-group pair arrays, no concatenated-text row: every
+  // intermediate is (group, pos)-keyed and hash-balanced. Groups are
+  // split small/giant exactly as the ranks loop.
+
+  /** Per-group state rows (gid, h, lo, hi): the repeat length is in
+    * [lo, hi); h is the frozen rank level (0 = search below 8 over the
+    * round-0 gram columns).
+    */
+  private def maxRepeatImpl(codes: DataFrame, maxRounds: Int,
+      ops: RankOps, cross: Boolean): DataFrame = {
+    val k0 = K0.toLong
+
+    def existsAtLevel(r: DataFrame): DataFrame = {
+      val real = if (cross) r.where(col("tag").isNotNull) else r
+      val cnt: Column =
+        if (cross) countDistinct(col("tag")) else count(lit(1))
+      real.groupBy(col("gid"), col("rank")).agg(cnt.as("m"))
+        .groupBy("gid").agg((max(col("m")) >= 2).as("ok"))
+    }
+
+    val g8 = ops.gram(codes).localCheckpoint(true) // h0 search + rank0
+    var r = ops.rank0(g8).localCheckpoint(true)
+    val st = ListBuffer.empty[DataFrame]
+    val frozenParts = ListBuffer.empty[DataFrame]
+    val e0 = existsAtLevel(r).localCheckpoint(true)
+    st += e0.where(!col("ok")).select(col("gid"), lit(0L).as("h"),
+      lit(0L).as("lo"), lit(k0).as("hi"))
+    var alive = e0.where(col("ok")).select("gid").localCheckpoint(true)
+    var nAlive = alive.count()
+    r = r.join(broadcast(alive), Seq("gid"), "left_semi")
+    var h = k0
+    var rounds = 0
+    while (nAlive > 0) {
+      require(rounds < maxRounds,
+        s"repeat search did not converge in $maxRounds rounds — " +
+          "corpus shape unexpected, refusing to spin")
+      val rNext = ops.refine(r, h).localCheckpoint(true)
+      val eN = existsAtLevel(rNext).localCheckpoint(true)
+      val died = eN.where(!col("ok")).select("gid")
+      // the group's repeat is in [h, 4h): keep its level-h rows (incl.
+      // sentinel positions — the search's component lookups need them)
+      frozenParts += r.join(broadcast(died), Seq("gid"), "left_semi")
+      st += died.select(col("gid"), lit(h).as("h"), lit(h).as("lo"),
+        lit(4 * h).as("hi"))
+      alive = eN.where(col("ok")).select("gid").localCheckpoint(true)
+      nAlive = alive.count()
+      r = rNext.join(broadcast(alive), Seq("gid"), "left_semi")
+      h *= 4
+      rounds += 1
+    }
+    val frozen = frozenParts.reduceOption(_ unionByName _)
+      .getOrElse(r.limit(0)).localCheckpoint(true)
+
+    /** Class rows at each active group's own `mid`: (gid, key, m,
+      * minPos) — keys are rank components for h ≥ 8 groups, gram-code
+      * slices below, both as array<long> whose lexicographic order is
+      * prefix order.
+      */
+    def classesAt(mids: DataFrame): DataFrame = {
+      val midsH = mids.where(col("h") >= k0)
+      val mids0 = mids.where(col("h") === 0L)
+      val lookup = frozen.select(col("gid").as("f_gid"),
+        col("pos").as("f_pos"), col("rank").as("f_rank"))
+      def fetch(df: DataFrame, offCol: String, out: String): DataFrame =
+        df.join(lookup, col("gid") === col("f_gid") &&
+            col("f_pos").cast("long") ===
+              (col("pos").cast("long") + col(offCol)), "left")
+          .withColumn(out, coalesce(col("f_rank"), lit(-1L)))
+          .drop("f_gid", "f_pos", "f_rank")
+      val baseH = frozen.join(broadcast(midsH), Seq("gid"))
+        .withColumn("off1", least(col("h"), col("mid") - col("h")))
+        .withColumn("off2", least(col("h") * 2, col("mid") - col("h")))
+        .withColumn("off3", least(col("h") * 3, col("mid") - col("h")))
+      val rowsH = fetch(fetch(fetch(baseH, "off1", "r1"), "off2", "r2"),
+          "off3", "r3")
+        .withColumn("key",
+          array(col("rank"), col("r1"), col("r2"), col("r3")))
+      val rows0 = g8.join(broadcast(mids0), Seq("gid"))
+        .withColumn("key", slice(
+          array((0 until K0).map(i => col(s"k$i").cast("long")): _*),
+          lit(1), col("mid").cast("int")))
+      val keep = Seq(col("gid"), col("pos"), col("key")) ++
+        (if (cross) Seq(col("tag")) else Nil)
+      val both = rowsH.select(keep: _*).unionByName(rows0.select(keep: _*))
+      val real = if (cross) both.where(col("tag").isNotNull) else both
+      val cnt: Column =
+        if (cross) countDistinct(col("tag")) else count(lit(1))
+      real.groupBy(col("gid"), col("key"))
+        .agg(cnt.as("m"), min(col("pos")).as("p"))
+    }
+
+    var stDf = st.reduce(_ unionByName _).localCheckpoint(true)
+    while (stDf.where(col("hi") - col("lo") > 1).limit(1).count() > 0) {
+      val mids = stDf.where(col("hi") - col("lo") > 1)
+        .select(col("gid"), col("h"), expr("(lo + hi) DIV 2").as("mid"))
+      val ok = classesAt(mids).groupBy("gid")
+        .agg((max(col("m")) >= 2).as("ok"))
+      stDf = stDf
+        .join(mids.select("gid", "mid"), Seq("gid"), "left")
+        .join(ok, Seq("gid"), "left")
+        .select(col("gid"), col("h"),
+          when(col("mid").isNotNull && coalesce(col("ok"), lit(false)),
+            col("mid")).otherwise(col("lo")).as("lo"),
+          when(col("mid").isNotNull && !coalesce(col("ok"), lit(false)),
+            col("mid")).otherwise(col("hi")).as("hi"))
+        .localCheckpoint(true)
+    }
+
+    // witness: the minimum qualifying (key, pos) at m* — key order is
+    // prefix order, so this is the lexicographically smallest repeat,
+    // anchored at its smallest position (the house determinism rule)
+    val wmids = stDf.where(col("lo") >= 1)
+      .select(col("gid"), col("h"), col("lo").as("mid"))
+    val wit = classesAt(wmids).where(col("m") >= 2)
+      .groupBy("gid").agg(min(struct(col("key"), col("p"))).as("w"))
+      .select(col("gid"), col("w.p").as("rep_pos"))
+    stDf.select(col("gid"), col("lo").as("rep_len"))
+      .join(wit, Seq("gid"), "left")
+  }
+
+  /** Dispatching wrapper: (gid, rep_len, rep_pos) with rep_pos null
+    * when rep_len = 0; every gid with ≥ 1 (real) position reports.
+    */
+  private def maxRepeat(codes: DataFrame, maxRounds: Int, cross: Boolean,
+      giantGids: DataFrame, hasGiants: Boolean): DataFrame =
+    if (!hasGiants) maxRepeatImpl(codes, maxRounds, WindowOps, cross)
+    else {
+      val c = codes.localCheckpoint(true)
+      val (small, giant) = splitByGiants(c, giantGids)
+      maxRepeatImpl(small, maxRounds, WindowOps, cross)
+        .unionByName(maxRepeatImpl(giant, maxRounds, WideOps, cross))
+    }
+
+  // ------------------------------------------------------------------
+  // applications
+  // ------------------------------------------------------------------
 
   /** Longest repeated substring per document — THE suffix-array
     * application: the longest text that occurs at two different
     * positions equals the maximum LCP over RANK-ADJACENT suffix pairs
     * (any two occurrences' suffixes share that prefix, and moving
-    * closer in rank order never shrinks an LCP). One lead window over
-    * rank order, one in-place LCP scan per adjacent pair (`lcp_at` —
-    * no suffix copies), then an argmax with the house deterministic
-    * tie-break (lexicographically smallest witness). Documents whose
+    * closer in rank order never shrinks an LCP). Documents whose
     * suffixes all diverge immediately report ('', 0).
+    *
+    * Documents up to `giantThreshold` chars run the direct form: one
+    * lead window over rank order, one in-place LCP scan per adjacent
+    * pair batched per document (`lcp_pairs` — no suffix copies), then
+    * an argmax with the house deterministic tie-break
+    * (lexicographically smallest witness). Giant documents — where
+    * both the adjacency window and the per-doc pair array would be
+    * bounded by one document's size — reroute to the class
+    * binary-search core, which needs neither.
     */
   def longestRepeatedSubstring(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", maxRounds: Int = 40,
+      giantThreshold: Long = GiantGroupThreshold): DataFrame = {
     val base = docs
       .where(col(textCol).isNotNull && length(col(textCol)) >= 1)
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))
-      .localCheckpoint(true) // two consumers below (pairs + per-doc face)
-    val sr = suffixRanks(base, "doc_id", "text")
+      .localCheckpoint(true) // consumers: small path (2) + giant path
+    val giantDocs = base.where(length(col("text")) > giantThreshold)
+    val hasGiants = giantDocs.limit(1).count() > 0
+    val smallBase =
+      if (hasGiants) base.where(length(col("text")) <= giantThreshold)
+      else base
+    val small = lrsDirect(smallBase, maxRounds, giantThreshold)
+    if (!hasGiants) small
+    else {
+      val codes = giantDocs
+        .select(col("doc_id").as("gid"),
+          posexplode(split(col("text"), "")).as(Seq("p0", "ch")))
+        .select(col("gid"), (col("p0") + 1).as("pos"),
+          ascii(col("ch")).as("c0"))
+      val rep = maxRepeatImpl(codes, maxRounds, WideOps, cross = false)
+      val giant = giantDocs
+        .join(rep.withColumnRenamed("gid", "doc_id"), Seq("doc_id"))
+        .select(col("doc_id"), col("rep_len").as("lrs_len"),
+          coalesce(col("text").substr(col("rep_pos").cast("int"),
+            col("rep_len").cast("int")), lit("")).as("lrs"))
+      small.unionByName(giant)
+    }
+  }
+
+  /** The window-path LRS: rank-adjacent pairs + per-doc batched LCP
+    * scan. Pair arrays are bounded by the document length (one pair
+    * per suffix) — document-sized driver-free state, why this form is
+    * reserved for sub-threshold documents.
+    */
+  private def lrsDirect(base: DataFrame, maxRounds: Int,
+      giantThreshold: Long): DataFrame = {
+    val sr = suffixRanks(base, "doc_id", "text", maxRounds, giantThreshold)
     // rank-adjacent pairs via lead over rank order — the same
     // per-doc window family as the ranking rounds, no self-join
     val pairs = sr
@@ -169,8 +533,7 @@ object SuffixArray {
     // fold each doc's pairs into ONE array row before touching text:
     // the LCP scan needs the document string, and joining it onto
     // every pair row re-ships ~n characters per PAIR; per-doc it
-    // ships them once. Array length is bounded by the doc length
-    // (one pair per suffix) — document-sized driver-free state.
+    // ships them once.
     val perDoc = pairs.groupBy("doc_id")
       .agg(collect_list(struct(col("pos_a"), col("pos_b"))).as("ps"))
     // lcp_pairs: ALL of a doc's pair LCPs in one evaluation — a
@@ -196,30 +559,28 @@ object SuffixArray {
 
   /** Cross-document repeated text per group (the GENERALIZED suffix
     * array): each group's documents, doc_id-ordered and joined with a
-    *  sentinel, form one virtual string; the longest substring
-    * of it occurring at two positions IN DIFFERENT DOCUMENTS is the
-    * group's shared-boilerplate measure — found exactly, at any
-    * length, where the gram families see only >= l-gram repeats.
+    * sentinel, form one virtual string; the longest substring of it
+    * occurring at two positions IN DIFFERENT DOCUMENTS is the group's
+    * shared-boilerplate measure — found exactly, at any length, where
+    * the gram families see only >= l-gram repeats.
     *
-    * Sentinel suffixes (code 1 < every text char) rank in one
-    * contiguous block before all real suffixes, so dropping them
-    * keeps real-suffix adjacency intact; and for any cross-document
-    * pair (a, b), the rank path from a to b contains an ADJACENT
-    * cross-document pair whose LCP is >= LCP(a, b) (LCP(a, b) is the
-    * min over the path) — so the max over rank-adjacent cross-doc
-    * pairs IS the max over all cross-doc pairs. A repeat may span a
-    * sentinel (both engines state the same concatenation, so the
-    * corner is defined, not divergent).
-    *
-    * Scale: the ranking is [[ranksFromCodes]] over (group, global pos)
-    * — positions come from per-doc explodes plus a per-group offset
-    * cumsum, the concatenated string is materialized ONLY in the final
-    * per-group witness row (group-sized state: at lake scale groups
-    * are shards, the Lee et al. contract — see SCALING.md).
+    * Sentinel positions (code 1 < every text char) carry a null
+    * owning-doc tag: they participate in ranking (a repeat may span a
+    * sentinel — both engines state the same concatenation, so the
+    * corner is defined, not divergent) but never in a class's
+    * membership count. The answer comes from the class binary-search
+    * core: NO rank-adjacency window, NO per-group pair array, NO
+    * concatenated-text row — the concatenation exists only as
+    * (group, global-pos, code) rows, and the witness string is
+    * assembled at the end from just the documents its [pos, pos+len)
+    * interval overlaps. Positions are LONG: a group may exceed 2³¹
+    * characters and simply lands on the wide (range-partitioned)
+    * rank path instead of refusing.
     */
   def crossDocRepeats(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", srcCol: String = "source",
-      maxRounds: Int = 40): DataFrame = {
+      maxRounds: Int = 40,
+      giantThreshold: Long = GiantGroupThreshold): DataFrame = {
     val nn = docs
       .where(col(textCol).isNotNull && length(col(textCol)) >= 1)
       .select(col(srcCol).as("gid"), col(idCol).as("doc_id"),
@@ -230,65 +591,135 @@ object SuffixArray {
       coalesce(sum(length(col("text")).cast("long") + 1L).over(
         Window.partitionBy("gid").orderBy("doc_id")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .localCheckpoint(true) // feeds chars, sentinels and maxLen
-    val maxLen = off
-      .agg(coalesce(max(col("off") + length(col("text"))), lit(0L)))
-      .head().getLong(0)
-    require(maxLen <= Int.MaxValue,
-      s"group concatenation exceeds Int positions ($maxLen) — shard the group")
+      .localCheckpoint(true) // feeds codes, giants, and the witness
+    val giantGids = off
+      .groupBy("gid").agg(max(col("off") + length(col("text"))).as("n"))
+      .where(col("n") > giantThreshold).select("gid")
+    val hasGiants = giantGids.limit(1).count() > 0
     // the owning doc rides the loop as the `tag` passthrough
-    // (sentinel rows: null tag — dropped after ranking)
+    // (sentinel rows: null tag — ranked but never class members)
     val chars = off
       .select(col("gid"), col("doc_id"), col("off"),
         posexplode(split(col("text"), "")).as(Seq("p0", "ch")))
-      .select(col("gid"),
-        (col("off") + col("p0") + 1).cast("int").as("pos"),
+      .select(col("gid"), (col("off") + col("p0") + 1).as("pos"),
         ascii(col("ch")).as("c0"), col("doc_id").as("tag"))
     val sentinels = off.where(col("off") > 0)
-      .select(col("gid"), col("off").cast("int").as("pos"),
+      .select(col("gid"), col("off").as("pos"),
         lit(1).as("c0"), lit(null).cast("long").as("tag"))
-    val ranks = ranksFromCodes(chars.unionByName(sentinels),
-      maxLen, maxRounds)
-    // real positions only (sentinel block dropped)
-    val real = ranks.where(col("tag").isNotNull)
-      .select(col("gid"), col("pos"), col("rank"),
-        col("tag").as("doc_id"))
-    val wRank = Window.partitionBy("gid").orderBy("rank")
-    // checkpointed: decouples the window sort from the collect_list
-    // below — pipelined, one task holds the sort buffers AND the
-    // per-group list-aggregation buffers at once, and the stage
-    // spills (measured 38 s for work that runs in ~4 s staged)
-    val pairs = real
-      .withColumn("pos_b", lead(col("pos"), 1).over(wRank))
-      .withColumn("doc_b", lead(col("doc_id"), 1).over(wRank))
-      .where(col("pos_b").isNotNull && col("doc_b") =!= col("doc_id"))
-      .select(col("gid"), col("pos").as("pos_a"), col("pos_b"))
-      .localCheckpoint(true)
-    val perSrc = pairs.groupBy("gid")
-      .agg(collect_list(struct(col("pos_a"), col("pos_b"))).as("ps"))
-      .localCheckpoint(true)
-    // the one group-sized row: doc_id-ordered sentinel-joined text
-    // (array_sort on (doc_id, text) structs makes collect_list's
-    // order irrelevant — the house determinism discipline)
-    val cat = nn.groupBy("gid")
+    val rep = maxRepeat(chars.unionByName(sentinels), maxRounds,
+      cross = true, giantGids, hasGiants)
+    // witness assembly: only the documents overlapping the winning
+    // [rep_pos, rep_pos+rep_len) interval ship text — witness-sized
+    // output, never group-sized state. A doc owns global chars
+    // [off+1, off+len] and (when off > 0) the sentinel at `off`;
+    // consecutive overlapping docs are exactly sentinel-separated, so
+    // array_join with the sentinel reassembles the interval (empty
+    // trailing pieces keep a boundary sentinel that the interval
+    // covers).
+    val win = rep.where(col("rep_len") >= 1)
+      .select(col("gid"), col("rep_pos"), col("rep_len"),
+        (col("rep_pos") + col("rep_len") - 1).as("rep_end"))
+    val pieces = off.join(win, Seq("gid"))
+      .where(when(col("off") === 0, lit(1L)).otherwise(col("off"))
+          <= col("rep_end") &&
+        (col("off") + length(col("text"))) >= col("rep_pos"))
+      .withColumn("s", greatest(col("rep_pos"), col("off") + 1))
+      .withColumn("e",
+        least(col("rep_end"), col("off") + length(col("text"))))
+      .select(col("gid"), col("off"),
+        when(col("e") >= col("s"),
+          col("text").substr((col("s") - col("off")).cast("int"),
+            (col("e") - col("s") + 1).cast("int")))
+          .otherwise(lit("")).as("piece"))
+    val assembled = pieces.groupBy("gid")
       .agg(array_join(transform(
-        array_sort(collect_list(struct(col("doc_id"), col("text")))),
-        x => x.getField("text")), "\u0001").as("text"))
-    cat.join(perSrc, Seq("gid"), "left")
+        array_sort(collect_list(struct(col("off"), col("piece")))),
+        x => x.getField("piece")), "").as("witness"))
+    rep.join(assembled, Seq("gid"), "left")
+      .select(col("gid").as("source"),
+        col("rep_len").as("cross_len"),
+        coalesce(col("witness"), lit("")).as("witness"))
+  }
+
+  /** EXACT repeated-span REMOVAL per document — the rewrite face of
+    * the suffix-array family (Lee et al. 2022's ExactSubstr dedup,
+    * within-document form): every position covered by a repeated
+    * substring of length >= `minLen` is cut, ALL occurrences (their
+    * choice: cut every duplicated span exactly; d20 is the sampled
+    * cross-document sibling). Detection IS d30/d31's machinery — a
+    * position p starts a repeated span of length l iff some
+    * rank-adjacent suffix pair touching p has LCP >= l, so the span
+    * set is, per adjacent pair (a, b) with LCP l >= minLen, the two
+    * intervals [a, a+l) and [b, b+l); coverage is their union, merged
+    * per document (the d19→d20 island discipline), and the kept text
+    * is the complement fold.
+    *
+    * Returns one row per non-null-text document: (idCol, n_chars,
+    * n_kept_chars, cleaned). Scale shape: the d31 chain (ranks +
+    * per-doc batched LCPs) plus one per-doc island merge — every
+    * window bounded by a document, never the corpus.
+    */
+  def removeRepeatedSpans(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minLen: Int = 16,
+      maxRounds: Int = 40,
+      giantThreshold: Long = GiantGroupThreshold): DataFrame = {
+    require(minLen >= 1, s"minLen must be >= 1 (got $minLen)")
+    val base = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .localCheckpoint(true)
+    val sr = suffixRanks(base, "doc_id", "text", maxRounds, giantThreshold)
+    val pairs = sr
+      .withColumn("pos_b", lead(col("pos"), 1).over(
+        Window.partitionBy("doc_id").orderBy("suffix_rank")))
+      .where(col("pos_b").isNotNull)
+      .select(col("doc_id"), col("pos").as("pos_a"), col("pos_b"))
+    val perDoc = pairs.groupBy("doc_id")
+      .agg(collect_list(struct(col("pos_a"), col("pos_b"))).as("ps"))
+    // both sides of every qualifying pair become spans (start, len)
+    val spans = base.join(perDoc, Seq("doc_id"), "left_semi")
+      .join(perDoc, Seq("doc_id"))
       .withColumn("lcps", graft.functions.TextHashExpressions
         .lcp_pairs(col("text"), col("ps")))
-      .withColumn("cross_len",
-        coalesce(array_max(col("lcps")), lit(0)).cast("long"))
-      .withColumn("witness",
-        coalesce(
-          array_min(transform(
-            filter(
-              zip_with(col("ps"), col("lcps"), (p, l) =>
-                struct(p.getField("pos_a").as("pos_a"), l.as("l"))),
-              x => x.getField("l") === col("cross_len")),
-            x => col("text").substr(x.getField("pos_a"),
-              col("cross_len").cast("int")))),
-          lit("")))
-      .select(col("gid").as("source"), col("cross_len"), col("witness"))
+      .select(col("doc_id"), explode(flatten(
+        zip_with(col("ps"), col("lcps"), (p, l) => when(l >= minLen,
+          array(struct(p.getField("pos_a").cast("long").as("s"),
+            l.cast("long").as("l")),
+            struct(p.getField("pos_b").cast("long").as("s"),
+              l.cast("long").as("l"))))
+          .otherwise(array().cast("array<struct<s:long,l:long>>")))))
+        .as("sp"))
+      .select(col("doc_id"), col("sp.s").as("s"),
+        (col("sp.s") + col("sp.l") - 1).as("e"))
+    // merge overlapping/adjacent spans into maximal islands — per-DOC
+    // window only (d19's mergeSpanIslands shape, char-based, variable
+    // width; inclusive [s, e])
+    val w = Window.partitionBy("doc_id").orderBy(col("s"), col("e"))
+    val prevEnd = max(col("e"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = spans
+      .withColumn("__brk",
+        when(col("s") > coalesce(prevEnd, lit(0L)) + 1L, 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("__isl"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("cuts"))
+    // the complement fold: head + per-gap substrings + tail — islands
+    // are disjoint and sorted, so the fold is pure column math
+    val cleaned = expr(
+      """CASE WHEN cuts IS NULL THEN text ELSE concat(
+        |  substring(text, 1, cast(element_at(cuts, 1).s as int) - 1),
+        |  array_join(zip_with(
+        |    slice(cuts, 1, size(cuts) - 1), slice(cuts, 2, size(cuts) - 1),
+        |    (c, cn) -> substring(text, cast(c.e as int) + 1,
+        |      cast(cn.s - c.e as int) - 1)), ''),
+        |  substring(text, cast(element_at(cuts, -1).e as int) + 1)) END
+        |""".stripMargin)
+    base.join(islands, Seq("doc_id"), "left")
+      .withColumn("cleaned", cleaned)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        length(col("cleaned")).cast("long").as("n_kept_chars"),
+        col("cleaned"))
   }
 }

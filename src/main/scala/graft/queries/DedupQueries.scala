@@ -599,6 +599,22 @@ object DedupQueries {
         .orderBy("source")
     }),
 
+    // The suffix-array family's REMOVAL face (the Lee et al. 2022
+    // application d30–d32 only detect): every position covered by a
+    // within-doc repeated substring of length >= minLen is cut, all
+    // occurrences; the cleaned text's md5 rides the hash so the
+    // rewrite is byte-verified without shipping texts (the d20
+    // discipline). Detection shares d30's rank chain — the oracle
+    // states spans from the same lag()-over-suffix-order LCPs, so
+    // detection and rewrite cannot drift.
+    "d34_repeat_span_removal" -> ((s, d) => {
+      SuffixArray.removeRepeatedSpans(Tables.load(s, d, "documents"),
+          "doc_id", "text", minLen = RepeatSpanMinLen)
+        .select(col("doc_id"), col("n_chars"), col("n_kept_chars"),
+          md5(col("cleaned")).as("cleaned_md5"))
+        .orderBy("doc_id")
+    }),
+
     // SemDeDup: k-means clusters bound the pairwise cosine search
     // (candidates = Σ|cluster|², n²/k expected; the paper scales k with
     // n to keep clusters bounded). Training is s08's deterministic
@@ -731,38 +747,95 @@ object DedupQueries {
     * rank-adjacent neighbor with its owning doc, LCP as list
     * arithmetic, max restricted to cross-document pairs.
     */
+  /** The d32 CTE chain over any (source, doc_id, text) relation —
+    * shared by the d32 oracle AND the p07 funnel oracle (the
+    * containmentVerCtes three-consumer pattern), so the funnel's
+    * exact pass and the standalone operator cannot drift. Yields
+    * `cdex(source, cross_len, witness)` for every source of `rel`
+    * with >= 1 non-empty text.
+    */
+  private[queries] def crossDocCtes(rel: String): String =
+    s"""cdnn AS (SELECT source, doc_id, text FROM $rel
+       |  WHERE text IS NOT NULL AND length(text) >= 1),
+       |cdcat AS (SELECT source, string_agg(text, chr(1) ORDER BY doc_id) AS t
+       |  FROM cdnn GROUP BY source),
+       |cdoff AS (SELECT source, doc_id, text,
+       |    COALESCE(sum(length(text) + 1) OVER (PARTITION BY source
+       |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND 1 PRECEDING), 0) AS off
+       |  FROM cdnn),
+       |cdp AS (SELECT o.source, o.doc_id, o.off + u.i AS gpos
+       |  FROM cdoff o, unnest(generate_series(1, length(o.text))) u(i)),
+       |cds AS (SELECT p.source, p.doc_id, p.gpos,
+       |    substr(c.t, p.gpos::INT) AS suf
+       |  FROM cdp p JOIN cdcat c USING (source)),
+       |cdo AS (SELECT source, doc_id, suf,
+       |    lag(suf) OVER (PARTITION BY source ORDER BY suf) AS prev,
+       |    lag(doc_id) OVER (PARTITION BY source ORDER BY suf) AS prev_doc
+       |  FROM cds),
+       |cdl AS (SELECT source, suf,
+       |    CASE WHEN prev IS NULL OR prev_doc = doc_id THEN 0 ELSE COALESCE(
+       |      list_min(list_filter(
+       |        generate_series(1, least(length(suf), length(prev))),
+       |        k -> substr(suf, k::INT, 1) != substr(prev, k::INT, 1))) - 1,
+       |      least(length(suf), length(prev))) END AS lcp
+       |  FROM cdo),
+       |cdm AS (SELECT source, CAST(max(lcp) AS BIGINT) AS cross_len FROM cdl
+       |  GROUP BY source),
+       |cdex AS (SELECT l.source AS source, m.cross_len AS cross_len,
+       |    min(substr(l.suf, 1, m.cross_len::INT)) AS witness
+       |  FROM cdl l JOIN cdm m ON l.source = m.source AND l.lcp = m.cross_len
+       |  GROUP BY l.source, m.cross_len)""".stripMargin
+
   private val d32OracleSql: String =
-    """WITH nn AS (SELECT source, doc_id, text FROM documents
-      |  WHERE text IS NOT NULL AND length(text) >= 1),
-      |cat AS (SELECT source, string_agg(text, chr(1) ORDER BY doc_id) AS t
-      |  FROM nn GROUP BY source),
-      |off AS (SELECT source, doc_id, text,
-      |    COALESCE(sum(length(text) + 1) OVER (PARTITION BY source
-      |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
-      |      AND 1 PRECEDING), 0) AS off
-      |  FROM nn),
-      |p AS (SELECT o.source, o.doc_id, o.off + u.i AS gpos
-      |  FROM off o, unnest(generate_series(1, length(o.text))) u(i)),
-      |s AS (SELECT p.source, p.doc_id, p.gpos,
-      |    substr(c.t, p.gpos::INT) AS suf
-      |  FROM p JOIN cat c USING (source)),
-      |o2 AS (SELECT source, doc_id, suf,
-      |    lag(suf) OVER (PARTITION BY source ORDER BY suf) AS prev,
-      |    lag(doc_id) OVER (PARTITION BY source ORDER BY suf) AS prev_doc
-      |  FROM s),
-      |l AS (SELECT source, suf,
-      |    CASE WHEN prev IS NULL OR prev_doc = doc_id THEN 0 ELSE COALESCE(
-      |      list_min(list_filter(
-      |        generate_series(1, least(length(suf), length(prev))),
-      |        k -> substr(suf, k::INT, 1) != substr(prev, k::INT, 1))) - 1,
-      |      least(length(suf), length(prev))) END AS lcp
-      |  FROM o2),
-      |m AS (SELECT source, CAST(max(lcp) AS BIGINT) AS cross_len FROM l
-      |  GROUP BY source)
-      |SELECT l.source AS source, m.cross_len AS cross_len,
-      |  min(substr(l.suf, 1, m.cross_len::INT)) AS witness
-      |FROM l JOIN m ON l.source = m.source AND l.lcp = m.cross_len
-      |GROUP BY l.source, m.cross_len ORDER BY source""".stripMargin
+    s"""WITH ${crossDocCtes("documents")}
+       |SELECT source, cross_len, witness FROM cdex ORDER BY source""".stripMargin
+
+  /** d34's span threshold: shared by the Spark plan and the oracle
+    * below (median lrs_len at the verify SF is 12, so the rewrite is
+    * non-vacuous on ~60% of documents).
+    */
+  private val RepeatSpanMinLen = 12
+
+  /** d34: spans stated from the same lag()-over-suffix-order LCPs as
+    * d31, BOTH sides of each adjacent pair, coverage as a distinct
+    * position set, the cleaned text as the ordered uncovered chars.
+    */
+  private val d34OracleSql: String =
+    s"""WITH nn AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+       |p AS (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS pos
+       |  FROM nn WHERE length(text) >= 1),
+       |s AS (SELECT doc_id, pos, substr(text, pos::INT) AS suf FROM p),
+       |o AS (SELECT doc_id, pos, suf,
+       |    lag(suf) OVER (PARTITION BY doc_id ORDER BY suf) AS prev,
+       |    lag(pos) OVER (PARTITION BY doc_id ORDER BY suf) AS prev_pos
+       |  FROM s),
+       |l AS (SELECT doc_id, pos, prev_pos,
+       |    CASE WHEN prev IS NULL THEN 0 ELSE COALESCE(
+       |      list_min(list_filter(
+       |        generate_series(1, least(length(suf), length(prev))),
+       |        k -> substr(suf, k::INT, 1) != substr(prev, k::INT, 1))) - 1,
+       |      least(length(suf), length(prev))) END AS lcp
+       |  FROM o),
+       |sp AS (SELECT doc_id, pos AS st, lcp FROM l WHERE lcp >= $RepeatSpanMinLen
+       |  UNION ALL
+       |  SELECT doc_id, prev_pos AS st, lcp FROM l WHERE lcp >= $RepeatSpanMinLen),
+       |cov AS (SELECT DISTINCT doc_id, st + u.i AS cp FROM sp,
+       |  unnest(generate_series(0, lcp - 1)) u(i)),
+       |ch AS (SELECT p.doc_id, p.pos, substr(p.text, p.pos::INT, 1) AS c,
+       |    cov.cp IS NOT NULL AS covered
+       |  FROM p LEFT JOIN cov ON p.doc_id = cov.doc_id AND p.pos = cov.cp),
+       |k AS (SELECT doc_id,
+       |    CAST(count(*) AS BIGINT) AS n_chars,
+       |    CAST(count(*) FILTER (WHERE NOT covered) AS BIGINT) AS n_kept_chars,
+       |    md5(COALESCE(string_agg(c, '' ORDER BY pos)
+       |      FILTER (WHERE NOT covered), '')) AS cleaned_md5
+       |  FROM ch GROUP BY doc_id)
+       |SELECT nn.doc_id AS doc_id,
+       |  COALESCE(k.n_chars, 0) AS n_chars,
+       |  COALESCE(k.n_kept_chars, 0) AS n_kept_chars,
+       |  COALESCE(k.cleaned_md5, md5('')) AS cleaned_md5
+       |FROM nn LEFT JOIN k USING (doc_id) ORDER BY doc_id""".stripMargin
 
   private val mhExprs: String = Dedup.minHashParams.zipWithIndex.map {
     case ((a, b), i) =>
@@ -1393,6 +1466,7 @@ object DedupQueries {
     "d31_longest_repeat" -> d31OracleSql,
 
     "d32_cross_doc_repeats" -> d32OracleSql,
+    "d34_repeat_span_removal" -> d34OracleSql,
 
     "d33_incremental_winnow" -> d29OracleSql,
 

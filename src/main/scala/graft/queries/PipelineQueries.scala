@@ -154,6 +154,42 @@ object PipelineQueries {
     // per-source shard packing of the survivors. Fully-cut docs
     // (cleaned = '') drop before dedup so the empty string never
     // becomes a canonical text.
+    // the approximate→exact substring-dedup FUNNEL (the practiced
+    // 100 TB shape): d29's winnow index names candidate sources
+    // cheaply — a source is flagged iff some fingerprint hash is
+    // selected by >= 2 of ITS OWN documents — and only flagged
+    // sources pay d32's exact generalized-suffix-array pass. The
+    // skip is SOUND, not heuristic: winnowing guarantees any shared
+    // substring of >= w+k-1 (= 12) chars selects the same hash in
+    // both copies, so an unflagged source has cross_len < 12 by
+    // construction; flagged sources report the exact length and
+    // witness. Both stages reuse their standalone oracles verbatim
+    // (crossDocCtes / the d29 chain) so funnel and operators cannot
+    // drift.
+    "p07_substring_funnel" -> ((s, d) => {
+      import graft.ops.{Dedup, SuffixArray}
+      val docs = Tables.load(s, d, "documents")
+        .select("doc_id", "text", "source").where(col("text").isNotNull)
+        .localCheckpoint(true) // feeds fingerprints, the exact pass, and the source list
+      val fps = Dedup.winnowFingerprints(docs, "doc_id", "text")
+        .where(col("h").isNotNull)
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      val cand = fps.groupBy("source", "h")
+        .agg(countDistinct("doc_id").as("nd"))
+        .where(col("nd") >= 2).select("source").distinct()
+      val flagged = docs.join(broadcast(cand), Seq("source"), "left_semi")
+      val exact = SuffixArray.crossDocRepeats(flagged,
+        "doc_id", "text", "source")
+      docs.select("source").distinct()
+        .join(broadcast(cand.withColumn("__c", lit(true))),
+          Seq("source"), "left")
+        .join(exact, Seq("source"), "left")
+        .select(col("source"),
+          coalesce(col("__c"), lit(false)).as("candidate"),
+          col("cross_len"), col("witness"))
+        .orderBy("source")
+    }),
+
     "p06_segment_curated" -> ((s, d) => {
       import graft.ops.{Curation, Dedup, TextAnalysis}
       val docs = Tables.load(s, d, "documents")
@@ -463,6 +499,33 @@ object PipelineQueries {
          |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
          |  min(doc_id) AS min_doc_id
          |FROM cum GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // the d29 winnow chain grouped per (source, hash) for the
+    // candidate set, then the d32 chain (crossDocCtes verbatim)
+    // restricted to flagged sources
+    "p07_substring_funnel" ->
+      s"""WITH nn AS (SELECT doc_id, source, text FROM documents
+         |  WHERE text IS NOT NULL),
+         |g AS (SELECT doc_id, source,
+         |    ${graft.functions.TextHashExpressions.winnowGramsSql(graft.ops.Dedup.WinnowK)} AS gs
+         |  FROM nn),
+         |sel AS (SELECT doc_id, source, gs,
+         |    ${graft.functions.TextHashExpressions.winnowSelectSql(graft.ops.Dedup.WinnowW)} AS ps
+         |  FROM g),
+         |fp AS (SELECT doc_id, source, gs[u.p::INT] AS h
+         |  FROM sel, unnest(ps) AS u(p)),
+         |cand AS (SELECT DISTINCT source FROM (
+         |  SELECT source FROM fp GROUP BY source, h
+         |  HAVING count(DISTINCT doc_id) >= 2)),
+         |flagged AS (SELECT source, doc_id, text FROM nn
+         |  WHERE source IN (SELECT source FROM cand)),
+         |${DedupQueries.crossDocCtes("flagged")}
+         |SELECT s.source AS source, (c.source IS NOT NULL) AS candidate,
+         |  e.cross_len AS cross_len, e.witness AS witness
+         |FROM (SELECT DISTINCT source FROM nn) s
+         |LEFT JOIN cand c USING (source)
+         |LEFT JOIN cdex e USING (source)
+         |ORDER BY source""".stripMargin,
 
     // the shared segment-filter chain (CurationQueries.segmentFilterCtes
     // — c23's statement verbatim), then d01's fingerprint dedup over

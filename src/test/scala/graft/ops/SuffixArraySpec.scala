@@ -120,6 +120,87 @@ class SuffixArraySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("wide (giant-group) rank path matches the window path bit for bit") {
+    val df = corpus.toDF("doc_id", "text")
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    val window = SuffixArray.suffixRanks(df, "doc_id", "text").collect()
+    // threshold 4 forces EVERY document onto the range-partitioned
+    // two-pass path — the giant-document fallback, proven equal
+    val wide = SuffixArray
+      .suffixRanks(df, "doc_id", "text", giantThreshold = 4).collect()
+    assert(key(wide) === key(window))
+  }
+
+  test("giant-doc LRS (class binary search) equals brute force") {
+    val got = SuffixArray
+      .longestRepeatedSubstring(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", giantThreshold = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    corpus.foreach { case (id, s) =>
+      assert(got(id) === refLrs(s), s"giant-path LRS diverged for '$s'")
+    }
+  }
+
+  test("cross-doc repeats on the wide path equal the window-path result") {
+    val groups: Seq[(String, Seq[(Long, String)])] = Seq(
+      "g1" -> Seq((1L, "xxSHARED BOILERPLATE yy"), (2L, "zz SHARED BOILERPLATE ww"),
+        (3L, "nothing in common")),
+      "g2" -> Seq((10L, "abcabcabc"), (11L, "qqq")),
+      "g5" -> Seq((40L, "aaaaaaaaaaaaaaaa"), (41L, "aaaaaaaa"), (42L, "bbb"))
+    )
+    val df = groups.flatMap { case (g, ds) => ds.map(d => (d._1, d._2, g)) }
+      .toDF("doc_id", "text", "source")
+    val got = SuffixArray
+      .crossDocRepeats(df, "doc_id", "text", "source", giantThreshold = 4)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    groups.foreach { case (g, ds) =>
+      assert(got(g) === refCross(ds), s"wide cross-doc diverged for $g")
+    }
+  }
+
+  /** Brute removal reference: position p (1-based) is covered iff the
+    * max-LCP of the suffix at some a <= p with any other suffix
+    * reaches past p at length >= minLen — i.e. ∃ a <= p, ∃ b != a:
+    * lcp(suf_a, suf_b) >= max(minLen, p - a + 1).
+    */
+  private def refRemove(s: String, minLen: Int): (Long, String) = {
+    def lcp(i: Int, j: Int): Int = {
+      var k = 0
+      while (i + k < s.length && j + k < s.length && s(i + k) == s(j + k)) k += 1
+      k
+    }
+    val h = (0 until s.length).map { i =>
+      (0 until s.length).filter(_ != i).map(j => lcp(i, j)).foldLeft(0)(math.max)
+    }
+    val covered = Array.fill(s.length)(false)
+    for (i <- 0 until s.length; if h(i) >= minLen; k <- i until i + h(i))
+      covered(k) = true
+    val kept = s.zipWithIndex.collect { case (c, i) if !covered(i) => c }.mkString
+    (kept.length.toLong, kept)
+  }
+
+  test("removeRepeatedSpans cuts exactly the covered positions") {
+    val docs = Seq("abcabcabc", "the quick brown fox the quick brown cat",
+      "no repeats here!?", "aaaaaaaaaaaa", "xyxyxyzzzxyxyxy", "") ++
+      (0 until 25).map { _ =>
+        (0 until (5 + rnd.nextInt(50))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      }
+    val df = docs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("doc_id", "text")
+    for (minLen <- Seq(3, 5)) {
+      val got = SuffixArray.removeRepeatedSpans(df, "doc_id", "text", minLen)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+        .toMap
+      docs.zipWithIndex.foreach { case (s, i) =>
+        val (keptLen, kept) = refRemove(s, minLen)
+        assert(got(i.toLong) === ((s.length.toLong, keptLen, kept)),
+          s"span removal diverged for '$s' at minLen=$minLen")
+      }
+    }
+  }
+
   test("null and empty texts yield no suffix rows, not errors") {
     val df = Seq((1L, "ab"), (2L, ""), (3L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
