@@ -270,6 +270,14 @@ object ScaleStress {
           tauNum = 9, tauDen = 10,
           tokens = t => array_distinct(Dedup.shingleHashes(t)),
           blockBy = Some(col("source")))),
+        // the AUTO router (r10): exact whole-corpus while the measured
+        // volume fits, pre-blocked when it doesn't — at 30× this must
+        // run GREEN without manual intervention where plain d21
+        // guard-trips (margin 1.47×), because the router takes the
+        // blocked path on the same measured signal
+        "d21auto" -> (() => Dedup.containmentPairsAuto(
+          withExcerpts(plain), "doc_id", "text",
+          tauNum = 9, tauDen = 10, blockBy = col("source"))),
         // k-core peeling (r7 cont.): copies are structurally identical
         // disjoint subgraphs, so cascade DEPTH (and hence round count)
         // is scale-invariant — the curve isolates per-round work ∝

@@ -1000,6 +1000,38 @@ object Dedup {
         (col("inter") / col("n_a").cast("double")).as("containment"))
   }
 
+  /** [[containmentPairs]] with the pre-blocked escape hatch RAISED
+    * INTO CODE (the d26 routing decision): run the exact whole-corpus
+    * containment join while its measured candidate volume fits the
+    * budget, and when it does not — the regime where the plain
+    * operator refuses with "pre-block the corpus" — route to the
+    * block-qualified form over `blockBy` instead. The caller declares
+    * ONCE the column containment never crosses (e.g. `source`);
+    * refusal becomes the last resort, reached only if even the
+    * per-block volume exceeds the budget. The routing signal is the
+    * same measured pre-join volume the guard prints, so the switch
+    * costs one extra guard evaluation only in the regime that was
+    * previously a hard stop. Requires the integer-hash tokenizer
+    * (shingle hashes) the blocked form needs, on BOTH paths — the
+    * routed plan must not change tokenization semantics mid-corpus.
+    */
+  def containmentPairsAuto(docs: DataFrame, idCol: String, textCol: String,
+      tauNum: Int, tauDen: Int, blockBy: Column,
+      tokens: Column => Column = c => array_distinct(shingleHashes(c)),
+      maxCandidatePairs: Long = 1L << 26): DataFrame = {
+    val plainDf =
+      try Some(containmentPairs(docs, idCol, textCol, tauNum, tauDen,
+        tokens, maxCandidatePairs, blockBy = None))
+      catch {
+        // ONLY the budget guard reroutes (its volume/budget message is
+        // the routing signal); any other failure propagates
+        case e: IllegalStateException
+            if Option(e.getMessage).exists(_.contains("budget")) => None
+      }
+    plainDf.getOrElse(containmentPairs(docs, idCol, textCol, tauNum,
+      tauDen, tokens, maxCandidatePairs, blockBy = Some(blockBy)))
+  }
+
   /** Length-filtered candidate-volume upper bound for the containment
     * family's pre-join budget guard. Both inputs carry (id, tok, n);
     * the true post-filter volume is Σ over candidate rows surviving
@@ -1528,7 +1560,17 @@ object Dedup {
     * min — so incremental maintenance (d28) is pure algebra over two
     * independently built indexes, never a recompute of history.
     */
-  def cdcChunkIndex(docs: DataFrame, w: Int = 8, divisor: Int = 31): DataFrame =
+  /** The shared CDC parameters (rolling-window width, boundary
+    * divisor): the ONE definition the batch operators (d27/d28),
+    * their oracle, and the streaming index
+    * ([[graft.streaming.DedupStreams.cdcChunkIndexStream]]) all
+    * default to.
+    */
+  val CdcW = 8
+  val CdcDivisor = 31
+
+  def cdcChunkIndex(docs: DataFrame, w: Int = CdcW,
+      divisor: Int = CdcDivisor): DataFrame =
     docs.where(col("text").isNotNull)
       .select(col("source"),
         explode(graft.functions.TextHashExpressions

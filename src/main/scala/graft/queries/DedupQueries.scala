@@ -645,7 +645,7 @@ object DedupQueries {
       s"""WITH nn AS (SELECT doc_id, source, text, length(text) AS n
          |  FROM documents WHERE text IS NOT NULL),
          |bd AS (SELECT doc_id, source, text, n,
-         |    ${graft.functions.TextHashExpressions.cdcBoundsSql(8, 31)} AS bnds
+         |    ${graft.functions.TextHashExpressions.cdcBoundsSql(Dedup.CdcW, Dedup.CdcDivisor)} AS bnds
          |  FROM nn),
          |we AS (SELECT doc_id, source, text, n,
          |    CASE WHEN n = 0 THEN bnds

@@ -247,4 +247,120 @@ object DedupStreams {
       spark.read.parquet(indexDir)
         .groupBy("h").agg(sum("nd").as("nd"))
   }
+
+  // --------------------------------------------------------------
+  // CDC chunk index stream (d27/d28's state)
+  // --------------------------------------------------------------
+
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.types.{ArrayType, LongType, StringType,
+    StructField, StructType}
+
+  private def cdcChunksSchema = StructType(Seq(
+    StructField("source", StringType), StructField("h", StringType),
+    StructField("cnt", LongType), StructField("len", LongType),
+    StructField("batch_id", LongType)))
+  // `covers` marks a COMPACTED base partition superseding the listed
+  // batch ids (the [[SearchStreams]] discipline); normal stream
+  // batches leave it null
+  private def cdcMarksSchema = StructType(Seq(
+    StructField("covers", ArrayType(LongType)),
+    StructField("batch_id", LongType)))
+
+  /** Streaming maintenance of the content-defined-chunk index
+    * (d27/d28's state — [[graft.ops.Dedup.cdcChunkIndex]]): each
+    * micro-batch of landing documents is chunked ONCE and its
+    * per-(source, chunk-hash) (cnt, len) partial lands under
+    * `indexDir/chunks/batch_id=N`, then a 1-row marker under
+    * `indexDir/marks/batch_id=N` — the marker is written LAST, so a
+    * batch is committed iff its marker exists and a reader racing a
+    * mid-commit batch sees none of it. Retried batches overwrite
+    * their own partitions (idempotent replay). [[loadCdcChunkIndex]]
+    * merges committed partials with d28's algebra (counts add,
+    * lengths min — content-determined, so min is a no-op across
+    * sides); [[compactCdcChunkIndex]] folds them into one base
+    * partition with a covers-marker flip, the fourth incremental
+    * index family on the same operational story as t15 (BM25), d33
+    * (winnow) and the member states.
+    *
+    * `w`/`divisor` default to the shared batch constants
+    * ([[graft.ops.Dedup.CdcW]]/[[graft.ops.Dedup.CdcDivisor]]) so the
+    * streamed index cannot drift from the d27/d28 batch index it is
+    * spec-pinned to equal.
+    */
+  def cdcChunkIndexStream(docs: DataFrame, indexDir: String,
+      checkpointDir: String, w: Int = Dedup.CdcW,
+      divisor: Int = Dedup.CdcDivisor)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        Dedup.cdcChunkIndex(batch, w, divisor)
+          .write.mode("overwrite")
+          .parquet(s"$indexDir/chunks/batch_id=$batchId")
+        val spark = batch.sparkSession
+        import spark.implicits._
+        // marker LAST: the commit point
+        Seq(Tuple1(null.asInstanceOf[Array[Long]])).toDF("covers")
+          .write.mode("overwrite")
+          .parquet(s"$indexDir/marks/batch_id=$batchId")
+      }
+      .start()
+
+  /** The full chunk index from the partial layout: committed batches
+    * (marker present, not superseded by a compaction base) merged by
+    * the d28 algebra. Empty before the first commit, never an error.
+    */
+  def loadCdcChunkIndex(spark: SparkSession, indexDir: String): DataFrame = {
+    val marks = PipelineStreams
+      .readOrEmpty(spark, s"$indexDir/marks", cdcMarksSchema)
+      .select("batch_id", "covers").collect() // one row per batch ever
+    val covered = marks.iterator.filterNot(_.isNullAt(1))
+      .flatMap(_.getSeq[Long](1)).toSet
+    val committed = marks.map(_.getLong(0)).filterNot(covered).toIndexedSeq
+    PipelineStreams.readOrEmpty(spark, s"$indexDir/chunks", cdcChunksSchema)
+      .where(col("batch_id").isin(committed: _*))
+      .groupBy("source", "h")
+      .agg(sum("cnt").as("cnt"), min("len").as("len"))
+  }
+
+  /** Fold every committed partial into ONE base partition: write the
+    * merged chunks under a fresh base id, then flip atomically by
+    * writing the base's marker with `covers` = the superseded ids
+    * (readers exclude them the same instant the base appears), then
+    * delete the originals. A crash mid-delete leaves covered — hence
+    * invisible — partitions that the next compaction removes first.
+    */
+  def compactCdcChunkIndex(spark: SparkSession, indexDir: String): Unit = {
+    val marks = PipelineStreams
+      .readOrEmpty(spark, s"$indexDir/marks", cdcMarksSchema)
+      .select("batch_id", "covers").collect()
+    val covered = marks.iterator.filterNot(_.isNullAt(1))
+      .flatMap(_.getSeq[Long](1)).toSet
+    covered.toIndexedSeq.sorted.foreach { id =>
+      StreamStateDirs.delete(spark, s"$indexDir/marks/batch_id=$id")
+      StreamStateDirs.delete(spark, s"$indexDir/chunks/batch_id=$id")
+    }
+    val ids = marks.map(_.getLong(0)).filterNot(covered).toIndexedSeq.sorted
+    if (ids.length <= 1) return
+    val base = math.min(ids.min, 0L) - 1L
+    val folded = PipelineStreams
+      .readOrEmpty(spark, s"$indexDir/chunks", cdcChunksSchema)
+      .where(col("batch_id").isin(ids: _*))
+      .groupBy("source", "h")
+      .agg(sum("cnt").as("cnt"), min("len").as("len"))
+      .localCheckpoint(true) // materialize before writing under the read root
+    try {
+      folded.write.mode("overwrite")
+        .parquet(s"$indexDir/chunks/batch_id=$base")
+      import spark.implicits._
+      Seq(Tuple1(ids)).toDF("covers")
+        .write.mode("overwrite")
+        .parquet(s"$indexDir/marks/batch_id=$base")
+    } finally { folded.unpersist(); () }
+    ids.foreach { id =>
+      StreamStateDirs.delete(spark, s"$indexDir/marks/batch_id=$id")
+      StreamStateDirs.delete(spark, s"$indexDir/chunks/batch_id=$id")
+    }
+  }
 }

@@ -237,6 +237,64 @@ class ContainmentSpec extends AnyFunSuite with SparkSpec {
     assert(blocked.forall { case (a, b) => (a < 100L) == (b < 100L) })
   }
 
+  test("auto router: plain within budget, pre-blocked past it, refusal last") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // low-entropy ON PURPOSE: four texts, each repeated in both
+    // blocks, so the unblocked candidate volume is real (and ~4× the
+    // per-block volume — a budget window exists strictly between)
+    val texts = Seq(
+      "alpha beta gamma delta epsilon zeta",
+      "alpha beta gamma delta shared tail words",
+      "unrelated content lives here entirely",
+      "alpha beta gamma delta epsilon zeta eta theta")
+    val docs = for {
+      (blk, off) <- Seq(("blockA", 0L), ("blockB", 100L))
+      rep <- 0 until 3
+      (t, ti) <- texts.zipWithIndex
+    } yield (off + rep * 10L + ti, t, blk)
+    val all = docs.toDF("doc_id", "text", "source")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // generous budget: auto == the plain unblocked operator
+    val plain = pairs(Dedup.containmentPairs(all, "doc_id", "text",
+      tauNum = 3, tauDen = 5,
+      tokens = t => array_distinct(Dedup.shingleHashes(t))))
+    assert(pairs(Dedup.containmentPairsAuto(all, "doc_id", "text",
+      tauNum = 3, tauDen = 5, blockBy = col("source"))) == plain)
+    // budget below the unblocked volume but above the per-block one:
+    // auto must ROUTE to the blocked form (== d26), not refuse. The
+    // guard message carries the measured volume — read both volumes
+    // from budget-1 trips and pick a budget strictly between.
+    def volumeOf(block: Option[org.apache.spark.sql.Column]): Long = {
+      val msg = intercept[IllegalStateException] {
+        Dedup.containmentPairs(all, "doc_id", "text", tauNum = 3,
+          tauDen = 5, tokens = t => array_distinct(Dedup.shingleHashes(t)),
+          maxCandidatePairs = 1L, blockBy = block)
+      }.getMessage
+      "volume (\\d+)".r.findFirstMatchIn(msg)
+        .getOrElse(fail(s"no volume in guard message: $msg"))
+        .group(1).toLong
+    }
+    val vPlain = volumeOf(None)
+    val vBlocked = volumeOf(Some(col("source")))
+    assert(vBlocked < vPlain, s"no routing window: $vBlocked vs $vPlain")
+    val blocked = pairs(Dedup.containmentPairs(all, "doc_id", "text",
+      tauNum = 3, tauDen = 5,
+      tokens = t => array_distinct(Dedup.shingleHashes(t)),
+      blockBy = Some(col("source"))))
+    assert(pairs(Dedup.containmentPairsAuto(all, "doc_id", "text",
+      tauNum = 3, tauDen = 5, blockBy = col("source"),
+      maxCandidatePairs = vBlocked)) == blocked)
+    // below even the blocked volume: refusal is the LAST resort
+    val e = intercept[IllegalStateException] {
+      Dedup.containmentPairsAuto(all, "doc_id", "text",
+        tauNum = 3, tauDen = 5, blockBy = col("source"),
+        maxCandidatePairs = 1L)
+    }
+    assert(e.getMessage.contains("budget"))
+  }
+
   test("blockBy refuses non-integer tokenizers loudly") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

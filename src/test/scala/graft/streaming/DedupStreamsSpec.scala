@@ -217,4 +217,54 @@ class DedupStreamsSpec extends AnyFunSuite with SparkSpec {
         s"identical cross-batch doc not fully shared: $d1")
     } finally q.stop()
   }
+
+  test("streaming CDC chunk index == batch index across batches, incl. compaction") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("cdc-stream-").toString
+    // (source, text): doc in batch 2 repeats batch 1 boilerplate
+    // verbatim at a shifted offset — the cross-batch chunk-share the
+    // merged index must count
+    val boiler = "shared boilerplate paragraph that chunk dedup must catch across docs"
+    val rows = Seq(
+      ("src_a", s"intro words $boiler and a tail"),
+      ("src_a", "totally unrelated content in the same source group here"),
+      ("src_b", s"different prefix text then $boiler trailing off"),
+      ("src_a", s"yet another framing of $boiler appearing in a later batch"))
+    val in = MemoryStream[(String, String)]
+    val q = DedupStreams.cdcChunkIndexStream(
+      in.toDS().toDF("source", "text"), s"$dir/index", s"$dir/ckpt")
+    def streamedIndex() = DedupStreams
+      .loadCdcChunkIndex(spark, s"$dir/index")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    try {
+      in.addData(rows(0), rows(1))
+      q.processAllAvailable()
+      in.addData(rows(2), rows(3))
+      q.processAllAvailable()
+      val batch = Dedup.cdcChunkIndex(rows.toDF("source", "text"))
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3)))).toMap
+      assert(streamedIndex() === batch)
+      // the d27 stats face over the streamed index == over the batch one
+      def face(ix: org.apache.spark.sql.DataFrame) =
+        Dedup.cdcChunkStats(rows.toDF("source", "text"), ix)
+          .collect().map(r => r.getString(0) ->
+            ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+              r.getLong(5)))).toMap
+      assert(face(DedupStreams.loadCdcChunkIndex(spark, s"$dir/index")) ===
+        face(Dedup.cdcChunkIndex(rows.toDF("source", "text"))))
+      // compaction folds partials into one base partition; the read
+      // view must not change (and a second compact is a no-op)
+      DedupStreams.compactCdcChunkIndex(spark, s"$dir/index")
+      assert(streamedIndex() === batch)
+      DedupStreams.compactCdcChunkIndex(spark, s"$dir/index")
+      assert(streamedIndex() === batch)
+      val partials = new java.io.File(s"$dir/index/chunks").listFiles()
+        .filter(_.getName.startsWith("batch_id=")).map(_.getName).toSeq
+      assert(partials === Seq("batch_id=-1"),
+        s"compaction left extra partials: $partials")
+    } finally q.stop()
+  }
 }
