@@ -206,9 +206,16 @@ object Plans {
     // posexplode → per-source rollup)
     "d29_winnow_fingerprints", "d30_suffix_ranks", "d31_longest_repeat",
     "t28_blocklist_scan",
-    // d32 generalized suffix array (offset cumsum window → tagged rank
-    // loop → adjacency window → per-group pair fold → one-decode LCP)
+    // d32 generalized suffix array (r10 rebuild: offset cumsum window
+    // → tagged early-exit rank levels → per-group class binary search
+    // over bounded (gid, pos+off) fetch joins → overlap-only witness
+    // assembly; no adjacency window, no group-sized rows)
     "d32_cross_doc_repeats",
+    // d34 span removal (d31's chain + both-sides span explode →
+    // per-doc island merge windows → complement fold), p07 funnel
+    // (winnow candidate agg → broadcast-semi source gate → the d32
+    // chain on the flagged subset)
+    "d34_repeat_span_removal", "p07_substring_funnel",
     // d33 incremental winnow index (two per-batch index aggs →
     // algebraic share-merge → d29's share join, the settle face), t29
     // Good-Turing (count-of-counts double groupBy + smoothed-rate

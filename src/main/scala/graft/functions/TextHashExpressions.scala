@@ -384,7 +384,11 @@ case class CdcChunks(child: Expression, w: Int, divisor: Int)
   */
 case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     extends UnaryExpression {
-  require(k >= 2 && k <= 8, "gram size must be in 2..8 (long-sum bound, as ShingleHash32)")
+  // the rolling update is mod-2^32 at every step, so any k is exact;
+  // the ORACLE side is safe too now that polyPowers reduces mod 2^32
+  // (per-term bound 0xFFFF·(2^32−1), k-term BIGINT sum exact). 64
+  // bounds the per-row gram buffer to sane sizes.
+  require(k >= 2 && k <= 64, "gram size must be in 2..64")
   require(w >= 2 && w <= 64, "winnow window must be in 2..64")
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -653,9 +657,16 @@ object TextHashExpressions {
     org.apache.spark.sql.functions.call_function("bigram_hash32", text)
   }
 
-  /** The literal 31-powers the DuckDB oracle must use for the same k. */
+  /** The literal 31-powers the DuckDB oracle must use for the same k —
+    * REDUCED mod 2^32: the final hash is mod 2^32, so modded powers
+    * give the identical result while keeping every oracle-side term
+    * ≤ 0xFFFF·(2^32−1) ≈ 2.8e14 — the k-term BIGINT sum stays exact
+    * for any k up to ~2^15 instead of overflowing past k = 8 (the
+    * un-modded 31^(k−1) passes 2^63/0xFFFF at k = 9 on BMP input).
+    */
   def polyPowers(k: Int): Seq[Long] =
-    (0 until k).map(j => (0 until (k - 1 - j)).foldLeft(1L)((acc, _) => acc * 31L))
+    (0 until k).map(j => (0 until (k - 1 - j))
+      .foldLeft(1L)((acc, _) => (acc * 31L) & 0xFFFFFFFFL))
 
   def shingle_hash32(text: Column, k: Int, stride: Int): Column = {
     register(SparkSession.active)

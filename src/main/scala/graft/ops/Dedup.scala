@@ -1619,6 +1619,18 @@ object Dedup {
   val WinnowK = 5
   val WinnowW = 8
 
+  /** The p07 funnel's winnowing parameters — gram length 12 (vs
+    * d29's 5) with the same window: the funnel's skip contract is
+    * "no fingerprint selected by two docs of a source ⟹ no cross-doc
+    * repeat of >= k+w−1 = 19 chars in that source", and the longer
+    * gram keeps common-word chance collisions from flagging every
+    * source on natural text (a 5-gram like one word is shared
+    * everywhere; 12 consecutive identical chars across documents is
+    * the boilerplate signal itself).
+    */
+  val FunnelK = 12
+  val FunnelW = 8
+
   /** The exploded winnowed-fingerprint relation: one row per selected
     * (doc, position) with the 32-bit hash unpacked; fingerprint-free
     * docs (text shorter than k) keep a null-hash row so the stats

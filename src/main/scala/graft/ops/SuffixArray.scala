@@ -352,33 +352,54 @@ object SuffixArray {
         .groupBy("gid").agg((max(col("m")) >= 2).as("ok"))
     }
 
+    val spark = codes.sparkSession
     val g8 = ops.gram(codes).localCheckpoint(true) // h0 search + rank0
+    val gidField = g8.schema("gid")
+
+    /** A LOCAL-relation frame over driver-held gid rows (bounded by
+      * the group count) — broadcast-join fodder without a shuffle or
+      * a checkpoint job. Extra long columns follow the gid.
+      */
+    def localGids(rows: Seq[Seq[Any]], extra: String*): DataFrame = {
+      val schema = org.apache.spark.sql.types.StructType(
+        gidField +: extra.map(n => org.apache.spark.sql.types
+          .StructField(n, org.apache.spark.sql.types.LongType)))
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows.map(Row.fromSeq): _*), schema)
+    }
+    def collectE(e: DataFrame): Seq[(Any, Boolean)] =
+      e.collect().toSeq.map(row =>
+        row.get(0) -> (!row.isNullAt(1) && row.getBoolean(1)))
+
     var r = ops.rank0(g8).localCheckpoint(true)
-    val st = ListBuffer.empty[DataFrame]
+    // driver-held search state per gid: (h, lo, hi) — the repeat
+    // length lies in [lo, hi); bounded by the group count
+    val state = scala.collection.mutable.LinkedHashMap.empty[Any, (Long, Long, Long)]
     val frozenParts = ListBuffer.empty[DataFrame]
-    val e0 = existsAtLevel(r).localCheckpoint(true)
-    st += e0.where(!col("ok")).select(col("gid"), lit(0L).as("h"),
-      lit(0L).as("lo"), lit(k0).as("hi"))
-    var alive = e0.where(col("ok")).select("gid").localCheckpoint(true)
-    var nAlive = alive.count()
-    r = r.join(broadcast(alive), Seq("gid"), "left_semi")
+    val e0 = collectE(existsAtLevel(r))
+    e0.foreach { case (g, ok) => if (!ok) state(g) = (0L, 0L, k0) }
+    var aliveG = e0.collect { case (g, true) => g }
+    r = r.join(broadcast(localGids(aliveG.map(Seq(_)))),
+      Seq("gid"), "left_semi")
     var h = k0
     var rounds = 0
-    while (nAlive > 0) {
+    while (aliveG.nonEmpty) {
       require(rounds < maxRounds,
         s"repeat search did not converge in $maxRounds rounds — " +
           "corpus shape unexpected, refusing to spin")
       val rNext = ops.refine(r, h).localCheckpoint(true)
-      val eN = existsAtLevel(rNext).localCheckpoint(true)
-      val died = eN.where(!col("ok")).select("gid")
-      // the group's repeat is in [h, 4h): keep its level-h rows (incl.
-      // sentinel positions — the search's component lookups need them)
-      frozenParts += r.join(broadcast(died), Seq("gid"), "left_semi")
-      st += died.select(col("gid"), lit(h).as("h"), lit(h).as("lo"),
-        lit(4 * h).as("hi"))
-      alive = eN.where(col("ok")).select("gid").localCheckpoint(true)
-      nAlive = alive.count()
-      r = rNext.join(broadcast(alive), Seq("gid"), "left_semi")
+      val eN = collectE(existsAtLevel(rNext))
+      val died = eN.collect { case (g, false) => g }
+      // a died group's repeat is in [h, 4h): keep its level-h rows
+      // (incl. sentinel positions — component lookups need them)
+      if (died.nonEmpty) {
+        frozenParts += r.join(broadcast(localGids(died.map(Seq(_)))),
+          Seq("gid"), "left_semi")
+        died.foreach(g => state(g) = (h, h, 4 * h))
+      }
+      aliveG = eN.collect { case (g, true) => g }
+      r = rNext.join(broadcast(localGids(aliveG.map(Seq(_)))),
+        Seq("gid"), "left_semi")
       h *= 4
       rounds += 1
     }
@@ -393,20 +414,35 @@ object SuffixArray {
     def classesAt(mids: DataFrame): DataFrame = {
       val midsH = mids.where(col("h") >= k0)
       val mids0 = mids.where(col("h") === 0L)
-      val lookup = frozen.select(col("gid").as("f_gid"),
-        col("pos").as("f_pos"), col("rank").as("f_rank"))
-      def fetch(df: DataFrame, offCol: String, out: String): DataFrame =
-        df.join(lookup, col("gid") === col("f_gid") &&
-            col("f_pos").cast("long") ===
-              (col("pos").cast("long") + col(offCol)), "left")
-          .withColumn(out, coalesce(col("f_rank"), lit(-1L)))
-          .drop("f_gid", "f_pos", "f_rank")
-      val baseH = frozen.join(broadcast(midsH), Seq("gid"))
+      // ONE balanced shuffle for all three component lookups (the
+      // fetchShifted shape, with per-GROUP offsets from the broadcast
+      // mids): each frozen row contributes its rank to targets
+      // pos − off_j; targets re-group on (gid, pos)
+      val hasTag = frozen.columns.contains("tag")
+      val nullTag: Column =
+        if (hasTag) lit(null).cast(frozen.schema("tag").dataType)
+        else lit(null)
+      val withMid = frozen.join(broadcast(midsH), Seq("gid"))
         .withColumn("off1", least(col("h"), col("mid") - col("h")))
         .withColumn("off2", least(col("h") * 2, col("mid") - col("h")))
         .withColumn("off3", least(col("h") * 3, col("mid") - col("h")))
-      val rowsH = fetch(fetch(fetch(baseH, "off1", "r1"), "off2", "r2"),
-          "off3", "r3")
+      val slots = (0 to 3).map { j =>
+        val offCol = if (j == 0) lit(0L) else col(s"off$j")
+        struct((col("pos").cast("long") - offCol).as("tpos"),
+          lit(j).as("slot"), col("rank").as("v"),
+          (if (hasTag && j == 0) col("tag") else nullTag).as("tag"))
+      }
+      val rowsH = withMid
+        .select(col("gid"), explode(array(slots: _*)).as("e"))
+        .select(col("gid"), col("e.tpos").as("pos"), col("e.slot").as("slot"),
+          col("e.v").as("v"), col("e.tag").as("tag"))
+        .where(col("pos") >= 1)
+        .groupBy(col("gid"), col("pos"))
+        .agg(max(when(col("slot") === 0, col("v"))).as("rank"),
+          coalesce(max(when(col("slot") === 1, col("v"))), lit(-1L)).as("r1"),
+          coalesce(max(when(col("slot") === 2, col("v"))), lit(-1L)).as("r2"),
+          coalesce(max(when(col("slot") === 3, col("v"))), lit(-1L)).as("r3"),
+          max(when(col("slot") === 0, col("tag"))).as("tag"))
         .withColumn("key",
           array(col("rank"), col("r1"), col("r2"), col("r3")))
       val rows0 = g8.join(broadcast(mids0), Seq("gid"))
@@ -423,32 +459,34 @@ object SuffixArray {
         .agg(cnt.as("m"), min(col("pos")).as("p"))
     }
 
-    var stDf = st.reduce(_ unionByName _).localCheckpoint(true)
-    while (stDf.where(col("hi") - col("lo") > 1).limit(1).count() > 0) {
-      val mids = stDf.where(col("hi") - col("lo") > 1)
-        .select(col("gid"), col("h"), expr("(lo + hi) DIV 2").as("mid"))
-      val ok = classesAt(mids).groupBy("gid")
-        .agg((max(col("m")) >= 2).as("ok"))
-      stDf = stDf
-        .join(mids.select("gid", "mid"), Seq("gid"), "left")
-        .join(ok, Seq("gid"), "left")
-        .select(col("gid"), col("h"),
-          when(col("mid").isNotNull && coalesce(col("ok"), lit(false)),
-            col("mid")).otherwise(col("lo")).as("lo"),
-          when(col("mid").isNotNull && !coalesce(col("ok"), lit(false)),
-            col("mid")).otherwise(col("hi")).as("hi"))
-        .localCheckpoint(true)
+    // binary search, state on the driver (bounded by the group
+    // count): ONE distributed pass + one bounded collect per step
+    while (state.values.exists { case (_, lo, hi) => hi - lo > 1 }) {
+      val act = state.toSeq.collect {
+        case (g, (gh, lo, hi)) if hi - lo > 1 => (g, gh, (lo + hi) / 2)
+      }
+      val mids = localGids(act.map { case (g, gh, m) => Seq(g, gh, m) },
+        "h", "mid")
+      val okMap = collectE(classesAt(mids).groupBy("gid")
+        .agg((max(col("m")) >= 2).as("ok"))).toMap
+      act.foreach { case (g, gh, mid) =>
+        val (_, lo, hi) = state(g)
+        state(g) =
+          if (okMap.getOrElse(g, false)) (gh, mid, hi) else (gh, lo, mid)
+      }
     }
 
     // witness: the minimum qualifying (key, pos) at m* — key order is
     // prefix order, so this is the lexicographically smallest repeat,
     // anchored at its smallest position (the house determinism rule)
-    val wmids = stDf.where(col("lo") >= 1)
-      .select(col("gid"), col("h"), col("lo").as("mid"))
+    val wmids = localGids(state.toSeq.collect {
+      case (g, (gh, lo, _)) if lo >= 1 => Seq(g, gh, lo)
+    }, "h", "mid")
     val wit = classesAt(wmids).where(col("m") >= 2)
       .groupBy("gid").agg(min(struct(col("key"), col("p"))).as("w"))
       .select(col("gid"), col("w.p").as("rep_pos"))
-    stDf.select(col("gid"), col("lo").as("rep_len"))
+    localGids(state.toSeq.map { case (g, (_, lo, _)) => Seq(g, lo) },
+        "rep_len")
       .join(wit, Seq("gid"), "left")
   }
 

@@ -160,10 +160,12 @@ object PipelineQueries {
     // selected by >= 2 of ITS OWN documents — and only flagged
     // sources pay d32's exact generalized-suffix-array pass. The
     // skip is SOUND, not heuristic: winnowing guarantees any shared
-    // substring of >= w+k-1 (= 12) chars selects the same hash in
-    // both copies, so an unflagged source has cross_len < 12 by
-    // construction; flagged sources report the exact length and
-    // witness. Both stages reuse their standalone oracles verbatim
+    // substring of >= k+w-1 (= 19 at the funnel's k=12/w=8) chars
+    // selects the same hash in both copies, so an unflagged source
+    // has cross_len < 19 by construction; flagged sources report the
+    // exact length and witness. The funnel's k is LONGER than d29's
+    // (12 vs 5): a shared 5-gram is any common word, and a candidate
+    // rule that flags every source skips nothing. Both stages reuse their standalone oracles verbatim
     // (crossDocCtes / the d29 chain) so funnel and operators cannot
     // drift.
     "p07_substring_funnel" -> ((s, d) => {
@@ -171,7 +173,8 @@ object PipelineQueries {
       val docs = Tables.load(s, d, "documents")
         .select("doc_id", "text", "source").where(col("text").isNotNull)
         .localCheckpoint(true) // feeds fingerprints, the exact pass, and the source list
-      val fps = Dedup.winnowFingerprints(docs, "doc_id", "text")
+      val fps = Dedup.winnowFingerprints(docs, "doc_id", "text",
+          k = Dedup.FunnelK, w = Dedup.FunnelW)
         .where(col("h").isNotNull)
         .join(docs.select("doc_id", "source"), Seq("doc_id"))
       val cand = fps.groupBy("source", "h")
@@ -507,10 +510,10 @@ object PipelineQueries {
       s"""WITH nn AS (SELECT doc_id, source, text FROM documents
          |  WHERE text IS NOT NULL),
          |g AS (SELECT doc_id, source,
-         |    ${graft.functions.TextHashExpressions.winnowGramsSql(graft.ops.Dedup.WinnowK)} AS gs
+         |    ${graft.functions.TextHashExpressions.winnowGramsSql(graft.ops.Dedup.FunnelK)} AS gs
          |  FROM nn),
          |sel AS (SELECT doc_id, source, gs,
-         |    ${graft.functions.TextHashExpressions.winnowSelectSql(graft.ops.Dedup.WinnowW)} AS ps
+         |    ${graft.functions.TextHashExpressions.winnowSelectSql(graft.ops.Dedup.FunnelW)} AS ps
          |  FROM g),
          |fp AS (SELECT doc_id, source, gs[u.p::INT] AS h
          |  FROM sel, unnest(ps) AS u(p)),
