@@ -207,9 +207,10 @@ object Plans {
     "d29_winnow_fingerprints", "d30_suffix_ranks", "d31_longest_repeat",
     "t28_blocklist_scan",
     // d32 generalized suffix array (r10 rebuild: offset cumsum window
-    // → tagged early-exit rank levels → per-group class binary search
-    // over bounded (gid, pos+off) fetch joins → overlap-only witness
-    // assembly; no adjacency window, no group-sized rows)
+    // → stable-rank() tie-pruned levels (only still-tied rows refine;
+    // class-partitioned windows) → candidate-only broadcast binary
+    // search → overlap-only witness assembly; no adjacency window,
+    // no group-sized rows)
     "d32_cross_doc_repeats",
     // d34 span removal (d31's chain + both-sides span explode →
     // per-doc island merge windows → complement fold), p07 funnel
@@ -221,7 +222,18 @@ object Plans {
     // Good-Turing (count-of-counts double groupBy + smoothed-rate
     // join), t30 Zipf octaves (rank window over the term table →
     // octave rollup)
-    "d33_incremental_winnow", "t29_good_turing", "t30_zipf_octaves")
+    "d33_incremental_winnow", "t29_good_turing", "t30_zipf_octaves",
+    // round 10: g14 bipartite projection (distinct + node-keyed
+    // self-equi-join, hub-capped — no cartesian), g15 RA link
+    // prediction (center-keyed wedge join + pair anti-join), s19
+    // exact MIPS (band-pruned two-scan union, broadcast queries),
+    // t31 TextRank (per-doc adjacency window → vocab-sized PageRank
+    // supersteps), t32 readability (scan-only column math), m16
+    // strided tiles (coordinate explode + bounded substring fold),
+    // e16 streaks (distinct user-days → per-user island window)
+    "g14_bipartite_projection", "g15_link_prediction", "s19_mips_topk",
+    "t31_textrank_keywords", "t32_readability", "m16_image_tiles",
+    "e16_activity_streaks")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

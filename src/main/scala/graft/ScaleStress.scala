@@ -124,18 +124,24 @@ object ScaleStress {
       d.unionByName(outlier)
     }
 
-    /** One GENUINELY giant document — (k+1) distinct vowel-rotations
-      * of the whole corpus concatenated (≥3M chars at k=1), past the
-      * giant threshold: its rank rounds run the range-partitioned
-      * wide path while every normal doc stays windowed. Rotations
-      * keep the giant non-self-repetitive, so round count stays
-      * corpus-like and the curve measures the fallback's per-round
-      * cost, not tie depth.
+    /** One GENUINELY giant document — two distinct vowel-rotations of
+      * the BASE copy (copy 0 only, so the giant's size is
+      * SCALE-INVARIANT: ~3M chars, past the 2M threshold at every k):
+      * its rank rounds run the range-partitioned wide path while
+      * every normal doc stays windowed — the curve measures "one
+      * wide-path outlier among a k×-growing windowed corpus", the
+      * shape the verdict asked for. Rotations keep the giant
+      * non-self-repetitive, so round count stays corpus-like. (A
+      * first cut grew the giant ∝ (k+1)·corpus — 1.6 B chars at 10×,
+      * which measured the wide path's own growth as near-linear,
+      * 3.0M→17.9M chars = 116→674 s at 1×→3×, but is a JVM-killing
+      * corpus shape, not an outlier-tolerance measurement.)
       */
-    def withGiantDoc(d: DataFrame, k: Int): DataFrame = {
+    def withGiantDoc(d: DataFrame): DataFrame = {
       val abc = "abcdefghijklmnopqrstuvwxyz"
-      val base = d.agg(concat_ws(" ", collect_list(col("text"))).as("t0"))
-      val giant = base.select(concat((0 to k).map { i =>
+      val base = d.where(col("doc_id") < 10000000L)
+        .agg(concat_ws(" ", collect_list(col("text"))).as("t0"))
+      val giant = base.select(concat((0 to 1).map { i =>
           val r = (i * 7) % 26
           translate(col("t0"), abc, abc.drop(r) + abc.take(r))
         }: _*).as("text"))
@@ -145,18 +151,25 @@ object ScaleStress {
     }
 
     /** A mostly-clean corpus for the p07 funnel claim: every doc's
-      * words are re-joined with a per-doc salt token, so no 12-char
-      * run survives across documents — EXCEPT source src0, whose
-      * texts stay raw (the one source with real cross-doc repeats).
-      * The funnel must confine the exact suffix-array pass to ~1/20
-      * of the corpus.
+      * words are re-joined with a per-doc salt token, so no run close
+      * to the funnel's k+w−1 = 31-char guarantee survives across
+      * documents — EXCEPT source src0, whose texts stay raw (the one
+      * source with real cross-doc repeats). The funnel must confine
+      * the exact suffix-array pass to ~1/20 of the corpus.
       */
     def saltedClean(d: DataFrame): DataFrame =
       d.withColumn("text",
         when(col("source") === "src0", col("text"))
           .otherwise(regexp_replace(col("text"), lit(" "),
-            concat(lit(" q"), pmod(col("doc_id"), lit(1000000L))
-              .cast("string"), lit(" ")))))
+            // the FULL doc_id, never a modulus: copy-i ids are shifted
+            // by i·10⁷, so a modulo salt is IDENTICAL across a doc's
+            // vowel-rotated copies — and because rotation leaves
+            // digits/punctuation alone, a timestamp+salt window ≥ 24
+            // chars recurs verbatim across copies and (correctly)
+            // flagged every source at k ≥ 3, turning the mostly-clean
+            // corpus dirty; full-id salts differ per copy and break
+            // every such run at the first space
+            concat(lit(" q"), col("doc_id").cast("string"), lit(" ")))))
 
     /** d21's corpus shape: inflated docs ∪ half-prefix excerpt twins —
       * every doc has one contained excerpt; cross-copy containment is
@@ -401,14 +414,14 @@ object ScaleStress {
         // groups, the curve must stay within noise of plain d30
         "d30skew" -> (() => graft.ops.SuffixArray
           .suffixRanks(withMedianOutlier(plain), "doc_id", "text")),
-        // genuinely giant outlier (r10): one ~(k+1)·corpus-length
-        // document — PAST the 2M-char giant threshold, so its rank
-        // rounds run the range-partitioned WIDE path (the implemented
-        // d30/d31 fallback) while the normal docs stay windowed; the
-        // curve is the fallback's cost, previously a single-task
-        // serialization
+        // genuinely giant outlier (r10): one ~3M-char document — PAST
+        // the 2M giant threshold, so its rank rounds run the
+        // range-partitioned WIDE path (the implemented d30/d31
+        // fallback) while the normal docs stay windowed; the curve is
+        // "constant wide-path outlier + k×-growing windowed corpus",
+        // previously a single-task serialization
         "d30giant" -> (() => graft.ops.SuffixArray
-          .suffixRanks(withGiantDoc(plain, k), "doc_id", "text")),
+          .suffixRanks(withGiantDoc(plain), "doc_id", "text")),
         // the suffix-array removal face (r10): d31's chain + per-doc
         // island merge + complement fold — expected to track d31
         "d34" -> (() => graft.ops.SuffixArray
@@ -420,13 +433,7 @@ object ScaleStress {
         // mostly-clean-corpus win is measured by p07clean below
         "p07" -> (() => {
           val docs = plain
-          val fps = Dedup.winnowFingerprints(docs, "doc_id", "text",
-              k = Dedup.FunnelK, w = Dedup.FunnelW)
-            .where(col("h").isNotNull)
-            .join(docs.select("doc_id", "source"), Seq("doc_id"))
-          val cand = fps.groupBy("source", "h")
-            .agg(countDistinct("doc_id").as("nd"))
-            .where(col("nd") >= 2).select("source").distinct()
+          val cand = Dedup.funnelCandidateSources(docs)
           graft.ops.SuffixArray.crossDocRepeats(
             docs.join(broadcast(cand), Seq("source"), "left_semi"),
             "doc_id", "text", "source")
@@ -437,14 +444,8 @@ object ScaleStress {
         // must skip ~95% of the exact-pass volume — the funnel's
         // actual 100 TB claim, measured against d32clean below
         "p07clean" -> (() => {
-          val docs = saltedClean(plain)
-          val fps = Dedup.winnowFingerprints(docs, "doc_id", "text",
-              k = Dedup.FunnelK, w = Dedup.FunnelW)
-            .where(col("h").isNotNull)
-            .join(docs.select("doc_id", "source"), Seq("doc_id"))
-          val cand = fps.groupBy("source", "h")
-            .agg(countDistinct("doc_id").as("nd"))
-            .where(col("nd") >= 2).select("source").distinct()
+          val docs = saltedClean(plain).localCheckpoint(true)
+          val cand = Dedup.funnelCandidateSources(docs)
           graft.ops.SuffixArray.crossDocRepeats(
             docs.join(broadcast(cand), Seq("source"), "left_semi"),
             "doc_id", "text", "source")

@@ -1619,16 +1619,20 @@ object Dedup {
   val WinnowK = 5
   val WinnowW = 8
 
-  /** The p07 funnel's winnowing parameters — gram length 12 (vs
+  /** The p07 funnel's winnowing parameters — gram length 24 (vs
     * d29's 5) with the same window: the funnel's skip contract is
     * "no fingerprint selected by two docs of a source ⟹ no cross-doc
-    * repeat of >= k+w−1 = 19 chars in that source", and the longer
-    * gram keeps common-word chance collisions from flagging every
-    * source on natural text (a 5-gram like one word is shared
-    * everywhere; 12 consecutive identical chars across documents is
-    * the boilerplate signal itself).
+    * repeat of >= k+w−1 = 31 chars in that source", and the long
+    * gram keeps word-level chance collisions from flagging sources
+    * that carry no real boilerplate (round 10 measured k=12 flagging
+    * effectively every source on natural text — any repeated ≥12-char
+    * WORD across two documents flags — which made p07clean pay the
+    * whole-corpus exact pass it exists to skip; 24 consecutive
+    * identical chars across documents is a phrase-level signal, and
+    * 31 chars is well under the 50-token thresholds substring-dedup
+    * pipelines actually deploy, Lee et al. 2022).
     */
-  val FunnelK = 12
+  val FunnelK = 24
   val FunnelW = 8
 
   /** The exploded winnowed-fingerprint relation: one row per selected
@@ -1664,6 +1668,41 @@ object Dedup {
     */
   def winnowIndexMerge(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy("h").agg(sum("nd").as("nd"))
+
+  /** The p07 funnel's VERIFIED candidate sources: a source is flagged
+    * iff some winnow fingerprint hash is selected by ≥ 2 of its
+    * documents AND the actual k-char grams at the selecting positions
+    * match. The verification matters at scale: the winnow hash is
+    * 32-bit, so once a source selects ~2¹⁶ fingerprints, birthday
+    * collisions flag it by CHANCE (measured: every source of a salted
+    * no-repeat corpus flagged at 3× sf0.1) — and a funnel that flags
+    * everything skips nothing. Hash-colliding rows are
+    * candidate-sized, so the gram fetch joins and the
+    * (source, h, gram) distinct-doc count cost ~nothing; grouping by
+    * the GRAM (not a witness pair) keeps the skip guarantee exact
+    * even when a real repeat and a chance collision share one hash.
+    */
+  def funnelCandidateSources(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", srcCol: String = "source",
+      k: Int = FunnelK, w: Int = FunnelW): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      col(textCol).as("text"), col(srcCol).as("source"))
+    val fps = winnowFingerprints(base, "doc_id", "text", k, w)
+      .where(col("h").isNotNull)
+      .withColumn("pos", shiftright(col("packed"), 32))
+      .join(base.select("doc_id", "source"), Seq("doc_id"))
+    val hc = fps.groupBy("source", "h")
+      .agg(countDistinct("doc_id").as("nd")).where(col("nd") >= 2)
+      .select("source", "h")
+    fps.join(hc, Seq("source", "h"), "left_semi")
+      .join(base.select("doc_id", "text"), Seq("doc_id"))
+      .withColumn("gram",
+        expr(s"substring(text, cast(pos as int), $k)"))
+      .groupBy("source", "h", "gram")
+      .agg(countDistinct("doc_id").as("nd2"))
+      .where(col("nd2") >= 2)
+      .select("source").distinct()
+  }
 
   /** The d29 reporting face over any fingerprint index: per doc, gram
     * count, fingerprints selected, fingerprints shared with at least

@@ -831,4 +831,91 @@ object Graph {
     }
     out
   }
+
+  /** Bipartite projection (g14): from a (node, item) membership
+    * relation, the item–item co-occurrence graph — one weighted edge
+    * per unordered item pair sharing at least one node, weight = the
+    * number of shared nodes. The user→item side of every
+    * recommender / "files changed together" / co-view analysis.
+    *
+    * Scale shape: pairs per node grow QUADRATICALLY in that node's
+    * distinct-item count, so the projection's cost is Σ d_n², driven
+    * entirely by hub nodes — the same cliff as d11's mega-prefix. The
+    * `maxItemsPerNode` cap bounds it by construction: nodes holding
+    * more distinct items are dropped before pairing (a bot account
+    * touching every item would otherwise contribute |items|²/2 pairs
+    * and says nothing about item affinity — dropping hubs is the
+    * standard Newman-collaboration-network treatment, and the cap is
+    * part of the operator's stated semantics, replayed by the
+    * oracle). The self-join is an equi-join on the node key: each
+    * node's membership list co-locates in one partition, pairs stream
+    * out of the sort-merge join — no broadcast of anything
+    * corpus-sized, no cross join.
+    *
+    * Output: (item_a < item_b, weight ≥ 1).
+    */
+  def bipartiteProjection(membership: DataFrame, nodeCol: String,
+      itemCol: String, maxItemsPerNode: Int = 64): DataFrame = {
+    require(maxItemsPerNode >= 2,
+      s"maxItemsPerNode must be >= 2, got $maxItemsPerNode")
+    val m = membership
+      .select(col(nodeCol).as("__n"), col(itemCol).as("__i"))
+      .where(col("__n").isNotNull && col("__i").isNotNull)
+      .distinct()
+    val kept = m.join(
+      m.groupBy("__n").agg(count(lit(1)).as("__nd"))
+        .where(col("__nd") <= maxItemsPerNode)
+        .select("__n"),
+      Seq("__n"), "left_semi")
+    kept.as("a").join(kept.as("b"),
+        col("a.__n") === col("b.__n") && col("a.__i") < col("b.__i"))
+      .groupBy(col("a.__i").as("item_a"), col("b.__i").as("item_b"))
+      .agg(count(lit(1)).as("weight"))
+  }
+
+  /** Resource-allocation link prediction (g15, Zhou–Lü–Zhang 2009):
+    * for every NON-adjacent node pair (x, y) with common neighbors,
+    * score(x, y) = Σ_{z ∈ N(x) ∩ N(y)} 1/deg(z) — common neighbors
+    * weighted down by how promiscuous they are (a shared hub predicts
+    * nothing; a shared degree-2 node predicts a lot). Chosen over
+    * Adamic–Adar because 1/deg is RATIONAL: in micro-units
+    * (`micro div deg(z)`, integer division) the score is exact and
+    * order-free, so it hash-matches the oracle bit-for-bit — the
+    * house integer discipline; log-weighted variants cannot state
+    * that.
+    *
+    * Scale shape: wedges are generated by one self-equi-join of the
+    * adjacency relation on the CENTER z — Σ deg(z)² rows, the same
+    * hub-driven cost as [[bipartiteProjection]], bounded the same
+    * way: centers past `maxWedgeDegree` are dropped (their per-wedge
+    * contribution `micro div deg` is already the smallest in the
+    * graph, so the cap removes the most expensive and least
+    * informative wedges first — cap semantics replayed by the
+    * oracle). The existing-edge exclusion is one left-anti equi-join
+    * on the canonical pair key.
+    *
+    * Output: (node_a < node_b, n_common, ra_score_micro).
+    */
+  def resourceAllocation(edges: DataFrame, maxWedgeDegree: Int = 256,
+      micro: Long = 1000000L): DataFrame = {
+    require(maxWedgeDegree >= 2,
+      s"maxWedgeDegree must be >= 2, got $maxWedgeDegree")
+    val und = edges
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct().localCheckpoint(true)
+    val adj = und.select(col("a").as("z"), col("b").as("n"))
+      .unionByName(und.select(col("b").as("z"), col("a").as("n")))
+    val deg = adj.groupBy("z").agg(count(lit(1)).as("degz"))
+    val adjd = adj.join(deg.where(col("degz") <= maxWedgeDegree), Seq("z"))
+    adjd.as("l").join(adjd.as("r"),
+        col("l.z") === col("r.z") && col("l.n") < col("r.n"))
+      .select(col("l.n").as("a"), col("r.n").as("b"),
+        call_function("div", lit(micro), col("l.degz")).as("__c"))
+      .join(und, Seq("a", "b"), "left_anti")
+      .groupBy(col("a").as("node_a"), col("b").as("node_b"))
+      .agg(count(lit(1)).as("n_common"), sum(col("__c")).as("ra_score_micro"))
+  }
 }

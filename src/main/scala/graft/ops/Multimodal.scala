@@ -674,4 +674,55 @@ object Multimodal {
       (lit(64L) + (n * 31) % 433).as("height"),
       when(n % 3 === 0, "png").when(n % 3 === 1, "jpeg").otherwise("webp").as("format"))
   }
+
+  /** Strided 2-D tile extraction (m16) — the crop/patch primitive a
+    * vision-training pipeline runs over every image (ViT patches,
+    * sliding-window detection crops, thumbnail grids). The payload is
+    * viewed as a row-major byte image (`rowBytes` per row); tiles are
+    * `tileRows` rows × `tileCols` bytes, so each tile's content is a
+    * concatenation of `tileRows` NON-CONTIGUOUS row slices — the real
+    * strided-access shape a crop performs, not the contiguous frame
+    * slicing m03/m07 already prove. The whole grid is one generated
+    * pass per media row (explode of the tile coordinates + an
+    * `aggregate` fold building each tile from bounded `substring`
+    * slices); payload bytes never shuffle — tiles reduce to a 32-char
+    * checksum + coordinates before anything leaves the scan, the
+    * multimodal ground rule. Edge tiles clip at the payload end
+    * (substring past-end yields empty); all-empty tiles (a tile_x
+    * column entirely beyond a short payload) are dropped.
+    *
+    * Output: (media_id, tile_x, tile_y, tile_md5, tile_bytes) —
+    * tile_md5 over the shared uppercase-hex byte view (the m07
+    * cross-engine convention).
+    */
+  def tileChecksums(media: DataFrame, rowBytes: Int = 64,
+      tileRows: Int = 16, tileCols: Int = 32): DataFrame = {
+    require(rowBytes > 0 && tileRows > 0 && tileCols > 0,
+      s"tile geometry must be positive (got $rowBytes, $tileRows, $tileCols)")
+    require(rowBytes % tileCols == 0,
+      s"tileCols ($tileCols) must divide rowBytes ($rowBytes)")
+    val tilesX = rowBytes / tileCols
+    media
+      .select(col("media_id"), col("payload"),
+        expr(s"(octet_length(payload) + ${rowBytes - 1}) div $rowBytes")
+          .as("__nrows"))
+      .where(col("__nrows") > 0)
+      .select(col("media_id"), col("payload"),
+        explode(expr(
+          s"sequence(0, (__nrows + ${tileRows - 1}) div $tileRows - 1)"))
+          .as("tile_y"))
+      .select(col("media_id"), col("payload"), col("tile_y"),
+        explode(expr(s"sequence(0, ${tilesX - 1})")).as("tile_x"))
+      .withColumn("__tile", expr(
+        s"""aggregate(sequence(0, ${tileRows - 1}), cast('' as binary),
+           |  (acc, r) -> concat(acc, substring(payload,
+           |    cast((tile_y * $tileRows + r) * $rowBytes
+           |      + tile_x * $tileCols + 1 as int), $tileCols)))""".stripMargin))
+      .where(octet_length(col("__tile")) > 0)
+      .select(col("media_id"),
+        col("tile_x").cast("long").as("tile_x"),
+        col("tile_y").cast("long").as("tile_y"),
+        md5(hex(col("__tile"))).as("tile_md5"),
+        octet_length(col("__tile")).cast("long").as("tile_bytes"))
+  }
 }

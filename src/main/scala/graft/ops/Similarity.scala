@@ -823,4 +823,111 @@ object Similarity {
     }
     emb.select(col(idCol) +: projCols: _*)
   }
+
+  /** Exact maximum-inner-product top-k (s19) with norm-band pruning —
+    * the retrieval objective when vectors are NOT normalized (learned
+    * sparse/dense retrievers score by raw dot product; cosine top-k
+    * is the wrong answer there). Scores are exact integer dots over
+    * quantized vectors ([[graft.functions.VectorFunctions.dotQ]]), so
+    * the result hash-matches a brute-force oracle bit-for-bit.
+    *
+    * The pruning is the classic Cauchy–Schwarz bound, made exact in
+    * integers: dot(q, x)² ≤ |q|²·|x|². The corpus is banded by
+    * floor(log₂(|x|²)); a SEED pass scores only the highest-norm
+    * bands holding ≥ `seedMul`·k vectors and collects each query's
+    * provisional kth-best dot t (a |Q|-row driver scalar — the
+    * bounded-collect discipline). A remaining band with max norm M
+    * can then be skipped for query q iff t > 0 and M·|q|² < t² —
+    * every dot inside is provably below the incumbent top-k, and a
+    * TIED dot is never pruned (strict <), so the deterministic
+    * (dot desc, id) tie-break survives. Surviving (query, band) pairs
+    * are a small broadcast relation; the second pass scans only those
+    * bands. On real embedding corpora norms concentrate: most bands
+    * prune for most queries and the scan cost approaches the seed
+    * pass alone, while the worst case degrades gracefully to s01's
+    * full broadcast scan — never worse, exactly equal output.
+    *
+    * Output: (query_id, rank, neighbor_id, dot) — dot in quantized
+    * integer units (milliunit² per dimension).
+    */
+  def mipsTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      seedMul: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(seedMul >= 1, s"seedMul must be >= 1, got $seedMul")
+    val c = corpus.select(col("vec_id").as("n_id"),
+        quantize(col("embedding")).as("n_q"))
+      .withColumn("n_norm", normSqQ(col("n_q")))
+      .withColumn("band",
+        floor(log2(col("n_norm").cast("double") + 1.0)).cast("int"))
+      .localCheckpoint(true)
+    val q = queries.select(col("vec_id").as("query_id"),
+        quantize(col("embedding")).as("q_q"))
+      .withColumn("q_norm", normSqQ(col("q_q")))
+      .localCheckpoint(true)
+    // band histogram: ≤ 64 rows (log₂ of a BIGINT norm) — driver-safe
+    val bands = c.groupBy("band")
+      .agg(count(lit(1)).as("cnt"), max("n_norm").as("max_norm"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(-_._1)
+    val need = k.toLong * seedMul
+    val seedBands = {
+      var cum = 0L
+      bands.takeWhile { b => val take = cum < need; cum += b._2; take }
+        .map(_._1).toSet
+    }
+    def scored(cand: DataFrame): DataFrame =
+      cand.join(broadcast(q), col("n_id") =!= col("query_id"))
+        .withColumn("dot", dotQ(col("q_q"), col("n_q")))
+    val seed = scored(c.where(col("band").isInCollection(seedBands)))
+      .localCheckpoint(true)
+    // per-query incumbent: the kth-best seed dot (or the worst seed
+    // dot when the seed holds < k candidates — a weaker but still
+    // correct bound); |Q| rows to the driver
+    val wk = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("n_id"))
+    val thresholds = seed.withColumn("__rk", row_number().over(wk))
+      .where(col("__rk") <= k)
+      .groupBy("query_id")
+      .agg(min(col("dot")).as("t"), count(lit(1)).as("n_seen"))
+      .collect()
+      .map(r => (r.get(0), (r.getLong(1), r.getLong(2)))).toMap
+    // surviving (query, band) pairs: Cauchy–Schwarz in exact BIGINTs.
+    // An under-filled seed (n_seen < k, including a query with NO seed
+    // candidate at all) keeps every band — the bound only holds once
+    // k candidates are in hand.
+    val qNorms = q.select("query_id", "q_norm").collect()
+      .map(r => (r.get(0), r.getLong(1)))
+    val survivors = for {
+      (qid, qn) <- qNorms.toSeq
+      (band, _, maxNorm) <- bands if !seedBands.contains(band)
+      (t, nSeen) = thresholds.getOrElse(qid, (Long.MinValue, 0L))
+      if nSeen < k || t <= 0L ||
+        BigInt(maxNorm) * BigInt(qn) >= BigInt(t) * BigInt(t)
+    } yield (qid, band)
+    val full = if (survivors.isEmpty) seed else {
+      val spark = corpus.sparkSession
+      import org.apache.spark.sql.types._
+      val pairSchema = StructType(Seq(
+        StructField("query_id", q.schema("query_id").dataType),
+        StructField("band", IntegerType)))
+      val pairDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          survivors.map(p => org.apache.spark.sql.Row(p._1, p._2)), 1),
+        pairSchema)
+      // the second scan joins candidates to ONLY their surviving
+      // queries: band equi-join first (prunes the corpus), then the
+      // usual broadcast-query score restricted to that query id
+      val cand2 = c.join(broadcast(pairDf), Seq("band"))
+      val sc2 = cand2.join(broadcast(q), Seq("query_id"))
+        .where(col("n_id") =!= col("query_id"))
+        .withColumn("dot", dotQ(col("q_q"), col("n_q")))
+        .select(seed.columns.map(col): _*)
+      seed.unionByName(sc2)
+    }
+    full.withColumn("rank", row_number().over(wk).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("n_id").as("neighbor_id"),
+        col("dot"))
+  }
 }

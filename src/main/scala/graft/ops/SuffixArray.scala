@@ -57,6 +57,16 @@ object SuffixArray {
     */
   val GiantGroupThreshold: Long = 2L * 1024 * 1024
 
+  /** Candidate-row count above which the repeat search's probe passes
+    * stop BROADCASTING the component-fetch side and use a plain
+    * (still candidate-sized, never corpus-exploding) shuffle join —
+    * a corpus where near-maximal-repeat neighborhoods are huge (one
+    * string repeated everywhere) would otherwise broadcast something
+    * executor-killing. 256k candidate rows ×3 deduped component
+    * targets ≈ a few tens of MB — safely inside broadcast budgets.
+    */
+  val CandBroadcastBudget: Long = 256L * 1024
+
   private val K0 = 8
 
   // ------------------------------------------------------------------
@@ -333,27 +343,73 @@ object SuffixArray {
   //
   // No rank-adjacency window (the skew bound of the lead() form), no
   // per-group pair arrays, no concatenated-text row: every
-  // intermediate is (group, pos)-keyed and hash-balanced. Groups are
-  // split small/giant exactly as the ranks loop.
+  // intermediate is (group, pos)-keyed.
+  //
+  // STABLE RANKS + TIE PRUNING (round 10 rewrite — the measured
+  // 343 s-at-10× fix). Ranks are SQL rank() (non-dense), not
+  // dense_rank: a class's shared value is followed by a gap equal to
+  // its size, so when the class splits at the next level its members
+  // renumber IN PLACE (base + within-class rank − 1) without touching
+  // any other row — a position's rank is FINAL the moment its class
+  // is a singleton. Each level therefore refines only the rows still
+  // in ≥2-member classes (the TIE set, which shrinks geometrically:
+  // most 8-gram classes split immediately on natural text), fetching
+  // their ≤ 3 components by one equi-join against the full stable
+  // rank relation. Skew bound per level = the largest TIE CLASS
+  // (the window partitions by (group, class)), not the largest group
+  // — the per-group/giant dispatch the full ranking loop needs is
+  // unnecessary here; only the one-off round-0 gram + rank() windows
+  // are group-bounded.
+  //
+  // CANDIDATE PRUNING: a class member at any m ≥ h has an equal
+  // m-prefix, hence an equal h-prefix, hence sits in a ≥2-member
+  // (cross: ≥2-doc) RANK class at the frozen level h — and because
+  // the group died at 4h, only positions inside near-maximal repeats
+  // qualify: the candidate set is intrinsically SMALL (≈ the repeat
+  // neighborhoods), regardless of corpus size. Each binary step
+  // scores candidate rows only and fetches their components by a
+  // broadcast equi-join against the stable rank relation — the
+  // round-9 form exploded EVERY frozen row ×4 per step, a full
+  // corpus shuffle per probe. A pathological corpus where candidates
+  // are corpus-sized falls back to the explode form past
+  // [[CandBroadcastBudget]].
 
   /** Per-group state rows (gid, h, lo, hi): the repeat length is in
     * [lo, hi); h is the frozen rank level (0 = search below 8 over the
     * round-0 gram columns).
     */
   private def maxRepeatImpl(codes: DataFrame, maxRounds: Int,
-      ops: RankOps, cross: Boolean): DataFrame = {
-    val k0 = K0.toLong
+      cross: Boolean): DataFrame = {
+    // the repeat search starts from a 16-char round-0 key, TWICE the
+    // ranking loop's 8: cross-doc 8-gram collisions are ubiquitous on
+    // natural text (every common word), so an 8-char level-0 leaves
+    // corpus-sized tie sets and candidate classes; 16-char cross-doc
+    // matches are essentially real repeats, so everything after
+    // round 0 is repeat-neighborhood-sized. Round 0 itself is one
+    // window pass either way — 8 extra lead columns, not a new sort.
+    val RK0 = 16
+    val k0 = RK0.toLong
+    val spark = codes.sparkSession
+    val hasTag = codes.columns.contains("tag")
 
-    def existsAtLevel(r: DataFrame): DataFrame = {
-      val real = if (cross) r.where(col("tag").isNotNull) else r
-      val cnt: Column =
-        if (cross) countDistinct(col("tag")) else count(lit(1))
-      real.groupBy(col("gid"), col("rank")).agg(cnt.as("m"))
-        .groupBy("gid").agg((max(col("m")) >= 2).as("ok"))
+    val dbg = sys.env.contains("SUFFIX_DEBUG")
+    var t0 = System.nanoTime()
+    def tick(what: String): Unit = if (dbg) {
+      val t1 = System.nanoTime()
+      System.err.println(f"SUFFIX_DEBUG $what ${(t1 - t0) / 1e9}%.2f s")
+      t0 = t1
     }
 
-    val spark = codes.sparkSession
-    val g8 = ops.gram(codes).localCheckpoint(true) // h0 search + rank0
+    // round 0: per-group 8-gram + STABLE rank() — the only
+    // group-bounded window passes in the whole search (one sort each,
+    // once); every later level is tie-pruned and class-partitioned
+    val wPos = Window.partitionBy("gid").orderBy("pos")
+    val par = spark.sparkContext.defaultParallelism
+    val kcols = col("c0").as("k0") +: (1 until RK0).map(o =>
+      coalesce(lead(col("c0"), o).over(wPos), lit(0)).as(s"k$o"))
+    val g8 = codes.repartition(par, col("gid"))
+      .select(Seq(col("gid"), col("pos")) ++ kcols ++ tagCols(codes): _*)
+      .localCheckpoint(true)
     val gidField = g8.schema("gid")
 
     /** A LOCAL-relation frame over driver-held gid rows (bounded by
@@ -370,109 +426,284 @@ object SuffixArray {
     def collectE(e: DataFrame): Seq[(Any, Boolean)] =
       e.collect().toSeq.map(row =>
         row.get(0) -> (!row.isNullAt(1) && row.getBoolean(1)))
+    def aliveFilter(df: DataFrame, alive: Seq[Any]): DataFrame =
+      df.join(broadcast(localGids(alive.map(Seq(_)))), Seq("gid"), "left_semi")
 
-    var r = ops.rank0(g8).localCheckpoint(true)
+    var ranks = g8.select(Seq(col("gid"), col("pos"),
+        rank().over(Window.partitionBy("gid")
+            .orderBy((0 until RK0).map(i => col(s"k$i")): _*))
+          .cast("long").as("rank")) ++ tagCols(g8): _*)
+      .localCheckpoint(true)
+    tick("gram+rank0")
+
+    /** Rows still in ≥2-member rank classes — the only rows the next
+      * level can change.
+      */
+    def tiesOf(r: DataFrame): DataFrame =
+      // hint("merge"): the grouped side's size estimate collapses
+      // through derived lineage and a mispicked broadcast build of a
+      // corpus-scale class list blows the 8 GiB ceiling (measured on
+      // the salted 10x corpus) — the semi join must stay a shuffle
+      r.join(r.groupBy("gid", "rank").agg(count(lit(1)).as("__m"))
+          .where(col("__m") >= 2).select("gid", "rank").hint("merge"),
+        Seq("gid", "rank"), "left_semi")
+
+    /** Per-group "a qualifying class survives" over a tie relation —
+      * any ≥2-member (cross: ≥2-doc) class is a tie class, so the
+      * (small) tie set carries the whole answer.
+      */
+    def existsOver(t: DataFrame): DataFrame = {
+      val real = if (cross) t.where(col("tag").isNotNull) else t
+      val cnt: Column =
+        if (cross) countDistinct(col("tag")) else count(lit(1))
+      real.groupBy(col("gid"), col("rank")).agg(cnt.as("m"))
+        .groupBy("gid").agg((max(col("m")) >= 2).as("ok"))
+    }
+
     // driver-held search state per gid: (h, lo, hi) — the repeat
     // length lies in [lo, hi); bounded by the group count
     val state = scala.collection.mutable.LinkedHashMap.empty[Any, (Long, Long, Long)]
-    val frozenParts = ListBuffer.empty[DataFrame]
-    val e0 = collectE(existsAtLevel(r))
-    e0.foreach { case (g, ok) => if (!ok) state(g) = (0L, 0L, k0) }
-    var aliveG = e0.collect { case (g, true) => g }
-    r = r.join(broadcast(localGids(aliveG.map(Seq(_)))),
-      Seq("gid"), "left_semi")
+    val allGids = ranks.select("gid").distinct()
+      .collect().map(_.get(0)).toSeq
+    var ties = tiesOf(ranks).localCheckpoint(true)
+    val e0 = collectE(existsOver(ties)).toMap
+    allGids.foreach { g =>
+      if (!e0.getOrElse(g, false)) state(g) = (0L, 0L, k0)
+    }
+    var aliveG = allGids.filterNot(state.contains)
+    ties = aliveFilter(ties, aliveG)
+    tick("ties0+exists0")
     var h = k0
     var rounds = 0
+    // per-round candidate capture: a group dying at 4h contributes its
+    // level-h TIE rows (already ≥2-member classes — far smaller than
+    // the full rank relation a post-loop scan would pay)
+    val candParts = ListBuffer.empty[DataFrame]
     while (aliveG.nonEmpty) {
       require(rounds < maxRounds,
         s"repeat search did not converge in $maxRounds rounds — " +
           "corpus shape unexpected, refusing to spin")
-      val rNext = ops.refine(r, h).localCheckpoint(true)
-      val eN = collectE(existsAtLevel(rNext))
-      val died = eN.collect { case (g, false) => g }
-      // a died group's repeat is in [h, 4h): keep its level-h rows
-      // (incl. sentinel positions — component lookups need them)
-      if (died.nonEmpty) {
-        frozenParts += r.join(broadcast(localGids(died.map(Seq(_)))),
-          Seq("gid"), "left_semi")
-        died.foreach(g => state(g) = (h, h, 4 * h))
+      // components r_h at +h/+2h/+3h for TIE rows only, fetched by
+      // one equi-join against the full stable rank relation
+      val targets = ties.select(col("gid"), col("pos"),
+          explode(array((1 to 3).map(j =>
+            struct((col("pos") + lit(j * h)).as("fpos"),
+              lit(j).as("slot"))): _*)).as("t"))
+        .select(col("gid"), col("pos"),
+          col("t.fpos").as("fpos"), col("t.slot").as("slot"))
+      val comp = ranks
+        .select(col("gid"), col("pos").as("fpos"), col("rank").as("v"))
+        .join(targets.hint("merge"), Seq("gid", "fpos"))
+        .groupBy(col("gid"), col("pos"))
+        .agg(
+          coalesce(max(when(col("slot") === 1, col("v"))), lit(-1L)).as("r1"),
+          coalesce(max(when(col("slot") === 2, col("v"))), lit(-1L)).as("r2"),
+          coalesce(max(when(col("slot") === 3, col("v"))), lit(-1L)).as("r3"))
+      val refined = ties.join(comp.hint("merge"), Seq("gid", "pos"), "left")
+        .select(Seq(col("gid"), col("pos"), col("rank"),
+          coalesce(col("r1"), lit(-1L)).as("r1"),
+          coalesce(col("r2"), lit(-1L)).as("r2"),
+          coalesce(col("r3"), lit(-1L)).as("r3")) ++ tagCols(ties): _*)
+      // stable in-place renumber: the window partitions by (group,
+      // CLASS) — skew bound = the largest tie class, never the group
+      val wc = Window.partitionBy("gid", "rank")
+        .orderBy("r1", "r2", "r3")
+      val renum = refined
+        .withColumn("nr", col("rank") + rank().over(wc).cast("long") - 1L)
+        .localCheckpoint(true)
+      tick(s"refine h=$h (ties)")
+      val tiesNext = tiesOf(renum.select(Seq(col("gid"), col("pos"),
+          col("nr").as("rank")) ++ tagCols(renum): _*))
+        .localCheckpoint(true)
+      val eN = collectE(existsOver(tiesNext)).toMap
+      tick(s"exists h=$h")
+      // a died group's repeat is in [h, 4h): its rows KEEP their
+      // level-h ranks (only survivors' tie rows advance below), so
+      // the final relation holds every group at its own frozen level
+      val died = aliveG.filterNot(g => eN.getOrElse(g, false))
+      died.foreach(g => state(g) = (h, h, 4 * h))
+      if (died.nonEmpty) candParts += aliveFilter(ties, died)
+      aliveG = aliveG.filter(g => eN.getOrElse(g, false))
+      if (aliveG.nonEmpty) {
+        val upd = aliveFilter(renum, aliveG)
+          .select(col("gid"), col("pos"), col("nr"))
+        ranks = ranks.join(upd, Seq("gid", "pos"), "left")
+          .select(Seq(col("gid"), col("pos"),
+            coalesce(col("nr"), col("rank")).as("rank")) ++
+            tagCols(ranks): _*)
+          .localCheckpoint(true)
+        ties = aliveFilter(tiesNext, aliveG)
+        tick(s"update h=$h")
       }
-      aliveG = eN.collect { case (g, true) => g }
-      r = rNext.join(broadcast(localGids(aliveG.map(Seq(_)))),
-        Seq("gid"), "left_semi")
       h *= 4
       rounds += 1
     }
-    val frozen = frozenParts.reduceOption(_ unionByName _)
-      .getOrElse(r.limit(0)).localCheckpoint(true)
+    val frozen = ranks
+    val nullTag: Column =
+      if (hasTag) lit(null).cast(frozen.schema("tag").dataType)
+      else lit(null)
+    val qCnt: Column =
+      if (cross) countDistinct(col("tag")) else count(lit(1))
 
-    /** Class rows at each active group's own `mid`: (gid, key, m,
-      * minPos) — keys are rank components for h ≥ 8 groups, gram-code
-      * slices below, both as array<long> whose lexicographic order is
-      * prefix order.
+    /** Keep only rows whose class (by `keyCols`) qualifies — ≥ 2
+      * members, cross: ≥ 2 distinct owning docs.
       */
-    def classesAt(mids: DataFrame): DataFrame = {
+    def qualify(rows: DataFrame, keyCols: Seq[String]): DataFrame = {
+      val real = if (cross) rows.where(col("tag").isNotNull) else rows
+      // hint("merge"): same mispicked-broadcast hazard as tiesOf —
+      // qualifying class lists can be corpus-scale
+      rows.join(real.groupBy(keyCols.map(col): _*).agg(qCnt.as("__m"))
+          .where(col("__m") >= 2).select(keyCols.map(col): _*)
+          .hint("merge"),
+        keyCols, "left_semi")
+    }
+
+    // candidate relations, one per key source (see CANDIDATE PRUNING):
+    // candH = rows of h ≥ RK0 groups in qualifying classes at their
+    // frozen level (slot-0 key = that level's rank); cand0 = rows of
+    // round-0-death groups (keys sliced from their gram codes). Both
+    // SHRINK as the search's lo rises — class members at m ≥ lo are a
+    // subset of qualifying-class members at lo — so pass volume decays
+    // geometrically from the frozen-level class mass.
+    val h0Gids = state.toSeq.collect { case (g, (0L, _, _)) => g }
+    val h0Df = broadcast(localGids(h0Gids.map(Seq(_))))
+    def realOnly(df: DataFrame): DataFrame =
+      if (cross) df.where(col("tag").isNotNull) else df
+    // each non-round-0 group appears in exactly one candPart (its
+    // dying round's level-h ties), so the union's (gid, rank) classes
+    // never mix levels
+    var candH = qualify(
+        realOnly(candParts.reduceOption(_ unionByName _)
+          .getOrElse(frozen.limit(0))),
+        Seq("gid", "rank"))
+      .localCheckpoint(true)
+    var cand0 = realOnly(g8).join(h0Df, Seq("gid"), "left_semi")
+      .localCheckpoint(true)
+    var candVolume = candH.count() + cand0.count()
+    tick("cand init")
+
+    /** Candidate rows keyed at each group's probed `mid`s: (gid, pos,
+      * mid, key[, tag]) — keys are level-h rank components (≤ 3
+      * fetched per mid by one DEDUPED (gid, fpos) equi-join against
+      * the stable rank relation, broadcast-hinted while candidates
+      * fit [[CandBroadcastBudget]]) for h ≥ RK0 groups, gram-code
+      * slices for round-0 groups; both array<long> whose
+      * lexicographic order is prefix order.
+      */
+    def keyedRows(mids: DataFrame): DataFrame = {
       val midsH = mids.where(col("h") >= k0)
       val mids0 = mids.where(col("h") === 0L)
-      // ONE balanced shuffle for all three component lookups (the
-      // fetchShifted shape, with per-GROUP offsets from the broadcast
-      // mids): each frozen row contributes its rank to targets
-      // pos − off_j; targets re-group on (gid, pos)
-      val hasTag = frozen.columns.contains("tag")
-      val nullTag: Column =
-        if (hasTag) lit(null).cast(frozen.schema("tag").dataType)
-        else lit(null)
-      val withMid = frozen.join(broadcast(midsH), Seq("gid"))
+      val candM = candH.join(broadcast(midsH), Seq("gid"))
         .withColumn("off1", least(col("h"), col("mid") - col("h")))
         .withColumn("off2", least(col("h") * 2, col("mid") - col("h")))
         .withColumn("off3", least(col("h") * 3, col("mid") - col("h")))
-      val slots = (0 to 3).map { j =>
-        val offCol = if (j == 0) lit(0L) else col(s"off$j")
-        struct((col("pos").cast("long") - offCol).as("tpos"),
-          lit(j).as("slot"), col("rank").as("v"),
-          (if (hasTag && j == 0) col("tag") else nullTag).as("tag"))
-      }
-      val rowsH = withMid
-        .select(col("gid"), explode(array(slots: _*)).as("e"))
-        .select(col("gid"), col("e.tpos").as("pos"), col("e.slot").as("slot"),
-          col("e.v").as("v"), col("e.tag").as("tag"))
-        .where(col("pos") >= 1)
-        .groupBy(col("gid"), col("pos"))
-        .agg(max(when(col("slot") === 0, col("v"))).as("rank"),
+      val tgt = candM.select(col("gid"), col("pos"), col("mid"),
+          explode(array((1 to 3).map(j =>
+            struct((col("pos") + col(s"off$j")).as("fpos"),
+              lit(j).as("slot"))): _*)).as("t"))
+        .select(col("gid"), col("pos"), col("mid"),
+          col("t.fpos").as("fpos"), col("t.slot").as("slot"))
+      val fetch0 = tgt.select("gid", "fpos").distinct()
+      val fetch =
+        if (candVolume <= CandBroadcastBudget) broadcast(fetch0)
+        else fetch0.hint("merge")
+      val comp = frozen
+        .select(col("gid"), col("pos").as("fpos"), col("rank").as("v"))
+        .join(fetch, Seq("gid", "fpos"))
+      val withV = tgt.join(comp.hint("merge"), Seq("gid", "fpos"), "left")
+        .groupBy(col("gid"), col("pos"), col("mid"))
+        .agg(
           coalesce(max(when(col("slot") === 1, col("v"))), lit(-1L)).as("r1"),
           coalesce(max(when(col("slot") === 2, col("v"))), lit(-1L)).as("r2"),
-          coalesce(max(when(col("slot") === 3, col("v"))), lit(-1L)).as("r3"),
-          max(when(col("slot") === 0, col("tag"))).as("tag"))
+          coalesce(max(when(col("slot") === 3, col("v"))), lit(-1L)).as("r3"))
+      val rowsH = candM.join(withV.hint("merge"), Seq("gid", "pos", "mid"), "left")
+        .select(col("gid"), col("pos"), col("mid"), col("rank"),
+          coalesce(col("r1"), lit(-1L)).as("r1"),
+          coalesce(col("r2"), lit(-1L)).as("r2"),
+          coalesce(col("r3"), lit(-1L)).as("r3"),
+          (if (hasTag) col("tag") else nullTag).as("tag"))
         .withColumn("key",
           array(col("rank"), col("r1"), col("r2"), col("r3")))
-      val rows0 = g8.join(broadcast(mids0), Seq("gid"))
+      val rows0 = cand0.join(broadcast(mids0), Seq("gid"))
         .withColumn("key", slice(
-          array((0 until K0).map(i => col(s"k$i").cast("long")): _*),
+          array((0 until RK0).map(i => col(s"k$i").cast("long")): _*),
           lit(1), col("mid").cast("int")))
-      val keep = Seq(col("gid"), col("pos"), col("key")) ++
+      val keep = Seq(col("gid"), col("pos"), col("mid"), col("key")) ++
         (if (cross) Seq(col("tag")) else Nil)
-      val both = rowsH.select(keep: _*).unionByName(rows0.select(keep: _*))
-      val real = if (cross) both.where(col("tag").isNotNull) else both
-      val cnt: Column =
-        if (cross) countDistinct(col("tag")) else count(lit(1))
-      real.groupBy(col("gid"), col("key"))
-        .agg(cnt.as("m"), min(col("pos")).as("p"))
+      rowsH.select(keep: _*).unionByName(rows0.select(keep: _*))
+    }
+    def classStats(rows: DataFrame): DataFrame = {
+      val real = if (cross) rows.where(col("tag").isNotNull) else rows
+      real.groupBy(col("gid"), col("mid"), col("key"))
+        .agg(qCnt.as("m"), min(col("pos")).as("p"))
     }
 
-    // binary search, state on the driver (bounded by the group
-    // count): ONE distributed pass + one bounded collect per step
+    /** Skip the per-pass candidate-shrink bookkeeping once candidates
+      * are this small — the shrink's extra jobs would cost more
+      * latency than the remaining passes save.
+      */
+    val shrinkFloor = 65536L
+
+    // multi-probe search, state on the driver (bounded by the group
+    // count): each pass probes up to 3 evenly-spaced mids per group
+    // in ONE distributed pass + one bounded collect, quartering the
+    // range per pass; after a pass raises a group's lo, that group's
+    // candidates SHRINK to the qualifying-class members at the new lo
+    // (sound: the true m*-class is a qualifying class at every
+    // lo ≤ m*), so the expensive frozen-level class mass is touched
+    // by at most one pass
     while (state.values.exists { case (_, lo, hi) => hi - lo > 1 }) {
       val act = state.toSeq.collect {
-        case (g, (gh, lo, hi)) if hi - lo > 1 => (g, gh, (lo + hi) / 2)
+        case (g, (gh, lo, hi)) if hi - lo > 1 =>
+          val mids = Seq((3 * lo + hi) / 4, (lo + hi) / 2, (lo + 3 * hi) / 4)
+            .filter(m => m > lo && m < hi).distinct
+          (g, gh, mids)
       }
-      val mids = localGids(act.map { case (g, gh, m) => Seq(g, gh, m) },
-        "h", "mid")
-      val okMap = collectE(classesAt(mids).groupBy("gid")
-        .agg((max(col("m")) >= 2).as("ok"))).toMap
-      act.foreach { case (g, gh, mid) =>
-        val (_, lo, hi) = state(g)
-        state(g) =
-          if (okMap.getOrElse(g, false)) (gh, mid, hi) else (gh, lo, mid)
+      val mids = localGids(act.flatMap { case (g, gh, ms) =>
+        ms.map(m => Seq(g, gh, m)) }, "h", "mid")
+      val doShrink = candVolume >= shrinkFloor
+      val kr =
+        if (doShrink) keyedRows(mids).localCheckpoint(true)
+        else keyedRows(mids)
+      val okRows = classStats(kr).groupBy("gid", "mid")
+        .agg((max(col("m")) >= 2).as("ok"))
+        .collect().map(r =>
+          (r.get(0), r.getLong(1)) -> (!r.isNullAt(2) && r.getBoolean(2)))
+        .toMap
+      tick("search pass")
+      val loRaised = scala.collection.mutable.ListBuffer.empty[(Any, Long)]
+      act.foreach { case (g, gh, ms) =>
+        val (_, lo0, hi0) = state(g)
+        var lo = lo0
+        var hi = hi0
+        ms.sorted.foreach { m =>
+          if (okRows.getOrElse((g, m), false)) { if (m > lo) lo = m }
+          else if (m < hi) hi = m
+        }
+        state(g) = (gh, lo, hi)
+        if (lo > lo0) loRaised += ((g, lo))
+      }
+      if (doShrink && loRaised.nonEmpty) {
+        val loDf = broadcast(localGids(
+          loRaised.toSeq.map { case (g, l) => Seq(g, l) }, "mid"))
+        // checkpointed: consumed by BOTH shrink joins, and a lazy
+        // groupBy-derived relation here gets misestimated as
+        // broadcast-small — on a corpus whose lo-classes are
+        // common-word-sized that blows the 8 GB broadcast ceiling
+        val keptPos = qualify(
+            kr.join(loDf, Seq("gid", "mid"), "left_semi"),
+            Seq("gid", "mid", "key"))
+          .select("gid", "pos")
+          .localCheckpoint(true)
+        val shrGids = broadcast(localGids(loRaised.toSeq.map(p => Seq(p._1))))
+        def shrink(c: DataFrame): DataFrame =
+          c.join(shrGids, Seq("gid"), "left_anti")
+            .unionByName(c.join(keptPos, Seq("gid", "pos"), "left_semi"))
+            .localCheckpoint(true)
+        candH = shrink(candH)
+        cand0 = shrink(cand0)
+        candVolume = candH.count() + cand0.count()
+        tick("shrink")
       }
     }
 
@@ -482,7 +713,7 @@ object SuffixArray {
     val wmids = localGids(state.toSeq.collect {
       case (g, (gh, lo, _)) if lo >= 1 => Seq(g, gh, lo)
     }, "h", "mid")
-    val wit = classesAt(wmids).where(col("m") >= 2)
+    val wit = classStats(keyedRows(wmids)).where(col("m") >= 2)
       .groupBy("gid").agg(min(struct(col("key"), col("p"))).as("w"))
       .select(col("gid"), col("w.p").as("rep_pos"))
     localGids(state.toSeq.map { case (g, (_, lo, _)) => Seq(g, lo) },
@@ -490,18 +721,14 @@ object SuffixArray {
       .join(wit, Seq("gid"), "left")
   }
 
-  /** Dispatching wrapper: (gid, rep_len, rep_pos) with rep_pos null
-    * when rep_len = 0; every gid with ≥ 1 (real) position reports.
+  /** (gid, rep_len, rep_pos) with rep_pos null when rep_len = 0;
+    * every gid with ≥ 1 (real) position reports. No giant dispatch:
+    * the tie-pruned search is class-bounded past round 0 (see the
+    * STABLE RANKS note above), so one form serves every group size.
     */
-  private def maxRepeat(codes: DataFrame, maxRounds: Int, cross: Boolean,
-      giantGids: DataFrame, hasGiants: Boolean): DataFrame =
-    if (!hasGiants) maxRepeatImpl(codes, maxRounds, WindowOps, cross)
-    else {
-      val c = codes.localCheckpoint(true)
-      val (small, giant) = splitByGiants(c, giantGids)
-      maxRepeatImpl(small, maxRounds, WindowOps, cross)
-        .unionByName(maxRepeatImpl(giant, maxRounds, WideOps, cross))
-    }
+  private def maxRepeat(codes: DataFrame, maxRounds: Int,
+      cross: Boolean): DataFrame =
+    maxRepeatImpl(codes, maxRounds, cross)
 
   // ------------------------------------------------------------------
   // applications
@@ -543,7 +770,7 @@ object SuffixArray {
           posexplode(split(col("text"), "")).as(Seq("p0", "ch")))
         .select(col("gid"), (col("p0") + 1).as("pos"),
           ascii(col("ch")).as("c0"))
-      val rep = maxRepeatImpl(codes, maxRounds, WideOps, cross = false)
+      val rep = maxRepeatImpl(codes, maxRounds, cross = false)
       val giant = giantDocs
         .join(rep.withColumnRenamed("gid", "doc_id"), Seq("doc_id"))
         .select(col("doc_id"), col("rep_len").as("lrs_len"),
@@ -617,8 +844,7 @@ object SuffixArray {
     */
   def crossDocRepeats(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", srcCol: String = "source",
-      maxRounds: Int = 40,
-      giantThreshold: Long = GiantGroupThreshold): DataFrame = {
+      maxRounds: Int = 40): DataFrame = {
     val nn = docs
       .where(col(textCol).isNotNull && length(col(textCol)) >= 1)
       .select(col(srcCol).as("gid"), col(idCol).as("doc_id"),
@@ -629,11 +855,7 @@ object SuffixArray {
       coalesce(sum(length(col("text")).cast("long") + 1L).over(
         Window.partitionBy("gid").orderBy("doc_id")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .localCheckpoint(true) // feeds codes, giants, and the witness
-    val giantGids = off
-      .groupBy("gid").agg(max(col("off") + length(col("text"))).as("n"))
-      .where(col("n") > giantThreshold).select("gid")
-    val hasGiants = giantGids.limit(1).count() > 0
+      .localCheckpoint(true) // feeds codes and the witness
     // the owning doc rides the loop as the `tag` passthrough
     // (sentinel rows: null tag — ranked but never class members)
     val chars = off
@@ -645,7 +867,7 @@ object SuffixArray {
       .select(col("gid"), col("off").as("pos"),
         lit(1).as("c0"), lit(null).cast("long").as("tag"))
     val rep = maxRepeat(chars.unionByName(sentinels), maxRounds,
-      cross = true, giantGids, hasGiants)
+      cross = true)
     // witness assembly: only the documents overlapping the winning
     // [rep_pos, rep_pos+rep_len) interval ship text — witness-sized
     // output, never group-sized state. A doc owns global chars

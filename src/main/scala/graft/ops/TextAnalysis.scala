@@ -218,4 +218,84 @@ object TextAnalysis {
       .withColumn("flagged_rate",
         col("n_flagged") / col("n_docs").cast("double"))
   }
+
+  /** TextRank keyword extraction (t31, Mihalcea–Tarau 2004): build the
+    * word co-occurrence graph — an undirected edge between every pair
+    * of ADJACENT qualifying words (lowercased, all-ASCII-alpha, length
+    * ≥ `minLen`; adjacency in the FILTERED sequence, the standard
+    * sliding-window-2 formulation) — and rank words by
+    * [[Graph.pageRank]]'s deterministic integer PageRank. The top
+    * words by rank are the corpus's keywords: PageRank over
+    * co-occurrence is exactly the "centrality = importance" transfer
+    * TextRank made famous, and because the house PageRank is
+    * integer-exact, the keyword list (and every rank value) replays
+    * bit-for-bit in the oracle's unrolled SQL.
+    *
+    * Scale shape: tokenization is one generated pass; the filtered
+    * re-sequencing window partitions per document (never global); the
+    * edge relation is ≤ one row per token before the distinct;
+    * PageRank's supersteps are the g01 equi-join + integer-sum shape
+    * on the (bounded) distinct-vocabulary graph — at 100 TB the word
+    * graph is millions of nodes against trillions of tokens, so every
+    * shuffle past tokenization is vocabulary-sized, not corpus-sized.
+    *
+    * Output: (kw_rank 1..topK, word, pagerank) — tie-break on word.
+    */
+  def textRankKeywords(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 4, iterations: Int = 5, topK: Int = 20): DataFrame = {
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    val words = docs
+      .select(col(idCol).as("__doc"),
+        posexplode(split(col(textCol), " ")).as(Seq("__pos", "__w0")))
+      .select(col("__doc"), col("__pos"), lower(col("__w0")).as("__w"))
+      .where(length(col("__w")) >= minLen &&
+        col("__w").rlike("^[a-z]+$"))
+    val w = Window.partitionBy(col("__doc")).orderBy(col("__pos"))
+    val edges = words.withColumn("__prev", lag(col("__w"), 1).over(w))
+      .where(col("__prev").isNotNull && col("__prev") =!= col("__w"))
+      .select(col("__prev").as("src"), col("__w").as("dst"))
+    val und = edges.unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    val ranked = Graph.pageRank(und, iterations)
+    val wTop = Window.orderBy(col("pagerank").desc, col("node"))
+    ranked.withColumn("kw_rank", row_number().over(wTop).cast("long"))
+      .where(col("kw_rank") <= topK)
+      .select(col("kw_rank"), col("node").as("word"), col("pagerank"))
+  }
+
+  /** Integer readability profile (t32): Flesch–Kincaid grade level in
+    * exact integer hundredths — 0.39·(words/sentences) +
+    * 11.8·(syllables/word) − 15.59, scaled ×100 with integer division
+    * at each term so the value replays bit-for-bit in any engine
+    * (the house no-transcendental discipline; float readability
+    * scores differ in the last ulp across libraries and are
+    * unhashable). Syllables are approximated as maximal vowel runs
+    * ([aeiouy]+ on the lowercased text) — the standard cheap
+    * heuristic, stated as part of the metric's semantics; sentences
+    * as maximal [.!?] runs, floored at 1 so fragments don't divide by
+    * zero. One generated pass per document, no shuffle at all — the
+    * quality-scoring shape (t03) with a grade formula on top.
+    *
+    * Returns (id, n_words, n_sentences, n_syllables, fk_grade_x100).
+    */
+  def readability(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val lowered = lower(t)
+    // count of maximal runs: collapse each run to one '#' then count
+    // by the length-difference identity (both engines agree on regex
+    // '+' greediness; '#' never appears in the corpus alphabet checks)
+    def runs(c: Column, pattern: String): Column = {
+      val marked = regexp_replace(c, pattern, "#")
+      (length(marked) - length(replace(marked, lit("#"), lit("")))).cast("long")
+    }
+    docs.select(col(idCol),
+        wsTokenCount(t).as("n_words"),
+        greatest(runs(t, "[.!?]+"), lit(1L)).as("n_sentences"),
+        runs(lowered, "[aeiouy]+").as("n_syllables"))
+      .withColumn("fk_grade_x100",
+        expr("(39 * n_words) div n_sentences + " +
+          "(1180 * n_syllables) div greatest(n_words, 1) - 1559"))
+  }
 }

@@ -327,6 +327,31 @@ object EventsQueries {
           "r", "f", "m", "segment")
         .orderBy("user_id")
     }),
+
+    // per-user activity streaks — the engagement/retention metric DAU
+    // dashboards derive: distinct active days, then gaps-and-islands
+    // (day_number − row_number is constant within a consecutive run —
+    // the m10/e02 island trick on the DATE axis); windows partition
+    // per user, never globally, and events collapse to distinct days
+    // before any window sees them
+    "e16_activity_streaks" -> ((s, d) => {
+      val days = Tables.load(s, d, "events")
+        .where(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      days
+        .withColumn("__grp",
+          expr("datediff(day, DATE '1970-01-01')").cast("long")
+            - row_number().over(w))
+        .groupBy("user_id", "__grp")
+        .agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(sum("len").as("n_active_days"),
+          max("len").as("longest_streak"),
+          count(lit(1)).as("n_streaks"))
+        .orderBy("user_id")
+    }),
   )
 
   /** The user-level RFM relation shared by e14 (ntile face) and e15
@@ -589,5 +614,19 @@ object EventsQueries {
          |    AS segment
          |FROM sc ORDER BY user_id""".stripMargin
     },
+
+    "e16_activity_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |g AS (SELECT user_id,
+        |    CAST(datediff('day', DATE '1970-01-01', day) AS BIGINT)
+        |      - row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS grp
+        |  FROM days),
+        |s AS (SELECT user_id, grp, count(*) AS len FROM g GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+        |  CAST(max(len) AS BIGINT) AS longest_streak,
+        |  count(*) AS n_streaks
+        |FROM s GROUP BY 1 ORDER BY user_id""".stripMargin,
   )
 }

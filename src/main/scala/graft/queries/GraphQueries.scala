@@ -93,8 +93,14 @@ object GraphQueries {
   /** The k-superstep integer-PageRank unroll shared by the g01 (k=5)
     * and g06 (k=10; warm resume == cold 2k) oracles.
     */
-  private def pagerankSql(k: Int): String = {
-    val iters = (1 to k).map { i =>
+  /** The k-round integer-PageRank CTE ladder (r1..rk). Requires
+    * e(src, dst), nodes(node), od(src, od) and r0(node, r) upstream.
+    * Shared by the g01/g06 oracles AND t31's word-graph TextRank
+    * (TextQueries) so the two ladders cannot drift from the engine's
+    * one [[graft.ops.Graph.pageRank]].
+    */
+  private[queries] def pagerankRoundsSql(k: Int): String =
+    (1 to k).map { i =>
       val prev = s"r${i - 1}"
       s"""r$i AS (SELECT n.node, CAST(150000 + COALESCE(s.inc, 0) AS BIGINT) AS r
          |  FROM nodes n LEFT JOIN (
@@ -104,6 +110,9 @@ object GraphQueries {
          |      JOIN od ON e.src = od.src
          |    GROUP BY 1) s ON n.node = s.node)""".stripMargin
     }.mkString(",\n")
+
+  private def pagerankSql(k: Int): String = {
+    val iters = pagerankRoundsSql(k)
     s"""WITH $edgeCtes,
        |nodes AS (SELECT DISTINCT node FROM
        |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
@@ -314,6 +323,32 @@ object GraphQueries {
         .groupBy("id").agg(min("r").as("eff_r"))
         .select(col("id").as("user_id"), col("eff_r"))
         .orderBy("user_id")
+    }),
+
+    // bipartite user→(event type × day) membership projected to the
+    // item–item co-occurrence graph — the "viewed together" edge
+    // derivation every recommender starts from; hub users past the
+    // 64-item cap are dropped by stated semantics (Graph
+    // .bipartiteProjection's Σd² bound)
+    "g14_bipartite_projection" -> ((s, d) => {
+      val m = Tables.load(s, d, "events")
+        .where(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"),
+          concat(col("event_type"), lit("@"),
+            date_format(col("ts"), "yyyy-MM-dd")).as("item"))
+      Graph.bipartiteProjection(m, "user_id", "item", maxItemsPerNode = 64)
+        .orderBy("item_a", "item_b")
+    }),
+
+    // resource-allocation link prediction over the interaction chain
+    // graph — integer-exact 1/deg weighting (micro-units), top 100
+    // predicted links (graft.ops.Graph.resourceAllocation)
+    "g15_link_prediction" -> ((s, d) => {
+      Graph.resourceAllocation(edges(s, d), maxWedgeDegree = 256)
+        .select(col("node_a").as("user_a"), col("node_b").as("user_b"),
+          col("n_common"), col("ra_score_micro"))
+        .orderBy(col("ra_score_micro").desc, col("user_a"), col("user_b"))
+        .limit(100)
     }))
 
   val oracles: Map[String, String] = Map(
@@ -527,5 +562,39 @@ object GraphQueries {
          |  SELECT e.dst, w.d + 1 FROM walk w JOIN e ON w.id = e.src
          |  WHERE w.d < 3)
          |SELECT id AS user_id, CAST(min(d) AS BIGINT) AS dist
-         |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin)
+         |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the projection replayed literally: distinct membership, the
+    // 64-item hub cap, the per-node pair self-join, pair counts
+    "g14_bipartite_projection" ->
+      """WITH m AS (SELECT DISTINCT user_id AS n,
+        |    event_type || '@' || strftime(ts, '%Y-%m-%d') AS i
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |kept AS (SELECT n, i FROM m WHERE n IN (
+        |  SELECT n FROM m GROUP BY n HAVING count(*) <= 64))
+        |SELECT a.i AS item_a, b.i AS item_b, count(*) AS weight
+        |FROM kept a JOIN kept b ON a.n = b.n AND a.i < b.i
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // wedges through each center z (degree-capped), micro-unit
+    // integer 1/deg contributions, existing edges anti-joined out
+    "g15_link_prediction" ->
+      s"""WITH $edgeCtes,
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM e WHERE src <> dst),
+         |adj AS (SELECT a AS z, b AS n FROM und
+         |  UNION ALL SELECT b, a FROM und),
+         |deg AS (SELECT z, count(*) AS degz FROM adj GROUP BY 1),
+         |adjd AS (SELECT adj.z, adj.n, deg.degz
+         |  FROM adj JOIN deg USING (z) WHERE degz <= 256),
+         |w AS (SELECT l.n AS a, r.n AS b, 1000000 // l.degz AS c
+         |  FROM adjd l JOIN adjd r ON l.z = r.z AND l.n < r.n),
+         |nw AS (SELECT a, b, count(*) AS nc, sum(c) AS ra FROM w
+         |  WHERE NOT EXISTS (SELECT 1 FROM und u
+         |    WHERE u.a = w.a AND u.b = w.b)
+         |  GROUP BY 1, 2)
+         |SELECT a AS user_a, b AS user_b, CAST(nc AS BIGINT) AS n_common,
+         |  CAST(ra AS BIGINT) AS ra_score_micro
+         |FROM nw ORDER BY ra_score_micro DESC, user_a, user_b
+         |LIMIT 100""".stripMargin)
 }

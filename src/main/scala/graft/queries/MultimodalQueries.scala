@@ -337,6 +337,20 @@ object MultimodalQueries {
       Multimodal.windowEnergy(media, windowBytes = 100)
         .orderBy("media_id")
     }),
+
+    // strided 2-D tile extraction — the ViT-patch/crop primitive:
+    // each tile concatenates 16 NON-contiguous 32-byte row slices of
+    // the 64-byte-wide byte image (real strided access, not m03's
+    // contiguous frames); checksums leave the scan, payload bytes
+    // never shuffle
+    "m16_image_tiles" -> ((s, d) => {
+      val media = Tables.load(s, d, "documents")
+        .select(col("doc_id").as("media_id"),
+          col("text").cast("binary").as("payload"))
+      Multimodal.tileChecksums(media, rowBytes = 64,
+          tileRows = 16, tileCols = 32)
+        .orderBy("media_id", "tile_y", "tile_x")
+    }),
   )
 
   private val decodeCte =
@@ -644,5 +658,32 @@ object MultimodalQueries {
         |  max(e) AS peak_energy,
         |  CAST(sum(e) AS BIGINT) / CAST(count(*) AS DOUBLE) AS avg_energy
         |FROM en GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // tile content replayed in the hex view: a tile's md5 is over the
+    // ORDERED concatenation of its 16 row slices (string_agg ORDER BY
+    // r); hex(concat(bytes)) == concat(hex(bytes)), so md5(hex view)
+    // matches Spark's md5(hex(tile)); substr past the payload end
+    // yields '' in both engines (the clip semantics)
+    "m16_image_tiles" ->
+      """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hxp,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |f AS (SELECT media_id, hxp, (n_bytes + 63) // 64 AS nrows
+        |  FROM m WHERE n_bytes > 0),
+        |g AS (SELECT media_id, hxp, ty, tx
+        |  FROM f,
+        |    unnest(generate_series(0, (nrows + 15) // 16 - 1)) t1(ty),
+        |    unnest(generate_series(0, 1)) t2(tx)),
+        |r AS (SELECT media_id, tx, ty,
+        |    string_agg(substr(hxp,
+        |      CAST(((ty * 16 + q.r) * 64 + tx * 32) * 2 + 1 AS BIGINT),
+        |      64), '' ORDER BY q.r) AS th
+        |  FROM g, unnest(generate_series(0, 15)) q(r)
+        |  GROUP BY 1, 2, 3)
+        |SELECT media_id, CAST(tx AS BIGINT) AS tile_x,
+        |  CAST(ty AS BIGINT) AS tile_y, md5(th) AS tile_md5,
+        |  CAST(length(th) // 2 AS BIGINT) AS tile_bytes
+        |FROM r WHERE length(th) > 0
+        |ORDER BY media_id, tile_y, tile_x""".stripMargin,
   )
 }

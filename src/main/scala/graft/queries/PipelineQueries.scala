@@ -157,15 +157,21 @@ object PipelineQueries {
     // the approximate→exact substring-dedup FUNNEL (the practiced
     // 100 TB shape): d29's winnow index names candidate sources
     // cheaply — a source is flagged iff some fingerprint hash is
-    // selected by >= 2 of ITS OWN documents — and only flagged
-    // sources pay d32's exact generalized-suffix-array pass. The
+    // selected by >= 2 of ITS OWN documents and the grams at those
+    // positions REALLY match (Dedup.funnelCandidateSources — 32-bit
+    // hashes birthday-collide at scale, and an unverified flag
+    // forfeits the skip) — and only flagged sources pay d32's exact
+    // generalized-suffix-array pass. The
     // skip is SOUND, not heuristic: winnowing guarantees any shared
-    // substring of >= k+w-1 (= 19 at the funnel's k=12/w=8) chars
+    // substring of >= k+w-1 (= 31 at the funnel's k=24/w=8) chars
     // selects the same hash in both copies, so an unflagged source
-    // has cross_len < 19 by construction; flagged sources report the
+    // has cross_len < 31 by construction; flagged sources report the
     // exact length and witness. The funnel's k is LONGER than d29's
-    // (12 vs 5): a shared 5-gram is any common word, and a candidate
-    // rule that flags every source skips nothing. Both stages reuse their standalone oracles verbatim
+    // (24 vs 5): a shared 5-gram is any common word, a shared
+    // 12-gram is any repeated long word (measured: k=12 flagged
+    // every source of a salted no-boilerplate corpus), and a
+    // candidate rule that flags every source skips nothing. Both
+    // stages reuse their standalone oracles verbatim
     // (crossDocCtes / the d29 chain) so funnel and operators cannot
     // drift.
     "p07_substring_funnel" -> ((s, d) => {
@@ -173,13 +179,7 @@ object PipelineQueries {
       val docs = Tables.load(s, d, "documents")
         .select("doc_id", "text", "source").where(col("text").isNotNull)
         .localCheckpoint(true) // feeds fingerprints, the exact pass, and the source list
-      val fps = Dedup.winnowFingerprints(docs, "doc_id", "text",
-          k = Dedup.FunnelK, w = Dedup.FunnelW)
-        .where(col("h").isNotNull)
-        .join(docs.select("doc_id", "source"), Seq("doc_id"))
-      val cand = fps.groupBy("source", "h")
-        .agg(countDistinct("doc_id").as("nd"))
-        .where(col("nd") >= 2).select("source").distinct()
+      val cand = Dedup.funnelCandidateSources(docs)
       val flagged = docs.join(broadcast(cand), Seq("source"), "left_semi")
       val exact = SuffixArray.crossDocRepeats(flagged,
         "doc_id", "text", "source")
@@ -509,16 +509,18 @@ object PipelineQueries {
     "p07_substring_funnel" ->
       s"""WITH nn AS (SELECT doc_id, source, text FROM documents
          |  WHERE text IS NOT NULL),
-         |g AS (SELECT doc_id, source,
+         |g AS (SELECT doc_id, source, text,
          |    ${graft.functions.TextHashExpressions.winnowGramsSql(graft.ops.Dedup.FunnelK)} AS gs
          |  FROM nn),
-         |sel AS (SELECT doc_id, source, gs,
+         |sel AS (SELECT doc_id, source, text, gs,
          |    ${graft.functions.TextHashExpressions.winnowSelectSql(graft.ops.Dedup.FunnelW)} AS ps
          |  FROM g),
-         |fp AS (SELECT doc_id, source, gs[u.p::INT] AS h
+         |fp AS (SELECT doc_id, source,
+         |    substr(text, u.p::INT, ${graft.ops.Dedup.FunnelK}) AS gram,
+         |    gs[u.p::INT] AS h
          |  FROM sel, unnest(ps) AS u(p)),
          |cand AS (SELECT DISTINCT source FROM (
-         |  SELECT source FROM fp GROUP BY source, h
+         |  SELECT source FROM fp GROUP BY source, h, gram
          |  HAVING count(DISTINCT doc_id) >= 2)),
          |flagged AS (SELECT source, doc_id, text FROM nn
          |  WHERE source IN (SELECT source FROM cand)),

@@ -258,6 +258,16 @@ object SimilarityQueries {
         .select("query_id", "rank", "neighbor_id", "cosine")
         .orderBy("query_id", "rank")
     }),
+
+    // exact maximum-inner-product top-k with Cauchy–Schwarz norm-band
+    // pruning — the unnormalized-retriever objective; scores are exact
+    // integer dots, the oracle is the brute-force definition, and the
+    // pruning must be invisible in the result (graft.ops.Similarity)
+    "s19_mips_topk" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+      Similarity.mipsTopK(e, e.where(col("vec_id") < 8), k = 10)
+        .orderBy("query_id", "rank")
+    }),
   )
 
   /** The oracle statement of VectorFunctions.quantize — ONE copy
@@ -514,6 +524,21 @@ object SimilarityQueries {
     "s13_random_projection" -> s13OracleSql,
     "s14_projected_recall" -> s14OracleSql,
     "s04_topk_native" -> s04OracleSql,
+    // brute-force MIPS: the pruning path must reproduce this exactly
+    "s19_mips_topk" ->
+      s"""WITH $qCte,
+         |scored AS (
+         |  SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    CAST(list_dot_product(qs.q, c.q) AS BIGINT) AS dot
+         |  FROM qv qs JOIN qv c ON c.vec_id <> qs.vec_id
+         |  WHERE qs.vec_id < 8)
+         |SELECT query_id, rank, neighbor_id, dot FROM (
+         |  SELECT query_id, neighbor_id, dot,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY dot DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM scored)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
     "s01_topk_bruteforce" ->
       s"""WITH $qCte,
          |n AS (SELECT vec_id, q, CAST(list_dot_product(q, q) AS BIGINT) AS norm FROM qv),

@@ -604,6 +604,27 @@ object TextQueries {
           (col("f") / col("n_words").cast("double")).as("repetition_ratio"))
         .orderBy("doc_id")
     }),
+
+    // TextRank keyword extraction — integer PageRank over the word
+    // co-occurrence graph (adjacent qualifying words, window 2); the
+    // oracle replays the SAME 5-round ladder as g01 via the shared
+    // GraphQueries.pagerankRoundsSql generator
+    "t31_textrank_keywords" -> ((s, d) => {
+      TextAnalysis.textRankKeywords(
+          Tables.load(s, d, "documents").where(col("text").isNotNull),
+          "doc_id", "text", minLen = 4, iterations = 5, topK = 20)
+        .orderBy("kw_rank")
+    }),
+
+    // integer Flesch–Kincaid readability (×100) — vowel-run syllable
+    // heuristic, sentence runs, exact integer divisions; the
+    // quality-scoring family's grade-level member
+    "t32_readability" -> ((s, d) => {
+      TextAnalysis.readability(
+          Tables.load(s, d, "documents").where(col("text").isNotNull),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
   )
 
   private val markerSql: Map[String, String] =
@@ -1255,5 +1276,58 @@ object TextQueries {
         |  CAST(f AS BIGINT) AS top_freq,
         |  f / CAST(n_words AS DOUBLE) AS repetition_ratio
         |FROM agg WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // the word-graph derivation (tokenize → qualify → adjacency →
+    // symmetrize) feeding the SHARED g01 PageRank ladder — any drift
+    // between engine and oracle PageRank breaks g01/g06/t31 together
+    "t31_textrank_keywords" ->
+      s"""WITH nn AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |  FROM documents WHERE text IS NOT NULL),
+         |toks AS (SELECT doc_id, p.pos AS pos, lower(p.w) AS w FROM (
+         |  SELECT doc_id, unnest(list_transform(range(len(ws)),
+         |      i -> struct_pack(pos := i, w := ws[i + 1]))) AS p
+         |  FROM nn)),
+         |fw AS (SELECT doc_id, pos, w FROM toks
+         |  WHERE length(w) >= 4 AND regexp_matches(w, '^[a-z]+$$')),
+         |pr AS (SELECT doc_id, w,
+         |    lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS pw
+         |  FROM fw),
+         |ed AS (SELECT pw AS src, w AS dst FROM pr
+         |  WHERE pw IS NOT NULL AND pw <> w),
+         |e AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM ed UNION ALL SELECT dst, src FROM ed)),
+         |nodes AS (SELECT DISTINCT node FROM
+         |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         |od AS (SELECT src, count(*) AS od FROM e GROUP BY 1),
+         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+         |${GraphQueries.pagerankRoundsSql(5)}
+         |SELECT kw_rank, word, pagerank FROM (
+         |  SELECT node AS word, r AS pagerank,
+         |    CAST(row_number() OVER (ORDER BY r DESC, node) AS BIGINT)
+         |      AS kw_rank
+         |  FROM r5)
+         |WHERE kw_rank <= 20 ORDER BY kw_rank""".stripMargin,
+
+    // runs counted by the collapse-to-'#' length-difference identity;
+    // DuckDB regexp_replace needs the explicit 'g' flag to match
+    // Spark's replace-all default
+    "t32_readability" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    regexp_replace(text, '[.!?]+', '#', 'g') AS s1,
+        |    regexp_replace(lower(text), '[aeiouy]+', '#', 'g') AS v1
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT doc_id,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1
+        |      AS BIGINT) AS n_words,
+        |    greatest(CAST(length(s1) - length(replace(s1, '#', ''))
+        |      AS BIGINT), 1) AS n_sentences,
+        |    CAST(length(v1) - length(replace(v1, '#', ''))
+        |      AS BIGINT) AS n_syllables
+        |  FROM d)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CAST((39 * n_words) // n_sentences
+        |    + (1180 * n_syllables) // greatest(n_words, 1) - 1559
+        |    AS BIGINT) AS fk_grade_x100
+        |FROM c ORDER BY doc_id""".stripMargin,
   )
 }

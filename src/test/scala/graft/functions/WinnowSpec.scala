@@ -102,4 +102,22 @@ class WinnowSpec extends AnyFunSuite with SparkSpec {
     assert(byId(3L)._3 === 0)
     assert(byId(4L) === ((0L, 0L, 0L)))
   }
+
+  test("p07 funnel candidates: real shared boilerplate flags, clean sources don't") {
+    // s1's docs share a 44-char phrase (>= FunnelK+FunnelW-1 = 31, so
+    // the winnow guarantee applies); s2's docs share nothing that
+    // long; s3 has boilerplate spread across DIFFERENT sources only —
+    // the candidate rule is within-source, so neither flags
+    val boiler = "this exact boilerplate phrase repeats verbatim"
+    val docs = Seq(
+      (1L, s"alpha intro $boiler and then a tail", "s1"),
+      (2L, s"second doc where $boiler shows up too", "s1"),
+      (3L, "completely unrelated text number one with no long repeats at all", "s2"),
+      (4L, "another entirely different document that shares nothing long", "s2"),
+      (5L, s"cross source copy $boiler here", "s3")
+    ).toDF("doc_id", "text", "source")
+    val got = graft.ops.Dedup.funnelCandidateSources(docs)
+      .collect().map(_.getString(0)).toSet
+    assert(got === Set("s1"))
+  }
 }

@@ -215,4 +215,49 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       assert(ordered.zip(ordered.tail).forall { case (x, y) => x <= y })
     }
   }
+
+  test("bipartiteProjection: pair weights by shared nodes; hub nodes capped out") {
+    // users 1,2 share items a,b; user 3 adds (b,c); hub user 9 touches
+    // everything but exceeds the cap and must contribute NO pairs
+    val m = Seq(
+      (1L, "a"), (1L, "b"),
+      (2L, "a"), (2L, "b"),
+      (3L, "b"), (3L, "c"),
+      (9L, "a"), (9L, "b"), (9L, "c"), (9L, "d")
+    ).toDF("user", "item")
+    val got = Graph.bipartiteProjection(m, "user", "item",
+        maxItemsPerNode = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got === Map(("a", "b") -> 2L, ("b", "c") -> 1L))
+    // duplicate membership rows must not inflate weights
+    val got2 = Graph.bipartiteProjection(m.union(m), "user", "item",
+        maxItemsPerNode = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got2 === got)
+  }
+
+  test("resourceAllocation: micro-unit 1/deg wedge sums, existing edges excluded") {
+    // path graph 1-2-3 plus 2-4: center 2 has degree 3, so each wedge
+    // through it contributes 1000000 div 3 = 333333. Non-adjacent
+    // pairs via 2: (1,3), (1,4), (3,4). Pair (1,3) also has no other
+    // common neighbor. Centers 1/3/4 have degree 1 -> no wedges.
+    val e = Seq(1L -> 2L, 2L -> 3L, 2L -> 4L).toDF("src", "dst")
+    val got = Graph.resourceAllocation(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got === Map(
+      (1L, 3L) -> (1L, 333333L),
+      (1L, 4L) -> (1L, 333333L),
+      (3L, 4L) -> (1L, 333333L)))
+    // adding edge 1-3 removes that pair from the prediction set
+    val e2 = e.union(Seq(3L -> 1L).toDF("src", "dst"))
+    val got2 = Graph.resourceAllocation(e2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!got2.contains((1L, 3L)))
+    // a center past maxWedgeDegree contributes nothing
+    val capped = Graph.resourceAllocation(e, maxWedgeDegree = 2).collect()
+    assert(capped.isEmpty)
+  }
 }

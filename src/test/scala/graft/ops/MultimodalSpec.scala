@@ -140,4 +140,40 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       .collect()
     assert(one.length == 1 && one.head.getLong(4) == 10L)
   }
+
+  test("tileChecksums: strided row slices, end clipping, empty tiles dropped") {
+    import spark.implicits._
+    // 200 bytes at rowBytes=64: rows 0..2 full, row 3 holds 8 bytes.
+    // tile (0,0) = rows' [0,32) slices: 32+32+32+8 = 104 bytes;
+    // tile (1,0) = rows' [32,64) slices: 32+32+32+0 = 96 bytes
+    val payload = Array.tabulate(200)(i => (i % 251).toByte)
+    val media = Seq((7L, payload)).toDF("media_id", "payload")
+    val out = Multimodal.tileChecksums(media, rowBytes = 64,
+        tileRows = 16, tileCols = 32)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> (r.getString(3), r.getLong(4)))
+      .toMap
+    assert(out.keySet === Set((0L, 0L), (1L, 0L)))
+    assert(out((0L, 0L))._2 === 104L)
+    assert(out((1L, 0L))._2 === 96L)
+    // md5 over the uppercase-hex view of the hand-assembled slices
+    def hexOf(bytes: Seq[Byte]): String =
+      bytes.map(b => f"${b & 0xff}%02X").mkString
+    def md5Of(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map(b => f"${b & 0xff}%02x").mkString
+    }
+    def tileBytes(tx: Int): Seq[Byte] =
+      (0 until 16).flatMap { r =>
+        val off = r * 64 + tx * 32
+        payload.slice(off, math.min(off + 32, payload.length)).toSeq
+      }
+    assert(out((0L, 0L))._1 === md5Of(hexOf(tileBytes(0))))
+    assert(out((1L, 0L))._1 === md5Of(hexOf(tileBytes(1))))
+    // an empty payload yields no tiles at all
+    assert(Multimodal.tileChecksums(
+      Seq((8L, Array.empty[Byte])).toDF("media_id", "payload"),
+      rowBytes = 64, tileRows = 16, tileCols = 32).count() === 0L)
+  }
 }

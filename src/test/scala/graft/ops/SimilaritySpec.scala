@@ -227,4 +227,41 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     // (excluded by the ceiling); 3 then 4 rank by cosine
     assert(got.toSeq === Seq((3L, 1L, 1L), (4L, 2L, 2L)))
   }
+
+  test("mipsTopK equals brute-force inner-product ranking (pruning invisible)") {
+    import spark.implicits._
+    // magnitudes 1..10 spread norms over several log2 bands, so the
+    // seed pass covers only the top bands and low bands must actually
+    // prune — while the result stays EXACTLY the brute-force ranking
+    val vecs = (0L until 40L).map { i =>
+      val m = (i % 10 + 1).toFloat
+      (i, Array(m, (i % 3).toFloat - 1f, 0.5f * (i % 5).toFloat, -m / 4))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.mipsTopK(df, df.where(col("vec_id") < 3), k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    // brute force over the SAME quantized integers, in the driver
+    def q(a: Array[Float]): Array[Long] =
+      a.map(x => Math.round(x.toDouble * 1000))
+    val qv = vecs.map { case (id, a) => id -> q(a) }.toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val expected = (0L until 3L).flatMap { qid =>
+      vecs.map(_._1).filter(_ != qid)
+        .map(nid => (nid, dot(qv(qid), qv(nid))))
+        .sortBy { case (nid, d) => (-d, nid) }
+        .take(5).zipWithIndex
+        .map { case ((nid, d), i) => (qid, (i + 1).toLong, nid, d) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq === expected)
+    // degenerate seedMul covering everything still agrees
+    val all = Similarity.mipsTopK(df, df.where(col("vec_id") < 3), k = 5,
+        seedMul = 1000)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(all.toSeq === expected)
+  }
 }

@@ -142,7 +142,11 @@ class SuffixArraySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("cross-doc repeats on the wide path equal the window-path result") {
+  test("cross-doc repeats: adversarial shapes (self-repeats, all-equal runs)") {
+    // the unified tie-pruned search has no giant dispatch; these
+    // shapes previously exercised the wide path and now pin the
+    // deep-tie behavior (all-'a' runs keep whole classes tied for
+    // log rounds) against the brute-force reference
     val groups: Seq[(String, Seq[(Long, String)])] = Seq(
       "g1" -> Seq((1L, "xxSHARED BOILERPLATE yy"), (2L, "zz SHARED BOILERPLATE ww"),
         (3L, "nothing in common")),
@@ -152,10 +156,10 @@ class SuffixArraySpec extends AnyFunSuite with SparkSpec {
     val df = groups.flatMap { case (g, ds) => ds.map(d => (d._1, d._2, g)) }
       .toDF("doc_id", "text", "source")
     val got = SuffixArray
-      .crossDocRepeats(df, "doc_id", "text", "source", giantThreshold = 4)
+      .crossDocRepeats(df, "doc_id", "text", "source")
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
     groups.foreach { case (g, ds) =>
-      assert(got(g) === refCross(ds), s"wide cross-doc diverged for $g")
+      assert(got(g) === refCross(ds), s"cross-doc diverged for $g")
     }
   }
 
