@@ -922,9 +922,6 @@ object Dedup {
       s"tau must be a fraction in (0,1]: $tauNum/$tauDen")
     require(maxCandidatePairs > 0,
       s"maxCandidatePairs must be > 0, got $maxCandidatePairs")
-    // the tokenized corpus feeds four consumers (df table, prefix
-    // rank, the probe join's indexed side, verify arrays) — one
-    // materialization (the prefixFilterPairs discipline)
     // block key reduced to 31 bits: bkey·2³² + tok must fit SIGNED
     // 64-bit (max = (2³¹−1)·2³² + 2³²−1 = Long.MaxValue exactly; the
     // full 32-bit key overflows under ANSI arithmetic). A key
@@ -936,9 +933,29 @@ object Dedup {
             lit(2147483648L)))
           .getOrElse(lit(0L)).as("bkey"),
         explode(tokens(col(textCol))).as("tok0"))
-    val toks = (blockBy match {
-      case None => toks0.select(col("id"), col("tok0").as("tok"))
-      case Some(_) =>
+    containmentFromToks0(toks0, tauNum, tauDen, maxCandidatePairs,
+      blocked = blockBy.isDefined, inputMaterialized = false)
+  }
+
+  /** The containment chain after tokenization, over a
+    * (id, bkey, tok0) relation: `blocked` composes the block key into
+    * the token, plain ignores it — so ONE tokenized relation can feed
+    * both forms (the [[containmentPairsAuto]] routing without paying
+    * the corpus's most expensive setup stage twice).
+    * `inputMaterialized` skips the internal checkpoint when toks0 is
+    * already a checkpoint — the derived token relation is then pure
+    * column math over it, cheaper to recompute per consumer than to
+    * copy.
+    */
+  private def containmentFromToks0(toks0: DataFrame,
+      tauNum: Int, tauDen: Int, maxCandidatePairs: Long,
+      blocked: Boolean, inputMaterialized: Boolean): DataFrame = {
+    // the tokenized corpus feeds four consumers (df table, prefix
+    // rank, the probe join's indexed side, verify arrays) — one
+    // materialization (the prefixFilterPairs discipline)
+    val toksRaw =
+      if (!blocked) toks0.select(col("id"), col("tok0").as("tok"))
+      else {
         val dt = toks0.schema("tok0").dataType
         require(dt == org.apache.spark.sql.types.LongType ||
             dt == org.apache.spark.sql.types.IntegerType,
@@ -947,7 +964,9 @@ object Dedup {
         toks0.select(col("id"),
           (col("bkey") * lit(4294967296L) +
             pmod(col("tok0").cast("long"), lit(4294967296L))).as("tok"))
-    }).localCheckpoint(true)
+      }
+    val toks =
+      if (inputMaterialized) toksRaw else toksRaw.localCheckpoint(true)
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
     val part = org.apache.spark.sql.expressions.Window.partitionBy("id")
     val w = part.orderBy(col("df"), col("tok"))
@@ -1019,17 +1038,33 @@ object Dedup {
       tauNum: Int, tauDen: Int, blockBy: Column,
       tokens: Column => Column = c => array_distinct(shingleHashes(c)),
       maxCandidatePairs: Long = 1L << 26): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      s"tau must be a fraction in (0,1]: $tauNum/$tauDen")
+    require(maxCandidatePairs > 0,
+      s"maxCandidatePairs must be > 0, got $maxCandidatePairs")
+    // tokenize ONCE (block key included — the blocked form needs it,
+    // the plain form ignores it) and checkpoint: shingle-hashing the
+    // corpus is the chain's most expensive setup stage, and the routed
+    // regime — plain attempt trips the guard, blocked rerun — would
+    // otherwise pay it twice. Both attempts derive their token
+    // relation from this checkpoint by pure column math.
+    val toks0 = docs
+      .select(col(idCol).as("id"),
+        pmod(md5Hash32(blockBy.cast("string")), lit(2147483648L))
+          .as("bkey"),
+        explode(tokens(col(textCol))).as("tok0"))
+      .localCheckpoint(true)
     val plainDf =
-      try Some(containmentPairs(docs, idCol, textCol, tauNum, tauDen,
-        tokens, maxCandidatePairs, blockBy = None))
+      try Some(containmentFromToks0(toks0, tauNum, tauDen,
+        maxCandidatePairs, blocked = false, inputMaterialized = true))
       catch {
         // ONLY the budget guard reroutes (its volume/budget message is
         // the routing signal); any other failure propagates
         case e: IllegalStateException
             if Option(e.getMessage).exists(_.contains("budget")) => None
       }
-    plainDf.getOrElse(containmentPairs(docs, idCol, textCol, tauNum,
-      tauDen, tokens, maxCandidatePairs, blockBy = Some(blockBy)))
+    plainDf.getOrElse(containmentFromToks0(toks0, tauNum, tauDen,
+      maxCandidatePairs, blocked = true, inputMaterialized = true))
   }
 
   /** Length-filtered candidate-volume upper bound for the containment

@@ -714,10 +714,17 @@ object Multimodal {
       .select(col("media_id"), col("payload"), col("tile_y"),
         explode(expr(s"sequence(0, ${tilesX - 1})")).as("tile_x"))
       .withColumn("__tile", expr(
+        // offset math in BIGINT: (tile_y·tileRows + r)·rowBytes on a
+        // payload approaching 2 GiB overflows 32-bit arithmetic BEFORE
+        // a trailing cast, yielding negative offsets instead of the
+        // intended clean past-end clip — so promote first, clamp the
+        // final byte offset to the INT range substring needs (any
+        // offset past 2^31 is past every payload's end anyway)
         s"""aggregate(sequence(0, ${tileRows - 1}), cast('' as binary),
            |  (acc, r) -> concat(acc, substring(payload,
-           |    cast((tile_y * $tileRows + r) * $rowBytes
-           |      + tile_x * $tileCols + 1 as int), $tileCols)))""".stripMargin))
+           |    cast(least((cast(tile_y as bigint) * $tileRows + r) * $rowBytes
+           |      + cast(tile_x as bigint) * $tileCols + 1,
+           |      2147483647) as int), $tileCols)))""".stripMargin))
       .where(octet_length(col("__tile")) > 0)
       .select(col("media_id"),
         col("tile_x").cast("long").as("tile_x"),

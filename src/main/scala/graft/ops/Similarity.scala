@@ -851,9 +851,22 @@ object Similarity {
     * integer units (milliunit² per dimension).
     */
   def mipsTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      seedMul: Int = 4): DataFrame = {
+      seedMul: Int = 4, maxQueryRows: Long = 1L << 20): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(seedMul >= 1, s"seedMul must be >= 1, got $seedMul")
+    require(maxQueryRows >= 1, s"maxQueryRows must be >= 1, got $maxQueryRows")
+    // ENFORCE the bounded-collect contract the scaladoc states: the
+    // per-query thresholds, norms and band-survivor list all live on
+    // the driver at |Q| (×bands) rows — a corpus-sized `queries` input
+    // must fail loudly here, not as a silent driver OOM three collects
+    // later (the containment-guard discipline)
+    val nQ = queries.limit((maxQueryRows + 1).toInt).count()
+    if (nQ > maxQueryRows)
+      throw new IllegalStateException(
+        s"mipsTopK: query relation exceeds the $maxQueryRows-row driver " +
+          "budget (per-query thresholds and band survivors are collected). " +
+          "Split the query set, or swap roles if the corpus is the small " +
+          "side — the operator's state is |Q|-bounded by design.")
     val c = corpus.select(col("vec_id").as("n_id"),
         quantize(col("embedding")).as("n_q"))
       .withColumn("n_norm", normSqQ(col("n_q")))

@@ -238,6 +238,58 @@ object SuffixArray {
       .select(Seq(col("gid"), col("pos"), col("rank")) ++ tagCols(df): _*)
   }
 
+  /** Per-group STABLE rank (SQL rank(): 1 + the number of strictly
+    * smaller rows in the group) without a per-group window — the wide
+    * twin of [[globalDenseRankPerGid]] for the repeat search's round
+    * 0, whose in-place renumber algebra needs rank GAPS (a class's
+    * shared value followed by a gap equal to its size), never dense
+    * ranks. Stable rank is CLASS arithmetic: a row's rank = 1 + the
+    * count of rows in strictly smaller classes, so the whole pass
+    * runs on the (gid, key)-grouped CLASS relation — one global
+    * hash-aggregate, a range-partitioned per-range running sum with
+    * per-(range, gid) offsets from ≤ numPartitions × giant-group-count
+    * driver rows (each class lands in exactly ONE range, so no
+    * boundary-straddle correction is needed at class granularity),
+    * and one equi-join back to the rows. No step is bounded by a
+    * group's size.
+    */
+  private def globalStableRankPerGid(df: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val gk = col("gid") +: keyCols.map(col)
+    val classes = df.groupBy(gk: _*).agg(count(lit(1)).as("__c"))
+    val ranged = classes.repartitionByRange(par, gk: _*)
+      .withColumn("__part", spark_partition_id())
+      .localCheckpoint(true) // pins partition ids for the stats pass
+    // bounded driver state: one class-count sum per (range, gid)
+    val totals = ranged.groupBy("__part", "gid").agg(sum("__c").as("__t"))
+      .collect()
+    val offRows = totals.groupBy(_.get(1)).toSeq.flatMap { case (g, rows) =>
+      var cum = 0L
+      rows.sortBy(_.getInt(0)).map { r =>
+        val off = cum
+        cum += r.getLong(2)
+        Row(r.getInt(0), g, off)
+      }
+    }
+    val offDf = spark.createDataFrame(
+      java.util.Arrays.asList(offRows: _*),
+      StructType(Seq(StructField("__part", IntegerType),
+        df.schema("gid").copy(name = "gid"),
+        StructField("__off", LongType))))
+    val w = Window.partitionBy("__part", "gid")
+      .orderBy(keyCols.map(col): _*)
+    val classRank = ranged.join(broadcast(offDf), Seq("__part", "gid"))
+      .withColumn("rank", col("__off") + sum(col("__c")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) -
+        col("__c") + 1L)
+      .select(gk :+ col("rank"): _*)
+    df.join(classRank, Seq("gid") ++ keyCols)
+      .select(Seq(col("gid"), col("pos"), col("rank")) ++ tagCols(df): _*)
+  }
+
   /** Split a (gid, …) relation by membership in `giantGids`; both
     * joins broadcast the (small) giant-group list, so neither filter
     * shuffles or skews.

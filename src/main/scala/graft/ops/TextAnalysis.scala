@@ -259,9 +259,13 @@ object TextAnalysis {
     val und = edges.unionByName(
       edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
     val ranked = Graph.pageRank(und, iterations)
+    // top-k via orderBy().limit() — planned as TakeOrderedAndProject
+    // (the t25 discipline), so no vocabulary-sized single-partition
+    // window sort reaches the plan; the row_number only numbers the
+    // ≤ topK surviving rows
     val wTop = Window.orderBy(col("pagerank").desc, col("node"))
-    ranked.withColumn("kw_rank", row_number().over(wTop).cast("long"))
-      .where(col("kw_rank") <= topK)
+    ranked.orderBy(col("pagerank").desc, col("node")).limit(topK)
+      .withColumn("kw_rank", row_number().over(wTop).cast("long"))
       .select(col("kw_rank"), col("node").as("word"), col("pagerank"))
   }
 

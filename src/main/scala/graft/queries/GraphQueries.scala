@@ -569,7 +569,8 @@ object GraphQueries {
     "g14_bipartite_projection" ->
       """WITH m AS (SELECT DISTINCT user_id AS n,
         |    event_type || '@' || strftime(ts, '%Y-%m-%d') AS i
-        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
         |kept AS (SELECT n, i FROM m WHERE n IN (
         |  SELECT n FROM m GROUP BY n HAVING count(*) <= 64))
         |SELECT a.i AS item_a, b.i AS item_b, count(*) AS weight
