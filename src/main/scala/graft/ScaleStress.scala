@@ -426,6 +426,27 @@ object ScaleStress {
         // island merge + complement fold — expected to track d31
         "d34" -> (() => graft.ops.SuffixArray
           .removeRepeatedSpans(plain, "doc_id", "text", minLen = 12)),
+        // d34 with the ~3M-char giant (r11): the giant doc reroutes
+        // around the doc-bounded pair window and collect_list array
+        // via the gram-coverage identity — previously the one
+        // unguarded cliff left in the family
+        "d34giant" -> (() => graft.ops.SuffixArray
+          .removeRepeatedSpans(withGiantDoc(plain), "doc_id", "text",
+            minLen = 12)),
+        // d32 with a giant single-doc source (r11): round 0 dispatches
+        // the >2M-char concatenation to the wide gram + class-level
+        // stable rank while every normal source stays windowed —
+        // previously that source's round 0 sorted in ONE task
+        "d32giant" -> (() => graft.ops.SuffixArray
+          .crossDocRepeats(withGiantDoc(plain), "doc_id", "text",
+            "source")),
+        // cross-doc span removal (r11): one gram pass + a
+        // (source, gram) distinct-doc count + the d34 cut faces —
+        // the d19 scale shape at char granularity, expected
+        // near-linear
+        "d35" -> (() => graft.ops.SuffixArray
+          .crossDocSpanRemoval(plain, "doc_id", "text", "source",
+            minLen = 20)),
         // the winnow→exact funnel (r10): candidate sources via the
         // d29 index, the exact d32 pass only on flagged sources —
         // on this corpus every source is flagged (shared boilerplate

@@ -85,11 +85,17 @@ object SuffixArray {
 
   /** One refinement/rank strategy: [[WindowOps]] for groups that fit a
     * task, [[WideOps]] for giant groups. Both state the SAME algebra:
-    * gram builds the round-0 8-code composite key per position,
+    * gram builds the round-0 `k0`-code composite key per position,
     * rank0 dense-ranks it per group, refine quadruples h via the
-    * (rank, rank₊ₕ, rank₊₂ₕ, rank₊₃ₕ) key.
+    * (rank, rank₊ₕ, rank₊₂ₕ, rank₊₃ₕ) key. `k0` differs by COST
+    * SHAPE: the window form pays one lead column per code (8 is
+    * plenty), while the wide form pays a whole explode/re-group +
+    * two-pass-rank ROUND to quadruple h — so it front-loads a 32-code
+    * round 0 (one wider explode, amortized) and typically saves one
+    * full round on natural text (ties rarely survive 32 chars).
     */
   private sealed trait RankOps {
+    def k0: Int
     def gram(codes: DataFrame): DataFrame
     def rank0(g8: DataFrame): DataFrame
     def refine(r: DataFrame, h: Long): DataFrame
@@ -102,6 +108,7 @@ object SuffixArray {
     * chain already holds (localCheckpoint preserves it).
     */
   private object WindowOps extends RankOps {
+    val k0: Int = K0
     def gram(codes: DataFrame): DataFrame = {
       val wPos = Window.partitionBy("gid").orderBy("pos")
       val par = codes.sparkSession.sparkContext.defaultParallelism
@@ -144,10 +151,11 @@ object SuffixArray {
     * group's size — the documented fallback d30/d31 owed, implemented.
     */
   private object WideOps extends RankOps {
+    val k0: Int = 32
     def gram(codes: DataFrame): DataFrame =
-      fetchShifted(codes, "c0", (0L until K0.toLong), lit(0L))
+      fetchShifted(codes, "c0", (0L until k0.toLong), lit(0L))
     def rank0(g8: DataFrame): DataFrame =
-      globalDenseRankPerGid(g8, (0 until K0).map(i => s"k$i"))
+      globalDenseRankPerGid(g8, (0 until k0).map(i => s"k$i"))
     def refine(r: DataFrame, h: Long): DataFrame =
       globalDenseRankPerGid(
         fetchShifted(r, "rank", Seq(0L, h, 2 * h, 3 * h), lit(-1L)),
@@ -305,7 +313,7 @@ object SuffixArray {
   private def ranksLoop(codes: DataFrame, maxLen: Long, maxRounds: Int,
       ops: RankOps): DataFrame = {
     var r = ops.rank0(ops.gram(codes)).localCheckpoint(true)
-    var h = K0.toLong
+    var h = ops.k0.toLong
     var rounds = 0
     var done = allUnique(r)
     while (!done && h < maxLen) {
@@ -409,9 +417,11 @@ object SuffixArray {
   // their ≤ 3 components by one equi-join against the full stable
   // rank relation. Skew bound per level = the largest TIE CLASS
   // (the window partitions by (group, class)), not the largest group
-  // — the per-group/giant dispatch the full ranking loop needs is
-  // unnecessary here; only the one-off round-0 gram + rank() windows
-  // are group-bounded.
+  // — so the tie-pruned levels need no giant dispatch. The one-off
+  // round-0 gram + rank() windows ARE group-bounded, so round 0
+  // dispatches on `giantThreshold`: giant groups take the balanced
+  // fetchShifted gram and the class-level range-partitioned stable
+  // rank ([[globalStableRankPerGid]]) instead.
   //
   // CANDIDATE PRUNING: a class member at any m ≥ h has an equal
   // m-prefix, hence an equal h-prefix, hence sits in a ≥2-member
@@ -431,7 +441,8 @@ object SuffixArray {
     * round-0 gram columns).
     */
   private def maxRepeatImpl(codes: DataFrame, maxRounds: Int,
-      cross: Boolean): DataFrame = {
+      cross: Boolean,
+      giantThreshold: Long = GiantGroupThreshold): DataFrame = {
     // the repeat search starts from a 16-char round-0 key, TWICE the
     // ranking loop's 8: cross-doc 8-gram collisions are ubiquitous on
     // natural text (every common word), so an 8-char level-0 leaves
@@ -452,16 +463,35 @@ object SuffixArray {
       t0 = t1
     }
 
-    // round 0: per-group 8-gram + STABLE rank() — the only
+    // round 0: per-group 16-gram + STABLE rank() — the only
     // group-bounded window passes in the whole search (one sort each,
-    // once); every later level is tie-pruned and class-partitioned
+    // once), for groups that fit a task; groups past `giantThreshold`
+    // chars dispatch to the WIDE round-0 form (balanced fetchShifted
+    // gram + class-level range-partitioned stable rank), so one giant
+    // source can no longer serialize round 0 into a single task.
+    // Every later level is tie-pruned and class-partitioned either way.
     val wPos = Window.partitionBy("gid").orderBy("pos")
     val par = spark.sparkContext.defaultParallelism
-    val kcols = col("c0").as("k0") +: (1 until RK0).map(o =>
-      coalesce(lead(col("c0"), o).over(wPos), lit(0)).as(s"k$o"))
-    val g8 = codes.repartition(par, col("gid"))
+    val sizes = codes.groupBy("gid").agg(count(lit(1)).as("__n"))
+    val giantGids = sizes.where(col("__n") > giantThreshold).select("gid")
+    val hasGiants = giantGids.limit(1).count() > 0
+    val codesAll = if (hasGiants) codes.localCheckpoint(true) else codes
+    val (codesSmall, codesGiant) =
+      if (hasGiants) splitByGiants(codesAll, giantGids)
+      else (codesAll, codesAll.limit(0))
+    // k-columns LONG on both branches so the union (and the cand0 key
+    // slices) see one type regardless of dispatch
+    val kcols = col("c0").cast("long").as("k0") +: (1 until RK0).map(o =>
+      coalesce(lead(col("c0"), o).over(wPos), lit(0)).cast("long")
+        .as(s"k$o"))
+    val g8small = codesSmall.repartition(par, col("gid"))
       .select(Seq(col("gid"), col("pos")) ++ kcols ++ tagCols(codes): _*)
       .localCheckpoint(true)
+    val g8giant =
+      if (!hasGiants) null
+      else fetchShifted(codesGiant, "c0", 0L until RK0.toLong, lit(0L))
+        .localCheckpoint(true)
+    val g8 = if (hasGiants) g8small.unionByName(g8giant) else g8small
     val gidField = g8.schema("gid")
 
     /** A LOCAL-relation frame over driver-held gid rows (bounded by
@@ -481,10 +511,13 @@ object SuffixArray {
     def aliveFilter(df: DataFrame, alive: Seq[Any]): DataFrame =
       df.join(broadcast(localGids(alive.map(Seq(_)))), Seq("gid"), "left_semi")
 
-    var ranks = g8.select(Seq(col("gid"), col("pos"),
-        rank().over(Window.partitionBy("gid")
-            .orderBy((0 until RK0).map(i => col(s"k$i")): _*))
-          .cast("long").as("rank")) ++ tagCols(g8): _*)
+    val r0small = g8small.select(Seq(col("gid"), col("pos"),
+      rank().over(Window.partitionBy("gid")
+          .orderBy((0 until RK0).map(i => col(s"k$i")): _*))
+        .cast("long").as("rank")) ++ tagCols(g8small): _*)
+    var ranks = (if (!hasGiants) r0small
+      else r0small.unionByName(globalStableRankPerGid(g8giant,
+        (0 until RK0).map(i => s"k$i"))))
       .localCheckpoint(true)
     tick("gram+rank0")
 
@@ -774,13 +807,14 @@ object SuffixArray {
   }
 
   /** (gid, rep_len, rep_pos) with rep_pos null when rep_len = 0;
-    * every gid with ≥ 1 (real) position reports. No giant dispatch:
-    * the tie-pruned search is class-bounded past round 0 (see the
-    * STABLE RANKS note above), so one form serves every group size.
+    * every gid with ≥ 1 (real) position reports. The tie-pruned
+    * search is class-bounded past round 0 (see the STABLE RANKS note
+    * above); round 0 itself dispatches groups past `giantThreshold`
+    * to the wide gram/stable-rank form.
     */
   private def maxRepeat(codes: DataFrame, maxRounds: Int,
-      cross: Boolean): DataFrame =
-    maxRepeatImpl(codes, maxRounds, cross)
+      cross: Boolean, giantThreshold: Long): DataFrame =
+    maxRepeatImpl(codes, maxRounds, cross, giantThreshold)
 
   // ------------------------------------------------------------------
   // applications
@@ -822,7 +856,8 @@ object SuffixArray {
           posexplode(split(col("text"), "")).as(Seq("p0", "ch")))
         .select(col("gid"), (col("p0") + 1).as("pos"),
           ascii(col("ch")).as("c0"))
-      val rep = maxRepeatImpl(codes, maxRounds, cross = false)
+      val rep = maxRepeatImpl(codes, maxRounds, cross = false,
+        giantThreshold)
       val giant = giantDocs
         .join(rep.withColumnRenamed("gid", "doc_id"), Seq("doc_id"))
         .select(col("doc_id"), col("rep_len").as("lrs_len"),
@@ -890,13 +925,18 @@ object SuffixArray {
     * concatenated-text row — the concatenation exists only as
     * (group, global-pos, code) rows, and the witness string is
     * assembled at the end from just the documents its [pos, pos+len)
-    * interval overlaps. Positions are LONG: a group may exceed 2³¹
-    * characters and simply lands on the wide (range-partitioned)
-    * rank path instead of refusing.
+    * interval overlaps. Positions are LONG, and a group past
+    * `giantThreshold` characters (the concatenation grows with the
+    * corpus) dispatches the search's round 0 — its only
+    * group-bounded stage — to the wide gram + class-level
+    * range-partitioned stable rank instead of sorting the whole
+    * group in one task; the tie-pruned levels after round 0 are
+    * class-bounded for every group size.
     */
   def crossDocRepeats(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", srcCol: String = "source",
-      maxRounds: Int = 40): DataFrame = {
+      maxRounds: Int = 40,
+      giantThreshold: Long = GiantGroupThreshold): DataFrame = {
     val nn = docs
       .where(col(textCol).isNotNull && length(col(textCol)) >= 1)
       .select(col(srcCol).as("gid"), col(idCol).as("doc_id"),
@@ -919,7 +959,7 @@ object SuffixArray {
       .select(col("gid"), col("off").as("pos"),
         lit(1).as("c0"), lit(null).cast("long").as("tag"))
     val rep = maxRepeat(chars.unionByName(sentinels), maxRounds,
-      cross = true)
+      cross = true, giantThreshold)
     // witness assembly: only the documents overlapping the winning
     // [rep_pos, rep_pos+rep_len) interval ship text — witness-sized
     // output, never group-sized state. A doc owns global chars
@@ -969,7 +1009,17 @@ object SuffixArray {
     * Returns one row per non-null-text document: (idCol, n_chars,
     * n_kept_chars, cleaned). Scale shape: the d31 chain (ranks +
     * per-doc batched LCPs) plus one per-doc island merge — every
-    * window bounded by a document, never the corpus.
+    * window bounded by a document, never the corpus — for documents
+    * up to `giantThreshold` chars. GIANT documents, where the
+    * doc-bounded pair window and collect_list array would themselves
+    * be the cliff, reroute to an equivalent form with no doc-bounded
+    * stage at all: repeated-span coverage at threshold minLen equals
+    * repeated minLen-WINDOW coverage (every window inside a repeated
+    * span recurs with it; a repeated window is such a span), so the
+    * giant path detects duplicated windows by literal gram equality
+    * ([[gatherGrams]] — one balanced shuffle) and cuts by
+    * anti-joining covered positions ([[cutCoveredGiant]]). Both paths
+    * are byte-equal by the identity (spec-proven).
     */
   def removeRepeatedSpans(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", minLen: Int = 16,
@@ -979,6 +1029,45 @@ object SuffixArray {
     val base = docs.where(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .localCheckpoint(true)
+    val giantBase = base.where(length(col("text")) > giantThreshold)
+    val hasGiants = giantBase.limit(1).count() > 0
+    val smallBase =
+      if (hasGiants) base.where(length(col("text")) <= giantThreshold)
+      else base
+    val small = removeSpansDirect(smallBase, minLen, maxRounds,
+      giantThreshold)
+    if (!hasGiants) small
+    else {
+      // GIANT documents reroute around both doc-bounded stages of the
+      // direct form (the rank-adjacency window and the per-doc
+      // collect_list pair array) via the GRAM-COVERAGE identity:
+      // the union of repeated spans of length >= minLen equals the
+      // union of repeated minLen-WINDOWS — every minLen-window inside
+      // a repeated span [p, p+l) recurs at the twin occurrence, and
+      // conversely a repeated window IS such a span — so detection is
+      // one balanced gram assembly + a (doc, gram) groupBy, exact by
+      // literal string equality, with no window or array bounded by
+      // the document.
+      val grams = gatherGrams(giantBase, minLen).localCheckpoint(true)
+      // hint("merge"): the duplicated-gram list can be doc-scale on a
+      // repeat-dense document — the tiesOf misestimated-broadcast rule
+      val dup = grams.groupBy("doc_id", "gram")
+        .agg(count(lit(1)).as("__m")).where(col("__m") >= 2)
+        .select("doc_id", "gram").hint("merge")
+      val starts = grams.join(dup, Seq("doc_id", "gram"), "left_semi")
+        .select("doc_id", "pos")
+      small.unionByName(cutCoveredGiant(giantBase, starts, minLen))
+    }
+  }
+
+  /** The direct (sub-threshold) span-removal chain: d31's rank +
+    * batched-LCP machinery, spans from BOTH sides of each qualifying
+    * adjacent pair, then the island/complement fold ([[cutSpans]]).
+    * Every window and array here is bounded by a document — why this
+    * form is reserved for documents under the giant threshold.
+    */
+  private def removeSpansDirect(base: DataFrame, minLen: Int,
+      maxRounds: Int, giantThreshold: Long): DataFrame = {
     val sr = suffixRanks(base, "doc_id", "text", maxRounds, giantThreshold)
     val pairs = sr
       .withColumn("pos_b", lead(col("pos"), 1).over(
@@ -1002,9 +1091,20 @@ object SuffixArray {
         .as("sp"))
       .select(col("doc_id"), col("sp.s").as("s"),
         (col("sp.s") + col("sp.l") - 1).as("e"))
-    // merge overlapping/adjacent spans into maximal islands — per-DOC
-    // window only (d19's mergeSpanIslands shape, char-based, variable
-    // width; inclusive [s, e])
+    cutSpans(base, spans)
+  }
+
+  /** Island merge + complement fold over inclusive [s, e] char spans:
+    * merge overlaps into maximal islands (per-DOC window only — d19's
+    * mergeSpanIslands shape, char-based, variable width), then stitch
+    * the uncovered text back with pure column math. One row per
+    * `base` document: (doc_id, n_chars, n_kept_chars, cleaned).
+    * Shared by the within-doc (d34) and cross-doc (d35) removal
+    * faces, so the two rewrites cannot drift. `extraCols` (e.g. the
+    * owning source) ride `base` through to the output.
+    */
+  private def cutSpans(base: DataFrame, spans: DataFrame,
+      extraCols: Seq[String] = Nil): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy(col("s"), col("e"))
     val prevEnd = max(col("e"))
       .over(w.rowsBetween(Window.unboundedPreceding, -1))
@@ -1030,8 +1130,158 @@ object SuffixArray {
         |""".stripMargin)
     base.join(islands, Seq("doc_id"), "left")
       .withColumn("cleaned", cleaned)
-      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
-        length(col("cleaned")).cast("long").as("n_kept_chars"),
-        col("cleaned"))
+      .select(Seq(col("doc_id")) ++ extraCols.map(col) ++
+        Seq(length(col("text")).cast("long").as("n_chars"),
+          length(col("cleaned")).cast("long").as("n_kept_chars"),
+          col("cleaned")): _*)
+  }
+
+  /** (doc_id, pos, gram): every full minLen-char window of each
+    * document, assembled from per-char rows by ONE balanced
+    * explode/re-group shuffle on (doc, window-start) — the
+    * [[fetchShifted]] shape carrying characters instead of codes.
+    * Nothing is bounded by a document: no doc-sized array row (the
+    * transform-over-sequence gram pass materializes a document-sized
+    * array per row — exactly what a 100 MB outlier must avoid) and
+    * no per-doc window. Cost ∝ minLen × chars, the exactness price;
+    * grams are literal strings, so downstream equality is never
+    * probabilistic.
+    */
+  private def gatherGrams(base: DataFrame, minLen: Int): DataFrame = {
+    val slots = (0 until minLen).map(o => struct(
+      (col("pos") - o).as("tpos"), lit(o).as("slot"), col("ch").as("ch")))
+    val chars = base
+      .select(col("doc_id"), length(col("text")).cast("long").as("n"),
+        posexplode(split(col("text"), "")).as(Seq("p0", "ch")))
+      .select(col("doc_id"), col("n"), (col("p0") + 1).cast("long").as("pos"),
+        col("ch"))
+    chars
+      .select(col("doc_id"), col("n"), explode(array(slots: _*)).as("e"))
+      .where(col("e.tpos") >= 1 &&
+        col("e.tpos") <= col("n") - (minLen - 1))
+      .groupBy(col("doc_id"), col("e.tpos").as("pos"))
+      .agg(concat((0 until minLen).map(o =>
+        max(when(col("e.slot") === o, col("e.ch")))): _*).as("gram"))
+  }
+
+  /** The giant-document cut: covered positions from fixed-width
+    * starts by one explode + anti-join over per-char rows, the kept
+    * text reassembled chunk-wise (1M-char pieces, then one
+    * output-sized concat per document) — never a doc-bounded window
+    * or a doc-sized intermediate array. Output matches [[cutSpans]]'s
+    * schema and, by the gram-coverage identity, its bytes.
+    */
+  private def cutCoveredGiant(giantBase: DataFrame, starts: DataFrame,
+      minLen: Int, extraCols: Seq[String] = Nil): DataFrame = {
+    val chunkChars = 1L << 20
+    val chars = giantBase
+      .select(col("doc_id"), posexplode(split(col("text"), ""))
+        .as(Seq("p0", "ch")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        col("ch"))
+    val covered = starts.select(col("doc_id"),
+      explode(sequence(col("pos").cast("long"),
+        col("pos").cast("long") + (minLen - 1))).as("pos"))
+    val kept = chars.join(covered, Seq("doc_id", "pos"), "left_anti")
+    val pieces = kept
+      .withColumn("__chunk", expr(s"(pos - 1) div $chunkChars"))
+      .groupBy("doc_id", "__chunk")
+      .agg(count(lit(1)).as("__k"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("ch")))),
+          x => x.getField("ch")), "").as("__piece"))
+    val assembled = pieces.groupBy("doc_id")
+      .agg(sum("__k").as("n_kept_chars"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__chunk"), col("__piece")))),
+          x => x.getField("__piece")), "").as("cleaned"))
+    giantBase.join(assembled, Seq("doc_id"), "left")
+      .select(Seq(col("doc_id")) ++ extraCols.map(col) ++
+        Seq(length(col("text")).cast("long").as("n_chars"),
+          coalesce(col("n_kept_chars"), lit(0L)).as("n_kept_chars"),
+          coalesce(col("cleaned"), lit("")).as("cleaned")): _*)
+  }
+
+  /** Cross-document EXACT span removal per source (d35 — Lee et al.
+    * 2022's ExactSubstr dedup at its REAL granularity): every
+    * position covered by a span of length >= `minLen` whose text
+    * occurs in >= 2 DISTINCT documents of the same source is cut, in
+    * ALL occurrences (cut-all, the d34/d20 rule stated as the
+    * operator's contract; d32 finds the longest such span, this cuts
+    * every one). Within-doc-only repeats are NOT cut — that is d34's
+    * face; here a span qualifies only with a witness in another
+    * document.
+    *
+    * Detection is the GRAM-COVERAGE identity in its cross form: the
+    * union of qualifying spans equals the union of minLen-WINDOWS
+    * whose literal text occurs in >= 2 distinct docs of the source
+    * (every window inside a qualifying span recurs in the witness
+    * doc; a multi-doc window is itself a qualifying span). So the
+    * whole operator is one gram pass + one (source, gram)
+    * distinct-doc count + the d34 cut faces — NO stage bounded by a
+    * source or a document: sub-threshold docs emit grams inside the
+    * scan task and cut via the island/complement fold ([[cutSpans]]);
+    * docs past `giantThreshold` route through [[gatherGrams]] /
+    * [[cutCoveredGiant]] like d34's giants. Gram equality is literal
+    * string equality — exact, never probabilistic (the data-sized
+    * shuffle carries minLen-char keys; for minLen >> 32 a hashed
+    * carrier with candidate re-verification — the d25 discipline —
+    * is the drop-in upgrade).
+    *
+    * Returns one row per non-null-text document:
+    * (doc_id, source, n_chars, n_kept_chars, cleaned).
+    */
+  def crossDocSpanRemoval(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", srcCol: String = "source",
+      minLen: Int = 16,
+      giantThreshold: Long = GiantGroupThreshold): DataFrame = {
+    require(minLen >= 1, s"minLen must be >= 1 (got $minLen)")
+    val base = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), col(srcCol).as("source"),
+        col(textCol).as("text"))
+      .localCheckpoint(true)
+    val giantBase = base.where(length(col("text")) > giantThreshold)
+    val hasGiants = giantBase.limit(1).count() > 0
+    val smallBase =
+      if (hasGiants) base.where(length(col("text")) <= giantThreshold)
+      else base
+    // sub-threshold grams materialize per doc inside the scan task
+    // (doc-sized array rows are fine under the threshold — the same
+    // budget the direct d34 path runs on); `__giant` tags which cut
+    // face a start belongs to without a second membership join
+    val gramsSmall = smallBase
+      .where(length(col("text")) >= minLen)
+      .select(col("doc_id"), col("source"),
+        posexplode(expr(
+          s"""transform(sequence(1, length(text) - ${minLen - 1}),
+             |  i -> substring(text, i, $minLen))""".stripMargin))
+          .as(Seq("p0", "gram")))
+      .select(col("doc_id"), col("source"),
+        (col("p0") + 1).cast("long").as("pos"), col("gram"),
+        lit(false).as("__giant"))
+    val grams0 =
+      if (!hasGiants) gramsSmall
+      else gramsSmall.unionByName(
+        gatherGrams(giantBase, minLen)
+          .join(broadcast(giantBase.select("doc_id", "source")), Seq("doc_id"))
+          .select(col("doc_id"), col("source"), col("pos").cast("long").as("pos"),
+            col("gram"), lit(true).as("__giant")))
+    val grams = grams0.localCheckpoint(true) // multi-doc count + starts
+    // hint("merge"): the multi-doc gram list can be corpus-scale on a
+    // boilerplate-heavy corpus — the tiesOf misestimated-broadcast rule
+    val multi = grams.groupBy("source", "gram")
+      .agg(countDistinct(col("doc_id")).as("__d")).where(col("__d") >= 2)
+      .select("source", "gram").hint("merge")
+    val starts = grams.join(multi, Seq("source", "gram"), "left_semi")
+      .select("doc_id", "pos", "__giant")
+    val startsCk = if (hasGiants) starts.localCheckpoint(true) else starts
+    val spansSmall = startsCk.where(!col("__giant"))
+      .select(col("doc_id"), col("pos").as("s"),
+        (col("pos") + (minLen - 1)).as("e"))
+    val small = cutSpans(smallBase, spansSmall, Seq("source"))
+    if (!hasGiants) small
+    else small.unionByName(cutCoveredGiant(giantBase,
+      startsCk.where(col("__giant")).select("doc_id", "pos"),
+      minLen, Seq("source")))
   }
 }

@@ -615,6 +615,24 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // CROSS-document span removal (the Lee et al. 2022 ExactSubstr
+    // application at its real granularity — the face d32 detects and
+    // d34 cuts only within-doc): every span of >= minLen chars
+    // occurring in >= 2 distinct docs of a source is cut, ALL
+    // occurrences. Detection is the gram-coverage identity (union of
+    // qualifying spans == union of multi-doc minLen-windows), literal
+    // string equality; the rewrite rides the d34 island/complement
+    // fold and is byte-verified through the cleaned md5 (the d20
+    // discipline). minLen = 20 cuts ~42% of verify-SF docs — the gate
+    // is non-vacuous in both directions.
+    "d35_cross_span_removal" -> ((s, d) => {
+      SuffixArray.crossDocSpanRemoval(Tables.load(s, d, "documents"),
+          "doc_id", "text", "source", minLen = CrossSpanMinLen)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("n_kept_chars"), md5(col("cleaned")).as("cleaned_md5"))
+        .orderBy("doc_id")
+    }),
+
     // SemDeDup: k-means clusters bound the pairwise cosine search
     // (candidates = Σ|cluster|², n²/k expected; the paper scales k with
     // n to keep clusters bounded). Training is s08's deterministic
@@ -796,6 +814,50 @@ object DedupQueries {
     * non-vacuous on ~60% of documents).
     */
   private val RepeatSpanMinLen = 12
+
+  /** d35's span threshold: shared by the Spark plan and the oracle.
+    * At the verify SF, 20-char multi-doc windows cover positions in
+    * ~42% of documents (12 would cut ~100%, 24 only ~4% — both
+    * near-vacuous gates).
+    */
+  private val CrossSpanMinLen = 20
+
+  /** d35: the definitional statement — per source, a position is
+    * covered iff some minLen-window containing it occurs in >= 2
+    * DISTINCT documents of that source (the gram-coverage identity's
+    * right-hand side, which the engine's scaladoc proves equal to
+    * "every cross-doc repeated span of length >= minLen"); the
+    * cleaned text as the ordered uncovered chars, digested to md5
+    * (the d34 shape with a cross-doc witness condition).
+    */
+  private val d35OracleSql: String =
+    s"""WITH nn AS (SELECT source, doc_id, text FROM documents
+       |  WHERE text IS NOT NULL),
+       |p AS (SELECT source, doc_id, text, unnest(generate_series(1, length(text))) AS pos
+       |  FROM nn WHERE length(text) >= 1),
+       |g AS (SELECT source, doc_id, pos,
+       |    substr(text, pos::INT, $CrossSpanMinLen) AS gram
+       |  FROM p WHERE pos <= length(text) - ${CrossSpanMinLen - 1}),
+       |md AS (SELECT source, gram FROM g GROUP BY 1, 2
+       |  HAVING count(DISTINCT doc_id) >= 2),
+       |st AS (SELECT g.doc_id, g.pos FROM g JOIN md
+       |  ON g.source = md.source AND g.gram = md.gram),
+       |cov AS (SELECT DISTINCT doc_id, pos + u.i AS cp FROM st,
+       |  unnest(generate_series(0, ${CrossSpanMinLen - 1})) u(i)),
+       |ch AS (SELECT p.doc_id, p.pos, substr(p.text, p.pos::INT, 1) AS c,
+       |    cov.cp IS NOT NULL AS covered
+       |  FROM p LEFT JOIN cov ON p.doc_id = cov.doc_id AND p.pos = cov.cp),
+       |k AS (SELECT doc_id,
+       |    CAST(count(*) AS BIGINT) AS n_chars,
+       |    CAST(count(*) FILTER (WHERE NOT covered) AS BIGINT) AS n_kept_chars,
+       |    md5(COALESCE(string_agg(c, '' ORDER BY pos)
+       |      FILTER (WHERE NOT covered), '')) AS cleaned_md5
+       |  FROM ch GROUP BY doc_id)
+       |SELECT nn.doc_id AS doc_id, nn.source AS source,
+       |  COALESCE(k.n_chars, 0) AS n_chars,
+       |  COALESCE(k.n_kept_chars, 0) AS n_kept_chars,
+       |  COALESCE(k.cleaned_md5, md5('')) AS cleaned_md5
+       |FROM nn LEFT JOIN k USING (doc_id) ORDER BY doc_id""".stripMargin
 
   /** d34: spans stated from the same lag()-over-suffix-order LCPs as
     * d31, BOTH sides of each adjacent pair, coverage as a distinct
@@ -1467,6 +1529,7 @@ object DedupQueries {
 
     "d32_cross_doc_repeats" -> d32OracleSql,
     "d34_repeat_span_removal" -> d34OracleSql,
+    "d35_cross_span_removal" -> d35OracleSql,
 
     "d33_incremental_winnow" -> d29OracleSql,
 

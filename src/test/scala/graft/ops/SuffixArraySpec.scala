@@ -143,10 +143,9 @@ class SuffixArraySpec extends AnyFunSuite with SparkSpec {
   }
 
   test("cross-doc repeats: adversarial shapes (self-repeats, all-equal runs)") {
-    // the unified tie-pruned search has no giant dispatch; these
-    // shapes previously exercised the wide path and now pin the
-    // deep-tie behavior (all-'a' runs keep whole classes tied for
-    // log rounds) against the brute-force reference
+    // the tie-pruned search is class-bounded past round 0; these
+    // shapes pin the deep-tie behavior (all-'a' runs keep whole
+    // classes tied for log rounds) against the brute-force reference
     val groups: Seq[(String, Seq[(Long, String)])] = Seq(
       "g1" -> Seq((1L, "xxSHARED BOILERPLATE yy"), (2L, "zz SHARED BOILERPLATE ww"),
         (3L, "nothing in common")),
@@ -160,6 +159,31 @@ class SuffixArraySpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
     groups.foreach { case (g, ds) =>
       assert(got(g) === refCross(ds), s"cross-doc diverged for $g")
+    }
+  }
+
+  test("cross-doc repeats: giant-group round-0 wide dispatch equals brute force") {
+    // threshold 4 forces EVERY source's concatenation through the
+    // wide round-0 form (fetchShifted 16-gram + class-level
+    // range-partitioned STABLE rank) — the d32 giant-group escape
+    // hatch, proven equal to the window form on the same shapes
+    // (incl. the deep-tie all-'a' group, whose single giant tie class
+    // straddles range partitions)
+    val groups: Seq[(String, Seq[(Long, String)])] = Seq(
+      "g1" -> Seq((1L, "xxSHARED BOILERPLATE yy"), (2L, "zz SHARED BOILERPLATE ww"),
+        (3L, "nothing in common")),
+      "g2" -> Seq((10L, "abcabcabc"), (11L, "qqq")),
+      "g3" -> Seq((20L, "solo document")),
+      "g4" -> Seq((30L, "tail end"), (31L, "tail end")),
+      "g5" -> Seq((40L, "aaaaaaaaaaaaaaaa"), (41L, "aaaaaaaa"), (42L, "bbb"))
+    )
+    val df = groups.flatMap { case (g, ds) => ds.map(d => (d._1, d._2, g)) }
+      .toDF("doc_id", "text", "source")
+    val got = SuffixArray
+      .crossDocRepeats(df, "doc_id", "text", "source", giantThreshold = 4)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    groups.foreach { case (g, ds) =>
+      assert(got(g) === refCross(ds), s"giant-dispatch cross-doc diverged for $g")
     }
   }
 
@@ -201,6 +225,99 @@ class SuffixArraySpec extends AnyFunSuite with SparkSpec {
         val (keptLen, kept) = refRemove(s, minLen)
         assert(got(i.toLong) === ((s.length.toLong, keptLen, kept)),
           s"span removal diverged for '$s' at minLen=$minLen")
+      }
+    }
+  }
+
+  test("removeRepeatedSpans giant path (gram coverage) is byte-equal to the direct path") {
+    // threshold 4 forces EVERY doc through the giant route (gram
+    // gather + covered-position anti-join + chunked reassembly); the
+    // gram-coverage identity says the cleaned bytes must match the
+    // windowed LCP form exactly, including the no-repeat, all-covered
+    // and short-doc corners
+    val docs = Seq("abcabcabc", "the quick brown fox the quick brown cat",
+      "no repeats here!?", "aaaaaaaaaaaa", "xyxyxyzzzxyxyxy", "ab") ++
+      (0 until 20).map { _ =>
+        (0 until (5 + rnd.nextInt(50))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      }
+    val df = docs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("doc_id", "text")
+    for (minLen <- Seq(3, 5)) {
+      def run(thr: Long) = SuffixArray
+        .removeRepeatedSpans(df, "doc_id", "text", minLen, giantThreshold = thr)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+        .toMap
+      val direct = run(1L << 30)
+      val giant = run(4L)
+      docs.zipWithIndex.foreach { case (s, i) =>
+        assert(giant(i.toLong) === direct(i.toLong),
+          s"giant span removal diverged for '$s' at minLen=$minLen")
+        val (keptLen, kept) = refRemove(s, minLen)
+        assert(giant(i.toLong) === ((s.length.toLong, keptLen, kept)),
+          s"giant span removal vs brute force diverged for '$s' at minLen=$minLen")
+      }
+    }
+  }
+
+  /** Brute cross-removal reference: in doc d of source s, position p
+    * is covered iff some window [a, a+minLen) with a <= p < a+minLen
+    * has its literal text occurring in a DIFFERENT doc of s.
+    */
+  private def refCrossRemove(docs: Seq[(Long, String, String)],
+      minLen: Int): Map[Long, (Long, Long, String)] = {
+    docs.map { case (id, text, src) =>
+      val covered = Array.fill(text.length)(false)
+      for (a <- 0 to text.length - minLen) {
+        val g = text.substring(a, a + minLen)
+        val multi = docs.exists { case (oid, ot, osrc) =>
+          oid != id && osrc == src && ot.contains(g)
+        }
+        if (multi) for (k <- a until a + minLen) covered(k) = true
+      }
+      val kept = text.zipWithIndex.collect {
+        case (c, i) if !covered(i) => c
+      }.mkString
+      id -> ((text.length.toLong, kept.length.toLong, kept))
+    }.toMap
+  }
+
+  test("crossDocSpanRemoval cuts exactly the multi-doc covered positions") {
+    val docs: Seq[(Long, String, String)] = Seq(
+      // shared boilerplate across two docs of s1 — cut in BOTH
+      (1L, "HEADER COMMON TO ALL body one tail", "s1"),
+      (2L, "prefix two HEADER COMMON TO ALL suffix", "s1"),
+      // within-doc repeat only — d34's face, NOT cut here
+      (3L, "abcabcabcabcabcabc unique", "s1"),
+      // same text in a DIFFERENT source — no witness, not cut
+      (4L, "HEADER COMMON TO ALL body one tail", "s2"),
+      (5L, "completely unrelated words", "s2"),
+      // full-doc duplicates — everything cut
+      (6L, "identical twins everywhere", "s3"),
+      (7L, "identical twins everywhere", "s3"),
+      // short doc under minLen — untouched
+      (8L, "tiny", "s3")) ++
+      (0 until 15).map { i =>
+        (100L + i, (0 until (10 + rnd.nextInt(40)))
+          .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString, s"r${i % 3}")
+      }
+    val df = docs.toDF("doc_id", "text", "source")
+    for (minLen <- Seq(5, 12)) {
+      val ref = refCrossRemove(docs, minLen)
+      def run(thr: Long) = SuffixArray
+        .crossDocSpanRemoval(df, "doc_id", "text", "source", minLen,
+          giantThreshold = thr)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+          r.getLong(3), r.getString(4)))).toMap
+      val direct = run(1L << 30)
+      val giant = run(6L) // forces most docs through the giant route
+      docs.foreach { case (id, text, src) =>
+        val (n, keptN, kept) = ref(id)
+        assert(direct(id) === ((src, n, keptN, kept)),
+          s"cross removal diverged for doc $id at minLen=$minLen")
+        assert(giant(id) === direct(id),
+          s"giant-route cross removal diverged for doc $id at minLen=$minLen")
       }
     }
   }
