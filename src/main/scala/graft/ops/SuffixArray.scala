@@ -13,12 +13,14 @@ import org.apache.spark.sql.functions._
   * the fixed-l gram families d19/d25 see only length >= l).
   *
   * Each round upgrades "suffixes ordered by their first h characters"
-  * to 4h using only RANKS: the sort key for suffix i becomes
-  * (rank(i), rank(i+h), rank(i+2h), rank(i+3h)) — Manber–Myers'
-  * doubling key extended to quadrupling, valid because each tie on a
-  * key prefix pins twice the character prefix and licenses the next
-  * component — with the past-the-end sentinel −1 ordering a proper
-  * prefix before any extension: exactly lexicographic suffix order.
+  * to fan·h using only RANKS: the sort key for suffix i becomes
+  * (rank(i), rank(i+h), …, rank(i+(fan−1)h)) — Manber–Myers'
+  * doubling key extended to quadrupling (window path) / octupling
+  * (wide path, where each round pays a whole materialization), valid
+  * because each tie on a key prefix pins the next h characters and
+  * licenses the next component — with the past-the-end sentinel −1
+  * ordering a proper prefix before any extension: exactly
+  * lexicographic suffix order.
   *
   * TWO physical forms of the same algebra, dispatched per group by
   * size ([[GiantGroupThreshold]]):
@@ -96,6 +98,7 @@ object SuffixArray {
     */
   private sealed trait RankOps {
     def k0: Int
+    def fan: Int
     def gram(codes: DataFrame): DataFrame
     def rank0(g8: DataFrame): DataFrame
     def refine(r: DataFrame, h: Long): DataFrame
@@ -109,6 +112,7 @@ object SuffixArray {
     */
   private object WindowOps extends RankOps {
     val k0: Int = K0
+    val fan: Int = 4
     def gram(codes: DataFrame): DataFrame = {
       val wPos = Window.partitionBy("gid").orderBy("pos")
       val par = codes.sparkSession.sparkContext.defaultParallelism
@@ -149,17 +153,41 @@ object SuffixArray {
     * explode/re-group shuffle, per-group dense rank via the
     * range-partitioned two-pass form. Nothing is bounded by a single
     * group's size — the documented fallback d30/d31 owed, implemented.
+    *
+    * Cost shape (profiled round 11): every wide stage is dominated by
+    * the range-partition + checkpoint + stats materializations, ∝
+    * rows × key width × rounds — so the wide form (a) PACKS three
+    * 21-bit char codes per long at round 0 (33 chars in 11 keys,
+    * gathered in two narrow fetchShifted stages instead of one 33-way
+    * explode; BMP+ codepoints < 2²¹, big-endian packing preserves
+    * lexicographic order, 63 bits stays positive) and (b) OCTUPLES h
+    * per refine round — 8 rank components cover [0, 8h) exactly, the
+    * Manber–Myers key argument at fan 8 — halving the round count the
+    * quadrupling form pays. Rank components are never packed: ranks
+    * can exceed 2³¹ on the very groups this path exists for.
     */
   private object WideOps extends RankOps {
-    val k0: Int = 32
-    def gram(codes: DataFrame): DataFrame =
-      fetchShifted(codes, "c0", (0L until k0.toLong), lit(0L))
+    val k0: Int = 33
+    val fan: Int = 8
+    private val Pack = 1L << 21
+    def gram(codes: DataFrame): DataFrame = {
+      // stage 1: each position's (c, c₊₁, c₊₂) as one packed long
+      val tri = fetchShifted(codes, "c0", Seq(0L, 1L, 2L), lit(0L))
+      val packed = tri.select(Seq(col("gid"), col("pos"),
+        ((col("k0") * Pack + col("k1")) * Pack + col("k2")).as("c0")) ++
+        tagCols(tri): _*)
+      // stage 2: 11 packed triples at stride 3 → 33 contiguous chars;
+      // past-end default 0 == a packed (0,0,0), consistent with the
+      // stage-1 padding
+      fetchShifted(packed, "c0", (0L until (k0 / 3).toLong).map(_ * 3),
+        lit(0L))
+    }
     def rank0(g8: DataFrame): DataFrame =
-      globalDenseRankPerGid(g8, (0 until k0).map(i => s"k$i"))
+      globalDenseRankPerGid(g8, (0 until k0 / 3).map(i => s"k$i"))
     def refine(r: DataFrame, h: Long): DataFrame =
       globalDenseRankPerGid(
-        fetchShifted(r, "rank", Seq(0L, h, 2 * h, 3 * h), lit(-1L)),
-        (0 until 4).map(i => s"k$i"))
+        fetchShifted(r, "rank", (0 until fan).map(_ * h), lit(-1L)),
+        (0 until fan).map(i => s"k$i"))
   }
 
   /** The +offset lookup without windows: each (gid, pos, v) row is
@@ -214,15 +242,25 @@ object SuffixArray {
     import spark.implicits._
     val par = spark.sparkContext.defaultParallelism
     val rangeCols = (col("gid") +: keyCols.map(col)) :+ col("pos")
+    val dbg = sys.env.contains("SUFFIX_DEBUG")
+    var t0 = System.nanoTime()
+    def tick(what: String): Unit = if (dbg) {
+      val t1 = System.nanoTime()
+      System.err.println(
+        f"SUFFIX_DEBUG denseRank(${keyCols.size} keys) $what ${(t1 - t0) / 1e9}%.2f s")
+      t0 = t1
+    }
     val ranged = df.repartitionByRange(par, rangeCols: _*)
       .withColumn("__part", spark_partition_id())
       .localCheckpoint(true) // pins partition ids for the stats pass
+    tick("range+ckpt")
     val keyStruct = struct(col("gid") +: keyCols.map(col): _*)
     // bounded driver state: one (nd, min, max) row per range partition
     val stats = ranged.groupBy("__part")
       .agg(countDistinct(keyStruct).as("nd"),
         min(keyStruct).as("mn"), max(keyStruct).as("mx"))
       .collect().sortBy(_.getInt(0))
+    tick("stats")
     var u = 0L // distinct keys in ranges processed so far
     var prevMax: Row = null
     val offs = stats.map { s =>
@@ -312,17 +350,29 @@ object SuffixArray {
     */
   private def ranksLoop(codes: DataFrame, maxLen: Long, maxRounds: Int,
       ops: RankOps): DataFrame = {
+    val dbg = sys.env.contains("SUFFIX_DEBUG")
+    var t0 = System.nanoTime()
+    def tick(what: String): Unit = if (dbg) {
+      val t1 = System.nanoTime()
+      System.err.println(
+        f"SUFFIX_DEBUG ranksLoop(k0=${ops.k0}) $what ${(t1 - t0) / 1e9}%.2f s")
+      t0 = t1
+    }
     var r = ops.rank0(ops.gram(codes)).localCheckpoint(true)
+    tick("rank0")
     var h = ops.k0.toLong
     var rounds = 0
     var done = allUnique(r)
+    tick("allUnique")
     while (!done && h < maxLen) {
       require(rounds < maxRounds,
         s"suffix ranking did not converge in $maxRounds rounds " +
           s"(maxLen=$maxLen) — corpus shape unexpected, refusing to spin")
       r = ops.refine(r, h).localCheckpoint(true)
+      tick(s"refine h=$h")
       done = allUnique(r)
-      h *= 4
+      tick("allUnique")
+      h *= ops.fan
       rounds += 1
     }
     r
