@@ -565,9 +565,23 @@ object SuffixArray {
       rank().over(Window.partitionBy("gid")
           .orderBy((0 until RK0).map(i => col(s"k$i")): _*))
         .cast("long").as("rank")) ++ tagCols(g8small): _*)
+    // the giant branch ranks PACKED keys (3 codes per 21-bit field —
+    // order-preserving, class-identical) so the class groupBy, range
+    // pass and row join carry 6 longs instead of 16; cand0 still
+    // reads g8's RAW per-char columns (its binary search slices keys
+    // at char granularity)
+    val r0giant = if (!hasGiants) null else {
+      val packed = (0 until RK0 by 3).zipWithIndex.map { case (o, i) =>
+        (o until math.min(o + 3, RK0)).map(j => col(s"k$j"))
+          .reduceLeft((a, b) => a * lit(1L << 21) + b).as(s"pk$i")
+      }
+      globalStableRankPerGid(
+        g8giant.select(Seq(col("gid"), col("pos")) ++ packed ++
+          tagCols(g8giant): _*),
+        packed.indices.map(i => s"pk$i"))
+    }
     var ranks = (if (!hasGiants) r0small
-      else r0small.unionByName(globalStableRankPerGid(g8giant,
-        (0 until RK0).map(i => s"k$i"))))
+      else r0small.unionByName(r0giant))
       .localCheckpoint(true)
     tick("gram+rank0")
 
@@ -600,10 +614,27 @@ object SuffixArray {
     val state = scala.collection.mutable.LinkedHashMap.empty[Any, (Long, Long, Long)]
     val allGids = ranks.select("gid").distinct()
       .collect().map(_.get(0)).toSeq
+    // groups that can NEVER qualify — fewer than 2 real positions
+    // (within) or < 2 distinct owning docs (cross) — close at [0, 1)
+    // immediately: no probe can succeed at ANY length, and keeping
+    // them out of the candidate relations matters — a giant
+    // SINGLE-DOC source would otherwise ship its whole round-0 gram
+    // relation through every binary-search pass (measured ~half of
+    // d32giant's wall clock) probing for a cross-doc class that
+    // cannot exist
+    val trivial: Set[Any] = {
+      val real =
+        if (cross) codesAll.where(col("tag").isNotNull) else codesAll
+      val cnt: Column =
+        if (cross) countDistinct(col("tag")) else count(lit(1))
+      real.groupBy("gid").agg(cnt.as("m")).where(col("m") < 2)
+        .select("gid").collect().map(_.get(0)).toSet
+    }
     var ties = tiesOf(ranks).localCheckpoint(true)
     val e0 = collectE(existsOver(ties)).toMap
     allGids.foreach { g =>
-      if (!e0.getOrElse(g, false)) state(g) = (0L, 0L, k0)
+      if (trivial(g)) state(g) = (0L, 0L, 1L)
+      else if (!e0.getOrElse(g, false)) state(g) = (0L, 0L, k0)
     }
     var aliveG = allGids.filterNot(state.contains)
     ties = aliveFilter(ties, aliveG)
@@ -700,7 +731,11 @@ object SuffixArray {
     // SHRINK as the search's lo rises — class members at m ≥ lo are a
     // subset of qualifying-class members at lo — so pass volume decays
     // geometrically from the frozen-level class mass.
-    val h0Gids = state.toSeq.collect { case (g, (0L, _, _)) => g }
+    // round-0-death groups still worth probing — the trivial [0, 1)
+    // closures stay out so their gram rows never enter cand0
+    val h0Gids = state.toSeq.collect {
+      case (g, (0L, lo, hi)) if hi - lo > 1 => g
+    }
     val h0Df = broadcast(localGids(h0Gids.map(Seq(_))))
     def realOnly(df: DataFrame): DataFrame =
       if (cross) df.where(col("tag").isNotNull) else df
