@@ -233,7 +233,12 @@ object Plans {
     // e16 streaks (distinct user-days → per-user island window)
     "g14_bipartite_projection", "g15_link_prediction", "s19_mips_topk",
     "t31_textrank_keywords", "t32_readability", "m16_image_tiles",
-    "e16_activity_streaks")
+    "e16_activity_streaks",
+    // round 11: d35 cross-document span removal (per-doc gram pass →
+    // (source, gram) distinct-doc count → start semi-join → per-doc
+    // island merge + complement fold; no window or array bounded by
+    // a source)
+    "d35_cross_span_removal")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")
