@@ -1319,8 +1319,55 @@ object SuffixArray {
   def crossDocSpanRemoval(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", srcCol: String = "source",
       minLen: Int = 16,
-      giantThreshold: Long = GiantGroupThreshold): DataFrame = {
-    require(minLen >= 1, s"minLen must be >= 1 (got $minLen)")
+      giantThreshold: Long = GiantGroupThreshold): DataFrame =
+    crossSpanImpl(docs, idCol, textCol, srcCol, minLen, giantThreshold,
+      index = None)
+
+  /** The persistable cross-span GRAM INDEX (d36 — d35's settle face,
+    * the d27→d28 / d29→d33 pattern): per (source, gram), the count of
+    * DISTINCT documents containing that minLen-window. At 100 TB this
+    * is one parquet table a daily job reads back; refresh cost ∝ the
+    * batch — history documents never re-tokenize.
+    */
+  def crossSpanIndex(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", srcCol: String = "source",
+      minLen: Int = 16,
+      giantThreshold: Long = GiantGroupThreshold): DataFrame =
+    crossGrams(prepCross(docs, idCol, textCol, srcCol, giantThreshold),
+      minLen)
+      .groupBy("source", "gram")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+
+  /** Merge two [[crossSpanIndex]] relations built from DISJOINT
+    * document sets: a doc contributes to exactly one side, so
+    * per-(source, gram) distinct-doc counts ADD — pure algebra, no
+    * re-tokenization (the winnowIndexMerge argument at gram
+    * granularity). Overlapping doc sets would double-count; the
+    * caller owns the batch partitioning, as in d28/d33.
+    */
+  def crossSpanIndexMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("source", "gram")
+      .agg(sum(col("n_docs")).as("n_docs"))
+
+  /** [[crossDocSpanRemoval]] with the multi-doc gram set taken from a
+    * (possibly merged) [[crossSpanIndex]] instead of recounted from
+    * the corpus — byte-identical output when the index covers exactly
+    * `docs` (hash-proven through d35's oracle by the d28 shared-gate
+    * discipline).
+    */
+  def crossDocSpanRemovalFromIndex(docs: DataFrame, index: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      srcCol: String = "source", minLen: Int = 16,
+      giantThreshold: Long = GiantGroupThreshold): DataFrame =
+    crossSpanImpl(docs, idCol, textCol, srcCol, minLen, giantThreshold,
+      index = Some(index))
+
+  /** (smallBase, giantBase, hasGiants) split of the non-null-text
+    * corpus on `giantThreshold`.
+    */
+  private def prepCross(docs: DataFrame, idCol: String, textCol: String,
+      srcCol: String, giantThreshold: Long)
+      : (DataFrame, DataFrame, Boolean) = {
     val base = docs.where(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), col(srcCol).as("source"),
         col(textCol).as("text"))
@@ -1330,10 +1377,19 @@ object SuffixArray {
     val smallBase =
       if (hasGiants) base.where(length(col("text")) <= giantThreshold)
       else base
-    // sub-threshold grams materialize per doc inside the scan task
-    // (doc-sized array rows are fine under the threshold — the same
-    // budget the direct d34 path runs on); `__giant` tags which cut
-    // face a start belongs to without a second membership join
+    (smallBase, giantBase, hasGiants)
+  }
+
+  /** (doc_id, source, pos, gram, __giant) for every full minLen-char
+    * window: sub-threshold docs materialize their gram array inside
+    * the scan task (doc-sized array rows are fine under the threshold
+    * — the same budget the direct d34 path runs on); giant docs via
+    * the balanced [[gatherGrams]]. `__giant` tags which cut face a
+    * start belongs to without a second membership join.
+    */
+  private def crossGrams(split: (DataFrame, DataFrame, Boolean),
+      minLen: Int): DataFrame = {
+    val (smallBase, giantBase, hasGiants) = split
     val gramsSmall = smallBase
       .where(length(col("text")) >= minLen)
       .select(col("doc_id"), col("source"),
@@ -1344,18 +1400,28 @@ object SuffixArray {
       .select(col("doc_id"), col("source"),
         (col("p0") + 1).cast("long").as("pos"), col("gram"),
         lit(false).as("__giant"))
-    val grams0 =
-      if (!hasGiants) gramsSmall
-      else gramsSmall.unionByName(
-        gatherGrams(giantBase, minLen)
-          .join(broadcast(giantBase.select("doc_id", "source")), Seq("doc_id"))
-          .select(col("doc_id"), col("source"), col("pos").cast("long").as("pos"),
-            col("gram"), lit(true).as("__giant")))
-    val grams = grams0.localCheckpoint(true) // multi-doc count + starts
+    if (!hasGiants) gramsSmall
+    else gramsSmall.unionByName(
+      gatherGrams(giantBase, minLen)
+        .join(broadcast(giantBase.select("doc_id", "source")), Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("pos").cast("long").as("pos"),
+          col("gram"), lit(true).as("__giant")))
+  }
+
+  private def crossSpanImpl(docs: DataFrame, idCol: String,
+      textCol: String, srcCol: String, minLen: Int,
+      giantThreshold: Long, index: Option[DataFrame]): DataFrame = {
+    require(minLen >= 1, s"minLen must be >= 1 (got $minLen)")
+    val split = prepCross(docs, idCol, textCol, srcCol, giantThreshold)
+    val (smallBase, giantBase, hasGiants) = split
+    val grams = crossGrams(split, minLen)
+      .localCheckpoint(true) // multi-doc count + starts
     // hint("merge"): the multi-doc gram list can be corpus-scale on a
     // boilerplate-heavy corpus — the tiesOf misestimated-broadcast rule
-    val multi = grams.groupBy("source", "gram")
-      .agg(countDistinct(col("doc_id")).as("__d")).where(col("__d") >= 2)
+    val multi = index.getOrElse(
+        grams.groupBy("source", "gram")
+          .agg(countDistinct(col("doc_id")).as("n_docs")))
+      .where(col("n_docs") >= 2)
       .select("source", "gram").hint("merge")
     val starts = grams.join(multi, Seq("source", "gram"), "left_semi")
       .select("doc_id", "pos", "__giant")

@@ -633,6 +633,29 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // d35's SETTLE face (the d27→d28 / d29→d33 discipline): the
+    // per-(source, gram) distinct-doc index built on two disjoint
+    // halves separately, merged by pure algebra (disjoint doc sets ⇒
+    // counts add — no re-tokenization), and the removal rewrite run
+    // FROM the merged index. Gated against d35's ORACLE, so any merge
+    // wrongness breaks this hash while d35 stays green. Refresh cost
+    // ∝ the batch: history docs never re-gram.
+    "d36_incremental_cross_span" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val hist = docs.where(pmod(col("doc_id"), lit(2L)) === 0)
+      val batch = docs.where(pmod(col("doc_id"), lit(2L)) === 1)
+      val merged = SuffixArray.crossSpanIndexMerge(
+        SuffixArray.crossSpanIndex(hist, "doc_id", "text", "source",
+          minLen = CrossSpanMinLen),
+        SuffixArray.crossSpanIndex(batch, "doc_id", "text", "source",
+          minLen = CrossSpanMinLen))
+      SuffixArray.crossDocSpanRemovalFromIndex(docs, merged,
+          "doc_id", "text", "source", minLen = CrossSpanMinLen)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("n_kept_chars"), md5(col("cleaned")).as("cleaned_md5"))
+        .orderBy("doc_id")
+    }),
+
     // SemDeDup: k-means clusters bound the pairwise cosine search
     // (candidates = Σ|cluster|², n²/k expected; the paper scales k with
     // n to keep clusters bounded). Training is s08's deterministic
@@ -1530,6 +1553,8 @@ object DedupQueries {
     "d32_cross_doc_repeats" -> d32OracleSql,
     "d34_repeat_span_removal" -> d34OracleSql,
     "d35_cross_span_removal" -> d35OracleSql,
+    // merged == direct, hash-proven by the shared oracle (d28 pattern)
+    "d36_incremental_cross_span" -> d35OracleSql,
 
     "d33_incremental_winnow" -> d29OracleSql,
 

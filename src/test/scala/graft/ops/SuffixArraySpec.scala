@@ -322,6 +322,39 @@ class SuffixArraySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("crossSpanIndex merge of disjoint halves reproduces the direct removal") {
+    val docs: Seq[(Long, String, String)] = Seq(
+      (1L, "HEADER COMMON TO ALL body one tail", "s1"),
+      (2L, "prefix two HEADER COMMON TO ALL suffix", "s1"),
+      (3L, "abcabcabcabcabcabc unique", "s1"),
+      (4L, "HEADER COMMON TO ALL body one tail", "s2"),
+      (6L, "identical twins everywhere", "s3"),
+      (7L, "identical twins everywhere", "s3")) ++
+      (0 until 12).map { i =>
+        (100L + i, (0 until (10 + rnd.nextInt(40)))
+          .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString, s"r${i % 2}")
+      }
+    val df = docs.toDF("doc_id", "text", "source")
+    for (minLen <- Seq(5, 12); thr <- Seq(1L << 30, 6L)) {
+      def key(rows: Array[org.apache.spark.sql.Row]) = rows
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getString(4))).sorted.toSeq
+      val direct = SuffixArray.crossDocSpanRemoval(df,
+        "doc_id", "text", "source", minLen, giantThreshold = thr).collect()
+      val hist = df.where(pmod(col("doc_id"), lit(2L)) === 0)
+      val batch = df.where(pmod(col("doc_id"), lit(2L)) === 1)
+      val merged = SuffixArray.crossSpanIndexMerge(
+        SuffixArray.crossSpanIndex(hist, "doc_id", "text", "source",
+          minLen, giantThreshold = thr),
+        SuffixArray.crossSpanIndex(batch, "doc_id", "text", "source",
+          minLen, giantThreshold = thr))
+      val fromIx = SuffixArray.crossDocSpanRemovalFromIndex(df, merged,
+        "doc_id", "text", "source", minLen, giantThreshold = thr).collect()
+      assert(key(fromIx) === key(direct),
+        s"index-merged removal diverged at minLen=$minLen thr=$thr")
+    }
+  }
+
   test("null and empty texts yield no suffix rows, not errors") {
     val df = Seq((1L, "ab"), (2L, ""), (3L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
