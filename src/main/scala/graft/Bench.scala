@@ -225,15 +225,74 @@ object Bench {
         results.map { case (k, v) => "\"" + k + "\":" + (v / medianSec) }
           .mkString("{", ",", "}")
       else "{}"
+    // DRIFT-ROBUST baseline comparison (round 12): the official
+    // artifact is graded cross-round, but two same-code official runs
+    // measured 14% apart (r10 266.8 s vs an A/B re-run at 306.6 s —
+    // box drift the size of a real regression). Normalizing each
+    // query by ITS RUN'S suite median cancels machine speed: the
+    // committed BENCH_BASELINE.json pins the r11 official per-query
+    // map, and each run reports per-query
+    //   (t_q / median) / (base_q / base_median)
+    // plus their geometric mean — a code regression moves specific
+    // queries' mednorm ratios while box drift moves none (validated:
+    // the r10→r11 +14% raw gap is mednorm gm 1.005).
+    val baselinePath = sys.env.getOrElse("BENCH_BASELINE", "BENCH_BASELINE.json")
+    val baseline: Option[Map[String, Double]] =
+      try {
+        val p = Paths.get(baselinePath)
+        if (!Files.exists(p)) None
+        else {
+          import org.json4s._
+          val j = jackson.JsonMethods.parse(
+            new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+          (j \ "queries") match {
+            case JObject(fields) =>
+              Some(fields.collect {
+                case (k, JDouble(v)) => k -> v
+                case (k, JInt(v))    => k -> v.toDouble
+                case (k, JLong(v))   => k -> v.toDouble
+              }.toMap)
+            case _ => None
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val vsBase: Option[(Double, Seq[(String, Double)])] =
+      baseline.flatMap { bq =>
+        val bvals = bq.values.toSeq.sorted
+        val bMed =
+          if (bvals.isEmpty) 0.0
+          else if (bvals.size % 2 == 1) bvals(bvals.size / 2)
+          else (bvals(bvals.size / 2 - 1) + bvals(bvals.size / 2)) / 2
+        if (bMed <= 0 || medianSec <= 0) None
+        else {
+          val rels = results.collect {
+            case (k, v) if bq.get(k).exists(_ > 0) =>
+              k -> ((v / medianSec) / (bq(k) / bMed))
+          }
+          if (rels.isEmpty) None
+          else {
+            val gm = math.exp(rels.map(r => math.log(r._2)).sum / rels.size)
+            Some((gm, rels))
+          }
+        }
+      }
+    val anchorSec = anchor.getOrElse(0.0)
+    val vsBaseScalars = vsBase.map { case (gm, rels) =>
+      s""","vs_base_mednorm_gm":$gm,"n_base_shared":${rels.size}"""
+    }.getOrElse("")
+    val vsBaseJson = vsBase.map { case (_, rels) =>
+      rels.map { case (k, r) => "\"" + k + "\":" + r }
+        .mkString("{", ",", "}")
+    }.getOrElse("{}")
     val loadAfter = loadAvg()
     // compact summary: scalar fields only (~200 bytes). The driver keeps
     // a bounded tail of stdout and parses its LAST line as JSON; the full
     // per-query/anchor maps are ~6 KB and overflow that tail, so they
     // live only in BENCH_OUT below.
     val summary =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_ok":${results.size},"n_err":${errors.size},"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"load_gate":"$loadGate","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_ok":${results.size},"n_err":${errors.size},"median_sec":$medianSec,"anchor_sec":$anchorSec,"total_over_median":${if (medianSec > 0) total / medianSec else 0.0}$vsBaseScalars,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"load_gate":"$loadGate","sf":"$sfDir"}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"anchor_ratios":$anchorJson,"anchor_query":"d01_exact_dedup","anchor_median_sec":$medianSec,"anchor_ratios_median":$medianRatioJson,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"load_gate":"$loadGate","errors":$errJson,"n_ok":${results.size},"n_err":${errors.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"anchor_ratios":$anchorJson,"anchor_query":"d01_exact_dedup","anchor_median_sec":$medianSec,"anchor_ratios_median":$medianRatioJson,"vs_base_mednorm":$vsBaseJson,"baseline_file":"${jsonEscape(baselinePath)}"$vsBaseScalars,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"load_gate":"$loadGate","errors":$errJson,"n_ok":${results.size},"n_err":${errors.size},"sf":"$sfDir"}"""
     // a BENCH_ONLY subset is an iteration aid, never the round's perf
     // artifact — writing it to bench_out.json clobbered the full-suite
     // numbers twice (caught by review both times); partial runs go to a

@@ -238,7 +238,11 @@ object Plans {
     // (source, gram) distinct-doc count → start semi-join → per-doc
     // island merge + complement fold; no window or array bounded by
     // a source)
-    "d35_cross_span_removal")
+    "d35_cross_span_removal",
+    // round 12: d36 incremental cross-span removal (the d35 cut faces
+    // driven by the merged (source, gram, n_docs) index — the probe
+    // side is a sum-merged equi-join, never a recount of history)
+    "d36_incremental_cross_span")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

@@ -447,6 +447,33 @@ object ScaleStress {
         "d35" -> (() => graft.ops.SuffixArray
           .crossDocSpanRemoval(plain, "doc_id", "text", "source",
             minLen = 20)),
+        // d35 at the deployed ExactSubstr threshold (r12): minLen=250
+        // on the mutated-twin corpus (every >=250-char doc's windows
+        // recur verbatim in its twin) — the regime where the literal
+        // carrier's minLen-char shuffle keys dominate the wire.
+        // d35wide pins the LITERAL carrier; d35wideh is the hashed
+        // xxhash64 carrier + literal candidate re-verification (the
+        // d25 discipline) — output byte-identical, spec-proven
+        "d35wide" -> (() => graft.ops.SuffixArray
+          .crossDocSpanRemoval(corpus, "doc_id", "text", "source",
+            minLen = 250, hashedCarrierFrom = Int.MaxValue)),
+        "d35wideh" -> (() => graft.ops.SuffixArray
+          .crossDocSpanRemoval(corpus, "doc_id", "text", "source",
+            minLen = 250, hashedCarrierFrom = 1)),
+        // d35 with the ~3M-char giant (r12): the giant's grams route
+        // through gatherGrams + cutCoveredGiant (d34giant's stages)
+        // plus the (source, gram) distinct-doc count — the dedicated
+        // giant-path row d34giant has and d35 lacked
+        "d35giant" -> (() => graft.ops.SuffixArray
+          .crossDocSpanRemoval(withGiantDoc(plain), "doc_id", "text",
+            "source", minLen = 20)),
+        // the d32 tie-mass guard row (r12): the same call as d32 at
+        // the DEFAULT budget — at 30x the frozen-level tie mass
+        // (~18.7M) exceeds the 8M budget and the row records the
+        // refusal margin after round 0 (the linear part) instead of a
+        // silent 26-minute run; at <=10x it measures normally
+        "d32_guard" -> (() => graft.ops.SuffixArray
+          .crossDocRepeats(plain, "doc_id", "text", "source")),
         // the winnow→exact funnel (r10): candidate sources via the
         // d29 index, the exact d32 pass only on flagged sources —
         // on this corpus every source is flagged (shared boilerplate

@@ -860,7 +860,12 @@ object Similarity {
     // the driver at |Q| (×bands) rows — a corpus-sized `queries` input
     // must fail loudly here, not as a silent driver OOM three collects
     // later (the containment-guard discipline)
-    val nQ = queries.limit((maxQueryRows + 1).toInt).count()
+    // probe one row past the budget, saturating at Int.MaxValue: a
+    // naive (maxQueryRows + 1).toInt wraps for budgets >= Int.MaxValue
+    // (negative limit, or a silent limit(1) at 1L<<32) — exactly
+    // defeating the OOM guard this probe enforces
+    val probe = math.min(maxQueryRows + 1, Int.MaxValue.toLong).toInt
+    val nQ = queries.limit(probe).count()
     if (nQ > maxQueryRows)
       throw new IllegalStateException(
         s"mipsTopK: query relation exceeds the $maxQueryRows-row driver " +

@@ -69,11 +69,85 @@ object SuffixArray {
     */
   val CandBroadcastBudget: Long = 256L * 1024
 
+  /** Frozen-level tie-class mass (positions inside ≥2-member round-0
+    * rank classes — the exact per-level volume of the repeat search's
+    * tie-refinement loop) above which [[crossDocRepeats]] /
+    * [[longestRepeatedSubstring]]'s giant path REFUSE with a
+    * diagnosis instead of entering the loop. On repeat-dense corpora
+    * (k near-identical copies of shared boilerplate — un-deduped web
+    * text's natural shape) cross-copy tie classes survive many levels
+    * and the loop's total cost grows super-linearly in this mass
+    * (measured exponent 1.75 on the 10×→30× rotation corpus:
+    * 229 → 1,562 s); every other measured cliff in the repo refuses
+    * past a stated budget rather than silently running for hours, and
+    * this is the same discipline. Calibrated on that corpus (32
+    * threads, sf0.1 base): mass 306k at 1× (the bench corpus — 26 s
+    * total), 3.06M at 10× (229 s), 18.7M at 30× (the 26-minute tail;
+    * the mass itself turns super-linear past k = 26 because the
+    * vowel rotations wrap and copies 26 apart become literal
+    * duplicates). 8M sits between the acceptable 10× regime and the
+    * tail. The refusal costs round 0 only (the linear part — 347 s
+    * vs 1,562 s at 30×): the mass IS the round-0 tie relation's
+    * size, so no cheaper exact signal exists. Callers with a
+    * genuinely repeat-dense corpus should pre-deduplicate (d01/d02),
+    * use the span faces (d35/p07), or raise the budget explicitly.
+    */
+  val TieMassBudget: Long = 8L * 1024 * 1024
+
+  /** minLen at and above which [[crossDocSpanRemoval]] carries
+    * `xxhash64(gram)` on its data-sized shuffles instead of the
+    * literal gram string, re-verifying candidates literally (the d25
+    * discipline — see [[crossSpanHashedImpl]]). 33 = the first width
+    * where the literal key exceeds four longs, and far below the
+    * deployed ExactSubstr threshold (~50 tokens ≈ 250+ chars) where
+    * the literal key would dominate the shuffle. Below it the literal
+    * carrier wins: one pass, no re-verification joins.
+    */
+  val HashedGramCarrierMinLen: Int = 33
+
   private val K0 = 8
+
+  /** Radix for the giant paths' packed multi-code-per-long keys
+    * (three 21-bit fields per 63-bit long, big-endian). INVARIANT:
+    * packing preserves lexicographic order ONLY while every packed
+    * code is in [0, 2^21) — true for the `ascii()` codepoints
+    * (< 0x110000) and 0-padding every current caller feeds, but a
+    * future caller packing token ids or other wide codes would get
+    * silently reordered keys. [[requirePackable]] enforces the bound
+    * loudly at each packing site (one bounded-scalar aggregate over
+    * the giant branch — negligible next to the wide path it guards).
+    */
+  private val PackRadix = 1L << 21
+
+  private def requirePackable(df: DataFrame, codeCol: String,
+      site: String): Unit = {
+    val mx = df.agg(coalesce(max(col(codeCol).cast("long")), lit(0L)))
+      .head().getLong(0)
+    require(mx < PackRadix,
+      s"$site: code column '$codeCol' reaches $mx >= 2^21 — the packed " +
+        "3-codes-per-long key would reorder lexicographically. Feed " +
+        "codepoint-sized codes (< 2^21) or widen the packing radix.")
+  }
 
   // ------------------------------------------------------------------
   // shared plumbing
   // ------------------------------------------------------------------
+
+  /** Scoped stage timer behind the SUFFIX_DEBUG env var: one instance
+    * per logical pass, a no-op (no clock reads beyond construction)
+    * when the var is unset. Replaces the per-method `tick` closures so
+    * every debug line carries its scope.
+    */
+  private final class Ticker(scope: String) {
+    private val dbg = sys.env.contains("SUFFIX_DEBUG")
+    private var t0 = System.nanoTime()
+    def apply(what: String): Unit = if (dbg) {
+      val t1 = System.nanoTime()
+      System.err.println(
+        f"SUFFIX_DEBUG $scope $what ${(t1 - t0) / 1e9}%.2f s")
+      t0 = t1
+    }
+  }
 
   private def tagCols(df: DataFrame): Seq[Column] =
     if (df.columns.contains("tag")) Seq(col("tag")) else Nil
@@ -169,12 +243,13 @@ object SuffixArray {
   private object WideOps extends RankOps {
     val k0: Int = 33
     val fan: Int = 8
-    private val Pack = 1L << 21
     def gram(codes: DataFrame): DataFrame = {
+      requirePackable(codes, "c0", "WideOps.gram")
       // stage 1: each position's (c, c₊₁, c₊₂) as one packed long
       val tri = fetchShifted(codes, "c0", Seq(0L, 1L, 2L), lit(0L))
       val packed = tri.select(Seq(col("gid"), col("pos"),
-        ((col("k0") * Pack + col("k1")) * Pack + col("k2")).as("c0")) ++
+        ((col("k0") * PackRadix + col("k1")) * PackRadix + col("k2"))
+          .as("c0")) ++
         tagCols(tri): _*)
       // stage 2: 11 packed triples at stride 3 → 33 contiguous chars;
       // past-end default 0 == a packed (0,0,0), consistent with the
@@ -242,14 +317,7 @@ object SuffixArray {
     import spark.implicits._
     val par = spark.sparkContext.defaultParallelism
     val rangeCols = (col("gid") +: keyCols.map(col)) :+ col("pos")
-    val dbg = sys.env.contains("SUFFIX_DEBUG")
-    var t0 = System.nanoTime()
-    def tick(what: String): Unit = if (dbg) {
-      val t1 = System.nanoTime()
-      System.err.println(
-        f"SUFFIX_DEBUG denseRank(${keyCols.size} keys) $what ${(t1 - t0) / 1e9}%.2f s")
-      t0 = t1
-    }
+    val tick = new Ticker(s"denseRank(${keyCols.size} keys)")
     val ranged = df.repartitionByRange(par, rangeCols: _*)
       .withColumn("__part", spark_partition_id())
       .localCheckpoint(true) // pins partition ids for the stats pass
@@ -350,14 +418,7 @@ object SuffixArray {
     */
   private def ranksLoop(codes: DataFrame, maxLen: Long, maxRounds: Int,
       ops: RankOps): DataFrame = {
-    val dbg = sys.env.contains("SUFFIX_DEBUG")
-    var t0 = System.nanoTime()
-    def tick(what: String): Unit = if (dbg) {
-      val t1 = System.nanoTime()
-      System.err.println(
-        f"SUFFIX_DEBUG ranksLoop(k0=${ops.k0}) $what ${(t1 - t0) / 1e9}%.2f s")
-      t0 = t1
-    }
+    val tick = new Ticker(s"ranksLoop(k0=${ops.k0})")
     var r = ops.rank0(ops.gram(codes)).localCheckpoint(true)
     tick("rank0")
     var h = ops.k0.toLong
@@ -492,7 +553,8 @@ object SuffixArray {
     */
   private def maxRepeatImpl(codes: DataFrame, maxRounds: Int,
       cross: Boolean,
-      giantThreshold: Long = GiantGroupThreshold): DataFrame = {
+      giantThreshold: Long = GiantGroupThreshold,
+      tieMassBudget: Long = TieMassBudget): DataFrame = {
     // the repeat search starts from a 16-char round-0 key, TWICE the
     // ranking loop's 8: cross-doc 8-gram collisions are ubiquitous on
     // natural text (every common word), so an 8-char level-0 leaves
@@ -504,14 +566,7 @@ object SuffixArray {
     val k0 = RK0.toLong
     val spark = codes.sparkSession
     val hasTag = codes.columns.contains("tag")
-
-    val dbg = sys.env.contains("SUFFIX_DEBUG")
-    var t0 = System.nanoTime()
-    def tick(what: String): Unit = if (dbg) {
-      val t1 = System.nanoTime()
-      System.err.println(f"SUFFIX_DEBUG $what ${(t1 - t0) / 1e9}%.2f s")
-      t0 = t1
-    }
+    val tick = new Ticker(if (cross) "repeat(cross)" else "repeat(within)")
 
     // round 0: per-group 16-gram + STABLE rank() — the only
     // group-bounded window passes in the whole search (one sort each,
@@ -537,11 +592,11 @@ object SuffixArray {
     val g8small = codesSmall.repartition(par, col("gid"))
       .select(Seq(col("gid"), col("pos")) ++ kcols ++ tagCols(codes): _*)
       .localCheckpoint(true)
-    val g8giant =
-      if (!hasGiants) null
-      else fetchShifted(codesGiant, "c0", 0L until RK0.toLong, lit(0L))
-        .localCheckpoint(true)
-    val g8 = if (hasGiants) g8small.unionByName(g8giant) else g8small
+    val g8giant: Option[DataFrame] =
+      if (!hasGiants) None
+      else Some(fetchShifted(codesGiant, "c0", 0L until RK0.toLong, lit(0L))
+        .localCheckpoint(true))
+    val g8 = g8giant.fold(g8small)(g8small.unionByName(_))
     val gidField = g8.schema("gid")
 
     /** A LOCAL-relation frame over driver-held gid rows (bounded by
@@ -570,18 +625,18 @@ object SuffixArray {
     // pass and row join carry 6 longs instead of 16; cand0 still
     // reads g8's RAW per-char columns (its binary search slices keys
     // at char granularity)
-    val r0giant = if (!hasGiants) null else {
+    val r0giant: Option[DataFrame] = g8giant.map { gg =>
+      requirePackable(codesGiant, "c0", "repeat-search r0giant")
       val packed = (0 until RK0 by 3).zipWithIndex.map { case (o, i) =>
         (o until math.min(o + 3, RK0)).map(j => col(s"k$j"))
-          .reduceLeft((a, b) => a * lit(1L << 21) + b).as(s"pk$i")
+          .reduceLeft((a, b) => a * lit(PackRadix) + b).as(s"pk$i")
       }
       globalStableRankPerGid(
-        g8giant.select(Seq(col("gid"), col("pos")) ++ packed ++
-          tagCols(g8giant): _*),
+        gg.select(Seq(col("gid"), col("pos")) ++ packed ++
+          tagCols(gg): _*),
         packed.indices.map(i => s"pk$i"))
     }
-    var ranks = (if (!hasGiants) r0small
-      else r0small.unionByName(r0giant))
+    var ranks = r0giant.fold(r0small)(r0small.unionByName(_))
       .localCheckpoint(true)
     tick("gram+rank0")
 
@@ -639,6 +694,33 @@ object SuffixArray {
     var aliveG = allGids.filterNot(state.contains)
     ties = aliveFilter(ties, aliveG)
     tick("ties0+exists0")
+    // TIE-MASS BUDGET (the last measured cliff, guarded): the loop
+    // below costs ∝ (this mass) × (levels a class survives), and on
+    // repeat-dense corpora cross-copy classes survive MANY levels —
+    // measured super-linear (exponent 1.75, 229 → 1,562 s at 10×→30×
+    // on the salted-rotation corpus). The mass is one count over the
+    // already-checkpointed frozen-level tie relation (seconds), spent
+    // BEFORE the loop can silently burn hours — the
+    // prefixFilterPairs / containmentPairs refusal discipline.
+    if (aliveG.nonEmpty) {
+      val tieMass = ties.count()
+      tick("tie-mass guard")
+      if (tieMass > tieMassBudget) {
+        val op = if (cross) "crossDocRepeats" else "longestRepeatedSubstring"
+        throw new IllegalStateException(
+          s"$op: frozen-level tie-class volume $tieMass exceeds the " +
+            s"$tieMassBudget budget — the tie-refinement loop's " +
+            "per-level cost is proportional to this volume, and on " +
+            "repeat-dense corpora (near-identical copies of shared " +
+            "boilerplate) it is super-linear in corpus size (measured " +
+            "1.75-exponent, 26 min at 30x). Pre-deduplicate exact/near " +
+            "copies first (Dedup.contentDedup d01 / minHash d02), route " +
+            "span-level cleanup through crossDocSpanRemoval (d35) or " +
+            "the winnow->exact funnel (p07), which confines this " +
+            "search to flagged sources, or raise tieMassBudget " +
+            "explicitly for a deliberate long run.")
+      }
+    }
     var h = k0
     var rounds = 0
     // per-round candidate capture: a group dying at 4h contributes its
@@ -898,8 +980,9 @@ object SuffixArray {
     * to the wide gram/stable-rank form.
     */
   private def maxRepeat(codes: DataFrame, maxRounds: Int,
-      cross: Boolean, giantThreshold: Long): DataFrame =
-    maxRepeatImpl(codes, maxRounds, cross, giantThreshold)
+      cross: Boolean, giantThreshold: Long,
+      tieMassBudget: Long): DataFrame =
+    maxRepeatImpl(codes, maxRounds, cross, giantThreshold, tieMassBudget)
 
   // ------------------------------------------------------------------
   // applications
@@ -923,7 +1006,8 @@ object SuffixArray {
     */
   def longestRepeatedSubstring(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", maxRounds: Int = 40,
-      giantThreshold: Long = GiantGroupThreshold): DataFrame = {
+      giantThreshold: Long = GiantGroupThreshold,
+      tieMassBudget: Long = TieMassBudget): DataFrame = {
     val base = docs
       .where(col(textCol).isNotNull && length(col(textCol)) >= 1)
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))
@@ -942,7 +1026,7 @@ object SuffixArray {
         .select(col("gid"), (col("p0") + 1).as("pos"),
           ascii(col("ch")).as("c0"))
       val rep = maxRepeatImpl(codes, maxRounds, cross = false,
-        giantThreshold)
+        giantThreshold, tieMassBudget)
       val giant = giantDocs
         .join(rep.withColumnRenamed("gid", "doc_id"), Seq("doc_id"))
         .select(col("doc_id"), col("rep_len").as("lrs_len"),
@@ -1017,11 +1101,19 @@ object SuffixArray {
     * range-partitioned stable rank instead of sorting the whole
     * group in one task; the tie-pruned levels after round 0 are
     * class-bounded for every group size.
+    *
+    * BUDGETED: the frozen-level tie mass — the refinement loop's
+    * per-level volume — is counted before the loop and refused past
+    * `tieMassBudget` with a diagnosis naming the d35/p07 span faces
+    * (see [[TieMassBudget]]): repeat-dense corpora hold that loop
+    * super-linear, and this operator refuses loudly rather than
+    * silently running for hours (the containment-guard discipline).
     */
   def crossDocRepeats(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", srcCol: String = "source",
       maxRounds: Int = 40,
-      giantThreshold: Long = GiantGroupThreshold): DataFrame = {
+      giantThreshold: Long = GiantGroupThreshold,
+      tieMassBudget: Long = TieMassBudget): DataFrame = {
     val nn = docs
       .where(col(textCol).isNotNull && length(col(textCol)) >= 1)
       .select(col(srcCol).as("gid"), col(idCol).as("doc_id"),
@@ -1044,7 +1136,7 @@ object SuffixArray {
       .select(col("gid"), col("off").as("pos"),
         lit(1).as("c0"), lit(null).cast("long").as("tag"))
     val rep = maxRepeat(chars.unionByName(sentinels), maxRounds,
-      cross = true, giantThreshold)
+      cross = true, giantThreshold, tieMassBudget)
     // witness assembly: only the documents overlapping the winning
     // [rep_pos, rep_pos+rep_len) interval ship text — witness-sized
     // output, never group-sized state. A doc owns global chars
@@ -1309,9 +1401,12 @@ object SuffixArray {
     * docs past `giantThreshold` route through [[gatherGrams]] /
     * [[cutCoveredGiant]] like d34's giants. Gram equality is literal
     * string equality — exact, never probabilistic (the data-sized
-    * shuffle carries minLen-char keys; for minLen >> 32 a hashed
-    * carrier with candidate re-verification — the d25 discipline —
-    * is the drop-in upgrade).
+    * shuffle carries minLen-char keys; past
+    * `hashedCarrierFrom` — default [[HashedGramCarrierMinLen]] — the
+    * operator switches to [[crossSpanHashedImpl]]: an 8-byte
+    * `xxhash64` carrier on every data-sized shuffle plus literal
+    * candidate re-verification, the d25 discipline, byte-identical
+    * output by the re-verification argument in that impl's scaladoc).
     *
     * Returns one row per non-null-text document:
     * (doc_id, source, n_chars, n_kept_chars, cleaned).
@@ -1319,9 +1414,14 @@ object SuffixArray {
   def crossDocSpanRemoval(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", srcCol: String = "source",
       minLen: Int = 16,
-      giantThreshold: Long = GiantGroupThreshold): DataFrame =
-    crossSpanImpl(docs, idCol, textCol, srcCol, minLen, giantThreshold,
-      index = None)
+      giantThreshold: Long = GiantGroupThreshold,
+      hashedCarrierFrom: Int = HashedGramCarrierMinLen): DataFrame =
+    if (minLen >= hashedCarrierFrom)
+      crossSpanHashedImpl(docs, idCol, textCol, srcCol, minLen,
+        giantThreshold)
+    else
+      crossSpanImpl(docs, idCol, textCol, srcCol, minLen, giantThreshold,
+        index = None)
 
   /** The persistable cross-span GRAM INDEX (d36 — d35's settle face,
     * the d27→d28 / d29→d33 pattern): per (source, gram), the count of
@@ -1425,6 +1525,15 @@ object SuffixArray {
       .select("source", "gram").hint("merge")
     val starts = grams.join(multi, Seq("source", "gram"), "left_semi")
       .select("doc_id", "pos", "__giant")
+    cutFromStarts(smallBase, giantBase, hasGiants, starts, minLen)
+  }
+
+  /** The shared cut tail of both cross-span carriers: qualifying
+    * window starts → the d34 island/complement fold for sub-threshold
+    * docs, the covered-position anti-join for giants.
+    */
+  private def cutFromStarts(smallBase: DataFrame, giantBase: DataFrame,
+      hasGiants: Boolean, starts: DataFrame, minLen: Int): DataFrame = {
     val startsCk = if (hasGiants) starts.localCheckpoint(true) else starts
     val spansSmall = startsCk.where(!col("__giant"))
       .select(col("doc_id"), col("pos").as("s"),
@@ -1434,5 +1543,94 @@ object SuffixArray {
     else small.unionByName(cutCoveredGiant(giantBase,
       startsCk.where(col("__giant")).select("doc_id", "pos"),
       minLen, Seq("source")))
+  }
+
+  /** The HASHED gram carrier for [[crossDocSpanRemoval]] (the d25
+    * discipline, the scaladoc's own named upgrade): every data-sized
+    * shuffle — the (source, gram) distinct-doc count and the start
+    * semi-join — carries an 8-byte `xxhash64(gram)` instead of the
+    * literal minLen-char string, so at realistic ExactSubstr
+    * thresholds (minLen ≈ 250 chars ≈ 50 tokens) the shuffle width
+    * drops ~30×. Exactness is preserved by LITERAL RE-VERIFICATION:
+    * the multi-doc test at hash granularity depends only on
+    * (source, hash), which every occurrence of a gram shares, so the
+    * candidate relation contains EVERY occurrence of each candidate
+    * gram — a per-(source, literal gram) distinct-doc count over
+    * candidate rows alone therefore equals the true count. Hash
+    * collisions only ever ADD candidates (pruned here), never flip a
+    * verdict; output is byte-identical to the literal carrier
+    * (property-spec'd). The verification pass is candidate-sized —
+    * ~the true duplicated mass — so on mostly-clean corpora the
+    * literal strings ride only scan-local projections and one small
+    * shuffle.
+    */
+  private def crossSpanHashedImpl(docs: DataFrame, idCol: String,
+      textCol: String, srcCol: String, minLen: Int,
+      giantThreshold: Long): DataFrame = {
+    require(minLen >= 1, s"minLen must be >= 1 (got $minLen)")
+    val split = prepCross(docs, idCol, textCol, srcCol, giantThreshold)
+    val (smallBase, giantBase, hasGiants) = split
+    // giant docs' literal grams assemble balanced either way
+    // ([[gatherGrams]] shuffles single chars); checkpointed because
+    // the re-verification pass reads them back by (doc, pos)
+    val gramsGiantOpt: Option[DataFrame] =
+      if (!hasGiants) None
+      else Some(gatherGrams(giantBase, minLen)
+        .join(broadcast(giantBase.select("doc_id", "source")), Seq("doc_id"))
+        .select(col("doc_id"), col("source"),
+          col("pos").cast("long").as("pos"), col("gram"))
+        .localCheckpoint(true))
+    // sub-threshold docs hash INSIDE the scan task: the literal gram
+    // never leaves the projection, 8 bytes per position hit the wire
+    val hSmall = smallBase
+      .where(length(col("text")) >= minLen)
+      .select(col("doc_id"), col("source"),
+        posexplode(expr(
+          s"""transform(sequence(1, length(text) - ${minLen - 1}),
+             |  i -> xxhash64(substring(text, i, $minLen)))""".stripMargin))
+          .as(Seq("p0", "ghash")))
+      .select(col("doc_id"), col("source"),
+        (col("p0") + 1).cast("long").as("pos"), col("ghash"),
+        lit(false).as("__giant"))
+    val hashes = gramsGiantOpt.fold(hSmall)(gg => hSmall.unionByName(
+        gg.select(col("doc_id"), col("source"), col("pos"),
+          xxhash64(col("gram")).as("ghash"), lit(true).as("__giant"))))
+      .localCheckpoint(true) // multi-doc count + candidate semi
+    val multiH = hashes.groupBy("source", "ghash")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .where(col("n_docs") >= 2)
+      .select("source", "ghash").hint("merge")
+    val cand = hashes.join(multiH, Seq("source", "ghash"), "left_semi")
+      .select("doc_id", "source", "pos", "__giant")
+      .localCheckpoint(true) // feeds both literal-fetch faces
+    // literal grams for CANDIDATE positions only: per-doc position
+    // arrays (bounded by the sub-threshold doc length — the d34
+    // direct-path budget) ship each doc's text once, never per row
+    val litSmall = {
+      val perDoc = cand.where(!col("__giant")).groupBy("doc_id")
+        .agg(collect_list(col("pos")).as("ps"))
+      smallBase.join(perDoc, Seq("doc_id"))
+        .select(col("doc_id"), col("source"),
+          explode(expr(s"""transform(ps, p ->
+            |  struct(p as pos,
+            |    substring(text, cast(p as int), $minLen) as gram))"""
+            .stripMargin)).as("e"))
+        .select(col("doc_id"), col("source"), col("e.pos").as("pos"),
+          col("e.gram").as("gram"), lit(false).as("__giant"))
+    }
+    val candLit = gramsGiantOpt.fold(litSmall) { gg =>
+      litSmall.unionByName(
+        gg.join(cand.where(col("__giant")).select("doc_id", "pos"),
+            Seq("doc_id", "pos"), "left_semi")
+          .select(col("doc_id"), col("source"), col("pos"), col("gram"),
+            lit(true).as("__giant")))
+    }.localCheckpoint(true) // verified-count + start semi
+    val multiV = candLit.groupBy("source", "gram")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .where(col("n_docs") >= 2)
+      .select("source", "gram").hint("merge")
+    val starts = candLit.join(multiV, Seq("source", "gram"), "left_semi")
+      .select("doc_id", "pos", "__giant")
+    cutFromStarts(smallBase, giantBase, hasGiants, starts, minLen)
   }
 }

@@ -363,4 +363,118 @@ object DedupStreams {
       StreamStateDirs.delete(spark, s"$indexDir/chunks/batch_id=$id")
     }
   }
+
+  // --------------------------------------------------------------
+  // cross-span gram index stream (d36's state)
+  // --------------------------------------------------------------
+
+  private def crossSpanGramsSchema = StructType(Seq(
+    StructField("source", StringType), StructField("gram", StringType),
+    StructField("n_docs", LongType), StructField("batch_id", LongType)))
+
+  /** Streaming maintenance of the cross-span gram index (d36's state
+    * — [[graft.ops.SuffixArray.crossSpanIndex]]): each micro-batch of
+    * landing documents is gram-counted ONCE and its per-(source, gram)
+    * distinct-doc partial lands under `indexDir/grams/batch_id=N`,
+    * then a 1-row marker under `indexDir/marks/batch_id=N` — marker
+    * LAST, so a batch is committed iff its marker exists and a reader
+    * racing a mid-commit batch sees none of it; retried batches
+    * overwrite their own partitions (idempotent replay). The fifth
+    * incremental index family on the same operational story as t15
+    * (BM25), d33 (winnow) and d28 (CDC). [[loadCrossSpanIndex]]
+    * sum-merges committed partials (d36's disjoint-doc algebra —
+    * [[graft.ops.SuffixArray.crossSpanIndexMerge]], spec-pinned equal
+    * to the batch index); [[compactCrossSpanIndex]] folds them into
+    * one base partition with the covers-marker flip. Contract: doc
+    * ids unique across batches (each doc lands exactly once — settle
+    * with exact dedup first), or per-(source, gram) counts
+    * double-count, exactly as the batch merge states.
+    */
+  def crossSpanIndexStream(docs: DataFrame, indexDir: String,
+      checkpointDir: String, idCol: String = "doc_id",
+      textCol: String = "text", srcCol: String = "source",
+      minLen: Int = 16,
+      giantThreshold: Long = graft.ops.SuffixArray.GiantGroupThreshold)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ops.SuffixArray
+          .crossSpanIndex(batch, idCol, textCol, srcCol, minLen,
+            giantThreshold)
+          .write.mode("overwrite")
+          .parquet(s"$indexDir/grams/batch_id=$batchId")
+        val spark = batch.sparkSession
+        import spark.implicits._
+        // marker LAST: the commit point
+        Seq(Tuple1(null.asInstanceOf[Array[Long]])).toDF("covers")
+          .write.mode("overwrite")
+          .parquet(s"$indexDir/marks/batch_id=$batchId")
+      }
+      .start()
+
+  /** The full cross-span index from the partial layout: committed
+    * batches (marker present, not superseded by a compaction base)
+    * merged by d36's sum algebra. Empty before the first commit,
+    * never an error. Feed the result to
+    * [[graft.ops.SuffixArray.crossDocSpanRemovalFromIndex]] — the
+    * re-thresholding (`n_docs >= 2`) happens there, at read, so
+    * partials keep singleton grams that a LATER batch may complete
+    * into multi-doc evidence.
+    */
+  def loadCrossSpanIndex(spark: SparkSession, indexDir: String)
+      : DataFrame = {
+    val marks = PipelineStreams
+      .readOrEmpty(spark, s"$indexDir/marks", cdcMarksSchema)
+      .select("batch_id", "covers").collect() // one row per batch ever
+    val covered = marks.iterator.filterNot(_.isNullAt(1))
+      .flatMap(_.getSeq[Long](1)).toSet
+    val committed = marks.map(_.getLong(0)).filterNot(covered).toIndexedSeq
+    PipelineStreams
+      .readOrEmpty(spark, s"$indexDir/grams", crossSpanGramsSchema)
+      .where(col("batch_id").isin(committed: _*))
+      .groupBy("source", "gram")
+      .agg(sum("n_docs").as("n_docs"))
+  }
+
+  /** Fold every committed cross-span partial into ONE base partition
+    * (the [[compactCdcChunkIndex]] flip, verbatim): merged grams
+    * under a fresh base id, the base's covers-marker written next
+    * (readers exclude the superseded ids the same instant the base
+    * appears), originals deleted last — a crash mid-delete leaves
+    * covered, hence invisible, partitions the next compaction removes
+    * first.
+    */
+  def compactCrossSpanIndex(spark: SparkSession, indexDir: String): Unit = {
+    val marks = PipelineStreams
+      .readOrEmpty(spark, s"$indexDir/marks", cdcMarksSchema)
+      .select("batch_id", "covers").collect()
+    val covered = marks.iterator.filterNot(_.isNullAt(1))
+      .flatMap(_.getSeq[Long](1)).toSet
+    covered.toIndexedSeq.sorted.foreach { id =>
+      StreamStateDirs.delete(spark, s"$indexDir/marks/batch_id=$id")
+      StreamStateDirs.delete(spark, s"$indexDir/grams/batch_id=$id")
+    }
+    val ids = marks.map(_.getLong(0)).filterNot(covered).toIndexedSeq.sorted
+    if (ids.length <= 1) return
+    val base = math.min(ids.min, 0L) - 1L
+    val folded = PipelineStreams
+      .readOrEmpty(spark, s"$indexDir/grams", crossSpanGramsSchema)
+      .where(col("batch_id").isin(ids: _*))
+      .groupBy("source", "gram")
+      .agg(sum("n_docs").as("n_docs"))
+      .localCheckpoint(true) // materialize before writing under the read root
+    try {
+      folded.write.mode("overwrite")
+        .parquet(s"$indexDir/grams/batch_id=$base")
+      import spark.implicits._
+      Seq(Tuple1(ids)).toDF("covers")
+        .write.mode("overwrite")
+        .parquet(s"$indexDir/marks/batch_id=$base")
+    } finally { folded.unpersist(); () }
+    ids.foreach { id =>
+      StreamStateDirs.delete(spark, s"$indexDir/marks/batch_id=$id")
+      StreamStateDirs.delete(spark, s"$indexDir/grams/batch_id=$id")
+    }
+  }
 }

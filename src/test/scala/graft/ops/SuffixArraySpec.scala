@@ -322,6 +322,88 @@ class SuffixArraySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("crossDocRepeats refuses past the tie-mass budget with a diagnosis") {
+    val boiler = "SHARED BOILERPLATE LONG ENOUGH TO TIE AT LEVEL SIXTEEN"
+    val docs: Seq[(Long, String, String)] = Seq(
+      (1L, s"alpha $boiler one", "s1"),
+      (2L, s"beta $boiler two", "s1"),
+      (3L, s"gamma $boiler three", "s1"),
+      (4L, "clean unrelated text with no repeats", "s2"))
+    val df = docs.toDF("doc_id", "text", "source")
+    // budget 1: the frozen-level tie mass (every boilerplate window
+    // position, ~3 × 40) must refuse BEFORE the refinement loop
+    val e = intercept[IllegalStateException] {
+      SuffixArray.crossDocRepeats(df, "doc_id", "text", "source",
+        tieMassBudget = 1L).collect()
+    }
+    assert(e.getMessage.contains("budget"), e.getMessage)
+    assert(e.getMessage.contains("volume"), e.getMessage)
+    // the diagnosis names the routes out, not just the refusal
+    assert(e.getMessage.contains("crossDocSpanRemoval"), e.getMessage)
+    assert(e.getMessage.contains("p07"), e.getMessage)
+    assert(e.getMessage.contains("tieMassBudget"), e.getMessage)
+    // an ample explicit budget returns the same answer as the default
+    def key(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .sorted.toSeq
+    val ample = SuffixArray.crossDocRepeats(df, "doc_id", "text",
+      "source", tieMassBudget = Long.MaxValue).collect()
+    val default = SuffixArray.crossDocRepeats(df, "doc_id", "text",
+      "source").collect()
+    assert(key(ample) === key(default))
+    assert(default.exists(r => r.getString(0) == "s1" && r.getLong(1) >= boiler.length),
+      "the boilerplate repeat must be found under the default budget")
+  }
+
+  test("hashed gram carrier is byte-identical to the literal carrier") {
+    // long shared boilerplate (85 chars) so minLen = 40 — past the
+    // hashed-carrier auto threshold — is non-vacuous both ways
+    val boiler = "THIS LONG SHARED BOILERPLATE SENTENCE REPEATS ACROSS " +
+      "DOCUMENTS VERBATIM DIGITS 0123456789"
+    val docs: Seq[(Long, String, String)] = Seq(
+      (1L, s"alpha $boiler omega", "s1"),
+      (2L, s"$boiler middle bit $boiler", "s1"),
+      (3L, "no repeats here at all just ordinary words", "s1"),
+      (4L, s"other-source prefix $boiler", "s2"),
+      (5L, s"twin $boiler twin", "s2"),
+      (6L, "tiny", "s2")) ++
+      // dense 3-letter random docs: many short repeats → the hashed
+      // path's candidate set is data-sized, stressing re-verification
+      (0 until 15).map { i =>
+        (100L + i, (0 until (10 + rnd.nextInt(40)))
+          .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString, s"r${i % 3}")
+      }
+    val df = docs.toDF("doc_id", "text", "source")
+    def key(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).sorted.toSeq
+    for (minLen <- Seq(5, 20, 40); thr <- Seq(1L << 30, 24L)) {
+      val literal = SuffixArray.crossDocSpanRemoval(df, "doc_id", "text",
+        "source", minLen, giantThreshold = thr,
+        hashedCarrierFrom = Int.MaxValue).collect()
+      val hashed = SuffixArray.crossDocSpanRemoval(df, "doc_id", "text",
+        "source", minLen, giantThreshold = thr,
+        hashedCarrierFrom = 1).collect()
+      assert(key(hashed) === key(literal),
+        s"hashed carrier diverged from literal at minLen=$minLen thr=$thr")
+      // anchor to brute-force truth, not just to each other
+      val ref = refCrossRemove(docs, minLen)
+      val got = literal.map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+      docs.foreach { case (id, text, _) =>
+        assert(got(id) === ref(id),
+          s"literal carrier diverged from brute force for doc $id " +
+            s"at minLen=$minLen thr=$thr")
+      }
+    }
+    // the default auto-switch picks hashed at minLen >= 33: same bytes
+    val auto = SuffixArray.crossDocSpanRemoval(df, "doc_id", "text",
+      "source", 40).collect()
+    val lit40 = SuffixArray.crossDocSpanRemoval(df, "doc_id", "text",
+      "source", 40, hashedCarrierFrom = Int.MaxValue).collect()
+    assert(key(auto) === key(lit40), "auto-routed hashed carrier diverged")
+  }
+
   test("crossSpanIndex merge of disjoint halves reproduces the direct removal") {
     val docs: Seq[(Long, String, String)] = Seq(
       (1L, "HEADER COMMON TO ALL body one tail", "s1"),

@@ -267,4 +267,68 @@ class DedupStreamsSpec extends AnyFunSuite with SparkSpec {
         s"compaction left extra partials: $partials")
     } finally q.stop()
   }
+
+  test("streaming cross-span index == batch index; drives d35 removal; compaction invariant") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("xspan-stream-").toString
+    val minLen = 10
+    // the cross-batch case the index exists for: the boilerplate's
+    // SECOND witness arrives in a LATER batch, so neither batch alone
+    // sees a multi-doc gram — only the sum-merged index does
+    val boiler = "SHARED CROSS BATCH BOILERPLATE SENTENCE"
+    val rows: Seq[(Long, String, String)] = Seq(
+      (1L, s"alpha $boiler one", "s1"),
+      (2L, "no repeats in this one at all", "s1"),
+      (3L, s"beta $boiler two", "s1"),
+      (4L, s"other source $boiler", "s2"))
+    val in = MemoryStream[(Long, String, String)]
+    val q = DedupStreams.crossSpanIndexStream(
+      in.toDS().toDF("doc_id", "text", "source"),
+      s"$dir/index", s"$dir/ckpt", minLen = minLen)
+    val allDf = rows.toDF("doc_id", "text", "source")
+    def streamedIndex() = DedupStreams
+      .loadCrossSpanIndex(spark, s"$dir/index")
+    def indexMap() = streamedIndex().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    def removalVia(ix: org.apache.spark.sql.DataFrame) =
+      graft.ops.SuffixArray
+        .crossDocSpanRemovalFromIndex(allDf, ix, "doc_id", "text",
+          "source", minLen)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1),
+          r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    try {
+      // before any commit: empty index, not an error
+      assert(indexMap() === Map.empty)
+      in.addData(rows(0), rows(1))
+      q.processAllAvailable()
+      in.addData(rows(2), rows(3))
+      q.processAllAvailable()
+      val batchIx = graft.ops.SuffixArray
+        .crossSpanIndex(allDf, "doc_id", "text", "source", minLen)
+      val batchMap = batchIx.collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(indexMap() === batchMap)
+      // the streamed index drives the SAME removal as the direct op
+      val direct = graft.ops.SuffixArray
+        .crossDocSpanRemoval(allDf, "doc_id", "text", "source", minLen)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1),
+          r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+      assert(removalVia(streamedIndex()) === direct)
+      // the boilerplate IS cut (cross-batch witness found) — non-vacuous
+      assert(direct(1L)._3 < rows(0)._2.length.toLong,
+        "cross-batch boilerplate must be cut")
+      // compaction folds partials into one base; the read view and the
+      // removal it drives must not change (second compact = no-op)
+      DedupStreams.compactCrossSpanIndex(spark, s"$dir/index")
+      assert(indexMap() === batchMap)
+      assert(removalVia(streamedIndex()) === direct)
+      DedupStreams.compactCrossSpanIndex(spark, s"$dir/index")
+      assert(indexMap() === batchMap)
+      val partials = new java.io.File(s"$dir/index/grams").listFiles()
+        .filter(_.getName.startsWith("batch_id=")).map(_.getName).toSeq
+      assert(partials === Seq("batch_id=-1"),
+        s"compaction left extra partials: $partials")
+    } finally q.stop()
+  }
 }
