@@ -459,7 +459,29 @@ object ScaleStress {
             minLen = 250, hashedCarrierFrom = Int.MaxValue)),
         "d35wideh" -> (() => graft.ops.SuffixArray
           .crossDocSpanRemoval(corpus, "doc_id", "text", "source",
+            minLen = 250, hashedCarrierFrom = 1,
+            candRouteFraction = Double.MaxValue)),
+        // the SHIPPED hashed-carrier behavior on the candidate-dense
+        // twin corpus (r12): the measured candidate mass (~all
+        // positions) trips the CandRouteFraction reroute, so the row
+        // bounds the adversarial premium at one 8-byte hash pass +
+        // the literal run — vs d35wideh's unrouted re-verification
+        "d35wideauto" -> (() => graft.ops.SuffixArray
+          .crossDocSpanRemoval(corpus, "doc_id", "text", "source",
             minLen = 250, hashedCarrierFrom = 1)),
+        // the hashed carrier's DESIGN regime (r12): a mostly-clean
+        // corpus (per-doc salts break every cross-doc run outside
+        // src0) at the deployed threshold — candidates are sparse, so
+        // the literal carrier ships 250-char keys for EVERY position
+        // while the hashed one ships 8 bytes + a candidate-sized
+        // re-verification; d35widec pins literal, d35widech is the
+        // shipped default (hashed, no route below the fraction)
+        "d35widec" -> (() => graft.ops.SuffixArray
+          .crossDocSpanRemoval(saltedClean(plain), "doc_id", "text",
+            "source", minLen = 250, hashedCarrierFrom = Int.MaxValue)),
+        "d35widech" -> (() => graft.ops.SuffixArray
+          .crossDocSpanRemoval(saltedClean(plain), "doc_id", "text",
+            "source", minLen = 250)),
         // d35 with the ~3M-char giant (r12): the giant's grams route
         // through gatherGrams + cutCoveredGiant (d34giant's stages)
         // plus the (source, gram) distinct-doc count — the dedicated
@@ -516,15 +538,18 @@ object ScaleStress {
       }
       ops.filter(o => opFilter.forall(_.contains(o._1))).foreach { case (op, build) =>
         // a guarded refusal (d11's candidate budget) is ITSELF a
-        // measurement — record it and keep going
+        // measurement — record it WITH its cost (how fast the guard
+        // refuses is the guard's claim) and keep going
+        val t0 = System.nanoTime()
         try {
           val (rows, sec) = timed(force(build()))
           report(op, k, sec, rows)
         } catch {
           case e: IllegalStateException if
             Option(e.getMessage).exists(_.contains("budget")) =>
+            val sec = (System.nanoTime() - t0) / 1e9
             println(s"""{"op":"$op","scale":$k,"guard_tripped":true""" +
-              s"""${guardFields(e.getMessage)}}""")
+              s""","sec":$sec${guardFields(e.getMessage)}}""")
         }
         val sc = spark.sparkContext
         (sc.getPersistentRDDs.keySet -- pinned).foreach { id =>

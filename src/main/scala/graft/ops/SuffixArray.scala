@@ -105,6 +105,25 @@ object SuffixArray {
     */
   val HashedGramCarrierMinLen: Int = 33
 
+  /** Candidate-mass fraction past which the hashed gram carrier
+    * reroutes to the literal carrier (the containmentPairsAuto
+    * discipline: route on a MEASURED quantity, here the exact
+    * candidate position mass, read off the hash-level multi-doc
+    * aggregate before any literal-width shuffle is paid). The hashed
+    * carrier's premium over the literal one is its candidate-sized
+    * re-verification (a literal fetch + a second distinct-doc count
+    * + a second start semi-join); when most positions are candidates
+    * — a boilerplate-twin corpus, measured 6.6× the literal carrier
+    * at 10× — the "narrow" path re-pays the full literal volume on
+    * top of the hash pass, while the literal carrier pays it once.
+    * 0.25 keeps the adversarial penalty bounded by ~one 8-byte hash
+    * pass (cheap by construction) instead of the unbounded
+    * re-verification premium; mostly-clean corpora (the 100 TB
+    * regime the carrier exists for) sit far below it and never
+    * route.
+    */
+  val CandRouteFraction: Double = 0.25
+
   private val K0 = 8
 
   /** Radix for the giant paths' packed multi-code-per-long keys
@@ -1315,30 +1334,44 @@ object SuffixArray {
 
   /** (doc_id, pos, gram): every full minLen-char window of each
     * document, assembled from per-char rows by ONE balanced
-    * explode/re-group shuffle on (doc, window-start) — the
-    * [[fetchShifted]] shape carrying characters instead of codes.
-    * Nothing is bounded by a document: no doc-sized array row (the
-    * transform-over-sequence gram pass materializes a document-sized
-    * array per row — exactly what a 100 MB outlier must avoid) and
-    * no per-doc window. Cost ∝ minLen × chars, the exactness price;
-    * grams are literal strings, so downstream equality is never
-    * probabilistic.
+    * CHUNKED scan-local assembly (round 12 — replacing the
+    * per-char slot-explode + (doc, window-start) re-group, whose
+    * shuffle carried minLen × chars ROWS: 120M for one 6M-char giant
+    * at minLen 20, the giant rows' dominant cost): the doc row
+    * explodes into ⌈(n−minLen+1)/C⌉ chunk indices, each chunk
+    * projects a (C+minLen−1)-char slice — windows crossing a chunk
+    * boundary belong to the chunk on their left — and grams emit
+    * from a CHUNK-local transform-over-sequence, all inside the scan
+    * stage: gatherGrams itself now shuffles NOTHING. Nothing is
+    * bounded by a document: the only arrays are chunk-sized
+    * (C × minLen chars, a few MB by construction — never the
+    * doc-sized array a 100 MB outlier must avoid) and there is no
+    * per-doc window. Output volume is still minLen × chars — the
+    * exactness price — but it rides the downstream consumer's one
+    * balanced shuffle instead of paying an extra assembly shuffle
+    * first. Grams are literal strings, so downstream equality is
+    * never probabilistic. Byte-equal to the slot-explode form by the
+    * window identity (spec-pinned via the giant-path equality
+    * specs).
     */
   private def gatherGrams(base: DataFrame, minLen: Int): DataFrame = {
-    val slots = (0 until minLen).map(o => struct(
-      (col("pos") - o).as("tpos"), lit(o).as("slot"), col("ch").as("ch")))
-    val chars = base
+    val c = 8192L // chunk width: 8k grams/row → ≤ ~2 MB arrays at minLen 250
+    base
       .select(col("doc_id"), length(col("text")).cast("long").as("n"),
-        posexplode(split(col("text"), "")).as(Seq("p0", "ch")))
-      .select(col("doc_id"), col("n"), (col("p0") + 1).cast("long").as("pos"),
-        col("ch"))
-    chars
-      .select(col("doc_id"), col("n"), explode(array(slots: _*)).as("e"))
-      .where(col("e.tpos") >= 1 &&
-        col("e.tpos") <= col("n") - (minLen - 1))
-      .groupBy(col("doc_id"), col("e.tpos").as("pos"))
-      .agg(concat((0 until minLen).map(o =>
-        max(when(col("e.slot") === o, col("e.ch")))): _*).as("gram"))
+        col("text"))
+      .where(col("n") >= minLen)
+      .select(col("doc_id"), col("n"), col("text"),
+        explode(expr(s"sequence(0L, (n - $minLen) div $c)")).as("ci"))
+      .select(col("doc_id"), (col("ci") * c).as("base0"),
+        least(lit(c), col("n") - (minLen - 1) - col("ci") * c).as("k"),
+        col("text").substr((col("ci") * c + 1).cast("int"),
+          lit((c + minLen - 1).toInt)).as("chunk"))
+      .select(col("doc_id"), col("base0"),
+        posexplode(expr(s"""transform(sequence(1, cast(k as int)),
+          |  j -> substring(chunk, j, $minLen))""".stripMargin))
+          .as(Seq("j0", "gram")))
+      .select(col("doc_id"), (col("base0") + col("j0") + 1).as("pos"),
+        col("gram"))
   }
 
   /** The giant-document cut: covered positions from fixed-width
@@ -1351,10 +1384,21 @@ object SuffixArray {
   private def cutCoveredGiant(giantBase: DataFrame, starts: DataFrame,
       minLen: Int, extraCols: Seq[String] = Nil): DataFrame = {
     val chunkChars = 1L << 20
+    // per-char rows via CHUNK-local split (round 12): the doc-level
+    // split(text, "") materialized a doc-sized array per giant row —
+    // the very shape this path exists to avoid; chunking first keeps
+    // every intermediate array ≤ 64k elements with identical output
+    val cw = 1L << 16
     val chars = giantBase
-      .select(col("doc_id"), posexplode(split(col("text"), ""))
-        .as(Seq("p0", "ch")))
-      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+      .select(col("doc_id"), length(col("text")).cast("long").as("n"),
+        col("text"))
+      .select(col("doc_id"), col("text"),
+        explode(expr(s"sequence(0L, (n - 1) div $cw)")).as("ci"))
+      .select(col("doc_id"), (col("ci") * cw).as("cb"),
+        posexplode(split(col("text")
+          .substr((col("ci") * cw + 1).cast("int"), lit(cw.toInt)), ""))
+          .as(Seq("p0", "ch")))
+      .select(col("doc_id"), (col("cb") + col("p0") + 1).as("pos"),
         col("ch"))
     val covered = starts.select(col("doc_id"),
       explode(sequence(col("pos").cast("long"),
@@ -1406,7 +1450,10 @@ object SuffixArray {
     * operator switches to [[crossSpanHashedImpl]]: an 8-byte
     * `xxhash64` carrier on every data-sized shuffle plus literal
     * candidate re-verification, the d25 discipline, byte-identical
-    * output by the re-verification argument in that impl's scaladoc).
+    * output by the re-verification argument in that impl's scaladoc;
+    * when the MEASURED candidate mass exceeds `candRouteFraction` of
+    * all positions the hashed impl itself reroutes to the literal
+    * carrier — see [[CandRouteFraction]]).
     *
     * Returns one row per non-null-text document:
     * (doc_id, source, n_chars, n_kept_chars, cleaned).
@@ -1415,10 +1462,11 @@ object SuffixArray {
       textCol: String = "text", srcCol: String = "source",
       minLen: Int = 16,
       giantThreshold: Long = GiantGroupThreshold,
-      hashedCarrierFrom: Int = HashedGramCarrierMinLen): DataFrame =
+      hashedCarrierFrom: Int = HashedGramCarrierMinLen,
+      candRouteFraction: Double = CandRouteFraction): DataFrame =
     if (minLen >= hashedCarrierFrom)
       crossSpanHashedImpl(docs, idCol, textCol, srcCol, minLen,
-        giantThreshold)
+        giantThreshold, candRouteFraction)
     else
       crossSpanImpl(docs, idCol, textCol, srcCol, minLen, giantThreshold,
         index = None)
@@ -1513,6 +1561,16 @@ object SuffixArray {
       giantThreshold: Long, index: Option[DataFrame]): DataFrame = {
     require(minLen >= 1, s"minLen must be >= 1 (got $minLen)")
     val split = prepCross(docs, idCol, textCol, srcCol, giantThreshold)
+    crossSpanFromSplit(split, minLen, index)
+  }
+
+  /** The literal-carrier body over an already-prepared corpus split —
+    * shared by [[crossSpanImpl]] and the hashed carrier's
+    * candidate-mass reroute (which has paid prepCross already).
+    */
+  private def crossSpanFromSplit(
+      split: (DataFrame, DataFrame, Boolean), minLen: Int,
+      index: Option[DataFrame]): DataFrame = {
     val (smallBase, giantBase, hasGiants) = split
     val grams = crossGrams(split, minLen)
       .localCheckpoint(true) // multi-doc count + starts
@@ -1562,11 +1620,19 @@ object SuffixArray {
     * (property-spec'd). The verification pass is candidate-sized —
     * ~the true duplicated mass — so on mostly-clean corpora the
     * literal strings ride only scan-local projections and one small
-    * shuffle.
+    * shuffle. On candidate-DENSE corpora that premise inverts
+    * (re-verification re-pays the literal volume on top of the hash
+    * pass — measured 6.6× the literal carrier on an all-twin corpus
+    * at 10×), so the impl reads the exact candidate mass off the
+    * hash-level aggregate and reroutes to the literal carrier past
+    * `candRouteFraction` of positions ([[CandRouteFraction]]) —
+    * routing on a measured volume, the containmentPairsAuto
+    * discipline; the sunk cost is one 8-byte-wide pass.
     */
   private def crossSpanHashedImpl(docs: DataFrame, idCol: String,
       textCol: String, srcCol: String, minLen: Int,
-      giantThreshold: Long): DataFrame = {
+      giantThreshold: Long,
+      candRouteFraction: Double = CandRouteFraction): DataFrame = {
     require(minLen >= 1, s"minLen must be >= 1 (got $minLen)")
     val split = prepCross(docs, idCol, textCol, srcCol, giantThreshold)
     val (smallBase, giantBase, hasGiants) = split
@@ -1596,10 +1662,24 @@ object SuffixArray {
         gg.select(col("doc_id"), col("source"), col("pos"),
           xxhash64(col("gram")).as("ghash"), lit(true).as("__giant"))))
       .localCheckpoint(true) // multi-doc count + candidate semi
-    val multiH = hashes.groupBy("source", "ghash")
-      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    // qualifying hash groups carry their POSITION mass alongside the
+    // distinct-doc count: the exact candidate volume the
+    // re-verification pass would pay, read for the price of one more
+    // aggregate column — the routing signal (see [[CandRouteFraction]])
+    val multiH0 = hashes.groupBy("source", "ghash")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_pos"))
       .where(col("n_docs") >= 2)
-      .select("source", "ghash").hint("merge")
+      .localCheckpoint(true)
+    val candMass = multiH0.agg(coalesce(sum(col("n_pos")), lit(0L)))
+      .head().getLong(0)
+    val totalPos = hashes.count()
+    if (totalPos > 0 && candMass > candRouteFraction * totalPos)
+      // most positions are candidates: re-verification would re-pay
+      // the literal volume ON TOP of the hash pass — route to the
+      // literal carrier (sunk cost: the 8-byte pass just measured)
+      return crossSpanFromSplit(split, minLen, index = None)
+    val multiH = multiH0.select("source", "ghash").hint("merge")
     val cand = hashes.join(multiH, Seq("source", "ghash"), "left_semi")
       .select("doc_id", "source", "pos", "__giant")
       .localCheckpoint(true) // feeds both literal-fetch faces

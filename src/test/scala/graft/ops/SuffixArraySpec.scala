@@ -381,11 +381,23 @@ class SuffixArraySpec extends AnyFunSuite with SparkSpec {
       val literal = SuffixArray.crossDocSpanRemoval(df, "doc_id", "text",
         "source", minLen, giantThreshold = thr,
         hashedCarrierFrom = Int.MaxValue).collect()
+      // candRouteFraction pinned high: this exercises the PURE hashed
+      // path (the dense 3-letter docs would otherwise trip the
+      // candidate-mass reroute and quietly compare literal to literal)
       val hashed = SuffixArray.crossDocSpanRemoval(df, "doc_id", "text",
         "source", minLen, giantThreshold = thr,
-        hashedCarrierFrom = 1).collect()
+        hashedCarrierFrom = 1,
+        candRouteFraction = Double.MaxValue).collect()
       assert(key(hashed) === key(literal),
         s"hashed carrier diverged from literal at minLen=$minLen thr=$thr")
+      // the candidate-mass reroute (candRouteFraction = 0 forces it):
+      // routed output must be the same bytes — the route is a carrier
+      // choice, never a semantics choice
+      val routed = SuffixArray.crossDocSpanRemoval(df, "doc_id", "text",
+        "source", minLen, giantThreshold = thr,
+        hashedCarrierFrom = 1, candRouteFraction = 0.0).collect()
+      assert(key(routed) === key(literal),
+        s"routed carrier diverged from literal at minLen=$minLen thr=$thr")
       // anchor to brute-force truth, not just to each other
       val ref = refCrossRemove(docs, minLen)
       val got = literal.map(r => r.getLong(0) ->
