@@ -86,8 +86,9 @@ object SuffixArray {
     * the mass itself turns super-linear past k = 26 because the
     * vowel rotations wrap and copies 26 apart become literal
     * duplicates). 8M sits between the acceptable 10× regime and the
-    * tail. The refusal costs round 0 only (the linear part — 347 s
-    * vs 1,562 s at 30×): the mass IS the round-0 tie relation's
+    * tail. The refusal costs round 0 only (the linear part —
+    * MEASURED 503 s refusal vs the 1,562 s silent run at 30×, the
+    * `d32_guard` scale row): the mass IS the round-0 tie relation's
     * size, so no cheaper exact signal exists. Callers with a
     * genuinely repeat-dense corpus should pre-deduplicate (d01/d02),
     * use the span faces (d35/p07), or raise the budget explicitly.
