@@ -242,7 +242,11 @@ object Plans {
     // round 12: d36 incremental cross-span removal (the d35 cut faces
     // driven by the merged (source, gram, n_docs) index — the probe
     // side is a sum-merged equi-join, never a recount of history)
-    "d36_incremental_cross_span")
+    "d36_incremental_cross_span",
+    // round 12: d37 wide cross-span removal (minLen=40 — the hashed
+    // xxhash64 carrier path: 8-byte keys on the data-sized shuffles,
+    // literal re-verification candidate-sized)
+    "d37_wide_cross_span")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

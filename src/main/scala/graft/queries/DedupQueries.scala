@@ -656,6 +656,22 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // d35 at a WIDE threshold (>= HashedGramCarrierMinLen = 33), so
+    // the default dispatch runs the HASHED gram carrier end-to-end
+    // against the SAME definitional oracle d35 uses at minLen=20:
+    // xxhash64 keys on the data-sized shuffles, the >=2-occurrence
+    // prefilter, the candidate-mass route decision and the literal
+    // re-verification all sit on an oracle-checked path (not just the
+    // property spec). The oracle knows nothing of carriers — identical
+    // hashes at both thresholds ARE the carrier-equivalence statement.
+    "d37_wide_cross_span" -> ((s, d) => {
+      SuffixArray.crossDocSpanRemoval(Tables.load(s, d, "documents"),
+          "doc_id", "text", "source", minLen = WideCrossSpanMinLen)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("n_kept_chars"), md5(col("cleaned")).as("cleaned_md5"))
+        .orderBy("doc_id")
+    }),
+
     // SemDeDup: k-means clusters bound the pairwise cosine search
     // (candidates = Σ|cluster|², n²/k expected; the paper scales k with
     // n to keep clusters bounded). Training is s08's deterministic
@@ -845,28 +861,42 @@ object DedupQueries {
     */
   private val CrossSpanMinLen = 20
 
-  /** d35: the definitional statement — per source, a position is
+  /** d37's span threshold: past `HashedGramCarrierMinLen` (33), so
+    * the DEFAULT crossDocSpanRemoval dispatch runs the HASHED
+    * carrier — xxhash64 keys, the ≥2-occurrence prefilter, the
+    * candidate-mass route decision and the literal re-verification
+    * all sit on this query's oracle-checked path (d35 at minLen=20
+    * exercises only the literal carrier). At the verify SF exactly
+    * 2 of 500 docs carry ≥40-char cross-doc spans (the planted
+    * near-exact pair) — thin but non-vacuous in BOTH directions, and
+    * the md5 gate verifies all 500 rewrites byte-for-byte.
+    */
+  private val WideCrossSpanMinLen = 40
+
+  /** d35/d37: the definitional statement — per source, a position is
     * covered iff some minLen-window containing it occurs in >= 2
     * DISTINCT documents of that source (the gram-coverage identity's
     * right-hand side, which the engine's scaladoc proves equal to
     * "every cross-doc repeated span of length >= minLen"); the
     * cleaned text as the ordered uncovered chars, digested to md5
-    * (the d34 shape with a cross-doc witness condition).
+    * (the d34 shape with a cross-doc witness condition). The oracle
+    * knows nothing of carriers — the SAME definitional SQL at both
+    * thresholds is exactly what makes d37 a carrier-equivalence gate.
     */
-  private val d35OracleSql: String =
+  private def crossSpanOracleSql(minLen: Int): String =
     s"""WITH nn AS (SELECT source, doc_id, text FROM documents
        |  WHERE text IS NOT NULL),
        |p AS (SELECT source, doc_id, text, unnest(generate_series(1, length(text))) AS pos
        |  FROM nn WHERE length(text) >= 1),
        |g AS (SELECT source, doc_id, pos,
-       |    substr(text, pos::INT, $CrossSpanMinLen) AS gram
-       |  FROM p WHERE pos <= length(text) - ${CrossSpanMinLen - 1}),
+       |    substr(text, pos::INT, $minLen) AS gram
+       |  FROM p WHERE pos <= length(text) - ${minLen - 1}),
        |md AS (SELECT source, gram FROM g GROUP BY 1, 2
        |  HAVING count(DISTINCT doc_id) >= 2),
        |st AS (SELECT g.doc_id, g.pos FROM g JOIN md
        |  ON g.source = md.source AND g.gram = md.gram),
        |cov AS (SELECT DISTINCT doc_id, pos + u.i AS cp FROM st,
-       |  unnest(generate_series(0, ${CrossSpanMinLen - 1})) u(i)),
+       |  unnest(generate_series(0, ${minLen - 1})) u(i)),
        |ch AS (SELECT p.doc_id, p.pos, substr(p.text, p.pos::INT, 1) AS c,
        |    cov.cp IS NOT NULL AS covered
        |  FROM p LEFT JOIN cov ON p.doc_id = cov.doc_id AND p.pos = cov.cp),
@@ -881,6 +911,8 @@ object DedupQueries {
        |  COALESCE(k.n_kept_chars, 0) AS n_kept_chars,
        |  COALESCE(k.cleaned_md5, md5('')) AS cleaned_md5
        |FROM nn LEFT JOIN k USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  private val d35OracleSql: String = crossSpanOracleSql(CrossSpanMinLen)
 
   /** d34: spans stated from the same lag()-over-suffix-order LCPs as
     * d31, BOTH sides of each adjacent pair, coverage as a distinct
@@ -1553,6 +1585,7 @@ object DedupQueries {
     "d32_cross_doc_repeats" -> d32OracleSql,
     "d34_repeat_span_removal" -> d34OracleSql,
     "d35_cross_span_removal" -> d35OracleSql,
+    "d37_wide_cross_span" -> crossSpanOracleSql(WideCrossSpanMinLen),
     // merged == direct, hash-proven by the shared oracle (d28 pattern)
     "d36_incremental_cross_span" -> d35OracleSql,
 
