@@ -1380,10 +1380,26 @@ object SuffixArray {
     * text reassembled chunk-wise (1M-char pieces, then one
     * output-sized concat per document) — never a doc-bounded window
     * or a doc-sized intermediate array. Output matches [[cutSpans]]'s
-    * schema and, by the gram-coverage identity, its bytes.
+    * schema and, by the gram-coverage identity, its bytes. Giants
+    * with NO covered position short-circuit to a pass-through
+    * projection (round 12): disassembling and reassembling a clean
+    * 100 MB document char-by-char to conclude "unchanged" is the
+    * single most expensive no-op in the family — the starts relation
+    * already names the docs that need the machinery, and the
+    * membership split is giant-count-sized.
     */
-  private def cutCoveredGiant(giantBase: DataFrame, starts: DataFrame,
+  private def cutCoveredGiant(giantBase0: DataFrame, starts0: DataFrame,
       minLen: Int, extraCols: Seq[String] = Nil): DataFrame = {
+    val starts = starts0.localCheckpoint(true)
+    val cutDocs = starts.select("doc_id").distinct()
+    val untouched = giantBase0
+      .join(broadcast(cutDocs), Seq("doc_id"), "left_anti")
+      .select(Seq(col("doc_id")) ++ extraCols.map(col) ++
+        Seq(length(col("text")).cast("long").as("n_chars"),
+          length(col("text")).cast("long").as("n_kept_chars"),
+          col("text").as("cleaned")): _*)
+    val giantBase = giantBase0
+      .join(broadcast(cutDocs), Seq("doc_id"), "left_semi")
     val chunkChars = 1L << 20
     // per-char rows via CHUNK-local split (round 12): the doc-level
     // split(text, "") materialized a doc-sized array per giant row —
@@ -1422,6 +1438,7 @@ object SuffixArray {
         Seq(length(col("text")).cast("long").as("n_chars"),
           coalesce(col("n_kept_chars"), lit(0L)).as("n_kept_chars"),
           coalesce(col("cleaned"), lit("")).as("cleaned")): _*)
+      .unionByName(untouched)
   }
 
   /** Cross-document EXACT span removal per source (d35 — Lee et al.
