@@ -230,8 +230,9 @@ object Bench {
     // measured 14% apart (r10 266.8 s vs an A/B re-run at 306.6 s —
     // box drift the size of a real regression). Normalizing each
     // query by ITS RUN'S suite median cancels machine speed: the
-    // committed BENCH_BASELINE.json pins the r11 official per-query
-    // map, and each run reports per-query
+    // committed BENCH_BASELINE.json pins the official per-query map of
+    // the most recent round that changed plans intentionally (the
+    // SCALING.md re-pin rule), and each run reports per-query
     //   (t_q / median) / (base_q / base_median)
     // plus their geometric mean — a code regression moves specific
     // queries' mednorm ratios while box drift moves none (validated:
@@ -277,6 +278,36 @@ object Bench {
         }
       }
     val anchorSec = anchor.getOrElse(0.0)
+    // MECHANIZED OUTLIER ADJUDICATION (round 13): SCALING's grading
+    // rule demands a solo re-run for every query whose mednorm-vs-
+    // baseline ratio exceeds ~1.3, and in round 12 that pass was a
+    // manual step the verdict had to run itself. Now the bench runs it
+    // inline: each >1.3 outlier is re-timed once after the suite, with
+    // released state and a forced GC (the conditions of a solo
+    // BENCH_ONLY run — the r12 adjudications showed in-suite outliers
+    // are usually JVM/block-manager accumulation, which this clears).
+    // A ratio that collapses here is suite state; one that persists is
+    // the real regression list for the round. Cost is bounded: only
+    // outliers re-run, once.
+    val outliers: Seq[String] =
+      vsBase.map(_._2.collect { case (k, r) if r > 1.3 => k })
+        .getOrElse(Nil)
+    val outlierSolo: Seq[(String, Double)] =
+      if (outliers.isEmpty) Nil
+      else {
+        System.gc(); Thread.sleep(500)
+        outliers.flatMap { n =>
+          val t0 = System.nanoTime()
+          try {
+            force(SparkEntry.queries(n)(spark, sfDir))
+            Some(n -> (System.nanoTime() - t0) / 1e9)
+          } catch {
+            case scala.util.control.NonFatal(_) => None
+          } finally released(spark)
+        }
+      }
+    val outlierJson = outlierSolo.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val vsBaseScalars = vsBase.map { case (gm, rels) =>
       s""","vs_base_mednorm_gm":$gm,"n_base_shared":${rels.size}"""
     }.getOrElse("")
@@ -285,14 +316,42 @@ object Bench {
         .mkString("{", ",", "}")
     }.getOrElse("{}")
     val loadAfter = loadAvg()
-    // compact summary: scalar fields only (~200 bytes). The driver keeps
-    // a bounded tail of stdout and parses its LAST line as JSON; the full
-    // per-query/anchor maps are ~6 KB and overflow that tail, so they
-    // live only in BENCH_OUT below.
+    // DRIVER-VISIBLE PER-QUERY TIMINGS (round 14): the driver parses the
+    // LAST stdout line as JSON and stores only a 2000-char tail (every
+    // BENCH_r*.json artifact holds exactly 2000 chars), so the full
+    // 229-entry per-query map — ~5.6 KB even at ms precision, names
+    // alone are ~4 KB — can never ride on that line whole. Two rounds
+    // of PERF grading ran blind (per_query empty) because the summary
+    // carried no map at all. Compromise: pack as many per-query entries
+    // as fit a byte budget that keeps the WHOLE line under the 2000-char
+    // tail, most expensive queries first (the perf-relevant ones), with
+    // the truncation explicit (n_q_reported / n_q_total — no silent
+    // caps). The complete map still lives in BENCH_OUT below.
+    def fmt(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    val scalarHead =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_ok":${results.size},"n_err":${errors.size},"median_sec":${fmt(medianSec)},"anchor_sec":${fmt(anchorSec)},"total_over_median":${fmt(if (medianSec > 0) total / medianSec else 0.0)}$vsBaseScalars,"n_outliers":${outliers.size},"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"load_gate":"$loadGate","sf":"$sfDir""""
+    val qsCompact: (String, Int) = {
+      // stop at the FIRST entry that overflows so the reported set is
+      // exactly the top-N by time, not "whatever short names squeezed in"
+      val tailFixed = s""","queries":{},"n_q_reported":999,"n_q_total":${results.size}}"""
+      val budget = 1980 - scalarHead.length - tailFixed.length
+      val sb = new StringBuilder
+      var n = 0
+      var full = false
+      results.sortBy(-_._2).foreach { case (k, v) =>
+        if (!full) {
+          val entry = (if (n == 0) "" else ",") + "\"" + k + "\":" + fmt(v)
+          if (sb.length + entry.length <= budget) { sb ++= entry; n += 1 }
+          else full = true
+        }
+      }
+      ("{" + sb.toString + "}", n)
+    }
     val summary =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_ok":${results.size},"n_err":${errors.size},"median_sec":$medianSec,"anchor_sec":$anchorSec,"total_over_median":${if (medianSec > 0) total / medianSec else 0.0}$vsBaseScalars,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"load_gate":"$loadGate","sf":"$sfDir"}"""
+      s"""$scalarHead,"queries":${qsCompact._1},"n_q_reported":${qsCompact._2},"n_q_total":${results.size}}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"anchor_ratios":$anchorJson,"anchor_query":"d01_exact_dedup","anchor_median_sec":$medianSec,"anchor_ratios_median":$medianRatioJson,"vs_base_mednorm":$vsBaseJson,"baseline_file":"${jsonEscape(baselinePath)}"$vsBaseScalars,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"load_gate":"$loadGate","errors":$errJson,"n_ok":${results.size},"n_err":${errors.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"anchor_ratios":$anchorJson,"anchor_query":"d01_exact_dedup","anchor_median_sec":$medianSec,"anchor_ratios_median":$medianRatioJson,"vs_base_mednorm":$vsBaseJson,"baseline_file":"${jsonEscape(baselinePath)}"$vsBaseScalars,"outlier_solo":$outlierJson,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"load_gate":"$loadGate","errors":$errJson,"n_ok":${results.size},"n_err":${errors.size},"sf":"$sfDir"}"""
     // a BENCH_ONLY subset is an iteration aid, never the round's perf
     // artifact — writing it to bench_out.json clobbered the full-suite
     // numbers twice (caught by review both times); partial runs go to a

@@ -283,6 +283,23 @@ object Plans {
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       sb ++= s"\n## $name\n\n```\n$plan```\n"
     }
+    // the hashed carrier's PRE-CHECKPOINT hash pass (round 13 — the
+    // committed d37 plan above shows only post-checkpoint stages, so
+    // the "literal grams never hit a data-sized exchange" claim needs
+    // this stage's plan on record too; the machine gate is the
+    // SuffixArraySpec plan test): scan-local xxhash64 projection, then
+    // ONE exchange keyed (source, ghash) with partial min/max/count —
+    // no countDistinct Expand, no literal gram column below the scan.
+    locally {
+      val base = graft.sources.Tables.load(spark, sf, "documents")
+        .where(org.apache.spark.sql.functions.col("text").isNotNull)
+        .select("doc_id", "text", "source")
+      val pre = graft.ops.SuffixArray.hashPrefilter(
+        graft.ops.SuffixArray.hashGramRows(base, 40))
+      val plan = pre.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      sb ++= s"\n## d37_wide_cross_span — pre-checkpoint hash pass (hashGramRows → hashPrefilter, minLen=40)\n\n```\n$plan```\n"
+    }
     Files.writeString(Paths.get(out), sb.toString)
     println(s"wrote $out")
     spark.stop()

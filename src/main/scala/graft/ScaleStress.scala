@@ -243,6 +243,18 @@ object ScaleStress {
             .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
             .distinct())
         .localCheckpoint(true)
+      // d36's PERSISTED state (round 13 — the d17 methodology): the
+      // history half's cross-span gram index is built OUTSIDE the
+      // timed closure; the claim under measurement is "refresh ∝
+      // batch" — history docs never re-gram, the timed work is the
+      // batch index + the algebraic merge (d36ix), plus the removal
+      // rewrite from the merged index (d36, corpus-sized by contract:
+      // the cut face rewrites every doc)
+      val hist36 = corpus.where(col("doc_id") < 1000000000L)
+      val batch36 = corpus.where(col("doc_id") >= 1000000000L)
+      val histIx36 = graft.ops.SuffixArray.crossSpanIndex(
+          hist36, "doc_id", "text", "source", minLen = 20)
+        .localCheckpoint(true)
       // snapshot AFTER the corpus checkpoints: the sweep below must
       // release only what each op pinned, never the corpus itself
       // (df.rdd.id mints a NEW id, so comparing against it protects
@@ -489,6 +501,23 @@ object ScaleStress {
         "d35giant" -> (() => graft.ops.SuffixArray
           .crossDocSpanRemoval(withGiantDoc(plain), "doc_id", "text",
             "source", minLen = 20)),
+        // d36's settle face (round 13): refresh-only — index the batch
+        // half + merge with the prebuilt history index by pure algebra;
+        // the curve must track the BATCH, not the corpus (history never
+        // re-grams)
+        "d36ix" -> (() => graft.ops.SuffixArray.crossSpanIndexMerge(
+          histIx36,
+          graft.ops.SuffixArray.crossSpanIndex(batch36, "doc_id", "text",
+            "source", minLen = 20))),
+        // the full d36 refresh INCLUDING the rewrite from the merged
+        // index — corpus-sized by contract (the cut face rewrites every
+        // doc); expected ≈ d35 minus the history gram recount
+        "d36" -> (() => graft.ops.SuffixArray.crossDocSpanRemovalFromIndex(
+          corpus,
+          graft.ops.SuffixArray.crossSpanIndexMerge(histIx36,
+            graft.ops.SuffixArray.crossSpanIndex(batch36, "doc_id", "text",
+              "source", minLen = 20)),
+          "doc_id", "text", "source", minLen = 20)),
         // the d32 tie-mass guard row (r12): the same call as d32 at
         // the DEFAULT budget — at 30x the frozen-level tie mass
         // (~18.7M) exceeds the 8M budget and the row records the
@@ -623,6 +652,7 @@ object ScaleStress {
       }
       corpus.unpersist(); plain.unpersist(); events.unpersist()
       vecs.unpersist(); histBands17.unpersist(); histLabels17.unpersist()
+      histIx36.unpersist()
     }
 
     // the d11 budget guard: a low-entropy corpus (every doc the same

@@ -1726,16 +1726,23 @@ object Dedup {
       .where(col("h").isNotNull)
       .withColumn("pos", shiftright(col("packed"), 32))
       .join(base.select("doc_id", "source"), Seq("doc_id"))
+    // one-pass multi-doc tests (round 13): a (source, h[, gram]) group
+    // is selected by >= 2 distinct docs iff min(doc_id) != max(doc_id)
+    // — exactly countDistinct >= 2, but via plain partial min/max, so
+    // each test costs ONE map-side-combined exchange instead of
+    // countDistinct's two (the fingerprint relation is the funnel's
+    // data-sized stage; the gram-verified recount is candidate-sized)
     val hc = fps.groupBy("source", "h")
-      .agg(countDistinct("doc_id").as("nd")).where(col("nd") >= 2)
+      .agg(min("doc_id").as("__d0"), max("doc_id").as("__d1"))
+      .where(col("__d0") =!= col("__d1"))
       .select("source", "h")
     fps.join(hc, Seq("source", "h"), "left_semi")
       .join(base.select("doc_id", "text"), Seq("doc_id"))
       .withColumn("gram",
         expr(s"substring(text, cast(pos as int), $k)"))
       .groupBy("source", "h", "gram")
-      .agg(countDistinct("doc_id").as("nd2"))
-      .where(col("nd2") >= 2)
+      .agg(min("doc_id").as("__d0"), max("doc_id").as("__d1"))
+      .where(col("__d0") =!= col("__d1"))
       .select("source").distinct()
   }
 

@@ -678,10 +678,15 @@ object SuffixArray {
       */
     def existsOver(t: DataFrame): DataFrame = {
       val real = if (cross) t.where(col("tag").isNotNull) else t
-      val cnt: Column =
-        if (cross) countDistinct(col("tag")) else count(lit(1))
-      real.groupBy(col("gid"), col("rank")).agg(cnt.as("m"))
-        .groupBy("gid").agg((max(col("m")) >= 2).as("ok"))
+      // one-pass class test (round 13): >= 2 distinct tags iff
+      // min(tag) != max(tag) — countDistinct's Expand/two-exchange
+      // plan replaced by plain partial min/max over the tie relation,
+      // which this loop re-aggregates EVERY level
+      val classOk: Column =
+        if (cross) min(col("tag")) =!= max(col("tag"))
+        else count(lit(1)) >= 2
+      real.groupBy(col("gid"), col("rank")).agg(classOk.as("ok"))
+        .groupBy("gid").agg(max(col("ok")).as("ok"))
     }
 
     // driver-held search state per gid: (h, lo, hi) — the repeat
@@ -700,9 +705,13 @@ object SuffixArray {
     val trivial: Set[Any] = {
       val real =
         if (cross) codesAll.where(col("tag").isNotNull) else codesAll
-      val cnt: Column =
-        if (cross) countDistinct(col("tag")) else count(lit(1))
-      real.groupBy("gid").agg(cnt.as("m")).where(col("m") < 2)
+      // < 2 distinct tags iff min(tag) == max(tag) (groups with zero
+      // real rows emit no aggregate row under either form) — the same
+      // one-pass replacement as existsOver
+      val triv: Column =
+        if (cross) min(col("tag")) === max(col("tag"))
+        else count(lit(1)) < 2
+      real.groupBy("gid").agg(triv.as("__t")).where(col("__t"))
         .select("gid").collect().map(_.get(0)).toSet
     }
     var ties = tiesOf(ranks).localCheckpoint(true)
@@ -810,8 +819,11 @@ object SuffixArray {
     val nullTag: Column =
       if (hasTag) lit(null).cast(frozen.schema("tag").dataType)
       else lit(null)
-    val qCnt: Column =
-      if (cross) countDistinct(col("tag")) else count(lit(1))
+    // one-pass class-qualification predicate (round 13): >= 2 distinct
+    // tags iff min != max — replaces countDistinct(tag) in every
+    // class test below (qualify, classStats), the existsOver argument
+    val qOk: Column =
+      if (cross) min(col("tag")) =!= max(col("tag")) else count(lit(1)) >= 2
 
     /** Keep only rows whose class (by `keyCols`) qualifies — ≥ 2
       * members, cross: ≥ 2 distinct owning docs.
@@ -820,8 +832,8 @@ object SuffixArray {
       val real = if (cross) rows.where(col("tag").isNotNull) else rows
       // hint("merge"): same mispicked-broadcast hazard as tiesOf —
       // qualifying class lists can be corpus-scale
-      rows.join(real.groupBy(keyCols.map(col): _*).agg(qCnt.as("__m"))
-          .where(col("__m") >= 2).select(keyCols.map(col): _*)
+      rows.join(real.groupBy(keyCols.map(col): _*).agg(qOk.as("__ok"))
+          .where(col("__ok")).select(keyCols.map(col): _*)
           .hint("merge"),
         keyCols, "left_semi")
     }
@@ -907,7 +919,7 @@ object SuffixArray {
     def classStats(rows: DataFrame): DataFrame = {
       val real = if (cross) rows.where(col("tag").isNotNull) else rows
       real.groupBy(col("gid"), col("mid"), col("key"))
-        .agg(qCnt.as("m"), min(col("pos")).as("p"))
+        .agg(qOk.as("ok"), min(col("pos")).as("p"))
     }
 
     /** Skip the per-pass candidate-shrink bookkeeping once candidates
@@ -938,7 +950,7 @@ object SuffixArray {
         if (doShrink) keyedRows(mids).localCheckpoint(true)
         else keyedRows(mids)
       val okRows = classStats(kr).groupBy("gid", "mid")
-        .agg((max(col("m")) >= 2).as("ok"))
+        .agg(max(col("ok")).as("ok"))
         .collect().map(r =>
           (r.get(0), r.getLong(1)) -> (!r.isNullAt(2) && r.getBoolean(2)))
         .toMap
@@ -985,7 +997,7 @@ object SuffixArray {
     val wmids = localGids(state.toSeq.collect {
       case (g, (gh, lo, _)) if lo >= 1 => Seq(g, gh, lo)
     }, "h", "mid")
-    val wit = classStats(keyedRows(wmids)).where(col("m") >= 2)
+    val wit = classStats(keyedRows(wmids)).where(col("ok"))
       .groupBy("gid").agg(min(struct(col("key"), col("p"))).as("w"))
       .select(col("gid"), col("w.p").as("rep_pos"))
     localGids(state.toSeq.map { case (g, (_, lo, _)) => Seq(g, lo) },
@@ -1498,11 +1510,34 @@ object SuffixArray {
   def crossSpanIndex(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", srcCol: String = "source",
       minLen: Int = 16,
-      giantThreshold: Long = GiantGroupThreshold): DataFrame =
-    crossGrams(prepCross(docs, idCol, textCol, srcCol, giantThreshold),
-      minLen)
-      .groupBy("source", "gram")
-      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      giantThreshold: Long = GiantGroupThreshold): DataFrame = {
+    // Round 13: per-doc gram DEDUP happens inside the scan task
+    // (array_distinct over the doc's window array — doc-sized arrays
+    // are the sub-threshold budget), so each (doc, gram) ships ONCE
+    // and a plain map-side-combined count(*) IS the distinct-doc
+    // count. Replaces countDistinct's two data-sized exchanges with
+    // one, and the exchange itself carries fewer rows (within-doc
+    // repeats collapse at the source). Giant docs' grams come from
+    // the balanced gatherGrams and dedupe with one giant-sized
+    // distinct — giants are few by definition.
+    val (smallBase, giantBase, hasGiants) =
+      prepCross(docs, idCol, textCol, srcCol, giantThreshold)
+    val smallDocGrams = smallBase
+      .where(length(col("text")) >= minLen)
+      .select(col("doc_id"), col("source"),
+        explode(expr(
+          s"""array_distinct(transform(
+             |  sequence(1, length(text) - ${minLen - 1}),
+             |  i -> substring(text, i, $minLen)))""".stripMargin))
+          .as("gram"))
+    val docGrams =
+      if (!hasGiants) smallDocGrams
+      else smallDocGrams.unionByName(
+        gatherGrams(giantBase, minLen)
+          .join(broadcast(giantBase.select("doc_id", "source")), Seq("doc_id"))
+          .select("doc_id", "source", "gram").distinct())
+    docGrams.groupBy("source", "gram").agg(count(lit(1)).as("n_docs"))
+  }
 
   /** Merge two [[crossSpanIndex]] relations built from DISJOINT
     * document sets: a doc contributes to exactly one side, so
@@ -1550,11 +1585,15 @@ object SuffixArray {
     * window: sub-threshold docs materialize their gram array inside
     * the scan task (doc-sized array rows are fine under the threshold
     * — the same budget the direct d34 path runs on); giant docs via
-    * the balanced [[gatherGrams]]. `__giant` tags which cut face a
-    * start belongs to without a second membership join.
+    * the balanced [[gatherGrams]], or — when the hashed carrier
+    * reroutes after already assembling (and checkpointing) the giant
+    * grams — the pre-built `giantGramsPre` relation, so the
+    * adversarial route never pays giant gram assembly twice.
+    * `__giant` tags which cut face a start belongs to without a
+    * second membership join.
     */
   private def crossGrams(split: (DataFrame, DataFrame, Boolean),
-      minLen: Int): DataFrame = {
+      minLen: Int, giantGramsPre: Option[DataFrame] = None): DataFrame = {
     val (smallBase, giantBase, hasGiants) = split
     val gramsSmall = smallBase
       .where(length(col("text")) >= minLen)
@@ -1568,10 +1607,14 @@ object SuffixArray {
         lit(false).as("__giant"))
     if (!hasGiants) gramsSmall
     else gramsSmall.unionByName(
-      gatherGrams(giantBase, minLen)
-        .join(broadcast(giantBase.select("doc_id", "source")), Seq("doc_id"))
-        .select(col("doc_id"), col("source"), col("pos").cast("long").as("pos"),
-          col("gram"), lit(true).as("__giant")))
+      giantGramsPre
+        .map(_.select(col("doc_id"), col("source"),
+          col("pos").cast("long").as("pos"), col("gram"),
+          lit(true).as("__giant")))
+        .getOrElse(gatherGrams(giantBase, minLen)
+          .join(broadcast(giantBase.select("doc_id", "source")), Seq("doc_id"))
+          .select(col("doc_id"), col("source"), col("pos").cast("long").as("pos"),
+            col("gram"), lit(true).as("__giant"))))
   }
 
   private def crossSpanImpl(docs: DataFrame, idCol: String,
@@ -1588,16 +1631,26 @@ object SuffixArray {
     */
   private def crossSpanFromSplit(
       split: (DataFrame, DataFrame, Boolean), minLen: Int,
-      index: Option[DataFrame]): DataFrame = {
+      index: Option[DataFrame],
+      giantGrams: Option[DataFrame] = None): DataFrame = {
     val (smallBase, giantBase, hasGiants) = split
-    val grams = crossGrams(split, minLen)
+    val grams = crossGrams(split, minLen, giantGrams)
       .localCheckpoint(true) // multi-doc count + starts
     // hint("merge"): the multi-doc gram list can be corpus-scale on a
     // boilerplate-heavy corpus — the tiesOf misestimated-broadcast rule
-    val multi = index.getOrElse(
+    val multi = index.map(_.where(col("n_docs") >= 2))
+      .getOrElse(
+        // the ONE-PASS multi-doc test (round 13): a (source, gram)
+        // group holds >= 2 distinct docs iff its min and max doc_id
+        // differ — exactly countDistinct(doc_id) >= 2, but min/max
+        // are plain declarative partial aggregates, so the test costs
+        // ONE map-side-combined Exchange where countDistinct paid two
+        // data-sized ones (partial-dedup on (source, gram, doc_id),
+        // re-shuffle, recount). Same rows out, byte-identical result.
         grams.groupBy("source", "gram")
-          .agg(countDistinct(col("doc_id")).as("n_docs")))
-      .where(col("n_docs") >= 2)
+          .agg(min(col("doc_id")).as("__dmin"),
+            max(col("doc_id")).as("__dmax"))
+          .where(col("__dmin") =!= col("__dmax")))
       .select("source", "gram").hint("merge")
     val starts = grams.join(multi, Seq("source", "gram"), "left_semi")
       .select("doc_id", "pos", "__giant")
@@ -1647,6 +1700,45 @@ object SuffixArray {
     * routing on a measured volume, the containmentPairsAuto
     * discipline; the sunk cost is one 8-byte-wide pass.
     */
+  /** The hashed carrier's scan-local projection for sub-threshold
+    * docs: (doc_id, source, pos, ghash, __giant=false) — the literal
+    * gram is hashed INSIDE the scan task and never leaves the
+    * projection, so 8 bytes per position hit the wire. Plan-gated
+    * (SuffixArraySpec): no Exchange anywhere in this relation.
+    */
+  private[graft] def hashGramRows(smallBase: DataFrame,
+      minLen: Int): DataFrame =
+    smallBase
+      .where(length(col("text")) >= minLen)
+      .select(col("doc_id"), col("source"),
+        posexplode(expr(
+          s"""transform(sequence(1, length(text) - ${minLen - 1}),
+             |  i -> xxhash64(substring(text, i, $minLen)))""".stripMargin))
+          .as(Seq("p0", "ghash")))
+      .select(col("doc_id"), col("source"),
+        (col("p0") + 1).cast("long").as("pos"), col("ghash"),
+        lit(false).as("__giant"))
+
+  /** The hash-level multi-doc prefilter, in ONE map-side-combinable
+    * pass (round 13 — the lean prefilter the round-12 docs promised,
+    * made EXACT instead of the >=2-occurrence superset): a
+    * (source, ghash) group spans >= 2 distinct docs iff its min and
+    * max doc_id differ, and min/max/count are all declarative partial
+    * aggregates, so the test costs one Exchange of combined
+    * per-map-task state where countDistinct(doc_id) paid two
+    * data-sized ones. `n_pos` carries the group's POSITION mass — the
+    * exact candidate volume the re-verification pass would pay, read
+    * for the price of one more aggregate column (the routing signal,
+    * see [[CandRouteFraction]]). Plan-gated (SuffixArraySpec): one
+    * Exchange, keyed (source, ghash), no Expand, no literal gram
+    * column anywhere.
+    */
+  private[graft] def hashPrefilter(hashes: DataFrame): DataFrame =
+    hashes.groupBy("source", "ghash")
+      .agg(min(col("doc_id")).as("__dmin"), max(col("doc_id")).as("__dmax"),
+        count(lit(1)).as("n_pos"))
+      .where(col("__dmin") =!= col("__dmax"))
+
   private def crossSpanHashedImpl(docs: DataFrame, idCol: String,
       textCol: String, srcCol: String, minLen: Int,
       giantThreshold: Long,
@@ -1664,39 +1756,23 @@ object SuffixArray {
         .select(col("doc_id"), col("source"),
           col("pos").cast("long").as("pos"), col("gram"))
         .localCheckpoint(true))
-    // sub-threshold docs hash INSIDE the scan task: the literal gram
-    // never leaves the projection, 8 bytes per position hit the wire
-    val hSmall = smallBase
-      .where(length(col("text")) >= minLen)
-      .select(col("doc_id"), col("source"),
-        posexplode(expr(
-          s"""transform(sequence(1, length(text) - ${minLen - 1}),
-             |  i -> xxhash64(substring(text, i, $minLen)))""".stripMargin))
-          .as(Seq("p0", "ghash")))
-      .select(col("doc_id"), col("source"),
-        (col("p0") + 1).cast("long").as("pos"), col("ghash"),
-        lit(false).as("__giant"))
-    val hashes = gramsGiantOpt.fold(hSmall)(gg => hSmall.unionByName(
-        gg.select(col("doc_id"), col("source"), col("pos"),
-          xxhash64(col("gram")).as("ghash"), lit(true).as("__giant"))))
+    val hashes = gramsGiantOpt.fold(hashGramRows(smallBase, minLen))(gg =>
+        hashGramRows(smallBase, minLen).unionByName(
+          gg.select(col("doc_id"), col("source"), col("pos"),
+            xxhash64(col("gram")).as("ghash"), lit(true).as("__giant"))))
       .localCheckpoint(true) // multi-doc count + candidate semi
-    // qualifying hash groups carry their POSITION mass alongside the
-    // distinct-doc count: the exact candidate volume the
-    // re-verification pass would pay, read for the price of one more
-    // aggregate column — the routing signal (see [[CandRouteFraction]])
-    val multiH0 = hashes.groupBy("source", "ghash")
-      .agg(countDistinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("n_pos"))
-      .where(col("n_docs") >= 2)
-      .localCheckpoint(true)
+    val multiH0 = hashPrefilter(hashes).localCheckpoint(true)
     val candMass = multiH0.agg(coalesce(sum(col("n_pos")), lit(0L)))
       .head().getLong(0)
     val totalPos = hashes.count()
     if (totalPos > 0 && candMass > candRouteFraction * totalPos)
       // most positions are candidates: re-verification would re-pay
       // the literal volume ON TOP of the hash pass — route to the
-      // literal carrier (sunk cost: the 8-byte pass just measured)
-      return crossSpanFromSplit(split, minLen, index = None)
+      // literal carrier (sunk cost: the 8-byte pass just measured;
+      // the checkpointed giant grams ride along so the route never
+      // re-runs gatherGrams over the giants)
+      return crossSpanFromSplit(split, minLen, index = None,
+        giantGrams = gramsGiantOpt)
     val multiH = multiH0.select("source", "ghash").hint("merge")
     val cand = hashes.join(multiH, Seq("source", "ghash"), "left_semi")
       .select("doc_id", "source", "pos", "__giant")
@@ -1723,9 +1799,11 @@ object SuffixArray {
           .select(col("doc_id"), col("source"), col("pos"), col("gram"),
             lit(true).as("__giant")))
     }.localCheckpoint(true) // verified-count + start semi
+    // same one-pass multi-doc test as the hash prefilter, at literal
+    // granularity over the candidate-sized relation
     val multiV = candLit.groupBy("source", "gram")
-      .agg(countDistinct(col("doc_id")).as("n_docs"))
-      .where(col("n_docs") >= 2)
+      .agg(min(col("doc_id")).as("__dmin"), max(col("doc_id")).as("__dmax"))
+      .where(col("__dmin") =!= col("__dmax"))
       .select("source", "gram").hint("merge")
     val starts = candLit.join(multiV, Seq("source", "gram"), "left_semi")
       .select("doc_id", "pos", "__giant")

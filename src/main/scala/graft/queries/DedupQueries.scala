@@ -659,8 +659,10 @@ object DedupQueries {
     // d35 at a WIDE threshold (>= HashedGramCarrierMinLen = 33), so
     // the default dispatch runs the HASHED gram carrier end-to-end
     // against the SAME definitional oracle d35 uses at minLen=20:
-    // xxhash64 keys on the data-sized shuffles, the >=2-occurrence
-    // prefilter, the candidate-mass route decision and the literal
+    // xxhash64 keys on the data-sized shuffles, the one-pass
+    // min/max-doc_id multi-doc prefilter (SuffixArray.hashPrefilter —
+    // exactly countDistinct >= 2 at ONE map-side-combined exchange),
+    // the candidate-mass route decision and the literal
     // re-verification all sit on an oracle-checked path (not just the
     // property spec). The oracle knows nothing of carriers — identical
     // hashes at both thresholds ARE the carrier-equivalence statement.
@@ -863,7 +865,8 @@ object DedupQueries {
 
   /** d37's span threshold: past `HashedGramCarrierMinLen` (33), so
     * the DEFAULT crossDocSpanRemoval dispatch runs the HASHED
-    * carrier — xxhash64 keys, the ≥2-occurrence prefilter, the
+    * carrier — xxhash64 keys, the one-pass min/max-doc_id multi-doc
+    * prefilter (`SuffixArray.hashPrefilter`), the
     * candidate-mass route decision and the literal re-verification
     * all sit on this query's oracle-checked path (d35 at minLen=20
     * exercises only the literal carrier). At the verify SF exactly
