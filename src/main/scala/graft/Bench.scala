@@ -126,8 +126,25 @@ object Bench {
     // At cluster scale this would be data/128MB; AQE coalesces down.
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
       math.min(cpus.toInt, 8).toString)
+    // Codegen class cache (STATIC conf, must be set at first-session
+    // creation): Spark's default 100 entries thrashes under a 229-query
+    // suite — every timed pass regenerates + recompiles + class-loads
+    // every plan's codegen (the warmup pass's compilations are evicted
+    // long before the timed pass returns to the same query, and the
+    // d32/p07 driver loops alone mint hundreds of distinct plans),
+    // churning the JIT code cache; the churn's sweep storms were the
+    // wandering 2–10× in-suite-vs-solo victims (d22 66 s in r13, p07
+    // 74 s in the r14 after-stash run). Measured full-suite A/B on
+    // identical code: 100 → 430.1 s, 2000 → 240.5 s, 8000 → 218.4 s,
+    // with zero >0.5 s per-query regressions and in-suite ≈ solo for
+    // every query at 8000. Scale-independent (a driver-side compile
+    // cache — cluster drivers reuse generated classes the same way);
+    // env-overridable for A/B.
+    val codegenCache =
+      sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8000")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.codegen.cache.maxEntries", codegenCache)
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -73,6 +73,12 @@ object ScaleStress {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // same codegen-cache sizing as Bench (see the comment there):
+      // the iterative ops here mint hundreds of distinct plans per
+      // scale point; the default 100-entry cache adds recompile noise
+      // to exactly the curves this harness exists to measure
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -660,33 +660,47 @@ object SuffixArray {
       .localCheckpoint(true)
     tick("gram+rank0")
 
-    /** Rows still in ≥2-member rank classes — the only rows the next
-      * level can change.
+    /** ONE aggregation per level over the rank relation (round 14):
+      * the former `tiesOf` + `existsOver` pair aggregated the SAME
+      * relation twice per level on the same (gid, rank) keys — once
+      * for the ≥2-member tie-class list, once for the per-gid
+      * "a qualifying class survives" signal. This scan produces the
+      * checkpointed class relation ONCE — count + (cross) min/max tag;
+      * min/max skip nulls natively, so the old `where(tag.isNotNull)`
+      * pre-filter folds into the same pass — and both consumers read
+      * it: the tie semi-join takes (gid, rank), the exists signal is a
+      * class-count-sized aggregate. Removes one full-tie-relation
+      * Exchange per level from the loop's hot path (§2.4).
+      *
+      * Returns (tieClasses, ties). hint("merge") on the semi join:
+      * the class list can be corpus-scale on boilerplate-heavy
+      * corpora — the mispicked-broadcast hazard measured on the
+      * salted 10x corpus (an 8 GiB broadcast ceiling blowout).
       */
-    def tiesOf(r: DataFrame): DataFrame =
-      // hint("merge"): the grouped side's size estimate collapses
-      // through derived lineage and a mispicked broadcast build of a
-      // corpus-scale class list blows the 8 GiB ceiling (measured on
-      // the salted 10x corpus) — the semi join must stay a shuffle
-      r.join(r.groupBy("gid", "rank").agg(count(lit(1)).as("__m"))
-          .where(col("__m") >= 2).select("gid", "rank").hint("merge"),
+    def tieScan(r: DataFrame): (DataFrame, DataFrame) = {
+      val aggs =
+        if (cross) Seq(count(lit(1)).as("__m"),
+          min(col("tag")).as("__t0"), max(col("tag")).as("__t1"))
+        else Seq(count(lit(1)).as("__m"))
+      val tieCls = r.groupBy("gid", "rank").agg(aggs.head, aggs.tail: _*)
+        .where(col("__m") >= 2)
+        .localCheckpoint(true)
+      val ties = r.join(tieCls.select("gid", "rank").hint("merge"),
         Seq("gid", "rank"), "left_semi")
+      (tieCls, ties)
+    }
 
-    /** Per-group "a qualifying class survives" over a tie relation —
-      * any ≥2-member (cross: ≥2-doc) class is a tie class, so the
-      * (small) tie set carries the whole answer.
+    /** Per-group "a qualifying class survives", read off the tie-class
+      * relation [[tieScan]] already materialized: a class qualifies
+      * with ≥ 2 distinct non-null tags (cross — min(tag) != max(tag),
+      * exactly countDistinct >= 2 over non-nulls; a class whose real
+      * rows number < 2 has min = max or both null, never true) or
+      * ≥ 2 members (within — every tie class, by construction).
       */
-    def existsOver(t: DataFrame): DataFrame = {
-      val real = if (cross) t.where(col("tag").isNotNull) else t
-      // one-pass class test (round 13): >= 2 distinct tags iff
-      // min(tag) != max(tag) — countDistinct's Expand/two-exchange
-      // plan replaced by plain partial min/max over the tie relation,
-      // which this loop re-aggregates EVERY level
-      val classOk: Column =
-        if (cross) min(col("tag")) =!= max(col("tag"))
-        else count(lit(1)) >= 2
-      real.groupBy(col("gid"), col("rank")).agg(classOk.as("ok"))
-        .groupBy("gid").agg(max(col("ok")).as("ok"))
+    def existsFrom(tieCls: DataFrame): Seq[(Any, Boolean)] = {
+      val ok: Column =
+        if (cross) col("__t0") =!= col("__t1") else col("__m") >= 2
+      collectE(tieCls.groupBy("gid").agg(max(ok).as("ok")))
     }
 
     // driver-held search state per gid: (h, lo, hi) — the repeat
@@ -714,8 +728,9 @@ object SuffixArray {
       real.groupBy("gid").agg(triv.as("__t")).where(col("__t"))
         .select("gid").collect().map(_.get(0)).toSet
     }
-    var ties = tiesOf(ranks).localCheckpoint(true)
-    val e0 = collectE(existsOver(ties)).toMap
+    val (tieCls0, ties0) = tieScan(ranks)
+    var ties = ties0.localCheckpoint(true)
+    val e0 = existsFrom(tieCls0).toMap
     allGids.foreach { g =>
       if (trivial(g)) state(g) = (0L, 0L, 1L)
       else if (!e0.getOrElse(g, false)) state(g) = (0L, 0L, k0)
@@ -789,10 +804,11 @@ object SuffixArray {
         .withColumn("nr", col("rank") + rank().over(wc).cast("long") - 1L)
         .localCheckpoint(true)
       tick(s"refine h=$h (ties)")
-      val tiesNext = tiesOf(renum.select(Seq(col("gid"), col("pos"),
+      val (tieClsN, tiesNextRaw) = tieScan(
+        renum.select(Seq(col("gid"), col("pos"),
           col("nr").as("rank")) ++ tagCols(renum): _*))
-        .localCheckpoint(true)
-      val eN = collectE(existsOver(tiesNext)).toMap
+      val tiesNext = tiesNextRaw.localCheckpoint(true)
+      val eN = existsFrom(tieClsN).toMap
       tick(s"exists h=$h")
       // a died group's repeat is in [h, 4h): its rows KEEP their
       // level-h ranks (only survivors' tie rows advance below), so
@@ -830,7 +846,7 @@ object SuffixArray {
       */
     def qualify(rows: DataFrame, keyCols: Seq[String]): DataFrame = {
       val real = if (cross) rows.where(col("tag").isNotNull) else rows
-      // hint("merge"): same mispicked-broadcast hazard as tiesOf —
+      // hint("merge"): same mispicked-broadcast hazard as tieScan —
       // qualifying class lists can be corpus-scale
       rows.join(real.groupBy(keyCols.map(col): _*).agg(qOk.as("__ok"))
           .where(col("__ok")).select(keyCols.map(col): _*)
@@ -1259,7 +1275,7 @@ object SuffixArray {
       // the document.
       val grams = gatherGrams(giantBase, minLen).localCheckpoint(true)
       // hint("merge"): the duplicated-gram list can be doc-scale on a
-      // repeat-dense document — the tiesOf misestimated-broadcast rule
+      // repeat-dense document — the tieScan misestimated-broadcast rule
       val dup = grams.groupBy("doc_id", "gram")
         .agg(count(lit(1)).as("__m")).where(col("__m") >= 2)
         .select("doc_id", "gram").hint("merge")
@@ -1637,7 +1653,7 @@ object SuffixArray {
     val grams = crossGrams(split, minLen, giantGrams)
       .localCheckpoint(true) // multi-doc count + starts
     // hint("merge"): the multi-doc gram list can be corpus-scale on a
-    // boilerplate-heavy corpus — the tiesOf misestimated-broadcast rule
+    // boilerplate-heavy corpus — the tieScan misestimated-broadcast rule
     val multi = index.map(_.where(col("n_docs") >= 2))
       .getOrElse(
         // the ONE-PASS multi-doc test (round 13): a (source, gram)
